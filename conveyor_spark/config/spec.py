@@ -1,0 +1,139 @@
+"""Pipeline spec: TOML model, interpolation, structural validation.
+
+Mirrors the reference's config surface (src/core/config.rs:170-201):
+
+    [pipeline]                 # name, version, description
+    [global]                   # variables, error_handling, timeout...
+    [[stages]]                 # id, function, inputs, [stages.config]
+
+plus ``${ENV_VAR}`` resolution into global.variables
+(config.rs:265-293) and ``{{var}}`` interpolation into stage configs
+(config.rs:297-356). Validation: non-empty, unique ids, inputs
+resolve, acyclic (config.rs:223-261).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tomllib
+from dataclasses import dataclass, field
+from graphlib import CycleError, TopologicalSorter
+from typing import Any
+
+from conveyor_spark.errors import ConfigError
+
+_ENV_RE = re.compile(r"\$\{([A-Za-z_][A-Za-z0-9_]*)\}")
+_VAR_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+
+
+@dataclass
+class StageSpec:
+    id: str
+    function: str
+    inputs: list[str] = field(default_factory=list)
+    config: dict[str, Any] = field(default_factory=dict)
+    error_strategy: dict[str, Any] = field(default_factory=dict)  # {type, max_retries, retry_delay_seconds}
+
+
+@dataclass
+class PipelineSpec:
+    name: str = "pipeline"
+    version: str = "0"
+    description: str = ""
+    variables: dict[str, str] = field(default_factory=dict)
+    error_handling: dict[str, Any] = field(default_factory=dict)
+    timeout_seconds: float | None = None
+    stages: list[StageSpec] = field(default_factory=list)
+
+    def stage_map(self) -> dict[str, StageSpec]:
+        return {s.id: s for s in self.stages}
+
+    def topo_order(self) -> list[str]:
+        graph = {s.id: set(s.inputs) for s in self.stages}
+        try:
+            return list(TopologicalSorter(graph).static_order())
+        except CycleError as exc:
+            raise ConfigError(f"pipeline has a cycle: {exc.args[1]}") from None
+
+
+def _resolve_env(value: str, env: dict[str, str]) -> str:
+    def sub(m: re.Match[str]) -> str:
+        name = m.group(1)
+        if name not in env:
+            raise ConfigError(f"environment variable {name!r} is not set")
+        return env[name]
+
+    return _ENV_RE.sub(sub, value)
+
+
+def _interpolate(value: Any, variables: dict[str, str]) -> Any:
+    """Recursive ``{{var}}`` substitution in stage configs."""
+    if isinstance(value, str):
+        def sub(m: re.Match[str]) -> str:
+            name = m.group(1)
+            if name not in variables:
+                raise ConfigError(f"undefined variable {name!r} in config")
+            return str(variables[name])
+
+        return _VAR_RE.sub(sub, value)
+    if isinstance(value, dict):
+        return {k: _interpolate(v, variables) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_interpolate(v, variables) for v in value]
+    return value
+
+
+def parse_spec(data: dict[str, Any], env: dict[str, str] | None = None) -> PipelineSpec:
+    env = dict(os.environ) if env is None else env
+    meta = data.get("pipeline", {})
+    glob = data.get("global", {})
+    variables = {
+        k: _resolve_env(str(v), env) for k, v in (glob.get("variables") or {}).items()
+    }
+    stages_raw = data.get("stages", [])
+    if not stages_raw:
+        raise ConfigError("pipeline must declare at least one stage")
+    stages = []
+    for raw in stages_raw:
+        if "id" not in raw or "function" not in raw:
+            raise ConfigError(f"stage missing 'id'/'function': {raw}")
+        stages.append(
+            StageSpec(
+                id=raw["id"],
+                function=raw["function"],
+                inputs=list(raw.get("inputs", [])),
+                config=_interpolate(raw.get("config", {}), variables),
+                error_strategy=raw.get("error_strategy", {}),
+            )
+        )
+    spec = PipelineSpec(
+        name=meta.get("name", "pipeline"),
+        version=str(meta.get("version", "0")),
+        description=meta.get("description", ""),
+        variables=variables,
+        error_handling=glob.get("error_handling", {}),
+        timeout_seconds=glob.get("timeout_seconds"),
+        stages=stages,
+    )
+    validate_spec(spec)
+    return spec
+
+
+def validate_spec(spec: PipelineSpec) -> None:
+    ids = [s.id for s in spec.stages]
+    if len(ids) != len(set(ids)):
+        dupes = sorted({i for i in ids if ids.count(i) > 1})
+        raise ConfigError(f"duplicate stage ids: {dupes}")
+    known = set(ids)
+    for s in spec.stages:
+        for inp in s.inputs:
+            if inp not in known:
+                raise ConfigError(f"stage {s.id!r} references unknown input {inp!r}")
+    spec.topo_order()  # raises on cycle
+
+
+def load_spec(path: str, env: dict[str, str] | None = None) -> PipelineSpec:
+    with open(path, "rb") as f:  # noqa: PTH123
+        data = tomllib.load(f)
+    return parse_spec(data, env)

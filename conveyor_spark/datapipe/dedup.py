@@ -1,0 +1,272 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design:
+- exact: hash-groupBy on a fingerprint — one shuffle of (hash, id),
+  never of full documents.
+- minhash_lsh: signatures are computed per-row with pure array
+  expressions (shingle -> k seeded md5 hashes -> array_min), no
+  explode and no Python; LSH banding explodes only (doc_id, band)
+  pairs — k*|docs| tiny rows — and joins within buckets. This is the
+  textbook distributed MinHash-LSH; candidate verification joins
+  signatures back (not texts).
+- simhash: per-row bit aggregation over token hashes via array
+  expressions; near-dup = equal simhash (or banded bit-blocks).
+- ngram_jaccard: exact pairwise Jaccard via token-posting-list
+  self-join; document-frequency pruning (`max_df`) bounds the
+  posting explosion at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+from conveyor_spark.datapipe.hashing import md5_int
+
+
+def tokens_expr(col: str, distinct: bool = True) -> Column:
+    """Whitespace tokens of lowercased text (empty strings dropped)."""
+    toks = F.split(F.lower(F.col(col)), r"\s+")
+    toks = F.filter(toks, lambda t: t != "")
+    return F.array_distinct(toks) if distinct else toks
+
+
+def char_ngrams_expr(col: str, n: int) -> Column:
+    """Distinct character n-grams of the lowercased text."""
+    t = F.lower(F.col(col))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+
+
+def word_shingles_expr(col: str, n: int) -> Column:
+    """Distinct word n-gram shingles (space-joined)."""
+    toks = tokens_expr(col, distinct=False)
+    if n <= 1:
+        return F.array_distinct(toks)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def _seeded_hash_fn(seed: int):
+    """1-arg lambda factory. NB: binding the seed as a lambda default
+    (``lambda s, i=i``) silently changes PySpark's higher-order-function
+    arity — the 2nd parameter becomes the ARRAY INDEX — so seeds must
+    be captured by closure."""
+    suffix = F.lit(f"#{seed}")
+
+    def fn(s: Column) -> Column:
+        return F.conv(F.substring(F.md5(F.concat(s, suffix)), 1, 15), 16, 10).cast("bigint")
+
+    return fn
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
+    """k min-hash values, each = min over shingles of a seeded 60-bit
+    md5 hash. Pure array expressions — JVM codegen, zero shuffle."""
+    return [
+        F.array_min(F.transform(shingles, _seeded_hash_fn(i))) for i in range(num_hashes)
+    ]
+
+
+@register("dedup.exact", kind="transform", doc="Exact dedup via content fingerprint")
+def dedup_exact(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Keep one row per distinct content (min of `id_column` wins —
+    deterministic, unlike dropDuplicates' partition-order 'any')."""
+    df = inputs[0]
+    columns = config.get("columns")
+    id_column = config.get("id_column")
+    if not columns or not id_column:
+        raise ConfigError("dedup.exact requires 'columns' and 'id_column'")
+    columns = [columns] if isinstance(columns, str) else list(columns)
+    fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in columns]))
+    keep = (
+        df.withColumn("__fp", fp)
+        .groupBy("__fp")
+        .agg(F.min(id_column).alias(id_column))
+        .select(id_column)
+    )
+    return df.join(keep, on=id_column, how="semi")
+
+
+def _shingles(config: dict[str, Any], column: str) -> Column:
+    kind = config.get("shingle", "word")
+    n = int(config.get("ngram", 3))
+    if kind == "char":
+        return char_ngrams_expr(column, n)
+    if kind == "word":
+        return word_shingles_expr(column, n)
+    if kind == "token":
+        return tokens_expr(column)
+    raise ConfigError(f"unknown shingle kind {kind!r}")
+
+
+@register("dedup.minhash", kind="transform", doc="MinHash signatures + LSH band buckets")
+def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Emit candidate duplicate pairs (id_a < id_b) from MinHash-LSH.
+
+    bands*rows_per_band == num_hashes; a pair is a candidate if any
+    band signature matches. Output: id_a, id_b, n_bands (matching).
+    """
+    df = inputs[0]
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("dedup.minhash requires 'column' and 'id_column'")
+    num_hashes = int(config.get("num_hashes", 16))
+    bands = int(config.get("bands", 4))
+    if num_hashes % bands != 0:
+        raise ConfigError("num_hashes must be divisible by bands")
+    rows_per_band = num_hashes // bands
+
+    sig = minhash_signature(_shingles(config, column), num_hashes)
+    with_sig = df.select(
+        F.col(id_column).alias("__id"),
+        *[s.alias(f"__h{i}") for i, s in enumerate(sig)],
+    )
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"__h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
+        )
+    buckets = with_sig.select(
+        "__id", F.explode(F.array(*band_cols)).alias("__b")
+    ).select("__id", F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig"))
+    # pairs within a bucket; shuffle carries only (id, band, sig)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_bands"))
+    )
+    return pairs
+
+
+@register("dedup.simhash", kind="transform", doc="Per-doc SimHash fingerprint")
+def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Add a `simhash` column: sign-aggregated token-hash bits.
+
+    bit j of simhash = 1 iff sum over tokens of (bit j of h(token) ?
+    +1 : -1) > 0. Near-dups share most bits (compare via hamming
+    distance or band-grouping on bit blocks).
+    """
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("dedup.simhash requires 'column'")
+    bits = int(config.get("bits", 32))
+    output_column = config.get("output_column", "simhash")
+    toks = _shingles(config | {"shingle": config.get("shingle", "token")}, column)
+    hashes = F.transform(toks, lambda t: md5_int(t))
+    # per-bit vote: count of set bits vs total tokens. Bit tests use
+    # modulo arithmetic ((h % 2^(j+1)) >= 2^j) — equivalent to
+    # (h >> j) & 1 for the non-negative 60-bit hashes, and unlike the
+    # shift builtins it composes inside higher-order-function lambdas.
+    ntok = F.size(hashes)
+    acc = F.lit(0).cast("bigint")
+
+    def bit_vote(j: int):
+        # closure (not lambda-default) — see _seeded_hash_fn note
+        lo, hi = 2**j, 2 ** (j + 1)
+        return lambda a, h: a + ((h % F.lit(hi)) >= F.lit(lo)).cast("bigint")
+
+    for j in range(bits):
+        ones = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_vote(j))
+        bit_set = (ones * 2 > ntok).cast("bigint")
+        acc = acc + bit_set * F.lit(2**j)
+    return df.withColumn(output_column, acc)
+
+
+@register("dedup.ngram_jaccard", kind="transform", doc="Pairwise n-gram Jaccard similarity")
+def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Exact Jaccard over shingle sets via posting-list self-join.
+
+    Output: id_a, id_b, jaccard (>= threshold). `max_df` drops
+    shingles occurring in more than that fraction of docs (caps the
+    posting-list blowup at scale; off by default for exactness).
+    """
+    df = inputs[0]
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("dedup.ngram_jaccard requires 'column' and 'id_column'")
+    threshold = float(config.get("threshold", 0.8))
+    shingles = _shingles(config, column)
+    base = df.select(F.col(id_column).alias("__id"), shingles.alias("__sh")).withColumn(
+        "__size", F.size("__sh")
+    )
+    postings = base.select("__id", "__size", F.explode("__sh").alias("__tok"))
+    if max_df := config.get("max_df"):
+        total = base.count()
+        cap = int(float(max_df) * total)
+        keep = postings.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")).filter(
+            F.col("__df") <= cap
+        )
+        postings = postings.join(F.broadcast(keep.select("__tok")), on="__tok")
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(b, on="__tok")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .groupBy(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__size").alias("size_a"),
+            F.col("b.__size").alias("size_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    jac = F.col("__inter") / (F.col("size_a") + F.col("size_b") - F.col("__inter"))
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@register("dedup.embedding", kind="transform", doc="Embedding-cosine near-duplicate pairs")
+def dedup_embedding(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Near-dup pairs by cosine similarity within a bucket column.
+
+    `bucket_column` (e.g. an IVF/cluster id) bounds the O(n^2) pair
+    join — pairs are only formed inside a bucket. Without it this is
+    a full cross join: refuse unless `allow_full=true`.
+    """
+    df = inputs[0]
+    column = config.get("column", "embedding")
+    id_column = config.get("id_column")
+    if not id_column:
+        raise ConfigError("dedup.embedding requires 'id_column'")
+    threshold = float(config.get("threshold", 0.95))
+    bucket = config.get("bucket_column")
+    if not bucket and not config.get("allow_full"):
+        raise ConfigError(
+            "dedup.embedding without 'bucket_column' is a full O(n^2) cross join; "
+            "set allow_full=true to force"
+        )
+    from conveyor_spark.datapipe.similarity import cosine_expr
+
+    vecs = df.select(
+        F.col(id_column).alias("__id"),
+        F.col(column).alias("__v"),
+        *( [F.col(bucket).alias("__bk")] if bucket else [] ),
+    )
+    a, b = vecs.alias("a"), vecs.alias("b")
+    on = [F.col("a.__bk") == F.col("b.__bk")] if bucket else []
+    cond = F.col("a.__id") < F.col("b.__id")
+    joined = a.join(b, on=on[0] & cond if on else cond)
+    cos = cosine_expr(F.col("a.__v"), F.col("b.__v"))
+    return (
+        joined.select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

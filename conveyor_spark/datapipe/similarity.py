@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+- knn.brute: exact top-k cosine — the small-query-set baseline. The
+  query set is broadcast (it's small by definition); each executor
+  scans its partition of the corpus once, then a per-query top-k
+  window. No corpus shuffle beyond the top-k aggregation.
+- knn.ivf: IVF-style bucketed ANN — queries probe only their bucket
+  (a precomputed cluster/partition id column), cutting the scanned
+  fraction to ~1/n_buckets. With a bucketed/partitioned corpus table
+  this prunes at the scan.
+
+Dot products are pure JVM array expressions (zip_with + aggregate) —
+no Python, no UDF.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def _topk(joined: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register("knn.brute", kind="transform", min_inputs=1, max_inputs=2, doc="Exact top-k cosine neighbors")
+def knn_brute(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """inputs: [corpus] or [corpus, queries]. Config: id_column,
+    column (embedding), k, query_ids (when no query input given)."""
+    corpus = inputs[0]
+    id_column = config.get("id_column")
+    column = config.get("column", "embedding")
+    if not id_column:
+        raise ConfigError("knn.brute requires 'id_column'")
+    k = int(config.get("k", 10))
+    if len(inputs) > 1:
+        queries = inputs[1]
+    else:
+        qids = config.get("query_ids")
+        if not qids:
+            raise ConfigError("knn.brute requires a second input or 'query_ids'")
+        queries = corpus.filter(F.col(id_column).isin(list(qids)))
+    q = queries.select(
+        F.col(id_column).alias("query_id"), F.col(column).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_column).alias("neighbor_id"), F.col(column).alias("__cv")
+    )
+    joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
+    joined = joined.withColumn(
+        "cosine", F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6)
+    )
+    return _topk(joined, k)
+
+
+@register("knn.ivf", kind="transform", min_inputs=1, max_inputs=2, doc="IVF-bucketed approximate top-k")
+def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Like knn.brute but only scans the query's bucket
+    (`bucket_column` = precomputed cluster id)."""
+    corpus = inputs[0]
+    id_column = config.get("id_column")
+    column = config.get("column", "embedding")
+    bucket = config.get("bucket_column")
+    if not id_column or not bucket:
+        raise ConfigError("knn.ivf requires 'id_column' and 'bucket_column'")
+    k = int(config.get("k", 10))
+    if len(inputs) > 1:
+        queries = inputs[1]
+    else:
+        qids = config.get("query_ids")
+        if not qids:
+            raise ConfigError("knn.ivf requires a second input or 'query_ids'")
+        queries = corpus.filter(F.col(id_column).isin(list(qids)))
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        F.col(column).alias("__qv"),
+        F.col(bucket).alias("__qb"),
+    )
+    c = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        F.col(column).alias("__cv"),
+        F.col(bucket).alias("__cb"),
+    )
+    joined = c.join(F.broadcast(q), on=F.col("__cb") == F.col("__qb")).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    joined = joined.withColumn(
+        "cosine", F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6)
+    )
+    return _topk(joined, k)

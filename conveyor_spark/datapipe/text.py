@@ -1,0 +1,132 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure JVM expressions (split/regexp/array ops) — these run inside
+whole-stage codegen and scale linearly with no shuffle (per-row maps).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+from conveyor_spark.datapipe.dedup import tokens_expr
+
+# Small stopword lists for the n-gram/stopword language heuristic.
+# Deliberately tiny + deterministic (shared verbatim with oracle SQL).
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "von", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "du", "pour"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "de", "para"],
+}
+
+DEFAULT_STOPWORDS = STOPWORDS["en"]
+
+
+def token_count_expr(col: str) -> Column:
+    return F.size(tokens_expr(col, distinct=False))
+
+
+def stopword_hits_expr(col: str, words: list[str]) -> Column:
+    return F.size(F.array_intersect(tokens_expr(col), F.array(*[F.lit(w) for w in words])))
+
+
+@register("text.language_id", kind="transform", doc="Stopword-overlap language heuristic")
+def language_id(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Predict language = argmax of distinct-stopword overlap; ties and
+    zero-hit rows -> 'und' (undetermined). Deterministic: languages are
+    compared in sorted order, strictly-greater wins."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.language_id requires 'column'")
+    output_column = config.get("output_column", "pred_lang")
+    langs = sorted(config.get("languages", STOPWORDS))
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        hits = stopword_hits_expr(column, STOPWORDS[lang])
+        better = hits > best_hits
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(better, hits).otherwise(best_hits)
+    return df.withColumn(output_column, best_lang)
+
+
+@register("text.quality", kind="transform", doc="Heuristic document quality features + score")
+def text_quality(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Adds n_tokens, avg_token_len, punct_ratio, digit_ratio,
+    stopword_ratio, quality_score in [0,1]. Mirrors the usual
+    Gopher/C4-style length+symbol+stopword filters."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.quality requires 'column'")
+    c = F.col(column)
+    n_chars = F.length(c)
+    n_tokens = token_count_expr(column)
+    # NOTE: ratios are left un-rounded on purpose — integer/integer
+    # division of identical inputs is bit-identical across engines,
+    # while decimal rounding of doubles is not (Spark rounds the
+    # shortest decimal repr, others round the binary value).
+    avg_tok = n_chars.cast("double") / F.greatest(n_tokens, F.lit(1))
+    n_punct = F.length(F.regexp_replace(c, r"[^.!?,;:]", ""))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    digit_ratio = n_digit.cast("double") / F.greatest(n_chars, F.lit(1))
+    sw_hits = stopword_hits_expr(column, DEFAULT_STOPWORDS)
+    sw_ratio = sw_hits.cast("double") / F.lit(float(len(DEFAULT_STOPWORDS)))
+    # score: in-range token count + low symbol noise + stopword signal
+    len_ok = (n_tokens >= 10) & (n_tokens <= 100000)
+    score = (
+        0.4 * len_ok.cast("double")
+        + 0.3 * (1.0 - F.least(punct_ratio * 5, F.lit(1.0)))
+        + 0.3 * F.least(sw_ratio * 2, F.lit(1.0))
+    )
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("avg_token_len", avg_tok)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("digit_ratio", digit_ratio)
+        .withColumn("stopword_ratio", sw_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+@register("text.token_count", kind="transform", doc="Whitespace + BPE-ish token counts")
+def token_count(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """ws_tokens = whitespace tokens; bpe_tokens = BPE-ish estimate
+    (pieces after splitting on word boundaries/punct, ~chars/4 floor)."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.token_count requires 'column'")
+    c = F.col(column)
+    ws = token_count_expr(column)
+    # BPE-ish: words contribute ceil(len/4), punctuation/digits 1 each
+    pieces = F.filter(F.split(F.lower(c), r"[^a-z0-9]+"), lambda t: t != "")
+    bpe = F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("bigint"),
+    ) + F.length(F.regexp_replace(c, r"[a-zA-Z0-9\s]", ""))
+    return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
+
+
+@register("text.fingerprint", kind="transform", doc="Normalized-content md5 fingerprint")
+def fingerprint(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """md5 of casefolded text with punctuation stripped and whitespace
+    collapsed — robust to formatting-only edits; pair with dedup.exact."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.fingerprint requires 'column'")
+    output_column = config.get("output_column", "fingerprint")
+    norm = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(F.col(column)), r"[^a-z0-9\s]", ""), r"\s+", " ")
+    )
+    return df.withColumn(output_column, F.md5(norm))

@@ -1,0 +1,1065 @@
+"""The engine's query suite: every operator exercised as a
+(spark, sf_dir) -> DataFrame callable with a matching DuckDB oracle.
+
+This is both the driver's correctness surface (__spark_entry__
+re-exports it) and living documentation of how operators compose.
+
+Cross-engine determinism rules used throughout (hard-won):
+- double SUMs are order-dependent -> sum exact DECIMALs, then cast
+  the result to double (bit-identical in Spark and DuckDB; all
+  monetary test columns are 2-decimal).
+- never round plain ratio doubles (Spark rounds the shortest decimal
+  repr, DuckDB the binary value — they disagree at boundaries like
+  0.285); integer-division doubles are already bit-identical.
+- rounding IS safe for accumulated float noise (cosine, after
+  casting float32 -> double: error ~1e-14, round 6 is stable).
+- count()/row_number() are BIGINT/INT in Spark; DuckDB needs ::BIGINT
+  / ::INT casts (its sum(int) is HUGEINT, floor() is DECIMAL).
+- TIMESTAMP(NANOS) parquet: Spark reads as long (legacy conf) and we
+  truncate ns -> us, exactly like DuckDB's TIMESTAMP cast.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from conveyor_spark.registry import OpContext, get_function
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _ctx(spark: SparkSession) -> OpContext:
+    # Defensive: the driver may hand us its own session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return OpContext(spark=spark)
+
+
+def _op(name: str, ctx: OpContext, inputs: list[DataFrame], **config: Any) -> DataFrame:
+    return get_function(name).fn(ctx, inputs, config)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a test table; events.ts (ns parquet) -> microsecond
+    timestamp by truncation (matches DuckDB's TIMESTAMP read)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Relational core (reference §2.3-2.5)
+# ---------------------------------------------------------------------------
+
+_Q01_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2)) * CAST(1.0 + l_tax AS DECIMAL(8,2))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q01_pricing_summary", _Q01_ORACLE)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filter + derived decimal columns + groupby +
+    post-aggregation arithmetic (ops: filter.apply, map.apply,
+    groupby.apply, select.apply)."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    df = _op("filter.apply", ctx, [li], expr="l_shipdate <= timestamp'1998-09-01 00:00:00'")
+    df = _op("map.apply", ctx, [df], expression="CAST(l_quantity AS DECIMAL(18,2))", output_column="qdec")
+    df = _op("map.apply", ctx, [df], expression="CAST(l_extendedprice AS DECIMAL(18,2))", output_column="pdec")
+    df = _op(
+        "map.apply", ctx, [df],
+        expression="CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))",
+        output_column="dpdec",
+    )
+    df = _op(
+        "map.apply", ctx, [df],
+        expression="CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2)) * CAST(1.0 + l_tax AS DECIMAL(8,2))",
+        output_column="chdec",
+    )
+    df = _op(
+        "groupby.apply", ctx, [df],
+        by=["l_returnflag", "l_linestatus"],
+        aggregations=[
+            {"column": "qdec", "operation": "sum", "output_column": "sum_qdec"},
+            {"column": "pdec", "operation": "sum", "output_column": "sum_pdec"},
+            {"column": "dpdec", "operation": "sum", "output_column": "sum_dpdec"},
+            {"column": "chdec", "operation": "sum", "output_column": "sum_chdec"},
+            {"column": "l_orderkey", "operation": "count", "output_column": "count_order"},
+        ],
+    )
+    for out, src in [
+        ("sum_qty", "sum_qdec"), ("sum_base_price", "sum_pdec"),
+        ("sum_disc_price", "sum_dpdec"), ("sum_charge", "sum_chdec"),
+    ]:
+        df = _op("map.apply", ctx, [df], expression=f"CAST({src} AS DOUBLE)", output_column=out)
+    df = _op("map.apply", ctx, [df], expression="CAST(sum_qdec AS DOUBLE) / count_order", output_column="avg_qty")
+    df = _op("map.apply", ctx, [df], expression="CAST(sum_pdec AS DOUBLE) / count_order", output_column="avg_price")
+    return _op(
+        "select.apply", ctx, [df],
+        columns=["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+                 "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "count_order"],
+    )
+
+
+@query(
+    "q02_filter_in",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem WHERE l_returnflag IN ('A', 'R') AND l_quantity >= 30
+    """,
+)
+def q02_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter.apply `in` + `>=` (reference filter.rs:114-177)."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    df = _op("filter.apply", ctx, [li], column="l_returnflag", operator="in", value=["A", "R"])
+    df = _op("filter.apply", ctx, [df], column="l_quantity", operator=">=", value=30)
+    return _op("select.apply", ctx, [df], columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+
+
+@query(
+    "q03_filter_contains",
+    "SELECT p_partkey, p_name, p_type FROM part WHERE p_type LIKE '%PRO%'",
+)
+def q03_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter.apply `contains` (substring; reference filter.rs:139-151)."""
+    ctx = _ctx(spark)
+    part = load_table(spark, sf_dir, "part")
+    df = _op("filter.apply", ctx, [part], column="p_type", operator="contains", value="PRO")
+    return _op("select.apply", ctx, [df], columns=["p_partkey", "p_name", "p_type"])
+
+
+@query("q04_select_project", "SELECT c_custkey, c_name, c_mktsegment FROM customer")
+def q04_select_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """select.apply projection — column pruning reaches the scan."""
+    ctx = _ctx(spark)
+    return _op("select.apply", ctx, [load_table(spark, sf_dir, "customer")],
+               columns=["c_custkey", "c_name", "c_mktsegment"])
+
+
+@query(
+    "q05_map_derived",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice * 1.1 AS boosted
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+)
+def q05_map_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map.apply with the reference's `col * const` grammar (float
+    coercion — map.rs:129-227); double mult is bit-identical."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    df = _op("filter.apply", ctx, [li], column="l_linenumber", operator="==", value=1)
+    df = _op("map.apply", ctx, [df], expression="l_extendedprice * 1.1", output_column="boosted")
+    return _op("select.apply", ctx, [df], columns=["l_orderkey", "l_linenumber", "boosted"])
+
+
+@query(
+    "q06_sort_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q06_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort.apply + limit -> TakeOrderedAndProject (no full sort)."""
+    ctx = _ctx(spark)
+    o = load_table(spark, sf_dir, "orders")
+    df = _op("select.apply", ctx, [o], columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return _op("sort.apply", ctx, [df], columns=["o_totalprice", "o_orderkey"],
+               descending=[True, False], limit=10)
+
+
+@query("q07_distinct_any", "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer")
+def q07_distinct_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct.apply keep=any (reference distinct.rs:74-121)."""
+    ctx = _ctx(spark)
+    c = load_table(spark, sf_dir, "customer")
+    df = _op("select.apply", ctx, [c], columns=["c_nationkey", "c_mktsegment"])
+    return _op("distinct.apply", ctx, [df])
+
+
+@query(
+    "q08_distinct_keep_first",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber FROM (
+      SELECT l_orderkey, l_partkey, l_linenumber,
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+      FROM lineitem) WHERE rn = 1
+    """,
+)
+def q08_distinct_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct.apply keep=first with explicit order (distributed
+    data has no 'physical first' — see distinct.py)."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    df = _op("select.apply", ctx, [li], columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    return _op("distinct.apply", ctx, [df], columns=["l_orderkey"], keep="first",
+               order_by="l_linenumber")
+
+
+@query(
+    "q09_groupby_stats",
+    """
+    WITH g AS (
+      SELECT c_nationkey,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_dec,
+             SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS sum_sq_dec,
+             COUNT(c_acctbal) AS n_customers,
+             MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal,
+             MEDIAN(c_acctbal) AS median_bal,
+             arg_min(c_acctbal, c_custkey) AS first_bal,
+             arg_max(c_acctbal, c_custkey) AS last_bal
+      FROM customer GROUP BY c_nationkey)
+    SELECT c_nationkey, CAST(sum_dec AS DOUBLE) AS sum_bal,
+           CAST(sum_dec AS DOUBLE) / n_customers AS avg_bal,
+           n_customers, min_bal, max_bal, median_bal, first_bal, last_bal,
+           (CAST(sum_sq_dec AS DOUBLE) - CAST(sum_dec AS DOUBLE) * CAST(sum_dec AS DOUBLE) / n_customers) / (n_customers - 1) AS var_bal
+    FROM g
+    """,
+)
+def q09_groupby_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby.apply exercising sum/count/min/max/median + ordered
+    first/last (min_by/max_by) + a deterministic variance (decimal
+    moments; F.var_samp is tested in pytest — its float accumulation
+    order isn't cross-engine stable)."""
+    ctx = _ctx(spark)
+    c = load_table(spark, sf_dir, "customer")
+    df = _op("map.apply", ctx, [c], expression="CAST(c_acctbal AS DECIMAL(18,2))", output_column="bdec")
+    df = _op("map.apply", ctx, [df],
+             expression="CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))",
+             output_column="b2dec")
+    df = _op(
+        "groupby.apply", ctx, [df],
+        by="c_nationkey",
+        aggregations=[
+            {"column": "bdec", "operation": "sum", "output_column": "sum_dec"},
+            {"column": "b2dec", "operation": "sum", "output_column": "sum_sq_dec"},
+            {"column": "c_acctbal", "operation": "count", "output_column": "n_customers"},
+            {"column": "c_acctbal", "operation": "min", "output_column": "min_bal"},
+            {"column": "c_acctbal", "operation": "max", "output_column": "max_bal"},
+            {"column": "c_acctbal", "operation": "median", "output_column": "median_bal"},
+            {"column": "c_acctbal", "operation": "first", "order_by": "c_custkey", "output_column": "first_bal"},
+            {"column": "c_acctbal", "operation": "last", "order_by": "c_custkey", "output_column": "last_bal"},
+        ],
+    )
+    df = _op("map.apply", ctx, [df], expression="CAST(sum_dec AS DOUBLE)", output_column="sum_bal")
+    df = _op("map.apply", ctx, [df], expression="CAST(sum_dec AS DOUBLE) / n_customers", output_column="avg_bal")
+    df = _op(
+        "map.apply", ctx, [df],
+        expression="(CAST(sum_sq_dec AS DOUBLE) - CAST(sum_dec AS DOUBLE) * CAST(sum_dec AS DOUBLE) / n_customers) / (n_customers - 1)",
+        output_column="var_bal",
+    )
+    return _op("select.apply", ctx, [df],
+               columns=["c_nationkey", "sum_bal", "avg_bal", "n_customers", "min_bal",
+                        "max_bal", "median_bal", "first_bal", "last_bal", "var_bal"])
+
+
+@query(
+    "q10_reduce_sum",
+    "SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty FROM lineitem",
+)
+def q10_reduce_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """reduce.apply global aggregate (reference reduce.rs:91-136)."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    df = _op("map.apply", ctx, [li], expression="CAST(l_quantity AS DECIMAL(18,2))", output_column="qdec")
+    df = _op("reduce.apply", ctx, [df], column="qdec", operation="sum", output_column="tdec")
+    df = _op("map.apply", ctx, [df], expression="CAST(tdec AS DOUBLE)", output_column="total_qty")
+    return _op("select.apply", ctx, [df], columns=["total_qty"])
+
+
+@query(
+    "q11_json_extract",
+    """
+    SELECT event_id, json_extract_string(props, '$.k') AS k_value FROM events
+    """,
+)
+def q11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.extract dot-path -> string column (json_extract.rs:69-132)."""
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    df = _op("json.extract", ctx, [ev], column="props", path="k", output_column="k_value")
+    return _op("select.apply", ctx, [df], columns=["event_id", "k_value"])
+
+
+@query(
+    "q12_validate_passthrough",
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders",
+)
+def q12_validate_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate.schema passes data through when constraints hold
+    (validate.rs:99-225)."""
+    ctx = _ctx(spark)
+    o = load_table(spark, sf_dir, "orders")
+    df = _op(
+        "validate.schema", ctx, [o],
+        required_fields=["o_orderkey", "o_custkey", "o_totalprice"],
+        field_types={"o_orderkey": "int64", "o_totalprice": "float64", "o_orderstatus": "string"},
+        non_nullable=["o_orderkey", "o_custkey"],
+        unique_fields=["o_orderkey"],
+        date_fields=["o_orderdate"],
+    )
+    return _op("select.apply", ctx, [df],
+               columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"])
+
+
+@query(
+    "q13_chunk_batches",
+    """
+    SELECT ((row_number() OVER (ORDER BY event_id)) - 1) // 500 AS chunk_id,
+           COUNT(*) AS n_records
+    FROM events GROUP BY ((row_number() OVER (ORDER BY event_id)) - 1) // 500
+    """,
+)
+def q13_chunk_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chunk.apply: every-N-rows batching (chunk.rs:62-113); emits
+    per-chunk record counts (array payload itself tested in pytest)."""
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    df = _op("chunk.apply", ctx, [ev], batch_size=500, order_by="event_id")
+    df = _op("map.apply", ctx, [df], expression="CAST(size(records) AS BIGINT)", output_column="n_records")
+    return _op("select.apply", ctx, [df], columns=["chunk_id", "n_records"])
+
+
+# oops — DuckDB can't GROUP BY a window function; fix q13's oracle:
+ORACLES["q13_chunk_batches"] = """
+WITH seq AS (
+  SELECT (row_number() OVER (ORDER BY event_id) - 1) // 500 AS chunk_id FROM events)
+SELECT chunk_id, COUNT(*) AS n_records FROM seq GROUP BY chunk_id
+"""
+
+
+@query(
+    "q14_join_customer_orders",
+    """
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def q14_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join.apply (broadcast dim) + groupby (extension; reference has
+    no joins — README.md:326 roadmap)."""
+    ctx = _ctx(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    o = _op("map.apply", ctx, [o], expression="CAST(o_totalprice AS DECIMAL(18,2))", output_column="tdec")
+    o = _op("map.apply", ctx, [o], expression="o_custkey", output_column="c_custkey")
+    j = _op("join.apply", ctx, [o, c], on="c_custkey", how="inner", broadcast=True)
+    g = _op(
+        "groupby.apply", ctx, [j], by=["c_custkey", "c_name"],
+        aggregations=[
+            {"column": "o_orderkey", "operation": "count", "output_column": "n_orders"},
+            {"column": "tdec", "operation": "sum", "output_column": "sum_dec"},
+        ],
+    )
+    g = _op("map.apply", ctx, [g], expression="CAST(sum_dec AS DOUBLE)", output_column="total_spent")
+    return _op("select.apply", ctx, [g], columns=["c_custkey", "c_name", "n_orders", "total_spent"])
+
+
+@query(
+    "q15_join_shipping_topk",
+    """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey
+    ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q15_join_shipping_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join, derived revenue, group, top-k."""
+    ctx = _ctx(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = _op("filter.apply", ctx, [c], column="c_mktsegment", operator="==", value="BUILDING")
+    c = _op("select.apply", ctx, [c], columns=["c_custkey"])
+    o = _op("map.apply", ctx, [o], expression="o_custkey", output_column="c_custkey")
+    co = _op("join.apply", ctx, [o, c], on="c_custkey", how="inner", broadcast=True)
+    co = _op("map.apply", ctx, [co], expression="o_orderkey", output_column="l_orderkey")
+    j = _op("join.apply", ctx, [li, co], on="l_orderkey", how="inner")
+    j = _op(
+        "map.apply", ctx, [j],
+        expression="CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))",
+        output_column="rdec",
+    )
+    g = _op(
+        "groupby.apply", ctx, [j], by="l_orderkey",
+        aggregations=[
+            {"column": "rdec", "operation": "sum", "output_column": "sum_dec"},
+            {"column": "l_linenumber", "operation": "count", "output_column": "n_items"},
+        ],
+    )
+    g = _op("map.apply", ctx, [g], expression="CAST(sum_dec AS DOUBLE)", output_column="revenue")
+    g = _op("map.apply", ctx, [g], expression="l_orderkey", output_column="o_orderkey")
+    g = _op("select.apply", ctx, [g], columns=["o_orderkey", "revenue", "n_items"])
+    return _op("sort.apply", ctx, [g], columns=["revenue", "o_orderkey"],
+               descending=[True, False], limit=10)
+
+
+@query(
+    "q16_join_region_revenue",
+    """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l.l_discount AS DECIMAL(8,2))) AS DOUBLE) AS revenue
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def q16_join_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with broadcast dims — the fact table
+    (lineitem) is never shuffled for the dim joins."""
+    ctx = _ctx(spark)
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    r = _op("filter.apply", ctx, [r], column="r_name", operator="==", value="ASIA")
+    n = _op("map.apply", ctx, [n], expression="n_regionkey", output_column="r_regionkey")
+    nr = _op("join.apply", ctx, [n, r], on="r_regionkey", how="inner", broadcast=True)
+    c = _op("map.apply", ctx, [c], expression="c_nationkey", output_column="n_nationkey")
+    cn = _op("join.apply", ctx, [c, nr], on="n_nationkey", how="inner", broadcast=True)
+    o = _op("map.apply", ctx, [o], expression="o_custkey", output_column="c_custkey")
+    oc = _op("join.apply", ctx, [o, cn], on="c_custkey", how="inner", broadcast=True)
+    oc = _op("map.apply", ctx, [oc], expression="o_orderkey", output_column="l_orderkey")
+    j = _op("join.apply", ctx, [li, oc], on="l_orderkey", how="inner")
+    j = _op(
+        "map.apply", ctx, [j],
+        expression="CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(8,2))",
+        output_column="rdec",
+    )
+    g = _op("groupby.apply", ctx, [j], by="n_name",
+            aggregations=[{"column": "rdec", "operation": "sum", "output_column": "sum_dec"}])
+    g = _op("map.apply", ctx, [g], expression="CAST(sum_dec AS DOUBLE)", output_column="revenue")
+    return _op("select.apply", ctx, [g], columns=["n_name", "revenue"])
+
+
+@query(
+    "q17_union_nation_keys",
+    """
+    SELECT nationkey, COUNT(*) AS n_accounts FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nationkey FROM supplier)
+    GROUP BY nationkey
+    """,
+)
+def q17_union_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union.apply (unionByName) + groupby count."""
+    ctx = _ctx(spark)
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    c = _op("map.apply", ctx, [c], expression="c_nationkey", output_column="nationkey")
+    c = _op("select.apply", ctx, [c], columns=["nationkey"])
+    s = _op("map.apply", ctx, [s], expression="s_nationkey", output_column="nationkey")
+    s = _op("select.apply", ctx, [s], columns=["nationkey"])
+    u = _op("union.apply", ctx, [c, s])
+    return _op("groupby.apply", ctx, [u], by="nationkey",
+               aggregations=[{"column": "nationkey", "operation": "count", "output_column": "n_accounts"}])
+
+
+@query(
+    "q18_intersect_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q18_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = _ctx(spark)
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    c = _op("map.apply", ctx, [c], expression="c_nationkey", output_column="nationkey")
+    c = _op("select.apply", ctx, [c], columns=["nationkey"])
+    s = _op("map.apply", ctx, [s], expression="s_nationkey", output_column="nationkey")
+    s = _op("select.apply", ctx, [s], columns=["nationkey"])
+    return _op("intersect.apply", ctx, [c, s])
+
+
+@query(
+    "q19_except_keys",
+    """
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def q19_except_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """except.apply — customers who never ordered."""
+    ctx = _ctx(spark)
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    c = _op("select.apply", ctx, [c], columns=["c_custkey"])
+    o = _op("map.apply", ctx, [o], expression="o_custkey", output_column="c_custkey")
+    o = _op("select.apply", ctx, [o], columns=["c_custkey"])
+    return _op("except.apply", ctx, [c, o], all=False)
+
+
+@query(
+    "q20_window_rank",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def q20_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window.function row_number per customer (Spark-freebie
+    extension; reference has no window functions)."""
+    ctx = _ctx(spark)
+    o = load_table(spark, sf_dir, "orders")
+    df = _op("select.apply", ctx, [o], columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    df = _op("window.function", ctx, [df], function="row_number", output_column="rn",
+             partition_by="o_custkey", order_by=["o_totalprice", "o_orderkey"],
+             descending=[True, False])
+    return _op("filter.apply", ctx, [df], column="rn", operator="<=", value=3)
+
+
+@query(
+    "q21_window_lag",
+    """
+    SELECT event_id, user_id, value,
+           lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+    FROM events
+    """,
+)
+def q21_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    df = _op("window.function", ctx, [ev], function="lag", column="value",
+             output_column="prev_value", partition_by="user_id", order_by=["ts", "event_id"])
+    return _op("select.apply", ctx, [df], columns=["event_id", "user_id", "value", "prev_value"])
+
+
+@query(
+    "q22_pivot_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(o_orderkey) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           COUNT(o_orderkey) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           COUNT(o_orderkey) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q22_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot.apply with pinned values (no extra distinct-scan job)."""
+    ctx = _ctx(spark)
+    o = load_table(spark, sf_dir, "orders")
+    df = _op("pivot.apply", ctx, [o], by="o_orderpriority", pivot="o_orderstatus",
+             values=["F", "O", "P"],
+             agg={"column": "o_orderkey", "operation": "count"})
+    for c in ["F", "O", "P"]:
+        df = _op("map.apply", ctx, [df], expression=f"COALESCE(`{c}`, CAST(0 AS BIGINT))", output_column=c)
+    return df
+
+
+@query(
+    "q23_window_tumbling_hour",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY date_trunc('hour', ts)
+    """,
+)
+def q23_window_tumbling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window.apply time-based tumbling (Spark F.window; the
+    reference only has count windows — streaming.rs:75-135)."""
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    df = _op("map.apply", ctx, [ev], expression="CAST(value AS DECIMAL(18,2))", output_column="vdec")
+    df = _op("window.apply", ctx, [df], type="tumbling", time_column="ts", size=3600)
+    g = _op(
+        "groupby.apply", ctx, [df], by="window_start",
+        aggregations=[
+            {"column": "event_id", "operation": "count", "output_column": "n_events"},
+            {"column": "vdec", "operation": "sum", "output_column": "sum_dec"},
+        ],
+    )
+    g = _op("map.apply", ctx, [g], expression="CAST(sum_dec AS DOUBLE)", output_column="sum_value")
+    return _op("select.apply", ctx, [g], columns=["window_start", "n_events", "sum_value"])
+
+
+@query(
+    "q24_window_session",
+    """
+    WITH ord AS (
+      SELECT user_id, ts, event_id,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events),
+    flag AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) >= 1800 THEN 1 ELSE 0 END AS nf
+      FROM ord),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flag)
+    SELECT user_id, MIN(ts) AS window_start, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q24_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window.apply session (gap 30 min per user) + per-session count
+    (sessionization: lag + running sum — see transforms/window.py)."""
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    df = _op("window.apply", ctx, [ev], type="session", time_column="ts", gap=1800,
+             partition_by="user_id", order_by="event_id")
+    g = _op(
+        "groupby.apply", ctx, [df], by=["user_id", "window_start"],
+        aggregations=[{"column": "event_id", "operation": "count", "output_column": "n_events"}],
+    )
+    return _op("select.apply", ctx, [g], columns=["user_id", "window_start", "n_events"])
+
+
+@query(
+    "q25_aggregate_stream",
+    "SELECT event_type, COUNT(*) AS n_events FROM events GROUP BY event_type",
+)
+def q25_aggregate_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aggregate.stream batch path (aggregate_stream.rs:28-178)."""
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    return _op("aggregate.stream", ctx, [ev], operation="count", group_by="event_type",
+               output_column="n_events")
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops (dedup / text / similarity / multimodal)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB fragments mirroring datapipe expression builders.
+_SQL_TOKENS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_SQL_TOKENS_D = f"list_distinct({_SQL_TOKENS})"
+_SQL_SHINGLE3 = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(tk) - 3, 0) + 1), "
+    "i -> array_to_string(list_slice(tk, i + 1, i + 3), ' ')))"
+)
+
+
+def _sql_hash(expr: str, seed: int | None = None) -> str:
+    inner = expr if seed is None else f"{expr} || '#{seed}'"
+    return f"(('0x' || substr(md5({inner}), 1, 15))::BIGINT)"
+
+
+@query(
+    "q26_dedup_exact",
+    """
+    WITH fp AS (SELECT doc_id, md5(CAST(text AS VARCHAR)) AS f FROM documents),
+    keep AS (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN keep k ON d.doc_id = k.doc_id
+    """,
+)
+def q26_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.exact: content-hash dedup, min-id winner (deterministic)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("dedup.exact", ctx, [d], columns="text", id_column="doc_id")
+    return _op("select.apply", ctx, [out], columns=["doc_id", "lang", "source", "n_chars"])
+
+
+@query(
+    "q27_text_fingerprint",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+)
+def q27_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("text.fingerprint", ctx, [d], column="text")
+    return _op("select.apply", ctx, [out], columns=["doc_id", "fingerprint"])
+
+
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    r = num_hashes // bands
+    hash_cols = ",\n             ".join(
+        f"list_min(list_transform(sh, x -> {_sql_hash('x', i)})) AS h{i}"
+        for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS sig FROM sig".format(
+            b=b, cols=", ".join(f"h{b * r + j}" for j in range(r))
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLE3} AS sh FROM t),
+    sig AS (SELECT doc_id,
+             {hash_cols}
+            FROM sh),
+    bands AS (
+      {band_selects}
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """
+
+
+@query("q28_dedup_minhash", _minhash_oracle())
+def q28_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.minhash: MinHash(16) + LSH(4 bands) candidate pairs over
+    word-3-gram shingles — the 100 TB near-dup workhorse."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("dedup.minhash", ctx, [d], column="text", id_column="doc_id",
+               num_hashes=16, bands=4, shingle="word", ngram=3)
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    terms = " + ".join(
+        f"(((list_sum(list_transform(h, v -> (v >> {j}) & 1)) * 2 > len(h))::BIGINT) << {j})"
+        for j in range(bits)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS_D} AS tk FROM documents),
+    hs AS (SELECT doc_id, list_transform(tk, x -> {_sql_hash('x')}) AS h FROM t)
+    SELECT doc_id, ({terms}) AS simhash FROM hs
+    """
+
+
+@query("q29_dedup_simhash", _simhash_oracle())
+def q29_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.simhash: 32-bit sign-vote fingerprint per document."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("dedup.simhash", ctx, [d], column="text", bits=32, shingle="token")
+    return _op("select.apply", ctx, [out], columns=["doc_id", "simhash"])
+
+
+@query(
+    "q30_dedup_jaccard",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, {_SQL_SHINGLE3} AS sh FROM t),
+    sized AS (SELECT doc_id, len(sh) AS sz, sh FROM s),
+    p AS (SELECT doc_id, sz, unnest(sh) AS tok FROM sized)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - COUNT(*)) AS jaccard
+      FROM p a JOIN p b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+def q30_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.ngram_jaccard: exact pairwise Jaccard (word 3-grams) via
+    posting-list self-join; finds the planted near-duplicates."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("dedup.ngram_jaccard", ctx, [d], column="text", id_column="doc_id",
+               shingle="word", ngram=3, threshold=0.5)
+
+
+_STOP_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in __import__("conveyor_spark.datapipe.text", fromlist=["STOPWORDS"]).STOPWORDS.items()
+}
+
+_LANGID_ORACLE = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKENS_D} AS tk FROM documents),
+hits AS (SELECT doc_id,
+    len(list_intersect(tk, {_STOP_SQL['de']})) AS h_de,
+    len(list_intersect(tk, {_STOP_SQL['en']})) AS h_en,
+    len(list_intersect(tk, {_STOP_SQL['es']})) AS h_es,
+    len(list_intersect(tk, {_STOP_SQL['fr']})) AS h_fr
+  FROM t)
+SELECT doc_id,
+  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+       ELSE 'fr' END AS pred_lang
+FROM hits
+"""
+
+
+@query("q31_text_langid", _LANGID_ORACLE)
+def q31_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.language_id: stopword-overlap argmax (sorted-language
+    tie-break, 'und' when no hits)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("text.language_id", ctx, [d], column="text")
+    return _op("select.apply", ctx, [out], columns=["doc_id", "pred_lang"])
+
+
+_QUALITY_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, text,
+         length(text) AS nc,
+         len({_SQL_TOKENS})::INT AS n_tokens,
+         len(list_intersect({_SQL_TOKENS_D}, {_STOP_SQL['en']})) AS swh,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS np
+  FROM documents)
+SELECT doc_id, n_tokens,
+       nc::DOUBLE / greatest(n_tokens, 1) AS avg_token_len,
+       np::DOUBLE / greatest(nc, 1) AS punct_ratio,
+       swh::DOUBLE / 10.0 AS stopword_ratio,
+       0.4 * ((n_tokens >= 10 AND n_tokens <= 100000)::INT)::DOUBLE
+         + 0.3 * (1.0 - least((np::DOUBLE / greatest(nc, 1)) * 5, 1.0))
+         + 0.3 * least((swh::DOUBLE / 10.0) * 2, 1.0) AS quality_score
+FROM b
+"""
+
+
+@query("q32_text_quality", _QUALITY_ORACLE)
+def q32_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.quality: Gopher/C4-style heuristic features + score."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("text.quality", ctx, [d], column="text")
+    return _op("select.apply", ctx, [out],
+               columns=["doc_id", "n_tokens", "avg_token_len", "punct_ratio",
+                        "stopword_ratio", "quality_score"])
+
+
+_TOKCOUNT_ORACLE = rf"""
+WITH b AS (
+  SELECT doc_id,
+         len({_SQL_TOKENS})::INT AS ws_tokens,
+         list_sum(list_transform(
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''),
+           w -> (length(w) + 3) // 4))::BIGINT
+           + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS bpe_tokens
+  FROM documents)
+SELECT doc_id, ws_tokens, bpe_tokens FROM b
+"""
+
+
+@query("q33_token_count", _TOKCOUNT_ORACLE)
+def q33_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.token_count: whitespace + BPE-ish token estimates."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("text.token_count", ctx, [d], column="text")
+    return _op("select.apply", ctx, [out], columns=["doc_id", "ws_tokens", "bpe_tokens"])
+
+
+_KNN_IDS = [0, 1, 2, 3, 4]
+
+_KNN_BRUTE_ORACLE = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({', '.join(map(str, _KNN_IDS))})),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM e, q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("q34_knn_brute", _KNN_BRUTE_ORACLE)
+def q34_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn.brute: exact top-5 cosine neighbors for 5 query vectors
+    (broadcast queries; single corpus scan)."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op("knn.brute", ctx, [e], id_column="vec_id", column="embedding",
+               k=5, query_ids=_KNN_IDS)
+
+
+_KNN_IVF_ORACLE = f"""
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS ql, v AS qv FROM e WHERE vec_id IN ({', '.join(map(str, _KNN_IDS))})),
+sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, e.v) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS cosine
+  FROM e JOIN q ON e.label = q.ql WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("q35_knn_ivf", _KNN_IVF_ORACLE)
+def q35_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn.ivf: ANN probing only the query's bucket (label column =
+    precomputed coarse cluster) — scans ~1/n_buckets of the corpus."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op("knn.ivf", ctx, [e], id_column="vec_id", column="embedding",
+               bucket_column="label", k=5, query_ids=_KNN_IDS)
+
+
+_EMB_DEDUP_ORACLE = """
+WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+SELECT id_a, id_b, cosine FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+WHERE cosine >= 0.3
+"""
+
+
+@query("q36_dedup_embedding", _EMB_DEDUP_ORACLE)
+def q36_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.embedding: cosine near-dup pairs inside label buckets."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op("dedup.embedding", ctx, [e], id_column="vec_id", column="embedding",
+               bucket_column="label", threshold=0.3)
+
+
+@query(
+    "q37_media_decode",
+    """
+    SELECT doc_id,
+           (64 + ('0x' || substr(md5(text), 1, 2))::INT % 192)::INT AS width,
+           (64 + ('0x' || substr(md5(text), 3, 2))::INT % 192)::INT AS height,
+           (['png', 'jpeg', 'webp'])[(('0x' || substr(md5(text), 5, 2))::INT % 3) + 1] AS format,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def q37_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media.decode plumbing: binary column -> metadata struct via
+    Arrow-batched mapInPandas (deterministic fake codec — the oracle
+    reproduces it from md5; real decoders plug into the same seam)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    d = _op("map.apply", ctx, [d], expression="CAST(text AS BINARY)", output_column="data")
+    out = _op("media.decode", ctx, [d], column="data", codec="fake")
+    for fieldname in ["width", "height", "format", "n_bytes"]:
+        out = _op("map.apply", ctx, [out], expression=f"media_meta.{fieldname}", output_column=fieldname)
+    return _op("select.apply", ctx, [out], columns=["doc_id", "width", "height", "format", "n_bytes"])
+
+
+@query(
+    "q38_frame_sample",
+    """
+    SELECT doc_id, i::INT AS frame_idx, md5(text || i::VARCHAR) AS frame_hash
+    FROM documents, (SELECT unnest([0, 1]) AS i)
+    """,
+)
+def q38_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media.frame_sample plumbing: 1 binary row -> n frame rows."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    d = _op("map.apply", ctx, [d], expression="CAST(text AS BINARY)", output_column="data")
+    return _op("media.frame_sample", ctx, [d], column="data", id_column="doc_id",
+               n_frames=2, codec="fake")
+
+
+@query(
+    "q39_pipeline_spec",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+    """,
+)
+def q39_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pipeline-spec path: dict spec -> parse -> validate
+    -> compile to one lazy Catalyst plan (spec.py + compiler.py;
+    mirrors the reference's TOML lifecycle, config.rs:210-221)."""
+    from conveyor_spark.compiler import compile_pipeline
+    from conveyor_spark.config.spec import parse_spec
+
+    _ctx(spark)
+    spec = parse_spec(
+        {
+            "pipeline": {"name": "building-rich-customers"},
+            "stages": [
+                {"id": "src", "function": "parquet.read",
+                 "config": {"path": f"{sf_dir}/customer.parquet"}},
+                {"id": "seg", "function": "filter.apply", "inputs": ["src"],
+                 "config": {"column": "c_mktsegment", "operator": "==", "value": "BUILDING"}},
+                {"id": "rich", "function": "filter.apply", "inputs": ["seg"],
+                 "config": {"column": "c_acctbal", "operator": ">", "value": 1000.0}},
+                {"id": "proj", "function": "select.apply", "inputs": ["rich"],
+                 "config": {"columns": ["c_custkey", "c_name", "c_acctbal"]}},
+            ],
+        }
+    )
+    return compile_pipeline(spark, spec).outputs["proj"]
+
+
+@query("q40_streaming_tumbling")  # no SQL oracle: Structured Streaming plan
+def q40_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming: file-source stream over events parquet,
+    1-hour event-time tumbling window + watermark, availableNow drain
+    to a memory sink (streaming/ops.py). Rows-only check."""
+    from conveyor_spark.streaming.ops import (
+        read_file_stream,
+        run_available_now,
+        windowed_aggregate,
+    )
+
+    _ctx(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # The file-stream source needs a directory; glob-filter the file.
+    sdf = read_file_stream(
+        spark, sf_dir, batch.schema, "parquet",
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = windowed_aggregate(
+        sdf, "ts", "1 hour",
+        aggs=[("event_id", "count", "n_events"), ("value", "sum", "sum_value")],
+        watermark="2 hours",
+    )
+    return run_available_now(agg, "q40_streaming_tumbling")
+
+
+def entry_query(spark: SparkSession) -> DataFrame:
+    """Flagship query for the driver smoke check (sf0.001)."""
+    return q01_pricing_summary(spark, "/root/testdata/sf0.001")

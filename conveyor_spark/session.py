@@ -1,0 +1,69 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Defaults target correctness on local[N] test runs while keeping the
+settings we would ship on a 1000-executor cluster reading ~100 TB:
+AQE on (runtime re-planning, skew-join splitting, partition
+coalescing), Arrow for any Python exchange, explicit shuffle
+partition count, and UTC session time so results are
+timezone-stable against external oracles.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Shuffle partitions: on a real cluster this should be ~2-3x total
+# cores (or left to AQE's coalescing with a high initial number).
+# Locally we match the driver's local[32].
+_DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "conveyor-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    Parameters mirror what a deployment would override; everything
+    else is a considered default for large-scale batch + streaming.
+    """
+    cpus = _DEFAULT_LOCAL_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        # --- query execution ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
+        )
+        # Broadcast small dims automatically; explicit broadcast()
+        # hints are still used for known-small tables.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # --- python exchange ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- determinism / oracle stability ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet scans: vectorized reader + pushdown are on by
+        # default; keep files splittable at 128m.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # Read TIMESTAMP(NANOS) parquet as long (Spark has no ns
+        # timestamp type); loaders convert ns -> timestamp_micros.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # quieter local runs
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

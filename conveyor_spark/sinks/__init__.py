@@ -1,0 +1,3 @@
+"""Sink operators. Reference inventory: SURVEY.md §2.2."""
+
+from conveyor_spark.sinks import csv, json, stdout  # noqa: F401

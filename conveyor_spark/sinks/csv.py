@@ -1,0 +1,47 @@
+"""csv.write — DataFrame -> CSV.
+
+Reference: src/modules/sinks/csv.rs:80-126 (single file, creates
+parent dirs). Spark writes a directory of part files; ``single_file``
+(default true, for reference parity) coalesces to one partition and
+renames the part file to the requested path. At scale set
+``single_file=false`` — a 100 TB result must stay partitioned.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+def _write_single_file(df: DataFrame, path: str, fmt: str, **options: Any) -> None:
+    """Write via a temp dir then move the single part file to `path`."""
+    tmp = path + ".__tmp__"
+    df.coalesce(1).write.mode("overwrite").options(**options).format(fmt).save(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    shutil.move(part, path)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+@register("csv.write", kind="sink", doc="Write DataFrame to CSV")
+def csv_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
+    path = config.get("path")
+    if not path:
+        raise ConfigError("csv.write requires 'path'")
+    df = inputs[0]
+    headers = bool(config.get("headers", True))
+    delimiter = str(config.get("delimiter", ","))
+    if config.get("single_file", True):
+        _write_single_file(df, path, "csv", header=str(headers).lower(), sep=delimiter)
+    else:
+        df.write.mode(config.get("mode", "overwrite")).options(
+            header=str(headers).lower(), sep=delimiter
+        ).csv(path)
+    return None

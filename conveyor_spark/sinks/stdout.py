@@ -1,0 +1,51 @@
+"""stdout.write — print table/json/jsonl/csv preview.
+
+Reference: src/modules/sinks/stdout.rs (formats table|json|jsonl|csv,
+``limit`` preview, ``pretty``, ``delimiter``).
+"""
+
+from __future__ import annotations
+
+import io
+import json as _json
+import sys
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from conveyor_spark.registry import OpContext, register
+
+
+@register("stdout.write", kind="sink", doc="Print DataFrame to stdout")
+def stdout_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
+    df = inputs[0]
+    fmt = config.get("format", "table")
+    limit = config.get("limit")
+    pretty = bool(config.get("pretty", False))
+    delimiter = str(config.get("delimiter", ","))
+    out = config.get("_out", sys.stdout)  # test hook
+    if limit is not None:
+        df = df.limit(int(limit))
+    if fmt == "table":
+        # _show_string is internal; build the preview via toPandas on
+        # the (already limited) frame.
+        n = int(limit) if limit is not None else 20
+        out.write(df._jdf.showString(n, 20, False))  # same rendering as df.show()
+        out.write("\n")
+        return None
+    rows = [r.asDict(recursive=True) for r in df.toLocalIterator()]
+    if fmt == "json":
+        out.write(_json.dumps(rows, indent=2 if pretty else None, default=str) + "\n")
+    elif fmt == "jsonl":
+        for r in rows:
+            out.write(_json.dumps(r, default=str) + "\n")
+    elif fmt == "csv":
+        import csv as _csv
+
+        buf = io.StringIO()
+        writer = _csv.writer(buf, delimiter=delimiter)
+        writer.writerow(df.columns)
+        for r in rows:
+            writer.writerow([r[c] for c in df.columns])
+        out.write(buf.getvalue())
+    return None

@@ -1,0 +1,64 @@
+"""stdin.read — read stdin once, parse json/jsonl/csv/raw.
+
+Reference: src/modules/sources/stdin.rs:84-97. Driver-side read (stdin
+is inherently single-stream) then parallelize into a DataFrame.
+"""
+
+from __future__ import annotations
+
+import io
+import json as _json
+import sys
+from typing import Any
+
+from pyspark.sql import DataFrame, Row
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+def _parse_records(text: str, fmt: str, headers: bool, delimiter: str) -> list[dict[str, Any]]:
+    if fmt == "json":
+        payload = _json.loads(text)
+        if not isinstance(payload, list):
+            raise ConfigError("stdin.read format=json expects a JSON array")
+        return payload
+    if fmt == "jsonl":
+        return [_json.loads(line) for line in text.splitlines() if line.strip()]
+    if fmt == "csv":
+        import csv as _csv
+
+        reader = _csv.reader(io.StringIO(text), delimiter=delimiter)
+        rows = list(reader)
+        if not rows:
+            return []
+        if headers:
+            head, body = rows[0], rows[1:]
+        else:
+            head = [f"column_{i}" for i in range(len(rows[0]))]
+            body = rows
+        return [dict(zip(head, r)) for r in body]
+    if fmt == "raw":
+        return [{"raw": text}]
+    raise ConfigError(f"stdin.read: unknown format {fmt!r}")
+
+
+@register("stdin.read", kind="source", doc="Read all of stdin once (json/jsonl/csv/raw)")
+def stdin_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    fmt = config.get("format", "jsonl")
+    headers = bool(config.get("headers", True))
+    delimiter = str(config.get("delimiter", ","))
+    text = config.get("_text")  # test hook: bypass real stdin
+    if text is None:
+        text = sys.stdin.read()
+    records = _parse_records(text, fmt, headers, delimiter)
+    if not records:
+        return ctx.spark.createDataFrame([], "raw STRING")
+    # Normalize missing keys -> None so the schema is the union of keys.
+    keys: list[str] = []
+    for r in records:
+        for k in r:
+            if k not in keys:
+                keys.append(k)
+    rows = [Row(**{k: r.get(k) for k in keys}) for r in records]
+    return ctx.spark.createDataFrame(rows)

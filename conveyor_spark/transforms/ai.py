@@ -1,0 +1,130 @@
+"""ai.generate — per-row LLM text generation.
+
+Reference: src/modules/transforms/ai.rs:355-417 — providers openai /
+anthropic / openrouter / ollama; Handlebars ``prompt`` template; the
+response text lands in ``output_column``.
+
+Spark-first: same distributed shape as http.fetch — ``mapInPandas``
+with a per-partition thread pool (LLM calls are I/O bound). Providers
+are pluggable callables; the ``mock`` provider (deterministic echo)
+ships for tests/offline runs, real providers build on stdlib HTTP and
+read API keys from ``api_key_env`` on the *executor* environment.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+from conveyor_spark.transforms.http_fetch import render_template
+
+
+def _mock_provider(prompt: str, config: dict[str, Any]) -> str:
+    return f"echo({config.get('model', 'mock')}): {prompt}"
+
+
+def _openai_chat(prompt: str, config: dict[str, Any]) -> str:
+    # openai-compatible chat endpoint (also serves openrouter/ollama)
+    from urllib.request import Request, urlopen
+
+    base = {
+        "openai": "https://api.openai.com/v1",
+        "openrouter": "https://openrouter.ai/api/v1",
+        "ollama": config.get("ollama_base_url", "http://localhost:11434/v1"),
+    }[config["provider"]]
+    key = os.environ.get(config.get("api_key_env", "OPENAI_API_KEY"), "")
+    payload = {
+        "model": config.get("model"),
+        "messages": [{"role": "user", "content": prompt}],
+        "max_tokens": config.get("max_tokens", 256),
+        "temperature": config.get("temperature", 0.0),
+    }
+    req = Request(  # noqa: S310
+        f"{base}/chat/completions",
+        data=_json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json", "Authorization": f"Bearer {key}"},
+        method="POST",
+    )
+    with urlopen(req, timeout=120) as resp:  # noqa: S310
+        out = _json.loads(resp.read())
+    return out["choices"][0]["message"]["content"]
+
+
+def _anthropic_messages(prompt: str, config: dict[str, Any]) -> str:
+    from urllib.request import Request, urlopen
+
+    key = os.environ.get(config.get("api_key_env", "ANTHROPIC_API_KEY"), "")
+    payload = {
+        "model": config.get("model"),
+        "max_tokens": config.get("max_tokens", 256),
+        "temperature": config.get("temperature", 0.0),
+        "messages": [{"role": "user", "content": prompt}],
+    }
+    req = Request(  # noqa: S310
+        "https://api.anthropic.com/v1/messages",
+        data=_json.dumps(payload).encode(),
+        headers={
+            "Content-Type": "application/json",
+            "x-api-key": key,
+            "anthropic-version": "2023-06-01",
+        },
+        method="POST",
+    )
+    with urlopen(req, timeout=120) as resp:  # noqa: S310
+        out = _json.loads(resp.read())
+    return out["content"][0]["text"]
+
+
+_PROVIDERS: dict[str, Callable[[str, dict[str, Any]], str]] = {
+    "mock": _mock_provider,
+    "openai": _openai_chat,
+    "openrouter": _openai_chat,
+    "ollama": _openai_chat,
+    "anthropic": _anthropic_messages,
+}
+
+
+@register("ai.generate", kind="transform", doc="Per-row LLM generation (pluggable provider)")
+def ai_generate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    provider = config.get("provider")
+    prompt_template = config.get("prompt")
+    output_column = config.get("output_column")
+    if not provider or not prompt_template or not output_column:
+        raise ConfigError("ai.generate requires 'provider', 'prompt', 'output_column'")
+    call = config.get("_provider") or _PROVIDERS.get(provider)
+    if call is None:
+        raise ConfigError(f"ai.generate: unknown provider {provider!r} (have {sorted(_PROVIDERS)})")
+    concurrency = int(config.get("concurrency", 4))
+    conf = {k: v for k, v in config.items() if not k.startswith("_")}
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(output_column, T.StringType())])
+    in_columns = df.columns
+
+    def run(batches: Iterator) -> Iterator:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pandas as pd
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+
+                def one(row: dict[str, Any]) -> str:
+                    prompt = render_template(prompt_template, row)
+                    try:
+                        return call(prompt, conf)
+                    except Exception as exc:
+                        return f"error: {type(exc).__name__}"
+
+                pdf = pdf.copy()
+                pdf[output_column] = list(pool.map(one, rows))
+                yield pd.DataFrame(pdf, columns=in_columns + [output_column])
+
+    return df.mapInPandas(run, out_schema)

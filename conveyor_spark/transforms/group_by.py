@@ -1,0 +1,77 @@
+"""groupby.apply — SQL GROUP BY with named aggregations.
+
+Reference: src/modules/transforms/group_by.rs:87-170 — group cols +
+list of {column, operation, output_column}; ops sum, avg/mean, count,
+min, max, median, std, var, first, last (std/var ddof=1).
+
+Spark-first: one hash-aggregate with partial (map-side) combine —
+Catalyst splits partial/final automatically, so the shuffle carries
+pre-aggregated state, not rows. first/last are order-dependent in a
+distributed engine: we require/accept an ``order_by`` per-agg key and
+compile to min_by/max_by (deterministic), falling back to
+F.first/F.last (non-deterministic, flagged) when absent.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+def _as_list(v: Any) -> list[str]:
+    return [v] if isinstance(v, str) else list(v)
+
+
+def build_agg(column: str, operation: str, order_by: str | None = None) -> Column:
+    """Build one aggregate expression (op vocabulary: group_by.rs:142-157)."""
+    c = F.col(column)
+    op = operation.lower()
+    if op == "sum":
+        return F.sum(c)
+    if op in ("avg", "mean"):
+        return F.avg(c)
+    if op == "count":
+        return F.count(c)
+    if op == "min":
+        return F.min(c)
+    if op == "max":
+        return F.max(c)
+    if op == "median":
+        return F.median(c)
+    if op in ("std", "stddev"):
+        return F.stddev_samp(c)  # ddof=1, matches reference
+    if op in ("var", "variance"):
+        return F.var_samp(c)
+    if op == "first":
+        return F.min_by(c, F.col(order_by)) if order_by else F.first(c)
+    if op == "last":
+        return F.max_by(c, F.col(order_by)) if order_by else F.last(c)
+    if op == "count_distinct":
+        return F.countDistinct(c)
+    if op == "approx_count_distinct":
+        return F.approx_count_distinct(c)
+    if op == "collect_list":
+        return F.collect_list(c)
+    if op == "collect_set":
+        return F.collect_set(c)
+    raise ConfigError(f"groupby.apply: unknown operation {operation!r}")
+
+
+@register("groupby.apply", kind="transform", streaming_capable=True, doc="GROUP BY with aggregations")
+def groupby_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    by = config.get("by")
+    aggs = config.get("aggregations")
+    if not by or not aggs:
+        raise ConfigError("groupby.apply requires 'by' and 'aggregations'")
+    exprs = []
+    for a in aggs:
+        col, op = a["column"], a["operation"]
+        out = a.get("output_column") or f"{col}_{op}"
+        exprs.append(build_agg(col, op, a.get("order_by")).alias(out))
+    return df.groupBy(*_as_list(by)).agg(*exprs)

@@ -1,0 +1,114 @@
+"""http.fetch — per-row / batch HTTP enrichment with bounded concurrency.
+
+Reference: src/modules/transforms/http_fetch.rs:156-232 — the
+reference's flagship perf feature: per-row templated requests executed
+with ``buffer_unordered(concurrency)`` (default 10), or one batch
+request with ``{{ records }}`` in the body; response lands in
+``result_field`` (default "http_result").
+
+Spark-first: ``mapInPandas`` keeps the data distributed — each
+executor partition runs its own thread pool (size = ``concurrency``)
+over Arrow batches, so total in-flight requests = partitions ×
+concurrency, with no driver round-trip. URL/body templates use
+``{{ column }}`` substitution per row (the reference's Handlebars
+surface, minus helpers).
+
+Testability: ``_fetcher`` config injects a callable
+``(url, method, headers, body) -> str`` (serialized to executors);
+tests use a deterministic local function instead of the network.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+_TEMPLATE_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+
+
+def render_template(template: str, row: dict[str, Any]) -> str:
+    """``{{ col }}`` substitution (reference: Handlebars templates)."""
+    return _TEMPLATE_RE.sub(lambda m: str(row.get(m.group(1), "")), template)
+
+
+def _default_fetcher(url: str, method: str, headers: dict[str, str], body: str | None) -> str:
+    from urllib.request import Request, urlopen
+
+    data = body.encode() if body is not None else None
+    req = Request(url, method=method, headers=headers, data=data)  # noqa: S310
+    with urlopen(req, timeout=30) as resp:  # noqa: S310
+        return resp.read().decode("utf-8", errors="replace")
+
+
+@register("http.fetch", kind="transform", doc="Per-row/batch HTTP enrichment (bounded concurrency)")
+def http_fetch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    url = config.get("url")
+    if not url:
+        raise ConfigError("http.fetch requires 'url'")
+    method = str(config.get("method", "GET")).upper()
+    if method not in ("GET", "POST", "PUT", "PATCH", "DELETE"):
+        raise ConfigError(f"http.fetch: unsupported method {method!r}")
+    mode = config.get("mode", "per_row")
+    result_field = config.get("result_field", "http_result")
+    body_template = config.get("body")
+    headers = dict(config.get("headers", {}))
+    concurrency = int(config.get("concurrency", 10))
+    fetcher: Callable[..., str] = config.get("_fetcher", _default_fetcher)
+
+    out_schema = T.StructType(df.schema.fields + [T.StructField(result_field, T.StringType())])
+    in_columns = df.columns
+
+    if mode == "batch":
+        # One request per Arrow batch, body template sees `records`
+        # as JSON (reference: {{ records }} — http_fetch.rs:325).
+        def run_batches(batches: Iterator) -> Iterator:
+            import json as _json
+
+            import pandas as pd
+
+            for pdf in batches:
+                records = pdf.to_dict("records")
+                body = (body_template or "{{ records }}").replace(
+                    "{{ records }}", _json.dumps(records, default=str)
+                )
+                result = fetcher(url, method, headers, body)
+                pdf = pdf.copy()
+                pdf[result_field] = result
+                yield pd.DataFrame(pdf, columns=in_columns + [result_field])
+
+        return df.mapInPandas(run_batches, out_schema)
+
+    if mode != "per_row":
+        raise ConfigError(f"http.fetch: unknown mode {mode!r}")
+
+    def run_rows(batches: Iterator) -> Iterator:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pandas as pd
+
+        with ThreadPoolExecutor(max_workers=concurrency) as pool:
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+
+                def one(row: dict[str, Any]) -> str:
+                    u = render_template(url, row)
+                    b = render_template(body_template, row) if body_template else None
+                    h = {k: render_template(v, row) for k, v in headers.items()}
+                    try:
+                        return fetcher(u, method, h, b)
+                    except Exception as exc:  # error policy: capture, don't kill the job
+                        return f'{{"error": "{type(exc).__name__}"}}'
+
+                results = list(pool.map(one, rows))
+                pdf = pdf.copy()
+                pdf[result_field] = results
+                yield pd.DataFrame(pdf, columns=in_columns + [result_field])
+
+    return df.mapInPandas(run_rows, out_schema)

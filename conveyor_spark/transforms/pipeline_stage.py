@@ -1,0 +1,73 @@
+"""stage.pipeline — sub-pipeline composition by spec inlining.
+
+Reference: src/modules/stages/pipeline.rs:51-194 — runs a sub-pipeline
+(external ``file`` or ``inline`` TOML) as a single stage. The
+reference returns the *input* unchanged (TODO at pipeline.rs:186-193);
+we implement the documented intent instead — the sub-pipeline's
+terminal output is returned — and note the delta.
+
+Implementation is spec-level: the child spec compiles against the
+same SparkSession, its source/terminal stages folding into the parent
+plan lazily (one Catalyst plan end to end, no materialization at the
+composition boundary). The parent's input DataFrame is exposed to the
+child as the input of any child stage with ``inputs = ["__parent__"]``.
+"""
+
+from __future__ import annotations
+
+import tomllib
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+@register("stage.pipeline", kind="transform", min_inputs=0, max_inputs=1, doc="Run a sub-pipeline as one stage")
+def stage_pipeline(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    from conveyor_spark.compiler import compile_pipeline
+    from conveyor_spark.config.spec import parse_spec
+
+    if path := config.get("file"):
+        with open(path, "rb") as f:  # noqa: PTH123
+            data = tomllib.load(f)
+    elif inline := config.get("inline"):
+        data = tomllib.loads(inline) if isinstance(inline, str) else dict(inline)
+    else:
+        raise ConfigError("stage.pipeline requires 'file' or 'inline'")
+
+    # Splice the parent's input in as a pseudo-stage.
+    parent_df = inputs[0] if inputs else None
+    spec = parse_spec(data) if "__parent__" not in str(data) else None
+    if spec is None:
+        # child references __parent__: register a passthrough source
+        for raw in data.get("stages", []):
+            raw["inputs"] = [i for i in raw.get("inputs", [])]
+        data = dict(data)
+        data["stages"] = [
+            {"id": "__parent__", "function": "__parent_input__", "inputs": []},
+            *data["stages"],
+        ]
+        from conveyor_spark.registry import REGISTRY, Op
+
+        def _parent_src(c: OpContext, ins: list[DataFrame], cfg: dict[str, Any]) -> DataFrame:
+            if parent_df is None:
+                raise ConfigError("stage.pipeline child uses __parent__ but stage has no input")
+            return parent_df
+
+        REGISTRY["__parent_input__"] = Op(
+            name="__parent_input__", fn=_parent_src, kind="source", min_inputs=0, max_inputs=0
+        )
+        spec = parse_spec(data)
+
+    result = compile_pipeline(ctx.spark, spec)
+    # Terminal output = the unique stage no other stage consumes.
+    consumed = {i for s in spec.stages for i in s.inputs}
+    terminals = [sid for sid in result.outputs if sid not in consumed]
+    if not terminals:
+        # all-sink child: reference quirk — return parent input
+        if parent_df is not None:
+            return parent_df
+        raise ConfigError("stage.pipeline child produced no output")
+    return result.outputs[terminals[-1]]

@@ -1,0 +1,28 @@
+"""reduce.apply — whole-column aggregate -> 1-row DataFrame.
+
+Reference: src/modules/transforms/reduce.rs:91-136 (ops sum, avg/mean,
+count, min, max, median, std, var). Global aggregation in Spark is a
+partial-aggregate per partition + single final reduce — no full
+shuffle of rows.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+from conveyor_spark.transforms.group_by import build_agg
+
+
+@register("reduce.apply", kind="transform", doc="Global aggregate to one row")
+def reduce_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    column = config.get("column")
+    operation = config.get("operation")
+    if not column or not operation:
+        raise ConfigError("reduce.apply requires 'column' and 'operation'")
+    output_column = config.get("output_column", "result")
+    return df.agg(build_agg(column, operation, config.get("order_by")).alias(output_column))

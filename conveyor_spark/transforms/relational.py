@@ -1,0 +1,115 @@
+"""Relational extensions: join / union / intersect / except / pivot.
+
+The reference has NONE of these (README.md:326 lists "join, pivot" as
+roadmap; fan-in stages exist structurally but every built-in consumes
+one input — src/core/dag_executor.rs:161-187). The DAG spec already
+models multi-input stages, so we expose them as first-class ops.
+
+Scale notes:
+- join: ``broadcast: true`` (or auto via autoBroadcastJoinThreshold)
+  turns a shuffle join into a broadcast hash join — mandatory for
+  dim tables against a 100 TB fact table. AQE converts at runtime
+  when estimates are off, and splits skewed partitions.
+- union is metadata-only (no shuffle); intersect/except shuffle
+  both sides on all columns — keep projections narrow first.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+_JOIN_TYPES = {
+    "inner", "left", "right", "outer", "full", "left_outer", "right_outer",
+    "full_outer", "cross", "semi", "left_semi", "anti", "left_anti",
+}
+
+
+@register("join.apply", kind="transform", min_inputs=2, max_inputs=2, doc="Join two inputs")
+def join_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    if len(inputs) != 2:
+        raise ConfigError("join.apply requires exactly 2 inputs")
+    left, right = inputs
+    how = config.get("how", "inner")
+    if how not in _JOIN_TYPES:
+        raise ConfigError(f"join.apply: unknown join type {how!r}")
+    if config.get("broadcast"):
+        right = F.broadcast(right)
+    if on := config.get("on"):
+        on = [on] if isinstance(on, str) else list(on)
+        return left.join(right, on=on, how=how)
+    if cond := config.get("condition"):
+        return left.join(right, on=F.expr(cond), how=how)
+    if how == "cross":
+        return left.crossJoin(right)
+    raise ConfigError("join.apply requires 'on' or 'condition'")
+
+
+@register("union.apply", kind="transform", min_inputs=2, max_inputs=None, doc="Union N inputs by name")
+def union_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    if len(inputs) < 2:
+        raise ConfigError("union.apply requires >= 2 inputs")
+    allow_missing = bool(config.get("allow_missing_columns", False))
+    out = inputs[0]
+    for df in inputs[1:]:
+        out = out.unionByName(df, allowMissingColumns=allow_missing)
+    if bool(config.get("distinct", False)):
+        out = out.dropDuplicates()
+    return out
+
+
+@register("intersect.apply", kind="transform", min_inputs=2, max_inputs=2, doc="Set intersection")
+def intersect_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    if len(inputs) != 2:
+        raise ConfigError("intersect.apply requires exactly 2 inputs")
+    if bool(config.get("all", False)):
+        return inputs[0].intersectAll(inputs[1])
+    return inputs[0].intersect(inputs[1])
+
+
+@register("except.apply", kind="transform", min_inputs=2, max_inputs=2, doc="Set difference")
+def except_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    if len(inputs) != 2:
+        raise ConfigError("except.apply requires exactly 2 inputs")
+    if bool(config.get("all", True)):
+        return inputs[0].exceptAll(inputs[1])
+    return inputs[0].subtract(inputs[1])
+
+
+@register("pivot.apply", kind="transform", doc="groupBy().pivot() wide aggregation")
+def pivot_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    by = config.get("by")
+    pivot_col = config.get("pivot")
+    if not by or not pivot_col:
+        raise ConfigError("pivot.apply requires 'by' and 'pivot'")
+    by = [by] if isinstance(by, str) else list(by)
+    values = config.get("values")  # pinning values avoids a distinct-scan job
+    agg_cfg = config.get("agg", {"column": pivot_col, "operation": "count"})
+    from conveyor_spark.transforms.group_by import build_agg
+
+    agg = build_agg(agg_cfg["column"], agg_cfg["operation"]).alias(
+        agg_cfg.get("output_column", "value")
+    )
+    grouped = df.groupBy(*by)
+    pivoted = grouped.pivot(pivot_col, values) if values else grouped.pivot(pivot_col)
+    return pivoted.agg(agg)
+
+
+@register("unpivot.apply", kind="transform", doc="Melt wide columns to long")
+def unpivot_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    ids = config.get("ids")
+    values = config.get("values")
+    if not ids or not values:
+        raise ConfigError("unpivot.apply requires 'ids' and 'values'")
+    ids = [ids] if isinstance(ids, str) else list(ids)
+    values = [values] if isinstance(values, str) else list(values)
+    return df.unpivot(
+        ids, values, config.get("variable_column", "variable"), config.get("value_column", "value")
+    )

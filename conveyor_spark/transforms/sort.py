@@ -1,0 +1,59 @@
+"""sort.apply — multi-column sort.
+
+Reference: src/modules/transforms/sort.rs:78-136 (``columns``,
+per-column ``descending``: bool|[bool], ``nulls_last``).
+
+Scale note: a global sort is a range-partitioned shuffle (Spark
+samples ranges, then sorts within partitions) — fine, but pair it
+with ``limit`` (top-k) whenever possible: Catalyst rewrites
+sort+limit into TakeOrderedAndProject, which never materializes the
+full sorted dataset.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+def _as_list(v: Any) -> list[Any]:
+    return [v] if not isinstance(v, (list, tuple)) else list(v)
+
+
+@register("sort.apply", kind="transform", doc="Sort by columns (per-column direction)")
+def sort_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    columns = config.get("columns")
+    if not columns:
+        raise ConfigError("sort.apply requires 'columns'")
+    cols = _as_list(columns)
+    desc = _as_list(config.get("descending", False))
+    if len(desc) == 1:
+        desc = desc * len(cols)
+    if len(desc) != len(cols):
+        raise ConfigError("sort.apply: 'descending' length must match 'columns'")
+    nulls_last = bool(config.get("nulls_last", False))
+    order = []
+    for c, d in zip(cols, desc):
+        col = F.col(c)
+        if d:
+            order.append(col.desc_nulls_last() if nulls_last else col.desc())
+        else:
+            order.append(col.asc_nulls_last() if nulls_last else col.asc())
+    out = df.orderBy(*order)
+    if (n := config.get("limit")) is not None:
+        out = out.limit(int(n))  # sort+limit => TakeOrderedAndProject
+    return out
+
+
+@register("limit.apply", kind="transform", doc="Keep first N rows")
+def limit_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    n = config.get("n", config.get("limit"))
+    if n is None:
+        raise ConfigError("limit.apply requires 'n'")
+    return inputs[0].limit(int(n))

@@ -1,0 +1,86 @@
+"""window.function — analytic/ranking window functions.
+
+The reference has no window functions (SURVEY §2.5) — this is a
+Spark-freebie extension: row_number, rank, dense_rank, percent_rank,
+ntile, lag, lead, plus any aggregate over a frame.
+
+Scale note: a window partitionBy is one shuffle on the partition
+keys; an *unpartitioned* ordered window collapses to a single task —
+we refuse it unless ``allow_unpartitioned`` is set.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+_RANKERS = {
+    "row_number": lambda _: F.row_number(),
+    "rank": lambda _: F.rank(),
+    "dense_rank": lambda _: F.dense_rank(),
+    "percent_rank": lambda _: F.percent_rank(),
+    "cume_dist": lambda _: F.cume_dist(),
+}
+
+
+def _as_list(v: Any) -> list[str]:
+    return [v] if isinstance(v, str) else list(v)
+
+
+def build_window(config: dict[str, Any]) -> WindowSpec:
+    partition_by = config.get("partition_by")
+    order_by = config.get("order_by")
+    if not partition_by and not config.get("allow_unpartitioned"):
+        raise ConfigError(
+            "window.function without partition_by serializes all data through one "
+            "task; set allow_unpartitioned=true to force"
+        )
+    w = Window.partitionBy(*_as_list(partition_by)) if partition_by else Window.partitionBy()
+    if order_by:
+        cols = []
+        descending = config.get("descending", False)
+        desc_list = _as_list(descending) if isinstance(descending, list) else None
+        for i, c in enumerate(_as_list(order_by)):
+            d = desc_list[i] if desc_list else descending
+            cols.append(F.col(c).desc() if d else F.col(c).asc())
+        w = w.orderBy(*cols)
+    if frame := config.get("rows_between"):
+        lo = Window.unboundedPreceding if frame[0] is None else int(frame[0])
+        hi = Window.unboundedFollowing if frame[1] is None else int(frame[1])
+        w = w.rowsBetween(lo, hi)
+    return w
+
+
+@register("window.function", kind="transform", doc="Analytic window function column")
+def window_function(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    function = config.get("function")
+    output_column = config.get("output_column")
+    if not function or not output_column:
+        raise ConfigError("window.function requires 'function' and 'output_column'")
+    w = build_window(config)
+    fn = function.lower()
+    if fn in _RANKERS:
+        col = _RANKERS[fn](None)
+    elif fn == "ntile":
+        col = F.ntile(int(config.get("n", 4)))
+    elif fn in ("lag", "lead"):
+        src = config.get("column")
+        if not src:
+            raise ConfigError(f"window.function {fn} requires 'column'")
+        offset = int(config.get("offset", 1))
+        col = (F.lag if fn == "lag" else F.lead)(F.col(src), offset, config.get("default"))
+    else:
+        # aggregate-over-frame: sum/avg/min/max/count/... on `column`
+        from conveyor_spark.transforms.group_by import build_agg
+
+        src = config.get("column")
+        if not src:
+            raise ConfigError(f"window.function {fn} requires 'column'")
+        col = build_agg(src, fn)
+    return df.withColumn(output_column, col.over(w))

@@ -1,0 +1,144 @@
+"""Training-data ops: dedup, similarity, text analysis, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+
+from conveyor_spark.errors import ConfigError
+from tests.conftest import run_op
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+            (3, "the quick brown fox jumps over the lazy cat"),   # near dup of 1
+            (4, "completely different words entirely unrelated text here"),
+            (5, "Thé Quick,  Brown FOX jumps over the lazy dog!"),  # formatting dup
+        ],
+        "doc_id INT, text STRING",
+    )
+
+
+def test_dedup_exact(ctx, docs):
+    out = run_op(ctx, "dedup.exact", [docs], columns="text", id_column="doc_id")
+    assert {r["doc_id"] for r in out.collect()} == {1, 3, 4, 5}  # 2 dropped, min id kept
+
+
+def test_dedup_minhash_finds_near_dups(ctx, docs):
+    pairs = run_op(ctx, "dedup.minhash", [docs], column="text", id_column="doc_id",
+                   num_hashes=16, bands=8, shingle="word", ngram=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got          # identical -> all bands match
+    assert (1, 3) in got or (2, 3) in got  # near dup -> some band
+    assert all(4 not in p for p in got)    # unrelated never pairs
+
+
+def test_dedup_simhash(ctx, docs):
+    out = run_op(ctx, "dedup.simhash", [docs], column="text", bits=32)
+    sh = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    assert sh[1] == sh[2]  # identical text, identical fingerprint
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+
+
+def test_dedup_ngram_jaccard(ctx, docs):
+    pairs = run_op(ctx, "dedup.ngram_jaccard", [docs], column="text",
+                   id_column="doc_id", shingle="token", threshold=0.7)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] >= 0.7
+    assert all(4 not in p for p in got)
+
+
+def test_fingerprint_normalizes_formatting(ctx, docs):
+    out = run_op(ctx, "text.fingerprint", [docs], column="text")
+    fp = {r["doc_id"]: r["fingerprint"] for r in out.collect()}
+    assert fp[1] == fp[2]
+    assert fp[1] != fp[4]
+    # doc 5 differs only by case/punct/whitespace — except the accent
+    assert fp[5] != fp[1]  # 'thé' keeps non-ascii removed -> 'th'
+
+
+def test_knn_brute(ctx, spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 1.0]),
+        ],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    out = run_op(ctx, "knn.brute", [vecs], id_column="vec_id", k=2, query_ids=[1])
+    rows = out.orderBy("rank").collect()
+    assert rows[0]["neighbor_id"] == 2 and rows[0]["rank"] == 1
+    assert rows[0]["cosine"] > 0.99
+    # second input as query set
+    q = vecs.filter("vec_id = 3")
+    out = run_op(ctx, "knn.brute", [vecs, q], id_column="vec_id", k=1)
+    assert out.first()["neighbor_id"] == 2
+
+
+def test_knn_ivf_prunes_buckets(ctx, spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, [1.0, 0.01], 1)],
+        "vec_id INT, embedding ARRAY<FLOAT>, label INT",
+    )
+    out = run_op(ctx, "knn.ivf", [vecs], id_column="vec_id", bucket_column="label",
+                 k=5, query_ids=[1])
+    ids = {r["neighbor_id"] for r in out.collect()}
+    assert ids == {2}  # 3 is closer in cosine but lives in another bucket
+
+
+def test_dedup_embedding_requires_bucket(ctx, spark):
+    vecs = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id INT, embedding ARRAY<FLOAT>")
+    with pytest.raises(ConfigError, match="cross join"):
+        run_op(ctx, "dedup.embedding", [vecs], id_column="vec_id")
+
+
+def test_text_quality_and_langid(ctx, spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in a house for a while it is nice"),
+            (2, "der hund und die katze ist nicht mit der maus zu hause"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id INT, text STRING",
+    )
+    lang = run_op(ctx, "text.language_id", [df], column="text")
+    got = {r["doc_id"]: r["pred_lang"] for r in lang.collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+    q = run_op(ctx, "text.quality", [df], column="text")
+    rows = {r["doc_id"]: r for r in q.collect()}
+    assert rows[1]["quality_score"] > rows[3]["quality_score"]
+    assert rows[1]["n_tokens"] == 15
+
+
+def test_token_count(ctx, spark):
+    df = spark.createDataFrame([(1, "hello world, abcdefgh!")], "doc_id INT, text STRING")
+    out = run_op(ctx, "text.token_count", [df], column="text").first()
+    assert out["ws_tokens"] == 3
+    # ceil(5/4)+ceil(5/4)+ceil(8/4) + 2 punct = 2+2+2+2
+    assert out["bpe_tokens"] == 8
+
+
+def test_media_decode_fake_and_real(ctx, spark):
+    df = spark.createDataFrame([(1, bytearray(b"imagebytes"))], "id INT, data BINARY")
+    out = run_op(ctx, "media.decode", [df], column="data").first()
+    meta = out["media_meta"]
+    assert 64 <= meta["width"] < 256 and meta["n_bytes"] == 10
+    assert meta["format"] in ("png", "jpeg", "webp")
+    with pytest.raises(Exception, match="NotImplementedError|not in this container"):
+        run_op(ctx, "media.decode", [df], column="data", codec="real").collect()
+
+
+def test_frame_sample(ctx, spark):
+    df = spark.createDataFrame([(1, bytearray(b"video")), (2, None)], "id INT, data BINARY")
+    out = run_op(ctx, "media.frame_sample", [df], column="data", id_column="id", n_frames=3)
+    rows = out.collect()
+    assert len(rows) == 3  # null binary contributes no frames
+    assert {r["frame_idx"] for r in rows} == {0, 1, 2}

@@ -1,0 +1,166 @@
+"""End-to-end pipeline runs (reference: tests/dag_pipeline_test.rs)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from conveyor_spark.compiler import compile_pipeline, run_pipeline
+from conveyor_spark.config.spec import parse_spec
+from conveyor_spark.errors import ConveyorError
+
+
+def test_json_filter_json(spark, tmp_path):
+    # the reference's canonical e2e: json.read -> filter -> json.write
+    # (dag_pipeline_test.rs:8-77): active users remain, Bob absent.
+    src = tmp_path / "users.json"
+    src.write_text(json.dumps([
+        {"id": 1, "name": "Alice", "status": "active"},
+        {"id": 2, "name": "Bob", "status": "inactive"},
+        {"id": 3, "name": "Charlie", "status": "active"},
+    ]))
+    out = tmp_path / "out.json"
+    spec = parse_spec({
+        "pipeline": {"name": "e2e"},
+        "stages": [
+            {"id": "read", "function": "json.read",
+             "config": {"path": str(src), "format": "records"}},
+            {"id": "f", "function": "filter.apply", "inputs": ["read"],
+             "config": {"column": "status", "operator": "==", "value": "active"}},
+            {"id": "write", "function": "json.write", "inputs": ["f"],
+             "config": {"path": str(out), "format": "records"}},
+        ],
+    })
+    run_pipeline(spark, spec)
+    text = out.read_text()
+    assert "Alice" in text and "Charlie" in text and "Bob" not in text
+
+
+def test_csv_roundtrip_and_fanout(spark, tmp_path):
+    src = tmp_path / "in.csv"
+    src.write_text("id,name,value\n1,a,100\n2,b,200\n3,c,50\n")
+    out_csv = tmp_path / "out.csv"
+    out_json = tmp_path / "out.jsonl"
+    spec = parse_spec({
+        "pipeline": {"name": "fanout"},
+        "stages": [
+            {"id": "read", "function": "csv.read", "config": {"path": str(src)}},
+            {"id": "f", "function": "filter.apply", "inputs": ["read"],
+             "config": {"column": "value", "operator": ">=", "value": 100}},
+            # fan-out: same upstream consumed by two sinks
+            {"id": "w1", "function": "csv.write", "inputs": ["f"],
+             "config": {"path": str(out_csv)}},
+            {"id": "w2", "function": "json.write", "inputs": ["f"],
+             "config": {"path": str(out_json), "format": "jsonl"}},
+        ],
+    })
+    run_pipeline(spark, spec)
+    assert "a" in out_csv.read_text() and "c" not in out_csv.read_text()
+    assert len(out_json.read_text().strip().splitlines()) == 2
+
+
+def test_error_strategy_continue(spark, tmp_path):
+    spec = parse_spec({
+        "pipeline": {"name": "cont"},
+        "global": {"error_handling": {"type": "continue"}},
+        "stages": [
+            {"id": "bad", "function": "csv.read", "config": {"path": "/nope/missing.csv"}},
+            {"id": "f", "function": "filter.apply", "inputs": ["bad"],
+             "config": {"column": "x", "value": 1}},
+        ],
+    })
+    result = compile_pipeline(spark, spec)
+    assert "bad" in result.errors
+    assert result.skipped == ["f"]  # downstream skipped, run survives
+
+
+def test_error_strategy_stop(spark):
+    spec = parse_spec({
+        "pipeline": {"name": "stop"},
+        "stages": [
+            {"id": "bad", "function": "csv.read", "config": {"path": "/nope/missing.csv"}},
+        ],
+    })
+    with pytest.raises(Exception):
+        compile_pipeline(spark, spec)
+
+
+def test_error_strategy_retry_counts(spark, tmp_path):
+    # reference: strategy.rs:103-176 (retry then fail)
+    spec = parse_spec({
+        "pipeline": {"name": "retry"},
+        "stages": [
+            {"id": "bad", "function": "csv.read",
+             "config": {"path": "/nope/missing.csv"},
+             "error_strategy": {"type": "retry", "max_retries": 2, "retry_delay_seconds": 0}},
+        ],
+    })
+    with pytest.raises(ConveyorError, match="after 2 retries"):
+        compile_pipeline(spark, spec)
+
+
+def test_stage_pipeline_inline(spark, tmp_path):
+    src = tmp_path / "nums.csv"
+    src.write_text("id,v\n1,5\n2,50\n3,500\n")
+    spec = parse_spec({
+        "pipeline": {"name": "parent"},
+        "stages": [
+            {"id": "read", "function": "csv.read", "config": {"path": str(src)}},
+            {"id": "sub", "function": "stage.pipeline", "inputs": ["read"],
+             "config": {"inline": """
+[pipeline]
+name = "child"
+
+[[stages]]
+id = "big"
+function = "filter.apply"
+inputs = ["__parent__"]
+[stages.config]
+column = "v"
+operator = ">="
+value = 50
+"""}},
+        ],
+    })
+    result = compile_pipeline(spark, spec)
+    assert result.outputs["sub"].count() == 2  # child output, not parent passthrough
+
+
+def test_multi_input_spec(spark):
+    spec = parse_spec({
+        "pipeline": {"name": "join"},
+        "stages": [
+            {"id": "a", "function": "parquet.read",
+             "config": {"path": "/root/testdata/sf0.001/nation.parquet"}},
+            {"id": "b", "function": "parquet.read",
+             "config": {"path": "/root/testdata/sf0.001/region.parquet"}},
+            {"id": "j", "function": "join.apply", "inputs": ["a", "b"],
+             "config": {"condition": "n_regionkey = r_regionkey", "how": "inner",
+                        "broadcast": True}},
+        ],
+    })
+    assert compile_pipeline(spark, spec).outputs["j"].count() == 25
+
+
+def test_cli_validate_and_functions(tmp_path, capsys):
+    from conveyor_spark.cli import main
+
+    p = tmp_path / "p.toml"
+    p.write_text("""
+[pipeline]
+name = "ok"
+
+[[stages]]
+id = "s"
+function = "csv.read"
+[stages.config]
+path = "/tmp/x.csv"
+""")
+    assert main(["validate", str(p)]) == 0
+    assert main(["functions"]) == 0
+    out = capsys.readouterr().out
+    assert "filter.apply" in out and "dedup.minhash" in out
+    bad = tmp_path / "bad.toml"
+    bad.write_text("[pipeline]\nname='x'\n")
+    assert main(["validate", str(bad)]) == 2

@@ -1,0 +1,103 @@
+"""Join / set ops / pivot / window-function extensions."""
+
+from __future__ import annotations
+
+import pytest
+
+from conveyor_spark.errors import ConfigError
+from tests.conftest import run_op
+
+
+@pytest.fixture(scope="module")
+def left(spark):
+    return spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k INT, l STRING")
+
+
+@pytest.fixture(scope="module")
+def right(spark):
+    return spark.createDataFrame([(1, "x"), (2, "y"), (4, "z")], "k INT, r STRING")
+
+
+def test_join_types(ctx, left, right):
+    assert run_op(ctx, "join.apply", [left, right], on="k").count() == 2
+    assert run_op(ctx, "join.apply", [left, right], on="k", how="left").count() == 3
+    assert run_op(ctx, "join.apply", [left, right], on="k", how="outer").count() == 4
+    assert run_op(ctx, "join.apply", [left, right], on="k", how="anti").count() == 1
+    assert run_op(ctx, "join.apply", [left, right], on="k", how="semi").count() == 2
+    assert run_op(ctx, "join.apply", [left, right], how="cross").count() == 9
+    cond = run_op(ctx, "join.apply", [left, right], condition="l = 'a' AND r = 'x'", how="inner")
+    assert cond.count() == 1
+    with pytest.raises(ConfigError, match="unknown join type"):
+        run_op(ctx, "join.apply", [left, right], on="k", how="sideways")
+
+
+def test_join_broadcast_plan(ctx, left, right):
+    out = run_op(ctx, "join.apply", [left, right], on="k", broadcast=True)
+    assert "Broadcast" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_union(ctx, spark, left):
+    other = spark.createDataFrame([(9, "q")], "k INT, l STRING")
+    assert run_op(ctx, "union.apply", [left, other]).count() == 4
+    # by-name semantics with reordered columns
+    swapped = other.select("l", "k")
+    assert run_op(ctx, "union.apply", [left, swapped]).count() == 4
+    missing = spark.createDataFrame([(7,)], "k INT")
+    out = run_op(ctx, "union.apply", [left, missing], allow_missing_columns=True)
+    assert out.filter("l IS NULL").count() == 1
+    assert run_op(ctx, "union.apply", [left, left], distinct=True).count() == 3
+
+
+def test_intersect_except(ctx, left, right):
+    lk, rk = left.select("k"), right.select("k")
+    assert {r["k"] for r in run_op(ctx, "intersect.apply", [lk, rk]).collect()} == {1, 2}
+    assert {r["k"] for r in run_op(ctx, "except.apply", [lk, rk], all=False).collect()} == {3}
+
+
+def test_pivot(ctx, spark):
+    df = spark.createDataFrame(
+        [("a", "x", 1.0), ("a", "y", 2.0), ("b", "x", 3.0)],
+        "g STRING, p STRING, v DOUBLE",
+    )
+    out = run_op(ctx, "pivot.apply", [df], by="g", pivot="p", values=["x", "y"],
+                 agg={"column": "v", "operation": "sum"})
+    rows = {r["g"]: (r["x"], r["y"]) for r in out.collect()}
+    assert rows == {"a": (1.0, 2.0), "b": (3.0, None)}
+
+
+def test_unpivot(ctx, spark):
+    df = spark.createDataFrame([(1, 10.0, 20.0)], "id INT, a DOUBLE, b DOUBLE")
+    out = run_op(ctx, "unpivot.apply", [df], ids="id", values=["a", "b"])
+    assert out.count() == 2
+    assert set(out.columns) == {"id", "variable", "value"}
+
+
+def test_window_functions(ctx, spark):
+    df = spark.createDataFrame(
+        [("u1", 1, 10.0), ("u1", 2, 30.0), ("u1", 3, 20.0), ("u2", 4, 5.0)],
+        "u STRING, seq INT, v DOUBLE",
+    )
+    rn = run_op(ctx, "window.function", [df], function="row_number", output_column="rn",
+                partition_by="u", order_by="v", descending=True)
+    assert rn.filter("rn = 1 AND u = 'u1'").first()["v"] == 30.0
+    lag = run_op(ctx, "window.function", [df], function="lag", column="v",
+                 output_column="prev", partition_by="u", order_by="seq")
+    assert [r["prev"] for r in lag.filter("u = 'u1'").orderBy("seq").collect()] == [None, 10.0, 30.0]
+    cum = run_op(ctx, "window.function", [df], function="sum", column="v",
+                 output_column="cum", partition_by="u", order_by="seq",
+                 rows_between=[None, 0])
+    assert [r["cum"] for r in cum.filter("u = 'u1'").orderBy("seq").collect()] == [10.0, 40.0, 60.0]
+    with pytest.raises(ConfigError, match="allow_unpartitioned"):
+        run_op(ctx, "window.function", [df], function="row_number", output_column="rn", order_by="v")
+
+
+def test_count_window_batch(ctx, spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "seq INT, v DOUBLE")
+    out = run_op(ctx, "window.apply", [df], type="tumbling", size=3, order_by="seq")
+    sizes = {r["window_id"]: r["n"] for r in
+             run_op(ctx, "groupby.apply", [out], by="window_id",
+                    aggregations=[{"column": "seq", "operation": "count", "output_column": "n"}]).collect()}
+    assert sizes == {0: 3, 1: 3, 2: 3, 3: 1}
+    # sliding falls back to tumbling-of-slide (reference streaming.rs:113-127)
+    out = run_op(ctx, "window.apply", [df], type="sliding", size=4, slide=2, order_by="seq")
+    assert out.groupBy("window_id").count().count() == 5

@@ -1,0 +1,113 @@
+"""encrypt/decrypt, http.fetch, ai.generate — the per-row transforms."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from conveyor_spark.errors import ConfigError
+from tests.conftest import run_op
+
+KEY16 = "0123456789abcdef"
+KEY32 = "0123456789abcdef0123456789abcdef"
+
+
+@pytest.fixture(scope="module")
+def secrets(spark):
+    return spark.createDataFrame(
+        [(1, "111-22-3333"), (2, "444-55-6666"), (3, None)],
+        "id INT, ssn STRING",
+    )
+
+
+@pytest.mark.parametrize("algo,key", [("aes-128-gcm", KEY16), ("aes-256-gcm", KEY32)])
+def test_encrypt_roundtrip(ctx, secrets, algo, key):
+    enc = run_op(ctx, "encrypt.apply", [secrets], column="ssn", key=key,
+                 algorithm=algo, output_column="ct")
+    rows = enc.orderBy("id").collect()
+    assert rows[0]["ct"] != "111-22-3333" and rows[2]["ct"] is None
+    dec = run_op(ctx, "decrypt.apply", [enc], column="ct", key=key,
+                 algorithm=algo, output_column="pt")
+    assert [r["pt"] for r in dec.orderBy("id").collect()] == ["111-22-3333", "444-55-6666", None]
+
+
+def test_decrypt_fail_on_error_false(ctx, spark):
+    bad = spark.createDataFrame([(1, "bm90LXZhbGlk")], "id INT, ct STRING")
+    out = run_op(ctx, "decrypt.apply", [bad], column="ct", key=KEY32,
+                 fail_on_error=False, output_column="pt")
+    assert out.first()["pt"] is None
+
+
+def test_chacha20_roundtrip(ctx, secrets):
+    pytest.importorskip("cryptography")
+    enc = run_op(ctx, "encrypt.apply", [secrets], column="ssn", key=KEY32,
+                 algorithm="chacha20-poly1305", output_column="ct")
+    dec = run_op(ctx, "decrypt.apply", [enc], column="ct", key=KEY32,
+                 algorithm="chacha20-poly1305", output_column="pt")
+    assert [r["pt"] for r in dec.orderBy("id").collect()] == ["111-22-3333", "444-55-6666", None]
+
+
+def test_encrypt_key_length_validated(ctx, secrets):
+    with pytest.raises(ConfigError, match="key"):
+        run_op(ctx, "encrypt.apply", [secrets], column="ssn", key="short",
+               algorithm="aes-256-gcm")
+
+
+# NB: fetchers are defined INSIDE each test — cloudpickle serializes
+# closures by value, while module-level test functions would be
+# pickled by reference to a module the executors can't import.
+
+
+def _make_echo_fetcher():
+    def echo(url, method, headers, body):
+        import json as _j
+
+        return _j.dumps({"url": url, "method": method, "body": body})
+
+    return echo
+
+
+def test_http_fetch_per_row(ctx, spark):
+    # reference F8 fixture: URL template per row (http_fetch.rs:52-65)
+    df = spark.createDataFrame([(1, "Alice"), (2, "Bob")], "user_id INT, name STRING")
+    out = run_op(ctx, "http.fetch", [df], url="http://api/users/{{ user_id }}",
+                 _fetcher=_make_echo_fetcher())
+    rows = {r["user_id"]: json.loads(r["http_result"]) for r in out.collect()}
+    assert rows[1]["url"] == "http://api/users/1"
+    assert rows[2]["url"] == "http://api/users/2"
+    assert rows[1]["method"] == "GET"
+
+
+def test_http_fetch_batch(ctx, spark):
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id INT").coalesce(1)
+    out = run_op(ctx, "http.fetch", [df], url="http://api/bulk", method="POST",
+                 mode="batch", body='{"records": {{ records }}}',
+                 _fetcher=_make_echo_fetcher())
+    payload = json.loads(out.first()["http_result"])
+    sent = json.loads(payload["body"])
+    assert {r["id"] for r in sent["records"]} == {1, 2, 3}
+
+
+def test_http_fetch_error_captured(ctx, spark):
+    def boom(url, method, headers, body):
+        raise RuntimeError("down")
+
+    df = spark.createDataFrame([(1,)], "id INT")
+    out = run_op(ctx, "http.fetch", [df], url="http://api/{{ id }}", _fetcher=boom)
+    assert "RuntimeError" in out.first()["http_result"]
+
+
+def test_ai_generate_mock(ctx, spark):
+    df = spark.createDataFrame([(1, "cats"), (2, "dogs")], "id INT, topic STRING")
+    out = run_op(ctx, "ai.generate", [df], provider="mock", model="m1",
+                 prompt="write about {{ topic }}", output_column="text")
+    rows = {r["id"]: r["text"] for r in out.collect()}
+    assert rows[1] == "echo(m1): write about cats"
+    assert rows[2] == "echo(m1): write about dogs"
+
+
+def test_ai_generate_unknown_provider(ctx, spark):
+    df = spark.createDataFrame([(1,)], "id INT")
+    with pytest.raises(ConfigError, match="unknown provider"):
+        run_op(ctx, "ai.generate", [df], provider="nope", prompt="x", output_column="y")
