@@ -27,6 +27,28 @@ from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, register
 from conveyor_spark.datapipe.hashing import md5_int
 
+# Universal-hash parameters for MinHash: ONE 28-bit md5 base hash per
+# shingle, then k cheap integer mixes h_i = (a_i*h + b_i) mod P.
+# 16x fewer md5 evaluations than seeded-md5 per-permutation hashing.
+# Constants are fixed so external oracles can reproduce them.
+MINHASH_P = 2147483647  # 2^31 - 1
+def minhash_params(i: int) -> tuple[int, int]:
+    a = (2654435761 * (i + 1)) % MINHASH_P
+    b = (40503 * (i + 7) + 12345) % MINHASH_P
+    return (a or 1), b
+
+
+def widen(ctx: OpContext, df: DataFrame) -> DataFrame:
+    """Spread a narrow scan across the cluster before CPU-heavy
+    per-row expressions. Single-file small-table scans arrive as one
+    partition; hashing 10^7 shingles on one core would serialize the
+    whole stage. No-op when the input is already wide (the 100 TB
+    case — real scans come in thousands of splits)."""
+    target = ctx.spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 def tokens_expr(col: str, distinct: bool = True) -> Column:
     """Whitespace tokens of lowercased text (empty strings dropped)."""
@@ -66,9 +88,24 @@ def _seeded_hash_fn(seed: int):
     return fn
 
 
+def base_hash28(s: Column) -> Column:
+    """28-bit md5-prefix hash (fits universal-hash products in int64)."""
+    return F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("bigint")
+
+
+def _universal_mix_fn(i: int):
+    a, b = minhash_params(i)
+
+    def fn(h: Column) -> Column:
+        return (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)
+
+    return fn
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
-    """k min-hash values, each = min over shingles of a seeded 60-bit
-    md5 hash. Pure array expressions — JVM codegen, zero shuffle."""
+    """k min-hash values via seeded md5 (k md5 evaluations/shingle).
+    Prefer the universal-hash path in dedup.minhash — kept for
+    compatibility and tests."""
     return [
         F.array_min(F.transform(shingles, _seeded_hash_fn(i))) for i in range(num_hashes)
     ]
@@ -124,10 +161,22 @@ def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
         raise ConfigError("num_hashes must be divisible by bands")
     rows_per_band = num_hashes // bands
 
-    sig = minhash_signature(_shingles(config, column), num_hashes)
-    with_sig = df.select(
-        F.col(id_column).alias("__id"),
-        *[s.alias(f"__h{i}") for i, s in enumerate(sig)],
+    # Three explicit projections so Catalyst does NOT inline the
+    # expensive shingle/hash subtrees into every one of the k mins
+    # (CollapseProject keeps multi-referenced non-cheap projections):
+    #   text -> shingle array -> base-hash array -> k universal mins.
+    base = widen(ctx, df).select(
+        F.col(id_column).alias("__id"), _shingles(config, column).alias("__sh")
+    )
+    hashed = base.select(
+        "__id", F.transform(F.col("__sh"), base_hash28).alias("__bh")
+    )
+    with_sig = hashed.select(
+        "__id",
+        *[
+            F.array_min(F.transform(F.col("__bh"), _universal_mix_fn(i))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ],
     )
     band_cols = []
     for b in range(bands):
@@ -164,7 +213,10 @@ def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     bits = int(config.get("bits", 32))
     output_column = config.get("output_column", "simhash")
     toks = _shingles(config | {"shingle": config.get("shingle", "token")}, column)
-    hashes = F.transform(toks, lambda t: md5_int(t))
+    # materialize the hash array once — the per-bit votes reference it
+    # `bits` times (see dedup_minhash on CollapseProject behavior)
+    df = widen(ctx, df).withColumn("__simhash_h", F.transform(toks, lambda t: md5_int(t)))
+    hashes = F.col("__simhash_h")
     # per-bit vote: count of set bits vs total tokens. Bit tests use
     # modulo arithmetic ((h % 2^(j+1)) >= 2^j) — equivalent to
     # (h >> j) & 1 for the non-negative 60-bit hashes, and unlike the
@@ -181,7 +233,7 @@ def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
         ones = F.aggregate(hashes, F.lit(0).cast("bigint"), bit_vote(j))
         bit_set = (ones * 2 > ntok).cast("bigint")
         acc = acc + bit_set * F.lit(2**j)
-    return df.withColumn(output_column, acc)
+    return df.withColumn(output_column, acc).drop("__simhash_h")
 
 
 @register("dedup.ngram_jaccard", kind="transform", doc="Pairwise n-gram Jaccard similarity")
@@ -199,9 +251,9 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         raise ConfigError("dedup.ngram_jaccard requires 'column' and 'id_column'")
     threshold = float(config.get("threshold", 0.8))
     shingles = _shingles(config, column)
-    base = df.select(F.col(id_column).alias("__id"), shingles.alias("__sh")).withColumn(
-        "__size", F.size("__sh")
-    )
+    base = widen(ctx, df).select(
+        F.col(id_column).alias("__id"), shingles.alias("__sh")
+    ).withColumn("__size", F.size("__sh"))
     postings = base.select("__id", "__size", F.explode("__sh").alias("__tok"))
     if max_df := config.get("max_df"):
         total = base.count()
@@ -250,18 +302,19 @@ def dedup_embedding(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
             "dedup.embedding without 'bucket_column' is a full O(n^2) cross join; "
             "set allow_full=true to force"
         )
-    from conveyor_spark.datapipe.similarity import cosine_expr
+    from conveyor_spark.datapipe.similarity import norm_expr, pair_cosine
 
     vecs = df.select(
         F.col(id_column).alias("__id"),
         F.col(column).alias("__v"),
+        norm_expr(F.col(column)).alias("__n"),  # norm once per vector
         *( [F.col(bucket).alias("__bk")] if bucket else [] ),
     )
     a, b = vecs.alias("a"), vecs.alias("b")
     on = [F.col("a.__bk") == F.col("b.__bk")] if bucket else []
     cond = F.col("a.__id") < F.col("b.__id")
     joined = a.join(b, on=on[0] & cond if on else cond)
-    cos = cosine_expr(F.col("a.__v"), F.col("b.__v"))
+    cos = pair_cosine(F.col("a.__v"), F.col("b.__v"), F.col("a.__n"), F.col("b.__n"))
     return (
         joined.select(
             F.col("a.__id").alias("id_a"),

@@ -10,7 +10,9 @@
   this prunes at the scan.
 
 Dot products are pure JVM array expressions (zip_with + aggregate) —
-no Python, no UDF.
+no Python, no UDF. Norms are projected ONCE per vector before the
+pair join (a naive cosine-per-pair recomputes both norms |pairs|
+times — 3x the flops).
 """
 
 from __future__ import annotations
@@ -43,7 +45,15 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
+    """One-shot cosine (norms recomputed per call) — convenience for
+    single-pass uses; pair joins should pre-project norms instead."""
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def pair_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
+    """cosine from pre-projected norms: dot/(qn*cn) — same arithmetic
+    shape as dot/(sqrt(qq)*sqrt(cc)), so external oracles match."""
+    return dot_expr(qv, cv) / (qn * cn)
 
 
 def _topk(joined: DataFrame, k: int) -> DataFrame:
@@ -57,6 +67,17 @@ def _topk(joined: DataFrame, k: int) -> DataFrame:
     )
 
 
+def _resolve_queries(
+    corpus: DataFrame, inputs: list[DataFrame], config: dict[str, Any], id_column: str
+) -> DataFrame:
+    if len(inputs) > 1:
+        return inputs[1]
+    qids = config.get("query_ids")
+    if not qids:
+        raise ConfigError("knn requires a second input or 'query_ids'")
+    return corpus.filter(F.col(id_column).isin(list(qids)))
+
+
 @register("knn.brute", kind="transform", min_inputs=1, max_inputs=2, doc="Exact top-k cosine neighbors")
 def knn_brute(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """inputs: [corpus] or [corpus, queries]. Config: id_column,
@@ -67,22 +88,21 @@ def knn_brute(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     if not id_column:
         raise ConfigError("knn.brute requires 'id_column'")
     k = int(config.get("k", 10))
-    if len(inputs) > 1:
-        queries = inputs[1]
-    else:
-        qids = config.get("query_ids")
-        if not qids:
-            raise ConfigError("knn.brute requires a second input or 'query_ids'")
-        queries = corpus.filter(F.col(id_column).isin(list(qids)))
+    queries = _resolve_queries(corpus, inputs, config, id_column)
     q = queries.select(
-        F.col(id_column).alias("query_id"), F.col(column).alias("__qv")
+        F.col(id_column).alias("query_id"),
+        F.col(column).alias("__qv"),
+        norm_expr(F.col(column)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_column).alias("neighbor_id"), F.col(column).alias("__cv")
+        F.col(id_column).alias("neighbor_id"),
+        F.col(column).alias("__cv"),
+        norm_expr(F.col(column)).alias("__cn"),
     )
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
     joined = joined.withColumn(
-        "cosine", F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6)
+        "cosine",
+        F.round(pair_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")), 6),
     )
     return _topk(joined, k)
 
@@ -98,27 +118,24 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
     if not id_column or not bucket:
         raise ConfigError("knn.ivf requires 'id_column' and 'bucket_column'")
     k = int(config.get("k", 10))
-    if len(inputs) > 1:
-        queries = inputs[1]
-    else:
-        qids = config.get("query_ids")
-        if not qids:
-            raise ConfigError("knn.ivf requires a second input or 'query_ids'")
-        queries = corpus.filter(F.col(id_column).isin(list(qids)))
+    queries = _resolve_queries(corpus, inputs, config, id_column)
     q = queries.select(
         F.col(id_column).alias("query_id"),
         F.col(column).alias("__qv"),
+        norm_expr(F.col(column)).alias("__qn"),
         F.col(bucket).alias("__qb"),
     )
     c = corpus.select(
         F.col(id_column).alias("neighbor_id"),
         F.col(column).alias("__cv"),
+        norm_expr(F.col(column)).alias("__cn"),
         F.col(bucket).alias("__cb"),
     )
     joined = c.join(F.broadcast(q), on=F.col("__cb") == F.col("__qb")).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
     joined = joined.withColumn(
-        "cosine", F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6)
+        "cosine",
+        F.round(pair_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")), 6),
     )
     return _topk(joined, k)

@@ -212,18 +212,20 @@ def q07_distinct_any(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_orderkey, l_partkey, l_linenumber FROM (
       SELECT l_orderkey, l_partkey, l_linenumber,
-             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+             row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
       FROM lineitem) WHERE rn = 1
     """,
 )
 def q08_distinct_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """distinct.apply keep=first with explicit order (distributed
-    data has no 'physical first' — see distinct.py)."""
+    data has no 'physical first' — see distinct.py). The order covers
+    every projected column: l_linenumber alone ties in this data, and
+    a tie-broken winner must be deterministic for the oracle."""
     ctx = _ctx(spark)
     li = load_table(spark, sf_dir, "lineitem")
     df = _op("select.apply", ctx, [li], columns=["l_orderkey", "l_partkey", "l_linenumber"])
     return _op("distinct.apply", ctx, [df], columns=["l_orderkey"], keep="first",
-               order_by="l_linenumber")
+               order_by=["l_linenumber", "l_partkey"])
 
 
 @query(
@@ -719,10 +721,13 @@ def q27_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    from conveyor_spark.datapipe.dedup import MINHASH_P, minhash_params
+
     r = num_hashes // bands
+    params = [minhash_params(i) for i in range(num_hashes)]
     hash_cols = ",\n             ".join(
-        f"list_min(list_transform(sh, x -> {_sql_hash('x', i)})) AS h{i}"
-        for i in range(num_hashes)
+        f"list_min(list_transform(bh, v -> ({a} * v + {b}) % {MINHASH_P})) AS h{i}"
+        for i, (a, b) in enumerate(params)
     )
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, md5(concat_ws('_', {cols})) AS sig FROM sig".format(
@@ -733,9 +738,12 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     return f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLE3} AS sh FROM t),
+    bh AS (SELECT doc_id,
+             list_transform(sh, x -> (('0x' || substr(md5(x), 1, 7))::BIGINT)) AS bh
+           FROM sh),
     sig AS (SELECT doc_id,
              {hash_cols}
-            FROM sh),
+            FROM bh),
     bands AS (
       {band_selects}
     )
@@ -1058,6 +1066,81 @@ def q40_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="2 hours",
     )
     return run_available_now(agg, "q40_streaming_tumbling")
+
+
+@query(
+    "q41_ai_generate",
+    """
+    SELECT doc_id, 'echo(tagger-1): classify source ' || source AS tag
+    FROM documents
+    """,
+)
+def q41_ai_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ai.generate through the deterministic mock provider — proves
+    the mapInPandas + thread-pool plumbing and prompt templating
+    (reference ai.rs:355-417) against a SQL oracle."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("ai.generate", ctx, [d], provider="mock", model="tagger-1",
+              prompt="classify source {{ source }}", output_column="tag")
+    return _op("select.apply", ctx, [out], columns=["doc_id", "tag"])
+
+
+@query(
+    "q42_http_fetch",
+    """
+    SELECT n_nationkey, n_name,
+           '{"url": "http://api/nations/' || n_nationkey || '", "method": "GET"}' AS http_result
+    FROM nation
+    """,
+)
+def q42_http_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """http.fetch per-row enrichment with an injected deterministic
+    fetcher (the reference's flagship bounded-concurrency feature,
+    http_fetch.rs:410-518) — template rendering + result_field
+    checked against a SQL oracle."""
+    ctx = _ctx(spark)
+    n = load_table(spark, sf_dir, "nation")
+
+    def echo(url: str, method: str, headers: dict, body):  # closure: pickled by value
+        return '{"url": "%s", "method": "%s"}' % (url, method)
+
+    out = _op("http.fetch", ctx, [n], url="http://api/nations/{{ n_nationkey }}",
+              mode="per_row", concurrency=4, _fetcher=echo)
+    return _op("select.apply", ctx, [out], columns=["n_nationkey", "n_name", "http_result"])
+
+
+@query(
+    "q43_count_window_agg",
+    """
+    WITH seq AS (
+      SELECT (row_number() OVER (ORDER BY event_id) - 1) // 1000 AS window_id,
+             value
+      FROM events)
+    SELECT window_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value
+    FROM seq GROUP BY window_id
+    """,
+)
+def q43_count_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's window.apply -> aggregate chain with its
+    COUNT-based tumbling windows (streaming.rs:75-135): 1000-row
+    windows over an explicit order + per-window aggregates."""
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    df = _op("map.apply", ctx, [ev], expression="CAST(value AS DECIMAL(18,2))", output_column="vdec")
+    df = _op("window.apply", ctx, [df], type="tumbling", size=1000, order_by="event_id")
+    g = _op(
+        "groupby.apply", ctx, [df], by="window_id",
+        aggregations=[
+            {"column": "event_id", "operation": "count", "output_column": "n_events"},
+            {"column": "vdec", "operation": "sum", "output_column": "sum_dec"},
+            {"column": "value", "operation": "min", "output_column": "min_value"},
+        ],
+    )
+    g = _op("map.apply", ctx, [g], expression="CAST(sum_dec AS DOUBLE)", output_column="sum_value")
+    return _op("select.apply", ctx, [g], columns=["window_id", "n_events", "sum_value", "min_value"])
 
 
 def entry_query(spark: SparkSession) -> DataFrame:
