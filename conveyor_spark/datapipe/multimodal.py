@@ -53,6 +53,9 @@ def media_decode(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         raise ConfigError("media.decode requires 'column'")
     codec = config.get("codec", "fake")
     output_column = config.get("output_column", "media_meta")
+    from conveyor_spark.datapipe.dedup import widen
+
+    df = widen(ctx, df)  # decode parallelism = one Python worker per partition
     out_schema = T.StructType(df.schema.fields + [T.StructField(output_column, IMAGE_META_SCHEMA)])
     in_columns = df.columns
 
@@ -88,6 +91,9 @@ def frame_sample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         raise ConfigError("media.frame_sample requires 'column' and 'id_column'")
     n_frames = int(config.get("n_frames", 4))
     codec = config.get("codec", "fake")
+    from conveyor_spark.datapipe.dedup import widen
+
+    df = widen(ctx, df)
     out_schema = T.StructType(
         [
             df.schema[id_column],

@@ -47,14 +47,32 @@ def language_id(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
         raise ConfigError("text.language_id requires 'column'")
     output_column = config.get("output_column", "pred_lang")
     langs = sorted(config.get("languages", STOPWORDS))
+    # Materialize tokens once, then per-language hit counts once; the
+    # argmax CASE only touches the small int columns. Without these
+    # projections the folded CASE chain inlines the tokenizer ~40x
+    # per row (found via tools/explain_audit.py).
+    toks = df.withColumn("__li_toks", tokens_expr(column))
+    hits = toks.select(
+        "*",
+        *[
+            F.size(
+                F.array_intersect(
+                    F.col("__li_toks"), F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                )
+            ).alias(f"__li_h_{lang}")
+            for lang in langs
+        ],
+    )
     best_lang = F.lit("und")
     best_hits = F.lit(0)
     for lang in langs:
-        hits = stopword_hits_expr(column, STOPWORDS[lang])
-        better = hits > best_hits
+        h = F.col(f"__li_h_{lang}")
+        better = h > best_hits
         best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_hits = F.when(better, hits).otherwise(best_hits)
-    return df.withColumn(output_column, best_lang)
+        best_hits = F.when(better, h).otherwise(best_hits)
+    return hits.withColumn(output_column, best_lang).drop(
+        "__li_toks", *[f"__li_h_{lang}" for lang in langs]
+    )
 
 
 @register("text.quality", kind="transform", doc="Heuristic document quality features + score")

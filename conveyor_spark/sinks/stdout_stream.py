@@ -1,0 +1,50 @@
+"""stdout_stream.write — per-record real-time printing.
+
+Reference: src/modules/sinks/stdout_stream.rs:29-72 — prints each
+record as it arrives (json/jsonl/csv/text ``k=v``).
+
+Spark-first: for a streaming DataFrame this is
+``writeStream.format("console")``; for a batch DataFrame we stream
+partitions through the driver (toLocalIterator) and print row by row
+— same observable behavior without materializing the frame.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import sys
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from conveyor_spark.registry import OpContext, register
+
+
+def _fmt_row(d: dict[str, Any], fmt: str, pretty: bool) -> str:
+    if fmt == "text":
+        return " ".join(f"{k}={v}" for k, v in d.items())
+    if fmt == "csv":
+        return ",".join(str(v) for v in d.values())
+    return _json.dumps(d, indent=2 if pretty else None, default=str)
+
+
+@register("stdout_stream.write", kind="sink", streaming_capable=True, doc="Per-record streaming print")
+def stdout_stream_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
+    df = inputs[0]
+    fmt = config.get("format", "jsonl")
+    pretty = bool(config.get("pretty", False))
+    out = config.get("_out", sys.stdout)  # test hook
+    if df.isStreaming:
+        query = (
+            df.writeStream.format("console")
+            .outputMode(config.get("output_mode", "append"))
+            .option("truncate", False)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if config.get("await_termination", True):
+            query.awaitTermination()
+        return None
+    for row in df.toLocalIterator():
+        out.write(_fmt_row(row.asDict(recursive=True), fmt, pretty) + "\n")
+    return None

@@ -1,3 +1,13 @@
 """Source operators (scans). Reference inventory: SURVEY.md §2.1."""
 
-from conveyor_spark.sources import csv, json, parquet, stdin, http  # noqa: F401
+from conveyor_spark.sources import (  # noqa: F401
+    csv,
+    json,
+    parquet,
+    stdin,
+    http,
+    excel,
+    mongodb,
+    kafka,
+    stream,
+)

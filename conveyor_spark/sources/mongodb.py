@@ -1,0 +1,209 @@
+"""MongoDB connector ops.
+
+Reference: plugins/conveyor-plugin-mongodb (FFI plugin, 2512 LoC) —
+find/findOne/aggregate sources, full CRUD sinks, toObjectId transform
+(doc docs/plugins/mongodb.md).
+
+Spark-first mapping:
+- reads: the mongo-spark-connector (``format("mongodb")``) when its
+  JAR is on the classpath — distributed, partitioned by the
+  connector; else a pymongo driver-side fallback for small results.
+- insert sinks: ``df.write.format("mongodb")`` (connector) or
+  pymongo ``foreachPartition`` fallback — each partition opens one
+  client and bulk-writes its rows (distributed, bounded connections).
+- update/delete/replace: always ``foreachPartition`` + pymongo
+  (the connector only appends/overwrites collections).
+
+Both backends are gated with clear errors when absent; the plumbing
+(config surface, partition-wise write protocol) is real and tested
+with an injected fake client.
+"""
+
+from __future__ import annotations
+
+import json as _json
+from typing import Any, Callable, Iterator
+
+from pyspark.sql import DataFrame, Row
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+def _check_conn(config: dict[str, Any]) -> tuple[str, str, str]:
+    uri = config.get("uri")
+    database = config.get("database")
+    collection = config.get("collection")
+    if not uri or not database or not collection:
+        raise ConfigError("mongodb ops require 'uri', 'database', 'collection'")
+    return uri, database, collection
+
+
+def _has_connector(spark) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("com.mongodb.spark.sql.connector.MongoTableProvider")
+        return True
+    except Exception:
+        return False
+
+
+def _client_factory(config: dict[str, Any]) -> Callable[[], Any]:
+    if factory := config.get("_client_factory"):  # test hook
+        return factory
+    try:
+        import pymongo
+    except ImportError:
+        raise ConfigError(
+            "mongodb ops need either the mongo-spark-connector JAR or the "
+            "'pymongo' package; neither is available in this environment"
+        ) from None
+    uri, _, _ = _check_conn(config)
+    return lambda: pymongo.MongoClient(uri)
+
+
+def _read(ctx: OpContext, config: dict[str, Any], mode: str) -> DataFrame:
+    uri, database, collection = _check_conn(config)
+    if _has_connector(ctx.spark) and not config.get("_client_factory"):
+        reader = (
+            ctx.spark.read.format("mongodb")
+            .option("connection.uri", uri)
+            .option("database", database)
+            .option("collection", collection)
+        )
+        if mode == "aggregate":
+            reader = reader.option(
+                "aggregation.pipeline", _json.dumps(config.get("pipeline", []))
+            )
+        return reader.load()
+    # driver-side fallback (small results; reference is also
+    # single-node here)
+    factory = _client_factory(config)
+    client = factory()
+    coll = client[database][collection]
+    if mode == "aggregate":
+        docs = list(coll.aggregate(config.get("pipeline", [])))
+    else:
+        query = config.get("query", {})
+        if isinstance(query, str):
+            query = _json.loads(query)
+        cursor = coll.find(query)
+        if limit := config.get("limit"):
+            cursor = cursor.limit(int(limit))
+        docs = list(cursor) if mode == "find" else list(cursor.limit(1))
+    for d in docs:
+        if "_id" in d:
+            d["_id"] = str(d["_id"])
+    if not docs:
+        return ctx.spark.createDataFrame([], "_id STRING")
+    keys: list[str] = []
+    for d in docs:
+        for k in d:
+            if k not in keys:
+                keys.append(k)
+    rows = [Row(**{k: d.get(k) for k in keys}) for d in docs]
+    return ctx.spark.createDataFrame(rows)
+
+
+@register("mongodb.find", kind="source", doc="MongoDB find -> DataFrame")
+def mongodb_find(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    return _read(ctx, config, "find")
+
+
+@register("mongodb.findOne", kind="source", doc="MongoDB findOne -> 1-row DataFrame")
+def mongodb_find_one(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    return _read(ctx, config, "findOne")
+
+
+@register("mongodb.aggregate", kind="source", doc="MongoDB aggregation pipeline -> DataFrame")
+def mongodb_aggregate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    return _read(ctx, config, "aggregate")
+
+
+def _write_partitions(df: DataFrame, config: dict[str, Any], op: str) -> None:
+    """Partition-wise CRUD: one client per partition, bulk ops per
+    batch — the distributed write path for update/delete/replace
+    (and inserts when the connector JAR is absent)."""
+    factory = _client_factory(config)
+    _, database, collection = _check_conn(config)
+    query_template = config.get("query")
+    columns = df.columns
+
+    def run(rows: Iterator[Row]) -> None:
+        client = factory()
+        coll = client[database][collection]
+        batch: list[dict[str, Any]] = []
+        for row in rows:
+            batch.append({c: row[c] for c in columns})
+        if not batch:
+            return
+        if op in ("insertOne", "insertMany"):
+            coll.insert_many(batch)
+        elif op in ("updateOne", "updateMany"):
+            for doc in batch:
+                q = {k: doc[k] for k in (query_template or {}).get("keys", ["_id"]) if k in doc}
+                getattr(coll, "update_one" if op == "updateOne" else "update_many")(
+                    q, {"$set": doc}, upsert=bool(config.get("upsert", False))
+                )
+        elif op in ("deleteOne", "deleteMany"):
+            for doc in batch:
+                q = {k: doc[k] for k in (query_template or {}).get("keys", ["_id"]) if k in doc}
+                getattr(coll, "delete_one" if op == "deleteOne" else "delete_many")(q)
+        elif op in ("replaceOne", "replaceMany"):
+            for doc in batch:
+                q = {k: doc[k] for k in (query_template or {}).get("keys", ["_id"]) if k in doc}
+                coll.replace_one(q, doc, upsert=bool(config.get("upsert", False)))
+        elif op == "bulkWrite":
+            coll.insert_many(batch)
+
+    df.foreachPartition(run)
+
+
+def _make_sink(op: str):
+    def sink(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
+        df = inputs[0]
+        uri, database, collection = _check_conn(config)
+        if (
+            op in ("insertOne", "insertMany", "bulkWrite")
+            and _has_connector(ctx.spark)
+            and not config.get("_client_factory")
+        ):
+            (
+                df.write.format("mongodb")
+                .mode("append")
+                .option("connection.uri", uri)
+                .option("database", database)
+                .option("collection", collection)
+                .save()
+            )
+            return None
+        _write_partitions(df, config, op)
+        return None
+
+    sink.__name__ = f"mongodb_{op}"
+    sink.__doc__ = f"MongoDB {op} sink (connector or pymongo foreachPartition)"
+    return sink
+
+
+for _op_name in [
+    "insertOne", "insertMany", "updateOne", "updateMany",
+    "deleteOne", "deleteMany", "replaceOne", "replaceMany", "bulkWrite",
+]:
+    register(f"mongodb.{_op_name}", kind="sink", doc=f"MongoDB {_op_name}")(_make_sink(_op_name))
+
+
+@register("mongodb.toObjectId", kind="transform", doc="Normalize a column to ObjectId hex")
+def mongodb_to_object_id(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """String -> 24-char ObjectId hex (reference: plugin lib.rs:1764-1773).
+    Valid 24-hex strings pass through lowercased; anything else maps
+    to a deterministic md5-derived ObjectId — pure JVM expressions."""
+    from pyspark.sql import functions as F
+
+    column = config.get("column")
+    if not column:
+        raise ConfigError("mongodb.toObjectId requires 'column'")
+    out = config.get("output_column", column)
+    c = F.col(column)
+    is_hex24 = c.rlike("^[0-9a-fA-F]{24}$")
+    return inputs[0].withColumn(
+        out, F.when(is_hex24, F.lower(c)).otherwise(F.substring(F.md5(c), 1, 24))
+    )

@@ -1,0 +1,85 @@
+"""Streaming sources: file.watch and stdin.stream.
+
+The reference implements these as StreamingDataSource but never wires
+them into its registry (SURVEY §2.1 note: src/core/traits.rs:137-147
+vs src/modules/mod.rs:16-120); docs/examples advertise them, so we
+treat them as the intended streaming surface.
+
+- file.watch (reference: src/modules/sources/file_watch.rs:69-154,
+  mtime-poll + re-emit whole file): Spark's file stream source tails
+  a directory/glob natively with exactly-once file tracking — a
+  strict improvement over poll-and-re-emit.
+- stdin.stream (reference: src/modules/sources/stdin_stream.rs:56-99,
+  line-by-line stdin): stdin is not distributable; the idiomatic
+  Spark equivalents are the socket source (line-per-record, same
+  shape) or the rate source for testing. ``mode`` selects.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+@register("file.watch", kind="source", streaming_capable=True, doc="Tail a directory/glob as a stream")
+def file_watch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    path = config.get("path")
+    if not path:
+        raise ConfigError("file.watch requires 'path' (directory or glob)")
+    fmt = config.get("format", "json")
+    if fmt == "text":
+        fmt = "text"
+    elif fmt in ("json", "jsonl"):
+        fmt = "json"
+    elif fmt not in ("parquet", "csv"):
+        raise ConfigError(f"file.watch: unsupported format {fmt!r}")
+    schema = config.get("schema")
+    if schema is None:
+        # infer once from the files already present (a production
+        # pipeline should pass an explicit schema)
+        batch_reader = ctx.spark.read.format(fmt)
+        if glob := config.get("path_glob_filter"):
+            batch_reader = batch_reader.option("pathGlobFilter", glob)
+        schema = batch_reader.load(path).schema
+    reader = ctx.spark.readStream.schema(schema).format(fmt)
+    if glob := config.get("path_glob_filter"):
+        reader = reader.option("pathGlobFilter", glob)
+    if config.get("max_files_per_trigger"):
+        reader = reader.option("maxFilesPerTrigger", str(int(config["max_files_per_trigger"])))
+    return reader.load(path)
+
+
+@register("stdin.stream", kind="source", streaming_capable=True, doc="Line stream (socket/rate source)")
+def stdin_stream(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    mode = config.get("mode", "socket")
+    if mode == "socket":
+        host = config.get("host", "localhost")
+        port = config.get("port")
+        if port is None:
+            raise ConfigError("stdin.stream mode=socket requires 'port'")
+        df = (
+            ctx.spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", int(port))
+            .load()
+        )
+        fmt = config.get("format", "text")
+        if fmt in ("json", "jsonl"):
+            schema = config.get("schema")
+            if not schema:
+                raise ConfigError("stdin.stream json format requires 'schema' (DDL string)")
+            return df.select(F.from_json(F.col("value"), schema).alias("r")).select("r.*")
+        return df
+    if mode == "rate":
+        # test/bench source: monotonic (timestamp, value) rows
+        return (
+            ctx.spark.readStream.format("rate")
+            .option("rowsPerSecond", str(int(config.get("rows_per_second", 10))))
+            .load()
+        )
+    raise ConfigError(f"stdin.stream: unknown mode {mode!r}")

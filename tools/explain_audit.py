@@ -1,0 +1,107 @@
+"""Plan audit: assert the physical plans have the properties that
+matter at 100 TB — filter pushdown into the parquet scan, pruned read
+schemas, broadcast joins for dims, partial (map-side) aggregation,
+TakeOrderedAndProject for top-k, no Python row-at-a-time UDFs in
+relational paths.
+
+Usage: python tools/explain_audit.py [sf_dir]
+Prints one PASS/FAIL line per assertion and a summary; exit 1 on any
+FAIL. This is the `.explain`-and-iterate loop, automated.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+CHECKS = [
+    # (query, description, predicate(plan_str, optimized_str))
+    (
+        "q02_filter_in",
+        "filter pushed to parquet scan (PushedFilters has In/GreaterThanOrEqual)",
+        lambda p, o: "PushedFilters: [" in p and "In(l_returnflag" in p and "GreaterThanOrEqual(l_quantity" in p,
+    ),
+    (
+        "q04_select_project",
+        "column pruning reaches scan (ReadSchema only 3 columns)",
+        lambda p, o: "ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>" in p,
+    ),
+    (
+        "q01_pricing_summary",
+        "partial aggregation before shuffle (two HashAggregate phases)",
+        lambda p, o: p.count("HashAggregate") >= 2 and "partial_" in p.lower(),
+    ),
+    (
+        "q06_sort_topk",
+        "sort+limit fused to TakeOrderedAndProject (no global sort)",
+        lambda p, o: "TakeOrderedAndProject" in p and "Sort [" not in p,
+    ),
+    (
+        "q14_join_customer_orders",
+        "dim join broadcast (BroadcastHashJoin, no SortMergeJoin)",
+        lambda p, o: "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    ),
+    (
+        "q16_join_region_revenue",
+        "star join: all dim joins broadcast",
+        lambda p, o: p.count("BroadcastHashJoin") >= 4 and "SortMergeJoin" not in p,
+    ),
+    (
+        "q15_join_shipping_topk",
+        "segment filter pushed into the customer scan (through 2 joins)",
+        lambda p, o: "EqualTo(c_mktsegment,BUILDING)" in p,
+    ),
+    (
+        "q34_knn_brute",
+        "query set broadcast to corpus scan",
+        lambda p, o: "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p,
+    ),
+    (
+        "q28_dedup_minhash",
+        "no Python UDF in the minhash path (pure JVM expressions)",
+        lambda p, o: "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+    ),
+    (
+        "q31_text_langid",
+        "tokenizer evaluated once per row, not inlined per language-compare",
+        lambda p, o: p.count("split(lower(") <= 5 and "BatchEvalPython" not in p,
+    ),
+    (
+        "q23_window_tumbling_hour",
+        "single shuffle for window agg (partial agg present)",
+        lambda p, o: p.count("Exchange") <= 2,
+    ),
+]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sys.path.insert(0, "/root/repo")
+    from conveyor_spark.queries import QUERIES
+    from conveyor_spark.session import get_spark
+
+    spark = get_spark(app_name="explain-audit")
+    failures = 0
+    for qname, desc, pred in CHECKS:
+        df = QUERIES[qname](spark, sf_dir)
+        p, o = plan_of(df), optimized_of(df)
+        ok = pred(p, o)
+        print(f"{'PASS' if ok else 'FAIL'} {qname}: {desc}")
+        if not ok:
+            failures += 1
+            print("  ---- physical plan ----")
+            print("  " + "\n  ".join(p.splitlines()[:40]))
+    print(f"\n{len(CHECKS) - failures} pass, {failures} fail")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
