@@ -1,0 +1,67 @@
+"""embedding.lsh — random-hyperplane (SimHash-for-vectors) signatures.
+
+The scale path for embedding similarity: each vector gets a b-bit
+signature, bit j = sign(<v, r_j>) with r_j a deterministic Rademacher
+(+1/-1) vector derived from md5 parity of "plane:dim" — reproducible
+across engines/runs with no RNG state. The sign vectors are computed
+ON THE DRIVER and embedded as array literals (bits x dim tiny ints),
+so the per-row work is just b fused multiply-adds over the embedding
+— pure JVM expressions, no shuffle.
+
+P[bit_j(a) = bit_j(b)] = 1 - angle(a,b)/pi: Hamming-close signatures
+<=> cosine-close vectors. Group by the signature (or bit-bands) for
+candidate buckets; verify with exact cosine (dedup.embedding / knn).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+def rademacher_sign(plane: int, dim: int) -> float:
+    """Deterministic +1/-1: parity of the last md5 hex nibble of
+    "plane:dim" (mirror in SQL: ('0x'||substr(md5(...),32,1))::INT%2)."""
+    nibble = int(hashlib.md5(f"{plane}:{dim}".encode()).hexdigest()[31], 16)
+    return 1.0 if nibble % 2 == 0 else -1.0
+
+
+def sign_matrix(bits: int, dim: int) -> list[list[float]]:
+    return [[rademacher_sign(j, i) for i in range(dim)] for j in range(bits)]
+
+
+@register("embedding.lsh", kind="transform", doc="Random-hyperplane LSH signature for vectors")
+def embedding_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    column = config.get("column", "embedding")
+    bits = int(config.get("bits", 16))
+    output_column = config.get("output_column", "lsh_sig")
+    dim = config.get("dim")
+    if dim is None:
+        first = df.select(F.size(F.col(column)).alias("d")).first()
+        if first is None:
+            return df.withColumn(output_column, F.lit(None).cast("bigint"))
+        dim = first["d"]
+    dim = int(dim)
+
+    from conveyor_spark.datapipe.dedup import widen
+
+    df = widen(ctx, df)
+    planes = sign_matrix(bits, dim)
+    vec = F.col(column)
+    acc = F.lit(0).cast("bigint")
+    for j in range(bits):
+        signs = F.array(*[F.lit(s) for s in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + (dot > 0).cast("bigint") * F.lit(2**j)
+    return df.withColumn(output_column, acc)

@@ -1143,6 +1143,51 @@ def q43_count_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("select.apply", ctx, [g], columns=["window_id", "n_events", "sum_value", "min_value"])
 
 
+@query(
+    "q44_py_eval",
+    "SELECT doc_id, upper(source) AS src_upper FROM documents WHERE lang <> 'zh'",
+)
+def q44_py_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """py.eval scripted per-row UDF (the js.eval capability,
+    plugin lib.rs:61-72): transform + null-drop semantics."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    script = (
+        "def transform(row):\n"
+        "    if row['lang'] == 'zh':\n"
+        "        return None\n"
+        "    return {'doc_id': row['doc_id'], 'src_upper': row['source'].upper()}\n"
+    )
+    return _op("py.eval", ctx, [d], script=script,
+               output_schema="doc_id BIGINT, src_upper STRING")
+
+
+def _emb_lsh_oracle(bits: int = 16, dim: int = 64) -> str:
+    from conveyor_spark.datapipe.emb_lsh import sign_matrix
+
+    planes = sign_matrix(bits, dim)
+    terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{signs}]) > 0 THEN {p} ELSE 0 END)".format(
+            signs=", ".join(f"{s:.1f}" for s in planes[j]), p=2**j
+        )
+        for j in range(bits)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+    SELECT vec_id, ({terms})::BIGINT AS lsh_sig FROM e
+    """
+
+
+@query("q45_embedding_lsh", _emb_lsh_oracle())
+def q45_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding.lsh random-hyperplane signatures (deterministic
+    Rademacher planes — the ANN bucketing path at scale)."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    out = _op("embedding.lsh", ctx, [e], column="embedding", bits=16, dim=64)
+    return _op("select.apply", ctx, [out], columns=["vec_id", "lsh_sig"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,105 @@
+"""stream.count_window — COUNT-based tumbling windows on a stream.
+
+The reference's window.apply is count-based (`ready_chunks(size)`,
+core/streaming.rs:75-135) with no cross-batch state: a window that
+straddles two micro-batches is silently split. Spark has no native
+count window, so this is the custom stateful operator the survey
+flagged (SURVEY §4.2): ``applyInPandasWithState`` keeps a per-key
+(window_index, rows_so_far) state, so windows continue seamlessly
+across micro-batches — strictly stronger than the reference.
+
+Emits one row per window touched in a batch (update semantics):
+(key..., window_id, n_rows, closed). `closed` marks windows that
+reached `size`; a downstream filter on closed=true gives
+exactly-once-complete windows.
+
+Count windows are inherently per-key sequential: global count
+windows over a distributed stream would serialize through one task,
+so a grouping key is required (use a constant key for low-volume
+global windows, documented trade-off).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+def count_tumbling(
+    sdf: DataFrame,
+    key_columns: list[str],
+    size: int,
+    order_by: str | None = None,
+) -> DataFrame:
+    if not key_columns:
+        raise ConfigError("stream.count_window requires key_columns")
+    key_fields = [sdf.schema[k] for k in key_columns]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("window_id", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("closed", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("window_id", T.LongType()),
+            T.StructField("filled", T.LongType()),
+        ]
+    )
+
+    def assign(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        window_id, filled = state.get if state.exists else (0, 0)
+        emitted: dict[int, int] = {}
+        for pdf in pdfs:
+            if order_by:
+                pdf = pdf.sort_values(order_by)
+            n = len(pdf)
+            i = 0
+            while i < n:
+                take = min(size - filled, n - i)
+                filled += take
+                i += take
+                emitted[window_id] = filled
+                if filled == size:
+                    window_id += 1
+                    filled = 0
+        state.update((window_id, filled))
+        rows = [
+            list(key) + [wid, cnt, cnt == size]
+            for wid, cnt in sorted(emitted.items())
+        ]
+        yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return (
+        sdf.groupBy(*key_columns)
+        .applyInPandasWithState(
+            assign, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+@register("stream.count_window", kind="transform", min_inputs=1, max_inputs=1,
+          streaming_capable=True, doc="Stateful count-based tumbling windows (streaming)")
+def stream_count_window(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    sdf = inputs[0]
+    if not sdf.isStreaming:
+        raise ConfigError(
+            "stream.count_window is the streaming path; use window.apply "
+            "(count-based) for batch DataFrames"
+        )
+    size = config.get("size")
+    keys = config.get("key_columns") or config.get("group_by")
+    if size is None or not keys:
+        raise ConfigError("stream.count_window requires 'size' and 'key_columns'")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return count_tumbling(sdf, keys, int(size), config.get("order_by"))

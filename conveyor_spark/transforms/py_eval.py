@@ -1,0 +1,66 @@
+"""py.eval — per-row scripted UDF (the engine's js.eval equivalent).
+
+Reference: plugins-wasm/conveyor-plugin-js-wasm/src/lib.rs:61-72,
+160-188 — user script defines ``transform(row)``, executed per row in
+a sandboxed Boa JS engine, JSON row in/out (row dropped when the
+script returns null).
+
+Our UDF story is Python (the reference's is JS because its host is
+Rust): the ``script`` must define ``transform(row: dict) -> dict |
+None``. Execution is Arrow-batched ``mapInPandas`` — the script is
+compiled ONCE per partition, then applied row-wise; returning None
+drops the row (filter semantics, like the reference), and returned
+dicts must match ``output_schema`` (DDL string; defaults to the input
+schema).
+
+This is the slow path by design — a script that only does arithmetic
+or string ops belongs in map.apply (full Spark SQL, JVM-side).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+@register("py.eval", kind="transform", doc="Per-row scripted transform(row) UDF")
+def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    script = config.get("script")
+    if not script:
+        raise ConfigError("py.eval requires 'script' (must define transform(row))")
+    schema_ddl = config.get("output_schema")
+    if schema_ddl:
+        out_schema = T._parse_datatype_string(schema_ddl)
+    else:
+        out_schema = df.schema
+    out_columns = [f.name for f in out_schema.fields]
+
+    # compile on the driver first so syntax errors fail fast
+    compiled = compile(script, "<py.eval>", "exec")
+    probe: dict[str, Any] = {}
+    exec(compiled, probe)  # noqa: S102
+    if not callable(probe.get("transform")):
+        raise ConfigError("py.eval script must define transform(row)")
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        ns: dict[str, Any] = {}
+        exec(compile(script, "<py.eval>", "exec"), ns)  # noqa: S102 — once per partition
+        transform = ns["transform"]
+        for pdf in batches:
+            out_rows = []
+            for row in pdf.to_dict("records"):
+                result = transform(row)
+                if result is None:
+                    continue  # null return drops the row (reference parity)
+                out_rows.append([result.get(c) for c in out_columns])
+            yield pd.DataFrame(out_rows, columns=out_columns)
+
+    return df.mapInPandas(run, out_schema)

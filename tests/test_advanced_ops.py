@@ -1,0 +1,92 @@
+"""py.eval, embedding.lsh, stream.count_window."""
+
+from __future__ import annotations
+
+import pytest
+
+from conveyor_spark.errors import ConfigError
+from tests.conftest import run_op
+
+SCRIPT = """
+def transform(row):
+    if row["status"] == "inactive":
+        return None          # drop (reference: js.eval null return)
+    return {"id": row["id"], "name": row["name"].upper()}
+"""
+
+
+def test_py_eval_transform_and_drop(ctx, spark):
+    df = spark.createDataFrame(
+        [(1, "Alice", "active"), (2, "Bob", "inactive"), (3, "Charlie", "active")],
+        "id BIGINT, name STRING, status STRING",
+    )
+    out = run_op(ctx, "py.eval", [df], script=SCRIPT, output_schema="id BIGINT, name STRING")
+    rows = {r["id"]: r["name"] for r in out.collect()}
+    assert rows == {1: "ALICE", 3: "CHARLIE"}
+
+
+def test_py_eval_bad_script(ctx, spark):
+    df = spark.createDataFrame([(1,)], "id INT")
+    with pytest.raises(ConfigError, match="transform"):
+        run_op(ctx, "py.eval", [df], script="x = 1")
+
+
+def test_embedding_lsh_signatures(ctx, spark):
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.99, 0.01, 0.0, 0.0]),   # near-dup of 1
+            (3, [-1.0, 0.0, 0.0, 0.0]),    # antipode of 1
+        ],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    out = run_op(ctx, "embedding.lsh", [vecs], bits=16)
+    sig = {r["vec_id"]: r["lsh_sig"] for r in out.collect()}
+    assert sig[1] == sig[2]                      # near-identical vectors collide
+    ham13 = bin(sig[1] ^ sig[3]).count("1")
+    assert ham13 >= 8                            # antipodes flip ~all hyperplanes
+    # deterministic across invocations
+    out2 = run_op(ctx, "embedding.lsh", [vecs], bits=16)
+    assert {r["vec_id"]: r["lsh_sig"] for r in out2.collect()} == sig
+
+
+def test_stream_count_window(ctx, spark, sf_dir, tmp_path):
+    from conveyor_spark.streaming.ops import read_file_stream, run_available_now
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = read_file_stream(
+        spark, sf_dir, batch.schema, "parquet",
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    win = run_op(ctx, "stream.count_window", [sdf], size=100,
+                 key_columns="event_type", order_by="event_id")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            win.writeStream.format("memory").queryName("t_count_win")
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    out = spark.table("t_count_win")
+    rows = out.collect()
+    assert len(rows) > 0
+    # per key: all but the last window must be exactly `size`
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], []).append(r)
+    total = 0
+    for t, ws in per_type.items():
+        ws = sorted(ws, key=lambda r: r["window_id"])
+        for w in ws[:-1]:
+            assert w["n_rows"] == 100 and w["closed"]
+        assert ws[-1]["n_rows"] <= 100
+        total += sum(w["n_rows"] for w in ws)
+    assert total == batch.count()
+
+
+def test_stream_count_window_rejects_batch(ctx, spark):
+    df = spark.createDataFrame([(1, "a")], "id INT, k STRING")
+    with pytest.raises(ConfigError, match="streaming path"):
+        run_op(ctx, "stream.count_window", [df], size=10, key_columns="k")
