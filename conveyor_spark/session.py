@@ -58,6 +58,12 @@ def get_spark(
         # Read TIMESTAMP(NANOS) parquet as long (Spark has no ns
         # timestamp type); loaders convert ns -> timestamp_micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # catalog tables (bucketed writes) need a warehouse location;
+        # static conf — must be set before the session exists
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/conveyor-warehouse"),
+        )
         # quieter local runs
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

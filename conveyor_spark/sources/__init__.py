@@ -10,4 +10,5 @@ from conveyor_spark.sources import (  # noqa: F401
     mongodb,
     kafka,
     stream,
+    table,
 )

@@ -1,0 +1,51 @@
+"""table.write / table.read — bucketed catalog tables.
+
+The co-location story for repeated big joins: writing both fact and
+dim bucketed by the join key with the same bucket count lets Spark
+join them with NO shuffle on either side (bucket-aware scan), which
+at 100 TB converts every subsequent join from a full-network shuffle
+into a local merge. The reference has no table catalog at all.
+
+Bucketed writes go through the session catalog (``saveAsTable``) —
+set ``spark.sql.warehouse.dir`` for where files land.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+@register("table.write", kind="sink", doc="Save as a (optionally bucketed) catalog table")
+def table_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
+    name = config.get("name")
+    if not name:
+        raise ConfigError("table.write requires 'name'")
+    df = inputs[0]
+    writer = df.write.mode(config.get("mode", "overwrite")).format(
+        config.get("format", "parquet")
+    )
+    if bucket_by := config.get("bucket_by"):
+        cols = [bucket_by] if isinstance(bucket_by, str) else list(bucket_by)
+        n = int(config.get("num_buckets", 32))
+        writer = writer.bucketBy(n, *cols)
+        if sort_by := config.get("sort_by"):
+            scols = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            writer = writer.sortBy(*scols)
+    if parts := config.get("partition_by"):
+        pcols = [parts] if isinstance(parts, str) else list(parts)
+        writer = writer.partitionBy(*pcols)
+    writer.saveAsTable(name)
+    return None
+
+
+@register("table.read", kind="source", doc="Read a catalog table")
+def table_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    name = config.get("name")
+    if not name:
+        raise ConfigError("table.read requires 'name'")
+    return ctx.spark.table(name)

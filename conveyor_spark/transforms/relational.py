@@ -40,14 +40,42 @@ def join_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         raise ConfigError(f"join.apply: unknown join type {how!r}")
     if config.get("broadcast"):
         right = F.broadcast(right)
-    if on := config.get("on"):
+    on = config.get("on")
+    if on:
         on = [on] if isinstance(on, str) else list(on)
+        if salt := config.get("salt"):
+            return _salted_join(left, right, on, how, int(salt))
         return left.join(right, on=on, how=how)
     if cond := config.get("condition"):
         return left.join(right, on=F.expr(cond), how=how)
     if how == "cross":
         return left.crossJoin(right)
     raise ConfigError("join.apply requires 'on' or 'condition'")
+
+
+def _salted_join(
+    left: DataFrame, right: DataFrame, on: list[str], how: str, salt: int
+) -> DataFrame:
+    """Skew-salted equi-join: a hot key's rows all hash to ONE reduce
+    task in a plain shuffle join; salting splits each left key into
+    `salt` shards (deterministic hash of the full row — no RNG) and
+    replicates the right side across shards, so a hot key fans out
+    over `salt` tasks. Use when BOTH sides are too big to broadcast
+    and keys are skewed beyond what AQE's skew-join splitting handles
+    (AQE splits partitions, not single monster keys mid-aggregation).
+    Cost: right side x `salt` — keep the right side the smaller one.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ConfigError(f"join.apply salt supports inner/left joins, not {how!r}")
+    left_salted = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt)).cast("int"),
+    )
+    right_exploded = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = left_salted.join(right_exploded, on=[*on, "__salt"], how=how)
+    return out.drop("__salt")
 
 
 @register("union.apply", kind="transform", min_inputs=2, max_inputs=None, doc="Union N inputs by name")

@@ -22,7 +22,7 @@ def sf_dir() -> str:
     return "/root/testdata/sf0.001"
 
 
-def run_op(ctx, name, inputs, **config):
+def run_op(__ctx, __op, __inputs, **config):
     from conveyor_spark.registry import get_function
 
-    return get_function(name).fn(ctx, inputs, config)
+    return get_function(__op).fn(__ctx, __inputs, config)
