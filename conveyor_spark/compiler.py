@@ -72,6 +72,20 @@ def compile_pipeline(
     touched non-sink frames) plus per-stage errors under the
     ``continue`` strategy.
     """
+    # Plugin modules register extra ops at import time — the Python
+    # equivalent of the reference's FFI/WASM plugin loading
+    # (src/plugin_loader.rs:87-135): a module on sys.path that calls
+    # conveyor_spark.register(...) in its body.
+    for mod in spec.plugins:
+        import importlib
+
+        try:
+            importlib.import_module(mod)
+        except ImportError as exc:
+            raise ConfigError(
+                f"plugin module {mod!r} not importable (is it on PYTHONPATH?): {exc}"
+            ) from None
+
     ctx = OpContext(spark=spark, variables=spec.variables)
     result = RunResult()
     stage_map = spec.stage_map()

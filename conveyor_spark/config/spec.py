@@ -44,6 +44,7 @@ class PipelineSpec:
     variables: dict[str, str] = field(default_factory=dict)
     error_handling: dict[str, Any] = field(default_factory=dict)
     timeout_seconds: float | None = None
+    plugins: list[str] = field(default_factory=list)  # python modules registering ops
     stages: list[StageSpec] = field(default_factory=list)
 
     def stage_map(self) -> dict[str, StageSpec]:
@@ -114,6 +115,7 @@ def parse_spec(data: dict[str, Any], env: dict[str, str] | None = None) -> Pipel
         variables=variables,
         error_handling=glob.get("error_handling", {}),
         timeout_seconds=glob.get("timeout_seconds"),
+        plugins=list(glob.get("plugins", [])),
         stages=stages,
     )
     validate_spec(spec)

@@ -1,3 +1,3 @@
 """Sink operators. Reference inventory: SURVEY.md §2.2."""
 
-from conveyor_spark.sinks import csv, json, stdout, stdout_stream  # noqa: F401
+from conveyor_spark.sinks import csv, json, stdout, stdout_stream, http  # noqa: F401

@@ -187,3 +187,60 @@ def test_stdin_stream_rate(ctx, spark):
     assert sdf.isStreaming and "value" in sdf.columns
     with pytest.raises(ConfigError, match="port"):
         run_op(ctx, "stdin.stream", [], mode="socket")
+
+
+def test_http_post_sink(ctx, spark, tmp_path):
+    sink_dir = str(tmp_path)
+
+    def sender(url, method, headers, body):
+        import os
+        import uuid
+
+        with open(os.path.join(sink_dir, f"{uuid.uuid4().hex}.req"), "wb") as f:
+            f.write(method.encode() + b" " + url.encode() + b"\n" + body)
+        return 200
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "id INT, v STRING").coalesce(1)
+    run_op(ctx, "http.post", [df], url="http://api/ingest", batch_size=2, _sender=sender)
+    import glob as _glob
+
+    reqs = sorted(_glob.glob(f"{sink_dir}/*.req"))
+    assert len(reqs) == 2  # 3 rows, batch_size 2 -> two requests
+    payload = open(reqs[0], "rb").read().decode()
+    assert payload.startswith("POST http://api/ingest")
+    sent = []
+    for p in reqs:
+        body = open(p, "rb").read().decode().split("\n", 1)[1]
+        sent.extend(json.loads(body))
+    assert sorted(d["id"] for d in sent) == [1, 2, 3]
+
+
+def test_spec_plugins_register_ops(spark, tmp_path):
+    import sys
+
+    from conveyor_spark.compiler import compile_pipeline
+    from conveyor_spark.config.spec import parse_spec
+
+    (tmp_path / "my_plugin.py").write_text(
+        "from conveyor_spark.registry import register\n"
+        "from pyspark.sql import functions as F\n"
+        "@register('custom.tag', kind='transform')\n"
+        "def tag(ctx, inputs, config):\n"
+        "    return inputs[0].withColumn('tag', F.lit(config.get('value', 'x')))\n"
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        spec = parse_spec({
+            "pipeline": {"name": "plug"},
+            "global": {"plugins": ["my_plugin"]},
+            "stages": [
+                {"id": "src", "function": "parquet.read",
+                 "config": {"path": "/root/testdata/sf0.001/region.parquet"}},
+                {"id": "t", "function": "custom.tag", "inputs": ["src"],
+                 "config": {"value": "hello"}},
+            ],
+        })
+        out = compile_pipeline(spark, spec).outputs["t"]
+        assert out.filter("tag = 'hello'").count() == 5
+    finally:
+        sys.path.remove(str(tmp_path))
