@@ -21,7 +21,6 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, register
 
 

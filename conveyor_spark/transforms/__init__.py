@@ -20,6 +20,7 @@ from conveyor_spark.transforms import (  # noqa: F401
     aggregate_stream,
     pipeline_stage,
     py_eval,
+    layout,
 )
 from conveyor_spark.streaming import count_window  # noqa: F401
 from conveyor_spark.datapipe import emb_lsh  # noqa: F401

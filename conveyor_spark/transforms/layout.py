@@ -1,0 +1,56 @@
+"""Physical-layout ops: repartition / coalesce / cache.
+
+No reference equivalent (single-node). At 100 TB, controlling the
+partitioning is how a pipeline author fixes the two classic failure
+modes: too-few partitions (no parallelism, executor OOM) and too-many
+tiny files on write. These are the spec-level knobs:
+
+- `repartition.apply`: hash-repartition by columns (co-locates keys
+  ahead of repeated joins/aggs — one shuffle now instead of one per
+  consumer) or round-robin to a count.
+- `coalesce.apply`: shrink partition count with NO shuffle (output
+  file compaction before a write).
+- `cache.apply`: persist a fan-out frame (the compiler also honors
+  `cache: true` on any stage config).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+@register("repartition.apply", kind="transform", doc="Hash/round-robin repartition")
+def repartition_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    n = config.get("num_partitions")
+    by = config.get("by")
+    if by:
+        cols = [by] if isinstance(by, str) else list(by)
+        return df.repartition(int(n), *cols) if n else df.repartition(*cols)
+    if n:
+        return df.repartition(int(n))
+    raise ConfigError("repartition.apply requires 'num_partitions' and/or 'by'")
+
+
+@register("coalesce.apply", kind="transform", doc="Reduce partition count without shuffle")
+def coalesce_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    n = config.get("num_partitions")
+    if not n:
+        raise ConfigError("coalesce.apply requires 'num_partitions'")
+    return inputs[0].coalesce(int(n))
+
+
+@register("cache.apply", kind="transform", doc="Persist for multi-consumer reuse")
+def cache_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    from pyspark import StorageLevel
+
+    level = str(config.get("storage_level", "MEMORY_AND_DISK")).upper()
+    sl = getattr(StorageLevel, level, None)
+    if sl is None:
+        raise ConfigError(f"cache.apply: unknown storage_level {level!r}")
+    return inputs[0].persist(sl)
