@@ -28,11 +28,13 @@ from conveyor_spark.registry import OpContext, register
 def repartition_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     n = config.get("num_partitions")
+    if n is not None and int(n) < 1:
+        raise ConfigError(f"repartition.apply: num_partitions must be >= 1, got {n}")
     by = config.get("by")
     if by:
         cols = [by] if isinstance(by, str) else list(by)
-        return df.repartition(int(n), *cols) if n else df.repartition(*cols)
-    if n:
+        return df.repartition(int(n), *cols) if n is not None else df.repartition(*cols)
+    if n is not None:
         return df.repartition(int(n))
     raise ConfigError("repartition.apply requires 'num_partitions' and/or 'by'")
 
@@ -40,8 +42,10 @@ def repartition_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
 @register("coalesce.apply", kind="transform", doc="Reduce partition count without shuffle")
 def coalesce_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     n = config.get("num_partitions")
-    if not n:
+    if n is None:
         raise ConfigError("coalesce.apply requires 'num_partitions'")
+    if int(n) < 1:
+        raise ConfigError(f"coalesce.apply: num_partitions must be >= 1, got {n}")
     return inputs[0].coalesce(int(n))
 
 
@@ -49,8 +53,16 @@ def coalesce_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
 def cache_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     from pyspark import StorageLevel
 
+    # explicit allowlist: getattr alone would accept StorageLevel.NONE,
+    # a silent no-op persist
+    levels = {
+        "MEMORY_ONLY", "MEMORY_ONLY_2", "MEMORY_AND_DISK", "MEMORY_AND_DISK_2",
+        "MEMORY_AND_DISK_DESER", "DISK_ONLY", "DISK_ONLY_2", "DISK_ONLY_3",
+        "OFF_HEAP",
+    }
     level = str(config.get("storage_level", "MEMORY_AND_DISK")).upper()
-    sl = getattr(StorageLevel, level, None)
-    if sl is None:
-        raise ConfigError(f"cache.apply: unknown storage_level {level!r}")
-    return inputs[0].persist(sl)
+    if level not in levels:
+        raise ConfigError(
+            f"cache.apply: unknown storage_level {level!r} (one of {sorted(levels)})"
+        )
+    return inputs[0].persist(getattr(StorageLevel, level))

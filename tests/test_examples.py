@@ -10,7 +10,9 @@ import pytest
 from conveyor_spark.compiler import run_pipeline
 from conveyor_spark.config.spec import load_spec
 
-EXAMPLES = sorted(glob.glob("/root/repo/examples/*.toml"))
+_EXAMPLES_DIR = pathlib.Path(__file__).resolve().parents[1] / "examples"
+EXAMPLES = sorted(glob.glob(str(_EXAMPLES_DIR / "*.toml")))
+assert EXAMPLES, f"no example pipelines found in {_EXAMPLES_DIR}"
 
 
 @pytest.mark.parametrize("path", EXAMPLES, ids=[pathlib.Path(p).stem for p in EXAMPLES])
@@ -26,8 +28,13 @@ def test_example_runs(spark, path):
     assert not result.errors
 
 
-def test_simple_example_output():
+def test_simple_example_output(spark):
+    # self-contained: remove any stale artifact, run THIS pipeline,
+    # assert the output it just produced
     out = pathlib.Path("/tmp/conveyor-examples/big_orders.csv")
+    out.unlink(missing_ok=True)
+    spec = load_spec(str(_EXAMPLES_DIR / "simple_pipeline.toml"))
+    run_pipeline(spark, spec)
     assert out.exists()
     header, *rows = out.read_text().strip().splitlines()
     assert "price_with_uplift" in header
