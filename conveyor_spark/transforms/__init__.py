@@ -21,6 +21,7 @@ from conveyor_spark.transforms import (  # noqa: F401
     pipeline_stage,
     py_eval,
     layout,
+    approx,
 )
 from conveyor_spark.streaming import count_window  # noqa: F401
 from conveyor_spark.datapipe import emb_lsh  # noqa: F401

@@ -177,3 +177,19 @@ def test_aggregate_stream(ctx, spark):
     assert glob.first()["count"] == 3
     with pytest.raises(ConfigError, match="value_column"):
         run_op(ctx, "aggregate.stream", [df], operation="sum")
+
+
+def test_approx_aggregates(ctx, spark):
+    df = spark.createDataFrame(
+        [("a", float(i % 100)) for i in range(1000)] + [("b", 5.0)] * 50,
+        "k STRING, v DOUBLE",
+    )
+    acd = run_op(ctx, "approx.count_distinct", [df], column="v", by="k")
+    got = {r["k"]: r["v_approx_distinct"] for r in acd.collect()}
+    assert abs(got["a"] - 100) <= 10 and got["b"] == 1
+    q = run_op(ctx, "approx.quantiles", [df], column="v",
+               probabilities=[0.5], by="k").collect()
+    med = {r["k"]: r["v_quantiles"][0] for r in q}
+    assert 45 <= med["a"] <= 55 and med["b"] == 5.0
+    fi = run_op(ctx, "approx.frequent_items", [df], columns="v", support=0.04)
+    assert 5.0 in fi.first()["v_freqItems"]
