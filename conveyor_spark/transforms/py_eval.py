@@ -64,3 +64,34 @@ def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
             yield pd.DataFrame(out_rows, columns=out_columns)
 
     return df.mapInPandas(run, out_schema)
+
+
+@register("py.group_eval", kind="transform", doc="Per-group scripted transform(key, pdf) UDF")
+def py_group_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Grouped-map variant (``applyInPandas``): the script defines
+    ``transform(key: tuple, pdf: pandas.DataFrame) -> pandas.DataFrame``
+    and runs once per group with the group's full frame — the shape
+    for per-group normalization, resampling, or model scoring. One
+    shuffle on the group keys; each group must fit in one worker's
+    memory (use finer keys for huge groups)."""
+    df = inputs[0]
+    script = config.get("script")
+    group_by = config.get("group_by")
+    schema_ddl = config.get("output_schema")
+    if not script or not group_by or not schema_ddl:
+        raise ConfigError("py.group_eval requires 'script', 'group_by', 'output_schema'")
+    keys = [group_by] if isinstance(group_by, str) else list(group_by)
+    out_schema = T._parse_datatype_string(schema_ddl)
+
+    compiled = compile(script, "<py.group_eval>", "exec")
+    probe: dict[str, Any] = {}
+    exec(compiled, probe)  # noqa: S102
+    if not callable(probe.get("transform")):
+        raise ConfigError("py.group_eval script must define transform(key, pdf)")
+
+    def run(key, pdf):
+        ns: dict[str, Any] = {}
+        exec(compile(script, "<py.group_eval>", "exec"), ns)  # noqa: S102
+        return ns["transform"](key, pdf)
+
+    return df.groupBy(*keys).applyInPandas(run, out_schema)

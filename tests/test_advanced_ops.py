@@ -90,3 +90,26 @@ def test_stream_count_window_rejects_batch(ctx, spark):
     df = spark.createDataFrame([(1, "a")], "id INT, k STRING")
     with pytest.raises(ConfigError, match="streaming path"):
         run_op(ctx, "stream.count_window", [df], size=10, key_columns="k")
+
+
+def test_py_group_eval_normalize(ctx, spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 10.0), ("b", 30.0)], "k STRING, v DOUBLE"
+    )
+    script = (
+        "def transform(key, pdf):\n"
+        "    pdf = pdf.copy()\n"
+        "    pdf['v_norm'] = (pdf['v'] - pdf['v'].mean()) / (pdf['v'].max() - pdf['v'].min())\n"
+        "    return pdf[['k', 'v', 'v_norm']]\n"
+    )
+    out = run_op(ctx, "py.group_eval", [df], script=script, group_by="k",
+                 output_schema="k STRING, v DOUBLE, v_norm DOUBLE")
+    rows = {(r["k"], r["v"]): r["v_norm"] for r in out.collect()}
+    assert rows[("a", 1.0)] == -0.5 and rows[("a", 3.0)] == 0.5
+    assert rows[("b", 10.0)] == -0.5 and rows[("b", 30.0)] == 0.5
+
+
+def test_py_group_eval_requires_schema(ctx, spark):
+    df = spark.createDataFrame([("a", 1.0)], "k STRING, v DOUBLE")
+    with pytest.raises(ConfigError, match="output_schema"):
+        run_op(ctx, "py.group_eval", [df], script="def transform(k,p): return p", group_by="k")
