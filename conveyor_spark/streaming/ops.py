@@ -76,6 +76,39 @@ def windowed_aggregate(
     )
 
 
+def stream_dedup(
+    sdf: DataFrame,
+    keys: list[str],
+    time_column: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming deduplication: exactly-once keys across micro-batches.
+
+    With a time column, `dropDuplicatesWithinWatermark` bounds the
+    dedup state to the watermark horizon (state for keys older than
+    the watermark is evicted — mandatory for unbounded streams; the
+    batch dedup ops have no state to bound). Without one, state grows
+    with distinct keys forever — only for finite streams.
+    """
+    if time_column:
+        return sdf.withWatermark(time_column, watermark).dropDuplicatesWithinWatermark(keys)
+    return sdf.dropDuplicates(keys)
+
+
+from conveyor_spark.registry import OpContext, register
+
+
+@register("stream.dedup", kind="transform", streaming_capable=True, doc="Watermark-bounded streaming dedup")
+def stream_dedup_op(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    keys = config.get("columns") or config.get("keys")
+    if not keys:
+        raise ConfigError("stream.dedup requires 'columns'")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return stream_dedup(
+        inputs[0], keys, config.get("time_column"), config.get("watermark", "1 hour")
+    )
+
+
 def run_available_now(
     sdf: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:

@@ -53,3 +53,23 @@ def test_stream_session_window(spark, sf_dir):
     out = run_available_now(agg, "t_stream_session")
     assert out.count() > 0
     assert {"window_start", "window_end", "user_id", "n"} <= set(out.columns)
+
+
+def test_stream_dedup(spark, sf_dir):
+    from conveyor_spark.streaming.ops import (
+        read_file_stream,
+        run_available_now,
+        stream_dedup,
+    )
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = read_file_stream(
+        spark, sf_dir, batch.schema, "parquet",
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    deduped = stream_dedup(sdf, ["user_id"], time_column="ts", watermark="10 days")
+    out = run_available_now(deduped.select("user_id"), "t_stream_dedup", output_mode="append")
+    n_users = batch.select("user_id").distinct().count()
+    assert out.count() == n_users
