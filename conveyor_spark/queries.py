@@ -1188,6 +1188,102 @@ def q45_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("select.apply", ctx, [out], columns=["vec_id", "lsh_sig"])
 
 
+@query(
+    "q46_unpivot",
+    """
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value
+    FROM lineitem WHERE l_orderkey <= 1000
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount' AS measure, l_discount AS value
+    FROM lineitem WHERE l_orderkey <= 1000
+    """,
+)
+def q46_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot.apply: wide measures -> long (reference roadmap item)."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    df = _op("filter.apply", ctx, [li], column="l_orderkey", operator="<=", value=1000)
+    df = _op("select.apply", ctx, [df],
+             columns=["l_orderkey", "l_linenumber", "l_quantity", "l_discount"])
+    return _op("unpivot.apply", ctx, [df], ids=["l_orderkey", "l_linenumber"],
+               values=["l_quantity", "l_discount"],
+               variable_column="measure", value_column="value")
+
+
+@query(
+    "q47_ntile",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+    FROM orders
+    """,
+)
+def q47_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window.function ntile — quartiles per priority (ties broken by
+    orderkey so bucket assignment is cross-engine deterministic)."""
+    ctx = _ctx(spark)
+    o = load_table(spark, sf_dir, "orders")
+    df = _op("select.apply", ctx, [o], columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+    df = _op("window.function", ctx, [df], function="ntile", n=4, output_column="quartile",
+             partition_by="o_orderpriority", order_by=["o_totalprice", "o_orderkey"])
+    return _op("select.apply", ctx, [df], columns=["o_orderkey", "o_orderpriority", "quartile"])
+
+
+@query(
+    "q48_repartition_invariance",
+    """
+    SELECT l_suppkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def q48_repartition_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """repartition.apply must be result-invariant: hash-repartition by
+    the group key ahead of the aggregate (the co-location pattern for
+    repeated aggs) and the decimal sums still match the oracle."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    df = _op("repartition.apply", ctx, [li], num_partitions=16, by="l_suppkey")
+    df = _op("map.apply", ctx, [df], expression="CAST(l_quantity AS DECIMAL(18,2))", output_column="qdec")
+    g = _op(
+        "groupby.apply", ctx, [df], by="l_suppkey",
+        aggregations=[
+            {"column": "l_orderkey", "operation": "count", "output_column": "n_items"},
+            {"column": "qdec", "operation": "sum", "output_column": "sum_dec"},
+        ],
+    )
+    g = _op("map.apply", ctx, [g], expression="CAST(sum_dec AS DOUBLE)", output_column="sum_qty")
+    return _op("select.apply", ctx, [g], columns=["l_suppkey", "n_items", "sum_qty"])
+
+
+@query("q49_stream_count_window")  # no oracle: stateful streaming op
+def q49_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream.count_window: cross-micro-batch count windows via
+    applyInPandasWithState (rows-only check)."""
+    import tempfile
+
+    from conveyor_spark.registry import get_function
+    from conveyor_spark.streaming.ops import read_file_stream
+
+    ctx = _ctx(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = read_file_stream(
+        spark, sf_dir, batch.schema, "parquet",
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    win = get_function("stream.count_window").fn(
+        ctx, [sdf], {"size": 500, "key_columns": "event_type", "order_by": "event_id"}
+    )
+    with tempfile.TemporaryDirectory(prefix="conveyor-q49-") as ckpt:
+        q = (
+            win.writeStream.format("memory").queryName("q49_count_windows")
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table("q49_count_windows")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
