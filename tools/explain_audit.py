@@ -82,6 +82,52 @@ CHECKS = [
 ]
 
 
+def extra_checks(spark, sf_dir: str) -> list[tuple[str, str, bool]]:
+    """Plan checks for ops not in the query suite."""
+    from conveyor_spark.registry import OpContext, get_function
+
+    ctx = OpContext(spark=spark)
+    results = []
+
+    # salted join: left sharded by deterministic hash, right exploded
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_quantity")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr("o_orderkey AS l_orderkey", "o_totalprice")
+    salted = get_function("join.apply").fn(ctx, [li, o], {"on": "l_orderkey", "salt": 8})
+    p = plan_of(salted)
+    results.append((
+        "salted_join",
+        "salt shards via xxhash64 + explode (skew fan-out in the plan)",
+        "xxhash64" in p and ("Generate explode" in p or "explode" in p),
+    ))
+
+    # AQE actually on in the engine session
+    results.append((
+        "session_aqe",
+        "adaptive execution enabled in engine session",
+        spark.conf.get("spark.sql.adaptive.enabled") == "true",
+    ))
+
+    # bucketed join: no exchange on either side (co-location)
+    facts = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS v")
+    dims = spark.range(0, 500).selectExpr("id AS k", "concat('d', id) AS name")
+    get_function("table.write").fn(ctx, [facts], {"name": "audit_facts", "bucket_by": "k", "num_buckets": 4, "sort_by": "k"})
+    get_function("table.write").fn(ctx, [dims], {"name": "audit_dims", "bucket_by": "k", "num_buckets": 4, "sort_by": "k"})
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        jp = plan_of(spark.table("audit_facts").join(spark.table("audit_dims"), on="k"))
+        results.append((
+            "bucketed_join",
+            "bucketed tables join without Exchange (co-located)",
+            "Exchange hashpartitioning" not in jp and "SortMergeJoin" in jp,
+        ))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS audit_facts")
+        spark.sql("DROP TABLE IF EXISTS audit_dims")
+    return results
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     sys.path.insert(0, "/root/repo")
@@ -90,6 +136,10 @@ def main() -> int:
 
     spark = get_spark(app_name="explain-audit")
     failures = 0
+    for name, desc, ok in extra_checks(spark, sf_dir):
+        print(f"{'PASS' if ok else 'FAIL'} {name}: {desc}")
+        if not ok:
+            failures += 1
     for qname, desc, pred in CHECKS:
         df = QUERIES[qname](spark, sf_dir)
         p, o = plan_of(df), optimized_of(df)
@@ -99,7 +149,8 @@ def main() -> int:
             failures += 1
             print("  ---- physical plan ----")
             print("  " + "\n  ".join(p.splitlines()[:40]))
-    print(f"\n{len(CHECKS) - failures} pass, {failures} fail")
+    n_total = len(CHECKS) + 3  # + extra_checks
+    print(f"\n{n_total - failures} pass, {failures} fail")
     return 1 if failures else 0
 
 
