@@ -1,0 +1,61 @@
+"""Dataset splitting/sampling for training pipelines.
+
+- split.assign: deterministic hash-based train/val/test assignment.
+  The split is a pure function of the ID column (portable md5 hash),
+  so it is stable across runs, engines, partitionings and cluster
+  sizes — the property random splits lack and training reproducibility
+  requires. Fractions map to contiguous buckets of hash(id) mod 10000.
+- sample.apply: Bernoulli/fraction sampling (seeded; per-partition
+  deterministic for a fixed layout — use split.assign when exact
+  reproducibility across layouts matters).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+from conveyor_spark.datapipe.hashing import md5_int
+
+
+@register("split.assign", kind="transform", doc="Deterministic hash-based train/val/test split")
+def split_assign(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    df = inputs[0]
+    id_column = config.get("id_column")
+    if not id_column:
+        raise ConfigError("split.assign requires 'id_column'")
+    fractions: dict[str, float] = config.get(
+        "fractions", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    if abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ConfigError(f"split.assign fractions must sum to 1, got {fractions}")
+    output_column = config.get("output_column", "split")
+    seed = config.get("seed", "split")
+    bucket = md5_int(F.concat(F.col(id_column).cast("string"), F.lit(f"#{seed}"))) % 10000
+    expr = None
+    lo = 0
+    # insertion order defines the bucket layout — deterministic for a
+    # given fractions dict
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * 10000))
+        cond = (bucket >= lo) & (bucket < hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    expr = expr.otherwise(F.lit(list(fractions)[-1]))  # rounding remainder -> last split
+    return df.withColumn(output_column, expr)
+
+
+@register("sample.apply", kind="transform", doc="Fraction sampling (seeded)")
+def sample_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    fraction = config.get("fraction")
+    if fraction is None or not 0 < float(fraction) <= 1:
+        raise ConfigError("sample.apply requires 'fraction' in (0, 1]")
+    return inputs[0].sample(
+        withReplacement=bool(config.get("with_replacement", False)),
+        fraction=float(fraction),
+        seed=int(config.get("seed", 42)),
+    )

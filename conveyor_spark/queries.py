@@ -1284,6 +1284,31 @@ def q49_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q49_count_windows")
 
 
+@query(
+    "q50_split_assign",
+    f"""
+    WITH b AS (
+      SELECT doc_id,
+             {_sql_hash("doc_id::VARCHAR || '#split'")} % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+)
+def q50_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split.assign: hash-deterministic train/val/test assignment —
+    stable across runs, partitionings and engines (the reproducibility
+    property random splits lack)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("split.assign", ctx, [d], id_column="doc_id",
+              fractions={"train": 0.8, "val": 0.1, "test": 0.1})
+    return _op("select.apply", ctx, [out], columns=["doc_id", "split"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

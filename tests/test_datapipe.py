@@ -142,3 +142,27 @@ def test_frame_sample(ctx, spark):
     rows = out.collect()
     assert len(rows) == 3  # null binary contributes no frames
     assert {r["frame_idx"] for r in rows} == {0, 1, 2}
+
+
+def test_split_assign_deterministic(ctx, spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "id BIGINT")
+    a = run_op(ctx, "split.assign", [df], id_column="id")
+    b = run_op(ctx, "split.assign", [df.repartition(7)], id_column="id")
+    ra = {r["id"]: r["split"] for r in a.collect()}
+    rb = {r["id"]: r["split"] for r in b.collect()}
+    assert ra == rb  # invariant to partitioning
+    from collections import Counter
+
+    dist = Counter(ra.values())
+    assert 0.75 < dist["train"] / 2000 < 0.85
+    assert 0.05 < dist["val"] / 2000 < 0.15
+    with pytest.raises(ConfigError, match="sum to 1"):
+        run_op(ctx, "split.assign", [df], id_column="id", fractions={"a": 0.5})
+
+
+def test_sample_apply(ctx, spark):
+    df = spark.createDataFrame([(i,) for i in range(10000)], "id BIGINT")
+    s = run_op(ctx, "sample.apply", [df], fraction=0.1, seed=7)
+    assert 700 < s.count() < 1300
+    with pytest.raises(ConfigError, match="fraction"):
+        run_op(ctx, "sample.apply", [df], fraction=2.0)
