@@ -33,11 +33,13 @@ def chunk_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     order_by = config.get("order_by")
     if order_by:
         cols = [order_by] if isinstance(order_by, str) else list(order_by)
-        w = Window.orderBy(*cols)
-        seq = F.row_number().over(w) - 1
-        chunk_id = F.floor(seq / batch_size)
+        # Two-phase global index — NOT Window.orderBy (single-task
+        # funnel; see transforms/global_index.py).
+        from conveyor_spark.transforms.global_index import global_sequence
+
+        seq = global_sequence(df, cols, "__gseq")
         grouped = (
-            df.withColumn("__chunk", chunk_id)
+            seq.withColumn("__chunk", F.floor(F.col("__gseq") / batch_size))
             .groupBy("__chunk")
             .agg(F.collect_list(F.struct(*df.columns)).alias(output_column))
             .withColumnRenamed("__chunk", "chunk_id")

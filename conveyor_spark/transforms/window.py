@@ -93,5 +93,9 @@ def window_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         # documented fallback for parity.
         n = int(config.get("slide", n))
     cols = [order_by] if isinstance(order_by, str) else list(order_by)
-    seq = F.row_number().over(Window.orderBy(*[F.col(c) for c in cols])) - 1
-    return df.withColumn("window_id", F.floor(seq / n))
+    # Two-phase global index — NOT Window.orderBy (which would move
+    # every row to one task; see transforms/global_index.py).
+    from conveyor_spark.transforms.global_index import global_sequence
+
+    seq = global_sequence(df, cols, "__gseq")
+    return seq.withColumn("window_id", F.floor(F.col("__gseq") / n)).drop("__gseq")

@@ -79,6 +79,20 @@ CHECKS = [
         "single shuffle for window agg (partial agg present)",
         lambda p, o: p.count("Exchange") <= 2,
     ),
+    (
+        "q13_chunk_batches",
+        "global row index is bucket-partitioned (no single-partition WindowExec)",
+        lambda p, o: all(
+            "], [__gidx_bkt" in ln for ln in p.splitlines() if "Window [" in ln
+        ) and any("Window [" in ln for ln in p.splitlines()),
+    ),
+    (
+        "q43_count_window_agg",
+        "count-window global index bucket-partitioned (no single-partition WindowExec)",
+        lambda p, o: all(
+            "], [__gidx_bkt" in ln for ln in p.splitlines() if "Window [" in ln
+        ) and any("Window [" in ln for ln in p.splitlines()),
+    ),
 ]
 
 
