@@ -38,14 +38,28 @@ def minhash_params(i: int) -> tuple[int, int]:
     return (a or 1), b
 
 
-def widen(ctx: OpContext, df: DataFrame) -> DataFrame:
+def widen(ctx: OpContext, df: DataFrame, config: dict[str, Any] | None = None) -> DataFrame:
     """Spread a narrow scan across the cluster before CPU-heavy
     per-row expressions. Single-file small-table scans arrive as one
     partition; hashing 10^7 shingles on one core would serialize the
     whole stage. No-op when the input is already wide (the 100 TB
-    case — real scans come in thousands of splits)."""
+    case — real scans come in thousands of splits).
+
+    `widen` in the op config overrides: False disables, an int forces
+    that partition count. The auto path reads the partition count
+    from the JVM plan (no Python RDD wrapper, no Spark job — dedup
+    inputs are scans, which plan without materializing stages)."""
+    knob = (config or {}).get("widen", "auto")
+    if knob is False or knob == 0:
+        return df
+    if isinstance(knob, int) and not isinstance(knob, bool):
+        return df.repartition(knob)
     target = ctx.spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n = df._jdf.toJavaRDD().getNumPartitions()
+    except Exception:  # exotic plan: leave the upstream layout alone
+        return df
+    if n < target:
         return df.repartition(target)
     return df
 
@@ -165,7 +179,7 @@ def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     # expensive shingle/hash subtrees into every one of the k mins
     # (CollapseProject keeps multi-referenced non-cheap projections):
     #   text -> shingle array -> base-hash array -> k universal mins.
-    base = widen(ctx, df).select(
+    base = widen(ctx, df, config).select(
         F.col(id_column).alias("__id"), _shingles(config, column).alias("__sh")
     )
     hashed = base.select(
@@ -215,7 +229,7 @@ def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     toks = _shingles(config | {"shingle": config.get("shingle", "token")}, column)
     # materialize the hash array once — the per-bit votes reference it
     # `bits` times (see dedup_minhash on CollapseProject behavior)
-    df = widen(ctx, df).withColumn("__simhash_h", F.transform(toks, lambda t: md5_int(t)))
+    df = widen(ctx, df, config).withColumn("__simhash_h", F.transform(toks, lambda t: md5_int(t)))
     hashes = F.col("__simhash_h")
     # per-bit vote: count of set bits vs total tokens. Bit tests use
     # modulo arithmetic ((h % 2^(j+1)) >= 2^j) — equivalent to
@@ -238,11 +252,27 @@ def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
 
 @register("dedup.ngram_jaccard", kind="transform", doc="Pairwise n-gram Jaccard similarity")
 def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
-    """Exact Jaccard over shingle sets via posting-list self-join.
+    """Jaccard over shingle sets — safe-by-default at scale.
 
-    Output: id_a, id_b, jaccard (>= threshold). `max_df` drops
-    shingles occurring in more than that fraction of docs (caps the
-    posting-list blowup at scale; off by default for exactness).
+    Output: id_a, id_b, jaccard (>= threshold). Three modes:
+
+    - default: posting-list self-join with document-frequency pruning
+      ON (`max_df` = 0.05). Shingles appearing in more than
+      max(floor(max_df * n_docs), 1) documents are dropped from the
+      posting lists — a hot shingle at 100 TB otherwise turns one
+      reduce task into an O(df^2) pair explosion. The hot-shingle
+      list (not the keep-list — hot tokens are bounded by
+      n_postings/cap, keep-lists grow with the corpus) is built
+      lazily and anti-joined broadcast-side; no driver action at plan
+      build. Pruning is conservative: denominators keep the FULL set
+      sizes, so reported jaccard <= true jaccard (near-dups whose
+      overlap is hot-shingle-only may be missed; no false positives).
+    - `exact=true` (or max_df >= 1): the unpruned exact join —
+      opt-in, quadratic in hot-shingle document frequency.
+    - candidate verification: a second input of (id_a, id_b) pairs
+      (e.g. dedup.minhash output) joins shingle sets to the pairs and
+      computes exact jaccard on candidates only — the standard
+      minhash-then-verify pipeline, linear in |candidates|.
     """
     df = inputs[0]
     column = config.get("column")
@@ -251,17 +281,43 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         raise ConfigError("dedup.ngram_jaccard requires 'column' and 'id_column'")
     threshold = float(config.get("threshold", 0.8))
     shingles = _shingles(config, column)
-    base = widen(ctx, df).select(
+    base = widen(ctx, df, config).select(
         F.col(id_column).alias("__id"), shingles.alias("__sh")
     ).withColumn("__size", F.size("__sh"))
-    postings = base.select("__id", "__size", F.explode("__sh").alias("__tok"))
-    if max_df := config.get("max_df"):
-        total = base.count()
-        cap = int(float(max_df) * total)
-        keep = postings.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")).filter(
-            F.col("__df") <= cap
+
+    if len(inputs) > 1:
+        # candidate-verify mode: exact jaccard on given pairs only
+        cands = inputs[1].select(config.get("pair_a", "id_a"), config.get("pair_b", "id_b"))
+        id_a, id_b = cands.columns
+        sets_a = base.select(F.col("__id").alias(id_a), F.col("__sh").alias("__sh_a"),
+                             F.col("__size").alias("__size_a"))
+        sets_b = base.select(F.col("__id").alias(id_b), F.col("__sh").alias("__sh_b"),
+                             F.col("__size").alias("__size_b"))
+        inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
+        jac = inter / (F.col("__size_a") + F.col("__size_b") - inter)
+        return (
+            cands.join(sets_a, on=id_a).join(sets_b, on=id_b)
+            .select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"),
+                    jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
         )
-        postings = postings.join(F.broadcast(keep.select("__tok")), on="__tok")
+
+    postings = base.select("__id", "__size", F.explode("__sh").alias("__tok"))
+    max_df = float(config.get("max_df", 0.05))
+    if not config.get("exact") and max_df < 1.0:
+        if max_df <= 0:
+            raise ConfigError("dedup.ngram_jaccard: max_df must be in (0, 1]")
+        # cap = max(floor(max_df * n_docs), 1), computed lazily: the
+        # doc total rides along as a broadcast 1-row aggregate.
+        totals = base.agg(F.count(F.lit(1)).alias("__total"))
+        cap = F.greatest(F.floor(F.lit(max_df) * F.col("__total")), F.lit(1))
+        hot = (
+            postings.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+            .join(F.broadcast(totals))
+            .filter(F.col("__df") > cap)
+            .select("__tok")
+        )
+        postings = postings.join(F.broadcast(hot), on="__tok", how="anti")
     a, b = postings.alias("a"), postings.alias("b")
     inter = (
         a.join(b, on="__tok")

@@ -21,6 +21,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, register
 
 
@@ -43,6 +44,11 @@ def embedding_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     output_column = config.get("output_column", "lsh_sig")
     dim = config.get("dim")
     if dim is None:
+        if not config.get("infer_dim"):
+            raise ConfigError(
+                "embedding.lsh requires 'dim' (the embedding length). Inferring it "
+                "runs a Spark job at plan-build time; opt in with infer_dim=true."
+            )
         first = df.select(F.size(F.col(column)).alias("d")).first()
         if first is None:
             return df.withColumn(output_column, F.lit(None).cast("bigint"))
@@ -51,7 +57,7 @@ def embedding_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
 
     from conveyor_spark.datapipe.dedup import widen
 
-    df = widen(ctx, df)
+    df = widen(ctx, df, config)
     planes = sign_matrix(bits, dim)
     vec = F.col(column)
     acc = F.lit(0).cast("bigint")

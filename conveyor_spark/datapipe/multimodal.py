@@ -55,7 +55,7 @@ def media_decode(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     output_column = config.get("output_column", "media_meta")
     from conveyor_spark.datapipe.dedup import widen
 
-    df = widen(ctx, df)  # decode parallelism = one Python worker per partition
+    df = widen(ctx, df, config)  # decode parallelism = one Python worker per partition
     out_schema = T.StructType(df.schema.fields + [T.StructField(output_column, IMAGE_META_SCHEMA)])
     in_columns = df.columns
 
@@ -93,7 +93,7 @@ def frame_sample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     codec = config.get("codec", "fake")
     from conveyor_spark.datapipe.dedup import widen
 
-    df = widen(ctx, df)
+    df = widen(ctx, df, config)
     out_schema = T.StructType(
         [
             df.schema[id_column],

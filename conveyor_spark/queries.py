@@ -800,12 +800,14 @@ def q29_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q30_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup.ngram_jaccard: exact pairwise Jaccard (word 3-grams) via
-    posting-list self-join; finds the planted near-duplicates."""
+    """dedup.ngram_jaccard EXACT mode (opt-in): pairwise Jaccard
+    (word 3-grams) via unpruned posting-list self-join; finds the
+    planted near-duplicates. Default DF-pruned mode is q51; the
+    minhash-then-verify pipeline is q52."""
     ctx = _ctx(spark)
     d = load_table(spark, sf_dir, "documents")
     return _op("dedup.ngram_jaccard", ctx, [d], column="text", id_column="doc_id",
-               shingle="word", ngram=3, threshold=0.5)
+               shingle="word", ngram=3, threshold=0.5, exact=True)
 
 
 _STOP_SQL = {
@@ -1307,6 +1309,63 @@ def q50_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _op("split.assign", ctx, [d], id_column="doc_id",
               fractions={"train": 0.8, "val": 0.1, "test": 0.1})
     return _op("select.apply", ctx, [out], columns=["doc_id", "split"])
+
+
+@query(
+    "q51_jaccard_pruned",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, {_SQL_SHINGLE3} AS sh FROM t),
+    sized AS (SELECT doc_id, len(sh) AS sz, sh FROM s),
+    p AS (SELECT doc_id, sz, unnest(sh) AS tok FROM sized),
+    tot AS (SELECT COUNT(*) AS n FROM sized),
+    hot AS (SELECT tok FROM p, tot GROUP BY tok, tot.n
+            HAVING COUNT(*) > greatest(CAST(floor(0.05 * tot.n) AS BIGINT), 1)),
+    pp AS (SELECT * FROM p WHERE tok NOT IN (SELECT tok FROM hot))
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*)::DOUBLE / (any_value(a.sz) + any_value(b.sz) - COUNT(*)) AS jaccard
+      FROM pp a JOIN pp b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id)
+    WHERE jaccard >= 0.5
+    """,
+)
+def q51_jaccard_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.ngram_jaccard DEFAULT mode: document-frequency pruning on
+    (max_df=0.05) — hot shingles leave the posting lists before the
+    self-join, bounding the pair explosion at scale. Conservative:
+    denominators keep full set sizes, so jaccard <= exact jaccard."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("dedup.ngram_jaccard", ctx, [d], column="text", id_column="doc_id",
+               shingle="word", ngram=3, threshold=0.5)
+
+
+@query(
+    "q52_jaccard_candidates",
+    f"""
+    WITH m AS ({_minhash_oracle()}),
+    t AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, {_SQL_SHINGLE3} AS sh FROM t)
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT m.id_a, m.id_b,
+             len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+      FROM m JOIN s sa ON sa.doc_id = m.id_a JOIN s sb ON sb.doc_id = m.id_b)
+    WHERE jaccard >= 0.5
+    """,
+)
+def q52_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard near-dup pipeline at scale: dedup.minhash LSH
+    candidates -> dedup.ngram_jaccard candidate-verify mode (exact
+    jaccard computed ONLY on candidate pairs — linear in candidates,
+    never quadratic in document frequency)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    cands = _op("dedup.minhash", ctx, [d], column="text", id_column="doc_id",
+                num_hashes=16, bands=4, shingle="word", ngram=3)
+    return _op("dedup.ngram_jaccard", ctx, [d, cands], column="text", id_column="doc_id",
+               shingle="word", ngram=3, threshold=0.5)
 
 
 def entry_query(spark: SparkSession) -> DataFrame:

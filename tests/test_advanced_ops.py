@@ -40,13 +40,13 @@ def test_embedding_lsh_signatures(ctx, spark):
         ],
         "vec_id INT, embedding ARRAY<FLOAT>",
     )
-    out = run_op(ctx, "embedding.lsh", [vecs], bits=16)
+    out = run_op(ctx, "embedding.lsh", [vecs], bits=16, dim=4)
     sig = {r["vec_id"]: r["lsh_sig"] for r in out.collect()}
     assert sig[1] == sig[2]                      # near-identical vectors collide
     ham13 = bin(sig[1] ^ sig[3]).count("1")
     assert ham13 >= 8                            # antipodes flip ~all hyperplanes
     # deterministic across invocations
-    out2 = run_op(ctx, "embedding.lsh", [vecs], bits=16)
+    out2 = run_op(ctx, "embedding.lsh", [vecs], bits=16, infer_dim=True)
     assert {r["vec_id"]: r["lsh_sig"] for r in out2.collect()} == sig
 
 

@@ -45,13 +45,43 @@ def test_dedup_simhash(ctx, docs):
     assert ham13 < ham14  # near-dup closer than unrelated
 
 
-def test_dedup_ngram_jaccard(ctx, docs):
+def test_dedup_ngram_jaccard_exact(ctx, docs):
     pairs = run_op(ctx, "dedup.ngram_jaccard", [docs], column="text",
-                   id_column="doc_id", shingle="token", threshold=0.7)
+                   id_column="doc_id", shingle="token", threshold=0.7, exact=True)
     got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
     assert got[(1, 2)] == 1.0
     assert (1, 3) in got and got[(1, 3)] >= 0.7
     assert all(4 not in p for p in got)
+
+
+def test_dedup_ngram_jaccard_default_prunes_hot_shingles(ctx, docs):
+    # 5 docs, max_df=0.05 -> cap = max(floor(0.25), 1) = 1: every
+    # shingle shared by 2+ docs is hot and leaves the posting lists,
+    # so NO pairs survive — the conservative behavior, exercised at a
+    # degenerate corpus size. A laxer max_df readmits the dups.
+    none = run_op(ctx, "dedup.ngram_jaccard", [docs], column="text",
+                  id_column="doc_id", shingle="token", threshold=0.7)
+    assert none.count() == 0
+    lax = run_op(ctx, "dedup.ngram_jaccard", [docs], column="text",
+                 id_column="doc_id", shingle="token", threshold=0.7, max_df=0.9)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in lax.collect()}
+    assert got[(1, 2)] == 1.0  # df cap 4: only the everywhere-shingles drop
+
+
+def test_dedup_ngram_jaccard_candidate_verify(ctx, docs, spark):
+    cands = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "id_a INT, id_b INT")
+    out = run_op(ctx, "dedup.ngram_jaccard", [docs, cands], column="text",
+                 id_column="doc_id", shingle="token", threshold=0.7)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got and got[(1, 3)] >= 0.7
+    assert (1, 4) not in got  # candidate given but fails verification
+
+
+def test_dedup_ngram_jaccard_rejects_bad_max_df(ctx, docs):
+    with pytest.raises(ConfigError, match="max_df"):
+        run_op(ctx, "dedup.ngram_jaccard", [docs], column="text",
+               id_column="doc_id", max_df=0)
 
 
 def test_fingerprint_normalizes_formatting(ctx, docs):
