@@ -1042,11 +1042,27 @@ def q39_pipeline_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compile_pipeline(spark, spec).outputs["proj"]
 
 
-@query("q40_streaming_tumbling")  # no SQL oracle: Structured Streaming plan
+@query(
+    "q40_streaming_tumbling",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
 def q40_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming: file-source stream over events parquet,
     1-hour event-time tumbling window + watermark, availableNow drain
-    to a memory sink (streaming/ops.py). Rows-only check."""
+    to a memory sink (streaming/ops.py).
+
+    VALUE-CHECKED against the batch-equivalent SQL: with an
+    availableNow drain of a static file the stream must produce
+    exactly the batch tumbling-window result (the watermark drops
+    nothing — all data arrives in one micro-batch). Sums go through
+    DECIMAL so the hash comparison is order-insensitive."""
     from conveyor_spark.streaming.ops import (
         read_file_stream,
         run_available_now,
@@ -1062,12 +1078,17 @@ def q40_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    sdf = sdf.withColumn("vdec", F.col("value").cast("decimal(18,2)"))
     agg = windowed_aggregate(
         sdf, "ts", "1 hour",
-        aggs=[("event_id", "count", "n_events"), ("value", "sum", "sum_value")],
+        aggs=[("event_id", "count", "n_events"), ("vdec", "sum", "sum_dec")],
         watermark="2 hours",
     )
-    return run_available_now(agg, "q40_streaming_tumbling")
+    out = run_available_now(agg, "q40_streaming_tumbling")
+    return out.select(
+        "window_start", "window_end", "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
 
 
 @query(
@@ -1258,10 +1279,26 @@ def q48_repartition_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("select.apply", ctx, [g], columns=["l_suppkey", "n_items", "sum_qty"])
 
 
-@query("q49_stream_count_window")  # no oracle: stateful streaming op
+@query(
+    "q49_stream_count_window",
+    """
+    WITH seq AS (
+      SELECT event_type,
+             (row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1) // 500
+               AS window_id
+      FROM events)
+    SELECT event_type, window_id, COUNT(*) AS n_rows, (COUNT(*) = 500) AS closed
+    FROM seq GROUP BY event_type, window_id
+    """,
+)
 def q49_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stream.count_window: cross-micro-batch count windows via
-    applyInPandasWithState (rows-only check)."""
+    applyInPandasWithState.
+
+    VALUE-CHECKED against the batch-equivalent SQL: an availableNow
+    drain of one static file is a single micro-batch, so the stateful
+    op's update rows are exactly the per-key count-window partition
+    of the whole table (order_by makes it deterministic)."""
     import tempfile
 
     from conveyor_spark.registry import get_function
