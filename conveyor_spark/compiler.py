@@ -45,9 +45,17 @@ def _strategy(stage: StageSpec, spec: PipelineSpec) -> dict[str, Any]:
     return stage.error_strategy or spec.error_handling or {"type": "stop"}
 
 
+def _strategy_kind(stage: StageSpec, spec: PipelineSpec) -> str:
+    """Resolve the strategy kind once: 'type' with a 'strategy' alias.
+    Used by BOTH the retry wrapper and the continue handler so a spec
+    writing strategy="continue" gets error capture, not a re-raise."""
+    strat = _strategy(stage, spec)
+    return strat.get("type", strat.get("strategy", "stop"))
+
+
 def _run_with_strategy(stage: StageSpec, spec: PipelineSpec, fn):
     strat = _strategy(stage, spec)
-    kind = strat.get("type", strat.get("strategy", "stop"))
+    kind = _strategy_kind(stage, spec)
     if kind == "retry":
         max_retries = int(strat.get("max_retries", 3))
         delay = float(strat.get("retry_delay_seconds", 1.0))
@@ -108,7 +116,7 @@ def compile_pipeline(
             continue
         inputs = [result.outputs[i] for i in stage.inputs]
 
-        strat_type = _strategy(stage, spec).get("type", "stop")
+        strat_type = _strategy_kind(stage, spec)
         try:
             out = _run_with_strategy(
                 stage, spec, lambda: op.fn(ctx, inputs, dict(stage.config))

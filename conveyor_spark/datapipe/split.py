@@ -35,7 +35,28 @@ def split_assign(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         raise ConfigError(f"split.assign fractions must sum to 1, got {fractions}")
     output_column = config.get("output_column", "split")
     seed = config.get("seed", "split")
-    bucket = md5_int(F.concat(F.col(id_column).cast("string"), F.lit(f"#{seed}"))) % 10000
+    # NULL ids: md5(concat(null, ...)) is null, every bucket condition
+    # is null, and the rounding-remainder otherwise() would silently
+    # dump them all into the LAST split, skewing holdout sets. Policy:
+    # on_null = "error" (default) | "hash" (hash a sentinel — nulls
+    # all land in ONE deterministic split) | a split name.
+    on_null = config.get("on_null", "error")
+    if on_null not in ("error", "hash") and on_null not in fractions:
+        raise ConfigError(
+            f"split.assign: on_null must be 'error', 'hash' or a split name, got {on_null!r}"
+        )
+    id_str = F.col(id_column).cast("string")
+    if on_null == "error":
+        id_str = F.when(
+            F.col(id_column).isNull(),
+            F.raise_error(F.lit(
+                f"split.assign: NULL in id_column {id_column!r} "
+                "(set on_null='hash' or a split name to assign them)"
+            )),
+        ).otherwise(id_str)
+    elif on_null == "hash":
+        id_str = F.coalesce(id_str, F.lit("\x00null"))
+    bucket = md5_int(F.concat(id_str, F.lit(f"#{seed}"))) % 10000
     expr = None
     lo = 0
     # insertion order defines the bucket layout — deterministic for a
@@ -46,6 +67,8 @@ def split_assign(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo = hi
     expr = expr.otherwise(F.lit(list(fractions)[-1]))  # rounding remainder -> last split
+    if on_null in fractions:
+        expr = F.when(F.col(id_column).isNull(), F.lit(on_null)).otherwise(expr)
     return df.withColumn(output_column, expr)
 
 

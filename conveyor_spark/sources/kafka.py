@@ -59,12 +59,20 @@ def kafka_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         .option("subscribe", topic)
         .option("startingOffsets", config.get("starting_offsets", "earliest"))
     )
-    if not streaming and (n := config.get("max_messages")):
-        # batch bound ≙ reference's max_messages poll loop (lib.rs:113)
+    if streaming and (n := config.get("max_messages")):
+        # per-micro-batch bound (streaming-only option)
         reader = reader.option("maxOffsetsPerTrigger", str(int(n)))
     if group := config.get("group_id"):
         reader = reader.option("kafka.group.id", group)
     df = reader.load()
+    if not streaming and (n := config.get("max_messages")):
+        # batch bound ≙ reference's max_messages poll loop (lib.rs:113).
+        # maxOffsetsPerTrigger is a STREAMING option and is silently
+        # ignored by batch reads; a LocalLimit stops each partition's
+        # consumer after it has produced enough rows. (Exact
+        # per-partition endingOffsets would need an admin client
+        # round-trip; limit keeps the bound plan-side.)
+        df = df.limit(int(n))
     if config.get("raw", False):
         return df
     # records mode: value bytes -> string (JSON parsing is a follow-up
@@ -91,14 +99,21 @@ def kafka_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
         checkpoint = config.get("checkpoint_location")
         if not checkpoint:
             raise ConfigError("streaming kafka.write requires 'checkpoint_location'")
-        (
+        query = (
             df.writeStream.format("kafka")
             .option("kafka.bootstrap.servers", brokers)
             .option("topic", topic)
             .option("checkpointLocation", checkpoint)
             .start()
         )
-        return None
+        # Block until the stream ends (default): otherwise the driver
+        # can exit before any micro-batch commits and nothing is
+        # produced. await_termination=false opts out and returns the
+        # StreamingQuery for caller-managed lifecycles.
+        if config.get("await_termination", True):
+            query.awaitTermination()
+            return None
+        return query
     (
         df.write.format("kafka")
         .option("kafka.bootstrap.servers", brokers)

@@ -39,6 +39,10 @@ def count_tumbling(
 ) -> DataFrame:
     if not key_columns:
         raise ConfigError("stream.count_window requires key_columns")
+    if size < 1:
+        # size=0 would make take=min(size-filled, n-i) permanently 0
+        # and spin the executor loop forever
+        raise ConfigError(f"stream.count_window: size must be >= 1, got {size}")
     key_fields = [sdf.schema[k] for k in key_columns]
     out_schema = T.StructType(
         key_fields

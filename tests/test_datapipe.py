@@ -196,3 +196,36 @@ def test_sample_apply(ctx, spark):
     assert 700 < s.count() < 1300
     with pytest.raises(ConfigError, match="fraction"):
         run_op(ctx, "sample.apply", [df], fraction=2.0)
+
+
+def test_split_assign_null_ids(ctx, spark):
+    import pytest as _pytest
+
+    from conveyor_spark.errors import ConfigError
+
+    df = spark.createDataFrame([(1,), (None,), (2,)], "id INT")
+    # default: loud failure on NULL ids
+    with _pytest.raises(Exception, match="NULL in id_column"):
+        run_op(ctx, "split.assign", [df], id_column="id").collect()
+    # hash mode: nulls land in ONE deterministic split, not silently
+    # in the rounding-remainder (last) split
+    hashed = run_op(ctx, "split.assign", [df], id_column="id", on_null="hash")
+    splits = {r["id"]: r["split"] for r in hashed.collect()}
+    assert splits[None] in {"train", "val", "test"}
+    # explicit split name
+    pinned = run_op(ctx, "split.assign", [df], id_column="id", on_null="val")
+    assert {r["split"] for r in pinned.collect() if r["id"] is None} == {"val"}
+    with _pytest.raises(ConfigError, match="on_null"):
+        run_op(ctx, "split.assign", [df], id_column="id", on_null="nope")
+
+
+def test_stream_count_window_rejects_zero_size(ctx, spark, sf_dir):
+    from conveyor_spark.streaming.ops import read_file_stream
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = read_file_stream(spark, sf_dir, batch.schema, "parquet",
+                           options={"pathGlobFilter": "events.parquet"})
+    from conveyor_spark.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="size must be >= 1"):
+        run_op(ctx, "stream.count_window", [sdf], size=0, key_columns="event_type")

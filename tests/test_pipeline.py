@@ -164,3 +164,18 @@ path = "/tmp/x.csv"
     bad = tmp_path / "bad.toml"
     bad.write_text("[pipeline]\nname='x'\n")
     assert main(["validate", str(bad)]) == 2
+
+
+def test_error_strategy_alias_key_continue(spark):
+    # 'strategy' key alias must resolve to the same continue semantics
+    # as 'type' (the except-handler and the retry wrapper share the
+    # kind resolution)
+    spec = parse_spec({
+        "pipeline": {"name": "cont-alias"},
+        "global": {"error_handling": {"strategy": "continue"}},
+        "stages": [
+            {"id": "bad", "function": "csv.read", "config": {"path": "/nope/missing.csv"}},
+        ],
+    })
+    result = compile_pipeline(spark, spec)
+    assert "bad" in result.errors
