@@ -39,6 +39,28 @@ def _check_conn(config: dict[str, Any]) -> tuple[str, str, str]:
     return uri, database, collection
 
 
+_CONN_KEYS = ("uri", "database", "collection")
+
+
+def _render_config(
+    ctx: OpContext, config: dict[str, Any], keys: tuple[str, ...]
+) -> dict[str, Any]:
+    """Handlebars-render config fields against the pipeline variables
+    (reference renders these fields through Handlebars — plugins/
+    conveyor-plugin-mongodb/src/lib.rs:56-95,1147-1206). Sinks render
+    only the connection fields here; their `query` template renders
+    PER ROW in _write_partitions (each row is its own context)."""
+    from conveyor_spark.templating import render
+
+    variables = dict(getattr(ctx, "variables", {}) or {})
+    cfg = dict(config)
+    for key in keys:
+        v = cfg.get(key)
+        if isinstance(v, str) and "{{" in v:
+            cfg[key] = render(v, variables)
+    return cfg
+
+
 def _has_connector(spark) -> bool:
     try:
         spark._jvm.java.lang.Class.forName("com.mongodb.spark.sql.connector.MongoTableProvider")
@@ -62,6 +84,7 @@ def _client_factory(config: dict[str, Any]) -> Callable[[], Any]:
 
 
 def _read(ctx: OpContext, config: dict[str, Any], mode: str) -> DataFrame:
+    config = _render_config(ctx, config, _CONN_KEYS + ("query", "pipeline"))
     uri, database, collection = _check_conn(config)
     if _has_connector(ctx.spark) and not config.get("_client_factory"):
         reader = (
@@ -128,6 +151,23 @@ def _write_partitions(df: DataFrame, config: dict[str, Any], op: str) -> None:
     query_template = config.get("query")
     columns = df.columns
 
+    # Row-templated queries (reference: Handlebars query field,
+    # lib.rs:1200-1206): a STRING query is parsed once on the driver
+    # and rendered per row — '{"user_id": {{ user_id }}}' filters each
+    # row's own document. A dict {"keys": [...]} keeps the key-project
+    # behavior; absent -> match on _id.
+    row_query = None
+    if isinstance(query_template, str):
+        from conveyor_spark.templating import compile_template
+
+        tmpl = compile_template(query_template)
+        row_query = lambda doc: _json.loads(tmpl(doc))  # noqa: E731
+
+    def _filter(doc: dict[str, Any]) -> dict[str, Any]:
+        if row_query is not None:
+            return row_query(doc)
+        return {k: doc[k] for k in (query_template or {}).get("keys", ["_id"]) if k in doc}
+
     def run(rows: Iterator[Row]) -> None:
         client = factory()
         coll = client[database][collection]
@@ -140,18 +180,15 @@ def _write_partitions(df: DataFrame, config: dict[str, Any], op: str) -> None:
             coll.insert_many(batch)
         elif op in ("updateOne", "updateMany"):
             for doc in batch:
-                q = {k: doc[k] for k in (query_template or {}).get("keys", ["_id"]) if k in doc}
                 getattr(coll, "update_one" if op == "updateOne" else "update_many")(
-                    q, {"$set": doc}, upsert=bool(config.get("upsert", False))
+                    _filter(doc), {"$set": doc}, upsert=bool(config.get("upsert", False))
                 )
         elif op in ("deleteOne", "deleteMany"):
             for doc in batch:
-                q = {k: doc[k] for k in (query_template or {}).get("keys", ["_id"]) if k in doc}
-                getattr(coll, "delete_one" if op == "deleteOne" else "delete_many")(q)
+                getattr(coll, "delete_one" if op == "deleteOne" else "delete_many")(_filter(doc))
         elif op in ("replaceOne", "replaceMany"):
             for doc in batch:
-                q = {k: doc[k] for k in (query_template or {}).get("keys", ["_id"]) if k in doc}
-                coll.replace_one(q, doc, upsert=bool(config.get("upsert", False)))
+                coll.replace_one(_filter(doc), doc, upsert=bool(config.get("upsert", False)))
         elif op == "bulkWrite":
             coll.insert_many(batch)
 
@@ -161,6 +198,7 @@ def _write_partitions(df: DataFrame, config: dict[str, Any], op: str) -> None:
 def _make_sink(op: str):
     def sink(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
         df = inputs[0]
+        config = _render_config(ctx, config, _CONN_KEYS)
         uri, database, collection = _check_conn(config)
         if (
             op in ("insertOne", "insertMany", "bulkWrite")

@@ -9,9 +9,10 @@ request with ``{{ records }}`` in the body; response lands in
 Spark-first: ``mapInPandas`` keeps the data distributed — each
 executor partition runs its own thread pool (size = ``concurrency``)
 over Arrow batches, so total in-flight requests = partitions ×
-concurrency, with no driver round-trip. URL/body templates use
-``{{ column }}`` substitution per row (the reference's Handlebars
-surface, minus helpers).
+concurrency, with no driver round-trip. URL/body/header templates are
+full Handlebars (paths, #if/#each/#unless/#with, formatting helpers —
+conveyor_spark.templating), parsed once on the driver and rendered
+per row on executors.
 
 Testability: ``_fetcher`` config injects a callable
 ``(url, method, headers, body) -> str`` (serialized to executors);
@@ -20,7 +21,6 @@ tests use a deterministic local function instead of the network.
 
 from __future__ import annotations
 
-import re
 from typing import Any, Callable, Iterator
 
 from pyspark.sql import DataFrame
@@ -29,12 +29,14 @@ from pyspark.sql import types as T
 from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, register
 
-_TEMPLATE_RE = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+from conveyor_spark.templating import compile_template, render
 
 
 def render_template(template: str, row: dict[str, Any]) -> str:
-    """``{{ col }}`` substitution (reference: Handlebars templates)."""
-    return _TEMPLATE_RE.sub(lambda m: str(row.get(m.group(1), "")), template)
+    """Handlebars rendering (paths, #if/#each/#unless/#with blocks,
+    formatting helpers) — see conveyor_spark.templating. Matches the
+    reference's Handlebars surface (http_fetch.rs:4,98-105)."""
+    return render(template, row)
 
 
 def _default_fetcher(url: str, method: str, headers: dict[str, str], body: str | None) -> str:
@@ -88,6 +90,11 @@ def http_fetch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     if mode != "per_row":
         raise ConfigError(f"http.fetch: unknown mode {mode!r}")
 
+    # parse templates ONCE on the driver; executors render per row
+    url_t = compile_template(url)
+    body_t = compile_template(body_template) if body_template else None
+    header_ts = {k: compile_template(v) for k, v in headers.items()}
+
     def run_rows(batches: Iterator) -> Iterator:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -98,9 +105,9 @@ def http_fetch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
                 rows = pdf.to_dict("records")
 
                 def one(row: dict[str, Any]) -> str:
-                    u = render_template(url, row)
-                    b = render_template(body_template, row) if body_template else None
-                    h = {k: render_template(v, row) for k, v in headers.items()}
+                    u = url_t(row)
+                    b = body_t(row) if body_t else None
+                    h = {k: t(row) for k, t in header_ts.items()}
                     try:
                         return fetcher(u, method, h, b)
                     except Exception as exc:  # error policy: capture, don't kill the job
