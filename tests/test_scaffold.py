@@ -1,0 +1,82 @@
+"""scaffold / add-stage authoring verbs (reference: src/cli/
+scaffold.rs, src/cli/add_stage.rs; its tests/cli_commands_test.rs
+asserts scaffold output parses — ours additionally RUNS)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conveyor_spark.cli import main as cli_main
+from conveyor_spark.config.spec import load_spec
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.scaffold import add_stage, scaffold_pipeline
+
+
+def test_scaffold_parses_and_runs(spark, tmp_path, capsys):
+    out = tmp_path / "p.toml"
+    paths = scaffold_pipeline(str(out))
+    assert [p for p in paths if p.endswith(".toml")]
+    spec = load_spec(str(out))
+    assert spec.name == "my_pipeline" and len(spec.stages) == 3
+
+    from conveyor_spark.compiler import run_pipeline
+
+    result = run_pipeline(spark, spec)
+    assert not result.errors
+    captured = capsys.readouterr().out
+    assert "Alice" in captured and "Bob" not in captured  # filter applied
+
+
+def test_scaffold_refuses_overwrite(tmp_path):
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out))
+    with pytest.raises(ConfigError, match="--force"):
+        scaffold_pipeline(str(out))
+    scaffold_pipeline(str(out), name="other", force=True)
+    assert load_spec(str(out)).name == "other"
+
+
+def test_add_stage_appends_and_validates(tmp_path):
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out))
+    add_stage(str(out), "save", "json.write", ["filter_active"],
+              [f"path={tmp_path}/out.jsonl", "format=jsonl"])
+    spec = load_spec(str(out))
+    ids = [s.id for s in spec.stages]
+    assert ids[-1] == "save"
+    save = spec.stage_map()["save"]
+    assert save.function == "json.write" and save.config["format"] == "jsonl"
+
+
+def test_add_stage_rejects_bad_append(tmp_path):
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out))
+    before = out.read_text()
+    with pytest.raises(Exception):  # unknown function: registry error
+        add_stage(str(out), "x", "nope.apply", [])
+    assert out.read_text() == before
+    with pytest.raises(Exception):  # duplicate id: spec validation, file restored
+        add_stage(str(out), "load_data", "json.read", [])
+    assert out.read_text() == before
+    with pytest.raises(Exception):  # missing input stage
+        add_stage(str(out), "y", "filter.apply", ["ghost"], ["column=a", "value=1"])
+    assert out.read_text() == before
+
+
+def test_add_stage_config_value_parsing(tmp_path):
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out))
+    add_stage(str(out), "lim", "limit.apply", ["filter_active"], ["n=5"])
+    spec = load_spec(str(out))
+    assert spec.stage_map()["lim"].config["n"] == 5  # JSON int, not "5"
+
+
+def test_cli_verbs(tmp_path, capsys):
+    out = tmp_path / "cli.toml"
+    assert cli_main(["scaffold", str(out), "--name", "clidemo"]) == 0
+    assert "wrote" in capsys.readouterr().out
+    assert cli_main(["validate", str(out)]) == 0
+    assert cli_main(["add-stage", str(out), "--id", "lim", "--function", "limit.apply",
+                     "--input", "filter_active", "--config", "n=2"]) == 0
+    assert cli_main(["validate", str(out)]) == 0
+    assert cli_main(["scaffold", str(out)]) == 2  # refuses overwrite
