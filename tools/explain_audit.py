@@ -121,6 +121,37 @@ def extra_checks(spark, sf_dir: str) -> list[tuple[str, str, bool]]:
         spark.conf.get("spark.sql.adaptive.enabled") == "true",
     ))
 
+    # AQE skew-join: a hot key must trigger OptimizeSkewedJoin in the
+    # FINAL adaptive plan (thresholds lowered so a local fixture can
+    # cross them; at 100 TB the defaults fire on real skew). The plan
+    # must show the split-and-replicate markers.
+    skew_confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {k: spark.conf.get(k) for k in skew_confs}
+    try:
+        for k, v in skew_confs.items():
+            spark.conf.set(k, v)
+        hot = spark.range(200000).selectExpr("CAST(0 AS BIGINT) AS k", "repeat('x', 64) AS pad")
+        tail = spark.range(1, 2000).selectExpr("id AS k", "'y' AS pad")
+        right = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS v")
+        j = get_function("join.apply").fn(ctx, [hot.union(tail), right], {"on": "k", "how": "inner"})
+        j.collect()  # AQE finalizes the plan only on ITS OWN execution
+        jp = plan_of(j)
+        results.append((
+            "aqe_skew_join",
+            "hot key triggers OptimizeSkewedJoin (skew=true + skewed shuffle read)",
+            "isFinalPlan=true" in jp
+            and "(skew=true)" in jp
+            and "skewed" in jp,
+        ))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
     # bucketed join: no exchange on either side (co-location)
     facts = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS v")
     dims = spark.range(0, 500).selectExpr("id AS k", "concat('d', id) AS name")
@@ -150,7 +181,9 @@ def main() -> int:
 
     spark = get_spark(app_name="explain-audit")
     failures = 0
+    n_extra = 0
     for name, desc, ok in extra_checks(spark, sf_dir):
+        n_extra += 1
         print(f"{'PASS' if ok else 'FAIL'} {name}: {desc}")
         if not ok:
             failures += 1
@@ -163,7 +196,7 @@ def main() -> int:
             failures += 1
             print("  ---- physical plan ----")
             print("  " + "\n  ".join(p.splitlines()[:40]))
-    n_total = len(CHECKS) + 3  # + extra_checks
+    n_total = len(CHECKS) + n_extra
     print(f"\n{n_total - failures} pass, {failures} fail")
     return 1 if failures else 0
 
