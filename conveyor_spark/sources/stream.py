@@ -7,8 +7,14 @@ treat them as the intended streaming surface.
 
 - file.watch (reference: src/modules/sources/file_watch.rs:69-154,
   mtime-poll + re-emit whole file): Spark's file stream source tails
-  a directory/glob natively with exactly-once file tracking — a
-  strict improvement over poll-and-re-emit.
+  a directory/glob natively with exactly-once file tracking. NOTE the
+  semantic divergence: Spark processes each FILE once and ignores
+  in-place modifications, while the reference re-parses the same file
+  whenever its mtime changes. ``reemit_on_modify=true`` restores the
+  reference behavior for a single watched file: a driver-side poller
+  snapshots each new version into a spool directory, which the file
+  source then picks up as a fresh file (every saved version streams
+  exactly once).
 - stdin.stream (reference: src/modules/sources/stdin_stream.rs:56-99,
   line-by-line stdin): stdin is not distributable; the idiomatic
   Spark equivalents are the socket source (line-per-record, same
@@ -17,6 +23,11 @@ treat them as the intended streaming surface.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+import threading
+import time
 from typing import Any
 
 from pyspark.sql import DataFrame
@@ -26,11 +37,64 @@ from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, register
 
 
+class FileVersionSpooler:
+    """Snapshot a single file into a spool dir whenever its mtime
+    changes — the reference's re-emit-on-modify semantics
+    (file_watch.rs:69-154) adapted to Spark's process-once file
+    source: each saved version becomes a NEW file the stream reads
+    exactly once."""
+
+    def __init__(self, src: str, spool_dir: str):
+        self.src = src
+        self.spool_dir = spool_dir
+        self._last_mtime: int | None = None
+        base = os.path.basename(src)
+        self._stem, self._ext = os.path.splitext(base)
+
+    def poll_once(self) -> bool:
+        """Copy the file if it changed since the last poll."""
+        try:
+            mt = os.stat(self.src).st_mtime_ns
+        except FileNotFoundError:
+            return False
+        if mt == self._last_mtime:
+            return False
+        self._last_mtime = mt
+        dst = os.path.join(self.spool_dir, f"{self._stem}-{mt}{self._ext}")
+        tmp = dst + ".tmp"
+        shutil.copy2(self.src, tmp)
+        os.rename(tmp, dst)  # atomic: the stream never sees partials
+        return True
+
+    def start(self, interval: float) -> threading.Thread:
+        def loop() -> None:
+            while True:
+                self.poll_once()
+                time.sleep(interval)
+
+        t = threading.Thread(target=loop, daemon=True, name=f"file-watch:{self.src}")
+        t.start()
+        return t
+
+
 @register("file.watch", kind="source", streaming_capable=True, doc="Tail a directory/glob as a stream")
 def file_watch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     path = config.get("path")
     if not path:
         raise ConfigError("file.watch requires 'path' (directory or glob)")
+    if config.get("reemit_on_modify"):
+        if not os.path.isfile(path):
+            raise ConfigError(
+                "file.watch reemit_on_modify watches a single FILE "
+                f"(got {path!r}); point 'path' at the mutating file"
+            )
+        spool = config.get("spool_dir") or tempfile.mkdtemp(prefix="conveyor-filewatch-")
+        os.makedirs(spool, exist_ok=True)
+        spooler = FileVersionSpooler(path, spool)
+        spooler.poll_once()  # current version is the first emission
+        if not config.get("_no_poller_thread"):  # test hook: poll manually
+            spooler.start(float(config.get("poll_interval", 1.0)))
+        path = spool
     fmt = config.get("format", "json")
     if fmt == "text":
         fmt = "text"

@@ -15,6 +15,12 @@ schema).
 
 This is the slow path by design — a script that only does arithmetic
 or string ops belongs in map.apply (full Spark SQL, JVM-side).
+
+SECURITY: unlike the reference's WASM-sandboxed js.eval, the script
+runs as UNSANDBOXED Python (``exec``) inside executor workers, with
+the full privileges of the Spark job. Pipeline specs are trusted code
+— treat a TOML containing py.eval/py.group_eval exactly like a Python
+file: never run specs from untrusted sources.
 """
 
 from __future__ import annotations

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from conveyor_spark.streaming.ops import (
@@ -73,3 +74,47 @@ def test_stream_dedup(spark, sf_dir):
     out = run_available_now(deduped.select("user_id"), "t_stream_dedup", output_mode="append")
     n_users = batch.select("user_id").distinct().count()
     assert out.count() == n_users
+
+
+def test_file_watch_reemit_on_modify(ctx, spark, tmp_path):
+    """reemit_on_modify restores the reference's re-parse-on-change
+    semantics (file_watch.rs:69-154): each saved version of ONE file
+    streams once via the version spooler."""
+    import json as _j
+    import os
+    import time as _t
+
+    from conveyor_spark.sources.stream import FileVersionSpooler
+    from tests.conftest import run_op
+
+    src = tmp_path / "data.jsonl"
+    spool = tmp_path / "spool"
+    src.write_text('{"x": 1}\n')
+    sdf = run_op(ctx, "file.watch", [], path=str(src), format="jsonl",
+                 schema="x BIGINT", reemit_on_modify=True,
+                 spool_dir=str(spool), _no_poller_thread=True)
+    assert sdf.isStreaming
+
+    from conveyor_spark.streaming.ops import run_available_now
+
+    out1 = run_available_now(sdf, "t_reemit_1", output_mode="append")
+    assert [r["x"] for r in out1.collect()] == [1]
+
+    # modify in place -> a second version must stream (plain Spark
+    # file source would ignore this)
+    _t.sleep(0.01)  # ensure a new mtime_ns
+    src.write_text('{"x": 2}\n')
+    spooler = FileVersionSpooler(str(src), str(spool))
+    assert spooler.poll_once()  # manual poll (no thread in tests)
+    assert not spooler.poll_once()  # idempotent until next change
+    out2 = run_available_now(sdf, "t_reemit_2", output_mode="append")
+    assert sorted(r["x"] for r in out2.collect()) == [1, 2]
+    assert len(os.listdir(spool)) == 2
+
+
+def test_file_watch_reemit_requires_file(ctx, tmp_path):
+    from conveyor_spark.errors import ConfigError
+    from tests.conftest import run_op
+
+    with pytest.raises(ConfigError, match="single FILE"):
+        run_op(ctx, "file.watch", [], path=str(tmp_path), reemit_on_modify=True)
