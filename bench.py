@@ -44,10 +44,16 @@ def main() -> int:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
+    # round-1 baseline covered q01-q50; keep a same-scope subtotal so
+    # cross-round comparisons aren't skewed by suite growth
+    r1_scope = {n: v for n, v in timings.items() if n[:3] <= "q50"}
+    baseline_total = round(sum(v for v in r1_scope.values() if v >= 0), 3)
     print(json.dumps({
         "metric": "conveyor_spark query suite wall time",
         "value": total,
         "unit": "sec",
+        "value_r1_scope": baseline_total,
+        "n_queries": len(timings),
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

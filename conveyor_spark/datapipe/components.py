@@ -1,0 +1,106 @@
+"""dedup.components — connected components over duplicate pairs.
+
+The last stage of the dedup pipeline the pair-emitting ops
+(dedup.minhash / dedup.ngram_jaccard / dedup.embedding) feed: pairs
+say "a duplicates b"; components turn that into clusters so exactly
+one canonical document per cluster survives. (The reference never got
+this far — its dedup story stops at distinct.apply; this is the
+standard production step, cf. the union-find pass in web-dedup
+pipelines.)
+
+Algorithm: iterative min-label propagation. label(v) starts as v;
+each round takes the min of a vertex's label and its neighbors'
+labels — after d rounds every vertex in a component of diameter d
+carries the component's min id. LSH/jaccard duplicate clusters are
+near-cliques (diameter 2-3), so convergence is fast; the loop stops
+early when no label changes.
+
+Scale notes: each round is one shuffle join of (edge, label) — no
+driver-side graph. `localCheckpoint` truncates lineage per round
+(iterative joins otherwise stack exponentially deep plans). This op
+RUNS JOBS when it executes its convergence loop (inherent to
+iterative algorithms — same contract as GraphX/GraphFrames); pass
+`iterations=k` for a fully lazy unrolled k-round plan instead.
+
+Output: (id, component, is_canonical) — component is the min id of
+the cluster; keep rows where is_canonical, or anti-join the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+def _propagate(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One round: label(v) <- min(label(v), min over neighbors)."""
+    neighbor_min = (
+        und.join(labels, und["dst"] == labels["id"])
+        .groupBy("src")
+        .agg(F.min("label").alias("__nmin"))
+    )
+    return (
+        labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+        .select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("__nmin"), F.col("label"))).alias("label"),
+        )
+    )
+
+
+@register("dedup.components", kind="transform", doc="Connected components over duplicate pairs")
+def dedup_components(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    pairs = inputs[0]
+    col_a = config.get("pair_a", "id_a")
+    col_b = config.get("pair_b", "id_b")
+    if col_a not in pairs.columns or col_b not in pairs.columns:
+        raise ConfigError(
+            f"dedup.components needs pair columns {col_a!r}/{col_b!r} in the input "
+            f"(have {pairs.columns}); set pair_a/pair_b"
+        )
+    edges = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+    und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        und.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+
+    fixed = config.get("iterations")
+    if fixed is not None:
+        # fully lazy unrolled plan (no convergence actions)
+        k = int(fixed)
+        if k < 1:
+            raise ConfigError("dedup.components: iterations must be >= 1")
+        for _ in range(k):
+            labels = _propagate(und, labels)
+    else:
+        max_iterations = int(config.get("max_iterations", 20))
+        und = und.localCheckpoint(eager=False)
+        labels = labels.localCheckpoint(eager=True)
+        for _ in range(max_iterations):
+            new_labels = _propagate(und, labels).localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), on="id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise ConfigError(
+                f"dedup.components did not converge in {max_iterations} rounds "
+                "(a long duplicate chain?); raise max_iterations"
+            )
+
+    return labels.select(
+        F.col("id"),
+        F.col("label").alias("component"),
+        (F.col("id") == F.col("label")).alias("is_canonical"),
+    )

@@ -1405,6 +1405,79 @@ def q52_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                shingle="word", ngram=3, threshold=0.5)
 
 
+_Q52_PAIRS_SQL = f"""
+    WITH m AS ({_minhash_oracle()}),
+    t AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, {_SQL_SHINGLE3} AS sh FROM t)
+    SELECT id_a, id_b FROM (
+      SELECT m.id_a, m.id_b,
+             len(list_intersect(sa.sh, sb.sh))::DOUBLE /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+      FROM m JOIN s sa ON sa.doc_id = m.id_a JOIN s sb ON sb.doc_id = m.id_b)
+    WHERE jaccard >= 0.5
+"""
+
+
+@query(
+    "q53_dedup_components",
+    f"""
+    WITH RECURSIVE pairs AS ({_Q52_PAIRS_SQL}),
+    und AS (SELECT id_a AS a, id_b AS b FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    verts AS (SELECT DISTINCT a AS v FROM und),
+    walk(v, l) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT u.b, w.l FROM walk w JOIN und u ON u.a = w.v
+    )
+    SELECT v AS id, MIN(l) AS component, (v = MIN(l)) AS is_canonical
+    FROM walk GROUP BY v
+    """,
+)
+def q53_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup pipeline: minhash LSH candidates ->
+    jaccard verification -> connected components (iterative min-label
+    propagation) -> canonical doc per duplicate cluster. Oracle
+    computes true components with a recursive CTE."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    cands = _op("dedup.minhash", ctx, [d], column="text", id_column="doc_id",
+                num_hashes=16, bands=4, shingle="word", ngram=3)
+    verified = _op("dedup.ngram_jaccard", ctx, [d, cands], column="text",
+                   id_column="doc_id", shingle="word", ngram=3, threshold=0.5)
+    return _op("dedup.components", ctx, [verified])
+
+
+@query(
+    "q54_sql_query",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'MACHINERY'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q54_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sql.query: the full Spark SQL surface as a pipeline stage —
+    inputs become temp views, Catalyst optimizes across the boundary
+    (broadcast + pushdown, same as the DataFrame ops)."""
+    ctx = _ctx(spark)
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return _op(
+        "sql.query", ctx, [o, c],
+        views=["q54_orders", "q54_customer"],
+        sql="""
+          SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM q54_orders o JOIN q54_customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_mktsegment = 'MACHINERY'
+          GROUP BY o.o_orderpriority
+        """,
+    )
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

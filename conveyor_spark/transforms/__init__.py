@@ -22,6 +22,7 @@ from conveyor_spark.transforms import (  # noqa: F401
     py_eval,
     layout,
     approx,
+    sql_query,
 )
 from conveyor_spark.streaming import count_window  # noqa: F401
 from conveyor_spark.datapipe import emb_lsh  # noqa: F401

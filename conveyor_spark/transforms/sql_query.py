@@ -1,0 +1,47 @@
+"""sql.query — run Spark SQL over the stage's inputs.
+
+No reference equivalent (its transforms are a fixed menu); on Spark
+the natural escape hatch is the full SQL surface: inputs register as
+temp views and the configured statement runs through Catalyst exactly
+like the DataFrame ops (same optimizer, same pushdown — a sql.query
+stage costs nothing over the equivalent built-in stages).
+
+Config:
+- ``sql`` (required): the statement.
+- ``views``: names for the inputs, in stage-input order (defaults to
+  t0, t1, ...).
+
+Views are session-scoped temp views: two concurrently-built pipelines
+in ONE SparkSession that reuse a view name would collide — name views
+uniquely per pipeline (the spec validator already enforces unique
+stage ids, which make good view names).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+@register("sql.query", kind="transform", min_inputs=0, max_inputs=None,
+          doc="Run a Spark SQL statement over the stage inputs (temp views)")
+def sql_query(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    sql = config.get("sql")
+    if not sql or not str(sql).strip():
+        raise ConfigError("sql.query requires 'sql'")
+    views = config.get("views")
+    if views is not None:
+        views = [views] if isinstance(views, str) else list(views)
+        if len(views) != len(inputs):
+            raise ConfigError(
+                f"sql.query: {len(views)} view names for {len(inputs)} inputs"
+            )
+    else:
+        views = [f"t{i}" for i in range(len(inputs))]
+    for name, df in zip(views, inputs):
+        df.createOrReplaceTempView(name)
+    return ctx.spark.sql(str(sql))

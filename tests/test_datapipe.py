@@ -229,3 +229,34 @@ def test_stream_count_window_rejects_zero_size(ctx, spark, sf_dir):
 
     with pytest.raises(ConfigError, match="size must be >= 1"):
         run_op(ctx, "stream.count_window", [sdf], size=0, key_columns="event_type")
+
+
+def test_dedup_components_converging(ctx, spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)], "id_a INT, id_b INT"
+    )
+    out = {r["id"]: (r["component"], r["is_canonical"])
+           for r in run_op(ctx, "dedup.components", [pairs]).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   5: (5, True), 6: (5, False),
+                   8: (8, True), 9: (8, False), 10: (8, False), 11: (8, False)}
+
+
+def test_dedup_components_chain_needs_iterations(ctx, spark):
+    # a 6-long chain: diameter 5 -> fixed iterations=2 is NOT enough,
+    # the converging default is
+    chain = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "id_a INT, id_b INT")
+    fixed = run_op(ctx, "dedup.components", [chain], iterations=2)
+    assert len({r["component"] for r in fixed.collect()}) > 1
+    conv = run_op(ctx, "dedup.components", [chain])
+    assert {r["component"] for r in conv.collect()} == {1}
+
+
+def test_dedup_components_empty_and_bad_cols(ctx, spark):
+    empty = spark.createDataFrame([], "id_a INT, id_b INT")
+    assert run_op(ctx, "dedup.components", [empty]).count() == 0
+    other = spark.createDataFrame([(1, 2)], "x INT, y INT")
+    with pytest.raises(ConfigError, match="pair columns"):
+        run_op(ctx, "dedup.components", [other])
+    renamed = run_op(ctx, "dedup.components", [other], pair_a="x", pair_b="y")
+    assert renamed.count() == 2

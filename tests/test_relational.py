@@ -101,3 +101,23 @@ def test_count_window_batch(ctx, spark):
     # sliding falls back to tumbling-of-slide (reference streaming.rs:113-127)
     out = run_op(ctx, "window.apply", [df], type="sliding", size=4, slide=2, order_by="seq")
     assert out.groupBy("window_id").count().count() == 5
+
+
+def test_sql_query_over_inputs(ctx, spark):
+    from conveyor_spark.errors import ConfigError
+    from tests.conftest import run_op
+
+    a = spark.createDataFrame([(1, "x"), (2, "y")], "id INT, v STRING")
+    b = spark.createDataFrame([(1, 10), (2, 20)], "id INT, n INT")
+    out = run_op(ctx, "sql.query", [a, b], views=["ta", "tb"],
+                 sql="SELECT ta.v, tb.n FROM ta JOIN tb ON ta.id = tb.id")
+    assert {(r["v"], r["n"]) for r in out.collect()} == {("x", 10), ("y", 20)}
+    # default view names t0/t1
+    out2 = run_op(ctx, "sql.query", [a], sql="SELECT COUNT(*) AS c FROM t0")
+    assert out2.first()["c"] == 2
+    import pytest as _p
+
+    with _p.raises(ConfigError, match="view names"):
+        run_op(ctx, "sql.query", [a, b], views=["only_one"], sql="SELECT 1")
+    with _p.raises(ConfigError, match="requires 'sql'"):
+        run_op(ctx, "sql.query", [a])
