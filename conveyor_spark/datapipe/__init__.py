@@ -11,4 +11,12 @@ Everything is built from JVM-side Spark expressions (no Python in the
 hot path) except media decoding, which is Arrow-batched mapInPandas.
 """
 
-from conveyor_spark.datapipe import components, dedup, similarity, text, multimodal, split  # noqa: F401
+from conveyor_spark.datapipe import (  # noqa: F401
+    components,
+    curation,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+    split,
+)

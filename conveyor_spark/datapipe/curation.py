@@ -1,0 +1,285 @@
+"""Corpus-curation operators: normalization, PII redaction,
+repetition signals, benchmark decontamination.
+
+The cleaning stages of an LLM training-data pipeline (C4 / Gopher /
+RefinedWeb style) that sit between raw ingestion and dedup. Not in
+the reference (its surface stops at relational ETL — see SURVEY.md
+§2); first-class here because a 100 TB corpus build needs them.
+
+Scale design:
+
+- ``text.normalize`` / ``pii.redact`` / ``text.repetition`` are pure
+  per-row JVM expressions (regexp/translate/array folds) — they run
+  inside whole-stage codegen, shuffle nothing, and scale linearly
+  with cores. Unicode NFC/NFKC (``form=``) is the one exception: the
+  JVM has no SQL-level normalizer, so it drops to an Arrow-batched
+  pandas iterator — opt-in, documented slow path.
+- ``decontam.ngram`` broadcasts the *benchmark* shingle set (eval
+  sets are small by definition — MMLU+GSM8K+HumanEval is ~100k
+  grams) and flags corpus docs via a broadcast semi-join on exploded
+  shingles: the corpus never shuffles its text, only the (small) set
+  of contaminated ids.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+from conveyor_spark.datapipe.dedup import tokens_expr, word_shingles_expr
+
+# Fixed accent-fold table (both cases), applied via translate() —
+# identical builtin exists in DuckDB, so the op stays oracle-checkable.
+_ACCENT_SRC = "áàâäãåéèêëíìîïóòôöõúùûüýÿçñÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÇÑ"
+_ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
+
+
+@register("text.normalize", kind="transform", doc="Canonicalize text (case/space/punct/accents)")
+def text_normalize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Composable text canonicalization, all JVM-side by default.
+
+    Config: ``column`` (required), ``output_column`` (default:
+    overwrite in place), plus independent switches applied in a fixed
+    order (accents -> case -> punct -> whitespace -> trim):
+
+    - ``strip_accents`` (default false): fold the common Latin accent
+      set via a fixed translate table.
+    - ``lowercase`` (default true).
+    - ``strip_punct`` (default false): drop everything outside
+      ``[a-zA-Z0-9\\s]`` (run *after* lowercase so the class is small).
+    - ``collapse_whitespace`` (default true): any whitespace run -> one
+      space.
+    - ``trim`` (default true).
+    - ``form`` (default "none"): "nfc"/"nfkc" Unicode normalization,
+      applied FIRST via an Arrow-batched pandas iterator (the only
+      non-codegen path here; opt-in because the JVM lacks a SQL-level
+      normalizer).
+    """
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.normalize requires 'column'")
+    out = config.get("output_column", column)
+    form = str(config.get("form", "none")).lower()
+    if form not in ("none", "nfc", "nfkc"):
+        raise ConfigError("text.normalize: form must be none|nfc|nfkc")
+
+    if form != "none":
+        import unicodedata
+
+        uform = form.upper()
+        schema_out = df.withColumn(out, F.col(column).cast("string")).schema
+
+        def normalize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                vals = pdf[column].map(
+                    lambda s: unicodedata.normalize(uform, s) if isinstance(s, str) else s
+                )
+                pdf = pdf.copy()
+                pdf[out] = vals
+                yield pdf[[f.name for f in schema_out.fields]]
+
+        df = df.mapInPandas(normalize_batches, schema=schema_out)
+        c: Column = F.col(out)
+    else:
+        c = F.col(column).cast("string")
+
+    if config.get("strip_accents", False):
+        c = F.translate(c, _ACCENT_SRC, _ACCENT_DST)
+    if config.get("lowercase", True):
+        c = F.lower(c)
+    if config.get("strip_punct", False):
+        c = F.regexp_replace(c, r"[^a-zA-Z0-9\s]", "")
+    if config.get("collapse_whitespace", True):
+        c = F.regexp_replace(c, r"\s+", " ")
+    if config.get("trim", True):
+        c = F.trim(c)
+    return df.withColumn(out, c)
+
+
+# Redaction patterns: RE2-safe (no lookaround/backrefs) so the same
+# pattern runs in Spark (java.util.regex) and DuckDB (RE2) with
+# identical matches. Order matters and is fixed: URL before EMAIL
+# (URLs can embed '@'), SSN/credit-card before PHONE (their digit
+# shapes would otherwise be half-eaten by the phone pattern).
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "credit_card": r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+}
+_PII_ORDER = list(PII_PATTERNS)
+
+
+@register("pii.redact", kind="transform", doc="Regex-scrub emails/phones/IPs/SSNs/cards/URLs")
+def pii_redact(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Replace PII spans with ``[TYPE]`` placeholder tokens.
+
+    Config: ``column`` (required), ``output_column`` (default:
+    overwrite), ``types`` (subset of url/email/ssn/credit_card/ipv4/
+    phone; default all, applied in the fixed safe order regardless of
+    list order), ``replacement`` (template, default ``[{type}]`` with
+    ``{type}`` uppercased), ``with_counts`` (default false: also emit
+    ``pii_<type>_count`` int columns, counted BEFORE redaction).
+
+    Pure chained ``regexp_replace`` — codegen'd, zero shuffle, linear.
+    """
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("pii.redact requires 'column'")
+    out = config.get("output_column", column)
+    types = config.get("types", _PII_ORDER)
+    unknown = [t for t in types if t not in PII_PATTERNS]
+    if unknown:
+        raise ConfigError(f"pii.redact: unknown types {unknown}; known: {_PII_ORDER}")
+    ordered = [t for t in _PII_ORDER if t in set(types)]
+    template = config.get("replacement", "[{type}]")
+
+    src = F.col(column).cast("string")
+    if config.get("with_counts", False):
+        for t in ordered:
+            df = df.withColumn(
+                f"pii_{t}_count", F.regexp_count(src, F.lit(PII_PATTERNS[t]))
+            )
+    c = src
+    for t in ordered:
+        c = F.regexp_replace(c, PII_PATTERNS[t], template.format(type=t.upper()))
+    return df.withColumn(out, c)
+
+
+def _max_run_expr(sorted_arr: Column) -> Column:
+    """Longest run of equal adjacent elements in a SORTED array =
+    max frequency of any element — one codegen'd fold, no shuffle."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+@register("text.repetition", kind="transform", doc="Gopher-style repetition ratios")
+def text_repetition(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Per-document repetition signals (Gopher §A1.1 repetition
+    filters): adds
+
+    - ``line_dup_ratio``   — 1 - distinct_lines / lines
+    - ``token_dup_ratio``  — 1 - distinct_tokens / tokens
+    - ``top_ngram_ratio``  — occurrences of the most frequent word
+      n-gram / total n-grams (``ngram`` config, default 2)
+
+    All pure array expressions on the row (split / array_distinct /
+    a sorted-fold max-run for the mode) — whole-stage codegen, no
+    shuffle, linear scaling. Ratios are int/int doubles, which are
+    bit-identical across engines (never rounded — see NOTES.md).
+    Empty docs yield 0.0 for every ratio.
+    """
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.repetition requires 'column'")
+    n = int(config.get("ngram", 2))
+    if n < 1:
+        raise ConfigError("text.repetition: ngram must be >= 1")
+
+    c = F.col(column).cast("string")
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
+    toks = tokens_expr(column, distinct=False)
+
+    def dup_ratio(arr: Column) -> Column:
+        total = F.size(arr)
+        return F.when(total <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(arr)).cast("double") / total.cast("double")
+        )
+
+    # n-grams over tokens, NOT distinct'd (we need multiplicities).
+    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    df = df.withColumn("__rep_grams", grams)  # materialize once; the
+    # fold below references it 3x and CollapseProject keeps non-cheap
+    # multi-referenced subtrees as a named projection (NOTES.md #7).
+    g = F.col("__rep_grams")
+    top_ratio = F.when(F.size(g) <= 0, F.lit(0.0)).otherwise(
+        _max_run_expr(F.array_sort(g)).cast("double") / F.size(g).cast("double")
+    )
+    return (
+        df.withColumn("line_dup_ratio", dup_ratio(lines))
+        .withColumn("token_dup_ratio", dup_ratio(toks))
+        .withColumn("top_ngram_ratio", top_ratio)
+        .drop("__rep_grams")
+    )
+
+
+@register(
+    "decontam.ngram",
+    kind="transform",
+    min_inputs=2,
+    max_inputs=2,
+    doc="Flag/drop corpus docs sharing n-grams with a benchmark set",
+)
+def decontam_ngram(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Benchmark decontamination: inputs = [corpus, benchmark].
+
+    A corpus doc is *contaminated* if any of its word ``ngram``-shingles
+    (default 8, the common eval-decontamination window) appears in any
+    benchmark doc. Config: ``column`` (corpus text), ``id_column``,
+    ``bench_column`` (default = column), ``ngram``, ``mode`` =
+    ``flag`` (default: add boolean ``contaminated``) | ``filter``
+    (drop contaminated rows).
+
+    Scale: the benchmark shingle set is distinct'd and **broadcast**
+    (eval sets are tiny next to a 100 TB corpus); corpus shingles are
+    computed map-side and semi-joined against the broadcast — the
+    corpus text itself never shuffles. ``flag`` mode shuffles only the
+    contaminated id set (small), then broadcast-joins it back.
+    """
+    if len(inputs) != 2:
+        raise ConfigError("decontam.ngram needs [corpus, benchmark] inputs")
+    corpus, bench = inputs
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("decontam.ngram requires 'column' and 'id_column'")
+    bench_column = config.get("bench_column", column)
+    n = int(config.get("ngram", 8))
+    mode = config.get("mode", "flag")
+    if mode not in ("flag", "filter"):
+        raise ConfigError("decontam.ngram: mode must be flag|filter")
+
+    bench_grams = (
+        bench.select(F.explode(word_shingles_expr(bench_column, n)).alias("__gram"))
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_column), F.explode(word_shingles_expr(column, n)).alias("__gram")
+    )
+    dirty_ids = (
+        corpus_grams.join(F.broadcast(bench_grams), "__gram", "left_semi")
+        .select(id_column)
+        .distinct()
+    )
+    if mode == "filter":
+        return corpus.join(F.broadcast(dirty_ids), id_column, "left_anti")
+    flagged = dirty_ids.withColumn("contaminated", F.lit(True))
+    return corpus.join(F.broadcast(flagged), id_column, "left").withColumn(
+        "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+    )

@@ -1478,6 +1478,154 @@ def q54_sql_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q55_text_normalize",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(
+             lower(translate(text,
+               'áàâäãåéèêëíìîïóòôöõúùûüýÿçñÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÇÑ',
+               'aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN')),
+             '[^a-zA-Z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_text
+    FROM documents
+    """,
+)
+def q55_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.normalize full JVM path: accent fold + lowercase + punct
+    strip + whitespace collapse + trim (C4-style canonicalization
+    before fingerprint/dedup)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op(
+        "text.normalize", ctx, [d],
+        column="text", output_column="norm_text",
+        strip_accents=True, strip_punct=True,
+    )
+    return out.select("doc_id", "norm_text")
+
+
+# Deterministic PII injection shared by the Spark query and the
+# oracle: the synthetic corpus has no real PII, so both engines
+# append the same generated email/phone/ip/url spans per doc_id.
+_PII_AUG = (
+    "concat(text, ' contact user', cast({id} as string), '@example.com"
+    " or 555-867-', lpad(cast({id} % 10000 as string), 4, '0'),"
+    " ' ip 192.168.', cast({id} % 256 as string), '.1"
+    " visit https://ex.org/', cast({id} as string))"
+)
+
+
+@query(
+    "q56_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@example.com or 555-867-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' ip 192.168.', CAST(doc_id % 256 AS VARCHAR), '.1 visit https://ex.org/',
+                    CAST(doc_id AS VARCHAR)) AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+             'https?://[^\s]+', '[URL]', 'g'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS red,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS pii_email_count,
+           len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::INT AS pii_phone_count
+    FROM aug
+    """,
+)
+def q56_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pii.redact over deterministically PII-augmented documents:
+    url/email/ipv4/phone scrub (RE2-safe patterns, fixed order) plus
+    pre-redaction match counts."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    aug = _op("map.apply", ctx, [d],
+              expression=_PII_AUG.format(id="doc_id"), output_column="t")
+    red = _op(
+        "pii.redact", ctx, [aug],
+        column="t", output_column="red",
+        types=["url", "email", "ipv4", "phone"], with_counts=True,
+    )
+    return red.select("doc_id", "red", "pii_email_count", "pii_phone_count")
+
+
+@query(
+    "q57_text_repetition",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS ln,
+             """ + _SQL_TOKENS + r""" AS tk
+      FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) < 2 THEN []::VARCHAR[]
+                  ELSE list_transform(range(0, len(tk) - 1),
+                                      i -> array_to_string(list_slice(tk, i + 1, i + 2), ' '))
+             END AS g
+      FROM base),
+    freq AS (
+      SELECT doc_id, MAX(n) AS mx, SUM(n) AS tot FROM (
+        SELECT doc_id, gram, COUNT(*) AS n
+        FROM (SELECT doc_id, unnest(g) AS gram FROM grams)
+        GROUP BY doc_id, gram)
+      GROUP BY doc_id)
+    SELECT b.doc_id,
+           CASE WHEN len(b.ln) <= 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(b.ln))::DOUBLE / len(b.ln)::DOUBLE END AS line_dup_ratio,
+           CASE WHEN len(b.tk) <= 0 THEN 0.0
+                ELSE 1.0 - len(list_distinct(b.tk))::DOUBLE / len(b.tk)::DOUBLE END AS token_dup_ratio,
+           COALESCE(f.mx::DOUBLE / f.tot::DOUBLE, 0.0) AS top_ngram_ratio
+    FROM base b LEFT JOIN freq f ON b.doc_id = f.doc_id
+    """,
+)
+def q57_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.repetition (Gopher repetition filters): per-row array
+    folds in Spark (no shuffle); the oracle recomputes the mode the
+    relational way (unnest + group) — same numbers, different plan."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    rep = _op("text.repetition", ctx, [d], column="text", ngram=2)
+    return rep.select("doc_id", "line_dup_ratio", "token_dup_ratio", "top_ngram_ratio")
+
+
+_SQL_SHINGLE5 = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(tk) - 5, 0) + 1), "
+    "i -> array_to_string(list_slice(tk, i + 1, i + 5), ' ')))"
+)
+
+
+@query(
+    "q58_decontam_ngram",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLE5} AS sh FROM tk),
+    bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+    cg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    dirty AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg))
+    SELECT d.doc_id, (dy.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN dirty dy ON d.doc_id = dy.doc_id
+    """,
+)
+def q58_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontam.ngram: flag corpus docs sharing any 5-gram with a
+    'benchmark' set (every 97th doc) — the eval-set decontamination
+    pass of a training-data pipeline. Benchmark grams broadcast; the
+    corpus text never shuffles."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    bench = _op("filter.apply", ctx, [d], expr="doc_id % 97 = 0")
+    out = _op(
+        "decontam.ngram", ctx, [d, bench],
+        column="text", id_column="doc_id", ngram=5, mode="flag",
+    )
+    return out.select("doc_id", "contaminated")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

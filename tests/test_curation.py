@@ -1,0 +1,145 @@
+"""Tests for the corpus-curation ops (datapipe/curation.py):
+text.normalize, pii.redact, text.repetition, decontam.ngram."""
+
+from __future__ import annotations
+
+import pytest
+
+from conveyor_spark.errors import ConfigError
+from tests.conftest import run_op
+
+
+@pytest.fixture(scope="module")
+def cdocs(spark):
+    rows = [
+        (1, "Héllo,   WORLD!\nhello world\nhello world"),
+        (2, "mail a.b-c@ex-ample.co.uk or see https://ex.org/p?q=1 call 555-123-4567"),
+        (3, "a a a a a b"),
+        (4, ""),
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+# -- text.normalize ---------------------------------------------------------
+
+def test_normalize_default_lower_collapse_trim(ctx, cdocs):
+    out = {r["doc_id"]: r["n"] for r in run_op(
+        ctx, "text.normalize", [cdocs], column="text", output_column="n").collect()}
+    assert out[1] == "héllo, world! hello world hello world"  # accents kept by default
+    assert out[4] == ""
+
+
+def test_normalize_accents_and_punct(ctx, cdocs):
+    out = {r["doc_id"]: r["n"] for r in run_op(
+        ctx, "text.normalize", [cdocs], column="text", output_column="n",
+        strip_accents=True, strip_punct=True).collect()}
+    assert out[1] == "hello world hello world hello world"
+
+
+def test_normalize_overwrites_in_place_by_default(ctx, cdocs):
+    out = run_op(ctx, "text.normalize", [cdocs], column="text")
+    assert out.columns == cdocs.columns
+    vals = {r["doc_id"]: r["text"] for r in out.collect()}
+    assert vals[3] == "a a a a a b"
+
+
+def test_normalize_nfc_pandas_path(ctx, spark):
+    # e + combining acute (NFD) must normalize to the precomposed char
+    df = spark.createDataFrame([(1, "café")], ["doc_id", "text"])
+    out = run_op(ctx, "text.normalize", [df], column="text", output_column="n",
+                 form="nfc", lowercase=False)
+    assert out.collect()[0]["n"] == "café"
+
+
+def test_normalize_rejects_bad_form(ctx, cdocs):
+    with pytest.raises(ConfigError):
+        run_op(ctx, "text.normalize", [cdocs], column="text", form="nfx")
+
+
+# -- pii.redact -------------------------------------------------------------
+
+def test_redact_all_types_fixed_order(ctx, spark):
+    df = spark.createDataFrame(
+        [(1, "u@x.io https://a.b/c 10.0.0.1 123-45-6789 4111 1111 1111 1111 555-123-4567")],
+        ["doc_id", "text"],
+    )
+    out = run_op(ctx, "pii.redact", [df], column="text").collect()[0]["text"]
+    assert out == "[EMAIL] [URL] [IPV4] [SSN] [CREDIT_CARD] [PHONE]"
+
+
+def test_redact_subset_and_counts(ctx, cdocs):
+    out = {r["doc_id"]: r for r in run_op(
+        ctx, "pii.redact", [cdocs], column="text", output_column="red",
+        types=["email", "url"], with_counts=True).collect()}
+    assert "[EMAIL]" in out[2]["red"] and "[URL]" in out[2]["red"]
+    assert "555-123-4567" in out[2]["red"]  # phone not in types -> kept
+    assert out[2]["pii_email_count"] == 1
+    assert out[5]["pii_email_count"] == 0
+
+
+def test_redact_custom_replacement(ctx, cdocs):
+    out = {r["doc_id"]: r["text"] for r in run_op(
+        ctx, "pii.redact", [cdocs], column="text",
+        types=["email"], replacement="<pii:{type}>").collect()}
+    assert "<pii:EMAIL>" in out[2]
+
+
+def test_redact_rejects_unknown_type(ctx, cdocs):
+    with pytest.raises(ConfigError):
+        run_op(ctx, "pii.redact", [cdocs], column="text", types=["dna"])
+
+
+# -- text.repetition --------------------------------------------------------
+
+def test_repetition_ratios(ctx, cdocs):
+    out = {r["doc_id"]: r for r in run_op(
+        ctx, "text.repetition", [cdocs], column="text", ngram=2).collect()}
+    assert out[1]["line_dup_ratio"] == pytest.approx(1 / 3)   # 3 lines, 2 dup
+    assert out[3]["token_dup_ratio"] == pytest.approx(4 / 6)  # aaaaab
+    assert out[3]["top_ngram_ratio"] == pytest.approx(4 / 5)  # 'a a' x4 of 5
+    assert out[4]["line_dup_ratio"] == 0.0 == out[4]["top_ngram_ratio"]
+    assert out[5]["token_dup_ratio"] == pytest.approx(1 / 9)  # 'the' twice
+
+
+def test_repetition_ngram_shorter_than_doc(ctx, spark):
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    out = run_op(ctx, "text.repetition", [df], column="text", ngram=5).collect()[0]
+    assert out["top_ngram_ratio"] == 0.0  # no 5-grams -> 0, not NaN
+
+
+def test_repetition_rejects_bad_ngram(ctx, cdocs):
+    with pytest.raises(ConfigError):
+        run_op(ctx, "text.repetition", [cdocs], column="text", ngram=0)
+
+
+# -- decontam.ngram ---------------------------------------------------------
+
+def test_decontam_flag_and_filter(ctx, spark, cdocs):
+    bench = spark.createDataFrame([(100, "quick brown fox jumps")], ["doc_id", "text"])
+    flagged = {r["doc_id"]: r["contaminated"] for r in run_op(
+        ctx, "decontam.ngram", [cdocs, bench], column="text",
+        id_column="doc_id", ngram=3).collect()}
+    assert flagged[5] is True
+    assert flagged[2] is False and flagged[4] is False
+
+    kept = run_op(ctx, "decontam.ngram", [cdocs, bench], column="text",
+                  id_column="doc_id", ngram=3, mode="filter")
+    assert kept.columns == cdocs.columns
+    assert 5 not in {r["doc_id"] for r in kept.collect()}
+
+
+def test_decontam_requires_two_inputs(ctx, cdocs):
+    with pytest.raises(ConfigError):
+        run_op(ctx, "decontam.ngram", [cdocs], column="text", id_column="doc_id")
+
+
+def test_decontam_broadcasts_benchmark(ctx, spark, cdocs):
+    """Plan shape: the semi-join against benchmark grams must be a
+    BroadcastHashJoin — the corpus side never shuffles for it."""
+    bench = spark.createDataFrame([(100, "quick brown fox jumps")], ["doc_id", "text"])
+    out = run_op(ctx, "decontam.ngram", [cdocs, bench], column="text",
+                 id_column="doc_id", ngram=3, mode="filter")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
