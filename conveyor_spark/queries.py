@@ -1626,6 +1626,96 @@ def q58_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "contaminated")
 
 
+@query(
+    "q59_asof_join",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.value AS click_value
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q59_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join.asof: each purchase gets the user's most recent prior
+    click (the feature-store / timeseries-enrichment primitive).
+    Union-scan implementation: ONE shuffle by user_id, running
+    last(ignorenulls) — never an inequality join, never an
+    unpartitioned window."""
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = _op("filter.apply", ctx, [ev], expr="event_type = 'purchase'")
+    c = _op("filter.apply", ctx, [ev], expr="event_type = 'click'")
+    out = _op("join.asof", ctx, [p, c], on="ts", by="user_id")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("r_ts").alias("click_ts"), F.col("r_value").alias("click_value"),
+    )
+
+
+@query(
+    "q60_range_join",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    e AS (SELECT event_id AS err_id, user_id, ts AS lo,
+                 ts + INTERVAL 30 MINUTE AS hi
+          FROM events WHERE event_type = 'error')
+    SELECT p.event_id, p.user_id, p.ts, e.err_id, e.lo AS err_ts
+    FROM p JOIN e ON p.user_id = e.user_id AND p.ts >= e.lo AND p.ts < e.hi
+    """,
+)
+def q60_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join.range: purchases landing inside a 30-minute window after
+    an error by the same user. Bucketed strategy (600 s buckets):
+    intervals explode to covered buckets, the join is a pure EQUI
+    join on (user_id, bucket) + exact bound filter — no nested-loop,
+    partitionable at any scale."""
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    p = _op("filter.apply", ctx, [ev], expr="event_type = 'purchase'")
+    e = _op("filter.apply", ctx, [ev], expr="event_type = 'error'")
+    iv = e.select(
+        F.col("event_id").alias("err_id"), "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("hi"),
+    )
+    out = _op("join.range", ctx, [p, iv], on="ts", lower="lo", upper="hi",
+              by="user_id", bucket=600)
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("r_err_id").alias("err_id"), F.col("r_lo").alias("err_ts"),
+    )
+
+
+@query(
+    "q61_rollup",
+    """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q61_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby.apply grouping=rollup: hierarchical subtotals
+    (flag+status, flag, grand total) in ONE hash aggregate with
+    map-side partials — not one job per level."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    df = _op("map.apply", ctx, [li],
+             expression="CAST(l_quantity AS DECIMAL(18,2))", output_column="qdec")
+    g = _op(
+        "groupby.apply", ctx, [df],
+        by=["l_returnflag", "l_linestatus"], grouping="rollup",
+        aggregations=[
+            {"column": "l_orderkey", "operation": "count", "output_column": "n_items"},
+            {"column": "qdec", "operation": "sum", "output_column": "sum_qdec"},
+        ],
+    )
+    return g.select(
+        "l_returnflag", "l_linestatus", "n_items",
+        F.col("sum_qdec").cast("double").alias("sum_qty"),
+    )
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

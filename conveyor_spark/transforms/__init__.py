@@ -23,6 +23,7 @@ from conveyor_spark.transforms import (  # noqa: F401
     layout,
     approx,
     sql_query,
+    temporal_join,
 )
 from conveyor_spark.streaming import count_window  # noqa: F401
 from conveyor_spark.datapipe import emb_lsh  # noqa: F401

@@ -64,14 +64,29 @@ def build_agg(column: str, operation: str, order_by: str | None = None) -> Colum
 
 @register("groupby.apply", kind="transform", streaming_capable=True, doc="GROUP BY with aggregations")
 def groupby_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """``grouping`` extends the reference surface: "groups" (default,
+    plain GROUP BY), "rollup", or "cube" — hierarchical/multi-dim
+    subtotals in ONE pass (Catalyst expands the grouping sets before
+    the hash aggregate; still a single shuffle with map-side
+    partials, not one job per level)."""
     df = inputs[0]
     by = config.get("by")
     aggs = config.get("aggregations")
     if not by or not aggs:
         raise ConfigError("groupby.apply requires 'by' and 'aggregations'")
+    grouping = config.get("grouping", "groups")
     exprs = []
     for a in aggs:
         col, op = a["column"], a["operation"]
         out = a.get("output_column") or f"{col}_{op}"
         exprs.append(build_agg(col, op, a.get("order_by")).alias(out))
-    return df.groupBy(*_as_list(by)).agg(*exprs)
+    cols = _as_list(by)
+    if grouping == "groups":
+        grouped = df.groupBy(*cols)
+    elif grouping == "rollup":
+        grouped = df.rollup(*cols)
+    elif grouping == "cube":
+        grouped = df.cube(*cols)
+    else:
+        raise ConfigError("groupby.apply: grouping must be groups|rollup|cube")
+    return grouped.agg(*exprs)
