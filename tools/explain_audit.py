@@ -93,6 +93,37 @@ CHECKS = [
             "], [__gidx_bkt" in ln for ln in p.splitlines() if "Window [" in ln
         ) and any("Window [" in ln for ln in p.splitlines()),
     ),
+    (
+        "q56_pii_redact",
+        "PII scrub is pure JVM regexp chain (no Python UDF)",
+        lambda p, o: "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
+    ),
+    (
+        "q57_text_repetition",
+        "repetition ratios are per-row folds (zero Exchange, no Python UDF)",
+        lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p,
+    ),
+    (
+        "q58_decontam_ngram",
+        "benchmark grams broadcast (all joins BroadcastHashJoin, corpus never shuffles for the join)",
+        lambda p, o: p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p,
+    ),
+    (
+        "q59_asof_join",
+        "as-of join = union scan + keyed window (no join operator, ONE hash shuffle)",
+        lambda p, o: "Join" not in p and p.count("Exchange hashpartitioning") == 1,
+    ),
+    (
+        "q60_range_join",
+        "range join bucketed to an equi-join (no nested-loop)",
+        lambda p, o: "NestedLoop" not in p
+        and any(j in p for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")),
+    ),
+    (
+        "q61_rollup",
+        "rollup = one Expand + partial-aggregated shuffle (not one job per level)",
+        lambda p, o: "Expand" in p and p.count("HashAggregate") >= 2 and "partial_" in p.lower(),
+    ),
 ]
 
 
