@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, register
-from conveyor_spark.datapipe.dedup import tokens_expr, word_shingles_expr
+from conveyor_spark.datapipe.dedup import let_expr, tokens_expr, word_shingles_expr
 
 # Fixed accent-fold table (both cases), applied via translate() —
 # identical builtin exists in DuckDB, so the op stays oracle-checkable.
@@ -208,11 +208,17 @@ def text_repetition(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         )
 
     # n-grams over tokens, NOT distinct'd (we need multiplicities).
-    grams = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-        )
+    # let-bound: the lambda must slice the token ARRAY VARIABLE, not
+    # the split() expression (else the split re-runs per index —
+    # see dedup.let_expr).
+    grams = let_expr(
+        toks,
+        lambda tk: F.when(F.size(tk) < n, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            )
+        ),
     )
     df = df.withColumn("__rep_grams", grams)  # materialize once; the
     # fold below references it 3x and CollapseProject keeps non-cheap

@@ -71,11 +71,32 @@ def tokens_expr(col: str, distinct: bool = True) -> Column:
     return F.array_distinct(toks) if distinct else toks
 
 
+def let_expr(value: Column, body) -> Column:
+    """Bind ``value`` to a lambda variable and evaluate ``body(var)``.
+
+    Spark evaluates any OUTER expression referenced inside a
+    higher-order-function lambda once PER ELEMENT — e.g. a transform
+    over n indices whose lambda slices a split() re-runs the split n
+    times, turning shingling O(n) into O(n^2) per row (measured 4-6x
+    on the 5k-doc corpus). Wrapping the expensive subtree in a
+    single-element array and transforming over it gives a genuine
+    `let`: the subtree is computed once and the lambda variable is a
+    cheap slot read. Pure expression-level fix — no extra projection,
+    works inside any operator's Column builder."""
+    return F.transform(F.array(value), body)[0]
+
+
 def char_ngrams_expr(col: str, n: int) -> Column:
     """Distinct character n-grams of the lowercased text."""
-    t = F.lower(F.col(col))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: F.substring(t, i, n)))
+    return let_expr(
+        F.lower(F.col(col)),
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(t) - (n - 1), F.lit(1))),
+                lambda i: F.substring(t, i, n),
+            )
+        ),
+    )
 
 
 def word_shingles_expr(col: str, n: int) -> Column:
@@ -83,9 +104,14 @@ def word_shingles_expr(col: str, n: int) -> Column:
     toks = tokens_expr(col, distinct=False)
     if n <= 1:
         return F.array_distinct(toks)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return let_expr(
+        toks,
+        lambda tk: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size(tk) - n, F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            )
+        ),
     )
 
 
