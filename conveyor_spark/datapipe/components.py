@@ -38,7 +38,9 @@ from conveyor_spark.registry import OpContext, register
 
 
 def _propagate(und: DataFrame, labels: DataFrame) -> DataFrame:
-    """One round: label(v) <- min(label(v), min over neighbors)."""
+    """One round: label(v) <- min(label(v), min over neighbors).
+    Carries the previous label as ``__old`` so convergence is a
+    filter on the materialized round — not an extra join job."""
     neighbor_min = (
         und.join(labels, und["dst"] == labels["id"])
         .groupBy("src")
@@ -49,6 +51,7 @@ def _propagate(und: DataFrame, labels: DataFrame) -> DataFrame:
         .select(
             "id",
             F.least(F.col("label"), F.coalesce(F.col("__nmin"), F.col("label"))).alias("label"),
+            F.col("label").alias("__old"),
         )
     )
 
@@ -64,33 +67,36 @@ def dedup_components(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
             f"(have {pairs.columns}); set pair_a/pair_b"
         )
     edges = pairs.select(F.col(col_a).alias("src"), F.col(col_b).alias("dst"))
+
+    fixed = config.get("iterations")
+    if fixed is None:
+        # Checkpoint EDGES, not the undirected union: the union's two
+        # branches would otherwise each re-run the (expensive) pair
+        # producer — minhash + jaccard-verify evaluated twice before
+        # the loop even starts.
+        edges = edges.localCheckpoint(eager=False)
     und = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     labels = (
         und.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     )
 
-    fixed = config.get("iterations")
     if fixed is not None:
         # fully lazy unrolled plan (no convergence actions)
         k = int(fixed)
         if k < 1:
             raise ConfigError("dedup.components: iterations must be >= 1")
         for _ in range(k):
-            labels = _propagate(und, labels)
+            labels = _propagate(und, labels).drop("__old")
     else:
         max_iterations = int(config.get("max_iterations", 20))
-        und = und.localCheckpoint(eager=False)
         labels = labels.localCheckpoint(eager=True)
         for _ in range(max_iterations):
             new_labels = _propagate(und, labels).localCheckpoint(eager=True)
+            # convergence = scan of the just-materialized round
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), on="id")
-                .filter(F.col("n.label") != F.col("o.label"))
-                .limit(1)
-                .count()
+                new_labels.filter(F.col("label") != F.col("__old")).limit(1).count()
             )
-            labels = new_labels
+            labels = new_labels.drop("__old")
             if changed == 0:
                 break
         else:
