@@ -81,13 +81,28 @@ def _resolve_queries(
 @register("knn.brute", kind="transform", min_inputs=1, max_inputs=2, doc="Exact top-k cosine neighbors")
 def knn_brute(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """inputs: [corpus] or [corpus, queries]. Config: id_column,
-    column (embedding), k, query_ids (when no query input given)."""
+    column (embedding), k, query_ids (when no query input given).
+
+    The QUERY side is broadcast (one corpus scan, no corpus shuffle),
+    so it must fit in executor memory — the right shape for "find
+    neighbors of these N probes in a huge corpus". query_ids lists
+    are size-checked up front (``max_queries``, default 100000); a
+    query *DataFrame* input is the caller's contract to keep small —
+    use knn.ivf / embedding.lsh bucketing when BOTH sides are large.
+    """
     corpus = inputs[0]
     id_column = config.get("id_column")
     column = config.get("column", "embedding")
     if not id_column:
         raise ConfigError("knn.brute requires 'id_column'")
     k = int(config.get("k", 10))
+    qids = config.get("query_ids")
+    max_queries = int(config.get("max_queries", 100_000))
+    if qids is not None and len(list(qids)) > max_queries:
+        raise ConfigError(
+            f"knn.brute: {len(list(qids))} query_ids exceed max_queries={max_queries} "
+            "(the query side is broadcast); raise max_queries deliberately or use knn.ivf"
+        )
     queries = _resolve_queries(corpus, inputs, config, id_column)
     q = queries.select(
         F.col(id_column).alias("query_id"),

@@ -1716,6 +1716,37 @@ def q61_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q62_profile",
+    """
+    SELECT 'o_orderkey' AS column, COUNT(*)::BIGINT AS n_rows,
+           (COUNT(*) - COUNT(o_orderkey))::BIGINT AS n_nulls,
+           COUNT(DISTINCT o_orderkey)::BIGINT AS n_distinct,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*)::BIGINT, (COUNT(*) - COUNT(o_custkey))::BIGINT,
+           COUNT(DISTINCT o_custkey)::BIGINT,
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*)::BIGINT, (COUNT(*) - COUNT(o_orderpriority))::BIGINT,
+           COUNT(DISTINCT o_orderpriority)::BIGINT,
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q62_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """profile.apply: per-column null/distinct/min/max stats for three
+    orders columns in ONE aggregate pass (the oracle needs three
+    scans; the op's single-job shape is the point)."""
+    ctx = _ctx(spark)
+    o = load_table(spark, sf_dir, "orders")
+    return _op("profile.apply", ctx, [o],
+               columns=["o_orderkey", "o_custkey", "o_orderpriority"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

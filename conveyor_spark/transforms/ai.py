@@ -72,7 +72,9 @@ def _anthropic_messages(prompt: str, config: dict[str, Any]) -> str:
         headers={
             "Content-Type": "application/json",
             "x-api-key": key,
-            "anthropic-version": "2023-06-01",
+            # public API version header (same default the reference
+            # ships, src/modules/transforms/ai.rs:203); overridable
+            "anthropic-version": config.get("api_version", "2023-06-01"),
         },
         method="POST",
     )
