@@ -1747,6 +1747,64 @@ def q62_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                columns=["o_orderkey", "o_custkey", "o_orderpriority"])
 
 
+@query(
+    "q63_stream_session_window",
+    """
+    WITH m AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM m),
+    g AS (
+      SELECT user_id, session_id::BIGINT AS session_id,
+             MIN(ts) AS start_ts, MAX(ts) AS end_ts, COUNT(*)::BIGINT AS n_rows
+      FROM s GROUP BY user_id, session_id)
+    SELECT user_id, session_id, start_ts, end_ts, n_rows,
+           (session_id < MAX(session_id) OVER (PARTITION BY user_id)) AS closed
+    FROM g
+    """,
+)
+def q63_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream.session_window: cross-micro-batch stateful sessions
+    (applyInPandasWithState; custom close rules — here gap-only so
+    the batch SQL sessionization oracle applies: an availableNow
+    drain of one file is a single batch, so update rows = the full
+    per-key session partition, last session per key open)."""
+    import tempfile
+
+    from conveyor_spark.registry import get_function
+    from conveyor_spark.streaming.ops import read_file_stream
+
+    ctx = _ctx(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = read_file_stream(
+        spark, sf_dir, batch.schema, "parquet",
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    win = get_function("stream.session_window").fn(
+        ctx, [sdf], {"gap": 1800, "key_columns": "user_id", "ts_column": "ts"}
+    )
+    with tempfile.TemporaryDirectory(prefix="conveyor-q63-") as ckpt:
+        q = (
+            win.writeStream.format("memory").queryName("q63_sessions")
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table("q63_sessions").select(
+        "user_id", "session_id", "start_ts", "end_ts", "n_rows", "closed"
+    )
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

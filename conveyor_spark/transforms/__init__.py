@@ -26,5 +26,5 @@ from conveyor_spark.transforms import (  # noqa: F401
     sql_query,
     temporal_join,
 )
-from conveyor_spark.streaming import count_window  # noqa: F401
+from conveyor_spark.streaming import count_window, session_window  # noqa: F401
 from conveyor_spark.datapipe import emb_lsh  # noqa: F401

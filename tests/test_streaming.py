@@ -118,3 +118,48 @@ def test_file_watch_reemit_requires_file(ctx, tmp_path):
 
     with pytest.raises(ConfigError, match="single FILE"):
         run_op(ctx, "file.watch", [], path=str(tmp_path), reemit_on_modify=True)
+
+
+def test_stream_session_window_caps(ctx, spark, tmp_path):
+    """Custom close rules: max_rows splits a burst that a plain gap
+    session would keep open."""
+    import json as _j
+    from tests.conftest import run_op
+    from conveyor_spark.streaming.ops import run_available_now
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    rows = [{"k": "u1", "ts": f"2024-01-01 00:00:{s:02d}"} for s in range(6)]
+    (src / "a.jsonl").write_text("\n".join(_j.dumps(r) for r in rows))
+    schema = "k string, ts string"
+    sdf = (
+        spark.readStream.schema(schema).json(str(src))
+        .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    win = run_op(ctx, "stream.session_window", [sdf],
+                 gap=60, key_columns="k", ts_column="ts", max_rows=2)
+    out = run_available_now(win, "t_session_caps", output_mode="update")
+    got = sorted((r["session_id"], r["n_rows"], r["closed"]) for r in out.collect())
+    # 6 events 1s apart, gap 60s => one gap-session; max_rows=2 splits
+    # into 3: two closed pairs + one open pair
+    assert got == [(0, 2, True), (1, 2, True), (2, 2, False)]
+
+
+def test_stream_session_window_validates(ctx, spark, tmp_path):
+    import pytest as _pytest
+    from tests.conftest import run_op
+    from conveyor_spark.errors import ConfigError
+
+    src = tmp_path / "ev2"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"k": "u1", "ts": "2024-01-01 00:00:00"}')
+    sdf = (
+        spark.readStream.schema("k string, ts string").json(str(src))
+        .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "stream.session_window", [sdf], gap=0, key_columns="k")
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "stream.session_window", [sdf], gap=60, key_columns="k", max_rows=0)
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "stream.session_window", [sdf], gap=60)
