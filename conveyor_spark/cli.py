@@ -1,11 +1,17 @@
-"""CLI: ``python -m conveyor_spark run|validate|functions|scaffold|add-stage``.
+"""CLI: ``python -m conveyor_spark
+run|validate|functions|scaffold|add-stage|edit|remove-stage|plugins``.
 
 Mirrors the reference CLI verbs (src/main.rs:125-180): ``run`` a
 pipeline TOML, ``validate`` it without executing, ``functions`` lists
 the registry (reference: ``conveyor functions list``), ``scaffold``
-emits a runnable starter TOML (src/cli/scaffold.rs) and ``add-stage``
-appends a validated stage block (src/cli/add_stage.rs) — flag-driven
-here instead of interactive prompts, so authoring works in scripts.
+emits a runnable starter TOML (src/cli/scaffold.rs), ``add-stage``
+appends a validated stage block (src/cli/add_stage.rs), ``edit`` /
+``remove-stage`` rewrite a stage in place (reference `edit` +
+interactive_builder, flag-driven here so authoring works in
+scripts/CI), and ``plugins`` imports a spec's [global] plugin modules
+and reports the ops each registers (reference `plugin list`,
+src/plugin_loader.rs). Every mutating verb re-validates the spec and
+restores the original file if the result would not parse.
 """
 
 from __future__ import annotations
@@ -39,6 +45,21 @@ def main(argv: list[str] | None = None) -> int:
                        help="upstream stage id (repeatable)")
     p_add.add_argument("--config", action="append", default=[], dest="config_pairs",
                        metavar="KEY=VALUE", help="config entry (JSON value or bare string)")
+    p_edit = sub.add_parser("edit", help="edit a stage's function/inputs/config in place")
+    p_edit.add_argument("pipeline")
+    p_edit.add_argument("--id", required=True, dest="stage_id")
+    p_edit.add_argument("--function", default=None)
+    p_edit.add_argument("--input", action="append", default=None, dest="stage_inputs",
+                        help="replace inputs (repeatable; pass none to keep)")
+    p_edit.add_argument("--set", action="append", default=[], dest="set_pairs",
+                        metavar="KEY=VALUE", help="set a config entry")
+    p_edit.add_argument("--unset", action="append", default=[], dest="unset_keys",
+                        metavar="KEY", help="remove a config entry")
+    p_rm = sub.add_parser("remove-stage", help="remove a stage from a pipeline TOML")
+    p_rm.add_argument("pipeline")
+    p_rm.add_argument("--id", required=True, dest="stage_id")
+    p_pl = sub.add_parser("plugins", help="list a pipeline's plugin modules and their ops")
+    p_pl.add_argument("pipeline")
     args = parser.parse_args(argv)
 
     if args.cmd == "scaffold":
@@ -63,6 +84,43 @@ def main(argv: list[str] | None = None) -> int:
             print(f"add-stage failed: {exc}", file=sys.stderr)
             return 2
         print(f"added stage {args.stage_id!r} ({args.function}) to {args.pipeline}")
+        return 0
+
+    if args.cmd == "edit":
+        from conveyor_spark.scaffold import edit_stage
+
+        try:
+            edit_stage(args.pipeline, args.stage_id, args.set_pairs,
+                       args.unset_keys, args.stage_inputs, args.function)
+        except ConveyorError as exc:
+            print(f"edit failed: {exc}", file=sys.stderr)
+            return 2
+        print(f"edited stage {args.stage_id!r} in {args.pipeline}")
+        return 0
+
+    if args.cmd == "remove-stage":
+        from conveyor_spark.scaffold import remove_stage
+
+        try:
+            remove_stage(args.pipeline, args.stage_id)
+        except ConveyorError as exc:
+            print(f"remove-stage failed: {exc}", file=sys.stderr)
+            return 2
+        print(f"removed stage {args.stage_id!r} from {args.pipeline}")
+        return 0
+
+    if args.cmd == "plugins":
+        from conveyor_spark.scaffold import list_plugins
+
+        try:
+            report = list_plugins(args.pipeline)
+        except ConveyorError as exc:
+            print(f"plugins failed: {exc}", file=sys.stderr)
+            return 2
+        if not report:
+            print("no plugin modules declared in [global] plugins")
+        for mod, ops in report:
+            print(f"{mod}: {', '.join(ops) if ops else '(no new ops registered)'}")
         return 0
 
     if args.cmd == "functions":

@@ -9,7 +9,7 @@ import pytest
 from conveyor_spark.cli import main as cli_main
 from conveyor_spark.config.spec import load_spec
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.scaffold import add_stage, scaffold_pipeline
+from conveyor_spark.scaffold import add_stage, edit_stage, remove_stage, scaffold_pipeline
 
 
 def test_scaffold_parses_and_runs(spark, tmp_path, capsys):
@@ -80,3 +80,85 @@ def test_cli_verbs(tmp_path, capsys):
                      "--input", "filter_active", "--config", "n=2"]) == 0
     assert cli_main(["validate", str(out)]) == 0
     assert cli_main(["scaffold", str(out)]) == 2  # refuses overwrite
+
+
+def test_edit_stage_set_unset_and_function(tmp_path):
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out), "editdemo")
+    edit_stage(str(out), "filter_active", set_pairs=["value=inactive"])
+    spec = load_spec(str(out))
+    stage = spec.stage_map()["filter_active"]
+    assert stage.config["value"] == "inactive"
+    assert stage.config["column"] == "status"  # untouched keys survive
+
+    edit_stage(str(out), "filter_active", unset_keys=["value", "column", "operator"],
+               set_pairs=["expr=score > 70"], function="filter.apply")
+    stage = load_spec(str(out)).stage_map()["filter_active"]
+    assert stage.config == {"expr": "score > 70"}
+
+
+def test_edit_stage_rejects_unknown(tmp_path):
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out), "editdemo2")
+    before = out.read_text()
+    with pytest.raises(ConfigError):
+        edit_stage(str(out), "nope", set_pairs=["a=1"])
+    from conveyor_spark.errors import ConveyorError
+    with pytest.raises(ConveyorError):
+        edit_stage(str(out), "filter_active", function="not.a.function")
+    # bad input rewiring (cycle) restores the original file
+    with pytest.raises(Exception):
+        edit_stage(str(out), "load_data", inputs=["print_results"])
+    assert load_spec(str(out)).stage_map().keys() == load_spec(str(out)).stage_map().keys()
+    assert "filter_active" in out.read_text()
+    # the earlier successful state was never clobbered by failures
+    assert out.read_text() == before
+
+
+def test_remove_stage_guards_dependents(tmp_path):
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out), "rmdemo")
+    with pytest.raises(ConfigError):
+        remove_stage(str(out), "filter_active")  # print_results consumes it
+    edit_stage(str(out), "print_results", inputs=["load_data"])
+    remove_stage(str(out), "filter_active")
+    spec = load_spec(str(out))
+    assert "filter_active" not in spec.stage_map()
+    with pytest.raises(ConfigError):
+        remove_stage(str(out), "filter_active")  # already gone
+
+
+def test_cli_edit_remove_plugins(tmp_path, capsys):
+    out = tmp_path / "p.toml"
+    assert cli_main(["scaffold", str(out), "--name", "clidemo2"]) == 0
+    capsys.readouterr()
+    assert cli_main(["edit", str(out), "--id", "filter_active",
+                     "--set", "value=inactive"]) == 0
+    assert cli_main(["edit", str(out), "--id", "nope", "--set", "a=1"]) == 2
+    assert cli_main(["remove-stage", str(out), "--id", "filter_active"]) == 2  # dependent
+    assert cli_main(["edit", str(out), "--id", "print_results",
+                     "--input", "load_data"]) == 0
+    assert cli_main(["remove-stage", str(out), "--id", "filter_active"]) == 0
+    assert cli_main(["validate", str(out)]) == 0
+    assert cli_main(["plugins", str(out)]) == 0
+    assert "no plugin modules" in capsys.readouterr().out
+
+
+def test_cli_plugins_reports_registered_ops(tmp_path, capsys, monkeypatch):
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out), "plugdemo")
+    plug = tmp_path / "my_plug.py"
+    plug.write_text(
+        "from conveyor_spark.registry import register\n"
+        "@register('my.noopx', kind='transform', doc='test plugin op')\n"
+        "def noopx(ctx, inputs, config):\n"
+        "    return inputs[0]\n"
+    )
+    monkeypatch.syspath_prepend(str(tmp_path))
+    txt = out.read_text().replace(
+        "[global]", "[global]\nplugins = [\"my_plug\"]", 1
+    )
+    out.write_text(txt)
+    assert cli_main(["plugins", str(out)]) == 0
+    got = capsys.readouterr().out
+    assert "my_plug" in got and "my.noopx" in got
