@@ -15,6 +15,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     components,
     curation,
     dedup,
+    fuzzy,
     similarity,
     text,
     multimodal,

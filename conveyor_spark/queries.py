@@ -1805,6 +1805,35 @@ def q63_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q64_fuzzy_join",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           lower(a.p_name) AS s_a, lower(b.p_name) AS s_b,
+           levenshtein(lower(a.p_name), lower(b.p_name))::INT AS distance
+    FROM part a, part b
+    WHERE a.p_partkey % 101 = 0 AND a.p_partkey <> b.p_partkey
+      AND levenshtein(lower(a.p_name), lower(b.p_name)) <= 3
+    """,
+)
+def q64_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join.fuzzy: match a ~1% probe set of part names against the
+    whole catalog (the entity-resolution shape) via q-gram
+    posting-list blocking + thresholded Levenshtein verify. The
+    oracle brute-forces probes x catalog; the op's plan never does.
+    A dense full self-join on a tiny shared vocabulary is the
+    documented anti-case — candidates are quadratic there by the
+    data itself, not the algorithm."""
+    ctx = _ctx(spark)
+    p = load_table(spark, sf_dir, "part")
+    probes = _op("filter.apply", ctx, [p], expr="p_partkey % 101 = 0")
+    # ngram=4 keeps the completeness bound ((k+1)*q-1 = 15 chars <
+    # every p_name) with ~4x fewer gram collisions than the default 3
+    out = _op("join.fuzzy", ctx, [probes, p], on="p_name", id_column="p_partkey",
+              max_distance=3, ngram=4)
+    return _op("filter.apply", ctx, [out], expr="id_a <> id_b")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

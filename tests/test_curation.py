@@ -143,3 +143,42 @@ def test_decontam_broadcasts_benchmark(ctx, spark, cdocs):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+# -- join.fuzzy -------------------------------------------------------------
+
+def test_fuzzy_join_matches_within_distance(ctx, spark):
+    left = spark.createDataFrame(
+        [(1, "acme corporation"), (2, "globex incorporated")], ["id", "name"]
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corporatio"), (11, "initech llc"), (12, "ACME Corporation")],
+        ["id", "name"],
+    )
+    out = run_op(ctx, "join.fuzzy", [left, right], on="name", id_column="id",
+                 max_distance=2)
+    got = {(r["id_a"], r["id_b"], r["distance"]) for r in out.collect()}
+    assert (1, 10, 1) in got        # one deletion
+    assert (1, 12, 0) in got        # case-insensitive exact
+    assert all(b != 11 for _, b, _ in got)
+
+
+def test_fuzzy_join_max_df_prunes(ctx, spark):
+    left = spark.createDataFrame([(1, "abcdefghij")], ["id", "name"])
+    right = spark.createDataFrame(
+        [(10, "abcdefghix"), (11, "zzzzzzzzzz")], ["id", "name"]
+    )
+    out = run_op(ctx, "join.fuzzy", [left, right], on="name", id_column="id",
+                 max_distance=2, max_df=1.0)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 10)}
+
+
+def test_fuzzy_join_validates(ctx, spark):
+    df = spark.createDataFrame([(1, "x")], ["id", "name"])
+    with pytest.raises(ConfigError):
+        run_op(ctx, "join.fuzzy", [df, df], on="name", id_column="id",
+               max_distance=-1)
+    with pytest.raises(ConfigError):
+        run_op(ctx, "join.fuzzy", [df, df], on="name", id_column="id", max_df=0)
+    with pytest.raises(ConfigError):
+        run_op(ctx, "join.fuzzy", [df, df], id_column="id")
