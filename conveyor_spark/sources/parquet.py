@@ -20,11 +20,20 @@ def parquet_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     path = config.get("path")
     if not path:
         raise ConfigError("parquet.read requires 'path'")
-    return ctx.spark.read.parquet(path)
+    reader = ctx.spark.read
+    if config.get("merge_schema"):
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(path)
 
 
 @register("parquet.write", kind="sink", doc="Write DataFrame as parquet")
 def parquet_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
+    """Extra knobs for training-shard output: ``max_records_per_file``
+    caps rows per output file (uniform shards for data loaders —
+    Spark splits a task's output into multiple files at the cap;
+    combine with repartition.apply for shard-count control),
+    ``compression`` picks the codec (snappy default, zstd for
+    long-term storage ratios)."""
     path = config.get("path")
     if not path:
         raise ConfigError("parquet.write requires 'path'")
@@ -32,5 +41,11 @@ def parquet_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     writer = df.write.mode(config.get("mode", "overwrite"))
     if parts := config.get("partition_by"):
         writer = writer.partitionBy(*([parts] if isinstance(parts, str) else parts))
+    if (mrpf := config.get("max_records_per_file")) is not None:
+        if int(mrpf) < 1:
+            raise ConfigError("parquet.write: max_records_per_file must be >= 1")
+        writer = writer.option("maxRecordsPerFile", int(mrpf))
+    if codec := config.get("compression"):
+        writer = writer.option("compression", codec)
     writer.parquet(path)
     return None

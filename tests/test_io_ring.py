@@ -244,3 +244,21 @@ def test_spec_plugins_register_ops(spark, tmp_path):
         assert out.filter("tag = 'hello'").count() == 5
     finally:
         sys.path.remove(str(tmp_path))
+
+
+def test_parquet_write_shard_controls(ctx, spark, tmp_path):
+    from tests.conftest import run_op
+    import glob as _glob
+
+    df = spark.range(0, 100).coalesce(1)
+    out = tmp_path / "shards"
+    run_op(ctx, "parquet.write", [df], path=str(out),
+           max_records_per_file=30, compression="zstd")
+    files = _glob.glob(str(out / "*.parquet"))
+    assert len(files) == 4  # 30+30+30+10 from one task
+    back = spark.read.parquet(str(out))
+    assert back.count() == 100
+    from conveyor_spark.errors import ConfigError
+    import pytest as _pytest
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "parquet.write", [df], path=str(out), max_records_per_file=0)
