@@ -124,6 +124,16 @@ CHECKS = [
         "rollup = one Expand + partial-aggregated shuffle (not one job per level)",
         lambda p, o: "Expand" in p and p.count("HashAggregate") >= 2 and "partial_" in p.lower(),
     ),
+    (
+        "q62_profile",
+        "all-column profile is ONE aggregate (no per-column scans: exactly one parquet scan)",
+        lambda p, o: p.count("Scan parquet") == 1 and "BatchEvalPython" not in p,
+    ),
+    (
+        "q64_fuzzy_join",
+        "fuzzy join never cross-joins (gram equi-join + verify, no CartesianProduct/BNLJ)",
+        lambda p, o: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    ),
 ]
 
 
