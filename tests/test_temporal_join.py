@@ -142,3 +142,65 @@ def test_groupby_rejects_bad_grouping(ctx, spark):
     with pytest.raises(ConfigError):
         run_op(ctx, "groupby.apply", [df], by="g", grouping="slice",
                aggregations=[{"column": "n", "operation": "sum"}])
+
+
+# -- property tests vs reference implementations ----------------------------
+
+hypothesis = pytest.importorskip("hypothesis")
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_ROWS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+)
+
+
+@given(probe_rows=_ROWS, build_rows=_ROWS)
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_asof_matches_pandas_merge_asof(ctx, spark, probe_rows, build_rows):
+    """join.asof backward == pandas.merge_asof per key on random data
+    (build rows deduped on (k,t) — with equal-time duplicates both
+    engines tie-break arbitrarily, which is documented)."""
+    import pandas as pd
+
+    build_rows = list({(k, t): (k, t) for k, t in build_rows}.values())
+    probe = spark.createDataFrame([(k, t, i) for i, (k, t) in enumerate(probe_rows)],
+                                  ["k", "t", "pid"])
+    build = spark.createDataFrame([(k, t, 100 + i) for i, (k, t) in enumerate(build_rows)],
+                                  ["k", "t", "bid"])
+    out = run_op(ctx, "join.asof", [probe, build], on="t", by="k")
+    got = {r["pid"]: r["r_bid"] for r in out.collect()}
+
+    pl = pd.DataFrame([(k, t, i) for i, (k, t) in enumerate(probe_rows)],
+                      columns=["k", "t", "pid"]).sort_values("t", kind="stable")
+    pr = pd.DataFrame([(k, t, 100 + i) for i, (k, t) in enumerate(build_rows)],
+                      columns=["k", "t", "bid"]).sort_values("t", kind="stable")
+    ref = pd.merge_asof(pl, pr, on="t", by="k", direction="backward")
+    want = {int(r.pid): (None if pd.isna(r.bid) else int(r.bid))
+            for r in ref.itertuples()}
+    assert got == want
+
+
+@given(pts_rows=_ROWS,
+       iv_rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50),
+                                  st.integers(0, 20)), min_size=1, max_size=15))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_range_matches_bruteforce(ctx, spark, pts_rows, iv_rows):
+    """join.range bucketed == brute-force point-in-interval filter."""
+    pts = spark.createDataFrame([(k, v, i) for i, (k, v) in enumerate(pts_rows)],
+                                ["k", "v", "pid"])
+    iv = spark.createDataFrame(
+        [(k, lo, lo + w, 100 + i) for i, (k, lo, w) in enumerate(iv_rows)],
+        ["k", "lo", "hi", "iid"],
+    )
+    out = run_op(ctx, "join.range", [pts, iv], on="v", lower="lo", upper="hi",
+                 by="k", bucket=7)
+    got = {(r["pid"], r["r_iid"]) for r in out.collect()}
+    want = {
+        (i, 100 + j)
+        for i, (k, v) in enumerate(pts_rows)
+        for j, (ik, lo, w) in enumerate(iv_rows)
+        if k == ik and lo <= v < lo + w
+    }
+    assert got == want
