@@ -60,6 +60,11 @@ def main(argv: list[str] | None = None) -> int:
     p_rm.add_argument("--id", required=True, dest="stage_id")
     p_pl = sub.add_parser("plugins", help="list a pipeline's plugin modules and their ops")
     p_pl.add_argument("pipeline")
+    p_ex = sub.add_parser("explain", help="print the physical plan(s) without running sinks")
+    p_ex.add_argument("pipeline")
+    p_ex.add_argument("--stage", default=None, help="explain one stage (default: sink inputs)")
+    p_ex.add_argument("--mode", default="formatted",
+                      choices=["simple", "extended", "formatted", "cost", "codegen"])
     args = parser.parse_args(argv)
 
     if args.cmd == "scaffold":
@@ -138,6 +143,35 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     if args.cmd == "validate":
         print(f"pipeline {spec.name!r} OK ({len(spec.stages)} stages)")
+        return 0
+
+    if args.cmd == "explain":
+        from conveyor_spark.compiler import compile_pipeline
+        from conveyor_spark.session import get_spark
+
+        spark = get_spark(app_name=f"conveyor-explain:{spec.name}")
+        result = compile_pipeline(spark, spec, run_sinks=False)
+        stage_map = spec.stage_map()
+        if args.stage is not None:
+            if args.stage not in result.outputs:
+                print(f"explain: no frame for stage {args.stage!r} "
+                      f"(have {sorted(result.outputs)})", file=sys.stderr)
+                return 2
+            targets = [args.stage]
+        else:
+            # the frames that would feed each sink; all leaves if none
+            sink_inputs = [
+                i for s in spec.stages
+                if s.id in result.skipped
+                for i in stage_map[s.id].inputs if i in result.outputs
+            ]
+            consumed = {i for s in spec.stages for i in s.inputs}
+            targets = sink_inputs or [
+                sid for sid in result.outputs if sid not in consumed
+            ]
+        for sid in targets:
+            print(f"== stage {sid} ==")
+            result.outputs[sid].explain(mode=args.mode)
         return 0
 
     from conveyor_spark.compiler import run_pipeline

@@ -116,13 +116,17 @@ def compile_pipeline(
             continue
         inputs = [result.outputs[i] for i in stage.inputs]
 
+        if op.kind == "sink" and not run_sinks:
+            # build-only mode (explain/dry-run): sink fns execute their
+            # action inside fn(), so they must not be called at all
+            result.skipped.append(sid)
+            continue
+
         strat_type = _strategy_kind(stage, spec)
         try:
             out = _run_with_strategy(
                 stage, spec, lambda: op.fn(ctx, inputs, dict(stage.config))
             )
-            if op.kind == "sink" and run_sinks:
-                pass  # sink fns execute their own action inside fn()
             if out is not None:
                 if stage.config.get("cache"):
                     out = out.cache()

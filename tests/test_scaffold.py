@@ -162,3 +162,23 @@ def test_cli_plugins_reports_registered_ops(tmp_path, capsys, monkeypatch):
     assert cli_main(["plugins", str(out)]) == 0
     got = capsys.readouterr().out
     assert "my_plug" in got and "my.noopx" in got
+
+
+def test_cli_explain_and_build_only(tmp_path, capsys, spark):
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out), "explaindemo")
+    assert cli_main(["explain", str(out)]) == 0
+    txt = capsys.readouterr().out
+    assert "== stage filter_active ==" in txt
+    assert "Physical Plan" in txt
+    assert cli_main(["explain", str(out), "--stage", "load_data", "--mode", "simple"]) == 0
+    assert "== stage load_data ==" in capsys.readouterr().out
+    assert cli_main(["explain", str(out), "--stage", "nope"]) == 2
+
+    # compile-only mode must NOT run sink actions
+    from conveyor_spark.compiler import compile_pipeline
+    from conveyor_spark.config.spec import load_spec
+
+    result = compile_pipeline(spark, load_spec(str(out)), run_sinks=False)
+    assert "print_results" in result.skipped
+    assert "filter_active" in result.outputs and not result.errors
