@@ -289,3 +289,91 @@ def decontam_ngram(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     return corpus.join(F.broadcast(flagged), id_column, "left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
     )
+
+
+@register(
+    "text.boilerplate",
+    kind="transform",
+    doc="Detect/strip lines shared across many documents (per group)",
+)
+def text_boilerplate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Cross-document boilerplate removal (C4/RefinedWeb-style): a
+    LINE is boilerplate when it appears in more than ``min_df`` of
+    the documents in its ``group_by`` group (boilerplate is
+    per-site/source — headers, footers, cookie banners).
+
+    Config: ``column``, ``id_column`` (required), ``group_by``
+    (column(s) scoping the frequency count; default: whole corpus),
+    ``min_df`` (fraction, default 0.3), ``min_docs`` (absolute floor,
+    default 2), ``mode`` = ``strip`` (default: rewrite the column
+    with boilerplate lines removed) | ``flag`` (add
+    ``boilerplate_ratio`` = boilerplate lines / lines).
+
+    Scale: lines posexplode (order preserved for reassembly); line
+    document-frequencies aggregate per (group, line) — the shuffle
+    carries distinct lines, not documents; group doc-totals ride
+    along as a broadcast aggregate; strip-mode reassembly is ONE
+    shuffle by doc id. Blank lines are preserved verbatim in strip
+    mode (they are structure, not boilerplate)."""
+    df = inputs[0]
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("text.boilerplate requires 'column' and 'id_column'")
+    group_by = config.get("group_by") or []
+    group_by = [group_by] if isinstance(group_by, str) else list(group_by)
+    min_df = float(config.get("min_df", 0.3))
+    if not (0 < min_df <= 1):
+        raise ConfigError("text.boilerplate: min_df must be in (0, 1]")
+    min_docs = int(config.get("min_docs", 2))
+    mode = config.get("mode", "strip")
+    if mode not in ("strip", "flag"):
+        raise ConfigError("text.boilerplate: mode must be strip|flag")
+
+    lines = df.select(
+        id_column, *group_by,
+        F.posexplode(F.split(F.col(column).cast("string"), r"\n")).alias("__pos", "__line"),
+    ).withColumn("__key", F.trim(F.col("__line")))
+
+    totals = (
+        df.groupBy(*group_by).agg(F.count_distinct(id_column).alias("__gtotal"))
+        if group_by
+        else df.agg(F.count_distinct(id_column).alias("__gtotal"))
+    )
+    nonblank = lines.filter(F.col("__key") != "")
+    dfreq = nonblank.groupBy(*group_by, "__key").agg(
+        F.count_distinct(id_column).alias("__df")
+    )
+    joined = dfreq.join(F.broadcast(totals), on=group_by) if group_by else dfreq.crossJoin(
+        F.broadcast(totals)
+    )
+    boiler = joined.filter(
+        (F.col("__df") >= F.greatest(F.col("__gtotal") * F.lit(min_df), F.lit(float(min_docs))))
+    ).select(*group_by, "__key").withColumn("__is_boiler", F.lit(True))
+
+    marked = lines.join(F.broadcast(boiler), on=[*group_by, "__key"], how="left")
+    is_b = F.coalesce(F.col("__is_boiler"), F.lit(False))
+
+    if mode == "flag":
+        per_doc = marked.groupBy(id_column).agg(
+            (
+                F.sum(is_b.cast("bigint")).cast("double")
+                / F.greatest(F.sum((F.col("__key") != "").cast("bigint")), F.lit(1)).cast("double")
+            ).alias("boilerplate_ratio")
+        )
+        return df.join(per_doc, on=id_column, how="left")
+
+    kept = marked.filter(~is_b)
+    rebuilt = kept.groupBy(id_column).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+            "\n",
+        ).alias("__rebuilt")
+    )
+    out = df.join(rebuilt, on=id_column, how="left").withColumn(
+        column, F.coalesce(F.col("__rebuilt"), F.lit(""))
+    )
+    return out.drop("__rebuilt")

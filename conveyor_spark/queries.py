@@ -1834,6 +1834,51 @@ def q64_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("filter.apply", ctx, [out], expr="id_a <> id_b")
 
 
+@query(
+    "q65_boilerplate",
+    """
+    WITH aug AS (
+      SELECT doc_id, source,
+             text || chr(10) || 'footer: ' || source || ' all rights reserved' AS t
+      FROM documents),
+    l AS (
+      SELECT doc_id, source,
+             unnest(string_split(t, chr(10))) AS line,
+             generate_subscripts(string_split(t, chr(10)), 1) AS pos
+      FROM aug),
+    lk AS (SELECT doc_id, source, line, pos, trim(line) AS key FROM l),
+    tot AS (SELECT source, COUNT(DISTINCT doc_id) AS gt FROM aug GROUP BY source),
+    freq AS (SELECT source, key, COUNT(DISTINCT doc_id) AS df
+             FROM lk WHERE key <> '' GROUP BY source, key),
+    boiler AS (
+      SELECT f.source, f.key FROM freq f JOIN tot t ON f.source = t.source
+      WHERE f.df >= greatest(t.gt * 0.3, 2.0)),
+    kept AS (
+      SELECT lk.doc_id, lk.line, lk.pos FROM lk
+      LEFT JOIN boiler b ON lk.source = b.source AND lk.key = b.key
+      WHERE b.key IS NULL)
+    SELECT a.doc_id,
+           COALESCE(k.t2, '') AS cleaned
+    FROM aug a LEFT JOIN (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS t2
+      FROM kept GROUP BY doc_id) k ON a.doc_id = k.doc_id
+    """,
+)
+def q65_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.boilerplate: per-source footer lines (injected
+    deterministically, since the synthetic corpus is single-line)
+    are detected by cross-document line frequency and stripped;
+    unique content survives."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    aug = _op("map.apply", ctx, [d],
+              expression="concat(text, '\\n', 'footer: ', source, ' all rights reserved')",
+              output_column="t")
+    out = _op("text.boilerplate", ctx, [aug], column="t", id_column="doc_id",
+              group_by="source", min_df=0.3)
+    return out.select("doc_id", F.col("t").alias("cleaned"))
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

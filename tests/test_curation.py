@@ -182,3 +182,48 @@ def test_fuzzy_join_validates(ctx, spark):
         run_op(ctx, "join.fuzzy", [df, df], on="name", id_column="id", max_df=0)
     with pytest.raises(ConfigError):
         run_op(ctx, "join.fuzzy", [df, df], id_column="id")
+
+
+# -- text.boilerplate -------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def bdocs(spark):
+    rows = [
+        (1, "s1", "unique one\nCOPYRIGHT S1\nmore text"),
+        (2, "s1", "unique two\nCOPYRIGHT S1"),
+        (3, "s1", "unique three\nCOPYRIGHT S1"),
+        (4, "s2", "unique four\nCOPYRIGHT S1"),
+    ]
+    return spark.createDataFrame(rows, ["id", "src", "text"])
+
+
+def test_boilerplate_strip_per_group(ctx, bdocs):
+    out = {r["id"]: r["text"] for r in run_op(
+        ctx, "text.boilerplate", [bdocs], column="text", id_column="id",
+        group_by="src", min_df=0.5).collect()}
+    assert out[1] == "unique one\nmore text"
+    assert out[2] == "unique two"
+    assert out[4] == "unique four\nCOPYRIGHT S1"  # s2: below min_docs
+
+
+def test_boilerplate_flag_ratio(ctx, bdocs):
+    out = {r["id"]: r["boilerplate_ratio"] for r in run_op(
+        ctx, "text.boilerplate", [bdocs], column="text", id_column="id",
+        group_by="src", min_df=0.5, mode="flag").collect()}
+    assert out[1] == pytest.approx(1 / 3)
+    assert out[2] == pytest.approx(1 / 2)
+    assert out[4] == 0.0
+
+
+def test_boilerplate_preserves_blank_lines_and_validates(ctx, spark):
+    df = spark.createDataFrame(
+        [(1, "a\n\nFOOT"), (2, "b\n\nFOOT")], ["id", "text"]
+    )
+    out = {r["id"]: r["text"] for r in run_op(
+        ctx, "text.boilerplate", [df], column="text", id_column="id",
+        min_df=0.5).collect()}
+    assert out[1] == "a\n"  # blank line kept, footer stripped
+    with pytest.raises(ConfigError):
+        run_op(ctx, "text.boilerplate", [df], column="text", id_column="id", min_df=0)
+    with pytest.raises(ConfigError):
+        run_op(ctx, "text.boilerplate", [df], column="text", id_column="id", mode="zap")
