@@ -1879,6 +1879,58 @@ def q65_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("t").alias("cleaned"))
 
 
+@query(
+    "q66_stream_join",
+    """
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT * FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.event_id AS r_event_id, c.ts AS r_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND p.ts - c.ts >= INTERVAL 0 SECOND
+      AND p.ts - c.ts <= INTERVAL 30 MINUTE
+    """,
+)
+def q66_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream.join: stream-stream equi-join (purchases x clicks by
+    user) with an event-time bound — each purchase pairs with the
+    user's clicks in the preceding 30 minutes. availableNow drain of
+    one file = a single micro-batch, so the streaming join equals the
+    batch inequality join (value-checked)."""
+    import tempfile
+
+    from conveyor_spark.registry import get_function
+    from conveyor_spark.streaming.ops import read_file_stream
+
+    ctx = _ctx(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def stream() -> DataFrame:
+        sdf = read_file_stream(
+            spark, sf_dir, batch.schema, "parquet",
+            options={"pathGlobFilter": "events.parquet"},
+        )
+        if dict(sdf.dtypes).get("ts") == "bigint":
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return sdf
+
+    p = stream().filter("event_type = 'purchase'")
+    c = stream().filter("event_type = 'click'")
+    joined = get_function("stream.join").fn(
+        ctx, [p, c],
+        {"on": "user_id", "time_column": "ts", "max_delta": 1800,
+         "min_delta": 0, "watermark": "2 hours"},
+    )
+    out = joined.select("event_id", "user_id", "ts", "r_event_id", "r_ts")
+    with tempfile.TemporaryDirectory(prefix="conveyor-q66-") as ckpt:
+        q = (
+            out.writeStream.format("memory").queryName("q66_stream_join")
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table("q66_stream_join")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -125,3 +125,71 @@ def run_available_now(
         )
         q.awaitTermination()
     return sdf.sparkSession.table(query_name)
+
+
+@register("stream.join", kind="transform", min_inputs=2, max_inputs=2,
+          streaming_capable=True, doc="Stream-stream equi-join with event-time bound")
+def stream_join(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Stream-stream join: pair events from two streams on equi keys
+    within an event-time window (|left.time - right.time| bounded).
+
+    Config: ``on`` (equi key column(s), required), ``time_column``
+    (left side), ``right_time_column`` (default = time_column),
+    ``max_delta`` / ``min_delta`` (seconds; the pair matches when
+    ``left.time - right.time`` lies in [min_delta, max_delta];
+    min_delta defaults to -max_delta, i.e. a symmetric window —
+    min_delta=0 keeps only right events AT-OR-BEFORE left),
+    ``watermark`` (e.g. "2 hours", required — bounds the join state
+    Spark must retain; without it state grows forever), ``how`` =
+    inner (default) | left | right (outer sides need the watermark
+    to know when to emit nulls), ``right_prefix`` (default ``r_``)
+    on all right columns.
+
+    Scale: both sides shuffle ONCE by the equi keys; the time bound
+    prunes state per key. This is Spark's native stream-stream join
+    surface expressed as a pipeline op — state cleanup, late-data
+    handling, and outer-null emission all follow the watermark.
+    """
+    left, right = inputs
+    keys = config.get("on")
+    if not keys:
+        raise ConfigError("stream.join requires 'on' (equi key column(s))")
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    tcol = config.get("time_column")
+    if not tcol:
+        raise ConfigError("stream.join requires 'time_column'")
+    rtcol = config.get("right_time_column", tcol)
+    max_delta = config.get("max_delta")
+    if max_delta is None:
+        raise ConfigError("stream.join requires 'max_delta' (seconds)")
+    max_delta = float(max_delta)
+    min_delta = float(config.get("min_delta", -max_delta))
+    watermark = config.get("watermark")
+    if not watermark:
+        raise ConfigError(
+            "stream.join requires 'watermark' (e.g. '2 hours') — unbounded "
+            "join state never gets cleaned up"
+        )
+    how = config.get("how", "inner")
+    if how not in ("inner", "left", "right"):
+        raise ConfigError("stream.join: how must be inner|left|right")
+    prefix = config.get("right_prefix", "r_")
+
+    l = left.withWatermark(tcol, watermark).alias("l")
+    r = right.withWatermark(rtcol, watermark).alias("r")
+    bad = [c for c in left.columns if c in {f"{prefix}{x}" for x in right.columns}]
+    if bad:
+        raise ConfigError(f"stream.join: left columns collide with prefixed right columns: {bad}")
+
+    cond = None
+    for k in keys:
+        eq = F.col(f"l.{k}") == F.col(f"r.{k}")
+        cond = eq if cond is None else (cond & eq)
+    lt, rt = F.col(f"l.{tcol}").cast("double"), F.col(f"r.{rtcol}").cast("double")
+    cond = cond & (rt >= lt - F.lit(max_delta)) & (rt <= lt - F.lit(min_delta))
+    joined = l.join(r, cond, "left_outer" if how == "left" else
+                    "right_outer" if how == "right" else "inner")
+    return joined.select(
+        *[F.col(f"l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"r.{c}").alias(f"{prefix}{c}") for c in right.columns],
+    )

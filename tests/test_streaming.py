@@ -163,3 +163,56 @@ def test_stream_session_window_validates(ctx, spark, tmp_path):
         run_op(ctx, "stream.session_window", [sdf], gap=60, key_columns="k", max_rows=0)
     with _pytest.raises(ConfigError):
         run_op(ctx, "stream.session_window", [sdf], gap=60)
+
+
+def test_stream_join_validates(ctx, spark, tmp_path):
+    import pytest as _pytest
+    from tests.conftest import run_op
+    from conveyor_spark.errors import ConfigError
+
+    src = tmp_path / "sj"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"k": "u1", "ts": "2024-01-01 00:00:00"}')
+    sdf = (
+        spark.readStream.schema("k string, ts string").json(str(src))
+        .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    with _pytest.raises(ConfigError):  # no watermark
+        run_op(ctx, "stream.join", [sdf, sdf], on="k", time_column="ts", max_delta=60)
+    with _pytest.raises(ConfigError):  # no time column
+        run_op(ctx, "stream.join", [sdf, sdf], on="k", max_delta=60, watermark="1 hour")
+    with _pytest.raises(ConfigError):  # no max_delta
+        run_op(ctx, "stream.join", [sdf, sdf], on="k", time_column="ts",
+               watermark="1 hour")
+
+
+def test_stream_join_pairs_within_window(ctx, spark, tmp_path):
+    import json as _j
+    from tests.conftest import run_op
+    from conveyor_spark.streaming.ops import run_available_now
+
+    src = tmp_path / "sj2"
+    src.mkdir()
+    left_rows = [{"k": "u1", "ts": "2024-01-01 00:10:00", "tag": "L"}]
+    right_rows = [
+        {"k": "u1", "ts": "2024-01-01 00:05:00", "tag": "in"},    # 5 min before
+        {"k": "u1", "ts": "2024-01-01 00:11:00", "tag": "after"}, # after left
+        {"k": "u1", "ts": "2023-12-31 23:00:00", "tag": "old"},   # too old
+        {"k": "u2", "ts": "2024-01-01 00:09:00", "tag": "otherk"},
+    ]
+    (src / "l.jsonl").write_text("\n".join(_j.dumps(r) for r in left_rows))
+    rdir = tmp_path / "sj2r"
+    rdir.mkdir()
+    (rdir / "r.jsonl").write_text("\n".join(_j.dumps(r) for r in right_rows))
+
+    def rd(p):
+        return (
+            spark.readStream.schema("k string, ts string, tag string").json(str(p))
+            .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts", "tag")
+        )
+
+    joined = run_op(ctx, "stream.join", [rd(src), rd(rdir)], on="k",
+                    time_column="ts", max_delta=600, min_delta=0,
+                    watermark="2 hours")
+    out = run_available_now(joined, "t_stream_join", output_mode="append")
+    assert {r["r_tag"] for r in out.collect()} == {"in"}
