@@ -57,3 +57,48 @@ def test_null_text_rows(ctx, spark):
     assert q.count() == 2  # null text must not crash the featurizer
     sh = run_op(ctx, "dedup.simhash", [docs], column="text")
     assert sh.count() == 2
+
+
+@pytest.fixture(scope="module")
+def empty_text(spark):
+    return spark.createDataFrame([], "doc_id BIGINT, text STRING, src STRING")
+
+
+def test_curation_ops_on_empty(ctx, empty_text):
+    assert run_op(ctx, "text.normalize", [empty_text], column="text").count() == 0
+    assert run_op(ctx, "pii.redact", [empty_text], column="text",
+                  with_counts=True).count() == 0
+    assert run_op(ctx, "text.repetition", [empty_text], column="text").count() == 0
+    assert run_op(ctx, "text.boilerplate", [empty_text], column="text",
+                  id_column="doc_id", group_by="src").count() == 0
+    assert run_op(ctx, "decontam.ngram", [empty_text, empty_text], column="text",
+                  id_column="doc_id").count() == 0
+    fz = run_op(ctx, "join.fuzzy", [empty_text, empty_text], on="text",
+                id_column="doc_id")
+    assert fz.count() == 0
+
+
+def test_temporal_ops_on_empty(ctx, spark, empty):
+    other = spark.createDataFrame([(1, 5, "x")], "id BIGINT, t BIGINT, tag STRING")
+    asof = run_op(ctx, "join.asof", [empty.selectExpr("id", "v AS t"), other],
+                  on="t", by="id")
+    assert asof.count() == 0
+    # empty BUILD side: every probe row survives with null payload
+    asof2 = run_op(ctx, "join.asof",
+                   [other, empty.selectExpr("id", "v AS t", "name")], on="t", by="id")
+    assert asof2.count() == 1 and asof2.first()["r_name"] is None
+    iv = spark.createDataFrame([], "id BIGINT, lo BIGINT, hi BIGINT")
+    rng = run_op(ctx, "join.range", [other.selectExpr("id", "t AS v"), iv],
+                 on="v", lower="lo", upper="hi", by="id", bucket=10)
+    assert rng.count() == 0
+
+
+def test_profile_on_empty(ctx, empty):
+    out = {r["column"]: r for r in run_op(ctx, "profile.apply", [empty]).collect()}
+    assert out["id"]["n_rows"] == 0 and out["id"]["n_nulls"] == 0
+    assert out["id"]["n_distinct"] == 0 and out["id"]["min_value"] is None
+
+
+def test_components_on_empty_pairs(ctx, spark):
+    pairs = spark.createDataFrame([], "id_a BIGINT, id_b BIGINT")
+    assert run_op(ctx, "dedup.components", [pairs]).count() == 0
