@@ -121,3 +121,58 @@ def frame_sample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
             )
 
     return df.mapInPandas(run, out_schema)
+
+
+MAGIC_HEX = {
+    "png": "89504E470D0A1A0A",
+    "jpeg": "FFD8FF",
+    "gif": "47494638",
+    "pdf": "25504446",
+}
+
+
+@register("media.metadata", kind="transform", doc="Sniff media container format from magic bytes (pure JVM)")
+def media_metadata(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Container-format sniffing WITHOUT decoding: match the file's
+    magic bytes (PNG/JPEG/GIF/PDF, RIFF-wrapped WAV/AVI/WEBP, MP4
+    ftyp) and record byte size. Unlike media.decode this needs no
+    media library at all — the whole op is codegen'd string/binary
+    expressions over the hex prefix (hex() then substring, which both
+    Spark and DuckDB support on blobs via the hex string), so it runs
+    at scan speed and is the right FIRST pass over a crawled media
+    corpus: route rows by sniffed format, quarantine unknowns, size-
+    filter — before any expensive decode.
+
+    Config: ``column`` (binary, required), ``output_column`` prefix
+    (default ``media``): adds ``<prefix>_format`` and
+    ``<prefix>_bytes``.
+    """
+    from pyspark.sql import functions as F
+
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("media.metadata requires 'column'")
+    prefix = config.get("output_column", "media")
+    hexp = F.substring(F.hex(F.col(column)), 1, 24)
+    fmt = F.lit("unknown")
+    # RIFF container: bytes 1-4 'RIFF', 9-12 name the wrapped format
+    riff_kind = F.substring(hexp, 17, 8)
+    fmt = (
+        F.when(hexp.startswith(MAGIC_HEX["png"]), "png")
+        .when(hexp.startswith(MAGIC_HEX["jpeg"]), "jpeg")
+        .when(hexp.startswith(MAGIC_HEX["gif"]), "gif")
+        .when(hexp.startswith(MAGIC_HEX["pdf"]), "pdf")
+        .when(
+            hexp.startswith("52494646"),
+            F.when(riff_kind == "57415645", "wav")
+            .when(riff_kind == "57454250", "webp")
+            .when(riff_kind == "41564920", "avi")
+            .otherwise("riff"),
+        )
+        .when(F.substring(hexp, 9, 8) == "66747970", "mp4")
+        .otherwise("unknown")
+    )
+    return df.withColumn(f"{prefix}_format", fmt).withColumn(
+        f"{prefix}_bytes", F.length(F.col(column)).cast("bigint")
+    )

@@ -1931,6 +1931,55 @@ def q66_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q66_stream_join")
 
 
+_Q67_MAGIC_SQL = """
+      CASE doc_id % 4
+        WHEN 0 THEN unhex('89504E470D0A1A0A')
+        WHEN 1 THEN unhex('FFD8FFE0')
+        WHEN 2 THEN unhex('524946460000000057415645')
+        ELSE unhex('')
+      END || encode(text)
+"""
+
+
+@query(
+    "q67_media_metadata",
+    f"""
+    WITH m AS (SELECT doc_id, {_Q67_MAGIC_SQL} AS blob FROM documents)
+    SELECT doc_id,
+           CASE
+             WHEN substring(hex(blob), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+             WHEN substring(hex(blob), 1, 6) = 'FFD8FF' THEN 'jpeg'
+             WHEN substring(hex(blob), 1, 8) = '52494646'
+                  AND substring(hex(blob), 17, 8) = '57415645' THEN 'wav'
+             ELSE 'unknown'
+           END AS media_format,
+           octet_length(blob)::BIGINT AS media_bytes
+    FROM m
+    """,
+)
+def q67_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media.metadata: magic-byte container sniffing, pure JVM (the
+    first pass over a crawled media corpus — route/quarantine/size-
+    filter before any decode). Binary columns synthesized
+    deterministically: a real magic prefix per doc_id bucket + the
+    text bytes."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    aug = _op(
+        "map.apply", ctx, [d],
+        expression="""concat(
+          CASE CAST(doc_id % 4 AS INT)
+            WHEN 0 THEN unhex('89504E470D0A1A0A')
+            WHEN 1 THEN unhex('FFD8FFE0')
+            WHEN 2 THEN unhex('524946460000000057415645')
+            ELSE CAST('' AS BINARY)
+          END, encode(text, 'UTF-8'))""",
+        output_column="blob",
+    )
+    out = _op("media.metadata", ctx, [aug], column="blob")
+    return out.select("doc_id", "media_format", "media_bytes")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

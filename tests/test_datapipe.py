@@ -260,3 +260,29 @@ def test_dedup_components_empty_and_bad_cols(ctx, spark):
         run_op(ctx, "dedup.components", [other])
     renamed = run_op(ctx, "dedup.components", [other], pair_a="x", pair_b="y")
     assert renamed.count() == 2
+
+
+def test_media_metadata_sniffs_magic(ctx, spark):
+    from tests.conftest import run_op
+
+    rows = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"data"),
+        (2, bytes.fromhex("FFD8FFE0") + b"jpg"),
+        (3, b"RIFF\x00\x00\x00\x00WAVEfmt "),
+        (4, b"RIFF\x00\x00\x00\x00WEBPVP8 "),
+        (5, b"\x00\x00\x00\x18ftypmp42rest"),
+        (6, b"plain text bytes"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id BIGINT, blob BINARY")
+    out = {r["id"]: (r["media_format"], r["media_bytes"]) for r in run_op(
+        ctx, "media.metadata", [df], column="blob").collect()}
+    assert out[1] == ("png", 12)
+    assert out[2] == ("jpeg", 7)
+    assert out[3][0] == "wav" and out[4][0] == "webp"
+    assert out[5][0] == "mp4"
+    assert out[6][0] == "unknown"
+    assert out[7] == ("unknown", None)  # null blob: no format, no size
+
+    plan = run_op(ctx, "media.metadata", [df], column="blob")._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
