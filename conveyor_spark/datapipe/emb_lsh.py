@@ -36,6 +36,23 @@ def sign_matrix(bits: int, dim: int) -> list[list[float]]:
     return [[rademacher_sign(j, i) for i in range(dim)] for j in range(bits)]
 
 
+def signature_expr(column: str, bits: int, dim: int):
+    """The b-bit hyperplane signature as one JVM expression (reused by
+    embedding.lsh and knn.lsh)."""
+    planes = sign_matrix(bits, dim)
+    vec = F.col(column)
+    acc = F.lit(0).cast("bigint")
+    for j in range(bits):
+        signs = F.array(*[F.lit(s) for s in planes[j]])
+        dot = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        acc = acc + (dot > 0).cast("bigint") * F.lit(2**j)
+    return acc
+
+
 @register("embedding.lsh", kind="transform", doc="Random-hyperplane LSH signature for vectors")
 def embedding_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
@@ -58,15 +75,4 @@ def embedding_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     from conveyor_spark.datapipe.dedup import widen
 
     df = widen(ctx, df, config)
-    planes = sign_matrix(bits, dim)
-    vec = F.col(column)
-    acc = F.lit(0).cast("bigint")
-    for j in range(bits):
-        signs = F.array(*[F.lit(s) for s in planes[j]])
-        dot = F.aggregate(
-            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
-            F.lit(0.0),
-            lambda a, v: a + v,
-        )
-        acc = acc + (dot > 0).cast("bigint") * F.lit(2**j)
-    return df.withColumn(output_column, acc)
+    return df.withColumn(output_column, signature_expr(column, bits, dim))

@@ -154,3 +154,80 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         F.round(pair_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")), 6),
     )
     return _topk(joined, k)
+
+
+@register("knn.lsh", kind="transform", min_inputs=1, max_inputs=2,
+          doc="Approximate k-NN join via hyperplane-LSH band buckets")
+def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """The BOTH-SIDES-LARGE ANN path (knn.brute broadcasts the query
+    side; knn.ivf needs a pre-bucketed corpus): hyperplane signatures
+    band into buckets, candidates come from an EQUI-join on
+    (band_index, band_value), and only candidates get the exact
+    cosine + per-query top-k. Same banded-LSH shape as dedup.minhash
+    — nothing broadcasts, nothing is quadratic; recall is tuned by
+    bits/bands (more bands = more candidates = higher recall).
+
+    inputs: [corpus] (self-kNN, self-pairs excluded) or
+    [corpus, queries]. Config: id_column (required), column
+    (default embedding), k (default 10), dim (required — the
+    embedding length; deterministic planes need it), bits (default
+    16), bands (default 4; bits % bands == 0).
+
+    Output: (query_id, neighbor_id, cosine, rank) — cosine rounded
+    to 6 (accumulated-float noise; NOTES.md determinism rules).
+    """
+    corpus = inputs[0]
+    id_column = config.get("id_column")
+    if not id_column:
+        raise ConfigError("knn.lsh requires 'id_column'")
+    column = config.get("column", "embedding")
+    k = int(config.get("k", 10))
+    dim = config.get("dim")
+    if dim is None:
+        raise ConfigError("knn.lsh requires 'dim' (embedding length)")
+    bits = int(config.get("bits", 16))
+    bands = int(config.get("bands", 4))
+    if bits % bands != 0:
+        raise ConfigError("knn.lsh: bits must be divisible by bands")
+    width = bits // bands
+
+    from conveyor_spark.datapipe.emb_lsh import signature_expr
+
+    def banded(df: DataFrame, ids: str, vs: str, bcol: str) -> DataFrame:
+        sig = df.select(
+            F.col(id_column).alias(ids),
+            F.col(column).alias(vs),
+            signature_expr(column, bits, int(dim)).alias("__sig"),
+            norm_expr(F.col(column)).alias(f"{vs}n"),
+        )
+        bandvals = F.array(*[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.shiftright(F.col("__sig"), j * width).bitwiseAND(
+                    F.lit(2**width - 1)
+                ).alias("val"),
+            )
+            for j in range(bands)
+        ])
+        return sig.select(ids, vs, f"{vs}n", F.explode(bandvals).alias(bcol))
+
+    c = banded(corpus, "neighbor_id", "__cv", "__cb")
+    q = banded(inputs[1], "query_id", "__qv", "__qb") if len(inputs) > 1 else (
+        c.select(F.col("neighbor_id").alias("query_id"),
+                 F.col("__cv").alias("__qv"),
+                 F.col("__cvn").alias("__qvn"),
+                 F.col("__cb").alias("__qb"))
+    )
+    cand = (
+        q.join(c, on=F.col("__qb") == F.col("__cb"))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        # a pair met in several bands is ONE candidate; the carried
+        # vectors/norms are identical per id, so id-pair dedup suffices
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        F.round(pair_cosine(F.col("__qv"), F.col("__cv"),
+                            F.col("__qvn"), F.col("__cvn")), 6),
+    )
+    return _topk(scored, k)

@@ -1980,6 +1980,52 @@ def q67_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "media_format", "media_bytes")
 
 
+def _knn_lsh_oracle(bits: int = 16, bands: int = 4, k: int = 3, dim: int = 64) -> str:
+    from conveyor_spark.datapipe.emb_lsh import sign_matrix
+
+    planes = sign_matrix(bits, dim)
+    terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{signs}]) > 0 THEN {p} ELSE 0 END)".format(
+            signs=", ".join(f"{s:.1f}" for s in planes[j]), p=2**j
+        )
+        for j in range(bits)
+    )
+    width = bits // bands
+    js = ", ".join(f"({j})" for j in range(bands))
+    return f"""
+    WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, ({terms})::BIGINT AS sig,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    b AS (SELECT vec_id, t.j, (sig >> (t.j * {width})) & {2**width - 1} AS val
+          FROM s, (VALUES {js}) t(j)),
+    cand AS (SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM b a JOIN b c ON a.j = c.j AND a.val = c.val
+                      AND a.vec_id <> c.vec_id),
+    sc AS (SELECT cd.query_id, cd.neighbor_id,
+                  round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) AS cosine
+           FROM cand cd
+           JOIN s sa ON sa.vec_id = cd.query_id
+           JOIN s sb ON sb.vec_id = cd.neighbor_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)::INT AS rank
+      FROM sc)
+    WHERE rank <= {k}
+    """
+
+
+@query("q68_knn_lsh", _knn_lsh_oracle())
+def q68_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn.lsh: the both-sides-large ANN join — hyperplane band
+    buckets -> equi-join candidates -> exact cosine on candidates
+    only -> per-query top-k. Nothing broadcasts, nothing quadratic;
+    the oracle reproduces the same deterministic planes/bands in SQL."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op("knn.lsh", ctx, [e], id_column="vec_id", k=3, dim=64,
+               bits=16, bands=4)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -286,3 +286,25 @@ def test_media_metadata_sniffs_magic(ctx, spark):
 
     plan = run_op(ctx, "media.metadata", [df], column="blob")._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_knn_lsh_two_input_and_validation(ctx, spark):
+    import pytest as _pytest
+    from conveyor_spark.errors import ConfigError
+    from tests.conftest import run_op
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 5), 1.0, 0.5]) for i in range(30)], ["id", "embedding"]
+    )
+    queries = spark.createDataFrame([(100, [1.0, 1.0, 0.5])], ["id", "embedding"])
+    out = run_op(ctx, "knn.lsh", [corpus, queries], id_column="id", k=5,
+                 dim=3, bits=8, bands=4)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    assert all(r["query_id"] == 100 for r in rows)
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "knn.lsh", [corpus], id_column="id", bits=10, bands=4, dim=3)
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "knn.lsh", [corpus], id_column="id")  # dim required
