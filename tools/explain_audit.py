@@ -134,6 +134,11 @@ CHECKS = [
         "fuzzy join never cross-joins (gram equi-join + verify, no CartesianProduct/BNLJ)",
         lambda p, o: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     ),
+    (
+        "q68_knn_lsh",
+        "LSH kNN join: band-bucket equi-join, nothing broadcast-nested-loop or cartesian",
+        lambda p, o: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    ),
 ]
 
 
