@@ -19,4 +19,26 @@ from conveyor_spark.registry import REGISTRY, get_function, register
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "REGISTRY", "get_function", "register", "__version__"]
+__all__ = [
+    "get_spark",
+    "REGISTRY",
+    "get_function",
+    "register",
+    "run_pipeline",
+    "load_spec",
+    "__version__",
+]
+
+
+def __getattr__(name: str):
+    # Library entry points, imported lazily so `import conveyor_spark`
+    # stays cheap (compiler pulls in the full operator registry).
+    if name == "run_pipeline":
+        from conveyor_spark.compiler import run_pipeline
+
+        return run_pipeline
+    if name == "load_spec":
+        from conveyor_spark.config.spec import load_spec
+
+        return load_spec
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
