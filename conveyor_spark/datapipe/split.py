@@ -82,3 +82,47 @@ def sample_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         fraction=float(fraction),
         seed=int(config.get("seed", 42)),
     )
+
+
+@register("sample.stratified", kind="transform", doc="Deterministic per-stratum hash sampling")
+def sample_stratified(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Data-mixing primitive: keep a different deterministic fraction
+    of each stratum — downsample the dominant language/source, keep
+    100% of the rare ones (the corpus-reweighting step of a training
+    build).
+
+    Config: ``by`` (stratum column(s), required), ``id_column``
+    (required — keep/drop is a pure function of the id, NOT of
+    partitioning or row order, same property as split.assign),
+    ``fractions`` = {stratum_value: fraction} (required; multi-column
+    strata key on the '|'-joined string values),
+    ``default_fraction`` (for strata not listed; default 1.0 = keep),
+    ``seed`` (default "strat").
+
+    Scale: one codegen'd filter — no shuffle, no sampling state, and
+    the SAME rows survive on any cluster layout or rerun. Fractions
+    quantize to 1/10000 (md5 bucket), exactly like split.assign.
+    """
+    df = inputs[0]
+    by = config.get("by")
+    id_column = config.get("id_column")
+    if not by or not id_column:
+        raise ConfigError("sample.stratified requires 'by' and 'id_column'")
+    by = [by] if isinstance(by, str) else list(by)
+    fractions = config.get("fractions")
+    if not isinstance(fractions, dict) or not fractions:
+        raise ConfigError("sample.stratified requires 'fractions' {stratum: fraction}")
+    default_fraction = float(config.get("default_fraction", 1.0))
+    for k, v in {**fractions, "default_fraction": default_fraction}.items():
+        if not 0 <= float(v) <= 1:
+            raise ConfigError(f"sample.stratified: fraction {k}={v} outside [0, 1]")
+    seed = config.get("seed", "strat")
+
+    stratum = F.concat_ws("|", *[F.col(c).cast("string") for c in by])
+    bucket = md5_int(
+        F.concat(F.col(id_column).cast("string"), F.lit(f"#{seed}"))
+    ) % 10000
+    frac = F.lit(default_fraction)
+    for value, f in sorted(fractions.items()):
+        frac = F.when(stratum == str(value), F.lit(float(f))).otherwise(frac)
+    return df.filter(bucket < frac * 10000)

@@ -2028,6 +2028,29 @@ def q68_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                bits=24, bands=4)
 
 
+@query(
+    "q69_stratified_sample",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             {_sql_hash("doc_id::VARCHAR || '#strat'")} % 10000 AS bucket
+      FROM documents)
+    SELECT doc_id, lang FROM b
+    WHERE bucket < (CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
+                    ELSE 1.0 END) * 10000
+    """,
+)
+def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample.stratified: corpus reweighting — keep 25% of 'en', 50%
+    of 'de', all of everything else, as a pure function of doc_id
+    (same rows survive on any layout/rerun; one codegen'd filter)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("sample.stratified", ctx, [d], by="lang", id_column="doc_id",
+              fractions={"en": 0.25, "de": 0.5})
+    return out.select("doc_id", "lang")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

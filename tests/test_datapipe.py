@@ -308,3 +308,33 @@ def test_knn_lsh_two_input_and_validation(ctx, spark):
         run_op(ctx, "knn.lsh", [corpus], id_column="id", bits=10, bands=4, dim=3)
     with _pytest.raises(ConfigError):
         run_op(ctx, "knn.lsh", [corpus], id_column="id")  # dim required
+
+
+def test_sample_stratified_deterministic_fractions(ctx, spark):
+    import pytest as _pytest
+    from conveyor_spark.errors import ConfigError
+    from tests.conftest import run_op
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)], ["id", "lang"]
+    )
+    out = run_op(ctx, "sample.stratified", [df], by="lang", id_column="id",
+                 fractions={"en": 0.2})
+    rows = out.collect()
+    en = sum(1 for r in rows if r["lang"] == "en")
+    fr = sum(1 for r in rows if r["lang"] == "fr")
+    assert fr == 1000                      # default_fraction 1.0 keeps all
+    assert 120 <= en <= 280                # ~20% of 1000, hash-quantized
+    again = {r["id"] for r in run_op(
+        ctx, "sample.stratified", [df.repartition(13)], by="lang", id_column="id",
+        fractions={"en": 0.2}).collect()}
+    assert again == {r["id"] for r in rows}  # layout-invariant
+
+    zero = run_op(ctx, "sample.stratified", [df], by="lang", id_column="id",
+                  fractions={"en": 0.0, "fr": 0.0})
+    assert zero.count() == 0
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "sample.stratified", [df], by="lang", id_column="id",
+               fractions={"en": 1.5})
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "sample.stratified", [df], by="lang", id_column="id")
