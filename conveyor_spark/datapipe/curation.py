@@ -377,3 +377,67 @@ def text_boilerplate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
         column, F.coalesce(F.col("__rebuilt"), F.lit(""))
     )
     return out.drop("__rebuilt")
+
+
+@register(
+    "text.freq_score",
+    kind="transform",
+    min_inputs=1,
+    max_inputs=2,
+    doc="Corpus-frequency quality score per document",
+)
+def text_freq_score(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Statistical quality filter in the CCNet shape (score docs by a
+    corpus language model; keep the head of the distribution):
+    ``freq_score`` = (sum of each token's corpus count) /
+    (doc_tokens * corpus_tokens) — the average corpus frequency of
+    the document's tokens. Common fluent text scores high; gibberish,
+    code dumps, and OOV-heavy noise score near zero.
+
+    Deliberately an ARITHMETIC mean of token probabilities, not a
+    log-prob: every intermediate is an exact int64 (counts) and the
+    single final division is int/int -> double — bit-identical across
+    engines and partitionings, where a sum of ln() doubles is neither
+    (see NOTES.md determinism rules).
+
+    inputs: [docs] (frequencies from the same corpus) or
+    [docs, reference] (frequencies from a reference corpus; tokens
+    unseen there count 0). Config: ``column``, ``id_column``
+    (required), ``output_column`` (default ``freq_score``).
+
+    Scale: one token-count aggregate (shuffle bounded by vocabulary,
+    not corpus size), the corpus total rides as a broadcast 1-row
+    aggregate, and the per-doc re-aggregate shuffles (id, count)
+    pairs only — never the text.
+    """
+    docs = inputs[0]
+    ref = inputs[1] if len(inputs) > 1 else docs
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("text.freq_score requires 'column' and 'id_column'")
+    out = config.get("output_column", "freq_score")
+
+    ref_tokens = ref.select(F.explode(tokens_expr(column, distinct=False)).alias("__tok"))
+    counts = ref_tokens.groupBy("__tok").agg(F.count(F.lit(1)).alias("__cnt"))
+    total = counts.agg(F.sum("__cnt").alias("__total"))
+
+    doc_tokens = docs.select(
+        F.col(id_column), F.explode(tokens_expr(column, distinct=False)).alias("__tok")
+    )
+    per_doc = (
+        doc_tokens.join(counts, on="__tok", how="left")
+        .groupBy(id_column)
+        .agg(
+            F.sum(F.coalesce(F.col("__cnt"), F.lit(0))).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .join(F.broadcast(total))
+        .select(
+            id_column,
+            (F.col("__s").cast("double") / (F.col("__n") * F.col("__total")).cast("double")).alias(out),
+        )
+    )
+    joined = docs.join(per_doc, on=id_column, how="left")
+    # empty docs produce no token rows -> null score -> 0.0
+    return joined.withColumn(out, F.coalesce(F.col(out), F.lit(0.0)))

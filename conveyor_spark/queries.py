@@ -2051,6 +2051,32 @@ def q69_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang")
 
 
+@query(
+    "q70_freq_score",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS tk FROM documents),
+    cnt AS (SELECT tk, COUNT(*)::BIGINT AS c FROM tok GROUP BY tk),
+    tot AS (SELECT SUM(c)::BIGINT AS total FROM cnt),
+    per AS (
+      SELECT t.doc_id, SUM(COALESCE(c.c, 0))::BIGINT AS s, COUNT(*)::BIGINT AS n
+      FROM tok t LEFT JOIN cnt c ON t.tk = c.tk GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           COALESCE(per.s::DOUBLE / (per.n * tot.total)::DOUBLE, 0.0) AS freq_score
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id CROSS JOIN tot
+    """,
+)
+def q70_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.freq_score: average corpus frequency of each document's
+    tokens — the statistical quality filter (CCNet shape) built on
+    exact integer counts so it is bit-identical across engines and
+    partitionings."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("text.freq_score", ctx, [d], column="text", id_column="doc_id")
+    return out.select("doc_id", "freq_score")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

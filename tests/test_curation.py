@@ -227,3 +227,30 @@ def test_boilerplate_preserves_blank_lines_and_validates(ctx, spark):
         run_op(ctx, "text.boilerplate", [df], column="text", id_column="id", min_df=0)
     with pytest.raises(ConfigError):
         run_op(ctx, "text.boilerplate", [df], column="text", id_column="id", mode="zap")
+
+
+# -- text.freq_score --------------------------------------------------------
+
+def test_freq_score_ranks_common_text_higher(ctx, spark):
+    rows = [(1, "the the the"), (2, "zxqv"), (3, "the zxqv"), (4, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["freq_score"] for r in run_op(
+        ctx, "text.freq_score", [df], column="text", id_column="doc_id").collect()}
+    # corpus: the x4, zxqv x2, total 6. doc1: avg cnt 4 -> 4/6; doc2: 2/6
+    assert out[1] == pytest.approx(4 / 6)
+    assert out[2] == pytest.approx(2 / 6)
+    assert out[3] == pytest.approx(3 / 6)  # (4+2)/2 / 6
+    assert out[4] == 0.0                   # empty doc
+    assert out[1] > out[2]
+
+
+def test_freq_score_reference_corpus_mode(ctx, spark):
+    docs = spark.createDataFrame([(1, "alpha beta"), (2, "gamma gamma")],
+                                 ["doc_id", "text"])
+    ref = spark.createDataFrame([(10, "alpha alpha alpha beta")], ["doc_id", "text"])
+    out = {r["doc_id"]: r["freq_score"] for r in run_op(
+        ctx, "text.freq_score", [docs, ref], column="text",
+        id_column="doc_id").collect()}
+    # ref counts: alpha=3, beta=1, total 4. doc1: (3+1)/2/4 = 0.5
+    assert out[1] == pytest.approx(0.5)
+    assert out[2] == 0.0  # fully OOV vs the reference
