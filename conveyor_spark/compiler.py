@@ -39,6 +39,23 @@ class RunResult:
     outputs: dict[str, DataFrame] = field(default_factory=dict)
     errors: dict[str, str] = field(default_factory=dict)
     skipped: list[str] = field(default_factory=list)
+    # observe.apply stages -> {metric alias: value}, filled after the
+    # sink actions complete (only for branches that actually executed)
+    metrics: dict[str, dict[str, Any]] = field(default_factory=dict)
+
+
+def _drain_observations(ctx: "OpContext", result: RunResult) -> None:
+    """Collect completed Observation values without blocking: an
+    observed branch no action touched stays pending forever, so use
+    the JVM getOrEmpty (Observation.get would hang on it)."""
+    for name, obs in ctx.observations.items():
+        try:
+            jmap = obs._jo.getOrEmpty()  # noqa: SLF001 — no public non-blocking peek
+            if jmap.isEmpty():
+                continue
+            result.metrics[name] = dict(obs.get)
+        except Exception:  # pragma: no cover — internal API drift
+            continue
 
 
 def _strategy(stage: StageSpec, spec: PipelineSpec) -> dict[str, Any]:
@@ -138,6 +155,7 @@ def compile_pipeline(
                 result.errors[sid] = f"{type(exc).__name__}: {exc}"
                 continue
             raise
+    _drain_observations(ctx, result)
     return result
 
 

@@ -33,6 +33,9 @@ class OpContext:
 
     spark: SparkSession
     variables: dict[str, str] = field(default_factory=dict)
+    # observe.apply stashes pyspark Observation handles here; the
+    # compiler drains them into RunResult.metrics after the sinks run
+    observations: dict[str, Any] = field(default_factory=dict)
 
 
 OpFn = Callable[[OpContext, list[DataFrame], dict[str, Any]], Optional[DataFrame]]

@@ -22,6 +22,7 @@ from conveyor_spark.transforms import (  # noqa: F401
     py_eval,
     layout,
     approx,
+    observe,
     profile,
     sql_query,
     temporal_join,

@@ -179,3 +179,72 @@ def test_error_strategy_alias_key_continue(spark):
     })
     result = compile_pipeline(spark, spec)
     assert "bad" in result.errors
+
+
+def test_observe_metrics_collected_during_sink(spark, tmp_path):
+    """observe.apply plants CollectMetrics; values arrive with the
+    sink action — no extra job — in RunResult.metrics."""
+    import json as _j
+
+    from conveyor_spark.compiler import run_pipeline
+    from conveyor_spark.config.spec import parse_spec
+
+    src = tmp_path / "in.jsonl"
+    src.write_text("\n".join(_j.dumps({"x": i}) for i in range(10)))
+    out = tmp_path / "out.jsonl"
+    spec = parse_spec({
+        "pipeline": {"name": "obs-demo"},
+        "stages": [
+            {"id": "src", "function": "json.read",
+             "config": {"path": str(src), "format": "jsonl"}},
+            {"id": "watch", "function": "observe.apply", "inputs": ["src"],
+             "config": {"name": "input_stats", "metrics": [
+                 {"expr": "count(1)", "alias": "n"},
+                 {"expr": "sum(x)", "alias": "sum_x"}]}},
+            {"id": "big", "function": "filter.apply", "inputs": ["watch"],
+             "config": {"expr": "x >= 5"}},
+            {"id": "watch2", "function": "observe.apply", "inputs": ["big"],
+             "config": {"name": "kept"}},
+            {"id": "sink", "function": "json.write", "inputs": ["watch2"],
+             "config": {"path": str(out), "format": "jsonl"}},
+        ],
+    })
+    result = run_pipeline(spark, spec)
+    assert not result.errors
+    assert result.metrics["input_stats"] == {"n": 10, "sum_x": 45}
+    assert result.metrics["kept"] == {"n_rows": 5}
+
+
+def test_observe_unexecuted_branch_reports_nothing(spark, tmp_path):
+    import json as _j
+
+    from conveyor_spark.compiler import compile_pipeline
+    from conveyor_spark.config.spec import parse_spec
+
+    src = tmp_path / "in2.jsonl"
+    src.write_text(_j.dumps({"x": 1}))
+    spec = parse_spec({
+        "pipeline": {"name": "obs-dangling"},
+        "stages": [
+            {"id": "src", "function": "json.read",
+             "config": {"path": str(src), "format": "jsonl"}},
+            {"id": "watch", "function": "observe.apply", "inputs": ["src"],
+             "config": {"name": "dangling"}},
+        ],
+    })
+    result = compile_pipeline(spark, spec, run_sinks=True)
+    assert "dangling" not in result.metrics  # no action -> no values, no hang
+
+
+def test_observe_validates(spark, ctx, tmp_path):
+    import pytest as _pytest
+
+    from conveyor_spark.errors import ConfigError
+    from tests.conftest import run_op
+
+    df = spark.range(3)
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "observe.apply", [df])  # name required
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "observe.apply", [df], name="m",
+               metrics=[{"expr": "count(1)"}])  # alias required
