@@ -186,6 +186,9 @@ def main(argv: list[str] | None = None) -> int:
     if result.errors:
         for sid, err in result.errors.items():
             print(f"stage {sid} failed (continue): {err}", file=sys.stderr)
+    for name, vals in result.metrics.items():
+        # observe.apply stages; stderr so sink stdout stays clean data
+        print(f"metrics[{name}]: {vals}", file=sys.stderr)
     return 0
 
 

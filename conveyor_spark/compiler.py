@@ -44,18 +44,48 @@ class RunResult:
     metrics: dict[str, dict[str, Any]] = field(default_factory=dict)
 
 
-def _drain_observations(ctx: "OpContext", result: RunResult) -> None:
-    """Collect completed Observation values without blocking: an
-    observed branch no action touched stays pending forever, so use
-    the JVM getOrEmpty (Observation.get would hang on it)."""
-    for name, obs in ctx.observations.items():
+def _drain_observations(
+    ctx: "OpContext", result: RunResult, sink_ancestors: set[str]
+) -> None:
+    """Collect Observation values without hanging.
+
+    The listener completing an Observation fires ASYNC after an
+    action, so poll getOrEmpty briefly (Observation.get would block
+    forever on a branch no action touched). Driver-iterating sinks
+    (toLocalIterator) never fire the listener at all — for
+    observations whose stage is an ancestor of an executed sink,
+    fall back to an explicit aggregate job (one extra scan, correct
+    values); dangling branches still report nothing."""
+    import time
+
+    def peek(obs) -> dict | None:
+        # no public non-blocking API; getOrEmpty NPEs while pending on
+        # Spark 4, which also tells us "not completed yet"
         try:
-            jmap = obs._jo.getOrEmpty()  # noqa: SLF001 — no public non-blocking peek
-            if jmap.isEmpty():
-                continue
-            result.metrics[name] = dict(obs.get)
-        except Exception:  # pragma: no cover — internal API drift
-            continue
+            jmap = obs._jo.getOrEmpty()  # noqa: SLF001
+            if not jmap.isEmpty():
+                return dict(obs.get)
+        except Exception:
+            return None
+        return None
+
+    for name, entry in ctx.observations.items():
+        got = None
+        for _ in range(10):  # <= 0.5 s for the async listener
+            got = peek(entry["obs"])
+            if got is not None:
+                break
+            time.sleep(0.05)
+        if got is None and entry.get("stage") in sink_ancestors:
+            # listener never fired (e.g. a toLocalIterator sink) but
+            # the branch DID feed a sink: recompute explicitly
+            try:
+                row = entry["df"].agg(*entry["exprs"]).first()
+            except Exception:  # pragma: no cover
+                row = None
+            got = row.asDict() if row is not None else None
+        if got is not None:
+            result.metrics[name] = got
 
 
 def _strategy(stage: StageSpec, spec: PipelineSpec) -> dict[str, Any]:
@@ -115,9 +145,11 @@ def compile_pipeline(
     result = RunResult()
     stage_map = spec.stage_map()
 
+    executed_sinks: list[str] = []
     for sid in spec.topo_order():
         stage = stage_map[sid]
         op = get_function(stage.function)
+        ctx.stage_id = sid
         if len(stage.inputs) < op.min_inputs:
             raise ConfigError(
                 f"stage {sid!r}: {stage.function} needs >= {op.min_inputs} inputs"
@@ -155,7 +187,20 @@ def compile_pipeline(
                 result.errors[sid] = f"{type(exc).__name__}: {exc}"
                 continue
             raise
-    _drain_observations(ctx, result)
+        if op.kind == "sink":
+            executed_sinks.append(sid)
+
+    # stages upstream of a sink that actually ran (for the metrics
+    # fallback: only those branches were computed)
+    ancestors: set[str] = set()
+    frontier = list(executed_sinks)
+    while frontier:
+        s = frontier.pop()
+        for parent in stage_map[s].inputs:
+            if parent not in ancestors:
+                ancestors.add(parent)
+                frontier.append(parent)
+    _drain_observations(ctx, result, ancestors)
     return result
 
 

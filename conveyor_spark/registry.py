@@ -33,9 +33,12 @@ class OpContext:
 
     spark: SparkSession
     variables: dict[str, str] = field(default_factory=dict)
-    # observe.apply stashes pyspark Observation handles here; the
-    # compiler drains them into RunResult.metrics after the sinks run
+    # observe.apply stashes {obs, stage, df, exprs} here; the compiler
+    # drains them into RunResult.metrics after the sinks run
     observations: dict[str, Any] = field(default_factory=dict)
+    # set by the compiler before each op call (ops that need to know
+    # their own stage id, e.g. observe.apply's lineage tracking)
+    stage_id: Optional[str] = None
 
 
 OpFn = Callable[[OpContext, list[DataFrame], dict[str, Any]], Optional[DataFrame]]

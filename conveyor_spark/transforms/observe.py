@@ -53,5 +53,10 @@ def observe_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
         exprs.append(F.expr(m["expr"]).alias(m["alias"]))
     obs = Observation(name)
     out = df.observe(obs, *exprs)
-    ctx.observations[name] = obs
+    # stage/df/exprs let the compiler fall back to an explicit agg job
+    # for driver-iterating sinks (toLocalIterator never completes the
+    # observation listener) — but ONLY on branches that fed a sink
+    ctx.observations[name] = {
+        "obs": obs, "stage": ctx.stage_id, "df": df, "exprs": exprs
+    }
     return out
