@@ -2077,6 +2077,41 @@ def q70_freq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "freq_score")
 
 
+@query(
+    "q71_validate_quarantine",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END AS text,
+             CASE WHEN doc_id % 7 = 0 THEN 'not-a-date' ELSE '2024-01-15' END AS seen
+      FROM documents)
+    SELECT doc_id,
+           (text IS NOT NULL AND NOT (doc_id % 7 = 0)) AS _valid,
+           CASE WHEN text IS NULL AND doc_id % 7 = 0 THEN ['null:text', 'date:seen']
+                WHEN text IS NULL THEN ['null:text']
+                WHEN doc_id % 7 = 0 THEN ['date:seen']
+                ELSE []::VARCHAR[] END AS _violations
+    FROM dirty
+    """,
+)
+def q71_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate.schema mode=tag: row-level dead-letter tagging — each
+    row gets _valid + the named rules it violates (null text /
+    unparseable date), computed as one codegen'd expression, rows
+    untouched. mode=filter is the same predicate as a WHERE."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    dirty = _op("map.apply", ctx, [d],
+                expression="CASE WHEN doc_id % 13 = 0 THEN NULL ELSE text END",
+                output_column="text")
+    dirty = _op("map.apply", ctx, [dirty],
+                expression="CASE WHEN doc_id % 7 = 0 THEN 'not-a-date' ELSE '2024-01-15' END",
+                output_column="seen")
+    out = _op("validate.schema", ctx, [dirty], mode="tag",
+              non_nullable=["text"], date_fields=["seen"])
+    return out.select("doc_id", "_valid", "_violations")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -41,8 +41,30 @@ _TYPE_VOCAB: dict[str, tuple[type, ...]] = {
 
 @register("validate.schema", kind="transform", doc="Assert schema/data constraints; pass-through")
 def validate_schema(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """``mode`` extends the reference's all-or-nothing contract:
+
+    - ``error`` (default): any violation fails the pipeline (parity).
+    - ``filter``: QUARANTINE — drop rows violating the row-level
+      rules (non_nullable, date_fields); structural checks still
+      raise. The dead-letter pattern: route the complement via a
+      second validate stage with ``tag``.
+    - ``tag``: add ``_valid`` boolean + ``_violations`` array naming
+      each failed rule, rows untouched.
+
+    ``unique_fields`` stays error-mode-only: "which duplicate is the
+    invalid one" is order-dependent and has no deterministic row-level
+    answer in a distributed engine (use dedup.exact to resolve
+    duplicates deterministically instead)."""
     df = inputs[0]
     fields = {f.name: f.dataType for f in df.schema.fields}
+    mode = config.get("mode", "error")
+    if mode not in ("error", "filter", "tag"):
+        raise ConfigError("validate.schema: mode must be error|filter|tag")
+    if mode != "error" and config.get("unique_fields"):
+        raise ConfigError(
+            "validate.schema: unique_fields requires mode=error (row-level "
+            "duplicate blame is order-dependent; use dedup.exact instead)"
+        )
 
     for name in config.get("required_fields", []):
         if name not in fields:
@@ -58,6 +80,35 @@ def validate_schema(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
             raise ValidationError(
                 f"validate.schema: field {name!r} is {fields[name].simpleString()}, expected {tname}"
             )
+
+    if mode in ("filter", "tag"):
+        checks: list = []
+        for name in config.get("non_nullable", []):
+            if name not in fields:
+                raise ValidationError(f"validate.schema: non_nullable field {name!r} missing")
+            checks.append(F.when(F.col(name).isNull(), F.lit(f"null:{name}")))
+        for name in config.get("date_fields", []):
+            if name not in fields:
+                raise ValidationError(f"validate.schema: date field {name!r} missing")
+            if isinstance(fields[name], (T.DateType, T.TimestampType)):
+                continue
+            parsed = F.coalesce(
+                F.try_to_timestamp(F.col(name)),
+                F.expr(f"try_cast(`{name}` AS DATE)").cast("timestamp"),
+            )
+            checks.append(
+                F.when(F.col(name).isNotNull() & parsed.isNull(), F.lit(f"date:{name}"))
+            )
+        viol = (
+            F.filter(F.array(*checks), lambda x: x.isNotNull())
+            if checks
+            else F.array().cast("array<string>")
+        )
+        if mode == "filter":
+            return df.filter(F.size(viol) == 0)
+        return df.withColumn("_violations", viol).withColumn(
+            "_valid", F.size(F.col("_violations")) == 0
+        )
 
     # One aggregate job for all data-level rules.
     aggs: list = []

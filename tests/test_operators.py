@@ -193,3 +193,30 @@ def test_approx_aggregates(ctx, spark):
     assert 45 <= med["a"] <= 55 and med["b"] == 5.0
     fi = run_op(ctx, "approx.frequent_items", [df], columns="v", support=0.04)
     assert 5.0 in fi.first()["v_freqItems"]
+
+
+def test_validate_quarantine_modes(ctx, spark):
+    import pytest as _pytest
+
+    from conveyor_spark.errors import ConfigError
+    from tests.conftest import run_op
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01"), (2, None, "2024-01-01"), (3, "c", "junk")],
+        ["id", "name", "seen"],
+    )
+    kept = run_op(ctx, "validate.schema", [df], mode="filter",
+                  non_nullable=["name"], date_fields=["seen"])
+    assert {r["id"] for r in kept.collect()} == {1}
+
+    tagged = {r["id"]: r for r in run_op(
+        ctx, "validate.schema", [df], mode="tag",
+        non_nullable=["name"], date_fields=["seen"]).collect()}
+    assert tagged[1]["_valid"] is True and tagged[1]["_violations"] == []
+    assert tagged[2]["_violations"] == ["null:name"]
+    assert tagged[3]["_violations"] == ["date:seen"]
+
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "validate.schema", [df], mode="filter", unique_fields=["id"])
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "validate.schema", [df], mode="zap")
