@@ -151,7 +151,7 @@ def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
     ]
 
 
-@register("dedup.exact", kind="transform", doc="Exact dedup via content fingerprint")
+@register("dedup.exact", kind="transform", max_inputs=2, doc="Exact dedup via content fingerprint")
 def dedup_exact(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Keep one row per distinct content (min of `id_column` wins —
     deterministic, unlike dropDuplicates' partition-order 'any')."""
@@ -162,6 +162,22 @@ def dedup_exact(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
         raise ConfigError("dedup.exact requires 'columns' and 'id_column'")
     columns = [columns] if isinstance(columns, str) else list(columns)
     fp = F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in columns]))
+    if len(inputs) > 1:
+        # INCREMENTAL: inputs = [new, existing]. Drop new rows whose
+        # content already exists in the kept corpus, then dedup
+        # new-vs-new (min id wins). Only fingerprints of `existing`
+        # shuffle — never its rows; the daily-increment shape.
+        existing = inputs[1]
+        seen = existing.select(
+            F.md5(
+                F.concat_ws("\x1f", *[F.col(c).cast("string") for c in columns])
+            ).alias("__fp")
+        ).distinct()
+        fresh = df.withColumn("__fp", fp).join(seen, on="__fp", how="left_anti")
+        keep = (
+            fresh.groupBy("__fp").agg(F.min(id_column).alias(id_column)).select(id_column)
+        )
+        return df.join(keep, on=id_column, how="semi")
     keep = (
         df.withColumn("__fp", fp)
         .groupBy("__fp")
@@ -183,18 +199,29 @@ def _shingles(config: dict[str, Any], column: str) -> Column:
     raise ConfigError(f"unknown shingle kind {kind!r}")
 
 
-@register("dedup.minhash", kind="transform", doc="MinHash signatures + LSH band buckets")
+@register("dedup.minhash", kind="transform", max_inputs=2, doc="MinHash signatures + LSH band buckets")
 def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Emit candidate duplicate pairs (id_a < id_b) from MinHash-LSH.
 
     bands*rows_per_band == num_hashes; a pair is a candidate if any
     band signature matches. Output: id_a, id_b, n_bands (matching).
+
+    INCREMENTAL mode: inputs = [new, existing] (distinct id spaces —
+    caller's contract) emits only pairs touching the NEW side
+    (new-new and new-existing); existing-existing pairs are already
+    resolved and never re-materialize — the shuffle still carries
+    only (id, band, sig) for both sides.
     """
     df = inputs[0]
     column = config.get("column")
     id_column = config.get("id_column")
     if not column or not id_column:
         raise ConfigError("dedup.minhash requires 'column' and 'id_column'")
+    existing = inputs[1] if len(inputs) > 1 else None
+    if existing is not None:
+        df = df.withColumn("__new", F.lit(True)).unionByName(
+            existing.select(*df.drop("__new").columns).withColumn("__new", F.lit(False))
+        )
     num_hashes = int(config.get("num_hashes", 16))
     bands = int(config.get("bands", 4))
     if num_hashes % bands != 0:
@@ -205,14 +232,16 @@ def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     # expensive shingle/hash subtrees into every one of the k mins
     # (CollapseProject keeps multi-referenced non-cheap projections):
     #   text -> shingle array -> base-hash array -> k universal mins.
+    extra = ["__new"] if existing is not None else []
     base = widen(ctx, df, config).select(
-        F.col(id_column).alias("__id"), _shingles(config, column).alias("__sh")
+        F.col(id_column).alias("__id"), _shingles(config, column).alias("__sh"), *extra
     )
     hashed = base.select(
-        "__id", F.transform(F.col("__sh"), base_hash28).alias("__bh")
+        "__id", F.transform(F.col("__sh"), base_hash28).alias("__bh"), *extra
     )
     with_sig = hashed.select(
         "__id",
+        *extra,
         *[
             F.array_min(F.transform(F.col("__bh"), _universal_mix_fn(i))).alias(f"__h{i}")
             for i in range(num_hashes)
@@ -225,14 +254,16 @@ def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
             F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("_", *parts)).alias("sig"))
         )
     buckets = with_sig.select(
-        "__id", F.explode(F.array(*band_cols)).alias("__b")
-    ).select("__id", F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig"))
+        "__id", *extra, F.explode(F.array(*band_cols)).alias("__b")
+    ).select("__id", *extra, F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig"))
     # pairs within a bucket; shuffle carries only (id, band, sig)
     a, b = buckets.alias("a"), buckets.alias("b")
+    joined = a.join(b, on=["band", "sig"]).filter(F.col("a.__id") < F.col("b.__id"))
+    if existing is not None:
+        # only pairs touching the new side; old-old already resolved
+        joined = joined.filter(F.col("a.__new") | F.col("b.__new"))
     pairs = (
-        a.join(b, on=["band", "sig"])
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        joined.groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_bands"))
     )
     return pairs

@@ -720,7 +720,7 @@ def q27_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("select.apply", ctx, [out], columns=["doc_id", "fingerprint"])
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_oracle(num_hashes: int = 16, bands: int = 4, pair_where: str = "") -> str:
     from conveyor_spark.datapipe.dedup import MINHASH_P, minhash_params
 
     r = num_hashes // bands
@@ -749,6 +749,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
     FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    {pair_where}
     GROUP BY a.doc_id, b.doc_id
     """
 
@@ -2110,6 +2111,50 @@ def q71_validate_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _op("validate.schema", ctx, [dirty], mode="tag",
               non_nullable=["text"], date_fields=["seen"])
     return out.select("doc_id", "_valid", "_violations")
+
+
+@query(
+    "q72_dedup_exact_incremental",
+    """
+    WITH newd AS (SELECT * FROM documents WHERE doc_id % 3 = 0),
+    oldd AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+    fp AS (SELECT doc_id, md5(CAST(text AS VARCHAR)) AS f FROM newd),
+    fresh AS (SELECT * FROM fp
+              WHERE f NOT IN (SELECT DISTINCT md5(CAST(text AS VARCHAR)) FROM oldd)),
+    keep AS (SELECT f, MIN(doc_id) AS doc_id FROM fresh GROUP BY f)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM newd d JOIN keep k ON d.doc_id = k.doc_id
+    """,
+)
+def q72_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.exact incremental: today's batch against the kept
+    corpus — new rows whose content already exists are dropped, then
+    new-vs-new resolves min-id-wins; only fingerprints of the
+    existing corpus shuffle, never its rows."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    new = _op("filter.apply", ctx, [d], expr="doc_id % 3 = 0")
+    old = _op("filter.apply", ctx, [d], expr="doc_id % 3 <> 0")
+    out = _op("dedup.exact", ctx, [new, old], columns="text", id_column="doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+@query(
+    "q73_dedup_minhash_incremental",
+    _minhash_oracle(pair_where="WHERE a.doc_id % 3 = 0 OR b.doc_id % 3 = 0"),
+)
+def q73_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.minhash incremental: candidate pairs touching the new
+    batch only (new-new + new-existing); existing-existing pairs are
+    already resolved and never re-materialize. The union of the two
+    sides is the whole corpus, so the oracle reuses the full banding
+    machinery with a pair filter."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    new = _op("filter.apply", ctx, [d], expr="doc_id % 3 = 0")
+    old = _op("filter.apply", ctx, [d], expr="doc_id % 3 <> 0")
+    return _op("dedup.minhash", ctx, [new, old], column="text", id_column="doc_id",
+               num_hashes=16, bands=4, shingle="word", ngram=3)
 
 
 def entry_query(spark: SparkSession) -> DataFrame:

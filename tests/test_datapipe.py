@@ -338,3 +338,25 @@ def test_sample_stratified_deterministic_fractions(ctx, spark):
                fractions={"en": 1.5})
     with _pytest.raises(ConfigError):
         run_op(ctx, "sample.stratified", [df], by="lang", id_column="id")
+
+
+def test_dedup_incremental_modes(ctx, spark):
+    from tests.conftest import run_op
+
+    new = spark.createDataFrame(
+        [(10, "aaa bbb ccc"), (11, "xxx yyy zzz"), (12, "aaa bbb ccc"), (13, "fresh text")],
+        ["doc_id", "text"],
+    )
+    old = spark.createDataFrame(
+        [(1, "xxx yyy zzz"), (2, "other corpus doc")], ["doc_id", "text"]
+    )
+    kept = run_op(ctx, "dedup.exact", [new, old], columns="text", id_column="doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [10, 13]
+
+    pairs = run_op(ctx, "dedup.minhash", [new, old], column="text",
+                   id_column="doc_id", num_hashes=8, bands=4,
+                   shingle="char", ngram=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 11) in got    # new doc duplicates the corpus
+    assert (10, 12) in got   # new-new duplicate
+    assert all(a >= 10 or b >= 10 for a, b in got)  # never old-old
