@@ -441,3 +441,63 @@ def text_freq_score(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     joined = docs.join(per_doc, on=id_column, how="left")
     # empty docs produce no token rows -> null score -> 0.0
     return joined.withColumn(out, F.coalesce(F.col(out), F.lit(0.0)))
+
+
+@register("text.chunk", kind="transform", doc="Split documents into token-budget chunks with overlap")
+def text_chunk(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Context-length preprocessing: split each document into chunks
+    of ``size`` whitespace tokens, consecutive chunks overlapping by
+    ``overlap`` tokens (the standard training/RAG chunker — NOT the
+    row-batching of chunk.apply).
+
+    Config: ``column``, ``id_column`` (required), ``size`` (tokens,
+    required), ``overlap`` (default 0; must be < size),
+    ``min_tokens`` (default 1: drop degenerate tail chunks shorter
+    than this — an overlap-only tail repeats content the previous
+    chunk already carries).
+
+    Output: (id, chunk_id, chunk, n_tokens), chunk_id 0-based in
+    document order. Pure per-row array expressions (let-bound token
+    array, slices, one posexplode) — no shuffle, linear; empty docs
+    yield no chunks.
+    """
+    df = inputs[0]
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("text.chunk requires 'column' and 'id_column'")
+    size = config.get("size")
+    if size is None or int(size) < 1:
+        raise ConfigError("text.chunk requires 'size' >= 1 (tokens)")
+    size = int(size)
+    overlap = int(config.get("overlap", 0))
+    if not 0 <= overlap < size:
+        raise ConfigError("text.chunk: overlap must be in [0, size)")
+    min_tokens = int(config.get("min_tokens", 1))
+    step = size - overlap
+
+    chunks = let_expr(
+        tokens_expr(column, distinct=False),
+        lambda tk: F.when(F.size(tk) <= 0, F.array().cast("array<struct<chunk:string,n_tokens:int>>"))
+        .otherwise(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.size(tk) - 1, F.lit(step)),
+                    lambda s: F.struct(
+                        F.concat_ws(" ", F.slice(tk, s + 1, size)).alias("chunk"),
+                        F.least(F.size(tk) - s, F.lit(size)).cast("int").alias("n_tokens"),
+                    ),
+                ),
+                lambda c: c["n_tokens"] >= min_tokens,
+            )
+        ),
+    )
+    return (
+        df.select(F.col(id_column), F.posexplode(chunks).alias("chunk_id", "__c"))
+        .select(
+            id_column,
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.col("__c.chunk").alias("chunk"),
+            F.col("__c.n_tokens").alias("n_tokens"),
+        )
+    )

@@ -2157,6 +2157,28 @@ def q73_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame
                num_hashes=16, bands=4, shingle="word", ngram=3)
 
 
+@query(
+    "q74_text_chunk",
+    f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    s AS (SELECT doc_id, tk, unnest(range(0, len(tk), 15)) AS st
+          FROM t WHERE len(tk) > 0)
+    SELECT doc_id, (st / 15)::INT AS chunk_id,
+           array_to_string(list_slice(tk, st + 1, st + 20), ' ') AS chunk,
+           least(len(tk) - st, 20)::INT AS n_tokens
+    FROM s
+    """,
+)
+def q74_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.chunk: 20-token chunks with 5-token overlap — the
+    context-length splitter of a training/RAG pipeline, pure per-row
+    array expressions with one posexplode."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("text.chunk", ctx, [d], column="text", id_column="doc_id",
+               size=20, overlap=5)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

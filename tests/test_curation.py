@@ -254,3 +254,34 @@ def test_freq_score_reference_corpus_mode(ctx, spark):
     # ref counts: alpha=3, beta=1, total 4. doc1: (3+1)/2/4 = 0.5
     assert out[1] == pytest.approx(0.5)
     assert out[2] == 0.0  # fully OOV vs the reference
+
+
+# -- text.chunk -------------------------------------------------------------
+
+def test_text_chunk_overlap_and_tail(ctx, spark):
+    df = spark.createDataFrame([(1, "a b c d e f g"), (2, "x"), (3, "")],
+                               ["id", "text"])
+    out = sorted((r["id"], r["chunk_id"], r["chunk"], r["n_tokens"]) for r in run_op(
+        ctx, "text.chunk", [df], column="text", id_column="id",
+        size=3, overlap=1).collect())
+    assert out == [
+        (1, 0, "a b c", 3), (1, 1, "c d e", 3), (1, 2, "e f g", 3), (1, 3, "g", 1),
+        (2, 0, "x", 1),
+    ]  # empty doc 3 yields nothing
+
+
+def test_text_chunk_min_tokens_drops_overlap_only_tail(ctx, spark):
+    df = spark.createDataFrame([(1, "a b c d e f g")], ["id", "text"])
+    out = [r["chunk"] for r in run_op(
+        ctx, "text.chunk", [df], column="text", id_column="id",
+        size=3, overlap=1, min_tokens=2).collect()]
+    assert out == ["a b c", "c d e", "e f g"]  # 1-token tail dropped
+
+
+def test_text_chunk_validates(ctx, spark):
+    df = spark.createDataFrame([(1, "a")], ["id", "text"])
+    with pytest.raises(ConfigError):
+        run_op(ctx, "text.chunk", [df], column="text", id_column="id", size=0)
+    with pytest.raises(ConfigError):
+        run_op(ctx, "text.chunk", [df], column="text", id_column="id",
+               size=3, overlap=3)
