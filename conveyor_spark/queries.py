@@ -2179,6 +2179,41 @@ def q74_text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                size=20, overlap=5)
 
 
+@query(
+    "q75_window_rollup",
+    """
+    SELECT 'hour' AS granularity, date_trunc('hour', ts) AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts), COUNT(*),
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+)
+def q75_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window.rollup: hourly + daily continuous aggregates in ONE
+    partial-aggregated job (the oracle needs one scan per
+    granularity; the op's single-pass shape is the point)."""
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    ev = _op("map.apply", ctx, [ev],
+             expression="CAST(value AS DECIMAL(18,2))", output_column="vdec")
+    out = _op(
+        "window.rollup", ctx, [ev],
+        time_column="ts", granularities=["hour", "day"],
+        aggregations=[
+            {"column": "event_id", "operation": "count", "output_column": "n_events"},
+            {"column": "vdec", "operation": "sum", "output_column": "sum_vdec"},
+        ],
+    )
+    return out.select(
+        "granularity", "bucket_start", "n_events",
+        F.col("sum_vdec").cast("double").alias("total_value"),
+    )
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

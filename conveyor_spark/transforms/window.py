@@ -99,3 +99,55 @@ def window_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
 
     seq = global_sequence(df, cols, "__gseq")
     return seq.withColumn("window_id", F.floor(F.col("__gseq") / n)).drop("__gseq")
+
+
+@register("window.rollup", kind="transform", doc="Multi-granularity time rollup in one pass")
+def window_rollup(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Hypertable-style continuous-aggregate batch: the same measures
+    at SEVERAL time granularities (hour + day + week...) computed in
+    ONE job — each row map-side explodes to (granularity, bucket)
+    pairs and a single partial-aggregated groupBy produces every
+    level; no per-granularity rescans, no union of jobs.
+
+    Config: ``time_column`` (required), ``granularities`` (list of
+    date_trunc units: minute/hour/day/week/month/year; required),
+    ``aggregations`` (groupby.apply vocabulary), ``group_by``
+    (optional extra keys). Output: (granularity, bucket_start,
+    keys..., aggs...).
+    """
+    from conveyor_spark.transforms.group_by import build_agg
+
+    df = inputs[0]
+    tcol = config.get("time_column")
+    grans = config.get("granularities")
+    aggs = config.get("aggregations")
+    if not tcol or not grans or not aggs:
+        raise ConfigError(
+            "window.rollup requires 'time_column', 'granularities', 'aggregations'"
+        )
+    allowed = {"minute", "hour", "day", "week", "month", "quarter", "year"}
+    grans = [str(g).lower() for g in grans]
+    bad = [g for g in grans if g not in allowed]
+    if bad:
+        raise ConfigError(f"window.rollup: unknown granularities {bad}; allowed {sorted(allowed)}")
+    keys = config.get("group_by") or []
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    levels = F.array(*[
+        F.struct(
+            F.lit(g).alias("granularity"),
+            F.date_trunc(g, F.col(tcol)).alias("bucket_start"),
+        )
+        for g in grans
+    ])
+    exploded = df.select(F.explode(levels).alias("__lvl"), "*").select(
+        F.col("__lvl.granularity").alias("granularity"),
+        F.col("__lvl.bucket_start").alias("bucket_start"),
+        *[c for c in df.columns],
+    )
+    exprs = []
+    for a in aggs:
+        col, op = a["column"], a["operation"]
+        out = a.get("output_column") or f"{col}_{op}"
+        exprs.append(build_agg(col, op, a.get("order_by")).alias(out))
+    return exploded.groupBy("granularity", "bucket_start", *keys).agg(*exprs)

@@ -113,3 +113,38 @@ def test_py_group_eval_requires_schema(ctx, spark):
     df = spark.createDataFrame([("a", 1.0)], "k STRING, v DOUBLE")
     with pytest.raises(ConfigError, match="output_schema"):
         run_op(ctx, "py.group_eval", [df], script="def transform(k,p): return p", group_by="k")
+
+
+def test_window_rollup_levels_single_pass(ctx, spark):
+    import pytest as _pytest
+
+    from conveyor_spark.errors import ConfigError
+    from tests.conftest import run_op
+
+    df = spark.createDataFrame(
+        [("2024-01-01 10:15:00", "a", 1.0), ("2024-01-01 10:45:00", "a", 2.0),
+         ("2024-01-01 11:05:00", "b", 4.0)],
+        ["ts", "k", "v"],
+    ).selectExpr("CAST(ts AS TIMESTAMP) AS ts", "k", "v")
+    out = run_op(ctx, "window.rollup", [df], time_column="ts",
+                 granularities=["hour", "day"], group_by="k",
+                 aggregations=[{"column": "v", "operation": "sum",
+                                "output_column": "s"}])
+    got = {(r["granularity"], str(r["bucket_start"]), r["k"]): r["s"]
+           for r in out.collect()}
+    assert got[("hour", "2024-01-01 10:00:00", "a")] == 3.0
+    assert got[("hour", "2024-01-01 11:00:00", "b")] == 4.0
+    assert got[("day", "2024-01-01 00:00:00", "a")] == 3.0
+
+    # single pass: one explode feeding one aggregate — never a Union
+    # of per-granularity jobs (post-AQE plan text repeats the initial
+    # plan, so count within the final section only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Union" not in final
+    assert final.count("Generate explode") == 1
+
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "window.rollup", [df], time_column="ts",
+               granularities=["fortnight"],
+               aggregations=[{"column": "v", "operation": "sum"}])
