@@ -2214,6 +2214,55 @@ def q75_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q76_corpus_pipeline",
+    r"""
+    WITH norm AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    scored AS (
+      SELECT *, len(list_filter(string_split_regex(t, '\s+'), x -> x <> '')) AS n_toks
+      FROM norm),
+    kept AS (SELECT * FROM scored WHERE n_toks >= 10),
+    fp AS (SELECT *, md5(t) AS f FROM kept),
+    uniq AS (
+      SELECT fp.* FROM fp
+      JOIN (SELECT f, MIN(doc_id) AS doc_id FROM fp GROUP BY f) k
+        ON fp.doc_id = k.doc_id),
+    sampled AS (
+      SELECT * FROM (
+        SELECT *, (('0x' || substr(md5(doc_id::VARCHAR || '#strat'), 1, 15))::BIGINT) % 10000 AS bucket
+        FROM uniq)
+      WHERE bucket < (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END) * 10000),
+    tok AS (SELECT doc_id, list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS tk
+            FROM sampled),
+    ch AS (SELECT doc_id, tk, unnest(range(0, len(tk), 15)) AS st
+           FROM tok WHERE len(tk) > 0)
+    SELECT doc_id, (st / 15)::INT AS chunk_id,
+           array_to_string(list_slice(tk, st + 1, st + 20), ' ') AS chunk
+    FROM ch
+    """,
+)
+def q76_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE: the corpus build composed end-to-end from engine ops
+    — normalize -> length filter -> exact dedup -> stratified
+    reweighting -> context-length chunking — against ONE nested SQL
+    oracle. Every stage stays a lazy fold on the same plan; Catalyst
+    sees the whole pipeline."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    norm = _op("text.normalize", ctx, [d], column="text", output_column="t")
+    counted = _op("text.token_count", ctx, [norm], column="t")
+    kept = _op("filter.apply", ctx, [counted], expr="ws_tokens >= 10")
+    uniq = _op("dedup.exact", ctx, [kept], columns="t", id_column="doc_id")
+    sampled = _op("sample.stratified", ctx, [uniq], by="lang", id_column="doc_id",
+                  fractions={"en": 0.5})
+    chunks = _op("text.chunk", ctx, [sampled], column="t", id_column="doc_id",
+                 size=20, overlap=5)
+    return chunks.select("doc_id", "chunk_id", "chunk")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

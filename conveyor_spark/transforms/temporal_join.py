@@ -58,6 +58,13 @@ def join_asof(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     Ties (equal time): the build row matches (<=/>= semantics, same
     as DuckDB ASOF). Equal-time build rows are broken by the carried
     payload struct's field order — deterministic given distinct rows.
+
+    Skew: rows of one key process in one task (inherent to ordered
+    scans, same bound as any keyed window). A monster key (one
+    entity with a billion events) serializes there — pre-split such
+    keys upstream (e.g. bucket by time range and asof within
+    buckets, stitching boundaries) rather than expecting salting,
+    which cannot preserve cross-shard scan order.
     """
     if len(inputs) != 2:
         raise ConfigError("join.asof needs [probe, build] inputs")
