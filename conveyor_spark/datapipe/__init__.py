@@ -19,5 +19,6 @@ from conveyor_spark.datapipe import (  # noqa: F401
     similarity,
     text,
     multimodal,
+    selection,
     split,
 )

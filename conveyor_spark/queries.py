@@ -2263,6 +2263,79 @@ def q76_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunks.select("doc_id", "chunk_id", "chunk")
 
 
+@query(
+    "q77_topk_per_group",
+    """
+    SELECT doc_id, lang, n_chars, rk FROM (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id)::INT AS rk
+      FROM documents) t
+    WHERE rk <= 3
+    """,
+)
+def q77_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topk.apply: the 3 longest documents per language, via the
+    salted two-phase tournament (salt=8) — each (lang, bucket) does a
+    local top-3, the final window ranks at most 24 survivors per
+    lang. Identical result to the plain window (top-k is
+    distributive); the hot key's sort input shrinks ~8x."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("topk.apply", ctx, [d], by="lang",
+              order_by=[{"column": "n_chars", "direction": "desc"},
+                        {"column": "doc_id", "direction": "asc"}],
+              k=3, salt=8, rank_column="rk")
+    return out.select("doc_id", "lang", "n_chars", "rk")
+
+
+@query(
+    "q78_weighted_sample",
+    """
+    SELECT doc_id, lang, n_chars FROM (
+      SELECT doc_id, lang, n_chars,
+             -ln(((('0x' || substr(md5(doc_id::VARCHAR || '|w3'), 1, 15))::BIGINT + 1)::DOUBLE
+                  / 1152921504606846976.0) ) / n_chars::DOUBLE AS k
+      FROM documents WHERE n_chars > 0)
+    ORDER BY k, doc_id LIMIT 500
+    """,
+)
+def q78_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample.weighted: 500 documents drawn without replacement with
+    probability ∝ n_chars (Efraimidis–Spirakis priority keys from a
+    pure (id, seed) hash — the same sample on any partitioning). The
+    global smallest-k is TakeOrderedAndProject: per-partition heaps,
+    no global sort."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("sample.weighted", ctx, [d], weight_column="n_chars",
+              id_column="doc_id", k=500, seed="w3")
+    return out.select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q79_skew_analyze",
+    """
+    WITH c AS (SELECT event_type, COUNT(*)::BIGINT AS cnt FROM events GROUP BY event_type),
+    t AS (SELECT SUM(cnt)::BIGINT AS total, COUNT(*)::BIGINT AS groups FROM c)
+    SELECT event_type, cnt,
+           cnt::DOUBLE / total::DOUBLE AS share,
+           (cnt::DOUBLE * groups::DOUBLE) / total::DOUBLE AS skew,
+           row_number() OVER (ORDER BY cnt DESC, event_type)::INT AS rank
+    FROM c CROSS JOIN t
+    ORDER BY cnt DESC, event_type LIMIT 5
+    """,
+)
+def q79_skew_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skew.analyze: heavy-hitter diagnostics on events.event_type —
+    count, share of rows, and skew factor vs a uniform key (the
+    pre-flight check before shuffling 100 TB on a key). One shuffle
+    at the key grain; the totals re-agg and top-N are on group counts
+    only."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "events")
+    return _op("skew.analyze", ctx, [e], by="event_type", top=5)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
