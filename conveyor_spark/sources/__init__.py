@@ -2,6 +2,7 @@
 
 from conveyor_spark.sources import (  # noqa: F401
     csv,
+    files,
     json,
     parquet,
     stdin,

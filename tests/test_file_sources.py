@@ -1,0 +1,90 @@
+"""Tests for orc/text/binary file IO (sources/files.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conveyor_spark.errors import ConfigError
+from tests.conftest import run_op
+
+
+def test_orc_roundtrip(ctx, spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)], ["id", "k", "v"])
+    out = str(tmp_path / "orc")
+    run_op(ctx, "orc.write", [df], path=out, compression="zstd")
+    back = run_op(ctx, "orc.read", [], path=out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_write_partition_by_and_shards(ctx, spark, tmp_path):
+    df = spark.createDataFrame([(i, "p%d" % (i % 2)) for i in range(20)], ["id", "p"])
+    out = str(tmp_path / "orc_parts")
+    run_op(ctx, "orc.write", [df.coalesce(1)], path=out, partition_by="p",
+           max_records_per_file=3)
+    import glob
+    files = glob.glob(out + "/p=p0/*.orc")
+    assert len(files) >= 4  # 10 rows / cap 3 -> >=4 files per partition
+    back = run_op(ctx, "orc.read", [], path=out)
+    assert back.count() == 20
+    with pytest.raises(ConfigError):
+        run_op(ctx, "orc.write", [df], path=out, max_records_per_file=0)
+
+
+def test_orc_read_filter_pushdown(ctx, spark, tmp_path):
+    df = spark.createDataFrame([(i, i * 2) for i in range(100)], ["id", "v"])
+    out = str(tmp_path / "orc_pd")
+    run_op(ctx, "orc.write", [df], path=out)
+    scan = run_op(ctx, "orc.read", [], path=out).filter("id < 5").select("id")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "id" in plan
+    assert scan.count() == 5
+
+
+def test_text_read_lines_and_whole_file(ctx, tmp_path):
+    (tmp_path / "a.txt").write_text("l1\nl2\nl3")
+    (tmp_path / "b.txt").write_text("whole doc")
+    lines = run_op(ctx, "text.read", [], path=str(tmp_path), glob="a.txt")
+    assert sorted(r["value"] for r in lines.collect()) == ["l1", "l2", "l3"]
+    whole = run_op(ctx, "text.read", [], path=str(tmp_path), whole_file=True,
+                   include_path=True)
+    rows = {r["path"].rsplit("/", 1)[-1]: r["value"] for r in whole.collect()}
+    assert rows["a.txt"] == "l1\nl2\nl3" and rows["b.txt"] == "whole doc"
+
+
+def test_binary_read_glob_and_metadata(ctx, tmp_path):
+    (tmp_path / "x.bin").write_bytes(b"\x89PNG\r\n\x1a\n12345")
+    (tmp_path / "y.txt").write_text("nope")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "z.bin").write_bytes(b"RIFF....WAVE")
+    flat = run_op(ctx, "binary.read", [], path=str(tmp_path), glob="*.bin")
+    assert {r["path"].rsplit("/", 1)[-1] for r in flat.collect()} == {"x.bin"}
+    rec = run_op(ctx, "binary.read", [], path=str(tmp_path), glob="*.bin",
+                 recursive=True)
+    got = {r["path"].rsplit("/", 1)[-1]: bytes(r["content"]) for r in rec.collect()}
+    assert set(got) == {"x.bin", "z.bin"}
+    assert got["x.bin"].startswith(b"\x89PNG")
+    meta = run_op(ctx, "binary.read", [], path=str(tmp_path), glob="*.bin",
+                  recursive=True, drop_content=True)
+    assert "content" not in meta.columns
+    assert {r["length"] for r in meta.collect()} == {13, 12}
+
+
+def test_binary_read_feeds_media_metadata(ctx, tmp_path):
+    """The multimodal ingestion seam end-to-end: files -> binary rows
+    -> format sniffing, no Python decode in the loop."""
+    (tmp_path / "i.png").write_bytes(b"\x89PNG\r\n\x1a\n" + b"\x00" * 20)
+    (tmp_path / "a.wav").write_bytes(b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 8)
+    df = run_op(ctx, "binary.read", [], path=str(tmp_path))
+    sniffed = run_op(ctx, "media.metadata", [df], column="content")
+    got = {r["path"].rsplit("/", 1)[-1]: r["media_format"] for r in sniffed.collect()}
+    assert got == {"i.png": "png", "a.wav": "wav"}
+
+
+def test_missing_path_errors(ctx, spark):
+    for op in ("orc.read", "text.read", "binary.read"):
+        with pytest.raises(ConfigError):
+            run_op(ctx, op, [])
+    with pytest.raises(ConfigError):
+        run_op(ctx, "orc.write", [spark.range(1)])
