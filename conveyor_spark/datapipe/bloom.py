@@ -1,0 +1,217 @@
+"""Bloom-filter benchmark decontamination (`decontam.bloom`).
+
+`decontam.ngram` (curation.py) broadcasts the benchmark's exact
+shingle set — right answer while the set fits comfortably in executor
+memory. When the reference side grows (all eval suites + held-out
+docs + a blocklist corpus: 10^8-10^9 grams), the exact set stops
+broadcasting but a Bloom filter of it still does: 10^9 grams at
+fpp=1e-6 is ~3.6 GB of bits vs ~10x that for an exact hash set.
+False positives only ever *over*-flag (the safe direction for
+decontamination); false negatives are impossible.
+
+Scale design — hashing never leaves the JVM:
+
+- **Build**: every reference gram maps to ``k`` bit positions via
+  double hashing (pos_i = (h1 + i*h2) mod m, Kirsch-Mitzenmacher),
+  h1/h2 from xxhash64 — all codegen'd expressions. No distinct, no
+  shuffle: bloom insertion is idempotent, so duplicate grams cost
+  nothing. Per partition, ONE Arrow batch stream packs positions
+  into an m-bit numpy bitset; the driver ORs the per-partition
+  bitsets and broadcasts the result. Driver traffic =
+  partitions × m/8 bytes, independent of gram count.
+- **Check, small filters** (m ≤ ``inline_bits``, default 2^21):
+  the bitset is inlined into the plan as an array<bigint> literal
+  and membership is a pure JVM ``exists(grams, g ->
+  forall(positions(g), p -> getbit(words, p)))`` — whole-stage
+  codegen, zero Python in the hot path.
+- **Check, large filters**: the bitset rides a Spark broadcast; the
+  corpus computes its (n_grams × k) position matrix JVM-side and a
+  mapInPandas does only the vectorized numpy bit-gather. The corpus
+  never shuffles in either path.
+
+Reference: Bloom (1970); Kirsch & Mitzenmacher (2006) double hashing.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterator
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+from conveyor_spark.datapipe.dedup import word_shingles_expr
+
+
+def _size_filter(n_items: int, fpp: float) -> tuple[int, int]:
+    """(m_bits, k_hashes) for n items at target fpp. m is rounded UP
+    to a power of two (min 2^10): with m = 2^b and an odd step h2,
+    the double-hash orbit (h1 + i*h2) mod m yields k distinct,
+    well-spread positions — composite m with an arbitrary step gives
+    structured orbits and a measured FP rate orders above the ideal.
+    k capped at 16 (bounds per-gram work; at these sizes the cap
+    costs ~nothing)."""
+    n_items = max(1, n_items)
+    m = int(math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2)))
+    # Double hashing has a second FP channel the textbook formula
+    # ignores: if a probe gram collides with a stored gram in BOTH
+    # h1 and h2 (mod m), its whole orbit is contained — probability
+    # ~2*n/m^2 per probe. Floor m at sqrt(2n/fpp) so that channel
+    # also stays under fpp (only matters for small reference sets;
+    # at n >= 10^6 the textbook m already dominates).
+    m = max(m, int(math.ceil(math.sqrt(2.0 * n_items / fpp))))
+    m = max(1 << 10, 1 << (m - 1).bit_length())
+    k = max(1, min(16, round(m / n_items * math.log(2))))
+    return m, k
+
+
+def _positions(gram: Column, m: int, k: int) -> Column:
+    """array<bigint> of k bit positions for one gram, all JVM-side.
+
+    h1, h2 are reduced mod m first so h1 + i*h2 stays far from int64
+    overflow (ANSI mode would throw): i < 16, h2 < m."""
+    h1 = F.pmod(F.xxhash64(gram), F.lit(m))
+    # odd step -> full-cycle orbit in the power-of-two ring
+    h2 = F.pmod(F.xxhash64(gram, F.lit(1)), F.lit(m)).bitwiseOR(F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1 + i.cast("bigint") * h2, F.lit(m)),
+    )
+
+
+def _build_bitset(ref_positions: DataFrame, m: int) -> np.ndarray:
+    """OR per-partition packed bitsets into one m-bit numpy array.
+
+    ``ref_positions``: single bigint column ``pos``. Each partition
+    emits one (m/8)-byte packed row; the driver ORs them."""
+    nbytes = m // 8
+
+    def pack(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            pos = pdf["pos"].to_numpy(dtype=np.int64)
+            if len(pos):
+                seen = True
+                np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    rows = ref_positions.mapInPandas(
+        pack, schema=T.StructType([T.StructField("bits", T.BinaryType())])
+    ).collect()
+    out = np.zeros(nbytes, dtype=np.uint8)
+    for r in rows:
+        out |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return out
+
+
+def _getbit(words: Column, p: Column) -> Column:
+    """getbit(words[p >> 6], p & 63) = 1 on an array<bigint> (SQL
+    getbit takes the bit index as an expression; shiftright's Python
+    API only accepts literal shifts)."""
+    word = F.get(words, F.shiftright(p, 6).cast("int"))
+    return F.call_function("getbit", word, (p % 64).cast("int")) == 1
+
+
+@register(
+    "decontam.bloom",
+    kind="transform",
+    min_inputs=2,
+    max_inputs=2,
+    doc="Bloom-filter decontamination vs a large benchmark set",
+)
+def decontam_bloom(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Flag/drop corpus docs whose word n-grams hit a Bloom filter
+    built over the reference set's n-grams. inputs = [corpus,
+    reference]. A doc is flagged iff some gram has ALL k bits set.
+
+    Config: ``column`` (corpus text), ``id_column``, ``bench_column``
+    (default = column), ``ngram`` (default 8), ``mode`` = flag|filter,
+    ``output_column`` (default "contaminated"), ``fpp`` (default
+    1e-6), ``expected_items`` (reference gram count for sizing;
+    default: one approx_count_distinct job over the reference),
+    ``inline_bits`` (default 2^21: filters at or under this inline
+    into the plan as a JVM array literal — zero Python in the check;
+    larger ones use a broadcast + numpy bit-gather).
+
+    vs decontam.ngram: same semantics and flag direction; use this
+    one when the reference gram set is too big to broadcast exactly.
+    False positives over-flag at ~fpp per (doc, gram) — safe for
+    decontamination, wrong tool for exact joins.
+    """
+    if len(inputs) != 2:
+        raise ConfigError("decontam.bloom needs [corpus, reference] inputs")
+    corpus, ref = inputs
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("decontam.bloom requires 'column' and 'id_column'")
+    bench_column = config.get("bench_column", column)
+    n = int(config.get("ngram", 8))
+    mode = config.get("mode", "flag")
+    if mode not in ("flag", "filter"):
+        raise ConfigError("decontam.bloom: mode must be flag|filter")
+    out_col = config.get("output_column", "contaminated")
+    fpp = float(config.get("fpp", 1e-6))
+    if not (0.0 < fpp < 1.0):
+        raise ConfigError(f"decontam.bloom: fpp must be in (0,1), got {fpp}")
+    inline_bits = int(config.get("inline_bits", 1 << 21))
+
+    ref_grams = ref.select(F.explode(word_shingles_expr(bench_column, n)).alias("__g"))
+    n_items = config.get("expected_items")
+    if n_items is None:
+        n_items = ref_grams.agg(F.approx_count_distinct("__g")).collect()[0][0]
+    m, k = _size_filter(int(n_items), fpp)
+
+    bitset = _build_bitset(
+        ref_grams.select(F.explode(_positions(F.col("__g"), m, k)).alias("pos")), m
+    )
+
+    grams = word_shingles_expr(column, n)
+
+    if m <= inline_bits:
+        # JVM path: array<bigint> literal + codegen'd exists/forall.
+        words = F.lit(np.frombuffer(bitset.tobytes(), dtype="<i8").tolist())
+        flag = F.exists(
+            grams,
+            lambda g: F.forall(_positions(g, m, k), lambda p: _getbit(words, p)),
+        )
+        flagged = corpus.withColumn(out_col, flag)
+    else:
+        # Broadcast path: JVM computes the flattened (n_grams*k)
+        # position array per doc; Python reshapes (-1, k) and gathers
+        # bits — any gram with all k hits flags the doc.
+        bc = corpus.sparkSession.sparkContext.broadcast(bitset.tobytes())
+        pos_arr = F.flatten(F.transform(grams, lambda g: _positions(g, m, k)))
+        schema = T.StructType(
+            corpus.schema.fields + [T.StructField(out_col, T.BooleanType())]
+        )
+
+        def check(batches: Iterator) -> Iterator:
+            bits = np.frombuffer(bc.value, dtype=np.uint8)
+            for pdf in batches:
+                flags = []
+                for pos in pdf["__pa"]:
+                    p = np.asarray(pos, dtype=np.int64)
+                    if p.size == 0:
+                        flags.append(False)
+                        continue
+                    hit = (bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1
+                    flags.append(bool(hit.reshape(-1, k).all(axis=1).any()))
+                out = pdf.drop(columns=["__pa"])
+                out[out_col] = flags
+                yield out
+
+        flagged = corpus.withColumn("__pa", pos_arr).mapInPandas(check, schema=schema)
+
+    if mode == "filter":
+        return flagged.filter(~F.col(out_col)).drop(out_col)
+    return flagged

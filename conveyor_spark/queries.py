@@ -2336,6 +2336,38 @@ def q79_skew_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("skew.analyze", ctx, [e], by="event_type", top=5)
 
 
+@query(
+    "q80_decontam_bloom",
+    f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    sh AS (SELECT doc_id, {_SQL_SHINGLE5} AS sh FROM tk),
+    bg AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 97 = 0),
+    cg AS (SELECT doc_id, unnest(sh) AS g FROM sh),
+    dirty AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM bg))
+    SELECT d.doc_id, (dy.doc_id IS NOT NULL) AS contaminated
+    FROM documents d LEFT JOIN dirty dy ON d.doc_id = dy.doc_id
+    """,
+)
+def q80_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontam.bloom: same contamination semantics as q58 but the
+    benchmark grams are a Bloom filter, not an exact broadcast set —
+    the path for reference sets too big to broadcast exactly. Oracle
+    is the EXACT semi-join: valid because at fpp=1e-9 the expected
+    false-positive count at test scale is ~0 (verified hash-exact at
+    sf0.001/0.01/0.1; FPs only ever over-flag). Small filters inline
+    into the plan as a JVM array literal (sf<=0.01 here); larger
+    ones ride a broadcast + numpy bit-gather (sf0.1) — both paths
+    oracle-covered across the SF sweep."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    bench = _op("filter.apply", ctx, [d], expr="doc_id % 97 = 0")
+    out = _op(
+        "decontam.bloom", ctx, [d, bench],
+        column="text", id_column="doc_id", ngram=5, mode="flag", fpp=1e-9,
+    )
+    return out.select("doc_id", "contaminated")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
