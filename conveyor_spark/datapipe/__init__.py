@@ -16,6 +16,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     components,
     curation,
     dedup,
+    embedding,
     fuzzy,
     similarity,
     text,

@@ -2368,6 +2368,62 @@ def q80_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "contaminated")
 
 
+@query(
+    "q81_embedding_normalize",
+    """
+    WITH n AS (
+      SELECT vec_id,
+             sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                    list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)),
+                  (a, b) -> a + b)) AS nrm,
+             embedding
+      FROM embeddings)
+    SELECT vec_id, nrm,
+           CASE WHEN nrm = 0
+                THEN list_transform(embedding, x -> x::DOUBLE)
+                ELSE list_transform(embedding, x -> x::DOUBLE / nrm) END AS unit
+    FROM n
+    """,
+)
+def q81_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding.normalize: L2 unit vectors + the pre-norm as a
+    quality signal. Left-fold sum of squares runs in array order in
+    both engines, so doubles are bit-identical — no rounding needed.
+    Pure codegen'd array exprs, zero shuffle."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    out = _op("embedding.normalize", ctx, [e], column="embedding",
+              output_column="unit", norm_column="nrm")
+    return out.select("vec_id", "nrm", "unit")
+
+
+@query(
+    "q82_embedding_quantize",
+    """
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+      FROM embeddings)
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> 0::TINYINT)
+                ELSE list_transform(embedding, x ->
+                       greatest(-127.0, least(127.0, round(x::DOUBLE / scale)))::TINYINT)
+           END AS q8
+    FROM s
+    """,
+)
+def q82_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding.quantize: symmetric int8 codes + per-row scale —
+    4x storage cut for a 100 TB embedding corpus. max|x| and the
+    rounded ratios are identical double ops in both engines."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    out = _op("embedding.quantize", ctx, [e], column="embedding",
+              output_column="q8", scale_column="scale")
+    return out.select("vec_id", "scale", "q8")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
