@@ -21,6 +21,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     similarity,
     text,
     multimodal,
+    packing,
     selection,
     split,
 )

@@ -2424,6 +2424,43 @@ def q82_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("vec_id", "scale", "q8")
 
 
+@query(
+    "q83_pack_sequences",
+    """
+    WITH RECURSIVE t AS (
+      SELECT doc_id, n_chars,
+             (('0x' || substr(md5(doc_id::VARCHAR || '#pack'), 1, 15))::BIGINT) % 32 AS shard,
+             row_number() OVER (
+               PARTITION BY (('0x' || substr(md5(doc_id::VARCHAR || '#pack'), 1, 15))::BIGINT) % 32
+               ORDER BY doc_id) AS rn
+      FROM documents),
+    r AS (
+      SELECT shard, rn, doc_id, n_chars, n_chars AS fill, 0::BIGINT AS pack
+      FROM t WHERE rn = 1
+      UNION ALL
+      SELECT t.shard, t.rn, t.doc_id, t.n_chars,
+             CASE WHEN r.fill + t.n_chars <= 4000 THEN r.fill + t.n_chars ELSE t.n_chars END,
+             CASE WHEN r.fill + t.n_chars <= 4000 THEN r.pack ELSE r.pack + 1 END
+      FROM r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+    SELECT doc_id, (shard * 4294967296 + pack)::BIGINT AS pack_id
+    FROM r
+    """,
+)
+def q83_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack.sequences: whole documents packed next-fit into 4000-char
+    training sequences across 32 hash lanes. The Spark side is one
+    shuffle on the (portable md5) shard key + a streaming Arrow scan
+    with O(1) state — the partition never materializes; the oracle
+    replays the same next-fit recurrence as a DuckDB recursive CTE
+    (frontier = one row per shard per step). Pack ids are a pure
+    function of the data, so any partitioning hashes identically."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("pack.sequences", ctx, [d], weight_column="n_chars",
+              budget=4000, id_column="doc_id", shards=32)
+    return out.select("doc_id", "pack_id")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
