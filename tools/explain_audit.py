@@ -139,6 +139,41 @@ CHECKS = [
         "LSH kNN join: band-bucket equi-join, nothing broadcast-nested-loop or cartesian",
         lambda p, o: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     ),
+    (
+        "q77_topk_per_group",
+        "salted top-k: every WindowExec carries a partition spec (no global-order window)",
+        lambda p, o: sum(1 for ln in p.splitlines() if "Window [" in ln) == 2
+        and all("[lang" in ln for ln in p.splitlines() if "Window [" in ln),
+    ),
+    (
+        "q78_weighted_sample",
+        "weighted sample's smallest-k is TakeOrderedAndProject (heaps, no global sort)",
+        lambda p, o: "TakeOrderedAndProject" in p and "Sort [" not in p,
+    ),
+    (
+        "q79_skew_analyze",
+        "skew diagnostics: no WindowExec; rank/totals joins broadcast over <=top rows only",
+        lambda p, o: "Window" not in p and "SortMergeJoin" not in p
+        and "CartesianProduct" not in p
+        and ("BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p),
+    ),
+    (
+        "q80_decontam_bloom",
+        "bloom check (inline path): zero shuffle of the corpus, zero Python in the plan",
+        lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "q81_embedding_normalize",
+        "L2 normalize: per-row JVM folds only (zero Exchange, zero Python)",
+        lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
+        and "ArrowEvalPython" not in p,
+    ),
+    (
+        "q83_pack_sequences",
+        "packing: exactly ONE shuffle (shard key), Arrow-batched scan, no extra sort pass",
+        lambda p, o: p.count("Exchange") == 1 and "MapInPandas" in p,
+    ),
 ]
 
 
