@@ -24,4 +24,5 @@ from conveyor_spark.datapipe import (  # noqa: F401
     packing,
     selection,
     split,
+    stats,
 )

@@ -291,6 +291,59 @@ def decontam_ngram(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     )
 
 
+# HTML strip stages, applied in this order. RE2-compatible (no
+# backreferences/lookahead) so the SAME patterns run in DuckDB oracle
+# SQL. Lazy quantifiers + (?is) work in both engines.
+HTML_STRIP_STAGES: list[tuple[str, str]] = [
+    (r"(?is)<script\b[^>]*>.*?</script>", " "),   # script bodies
+    (r"(?is)<style\b[^>]*>.*?</style>", " "),     # style bodies
+    (r"(?s)<!--.*?-->", " "),                     # comments
+    (r"(?is)<br\s*/?>|</p>|</div>|</li>|</tr>|</h[1-6]>", "\n"),  # block ends -> newline
+    (r"(?s)<[^>]+>", " "),                        # every remaining tag
+]
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+]
+
+
+@register("text.html_strip", kind="transform", doc="Strip HTML tags/entities to visible text")
+def text_html_strip(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Web-corpus HTML -> visible text: drop script/style bodies and
+    comments, turn block-level closes into newlines, strip remaining
+    tags, decode the common entities, collapse horizontal whitespace.
+
+    Config: ``column`` (required), ``output_column`` (default:
+    overwrite), ``decode_entities`` (default true),
+    ``collapse_whitespace`` (default true: runs of spaces/tabs -> one
+    space, >2 newlines -> 2, then trim).
+
+    Pure chained regexp_replace/replace — codegen'd, zero shuffle,
+    linear; patterns are RE2-safe so the DuckDB oracle runs the SAME
+    expressions. A real extraction pipeline may want a DOM parser for
+    malformed markup; that would be an Arrow-batched opt-in like
+    text.normalize's NFC path — the regex pass is the scale default.
+    """
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.html_strip requires 'column'")
+    out = config.get("output_column", column)
+    c = F.col(column).cast("string")
+    for pat, repl in HTML_STRIP_STAGES:
+        c = F.regexp_replace(c, pat, repl)
+    if config.get("decode_entities", True):
+        for ent, ch in _HTML_ENTITIES:
+            c = F.replace(c, F.lit(ent), F.lit(ch))
+    if config.get("collapse_whitespace", True):
+        c = F.regexp_replace(c, r"[ \t\r\f]+", " ")
+        c = F.regexp_replace(c, r" ?\n ?", "\n")
+        c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+        # regex trim: SQL trim() strips spaces only, not newlines
+        c = F.regexp_replace(c, r"(?s)^\s+|\s+$", "")
+    return df.withColumn(out, c)
+
+
 @register(
     "text.boilerplate",
     kind="transform",

@@ -156,6 +156,46 @@ def sample_weighted(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     return out.drop("__wkey")
 
 
+@register("sample.balanced", kind="transform", doc="Cap rows per group (deterministic hash order)")
+def sample_balanced(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Group-balanced downsampling: keep at most ``cap`` rows per
+    group, selected in deterministic hash order — the corpus
+    rebalancing pass ("≤ 1M docs per language/domain") that caps head
+    groups without touching the tail.
+
+    Config: ``by`` (group columns), ``cap``, ``id_column``, ``seed``
+    (default "balance"), optional ``salt`` (two-phase tournament for
+    hot groups, same scheme as topk.apply — a group with 10^9 rows
+    never funnels through one sort).
+
+    vs sample.stratified: that needs a per-group *fraction* known up
+    front; this enforces an absolute per-group budget regardless of
+    group size. Selection is a pure function of (id, seed): the same
+    rows survive on any partitioning or cluster size.
+    """
+    df = inputs[0]
+    by = _as_list(config.get("by"))
+    cap = config.get("cap")
+    id_column = config.get("id_column")
+    if not by or not cap or not id_column:
+        raise ConfigError("sample.balanced requires 'by', 'cap' and 'id_column'")
+    seed = config.get("seed", "balance")
+    out_cols = df.columns
+    pri = md5_int(F.concat(F.col(id_column).cast("string"), F.lit(f"|{seed}")))
+    ranked = df.withColumn("__pri", pri)
+    picked = topk_apply(
+        ctx,
+        [ranked],
+        {
+            "by": by,
+            "k": int(cap),
+            "order_by": [{"column": "__pri"}, {"column": id_column}],
+            "salt": config.get("salt", 0),
+        },
+    )
+    return picked.drop("__pri").select(*out_cols)
+
+
 @register("skew.analyze", kind="transform", doc="Key-distribution diagnostics: heavy hitters + shares")
 def skew_analyze(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Answer "is this key safe to shuffle on?" before the shuffle.

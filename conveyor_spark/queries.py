@@ -2461,6 +2461,114 @@ def q83_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "pack_id")
 
 
+@query(
+    "q84_sample_balanced",
+    """
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (('0x' || substr(md5(doc_id::VARCHAR || '|bal'), 1, 15))::BIGINT),
+                        doc_id) AS rk
+      FROM documents) t
+    WHERE rk <= 40
+    """,
+)
+def q84_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample.balanced: at most 40 docs per language, selected in
+    deterministic hash order (salt=4 two-phase tournament — identical
+    output, hot languages never single-sort). The corpus-rebalancing
+    cap that sample.stratified's fixed fractions can't express."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("sample.balanced", ctx, [d], by="lang", cap=40,
+              id_column="doc_id", seed="bal", salt=4)
+    return out.select("doc_id", "lang")
+
+
+@query(
+    "q85_html_strip",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             '<html><head><style>p {color:red}</style></head><body><p>'
+             || text || '</p><!-- c --><script>var x=1;</script></body></html>' AS page
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          page,
+          '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+          '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+          '(?is)<br\s*/?>|</p>|</div>|</li>|</tr>|</h[1-6]>', chr(10), 'g'),
+          '(?s)<[^>]+>', ' ', 'g') AS t1
+      FROM h),
+    e AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(t1,
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)) AS t2
+      FROM s)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(t2,
+             '[ \t\r\f]+', ' ', 'g'),
+             ' ?\n ?', chr(10), 'g'),
+             '\n{3,}', chr(10) || chr(10), 'g'),
+             '(?s)^\s+|\s+$', '', 'g') AS clean
+    FROM e
+    """,
+)
+def q85_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.html_strip: wrap each doc in a synthetic HTML page
+    (style/script/comment + block tags), then strip back to visible
+    text — the web-corpus extraction pass. All RE2-safe regexes, so
+    the oracle runs the SAME patterns; pure codegen, zero shuffle."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    page = _op(
+        "map.apply", ctx, [d],
+        expression="concat('<html><head><style>p {color:red}</style></head><body><p>', "
+                   "text, '</p><!-- c --><script>var x=1;</script></body></html>')",
+        output_column="page",
+    )
+    out = _op("text.html_strip", ctx, [page], column="page", output_column="clean")
+    return out.select("doc_id", "clean")
+
+
+@query(
+    "q86_anomaly_zscore",
+    """
+    WITH m AS (
+      SELECT lang,
+             COUNT(n_chars)::DOUBLE AS n,
+             SUM(n_chars::DECIMAL(18,3))::DOUBLE AS s,
+             SUM(n_chars::DECIMAL(18,3) * n_chars::DECIMAL(18,3))::DOUBLE AS s2
+      FROM documents GROUP BY lang)
+    SELECT d.doc_id, d.lang,
+           CASE WHEN m.n > 1 AND (m.s2 - m.s * (m.s / m.n)) / (m.n - 1.0) > 0
+                THEN (d.n_chars::DOUBLE - m.s / m.n)
+                     / sqrt((m.s2 - m.s * (m.s / m.n)) / (m.n - 1.0))
+                ELSE 0.0 END AS zscore,
+           CASE WHEN m.n > 1 AND (m.s2 - m.s * (m.s / m.n)) / (m.n - 1.0) > 0
+                THEN abs((d.n_chars::DOUBLE - m.s / m.n)
+                     / sqrt((m.s2 - m.s * (m.s / m.n)) / (m.n - 1.0))) > 1.5
+                ELSE FALSE END AS is_outlier
+    FROM documents d JOIN m ON d.lang = m.lang
+    """,
+)
+def q86_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anomaly.zscore: flag documents whose length is >1.5 sigma from
+    their language's mean — distribution-level quality filtering. One
+    shuffle (window-partition aggregate, no join back); moments from
+    exact DECIMAL sums so z is bit-identical cross-engine."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("anomaly.zscore", ctx, [d], column="n_chars", by="lang",
+              threshold=1.5)
+    return out.select("doc_id", "lang", "zscore", "is_outlier")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

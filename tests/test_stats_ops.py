@@ -1,0 +1,142 @@
+"""Tests for sample.balanced (selection.py), text.html_strip
+(curation.py) and anomaly.zscore (stats.py)."""
+
+from __future__ import annotations
+
+import statistics
+
+import pytest
+
+from conveyor_spark.errors import ConfigError
+from tests.conftest import run_op
+
+
+# -- sample.balanced --------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def langs(spark):
+    rows = [(i, "en" if i < 80 else ("de" if i < 95 else "fr")) for i in range(100)]
+    return spark.createDataFrame(rows, ["id", "lang"])
+
+
+def test_balanced_caps_head_keeps_tail(ctx, langs):
+    out = run_op(ctx, "sample.balanced", [langs], by="lang", cap=10,
+                 id_column="id").collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["id"])
+    assert len(by_lang["en"]) == 10      # 80 -> capped
+    assert len(by_lang["de"]) == 10      # 15 -> capped
+    assert len(by_lang["fr"]) == 5       # 5 -> untouched
+
+
+def test_balanced_deterministic_and_salted_equal(ctx, langs):
+    a = {r["id"] for r in run_op(ctx, "sample.balanced", [langs], by="lang",
+                                 cap=7, id_column="id").collect()}
+    b = {r["id"] for r in run_op(ctx, "sample.balanced", [langs.repartition(9)],
+                                 by="lang", cap=7, id_column="id").collect()}
+    c = {r["id"] for r in run_op(ctx, "sample.balanced", [langs], by="lang",
+                                 cap=7, id_column="id", salt=4).collect()}
+    assert a == b == c
+
+
+def test_balanced_seed_changes_selection(ctx, langs):
+    a = {r["id"] for r in run_op(ctx, "sample.balanced", [langs], by="lang",
+                                 cap=10, id_column="id", seed="s1").collect()}
+    b = {r["id"] for r in run_op(ctx, "sample.balanced", [langs], by="lang",
+                                 cap=10, id_column="id", seed="s2").collect()}
+    assert a != b
+
+
+def test_balanced_requires_config(ctx, langs):
+    with pytest.raises(ConfigError):
+        run_op(ctx, "sample.balanced", [langs], by="lang", cap=5)
+
+
+# -- text.html_strip --------------------------------------------------------
+
+def test_html_strip_basic(ctx, spark):
+    page = ("<html><head><title>T</title><style>p{}</style></head><body>"
+            "<h1>Head</h1><p>one &amp; two</p><!-- hidden -->"
+            "<script>alert('x')</script><div>tail&nbsp;end</div></body></html>")
+    df = spark.createDataFrame([(1, page)], ["id", "html"])
+    out = run_op(ctx, "text.html_strip", [df], column="html",
+                 output_column="t").collect()[0]["t"]
+    assert "alert" not in out and "hidden" not in out and "p{}" not in out
+    assert "<" not in out and ">" not in out
+    assert "one & two" in out
+    assert "tail end" in out
+    assert out.startswith("T") and "Head" in out
+
+
+def test_html_strip_block_tags_become_newlines(ctx, spark):
+    df = spark.createDataFrame([(1, "<p>a</p><p>b</p><br>c")], ["id", "h"])
+    out = run_op(ctx, "text.html_strip", [df], column="h",
+                 output_column="t").collect()[0]["t"]
+    assert out == "a\nb\n\nc"  # </p> and <br> -> \n; <p> -> space; <=2 newlines kept
+
+
+def test_html_strip_plain_text_unchanged(ctx, spark):
+    df = spark.createDataFrame([(1, "no markup here, 2 < 3 maybe")], ["id", "h"])
+    out = run_op(ctx, "text.html_strip", [df], column="h",
+                 output_column="t").collect()[0]["t"]
+    # "< 3 maybe" is not a tag (no closing > after <3...): untouched
+    assert out == "no markup here, 2 < 3 maybe"
+
+
+def test_html_strip_switches(ctx, spark):
+    df = spark.createDataFrame([(1, "<b>x</b> &amp;   y")], ["id", "h"])
+    raw = run_op(ctx, "text.html_strip", [df], column="h", output_column="t",
+                 decode_entities=False, collapse_whitespace=False).collect()[0]["t"]
+    assert "&amp;" in raw and "   " in raw
+
+
+# -- anomaly.zscore ---------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def metrics(spark):
+    rows = [(i, "a", float(v)) for i, v in enumerate([10, 12, 11, 9, 10, 11, 100])]
+    rows += [(100 + i, "b", float(v)) for i, v in enumerate([5, 5, 5])]
+    rows += [(200, "c", 42.0), (201, "d", None)]
+    return spark.createDataFrame(rows, ["id", "grp", "v"])
+
+
+def test_zscore_values_match_reference(ctx, metrics):
+    out = {r["id"]: r for r in run_op(
+        ctx, "anomaly.zscore", [metrics], column="v", by="grp",
+        threshold=2.0).collect()}
+    vals = [10, 12, 11, 9, 10, 11, 100]
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert out[6]["zscore"] == pytest.approx((100 - mu) / sd)
+    assert out[6]["is_outlier"] is True
+    assert all(not out[i]["is_outlier"] for i in range(6))
+    # zero-variance group and singleton group: z=0, never outliers
+    assert out[100]["zscore"] == 0.0 and not out[100]["is_outlier"]
+    assert out[200]["zscore"] == 0.0 and not out[200]["is_outlier"]
+    # NULL value: NULL z, not an outlier
+    assert out[201]["zscore"] is None and out[201]["is_outlier"] is False
+
+
+def test_zscore_filter_mode(ctx, metrics):
+    out = run_op(ctx, "anomaly.zscore", [metrics], column="v", by="grp",
+                 threshold=2.0, mode="filter")
+    ids = {r["id"] for r in out.collect()}
+    assert 6 not in ids and len(ids) == 11  # 12 rows in, 1 outlier dropped
+    assert "zscore" not in out.columns
+
+
+def test_zscore_global_no_window_warning(ctx, metrics):
+    """Whole-table mode must use a broadcast aggregate, not an
+    unpartitioned window."""
+    out = run_op(ctx, "anomaly.zscore", [metrics], column="v", threshold=3.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    rows = {r["id"]: r["zscore"] for r in out.collect()}
+    assert len(rows) == 12 and rows[201] is None
+
+
+def test_zscore_config_errors(ctx, metrics):
+    with pytest.raises(ConfigError):
+        run_op(ctx, "anomaly.zscore", [metrics], by="grp")
+    with pytest.raises(ConfigError):
+        run_op(ctx, "anomaly.zscore", [metrics], column="v", mode="nope")
