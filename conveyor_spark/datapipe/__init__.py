@@ -17,6 +17,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     curation,
     dedup,
     embedding,
+    funnel,
     fuzzy,
     similarity,
     text,

@@ -1,0 +1,127 @@
+"""`event.funnel` — first-touch funnel analysis over an event log.
+
+The product-analytics primitive ("view -> click -> purchase within
+7 days"): for each user, how far along an ordered step sequence did
+they get, anchored at their FIRST occurrence of step 1 (first-touch
+attribution — the window and the chain both start there; a later
+retry that would have converted does not count, which is the
+standard, explainable semantic).
+
+Scale design: ONE shuffle — events are filtered to the step types
+(predicate pushes into the scan), grouped by user, and the per-user
+event list is sorted and folded by a single JVM ``aggregate()``
+higher-order expression carrying (steps_done, first_ts, last_ts) —
+no iterative joins, no per-step shuffles, no Python. A user's
+*step-type* events must fit in one task (true for any real user;
+a bot with 10^8 events is a data-quality problem upstream —
+cap with topk.apply/sample.balanced first if needed).
+
+Greedy earliest-match is optimal for subsequence containment, so
+"earliest event advancing the chain" finds a completion whenever one
+exists within the first-touch window.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+@register("event.funnel", kind="transform", doc="First-touch funnel: per-user step progress")
+def event_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Config: ``steps`` (ordered event-type list, >= 2), ``by``
+    (user/group column), ``type_column`` (default "event_type"),
+    ``ts_column`` (default "ts"), ``within_seconds`` (optional cap on
+    last_step_ts - first_step_ts), ``include_incomplete`` (default
+    true: emit users who started but didn't finish; false: converted
+    users only).
+
+    Output: one row per user that reached step 1 — ``by`` column,
+    ``steps_completed`` (int), ``converted`` (bool), ``first_ts`` /
+    ``last_ts`` (timestamps of the matched chain's ends).
+
+    Chain rule: step i+1 must be STRICTLY later than step i and (if
+    ``within_seconds``) within the window opened by the first step.
+    Ties at identical timestamps break by event-type string order
+    (the sort key), so results are partition-invariant.
+    """
+    df = inputs[0]
+    steps = config.get("steps")
+    by = config.get("by")
+    if not steps or len(steps) < 2 or not by:
+        raise ConfigError("event.funnel requires 'steps' (>=2) and 'by'")
+    type_col = config.get("type_column", "event_type")
+    ts_col = config.get("ts_column", "ts")
+    within = config.get("within_seconds")
+    within_us = None if within is None else int(float(within) * 1_000_000)
+    k = len(steps)
+
+    evs = (
+        df.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(by),
+            F.struct(
+                F.unix_micros(F.col(ts_col)).alias("us"),
+                F.col(type_col).cast("string").alias("et"),
+            ).alias("ev"),
+        )
+    )
+    per_user = evs.groupBy(by).agg(F.array_sort(F.collect_list("ev")).alias("seq"))
+
+    steps_arr = F.array(*[F.lit(s) for s in steps])
+    zero = F.struct(
+        F.lit(0).alias("done"),
+        F.lit(None).cast("bigint").alias("t0"),
+        F.lit(None).cast("bigint").alias("tp"),
+    )
+
+    def step_fold(acc, ev):
+        starts = (acc["done"] == 0) & (ev["et"] == F.element_at(steps_arr, 1))
+        advances = (
+            (acc["done"] > 0)
+            & (acc["done"] < k)
+            & (ev["et"] == F.element_at(steps_arr, acc["done"] + 1))
+            & (ev["us"] > acc["tp"])
+        )
+        if within_us is not None:
+            advances = advances & (ev["us"] <= acc["t0"] + F.lit(within_us))
+        return (
+            F.when(
+                starts,
+                F.struct(
+                    F.lit(1).alias("done"),
+                    ev["us"].alias("t0"),
+                    ev["us"].alias("tp"),
+                ),
+            )
+            .when(
+                advances,
+                F.struct(
+                    (acc["done"] + 1).alias("done"),
+                    acc["t0"].alias("t0"),
+                    ev["us"].alias("tp"),
+                ),
+            )
+            .otherwise(acc)
+        )
+
+    state = F.aggregate(F.col("seq"), zero, step_fold)
+    out = (
+        per_user.withColumn("__st", state)
+        .select(
+            F.col(by),
+            F.col("__st.done").alias("steps_completed"),
+            (F.col("__st.done") == k).alias("converted"),
+            F.timestamp_micros(F.col("__st.t0")).alias("first_ts"),
+            F.timestamp_micros(F.col("__st.tp")).alias("last_ts"),
+        )
+        .filter(F.col("steps_completed") >= 1)
+    )
+    if not config.get("include_incomplete", True):
+        out = out.filter(F.col("converted"))
+    return out

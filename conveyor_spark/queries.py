@@ -2569,6 +2569,42 @@ def q86_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "zscore", "is_outlier")
 
 
+@query(
+    "q87_event_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.us > s1.t1
+             AND e.us <= s1.t1 + 172800000000 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e JOIN s1 ON e.user_id = s1.user_id
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.us > s2.t2
+             AND e.us <= s1.t1 + 172800000000 GROUP BY e.user_id)
+    SELECT s1.user_id,
+           (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END)::INT
+             AS steps_completed,
+           (t3 IS NOT NULL) AS converted,
+           make_timestamp(t1) AS first_ts,
+           make_timestamp(COALESCE(t3, t2, t1)) AS last_ts
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """event.funnel: first-touch view -> click -> purchase within 48h
+    per user. ONE shuffle (group by user) + a single JVM aggregate()
+    fold over the sorted event list — the oracle replays it as
+    chained earliest-match CTEs (greedy earliest is optimal for
+    subsequence matching, so the formulations agree)."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "events")
+    return _op("event.funnel", ctx, [e], steps=["view", "click", "purchase"],
+               by="user_id", within_seconds=172800)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
