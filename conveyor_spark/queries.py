@@ -2605,6 +2605,47 @@ def q87_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                by="user_id", within_seconds=172800)
 
 
+@query(
+    "q88_time_resample",
+    """
+    WITH b AS (
+      SELECT user_id,
+             (epoch_us(ts::TIMESTAMP) // 21600000000) AS bkt,
+             COUNT(*)::BIGINT AS n,
+             MIN(value) AS lo
+      FROM events WHERE user_id % 10 = 3
+      GROUP BY user_id, bkt),
+    span AS (SELECT user_id, MIN(bkt) AS lo_b, MAX(bkt) AS hi_b FROM b GROUP BY user_id),
+    grid AS (SELECT user_id, unnest(range(lo_b, hi_b + 1)) AS bkt FROM span),
+    joined AS (
+      SELECT g.user_id, g.bkt, b.n, b.lo FROM grid g
+      LEFT JOIN b ON g.user_id = b.user_id AND g.bkt = b.bkt)
+    SELECT user_id,
+           make_timestamp(bkt * 21600000000) AS bucket_ts,
+           COALESCE(n, 0) AS n,
+           last_value(lo IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bkt
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lo
+    FROM joined
+    """,
+)
+def q88_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time.resample: per-user 6-hour activity grid with empty bins
+    materialized — count filled with zero, min(value) carried forward
+    (the lagged-feature-grid shape). One keyed shuffle for the agg,
+    per-group sequence() grid, keyed forward-fill window (never
+    global-order). Filtered to a user cohort so the grid stays
+    oracle-sized."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "events")
+    cohort = _op("filter.apply", ctx, [e], expr="user_id % 10 = 3")
+    out = _op("time.resample", ctx, [cohort], ts_column="ts",
+              interval_seconds=21600, by="user_id",
+              aggs={"n": {"column": "ts", "fn": "count", "fill": "zero"},
+                    "lo": {"column": "value", "fn": "min", "fill": "prev"}})
+    return out.select("user_id", "bucket_ts", "n", "lo")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
