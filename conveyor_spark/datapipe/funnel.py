@@ -32,6 +32,72 @@ from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, register
 
 
+@register("retention.cohort", kind="transform", doc="Cohort retention matrix from an event log")
+def retention_cohort(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Classic retention triangle: users cohorted by the period of
+    their first activity; each later period counts how many came
+    back.
+
+    Config: ``by`` (user column), ``ts_column`` (default "ts"),
+    ``interval_seconds`` (cohort granularity, e.g. 604800 for weekly),
+    ``max_periods`` (optional cap on the offset).
+
+    Output: ``cohort_ts`` (cohort period start), ``period`` (int
+    offset, 0 = the cohort period itself), ``active_users``,
+    ``cohort_size``, ``retention`` (active/size — integer-division
+    double, bit-exact cross-engine).
+
+    Scale: ONE shuffle grain dominates — events shuffle by user for
+    the first-activity window (no join back), then (cohort, period,
+    user) distinct + count aggregate on far smaller data. Counts are
+    exact distincts, not sketches; for quick interactive runs over
+    10^10 users swap in approx.count_distinct upstream.
+    """
+    df = inputs[0]
+    by = config.get("by")
+    interval = config.get("interval_seconds")
+    if not by or not interval:
+        raise ConfigError("retention.cohort requires 'by' and 'interval_seconds'")
+    ts_col = config.get("ts_column", "ts")
+    interval_us = int(float(interval) * 1_000_000)
+    if interval_us <= 0:
+        raise ConfigError("retention.cohort: interval_seconds must be > 0")
+    max_periods = config.get("max_periods")
+
+    from pyspark.sql import Window
+
+    bkt = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(interval_us))
+    w = Window.partitionBy(by)
+    marked = df.select(F.col(by), bkt.alias("__bkt")).withColumn(
+        "__cohort", F.min("__bkt").over(w)
+    )
+    periods = (
+        marked.select(
+            "__cohort", (F.col("__bkt") - F.col("__cohort")).alias("period"), F.col(by)
+        )
+        .distinct()
+    )
+    if max_periods is not None:
+        periods = periods.filter(F.col("period") <= int(max_periods))
+    counts = periods.groupBy("__cohort", "period").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    sizes = counts.filter(F.col("period") == 0).select(
+        "__cohort", F.col("active_users").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "__cohort")
+        .select(
+            F.timestamp_micros(F.col("__cohort") * F.lit(interval_us)).alias("cohort_ts"),
+            F.col("period").cast("int").alias("period"),
+            "active_users",
+            "cohort_size",
+            (F.col("active_users").cast("double") / F.col("cohort_size").cast("double")
+             ).alias("retention"),
+        )
+    )
+
+
 @register("event.funnel", kind="transform", doc="First-touch funnel: per-user step progress")
 def event_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Config: ``steps`` (ordered event-type list, >= 2), ``by``

@@ -2646,6 +2646,32 @@ def q88_time_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "bucket_ts", "n", "lo")
 
 
+@query(
+    "q89_retention_cohort",
+    """
+    WITH b AS (SELECT user_id, epoch_us(ts::TIMESTAMP) // 604800000000 AS bkt FROM events),
+    c AS (SELECT user_id, MIN(bkt) AS cohort FROM b GROUP BY user_id),
+    p AS (SELECT DISTINCT b.user_id, c.cohort, b.bkt - c.cohort AS period
+          FROM b JOIN c ON b.user_id = c.user_id),
+    cnt AS (SELECT cohort, period, COUNT(*)::BIGINT AS active_users FROM p GROUP BY cohort, period),
+    sz AS (SELECT cohort, active_users AS cohort_size FROM cnt WHERE period = 0)
+    SELECT make_timestamp(cnt.cohort * 604800000000) AS cohort_ts,
+           cnt.period::INT AS period, cnt.active_users, sz.cohort_size,
+           cnt.active_users::DOUBLE / sz.cohort_size::DOUBLE AS retention
+    FROM cnt JOIN sz ON cnt.cohort = sz.cohort
+    """,
+)
+def q89_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention.cohort: weekly cohort retention triangle. The
+    first-activity window shuffles events by user ONCE (no join
+    back); the distinct + counts run on (cohort, period, user) grain,
+    already tiny. Exact distinct users, integer-division retention."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "events")
+    return _op("retention.cohort", ctx, [e], by="user_id",
+               interval_seconds=604800)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

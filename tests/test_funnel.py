@@ -84,3 +84,51 @@ def test_funnel_config_errors(ctx, events):
         _funnel(ctx, events, steps=["A"])
     with pytest.raises(ConfigError):
         run_op(ctx, "event.funnel", [events], steps=["A", "B"])
+
+
+# -- retention.cohort -------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def activity(spark):
+    day = 86400
+    rows = []
+    # cohort week 0: users 1,2,3; user1 returns wk1+wk2, user2 wk1, user3 never
+    for uid, weeks in [(1, [0, 1, 2]), (2, [0, 1]), (3, [0])]:
+        for w in weeks:
+            rows.append((uid, datetime(2024, 1, 4 + 7 * w, 12)))
+    # cohort week 1: user 4, returns wk2
+    for w in [1, 2]:
+        rows.append((4, datetime(2024, 1, 4 + 7 * w, 12)))
+    return spark.createDataFrame(rows, ["uid", "ts"])
+
+
+def test_retention_matrix(ctx, activity):
+    out = run_op(ctx, "retention.cohort", [activity], by="uid",
+                 ts_column="ts", interval_seconds=604800)
+    rows = {(r["cohort_ts"].day, r["period"]): (r["active_users"], r["cohort_size"],
+                                                r["retention"]) for r in out.collect()}
+    cohorts = sorted({d for d, _ in rows})
+    c0, c1 = cohorts[0], cohorts[1]
+    assert rows[(c0, 0)] == (3, 3, 1.0)
+    assert rows[(c0, 1)][0] == 2 and rows[(c0, 1)][2] == pytest.approx(2 / 3)
+    assert rows[(c0, 2)][0] == 1
+    assert rows[(c1, 0)] == (1, 1, 1.0) and rows[(c1, 1)][0] == 1
+
+
+def test_retention_max_periods_and_dedup(ctx, spark):
+    # duplicate events in one period count once
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, h)) for h in (1, 2, 3)]
+        + [(1, datetime(2024, 3, 1))], ["uid", "ts"])
+    out = run_op(ctx, "retention.cohort", [df], by="uid", ts_column="ts",
+                 interval_seconds=604800, max_periods=1)
+    rows = {r["period"]: r["active_users"] for r in out.collect()}
+    assert rows == {0: 1}  # period-0 dupes collapse; March visit capped away
+
+
+def test_retention_config_errors(ctx, activity):
+    with pytest.raises(ConfigError):
+        run_op(ctx, "retention.cohort", [activity], by="uid")
+    with pytest.raises(ConfigError):
+        run_op(ctx, "retention.cohort", [activity], by="uid",
+               ts_column="ts", interval_seconds=0)
