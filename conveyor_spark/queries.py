@@ -2672,6 +2672,45 @@ def q89_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
                interval_seconds=604800)
 
 
+# z-order oracle: the bit-interleave is mechanical, so generate the
+# 16 shift/mask terms instead of hand-writing them (bits=8, 2 dims)
+_Z_TERMS = " + ".join(
+    f"(((q{i} >> {b}) & 1) * {1 << (b * 2 + i)})" for b in range(8) for i in (0, 1)
+)
+
+@query(
+    "q90_zorder",
+    f"""
+    WITH mm AS (
+      SELECT MIN(o_totalprice::DOUBLE) AS m0, MAX(o_totalprice::DOUBLE) AS h0,
+             MIN(o_custkey::DOUBLE) AS m1, MAX(o_custkey::DOUBLE) AS h1
+      FROM orders),
+    q AS (
+      SELECT o_orderkey,
+             LEAST(CASE WHEN h0 - m0 <= 0 OR o_totalprice IS NULL THEN 0
+                        ELSE floor((o_totalprice::DOUBLE - m0) / (h0 - m0) * 255.0)::INT
+                   END, 255) AS q0,
+             LEAST(CASE WHEN h1 - m1 <= 0 OR o_custkey IS NULL THEN 0
+                        ELSE floor((o_custkey::DOUBLE - m1) / (h1 - m1) * 255.0)::INT
+                   END, 255) AS q1
+      FROM orders CROSS JOIN mm)
+    SELECT o_orderkey, ({_Z_TERMS})::BIGINT AS zv
+    FROM q
+    """,
+)
+def q90_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sort.zorder: interleaved-bit cluster key over (price, custkey)
+    — rows close in EITHER dimension land close in the linear order,
+    so parquet min/max footers prune on both filters at once. Min/max
+    are one broadcast aggregate row (lazy, no plan-build collect);
+    the z-value is pure codegen'd shifts."""
+    ctx = _ctx(spark)
+    o = load_table(spark, sf_dir, "orders")
+    out = _op("sort.zorder", ctx, [o], columns=["o_totalprice", "o_custkey"],
+              bits=8, cluster=False, output_column="zv")
+    return out.select("o_orderkey", "zv")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -26,6 +26,7 @@ from conveyor_spark.transforms import (  # noqa: F401
     profile,
     sql_query,
     temporal_join,
+    zorder,
 )
 from conveyor_spark.streaming import count_window, session_window  # noqa: F401
 from conveyor_spark.datapipe import emb_lsh  # noqa: F401
