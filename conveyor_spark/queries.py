@@ -2711,6 +2711,32 @@ def q90_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("o_orderkey", "zv")
 
 
+@query(
+    "q91_percentiles",
+    """
+    SELECT lang,
+           median(n_chars) AS med,
+           quantile_cont(n_chars, 0.95) AS p95,
+           quantile_cont(n_chars, 0.99) AS p99
+    FROM documents GROUP BY lang
+    """,
+)
+def q91_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby.apply percentile: exact interpolated per-group
+    quantiles (doc-length p50/p95/p99 per language — the numbers a
+    quality dashboard reports). Sort-based exact percentile; for
+    interactive sketches use approx.quantiles instead."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("groupby.apply", ctx, [d], by="lang", aggregations=[
+        {"column": "n_chars", "operation": "median", "output_column": "med"},
+        {"column": "n_chars", "operation": "percentile", "p": 0.95,
+         "output_column": "p95"},
+        {"column": "n_chars", "operation": "percentile", "p": 0.99,
+         "output_column": "p99"},
+    ])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -27,10 +27,20 @@ def _as_list(v: Any) -> list[str]:
     return [v] if isinstance(v, str) else list(v)
 
 
-def build_agg(column: str, operation: str, order_by: str | None = None) -> Column:
+def build_agg(
+    column: str, operation: str, order_by: str | None = None, p: float | None = None
+) -> Column:
     """Build one aggregate expression (op vocabulary: group_by.rs:142-157)."""
     c = F.col(column)
     op = operation.lower()
+    if op == "percentile":
+        # exact interpolated percentile (sort-based); the approx
+        # sketch lives in approx.quantiles
+        if p is None or not (0.0 <= float(p) <= 1.0):
+            raise ConfigError(
+                f"groupby.apply: percentile needs 'p' in [0,1], got {p!r}"
+            )
+        return F.percentile(c, F.lit(float(p)))
     if op == "sum":
         return F.sum(c)
     if op in ("avg", "mean"):
@@ -79,7 +89,7 @@ def groupby_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     for a in aggs:
         col, op = a["column"], a["operation"]
         out = a.get("output_column") or f"{col}_{op}"
-        exprs.append(build_agg(col, op, a.get("order_by")).alias(out))
+        exprs.append(build_agg(col, op, a.get("order_by"), a.get("p")).alias(out))
     cols = _as_list(by)
     if grouping == "groups":
         grouped = df.groupBy(*cols)

@@ -220,3 +220,20 @@ def test_validate_quarantine_modes(ctx, spark):
         run_op(ctx, "validate.schema", [df], mode="filter", unique_fields=["id"])
     with _pytest.raises(ConfigError):
         run_op(ctx, "validate.schema", [df], mode="zap")
+
+
+def test_groupby_percentile(ctx, spark):
+    df = spark.createDataFrame([("a", v) for v in range(1, 101)], ["k", "v"])
+    from tests.conftest import run_op
+    out = run_op(ctx, "groupby.apply", [df], by="k", aggregations=[
+        {"column": "v", "operation": "percentile", "p": 0.5, "output_column": "p50"},
+        {"column": "v", "operation": "percentile", "p": 0.9, "output_column": "p90"},
+    ]).collect()[0]
+    assert out["p50"] == 50.5 and out["p90"] == pytest.approx(90.1)
+    from conveyor_spark.errors import ConfigError
+    with pytest.raises(ConfigError):
+        run_op(ctx, "groupby.apply", [df], by="k", aggregations=[
+            {"column": "v", "operation": "percentile", "p": 1.5}])
+    with pytest.raises(ConfigError):
+        run_op(ctx, "groupby.apply", [df], by="k", aggregations=[
+            {"column": "v", "operation": "percentile"}])
