@@ -23,6 +23,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     text,
     multimodal,
     packing,
+    quality,
     resample,
     selection,
     split,

@@ -2737,6 +2737,53 @@ def q91_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@query(
+    "q92_drift_psi",
+    """
+    WITH r AS (
+      SELECT LEAST(GREATEST(floor(n_chars::DOUBLE / 1000.0 * 10.0)::INT, 0), 9) AS bin,
+             COUNT(*)::BIGINT AS n_ref
+      FROM documents WHERE lang = 'en' GROUP BY bin),
+    c AS (
+      SELECT LEAST(GREATEST(floor(n_chars::DOUBLE / 1000.0 * 10.0)::INT, 0), 9) AS bin,
+             COUNT(*)::BIGINT AS n_cur
+      FROM documents WHERE lang = 'de' GROUP BY bin),
+    spine AS (SELECT unnest(range(0, 10))::INT AS bin),
+    j AS (SELECT s.bin, COALESCE(r.n_ref, 0) AS n_ref, COALESCE(c.n_cur, 0) AS n_cur
+          FROM spine s LEFT JOIN r ON s.bin = r.bin LEFT JOIN c ON s.bin = c.bin),
+    t AS (SELECT SUM(n_ref)::BIGINT AS tr, SUM(n_cur)::BIGINT AS tc FROM j),
+    sh AS (SELECT bin, n_ref, n_cur,
+                  GREATEST(n_ref::DOUBLE / tr::DOUBLE, 0.000001) AS p_ref,
+                  GREATEST(n_cur::DOUBLE / tc::DOUBLE, 0.000001) AS p_cur
+           FROM j CROSS JOIN t),
+    sb AS (SELECT *, (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_bin FROM sh),
+    tot AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                     list(psi_bin ORDER BY bin)), (a, b) -> a + b) AS psi_total
+            FROM sb)
+    SELECT bin, n_ref, n_cur, p_ref, p_cur,
+           round(psi_bin, 9) AS psi_bin, round(psi_total, 9) AS psi_total
+    FROM sb CROSS JOIN tot
+    """,
+)
+def q92_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """drift.psi: population stability of doc length, en cohort vs de
+    cohort, fixed [0,1000] x 10 bins. One aggregate per side at bin
+    grain, broadcast joins of <=10-row frames, PSI folded in bin
+    order (deterministic double sum). psi columns rounded (9) — log
+    noise, same policy as cosine rounding."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    en = _op("filter.apply", ctx, [d], expr="lang = 'en'")
+    de = _op("filter.apply", ctx, [d], expr="lang = 'de'")
+    out = _op("drift.psi", ctx, [en, de], column="n_chars",
+              min=0, max=1000, bins=10)
+    return out.select(
+        "bin", "n_ref", "n_cur", "p_ref", "p_cur",
+        F.round("psi_bin", 9).alias("psi_bin"),
+        F.round("psi_total", 9).alias("psi_total"),
+    )
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
