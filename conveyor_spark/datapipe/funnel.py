@@ -32,6 +32,54 @@ from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, register
 
 
+@register("sessionize.assign", kind="transform", doc="Label each event with a per-user session id")
+def sessionize_assign(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Gap-based sessionization that KEEPS the events: every row gets
+    its user's session index (0, 1, 2, ... in time order), a new
+    session starting when the gap since the previous event exceeds
+    ``gap_seconds``. window.apply's session mode aggregates sessions
+    away; this is the per-event labeling that funnel/feature
+    pipelines join against.
+
+    Config: ``by`` (user column), ``ts_column`` (default "ts"),
+    ``gap_seconds`` (required), ``output_column`` (default
+    "session_id"), ``global_id`` (default false: emit
+    "<user>#<index>" strings instead of per-user ints).
+
+    Scale: ONE shuffle — a keyed window (lag for the gap flag, then a
+    running sum of flags). Ties at identical timestamps share a
+    session regardless of intra-tie order (gap 0), so the labeling is
+    partition-invariant.
+    """
+    df = inputs[0]
+    by = config.get("by")
+    gap = config.get("gap_seconds")
+    if not by or gap is None:
+        raise ConfigError("sessionize.assign requires 'by' and 'gap_seconds'")
+    gap_us = int(float(gap) * 1_000_000)
+    if gap_us <= 0:
+        raise ConfigError("sessionize.assign: gap_seconds must be > 0")
+    ts_col = config.get("ts_column", "ts")
+    out_col = config.get("output_column", "session_id")
+
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(by).orderBy(us)
+    prev = F.lag(us).over(w)
+    boundary = F.when(prev.isNull() | ((us - prev) > gap_us), 1).otherwise(0)
+    # RANGE frame, not ROWS: tied timestamps must all see the same
+    # cumulative boundary count (a ROWS frame would split ties by the
+    # nondeterministic intra-tie order)
+    run = Window.partitionBy(by).orderBy(us).rangeBetween(Window.unboundedPreceding, 0)
+    idx = (F.sum(boundary).over(run) - F.lit(1)).cast("bigint")
+    if config.get("global_id", False):
+        sid = F.concat(F.col(by).cast("string"), F.lit("#"), idx.cast("string"))
+    else:
+        sid = idx
+    return df.withColumn(out_col, sid)
+
+
 @register("retention.cohort", kind="transform", doc="Cohort retention matrix from an event log")
 def retention_cohort(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Classic retention triangle: users cohorted by the period of

@@ -2784,6 +2784,36 @@ def q92_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q93_sessionize",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts::TIMESTAMP) AS us FROM events),
+    b AS (
+      SELECT event_id, user_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                       OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                          > 21600000000
+                  THEN 1 ELSE 0 END AS bd
+      FROM e)
+    SELECT event_id, user_id,
+           (SUM(bd) OVER (PARTITION BY user_id ORDER BY us
+              RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)::BIGINT
+             AS session_id
+    FROM b
+    """,
+)
+def q93_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sessionize.assign: label every event with its user's 6h-gap
+    session index — the per-event complement to window.apply's
+    session aggregation. One keyed window (lag + RANGE-frame running
+    sum, so tied timestamps always share a session)."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "events")
+    out = _op("sessionize.assign", ctx, [e], by="user_id",
+              gap_seconds=21600)
+    return out.select("event_id", "user_id", "session_id")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -132,3 +132,48 @@ def test_retention_config_errors(ctx, activity):
     with pytest.raises(ConfigError):
         run_op(ctx, "retention.cohort", [activity], by="uid",
                ts_column="ts", interval_seconds=0)
+
+
+# -- sessionize.assign ------------------------------------------------------
+
+def test_sessionize_gap_labeling(ctx, spark):
+    rows = [
+        (1, datetime(2024, 1, 1, 10, 0)), (1, datetime(2024, 1, 1, 10, 20)),
+        (1, datetime(2024, 1, 1, 12, 0)),   # > 1h gap -> new session
+        (2, datetime(2024, 1, 1, 9, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["uid", "ts"])
+    out = run_op(ctx, "sessionize.assign", [df], by="uid", ts_column="ts",
+                 gap_seconds=3600)
+    got = sorted((r["uid"], r["ts"].hour, r["session_id"]) for r in out.collect())
+    assert got == [(1, 10, 0), (1, 10, 0), (1, 12, 1), (2, 9, 0)]
+
+
+def test_sessionize_ties_share_session(ctx, spark):
+    t = datetime(2024, 1, 1, 10)
+    later = datetime(2024, 1, 1, 13)
+    df = spark.createDataFrame(
+        [(1, t), (1, t), (1, t), (1, later), (1, later)], ["uid", "ts"])
+    for reps in (1, 7):
+        out = run_op(ctx, "sessionize.assign", [df.repartition(reps)], by="uid",
+                     ts_column="ts", gap_seconds=3600).collect()
+        sids = {r["ts"].hour: set() for r in out}
+        for r in out:
+            sids[r["ts"].hour].add(r["session_id"])
+        assert sids[10] == {0} and sids[13] == {1}  # each tie group one session
+
+
+def test_sessionize_global_id(ctx, spark):
+    df = spark.createDataFrame([(7, datetime(2024, 1, 1))], ["uid", "ts"])
+    out = run_op(ctx, "sessionize.assign", [df], by="uid", ts_column="ts",
+                 gap_seconds=60, global_id=True).collect()
+    assert out[0]["session_id"] == "7#0"
+
+
+def test_sessionize_config_errors(ctx, spark):
+    df = spark.createDataFrame([(1, datetime(2024, 1, 1))], ["uid", "ts"])
+    with pytest.raises(ConfigError):
+        run_op(ctx, "sessionize.assign", [df], by="uid", ts_column="ts")
+    with pytest.raises(ConfigError):
+        run_op(ctx, "sessionize.assign", [df], by="uid", ts_column="ts",
+               gap_seconds=0)
