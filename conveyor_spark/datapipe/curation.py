@@ -307,6 +307,40 @@ _HTML_ENTITIES = [
 ]
 
 
+@register("text.extract", kind="transform", doc="Regex capture groups -> typed columns")
+def text_extract(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Structured extraction: pull regex capture groups out of a text
+    column into new columns (log lines -> fields, IDs out of URLs,
+    metrics out of config blobs).
+
+    Config: ``column`` (required), ``fields`` — dict output_name ->
+    {pattern, group (default 1), type (optional Spark cast, e.g.
+    "int")}. Non-matches yield NULL (Spark's empty-string sentinel is
+    normalized — an empty capture and a non-match are both NULL
+    unless ``keep_empty=true``).
+
+    Pure regexp_extract chain — codegen'd, zero shuffle; RE2-safe
+    patterns keep it oracle-checkable.
+    """
+    df = inputs[0]
+    column = config.get("column")
+    fields = config.get("fields")
+    if not column or not fields:
+        raise ConfigError("text.extract requires 'column' and 'fields'")
+    keep_empty = bool(config.get("keep_empty", False))
+    for name, spec in fields.items():
+        pattern = spec.get("pattern")
+        if not pattern:
+            raise ConfigError(f"text.extract: field {name!r} needs 'pattern'")
+        c = F.regexp_extract(F.col(column).cast("string"), pattern, int(spec.get("group", 1)))
+        if not keep_empty:
+            c = F.when(c == "", None).otherwise(c)
+        if cast := spec.get("type"):
+            c = c.cast(cast)
+        df = df.withColumn(name, c)
+    return df
+
+
 @register("text.html_strip", kind="transform", doc="Strip HTML tags/entities to visible text")
 def text_html_strip(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Web-corpus HTML -> visible text: drop script/style bodies and

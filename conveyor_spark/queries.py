@@ -2814,6 +2814,33 @@ def q93_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "session_id")
 
 
+@query(
+    "q94_text_extract",
+    r"""
+    SELECT event_id,
+           CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) = '' THEN NULL
+                ELSE regexp_extract(props, '"k":\s*(\d+)', 1)::INT END AS k_val,
+           CASE WHEN regexp_extract(event_type, '^(..)', 1) = '' THEN NULL
+                ELSE regexp_extract(event_type, '^(..)', 1) END AS ty
+    FROM events
+    """,
+)
+def q94_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.extract: regex capture groups to typed columns (the
+    log-parsing primitive) — here the numeric k out of the props JSON
+    blob and a type prefix. Codegen'd regexp_extract chain, zero
+    shuffle; non-matches are NULL, not empty strings."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "events")
+    out = _op("text.extract", ctx, [e], column="props", fields={
+        "k_val": {"pattern": r'"k":\s*(\d+)', "type": "int"},
+    })
+    out = _op("text.extract", ctx, [out], column="event_type", fields={
+        "ty": {"pattern": r"^(..)"},
+    })
+    return out.select("event_id", "k_val", "ty")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

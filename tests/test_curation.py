@@ -285,3 +285,40 @@ def test_text_chunk_validates(ctx, spark):
     with pytest.raises(ConfigError):
         run_op(ctx, "text.chunk", [df], column="text", id_column="id",
                size=3, overlap=3)
+
+
+# -- text.extract -----------------------------------------------------------
+
+def test_text_extract_fields_and_types(ctx, spark):
+    df = spark.createDataFrame(
+        [(1, "GET /api/v2/users/42 200 12ms"),
+         (2, "POST /login 401 3ms"),
+         (3, "garbage line")], ["id", "line"])
+    out = {r["id"]: r for r in run_op(
+        ctx, "text.extract", [df], column="line", fields={
+            "verb": {"pattern": r"^(GET|POST|PUT)"},
+            "status": {"pattern": r" (\d{3}) ", "type": "int"},
+            "ms": {"pattern": r"(\d+)ms", "type": "long"},
+        }).collect()}
+    assert out[1]["verb"] == "GET" and out[1]["status"] == 200 and out[1]["ms"] == 12
+    assert out[2]["verb"] == "POST" and out[2]["status"] == 401
+    assert out[3]["verb"] is None and out[3]["status"] is None  # no match -> NULL
+
+
+def test_text_extract_group_and_keep_empty(ctx, spark):
+    df = spark.createDataFrame([(1, "a=1;b=2")], ["id", "s"])
+    out = run_op(ctx, "text.extract", [df], column="s", fields={
+        "b": {"pattern": r"a=(\d);b=(\d)", "group": 2},
+    }).collect()[0]
+    assert out["b"] == "2"
+    out2 = run_op(ctx, "text.extract", [df], column="s", keep_empty=True,
+                  fields={"none": {"pattern": r"(z*)"}}).collect()[0]
+    assert out2["none"] == ""  # empty capture preserved when asked
+
+
+def test_text_extract_config_errors(ctx, spark):
+    df = spark.createDataFrame([(1, "x")], ["id", "s"])
+    with pytest.raises(ConfigError):
+        run_op(ctx, "text.extract", [df], column="s")
+    with pytest.raises(ConfigError):
+        run_op(ctx, "text.extract", [df], column="s", fields={"a": {}})
