@@ -2841,6 +2841,58 @@ def q94_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "k_val", "ty")
 
 
+@query(
+    "q95_stream_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY e.user_id)
+    SELECT s1.user_id,
+           (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END)::INT
+             AS steps_completed,
+           (t3 IS NOT NULL) AS converted,
+           make_timestamp(t1) AS first_ts,
+           make_timestamp(COALESCE(t3, t2, t1)) AS last_ts
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q95_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream.funnel: the stateful streaming funnel, VALUE-CHECKED —
+    an availableNow drain of the static events file is one
+    event-time-sorted micro-batch, so the per-user update rows equal
+    the batch funnel exactly (same chained-min oracle as q87, no
+    window)."""
+    import tempfile
+
+    from conveyor_spark.registry import get_function
+    from conveyor_spark.streaming.ops import read_file_stream
+
+    ctx = _ctx(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = read_file_stream(
+        spark, sf_dir, batch.schema, "parquet",
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    fun = get_function("stream.funnel").fn(
+        ctx, [sdf], {"steps": ["view", "click", "purchase"], "by": "user_id"}
+    )
+    with tempfile.TemporaryDirectory(prefix="conveyor-q95-") as ckpt:
+        q = (
+            fun.writeStream.format("memory").queryName("q95_stream_funnel")
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table("q95_stream_funnel")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

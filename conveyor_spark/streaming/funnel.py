@@ -1,0 +1,114 @@
+"""`stream.funnel` — stateful first-touch funnel over a stream.
+
+The streaming twin of event.funnel (datapipe/funnel.py): per-user
+(steps_done, first_ts, last_ts) state carried across micro-batches
+via ``applyInPandasWithState``, so a user who viewed yesterday and
+purchased today converts without any batch re-scan. Emits each
+user's CURRENT progress whenever a batch touches them (update
+semantics) — a downstream filter on converted=true feeds alerts.
+
+Ordering caveat (inherent to streaming funnels): events are folded
+in event-time order WITHIN each micro-batch (sorted before the
+fold), but a later batch appends after an earlier one — late events
+that should have slotted between two already-processed steps can't
+rewind the state machine. With in-order sources (or one availableNow
+drain of a static file = one perfectly-sorted batch) the result is
+EXACTLY the batch funnel, which is how the oracle value-checks it.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, register
+
+
+@register("stream.funnel", kind="transform", streaming_capable=True,
+          doc="Stateful first-touch funnel across micro-batches")
+def stream_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Config mirrors event.funnel: ``steps`` (>=2), ``by``,
+    ``type_column`` (default "event_type"), ``ts_column`` (default
+    "ts"), ``within_seconds`` (optional first-touch window)."""
+    sdf = inputs[0]
+    steps = config.get("steps")
+    by = config.get("by")
+    if not steps or len(steps) < 2 or not by:
+        raise ConfigError("stream.funnel requires 'steps' (>=2) and 'by'")
+    steps = [str(s) for s in steps]
+    type_col = config.get("type_column", "event_type")
+    ts_col = config.get("ts_column", "ts")
+    within = config.get("within_seconds")
+    within_us = None if within is None else int(float(within) * 1_000_000)
+    k = len(steps)
+
+    key_field = sdf.schema[by]
+    evs = sdf.filter(F.col(type_col).isin(steps)).select(
+        F.col(by),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(type_col).cast("string").alias("__et"),
+    )
+    out_schema = T.StructType(
+        [
+            key_field,
+            T.StructField("steps_completed", T.IntegerType()),
+            T.StructField("converted", T.BooleanType()),
+            T.StructField("first_ts", T.TimestampType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("done", T.LongType()),
+            T.StructField("t0", T.LongType()),
+            T.StructField("tp", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import datetime as dt
+
+        import pandas as pd
+
+        done, t0, tp = state.get if state.exists else (0, 0, 0)
+        touched = False
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            touched = True
+            pdf = pdf.sort_values(["__us", "__et"])
+            for us, et in zip(pdf["__us"], pdf["__et"]):
+                us = int(us)
+                if done == 0:
+                    if et == steps[0]:
+                        done, t0, tp = 1, us, us
+                elif done < k and et == steps[done] and us > tp and (
+                    within_us is None or us <= t0 + within_us
+                ):
+                    done += 1
+                    tp = us
+        state.update((done, t0, tp))
+        if touched and done >= 1:
+            epoch = dt.datetime(1970, 1, 1)
+            yield pd.DataFrame(
+                {
+                    key_field.name: [key[0]],
+                    "steps_completed": [done],
+                    "converted": [done == k],
+                    "first_ts": [epoch + dt.timedelta(microseconds=t0)],
+                    "last_ts": [epoch + dt.timedelta(microseconds=tp)],
+                }
+            )
+
+    return evs.groupBy(by).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -28,5 +28,5 @@ from conveyor_spark.transforms import (  # noqa: F401
     temporal_join,
     zorder,
 )
-from conveyor_spark.streaming import count_window, session_window  # noqa: F401
+from conveyor_spark.streaming import count_window, funnel as stream_funnel_mod, session_window  # noqa: F401
 from conveyor_spark.datapipe import emb_lsh  # noqa: F401

@@ -216,3 +216,57 @@ def test_stream_join_pairs_within_window(ctx, spark, tmp_path):
                     watermark="2 hours")
     out = run_available_now(joined, "t_stream_join", output_mode="append")
     assert {r["r_tag"] for r in out.collect()} == {"in"}
+
+
+def test_stream_funnel_state_across_batches(ctx, spark, tmp_path):
+    """A user whose view lands in batch 1 and click/purchase in batch
+    2 must convert: state carries across micro-batches."""
+    import json as _j
+    from tests.conftest import run_op
+    from conveyor_spark.streaming.ops import run_available_now
+
+    src = tmp_path / "fun"
+    src.mkdir()
+    b1 = [{"u": 1, "et": "view", "ts": "2024-01-01 10:00:00"},
+          {"u": 2, "et": "click", "ts": "2024-01-01 10:00:00"}]
+    b2 = [{"u": 1, "et": "click", "ts": "2024-01-02 10:00:00"},
+          {"u": 1, "et": "purchase", "ts": "2024-01-02 11:00:00"},
+          {"u": 2, "et": "view", "ts": "2024-01-02 10:00:00"}]
+    (src / "b1.jsonl").write_text("\n".join(_j.dumps(r) for r in b1))
+    (src / "b2.jsonl").write_text("\n".join(_j.dumps(r) for r in b2))
+    sdf = (
+        spark.readStream.schema("u bigint, et string, ts string")
+        .option("maxFilesPerTrigger", 1).json(str(src))
+        .selectExpr("u", "et", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    fun = run_op(ctx, "stream.funnel", [sdf],
+                 steps=["view", "click", "purchase"], by="u",
+                 type_column="et", ts_column="ts")
+    out = run_available_now(fun, "t_stream_funnel", output_mode="update")
+    rows = out.collect()
+    # last update per user wins
+    last = {}
+    for r in rows:
+        last[r["u"]] = r
+    assert last[1]["steps_completed"] == 3 and last[1]["converted"]
+    # u2's click arrived BEFORE its view (cross-batch): no rewind,
+    # view in batch 2 starts the chain
+    assert last[2]["steps_completed"] == 1 and not last[2]["converted"]
+
+
+def test_stream_funnel_validates(ctx, spark, tmp_path):
+    import pytest as _pytest
+    from tests.conftest import run_op
+    from conveyor_spark.errors import ConfigError
+
+    src = tmp_path / "fun2"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"u": 1, "et": "view", "ts": "2024-01-01 00:00:00"}')
+    sdf = (
+        spark.readStream.schema("u bigint, et string, ts string").json(str(src))
+        .selectExpr("u", "et", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "stream.funnel", [sdf], steps=["view"], by="u")
+    with _pytest.raises(ConfigError):
+        run_op(ctx, "stream.funnel", [sdf], steps=["view", "click"])
