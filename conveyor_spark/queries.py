@@ -2893,6 +2893,25 @@ def q95_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table("q95_stream_funnel")
 
 
+@query(
+    "q96_json_parse",
+    """
+    SELECT event_id,
+           json_extract(props, '$.k')::INT AS k
+    FROM events
+    """,
+)
+def q96_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json.parse: typed from_json against a declared schema —
+    one parse per row regardless of field count (N get_json_object
+    calls would parse N times), flattened to top-level columns."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "events")
+    out = _op("json.parse", ctx, [e], column="props", schema="k INT",
+              flatten=True)
+    return out.select("event_id", "k")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -111,3 +111,31 @@ def test_ai_generate_unknown_provider(ctx, spark):
     df = spark.createDataFrame([(1,)], "id INT")
     with pytest.raises(ConfigError, match="unknown provider"):
         run_op(ctx, "ai.generate", [df], provider="nope", prompt="x", output_column="y")
+
+
+# -- json.parse -------------------------------------------------------------
+
+def test_json_parse_struct_and_flatten(ctx, spark):
+    from tests.conftest import run_op
+    df = spark.createDataFrame(
+        [(1, '{"a": 5, "tags": ["x", "y"]}'), (2, "not json")], ["id", "js"])
+    st = run_op(ctx, "json.parse", [df], column="js",
+                schema="a INT, tags ARRAY<STRING>")
+    rows = {r["id"]: r["js_parsed"] for r in st.collect()}
+    assert rows[1]["a"] == 5 and rows[1]["tags"] == ["x", "y"]
+    assert rows[2]["a"] is None  # permissive: malformed -> null fields
+    flat = run_op(ctx, "json.parse", [df], column="js",
+                  schema="a INT, tags ARRAY<STRING>", flatten=True)
+    assert {"a", "tags"} <= set(flat.columns)
+    assert {r["id"]: r["a"] for r in flat.collect()}[1] == 5
+
+
+def test_json_parse_flatten_collision_errors(ctx, spark):
+    from tests.conftest import run_op
+    from conveyor_spark.errors import ConfigError
+    df = spark.createDataFrame([(1, '{"id": 9}')], ["id", "js"])
+    with pytest.raises(ConfigError):
+        run_op(ctx, "json.parse", [df], column="js", schema="id INT",
+               flatten=True)
+    with pytest.raises(ConfigError):
+        run_op(ctx, "json.parse", [df], column="js")
