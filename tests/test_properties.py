@@ -85,3 +85,105 @@ class TestMapGrammar:
             expect = {"+": v + const, "-": v - const, "*": v * const, "/": v / const}[op]
             assert got[v] == pytest.approx(float(expect))
             assert isinstance(got[v], float)  # reference Float64 coercion
+
+
+class TestRound3OpProperties:
+    """Randomized invariants for the selection/packing/bloom ops."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(0, 4),
+                      st.integers(-1000, 1000)),
+            min_size=1, max_size=60, unique_by=lambda t: t[0]),
+        k=st.integers(1, 5),
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_topk_matches_bruteforce(self, spark, ctx, rows, k):
+        from tests.conftest import run_op
+        df = spark.createDataFrame(rows, ["id", "grp", "score"])
+        out = run_op(ctx, "topk.apply", [df], by="grp", k=k, salt=3,
+                     order_by=[{"column": "score", "direction": "desc"},
+                               {"column": "id"}]).collect()
+        got = sorted((r["grp"], r["id"]) for r in out)
+        expect = []
+        for g in {t[1] for t in rows}:
+            grp = sorted((t for t in rows if t[1] == g),
+                         key=lambda t: (-t[2], t[0]))[:k]
+            expect += [(g, t[0]) for t in grp]
+        assert got == sorted(expect)
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 100_000), st.integers(0, 300)),
+            min_size=1, max_size=60, unique_by=lambda t: t[0]),
+        budget=st.integers(50, 200),
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_packing_budget_never_exceeded(self, spark, ctx, rows, budget):
+        from tests.conftest import run_op
+        df = spark.createDataFrame(rows, ["id", "tok"])
+        out = run_op(ctx, "pack.sequences", [df], weight_column="tok",
+                     budget=budget, id_column="id", shards=4).collect()
+        assert len(out) == len(rows)  # own_pack keeps every row
+        fills: dict[int, list[int]] = {}
+        for r in out:
+            fills.setdefault(r["pack_id"], []).append(r["tok"])
+        for toks in fills.values():
+            assert sum(toks) <= budget or len(toks) == 1  # oversize alone
+
+    @given(
+        bench_words=st.lists(st.from_regex(r"[a-z]{3,8}", fullmatch=True),
+                             min_size=4, max_size=10, unique=True),
+        noise=st.integers(0, 5),
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_bloom_never_false_negative(self, spark, ctx, bench_words, noise):
+        """Any doc actually containing a benchmark n-gram MUST flag —
+        bloom filters cannot have false negatives."""
+        from tests.conftest import run_op
+        phrase = " ".join(bench_words)
+        docs = [(1, f"prefix {phrase} suffix")]
+        for i in range(noise):
+            docs.append((10 + i, f"noise doc {i} " + " ".join(
+                w + str(i) for w in bench_words)))
+        corpus = spark.createDataFrame(docs, ["doc_id", "text"])
+        bench = spark.createDataFrame([(99, phrase)], ["bid", "text"])
+        out = {r["doc_id"]: r["contaminated"] for r in run_op(
+            ctx, "decontam.bloom", [corpus, bench], column="text",
+            id_column="doc_id", ngram=3).collect()}
+        assert out[1] is True
+
+    @given(
+        events=st.lists(
+            st.tuples(st.integers(0, 3), st.sampled_from(["A", "B", "C", "X"]),
+                      st.integers(0, 10_000)),
+            min_size=1, max_size=40),
+    )
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_funnel_matches_python_reference(self, spark, ctx, events):
+        from datetime import datetime, timedelta
+        from tests.conftest import run_op
+        base = datetime(2024, 1, 1)
+        rows = [(u, et, base + timedelta(seconds=s)) for u, et, s in events]
+        df = spark.createDataFrame(rows, ["uid", "et", "ts"])
+        out = {r["uid"]: r["steps_completed"] for r in run_op(
+            ctx, "event.funnel", [df], steps=["A", "B", "C"], by="uid",
+            type_column="et", ts_column="ts").collect()}
+        # python reference: greedy first-touch over (ts, et)-sorted events
+        expect: dict[int, int] = {}
+        steps = ["A", "B", "C"]
+        for u in {e[0] for e in events}:
+            seq = sorted([(s, et) for uu, et, s in events if uu == u])
+            done, tp = 0, None
+            for s, et in seq:
+                if done == 0 and et == steps[0]:
+                    done, tp = 1, s
+                elif 0 < done < 3 and et == steps[done] and s > tp:
+                    done, tp = done + 1, s
+            if done >= 1:
+                expect[u] = done
+        assert out == expect
