@@ -2912,6 +2912,71 @@ def q96_json_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "k")
 
 
+@query(
+    "q97_analytics_capstone",
+    """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us FROM events),
+    fe AS (SELECT * FROM e WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT user_id, MIN(us) AS t1 FROM fe WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT fe.user_id, MIN(fe.us) AS t2 FROM fe JOIN s1 ON fe.user_id = s1.user_id
+           WHERE fe.event_type = 'click' AND fe.us > s1.t1 GROUP BY fe.user_id),
+    s3 AS (SELECT fe.user_id, MIN(fe.us) AS t3 FROM fe JOIN s2 ON fe.user_id = s2.user_id
+           WHERE fe.event_type = 'purchase' AND fe.us > s2.t2 GROUP BY fe.user_id),
+    funnel AS (
+      SELECT s1.user_id,
+             (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                   ELSE 1 END)::INT AS steps_completed
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id),
+    sb AS (
+      SELECT user_id, us,
+             CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+                       OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                          > 21600000000
+                  THEN 1 ELSE 0 END AS bd
+      FROM e),
+    sessions AS (
+      SELECT user_id, (SUM(bd))::BIGINT AS n_sessions FROM sb GROUP BY user_id),
+    cohort AS (
+      SELECT user_id, MIN(us // 604800000000) AS cohort_wk FROM e GROUP BY user_id)
+    SELECT f.user_id, f.steps_completed, (f.steps_completed = 3) AS converted,
+           s.n_sessions, make_timestamp(c.cohort_wk * 604800000000) AS cohort_ts
+    FROM funnel f
+    JOIN sessions s ON f.user_id = s.user_id
+    JOIN cohort c ON f.user_id = c.user_id
+    """,
+)
+def q97_analytics_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAPSTONE 2 (product analytics): per-user record composing
+    three engine ops on one event log — funnel progress
+    (event.funnel), session count (sessionize.assign + groupby), and
+    acquisition cohort (retention.cohort's grain) — against ONE
+    nested SQL oracle. Every stage is a lazy fold on the same scan;
+    the user_id shuffle is shared where Catalyst can prove it."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "events")
+    fun = _op("event.funnel", ctx, [e], steps=["view", "click", "purchase"],
+              by="user_id")
+    sess = _op("sessionize.assign", ctx, [e], by="user_id", gap_seconds=21600)
+    n_sess = _op("groupby.apply", ctx, [sess], by="user_id", aggregations=[
+        {"column": "session_id", "operation": "count_distinct",
+         "output_column": "n_sessions"},
+    ])
+    cohort = (
+        e.groupBy("user_id")
+        .agg(F.min(F.floor(F.unix_micros(F.col("ts")) / F.lit(604800000000))).alias("__wk"))
+        .select("user_id",
+                F.timestamp_micros((F.col("__wk") * F.lit(604800000000)).cast("bigint")).alias("cohort_ts"))
+    )
+    joined = (
+        fun.select("user_id", "steps_completed", "converted")
+        .join(n_sess, "user_id")
+        .join(cohort, "user_id")
+    )
+    return joined.select("user_id", "steps_completed", "converted",
+                         "n_sessions", "cohort_ts")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -41,6 +41,14 @@ def build_agg(
                 f"groupby.apply: percentile needs 'p' in [0,1], got {p!r}"
             )
         return F.percentile(c, F.lit(float(p)))
+    if op == "approx_percentile":
+        # sketch path: fixed memory per group at any scale (vs the
+        # exact sort); accuracy 1/10000 relative error
+        if p is None or not (0.0 <= float(p) <= 1.0):
+            raise ConfigError(
+                f"groupby.apply: approx_percentile needs 'p' in [0,1], got {p!r}"
+            )
+        return F.percentile_approx(c, F.lit(float(p)), F.lit(10000))
     if op == "sum":
         return F.sum(c)
     if op in ("avg", "mean"):

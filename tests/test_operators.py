@@ -237,3 +237,13 @@ def test_groupby_percentile(ctx, spark):
     with pytest.raises(ConfigError):
         run_op(ctx, "groupby.apply", [df], by="k", aggregations=[
             {"column": "v", "operation": "percentile"}])
+
+
+def test_groupby_approx_percentile(ctx, spark):
+    from tests.conftest import run_op
+    df = spark.createDataFrame([("a", v) for v in range(1, 1001)], ["k", "v"])
+    out = run_op(ctx, "groupby.apply", [df], by="k", aggregations=[
+        {"column": "v", "operation": "approx_percentile", "p": 0.5,
+         "output_column": "p50"},
+    ]).collect()[0]
+    assert abs(out["p50"] - 500) <= 2  # sketch, tight at this accuracy
