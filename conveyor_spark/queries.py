@@ -2977,6 +2977,80 @@ def q97_analytics_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "n_sessions", "cohort_ts")
 
 
+@query(
+    "q98_table_upsert",
+    """
+    WITH changes AS (
+      SELECT c_custkey,
+             'UPDATED-' || c_name AS c_name,
+             c_mktsegment,
+             (c_custkey % 5 = 0) AS _deleted
+      FROM customer WHERE c_custkey % 3 = 0),
+    kept AS (
+      SELECT s.c_custkey, s.c_name, s.c_mktsegment
+      FROM customer s LEFT JOIN changes ch ON s.c_custkey = ch.c_custkey
+      WHERE ch.c_custkey IS NULL),
+    incoming AS (
+      SELECT c_custkey, c_name, c_mktsegment FROM changes WHERE NOT _deleted)
+    SELECT * FROM kept UNION ALL SELECT * FROM incoming
+    """,
+)
+def q98_table_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """table.upsert: merge-as-rewrite for parquet snapshots — every
+    3rd customer gets an update, every 15th a delete; the snapshot
+    never shuffles when the change set broadcasts. The parquet
+    MERGE-less equivalent of a dimension-table maintenance loop."""
+    ctx = _ctx(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    changes = _op("map.apply", ctx, [
+        _op("filter.apply", ctx, [c], expr="c_custkey % 3 = 0")
+    ], expression="concat('UPDATED-', c_name)", output_column="c_name")
+    changes = _op("map.apply", ctx, [changes],
+                  expression="c_custkey % 5 = 0", output_column="_deleted")
+    out = _op("table.upsert", ctx, [c, changes], key="c_custkey",
+              delete_column="_deleted")
+    return out
+
+
+@query(
+    "q99_diff",
+    """
+    WITH before AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+                    WHERE c_custkey % 7 <> 0),
+    after AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0 THEN 'EDITED' ELSE c_name END AS c_name,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 5 <> 0)
+    SELECT COALESCE(b.c_custkey, a.c_custkey) AS c_custkey,
+           CASE WHEN b.c_custkey IS NULL THEN 'added'
+                WHEN a.c_custkey IS NULL THEN 'removed'
+                WHEN b.c_name <> a.c_name THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           CASE WHEN b.c_custkey IS NOT NULL AND a.c_custkey IS NOT NULL
+                     AND b.c_name <> a.c_name
+                THEN ['c_name'] ELSE []::VARCHAR[] END AS changed_columns
+    FROM before b FULL OUTER JOIN after a ON b.c_custkey = a.c_custkey
+    WHERE NOT (b.c_custkey IS NOT NULL AND a.c_custkey IS NOT NULL
+               AND b.c_name = a.c_name)
+    """,
+)
+def q99_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diff.apply: row-level audit between two snapshot versions —
+    added/removed/changed plus WHICH columns changed (NULL-safe
+    compares). The regression check after any pipeline refactor."""
+    ctx = _ctx(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    before = _op("filter.apply", ctx, [c], expr="c_custkey % 7 != 0")
+    after = _op("filter.apply", ctx, [c], expr="c_custkey % 5 != 0")
+    after = _op("map.apply", ctx, [after],
+                expression="CASE WHEN c_custkey % 11 = 0 THEN 'EDITED' ELSE c_name END",
+                output_column="c_name")
+    return _op("diff.apply", ctx, [before, after], key="c_custkey")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

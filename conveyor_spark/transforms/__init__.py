@@ -24,6 +24,7 @@ from conveyor_spark.transforms import (  # noqa: F401
     approx,
     observe,
     profile,
+    snapshot,
     sql_query,
     temporal_join,
     zorder,

@@ -1,0 +1,71 @@
+"""Tests for table.upsert and diff.apply (transforms/snapshot.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conveyor_spark.errors import ConfigError
+from tests.conftest import run_op
+
+
+@pytest.fixture(scope="module")
+def snap(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], ["id", "name", "v"])
+
+
+def test_upsert_update_insert_delete(ctx, spark, snap):
+    changes = spark.createDataFrame(
+        [(2, "b2", 21, False), (4, "d", 40, False), (3, None, 0, True)],
+        ["id", "name", "v", "_del"])
+    out = {r["id"]: (r["name"], r["v"]) for r in run_op(
+        ctx, "table.upsert", [snap, changes], key="id",
+        delete_column="_del").collect()}
+    assert out == {1: ("a", 10), 2: ("b2", 21), 4: ("d", 40)}  # 3 deleted
+
+
+def test_upsert_without_delete_column(ctx, spark, snap):
+    changes = spark.createDataFrame([(1, "a9", 99)], ["id", "name", "v"])
+    out = {r["id"]: r["v"] for r in run_op(
+        ctx, "table.upsert", [snap, changes], key="id").collect()}
+    assert out == {1: 99, 2: 20, 3: 30}
+
+
+def test_upsert_schema_mismatch_errors(ctx, spark, snap):
+    bad = spark.createDataFrame([(1, "x")], ["id", "name"])
+    with pytest.raises(ConfigError):
+        run_op(ctx, "table.upsert", [snap, bad], key="id")
+    with pytest.raises(ConfigError):
+        run_op(ctx, "table.upsert", [snap, snap])
+
+
+def test_diff_statuses_and_changed_columns(ctx, spark):
+    before = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (5, None, 50)],
+        ["id", "name", "v"])
+    after = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 21), (4, "d", 40), (5, None, 50)],
+        ["id", "name", "v"])
+    out = {r["id"]: r for r in run_op(
+        ctx, "diff.apply", [before, after], key="id").collect()}
+    assert out[2]["diff_status"] == "changed"
+    assert sorted(out[2]["changed_columns"]) == ["name", "v"]
+    assert out[3]["diff_status"] == "removed" and out[3]["changed_columns"] == []
+    assert out[4]["diff_status"] == "added"
+    assert 1 not in out and 5 not in out  # unchanged omitted (NULL-safe)
+    full = run_op(ctx, "diff.apply", [before, after], key="id",
+                  include_unchanged=True).collect()
+    assert {r["id"]: r["diff_status"] for r in full}[1] == "unchanged"
+
+
+def test_diff_null_transitions(ctx, spark):
+    before = spark.createDataFrame([(1, None)], "id bigint, x string")
+    after = spark.createDataFrame([(1, "now")], "id bigint, x string")
+    out = run_op(ctx, "diff.apply", [before, after], key="id").collect()
+    assert out[0]["diff_status"] == "changed" and out[0]["changed_columns"] == ["x"]
+
+
+def test_diff_schema_mismatch_errors(ctx, spark, snap):
+    other = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with pytest.raises(ConfigError):
+        run_op(ctx, "diff.apply", [snap, other], key="id")
