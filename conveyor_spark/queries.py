@@ -3051,6 +3051,60 @@ def q99_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("diff.apply", ctx, [before, after], key="c_custkey")
 
 
+@query(
+    "q100_scd2",
+    """
+    WITH hist AS (
+      SELECT c_custkey, c_name, c_mktsegment,
+             TIMESTAMP '2024-01-01' AS valid_from,
+             NULL::TIMESTAMP AS valid_to, TRUE AS is_current
+      FROM customer),
+    upd AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 8 = 0 THEN c_mktsegment ELSE 'WEB' END
+               AS c_mktsegment,
+             TIMESTAMP '2024-06-01' AS eff
+      FROM customer WHERE c_custkey % 4 = 0),
+    chg AS (
+      SELECT u.* FROM upd u JOIN hist h ON u.c_custkey = h.c_custkey
+      WHERE NOT (u.c_name = h.c_name AND u.c_mktsegment = h.c_mktsegment))
+    SELECT h.c_custkey, h.c_name, h.c_mktsegment, h.valid_from, h.valid_to, h.is_current
+    FROM hist h LEFT JOIN chg r ON h.c_custkey = r.c_custkey
+    WHERE r.c_custkey IS NULL
+    UNION ALL
+    SELECT h.c_custkey, h.c_name, h.c_mktsegment, h.valid_from, r.eff, FALSE
+    FROM hist h JOIN chg r ON h.c_custkey = r.c_custkey
+    UNION ALL
+    SELECT r.c_custkey, r.c_name, r.c_mktsegment, r.eff, NULL, TRUE FROM chg r
+    """,
+)
+def q100_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scd2.apply: type-2 dimension history — every 4th customer gets
+    a June update (every 8th is a no-op caught by skip_unchanged):
+    current rows close at the effective time, new versions open.
+    Closed history filters through without joining; the business-key
+    join carries only current x updates."""
+    ctx = _ctx(spark)
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment")
+    hist = (
+        c.withColumn("valid_from", F.lit("2024-01-01").cast("timestamp"))
+        .withColumn("valid_to", F.lit(None).cast("timestamp"))
+        .withColumn("is_current", F.lit(True))
+    )
+    upd = (
+        c.filter("c_custkey % 4 = 0")
+        .withColumn(
+            "c_mktsegment",
+            F.expr("CASE WHEN c_custkey % 8 = 0 THEN c_mktsegment ELSE 'WEB' END"),
+        )
+        .withColumn("eff", F.lit("2024-06-01").cast("timestamp"))
+    )
+    out = _op("scd2.apply", ctx, [hist, upd], key="c_custkey", ts_column="eff")
+    return out.select("c_custkey", "c_name", "c_mktsegment",
+                      "valid_from", "valid_to", "is_current")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -69,6 +69,93 @@ def table_upsert(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     return kept.unionByName(incoming.select(*snapshot.columns))
 
 
+@register("scd2.apply", kind="transform", min_inputs=2, max_inputs=2,
+          doc="Slowly-changing-dimension type 2 historization")
+def scd2_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """inputs = [history, updates]. Type-2 maintenance: an update for
+    an existing key CLOSES the current row (valid_to = effective
+    time) and opens a new current one; new keys open directly.
+    History rows already closed pass through untouched.
+
+    Config: ``key`` (business key columns), ``ts_column`` (the
+    effective timestamp in the update set), ``valid_from`` /
+    ``valid_to`` / ``current_flag`` (history column names, defaults
+    "valid_from"/"valid_to"/"is_current"), ``skip_unchanged``
+    (default true: an update identical to the current row on every
+    tracked column is a no-op instead of a new version).
+
+    The update set must carry ONE row per key per run — take the
+    latest beforehand with topk.apply k=1 (documented contract; SCD2
+    with intra-batch sequences needs an ordered multi-version apply,
+    a different op).
+
+    Scale: two equi-joins on the business key (current rows x
+    updates); closed history never joins at all — it filters through.
+    """
+    history, updates = inputs
+    keys = _keys(config, "scd2.apply")
+    ts_col = config.get("ts_column")
+    if not ts_col:
+        raise ConfigError("scd2.apply requires 'ts_column'")
+    vf = config.get("valid_from", "valid_from")
+    vt = config.get("valid_to", "valid_to")
+    cf = config.get("current_flag", "is_current")
+    skip_unchanged = bool(config.get("skip_unchanged", True))
+    meta = {vf, vt, cf}
+    value_cols = [c for c in history.columns if c not in keys and c not in meta]
+    expect_hist = set(keys) | set(value_cols) | meta
+    if set(history.columns) != expect_hist:
+        raise ConfigError(
+            f"scd2.apply: history needs columns {sorted(expect_hist)}, has "
+            f"{sorted(history.columns)}"
+        )
+    expect_upd = set(keys) | set(value_cols) | {ts_col}
+    if set(updates.columns) != expect_upd:
+        raise ConfigError(
+            f"scd2.apply: updates need columns {sorted(expect_upd)}, have "
+            f"{sorted(updates.columns)}"
+        )
+
+    closed_hist = history.filter(~F.coalesce(F.col(cf), F.lit(False)))
+    current = history.filter(F.coalesce(F.col(cf), F.lit(False)))
+    u = updates.select(
+        *keys, F.col(ts_col).alias("__eff"),
+        *[F.col(c).alias(f"__u_{c}") for c in value_cols],
+    )
+    j = current.join(u, keys, "full_outer")
+    has_cur = F.col(vf).isNotNull()
+    has_upd = F.col("__eff").isNotNull()
+    same = F.lit(True)
+    for c in value_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    real_change = has_upd & (~has_cur | ~same) if skip_unchanged else has_upd
+
+    # surviving current rows: untouched keys, or unchanged-skip keys
+    keep_current = j.filter(has_cur & ~real_change).select(*history.columns)
+    # closed versions: current rows whose key got a real update
+    closed_now = j.filter(has_cur & real_change).select(
+        *keys, *value_cols,
+        F.col(vf),
+        F.col("__eff").alias(vt),
+        F.lit(False).alias(cf),
+    )
+    # new current versions (updates for existing keys + brand-new keys)
+    opened = j.filter(real_change).select(
+        *keys,
+        *[F.col(f"__u_{c}").alias(c) for c in value_cols],
+        F.col("__eff").alias(vf),
+        F.lit(None).cast(j.schema[vt].dataType).alias(vt),
+        F.lit(True).alias(cf),
+    )
+    cols = history.columns
+    return (
+        closed_hist.select(*cols)
+        .unionByName(keep_current.select(*cols))
+        .unionByName(closed_now.select(*cols))
+        .unionByName(opened.select(*cols))
+    )
+
+
 @register("diff.apply", kind="transform", min_inputs=2, max_inputs=2,
           doc="Row-level diff of two snapshots (added/removed/changed)")
 def diff_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:

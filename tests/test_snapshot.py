@@ -69,3 +69,58 @@ def test_diff_schema_mismatch_errors(ctx, spark, snap):
     other = spark.createDataFrame([(1, "a")], ["id", "name"])
     with pytest.raises(ConfigError):
         run_op(ctx, "diff.apply", [snap, other], key="id")
+
+
+# -- scd2.apply -------------------------------------------------------------
+
+from datetime import datetime
+
+
+@pytest.fixture(scope="module")
+def hist(spark):
+    jan = datetime(2024, 1, 1)
+    mar = datetime(2024, 3, 1)
+    rows = [
+        # key 1: one closed version + one current
+        (1, "v1", jan, mar, False), (1, "v2", mar, None, True),
+        # key 2: current only
+        (2, "x", jan, None, True),
+    ]
+    return spark.createDataFrame(
+        rows, "id bigint, val string, valid_from timestamp, "
+              "valid_to timestamp, is_current boolean")
+
+
+def test_scd2_close_open_and_passthrough(ctx, spark, hist):
+    jun = datetime(2024, 6, 1)
+    upd = spark.createDataFrame([(1, "v3", jun), (3, "new", jun)],
+                                "id bigint, val string, eff timestamp")
+    out = run_op(ctx, "scd2.apply", [hist, upd], key="id", ts_column="eff")
+    rows = sorted(
+        ((r["id"], r["val"], r["is_current"], r["valid_to"]) for r in out.collect()))
+    assert rows == [
+        (1, "v1", False, datetime(2024, 3, 1)),   # old closed row untouched
+        (1, "v2", False, jun),                     # current closed at eff
+        (1, "v3", True, None),                     # new current
+        (2, "x", True, None),                      # untouched key
+        (3, "new", True, None),                    # brand-new key
+    ]
+
+
+def test_scd2_skip_unchanged(ctx, spark, hist):
+    jun = datetime(2024, 6, 1)
+    upd = spark.createDataFrame([(2, "x", jun)],
+                                "id bigint, val string, eff timestamp")
+    out = run_op(ctx, "scd2.apply", [hist, upd], key="id", ts_column="eff")
+    assert out.count() == 3  # no-op: nothing closed, nothing opened
+    forced = run_op(ctx, "scd2.apply", [hist, upd], key="id", ts_column="eff",
+                    skip_unchanged=False)
+    assert forced.count() == 4
+
+
+def test_scd2_schema_validation(ctx, spark, hist):
+    bad = spark.createDataFrame([(1, "v")], "id bigint, val string")
+    with pytest.raises(ConfigError):
+        run_op(ctx, "scd2.apply", [hist, bad], key="id", ts_column="eff")
+    with pytest.raises(ConfigError):
+        run_op(ctx, "scd2.apply", [hist, hist], key="id")
