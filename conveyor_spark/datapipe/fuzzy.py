@@ -61,15 +61,18 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     q = int(config.get("ngram", 3))
     max_df = config.get("max_df")
 
-    def grams(df: DataFrame, idc: str, sc: str, ids: str, ss: str) -> DataFrame:
+    def grams(df: DataFrame, idc: str, sc: str, ids: str, ss: str, ns: str) -> DataFrame:
         base = df.select(
             F.col(idc).alias(ids), F.lower(F.col(sc).cast("string")).alias(ss)
+        ).withColumn("__gs", char_ngrams_expr(ss, q))
+        # the distinct-gram count rides along each exploded row — no
+        # extra shuffle to get it back later for count filtering
+        return base.select(
+            ids, ss, F.size("__gs").alias(ns), F.explode("__gs").alias("__gram")
         )
-        g = base.select(ids, ss, F.explode(char_ngrams_expr(ss, q)).alias("__gram"))
-        return g
 
-    lg = grams(left, id_column, on, "id_a", "s_a")
-    rg = grams(right, right_id, right_on, "id_b", "s_b")
+    lg = grams(left, id_column, on, "id_a", "s_a", "n_a")
+    rg = grams(right, right_id, right_on, "id_b", "s_b", "n_b")
     if max_df is not None:
         # prune grams present in more than max_df of the RIGHT side
         # (the posting-list side that explodes); broadcast keep-list
@@ -89,12 +92,28 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         lg = lg.join(F.broadcast(keep), "__gram", "left_semi")
         rg = rg.join(F.broadcast(keep), "__gram", "left_semi")
 
+    # groupBy replaces the old .distinct() at the same shuffle cost
+    # but ALSO yields |G(a) ∩ G(b)| (grams are distinct per id), which
+    # powers q-gram COUNT FILTERING: one edit destroys at most q
+    # distinct grams, so dist<=k requires shared >= max(n_a,n_b)-k*q.
+    # On dense vocabularies this prunes most candidates before any
+    # Levenshtein DP runs.
     cand = (
         lg.join(rg, "__gram")
-        .select("id_a", "s_a", "id_b", "s_b")
-        .distinct()
+        .groupBy("id_a", "s_a", "n_a", "id_b", "s_b", "n_b")
+        .agg(F.count(F.lit(1)).alias("__shared"))
+    )
+    if max_df is None:
+        # n_a/n_b count ALL grams; under max_df some were pruned and
+        # __shared would undercount — the bound only holds unpruned
+        cand = cand.filter(
+            F.col("__shared")
+            >= F.greatest(F.greatest("n_a", "n_b") - F.lit(k * q), F.lit(1))
+        )
+    cand = (
         # cheap prefilter: |len(a) - len(b)| > k can never be within k
-        .filter(F.abs(F.length("s_a") - F.length("s_b")) <= k)
+        cand.filter(F.abs(F.length("s_a") - F.length("s_b")) <= k)
+        .drop("n_a", "n_b", "__shared")
     )
     # thresholded levenshtein early-exits the DP past k (returns -1)
     dist = F.levenshtein(F.col("s_a"), F.col("s_b"), k)
