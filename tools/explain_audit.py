@@ -174,6 +174,31 @@ CHECKS = [
         "packing: exactly ONE shuffle (shard key), Arrow-batched scan, no extra sort pass",
         lambda p, o: p.count("Exchange") == 1 and "MapInPandas" in p,
     ),
+    (
+        "q84_sample_balanced",
+        "balanced cap: tournament windows always partitioned (reuses salted top-k)",
+        lambda p, o: sum(1 for ln in p.splitlines() if "Window [" in ln) == 2
+        and all("[lang" in ln for ln in p.splitlines() if "Window [" in ln),
+    ),
+    (
+        "q87_event_funnel",
+        "funnel: ONE hash shuffle (by user), fold is pure JVM (no Python, no joins)",
+        lambda p, o: p.count("Exchange hashpartitioning") == 1
+        and "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        and "Join" not in p,
+    ),
+    (
+        "q88_time_resample",
+        "resample: forward-fill windows partitioned by the keys (never global-order)",
+        lambda p, o: any("Window [" in ln for ln in p.splitlines())
+        and all("[user_id" in ln for ln in p.splitlines() if "Window [" in ln),
+    ),
+    (
+        "q89_retention_cohort",
+        "retention: first-activity window keyed by user; cohort sizes broadcast back",
+        lambda p, o: all("[user_id" in ln for ln in p.splitlines() if "Window [" in ln)
+        and "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    ),
 ]
 
 
