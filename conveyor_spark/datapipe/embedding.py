@@ -82,21 +82,20 @@ def embedding_quantize(ctx: OpContext, inputs: list[DataFrame], config: dict[str
     out_col = config.get("output_column", f"{column}_q8")
     scale_col = config.get("scale_column", f"{column}_scale")
     v = _as_double(F.col(column))
-    scale = F.array_max(F.transform(v, F.abs)) / F.lit(127.0)
-    quantized = let_expr(
-        scale,
-        lambda s: F.when(
-            s == 0.0,
-            F.transform(_as_double(F.col(column)), lambda x: F.lit(0).cast("tinyint")),
-        ).otherwise(
-            F.transform(
-                _as_double(F.col(column)),
-                lambda x: F.greatest(
-                    F.lit(-127.0), F.least(F.lit(127.0), F.round(x / s))
-                ).cast("tinyint"),
-            )
-        ),
+    # materialize the scale ONCE as a named column, then reference it in
+    # the code expression — inlining it twice would re-run the
+    # array_max(transform(...)) fold per row for both outputs
+    df = df.withColumn(scale_col, F.array_max(F.transform(v, F.abs)) / F.lit(127.0))
+    s = F.col(scale_col)
+    quantized = F.when(
+        s == 0.0,
+        F.transform(v, lambda x: F.lit(0).cast("tinyint")),
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127.0), F.least(F.lit(127.0), F.round(x / s))
+            ).cast("tinyint"),
+        )
     )
-    return df.withColumn(out_col, quantized).withColumn(
-        scale_col, F.array_max(F.transform(_as_double(F.col(column)), F.abs)) / F.lit(127.0)
-    )
+    return df.withColumn(out_col, quantized)

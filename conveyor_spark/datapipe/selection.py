@@ -149,8 +149,16 @@ def sample_weighted(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     ).cast("double") / F.lit(float(1 << 60))
     w = F.col(wcol).cast("double")
     key = -F.log(u) / w
-    keyed = df.filter(w.isNotNull() & (w > 0)).withColumn("__wkey", key)
-    out = keyed.orderBy(F.col("__wkey").asc(), F.col(id_column).asc()).limit(k)
+    # NULL id would hash to NULL __wkey and, under Spark's NULLS FIRST
+    # ascending default, preempt the whole sample — exclude it like
+    # NULL/<=0 weights, and order NULLS LAST as belt-and-braces
+    keyed = (
+        df.filter(w.isNotNull() & (w > 0) & F.col(id_column).isNotNull())
+        .withColumn("__wkey", key)
+    )
+    out = keyed.orderBy(
+        F.col("__wkey").asc_nulls_last(), F.col(id_column).asc_nulls_last()
+    ).limit(k)
     if key_column := config.get("key_column"):
         return out.withColumnRenamed("__wkey", key_column)
     return out.drop("__wkey")

@@ -94,7 +94,11 @@ def stream_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
                     tp = us
         state.update((done, t0, tp))
         if touched and done >= 1:
-            epoch = dt.datetime(1970, 1, 1)
+            # tz-aware UTC epoch: naive datetimes would be re-read in the
+            # session timezone, silently shifting first/last_ts whenever
+            # spark.sql.session.timeZone isn't UTC (the batch event.funnel
+            # uses timestamp_micros, which is tz-safe — this must match it)
+            epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
             yield pd.DataFrame(
                 {
                     key_field.name: [key[0]],

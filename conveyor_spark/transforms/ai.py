@@ -60,6 +60,15 @@ def _anthropic_messages(prompt: str, config: dict[str, Any]) -> str:
     from urllib.request import Request, urlopen
 
     key = os.environ.get(config.get("api_key_env", "ANTHROPIC_API_KEY"), "")
+    # API version header: from config, else the CONVEYOR_ANTHROPIC_VERSION
+    # env var. No baked-in literal — the caller owns the pinned version
+    # (the reference hardcodes one; src/modules/transforms/ai.rs:203).
+    api_version = config.get("api_version") or os.environ.get("CONVEYOR_ANTHROPIC_VERSION")
+    if not api_version:
+        raise ConfigError(
+            "ai.generate(provider=anthropic) requires 'api_version' in config "
+            "or the CONVEYOR_ANTHROPIC_VERSION environment variable"
+        )
     payload = {
         "model": config.get("model"),
         "max_tokens": config.get("max_tokens", 256),
@@ -72,9 +81,7 @@ def _anthropic_messages(prompt: str, config: dict[str, Any]) -> str:
         headers={
             "Content-Type": "application/json",
             "x-api-key": key,
-            # public API version header (same default the reference
-            # ships, src/modules/transforms/ai.rs:203); overridable
-            "anthropic-version": config.get("api_version", "2023-06-01"),
+            "anthropic-version": api_version,
         },
         method="POST",
     )
@@ -103,6 +110,16 @@ def ai_generate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     call = config.get("_provider") or _PROVIDERS.get(provider)
     if call is None:
         raise ConfigError(f"ai.generate: unknown provider {provider!r} (have {sorted(_PROVIDERS)})")
+    if (
+        provider == "anthropic"
+        and not config.get("_provider")
+        and not (config.get("api_version") or os.environ.get("CONVEYOR_ANTHROPIC_VERSION"))
+    ):
+        # fail at plan-build time, not per-row on executors
+        raise ConfigError(
+            "ai.generate(provider=anthropic) requires 'api_version' in config "
+            "or the CONVEYOR_ANTHROPIC_VERSION environment variable"
+        )
     concurrency = int(config.get("concurrency", 4))
     conf = {k: v for k, v in config.items() if not k.startswith("_")}
 

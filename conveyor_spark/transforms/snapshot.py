@@ -43,12 +43,37 @@ def table_upsert(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     a boolean column in the change set — true rows DELETE the key
     instead of upserting (the column itself is not emitted).
 
+    The change set must carry ONE row per key — a real MERGE errors on
+    duplicate source keys, and so does this op (``on_duplicate="error"``,
+    the default; checked with a window count over the change set only —
+    the snapshot never pays for it). ``on_duplicate="last_wins"`` keeps
+    the latest row per key by ``order_column`` instead.
+
     Schemas must match on the emitted columns (the change set may
-    carry the delete flag extra). One equi-join; the change side
-    broadcasts when small (AQE)."""
+    carry the delete flag / order column extra). One equi-join; the
+    change side broadcasts when small (AQE)."""
+    from pyspark.sql import Window
+
     snapshot, changes = inputs
     keys = _keys(config, "table.upsert")
     delete_col = config.get("delete_column")
+    on_dup = config.get("on_duplicate", "error")
+    order_col = config.get("order_column")
+    if on_dup not in ("error", "last_wins"):
+        raise ConfigError(
+            f"table.upsert: on_duplicate must be 'error' or 'last_wins', got {on_dup!r}"
+        )
+    if on_dup == "last_wins":
+        if not order_col:
+            raise ConfigError("table.upsert: on_duplicate='last_wins' requires 'order_column'")
+        w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc_nulls_last())
+        changes = (
+            changes.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if order_col not in snapshot.columns:
+            changes = changes.drop(order_col)
     change_cols = [c for c in changes.columns if c != delete_col]
     if set(change_cols) != set(snapshot.columns):
         raise ConfigError(
@@ -57,6 +82,21 @@ def table_upsert(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         )
     if delete_col and delete_col not in changes.columns:
         raise ConfigError(f"table.upsert: delete_column {delete_col!r} not in change set")
+    if on_dup == "error":
+        dup_guard = F.when(
+            F.count(F.lit(1)).over(Window.partitionBy(*keys)) > 1,
+            F.raise_error(F.lit(
+                "table.upsert: duplicate key in change set "
+                "(one row per key required; use on_duplicate='last_wins' "
+                "with order_column to keep the latest)"
+            )).cast("boolean"),
+        ).otherwise(F.lit(True))
+        # window exprs are illegal in WHERE — materialize, filter, drop
+        changes = (
+            changes.withColumn("__dup_ok", dup_guard)
+            .filter(F.col("__dup_ok"))
+            .drop("__dup_ok")
+        )
 
     # kept snapshot rows: anti-join against ALL change keys (updates
     # and deletes both retire the old row)
@@ -117,14 +157,27 @@ def scd2_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         )
 
     closed_hist = history.filter(~F.coalesce(F.col(cf), F.lit(False)))
-    current = history.filter(F.coalesce(F.col(cf), F.lit(False)))
+    current = history.filter(F.coalesce(F.col(cf), F.lit(False))).withColumn(
+        "__in_cur", F.lit(True)
+    )
+    # NULL effective timestamps would silently corrupt valid_from/valid_to;
+    # fail the job at the first offending row (codegen'd, no extra pass).
+    eff_guard = F.coalesce(
+        F.col(ts_col),
+        F.raise_error(
+            F.lit(f"scd2.apply: NULL {ts_col!r} in update set")
+        ).cast(updates.schema[ts_col].dataType),
+    )
     u = updates.select(
-        *keys, F.col(ts_col).alias("__eff"),
+        *keys, eff_guard.alias("__eff"), F.lit(True).alias("__in_upd"),
         *[F.col(c).alias(f"__u_{c}") for c in value_cols],
     )
     j = current.join(u, keys, "full_outer")
-    has_cur = F.col(vf).isNotNull()
-    has_upd = F.col("__eff").isNotNull()
+    # explicit presence flags — value-based markers (valid_from / __eff
+    # IS NOT NULL) misclassify legitimately-NULL values, same reasoning
+    # as diff.apply's __in_b/__in_a below
+    has_cur = F.col("__in_cur").isNotNull()
+    has_upd = F.col("__in_upd").isNotNull()
     same = F.lit(True)
     for c in value_cols:
         same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))

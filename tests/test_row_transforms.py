@@ -113,6 +113,18 @@ def test_ai_generate_unknown_provider(ctx, spark):
         run_op(ctx, "ai.generate", [df], provider="nope", prompt="x", output_column="y")
 
 
+def test_ai_generate_anthropic_requires_api_version(ctx, spark, monkeypatch):
+    monkeypatch.delenv("CONVEYOR_ANTHROPIC_VERSION", raising=False)
+    df = spark.createDataFrame([(1,)], "id INT")
+    with pytest.raises(ConfigError, match="api_version"):
+        run_op(ctx, "ai.generate", [df], provider="anthropic", prompt="x", output_column="y")
+    # satisfied via config or env var — plan builds either way
+    run_op(ctx, "ai.generate", [df], provider="anthropic", prompt="x",
+           output_column="y", api_version="v1")
+    monkeypatch.setenv("CONVEYOR_ANTHROPIC_VERSION", "v1")
+    run_op(ctx, "ai.generate", [df], provider="anthropic", prompt="x", output_column="y")
+
+
 # -- json.parse -------------------------------------------------------------
 
 def test_json_parse_struct_and_flatten(ctx, spark):

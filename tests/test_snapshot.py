@@ -31,6 +31,29 @@ def test_upsert_without_delete_column(ctx, spark, snap):
     assert out == {1: 99, 2: 20, 3: 30}
 
 
+def test_upsert_duplicate_change_keys_error(ctx, spark, snap):
+    from pyspark.errors import PySparkException
+
+    dup = spark.createDataFrame(
+        [(1, "a1", 1), (1, "a2", 2)], ["id", "name", "v"])
+    with pytest.raises(PySparkException, match="duplicate key"):
+        run_op(ctx, "table.upsert", [snap, dup], key="id").collect()
+
+
+def test_upsert_last_wins(ctx, spark, snap):
+    dup = spark.createDataFrame(
+        [(1, "a1", 1, 100), (1, "a2", 2, 200), (4, "d", 40, 50)],
+        ["id", "name", "v", "seq"])
+    out = {r["id"]: (r["name"], r["v"]) for r in run_op(
+        ctx, "table.upsert", [snap, dup], key="id",
+        on_duplicate="last_wins", order_column="seq").collect()}
+    assert out == {1: ("a2", 2), 2: ("b", 20), 3: ("c", 30), 4: ("d", 40)}
+    with pytest.raises(ConfigError, match="order_column"):
+        run_op(ctx, "table.upsert", [snap, dup], key="id", on_duplicate="last_wins")
+    with pytest.raises(ConfigError, match="on_duplicate"):
+        run_op(ctx, "table.upsert", [snap, dup], key="id", on_duplicate="nope")
+
+
 def test_upsert_schema_mismatch_errors(ctx, spark, snap):
     bad = spark.createDataFrame([(1, "x")], ["id", "name"])
     with pytest.raises(ConfigError):
@@ -116,6 +139,33 @@ def test_scd2_skip_unchanged(ctx, spark, hist):
     forced = run_op(ctx, "scd2.apply", [hist, upd], key="id", ts_column="eff",
                     skip_unchanged=False)
     assert forced.count() == 4
+
+
+def test_scd2_all_null_value_columns_survive(ctx, spark):
+    # presence must come from join flags, not value-NULL tests: a current
+    # row whose tracked value is NULL (and NULL valid_from) still keeps /
+    # closes correctly
+    jan = datetime(2024, 1, 1)
+    jun = datetime(2024, 6, 1)
+    hist = spark.createDataFrame(
+        [(1, None, None, None, True), (2, None, None, None, True)],
+        "id bigint, val string, valid_from timestamp, "
+        "valid_to timestamp, is_current boolean")
+    upd = spark.createDataFrame([(1, "now", jun)],
+                                "id bigint, val string, eff timestamp")
+    out = run_op(ctx, "scd2.apply", [hist, upd], key="id", ts_column="eff")
+    rows = sorted((r["id"], r["val"], r["is_current"]) for r in out.collect())
+    # key 1: NULL-valued current closed + new current; key 2 passes through
+    assert rows == [(1, None, False), (1, "now", True), (2, None, True)]
+
+
+def test_scd2_null_ts_column_raises(ctx, spark, hist):
+    from pyspark.errors import PySparkException
+
+    upd = spark.createDataFrame([(1, "v9", None)],
+                                "id bigint, val string, eff timestamp")
+    with pytest.raises(PySparkException, match="NULL 'eff'"):
+        run_op(ctx, "scd2.apply", [hist, upd], key="id", ts_column="eff").collect()
 
 
 def test_scd2_schema_validation(ctx, spark, hist):
