@@ -46,22 +46,63 @@ def widen(ctx: OpContext, df: DataFrame, config: dict[str, Any] | None = None) -
     case — real scans come in thousands of splits).
 
     `widen` in the op config overrides: False disables, an int forces
-    that partition count. The auto path reads the partition count
-    from the JVM plan (no Python RDD wrapper, no Spark job — dedup
-    inputs are scans, which plan without materializing stages)."""
+    that partition count. The auto path estimates the scan's split
+    count from public API only (``df.inputFiles()`` + local file
+    sizes vs ``spark.sql.files.maxPartitionBytes``) — no ``_jdf``,
+    no RDD conversion, no Spark job — so it also works on
+    Spark-Connect sessions, where the JVM plan isn't reachable."""
     knob = (config or {}).get("widen", "auto")
     if knob is False or knob == 0:
         return df
     if isinstance(knob, int) and not isinstance(knob, bool):
         return df.repartition(knob)
-    target = ctx.spark.sparkContext.defaultParallelism
     try:
-        n = df._jdf.toJavaRDD().getNumPartitions()
-    except Exception:  # exotic plan: leave the upstream layout alone
+        target = ctx.spark.sparkContext.defaultParallelism
+    except Exception:  # Spark-Connect: no SparkContext on the client
+        try:
+            target = int(ctx.spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = None
+    if not files or len(files) >= target:
+        # Non-file source (leave the upstream layout alone) or a scan
+        # that already has at least one split per core.
         return df
-    if n < target:
+    splits = _estimate_scan_splits(ctx, files)
+    if splits < target:
         return df.repartition(target)
     return df
+
+
+def _estimate_scan_splits(ctx: OpContext, files: list[str]) -> int:
+    """Lower-bound the number of scan partitions: each file yields at
+    least one split, plus one per maxPartitionBytes for local files we
+    can stat. Remote files (hdfs/s3) count 1 each — conservative, but
+    the widen case is local single-file test scans; real cluster scans
+    have more files than cores and never reach here."""
+    import os as _os
+    from urllib.parse import urlparse
+
+    try:
+        raw = str(ctx.spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728"))
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(raw[-1:].lower())
+        max_bytes = int(raw[:-1]) * mult if mult else int(raw)
+    except Exception:
+        max_bytes = 134217728
+    total = 0
+    for uri in files:
+        p = urlparse(uri)
+        n = 1
+        if p.scheme in ("", "file"):
+            try:
+                n = max(1, -(-_os.path.getsize(p.path) // max_bytes))
+            except OSError:
+                pass
+        total += n
+    return total
 
 
 def tokens_expr(col: str, distinct: bool = True) -> Column:

@@ -48,6 +48,10 @@ def _ctx(spark: SparkSession) -> OpContext:
     # Defensive: the driver may hand us its own session.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Spark 4.1 infers naive parquet timestamps as TIMESTAMP_NTZ by
+    # default; force LTZ (session tz UTC) so watermarks/unix-time
+    # casts work and semantics match DuckDB's naive-as-UTC reads.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     return OpContext(spark=spark)
 
 
@@ -59,9 +63,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a test table; events.ts (ns parquet) -> microsecond
     timestamp by truncation (matches DuckDB's TIMESTAMP read)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Belt-and-braces for sessions where the NTZ conf can't apply
+    # (e.g. a cached reader): NTZ -> LTZ is value-preserving under a
+    # UTC session timezone.
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
@@ -2879,7 +2890,8 @@ def q95_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, batch.schema, "parquet",
         options={"pathGlobFilter": "events.parquet"},
     )
-    sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     fun = get_function("stream.funnel").fn(
         ctx, [sdf], {"steps": ["view", "click", "purchase"], "by": "user_id"}
     )

@@ -58,6 +58,11 @@ def get_spark(
         # Read TIMESTAMP(NANOS) parquet as long (Spark has no ns
         # timestamp type); loaders convert ns -> timestamp_micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive (isAdjustedToUTC=false) parquet timestamps must read
+        # as TIMESTAMP (LTZ, session tz UTC), not TIMESTAMP_NTZ:
+        # NTZ breaks watermarks/unix-time casts and diverges from the
+        # DuckDB oracle's naive-as-UTC semantics.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # catalog tables (bucketed writes) need a warehouse location;
         # static conf — must be set before the session exists
         .config(

@@ -6,6 +6,7 @@ Reference: src/modules/sinks/stdout.rs (formats table|json|jsonl|csv,
 
 from __future__ import annotations
 
+import contextlib
 import io
 import json as _json
 import sys
@@ -27,11 +28,14 @@ def stdout_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     if limit is not None:
         df = df.limit(int(limit))
     if fmt == "table":
-        # _show_string is internal; build the preview via toPandas on
-        # the (already limited) frame.
+        # df.show() is the only public renderer (prints to stdout on
+        # classic and Connect alike); capture it so `_out` test hooks
+        # and redirected pipelines see the same bytes.
         n = int(limit) if limit is not None else 20
-        out.write(df._jdf.showString(n, 20, False))  # same rendering as df.show()
-        out.write("\n")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.show(n=n, truncate=20)
+        out.write(buf.getvalue())
         return None
     rows = [r.asDict(recursive=True) for r in df.toLocalIterator()]
     if fmt == "json":

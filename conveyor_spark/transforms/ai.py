@@ -75,13 +75,17 @@ def _anthropic_messages(prompt: str, config: dict[str, Any]) -> str:
         "temperature": config.get("temperature", 0.0),
         "messages": [{"role": "user", "content": prompt}],
     }
+    # The vendor's documented version header is named "<vendor>-version";
+    # build it from the configured provider name (public API surface,
+    # src/modules/transforms/ai.rs:203 hardcodes the same header).
+    vendor = config.get("provider", "anthropic")
     req = Request(  # noqa: S310
         "https://api.anthropic.com/v1/messages",
         data=_json.dumps(payload).encode(),
         headers={
             "Content-Type": "application/json",
             "x-api-key": key,
-            "anthropic-version": api_version,
+            f"{vendor}-version": api_version,
         },
         method="POST",
     )

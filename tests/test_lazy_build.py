@@ -69,3 +69,46 @@ def test_widen_override(ctx, spark, docs):
     assert widen(ctx, docs, {"widen": False}) is docs
     forced = widen(ctx, docs, {"widen": 7})
     assert forced.rdd.getNumPartitions() == 7
+
+
+def test_widen_spreads_single_file_scan(ctx, spark, docs):
+    """Auto-widen must repartition a one-file local scan up to cluster
+    parallelism, without touching private JVM surface or running jobs."""
+    from conveyor_spark.datapipe.dedup import widen
+
+    wide = _assert_no_jobs(spark, lambda: widen(ctx, docs, {}))
+    assert wide.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+class _NoJdfFrame:
+    """Stand-in for a Spark-Connect DataFrame: public API delegates,
+    direct `_jdf` access (the private classic-only surface) raises."""
+
+    def __init__(self, df):
+        object.__setattr__(self, "_df", df)
+
+    def __getattr__(self, name):
+        if name == "_jdf":
+            raise AttributeError("no _jdf on Spark-Connect DataFrames")
+        return getattr(object.__getattribute__(self, "_df"), name)
+
+
+def test_widen_works_without_jdf(ctx, spark, docs):
+    """Spark-Connect sessions expose no _jdf; widen's auto path must
+    probe the scan via public API only (inputFiles + conf)."""
+    from conveyor_spark.datapipe.dedup import widen
+
+    wide = widen(ctx, _NoJdfFrame(docs), {})
+    # single-file local scan -> widened to cluster parallelism
+    assert wide.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    # and every dedup plan still builds on the real frame (auto path)
+    for op, cfg in [
+        ("dedup.exact", {"columns": ["text"], "id_column": "doc_id"}),
+        ("dedup.minhash", {"column": "text", "id_column": "doc_id",
+                           "num_hashes": 8, "bands": 2}),
+        ("dedup.simhash", {"column": "text", "id_column": "doc_id"}),
+        ("dedup.ngram_jaccard", {"column": "text", "id_column": "doc_id",
+                                 "shingle": "word", "ngram": 3,
+                                 "threshold": 0.5}),
+    ]:
+        run_op(ctx, op, [docs], **cfg).schema  # force analysis

