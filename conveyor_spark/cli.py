@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
     p_val = sub.add_parser("validate", help="validate a pipeline TOML")
     p_val.add_argument("pipeline")
     sub.add_parser("functions", help="list registered functions")
+    p_info = sub.add_parser("info", help="show a function's parameters and usage")
+    p_info.add_argument("function")
+    p_desc = sub.add_parser("describe", help="function metadata as JSON")
+    p_desc.add_argument("function")
     p_sc = sub.add_parser("scaffold", help="write a runnable starter pipeline TOML")
     p_sc.add_argument("output", nargs="?", default="pipeline.toml")
     p_sc.add_argument("--name", default="my_pipeline")
@@ -60,6 +64,20 @@ def main(argv: list[str] | None = None) -> int:
     p_rm.add_argument("--id", required=True, dest="stage_id")
     p_pl = sub.add_parser("plugins", help="list a pipeline's plugin modules and their ops")
     p_pl.add_argument("pipeline")
+    p_build = sub.add_parser("build", help="guided stage builder (prompts on stdin)")
+    p_build.add_argument("pipeline")
+    p_plugin = sub.add_parser("plugin", help="registry verbs: search/info/add")
+    plugin_sub = p_plugin.add_subparsers(dest="plugin_cmd", required=True)
+    pp_search = plugin_sub.add_parser("search", help="search the plugin registry")
+    pp_search.add_argument("query")
+    pp_search.add_argument("--registry", default=None)
+    pp_info = plugin_sub.add_parser("info", help="show a registry plugin")
+    pp_info.add_argument("name")
+    pp_info.add_argument("--registry", default=None)
+    pp_add = plugin_sub.add_parser("add", help="wire a registry plugin into a pipeline")
+    pp_add.add_argument("pipeline")
+    pp_add.add_argument("name")
+    pp_add.add_argument("--registry", default=None)
     p_ex = sub.add_parser("explain", help="print the physical plan(s) without running sinks")
     p_ex.add_argument("pipeline")
     p_ex.add_argument("--stage", default=None, help="explain one stage (default: sink inputs)")
@@ -114,6 +132,39 @@ def main(argv: list[str] | None = None) -> int:
         print(f"removed stage {args.stage_id!r} from {args.pipeline}")
         return 0
 
+    if args.cmd == "build":
+        from conveyor_spark.builder import build_stage_into
+
+        try:
+            build_stage_into(args.pipeline, sys.stdin, sys.stdout)
+        except ConveyorError as exc:
+            print(f"build failed: {exc}", file=sys.stderr)
+            return 2
+        return 0
+
+    if args.cmd == "plugin":
+        from conveyor_spark.plugin_registry import add_plugin, plugin_info, search_plugins
+
+        try:
+            if args.plugin_cmd == "search":
+                hits = search_plugins(args.query, args.registry)
+                if not hits:
+                    print("no plugins matched")
+                for h in hits:
+                    ver = h.get("version", "?")
+                    print(f"{h['name']} {ver} — {h.get('description', '')}")
+            elif args.plugin_cmd == "info":
+                import json as _json
+
+                print(_json.dumps(plugin_info(args.name, args.registry), indent=2))
+            else:  # add
+                module = add_plugin(args.pipeline, args.name, args.registry)
+                print(f"wired plugin {args.name!r} (module {module}) into {args.pipeline}")
+        except ConveyorError as exc:
+            print(f"plugin {args.plugin_cmd} failed: {exc}", file=sys.stderr)
+            return 2
+        return 0
+
     if args.cmd == "plugins":
         from conveyor_spark.scaffold import list_plugins
 
@@ -136,13 +187,48 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{name:24s} [{op.kind}] {op.doc}")
         return 0
 
+    if args.cmd in ("info", "describe"):
+        import json as _json
+
+        from conveyor_spark.errors import FunctionNotFound
+        from conveyor_spark.metadata import describe_json, render_info
+
+        try:
+            if args.cmd == "info":
+                print(render_info(args.function))
+            else:
+                print(_json.dumps(describe_json(args.function), indent=2, default=str))
+        except FunctionNotFound:
+            print(
+                f"Function {args.function!r} not found. "
+                "Use 'conveyor-spark functions' to see available functions.",
+                file=sys.stderr,
+            )
+            return 2
+        return 0
+
     try:
         spec = load_spec(args.pipeline)
     except ConveyorError as exc:
         print(f"invalid pipeline: {exc}", file=sys.stderr)
         return 2
     if args.cmd == "validate":
-        print(f"pipeline {spec.name!r} OK ({len(spec.stages)} stages)")
+        from conveyor_spark.errors import FunctionNotFound
+        from conveyor_spark.registry import get_function, validate_config
+
+        n_warn = 0
+        for stage in spec.stages:
+            try:
+                op = get_function(stage.function)
+            except FunctionNotFound:
+                # plugin-provided function — resolved at run time
+                continue
+            for w in validate_config(op, stage.config):
+                print(f"warning: stage {stage.id!r} ({stage.function}): {w}",
+                      file=sys.stderr)
+                n_warn += 1
+        suffix = f", {n_warn} warnings" if n_warn else ""
+        print(f"pipeline {spec.name!r} OK ({len(spec.stages)} stages{suffix})")
         return 0
 
     if args.cmd == "explain":

@@ -44,7 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.datapipe.dedup import word_shingles_expr
 
 
@@ -127,6 +127,23 @@ def _getbit(words: Column, p: Column) -> Column:
     min_inputs=2,
     max_inputs=2,
     doc="Bloom-filter decontamination vs a large benchmark set",
+    params=[
+        P("column", required=True, desc="Corpus text column"),
+        P("id_column", required=True, desc="Corpus document id"),
+        P("bench_column", desc="Benchmark text column (default: column)"),
+        P("ngram", "integer", default=8, min=1, desc="Shingle size in words"),
+        P("mode", default="flag", allowed=("flag", "filter"),
+          desc="Mark contaminated docs vs remove them"),
+        P("output_column", default="contaminated", desc="Flag column (mode=flag)"),
+        P("fpp", "float", default=0.000001, min=0.0, max=1.0,
+          desc="False-positive probability target"),
+        P("expected_items", "integer", min=1,
+          desc="Benchmark gram count (skips the sizing pass)"),
+        P("inline_bits", "integer", min=1,
+          desc="Bitmap size threshold for the numpy broadcast path"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "fpp": 0.000001},
+    tags=["decontamination", "bloom", "datapipe"],
 )
 def decontam_bloom(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Flag/drop corpus docs whose word n-grams hit a Bloom filter

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _propagate(und: DataFrame, labels: DataFrame) -> DataFrame:
@@ -56,7 +56,20 @@ def _propagate(und: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-@register("dedup.components", kind="transform", doc="Connected components over duplicate pairs")
+@register(
+    "dedup.components", kind="transform",
+    doc="Connected components over duplicate pairs",
+    params=[
+        P("pair_a", default="id_a", desc="Edge column A"),
+        P("pair_b", default="id_b", desc="Edge column B"),
+        P("iterations", "integer", min=1,
+          desc="Fixed iteration count (skips convergence checks)"),
+        P("max_iterations", "integer", default=20, min=1,
+          desc="Convergence-mode bound (graph diameter)"),
+    ],
+    example={"pair_a": "id_a", "pair_b": "id_b"},
+    tags=["dedup", "graph", "datapipe"],
+)
 def dedup_components(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     pairs = inputs[0]
     col_a = config.get("pair_a", "id_a")

@@ -31,7 +31,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.datapipe.dedup import let_expr, tokens_expr, word_shingles_expr
 
 # Fixed accent-fold table (both cases), applied via translate() â€”
@@ -40,7 +40,22 @@ _ACCENT_SRC = "Ã¡Ã Ã¢Ã¤Ã£Ã¥Ã©Ã¨ÃªÃ«Ã­Ã¬Ã®Ã¯Ã³Ã²Ã´Ã¶ÃµÃºÃ¹Ã»Ã¼Ã½Ã¿Ã§Ã±ÃÃ€Ã‚Ã„ÃƒÃ
 _ACCENT_DST = "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN"
 
 
-@register("text.normalize", kind="transform", doc="Canonicalize text (case/space/punct/accents)")
+@register(
+    "text.normalize", kind="transform", doc="Canonicalize text (case/space/punct/accents)",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("output_column", desc="Result column (default: in place)"),
+        P("lowercase", "boolean", default=True, desc="Lowercase"),
+        P("collapse_whitespace", "boolean", default=True, desc="Collapse runs of whitespace"),
+        P("trim", "boolean", default=True, desc="Strip leading/trailing whitespace"),
+        P("strip_accents", "boolean", default=False, desc="Drop combining accents"),
+        P("strip_punct", "boolean", default=False, desc="Drop punctuation"),
+        P("form", default="none", allowed=("none", "nfc", "nfd", "nfkc", "nfkd"),
+          desc="Unicode normalization form"),
+    ],
+    example={"column": "text", "strip_accents": True},
+    tags=["text", "curation"],
+)
 def text_normalize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Composable text canonicalization, all JVM-side by default.
 
@@ -119,7 +134,21 @@ PII_PATTERNS: dict[str, str] = {
 _PII_ORDER = list(PII_PATTERNS)
 
 
-@register("pii.redact", kind="transform", doc="Regex-scrub emails/phones/IPs/SSNs/cards/URLs")
+@register(
+    "pii.redact", kind="transform", doc="Regex-scrub emails/phones/IPs/SSNs/cards/URLs",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("output_column", desc="Result column (default: in place)"),
+        P("types", "array",
+          desc="PII classes to scrub (default: all â€” email/phone/ip/ssn/card/url)"),
+        P("replacement", default="[{type}]",
+          desc="Replacement template ({type} substituted)"),
+        P("with_counts", "boolean", default=False,
+          desc="Add per-class redaction count columns"),
+    ],
+    example={"column": "text", "types": ["email", "phone"]},
+    tags=["text", "pii", "curation"],
+)
 def pii_redact(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Replace PII spans with ``[TYPE]`` placeholder tokens.
 
@@ -172,7 +201,15 @@ def _max_run_expr(sorted_arr: Column) -> Column:
     return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
 
 
-@register("text.repetition", kind="transform", doc="Gopher-style repetition ratios")
+@register(
+    "text.repetition", kind="transform", doc="Gopher-style repetition ratios",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("ngram", "integer", default=2, min=1, desc="N-gram size for dup ratios"),
+    ],
+    example={"column": "text", "ngram": 3},
+    tags=["text", "quality", "curation"],
+)
 def text_repetition(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Per-document repetition signals (Gopher Â§A1.1 repetition
     filters): adds
@@ -241,6 +278,16 @@ def text_repetition(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     min_inputs=2,
     max_inputs=2,
     doc="Flag/drop corpus docs sharing n-grams with a benchmark set",
+    params=[
+        P("column", required=True, desc="Corpus text column"),
+        P("id_column", required=True, desc="Corpus document id"),
+        P("bench_column", desc="Benchmark text column (default: column)"),
+        P("ngram", "integer", default=8, min=1, desc="Shingle size in words"),
+        P("mode", default="flag", allowed=("flag", "filter"),
+          desc="Mark contaminated docs vs remove them"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "ngram": 8, "mode": "filter"},
+    tags=["decontamination", "curation"],
 )
 def decontam_ngram(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Benchmark decontamination: inputs = [corpus, benchmark].
@@ -307,7 +354,19 @@ _HTML_ENTITIES = [
 ]
 
 
-@register("text.extract", kind="transform", doc="Regex capture groups -> typed columns")
+@register(
+    "text.extract", kind="transform", doc="Regex capture groups -> typed columns",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("fields", "array", required=True,
+          desc="[{name, pattern, type?, group?}] extraction specs"),
+        P("keep_empty", "boolean", default=False,
+          desc="Keep rows where nothing matched"),
+    ],
+    example={"column": "log",
+             "fields": [{"name": "code", "pattern": "status=(\\d+)", "type": "int"}]},
+    tags=["text", "extraction"],
+)
 def text_extract(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Structured extraction: pull regex capture groups out of a text
     column into new columns (log lines -> fields, IDs out of URLs,
@@ -341,7 +400,17 @@ def text_extract(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     return df
 
 
-@register("text.html_strip", kind="transform", doc="Strip HTML tags/entities to visible text")
+@register(
+    "text.html_strip", kind="transform", doc="Strip HTML tags/entities to visible text",
+    params=[
+        P("column", required=True, desc="HTML text column"),
+        P("output_column", desc="Result column (default: in place)"),
+        P("decode_entities", "boolean", default=True, desc="Decode &amp; etc."),
+        P("collapse_whitespace", "boolean", default=True, desc="Collapse whitespace"),
+    ],
+    example={"column": "html", "output_column": "text"},
+    tags=["text", "html", "curation"],
+)
 def text_html_strip(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Web-corpus HTML -> visible text: drop script/style bodies and
     comments, turn block-level closes into newlines, strip remaining
@@ -382,6 +451,20 @@ def text_html_strip(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     "text.boilerplate",
     kind="transform",
     doc="Detect/strip lines shared across many documents (per group)",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id"),
+        P("group_by", "array",
+          desc="Boilerplate scope (e.g. site/source); global when omitted"),
+        P("min_df", "float", default=0.3, min=0.0, max=1.0,
+          desc="A line is boilerplate above this document frequency"),
+        P("min_docs", "integer", default=2, min=1,
+          desc="...and when it appears in at least this many docs"),
+        P("mode", default="strip", allowed=("strip", "flag"),
+          desc="Remove the lines vs add a boilerplate-line column"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "group_by": ["source"]},
+    tags=["text", "boilerplate", "curation"],
 )
 def text_boilerplate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Cross-document boilerplate removal (C4/RefinedWeb-style): a
@@ -472,6 +555,13 @@ def text_boilerplate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     min_inputs=1,
     max_inputs=2,
     doc="Corpus-frequency quality score per document",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id"),
+        P("output_column", default="freq_score", desc="Score column"),
+    ],
+    example={"column": "text", "id_column": "doc_id"},
+    tags=["text", "quality", "curation"],
 )
 def text_freq_score(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Statistical quality filter in the CCNet shape (score docs by a
@@ -530,7 +620,20 @@ def text_freq_score(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     return joined.withColumn(out, F.coalesce(F.col(out), F.lit(0.0)))
 
 
-@register("text.chunk", kind="transform", doc="Split documents into token-budget chunks with overlap")
+@register(
+    "text.chunk", kind="transform",
+    doc="Split documents into token-budget chunks with overlap",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id"),
+        P("size", "integer", required=True, min=1, desc="Tokens per chunk"),
+        P("overlap", "integer", default=0, min=0, desc="Tokens shared between chunks"),
+        P("min_tokens", "integer", default=1, min=1,
+          desc="Drop trailing chunks smaller than this"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "size": 512, "overlap": 64},
+    tags=["text", "chunking", "curation"],
+)
 def text_chunk(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Context-length preprocessing: split each document into chunks
     of ``size`` whitespace tokens, consecutive chunks overlapping by

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.datapipe.hashing import md5_int
 
 # Universal-hash parameters for MinHash: ONE 28-bit md5 base hash per
@@ -192,7 +192,18 @@ def minhash_signature(shingles: Column, num_hashes: int) -> list[Column]:
     ]
 
 
-@register("dedup.exact", kind="transform", max_inputs=2, doc="Exact dedup via content fingerprint")
+@register(
+    "dedup.exact", kind="transform", max_inputs=2,
+    doc="Exact dedup via content fingerprint",
+    params=[
+        P("columns", "array", required=True, desc="Content column(s) to fingerprint"),
+        P("id_column", required=True, desc="Row id (min id wins — deterministic)"),
+        P("widen", "any", default="auto",
+          desc="Spread narrow scans: auto, false, or a partition count"),
+    ],
+    example={"columns": ["text"], "id_column": "doc_id"},
+    tags=["dedup", "datapipe"],
+)
 def dedup_exact(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Keep one row per distinct content (min of `id_column` wins —
     deterministic, unlike dropDuplicates' partition-order 'any')."""
@@ -240,7 +251,23 @@ def _shingles(config: dict[str, Any], column: str) -> Column:
     raise ConfigError(f"unknown shingle kind {kind!r}")
 
 
-@register("dedup.minhash", kind="transform", max_inputs=2, doc="MinHash signatures + LSH band buckets")
+@register(
+    "dedup.minhash", kind="transform", max_inputs=2,
+    doc="MinHash signatures + LSH band buckets",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id"),
+        P("num_hashes", "integer", default=16, min=2, desc="MinHash permutations"),
+        P("bands", "integer", default=4, min=1, desc="LSH bands (rows = hashes/bands)"),
+        P("shingle", default="word", allowed=("word", "char", "token"),
+          desc="Shingle unit"),
+        P("ngram", "integer", default=3, min=1, desc="Shingle size"),
+        P("widen", "any", default="auto",
+          desc="Spread narrow scans: auto, false, or a partition count"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "num_hashes": 128, "bands": 32},
+    tags=["dedup", "lsh", "datapipe"],
+)
 def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Emit candidate duplicate pairs (id_a < id_b) from MinHash-LSH.
 
@@ -310,7 +337,21 @@ def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     return pairs
 
 
-@register("dedup.simhash", kind="transform", doc="Per-doc SimHash fingerprint")
+@register(
+    "dedup.simhash", kind="transform", doc="Per-doc SimHash fingerprint",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("output_column", default="simhash", desc="Fingerprint column"),
+        P("bits", "integer", default=32, min=1, max=64, desc="Fingerprint width"),
+        P("shingle", default="token", allowed=("word", "char", "token"),
+          desc="Feature unit"),
+        P("ngram", "integer", default=3, min=1, desc="Shingle size (word/char)"),
+        P("widen", "any", default="auto",
+          desc="Spread narrow scans: auto, false, or a partition count"),
+    ],
+    example={"column": "text", "bits": 64},
+    tags=["dedup", "datapipe"],
+)
 def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Add a `simhash` column: sign-aggregated token-hash bits.
 
@@ -348,7 +389,29 @@ def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     return df.withColumn(output_column, acc).drop("__simhash_h")
 
 
-@register("dedup.ngram_jaccard", kind="transform", doc="Pairwise n-gram Jaccard similarity")
+@register(
+    "dedup.ngram_jaccard", kind="transform", doc="Pairwise n-gram Jaccard similarity",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id"),
+        P("ngram", "integer", default=3, min=1, desc="Shingle size"),
+        P("shingle", default="word", allowed=("word", "char", "token"),
+          desc="Shingle unit"),
+        P("threshold", "float", default=0.8, min=0.0, max=1.0,
+          desc="Jaccard similarity cutoff"),
+        P("max_df", "float", default=0.05, min=0.0, max=1.0,
+          desc="Prune shingles appearing in more than this doc fraction "
+               "(the scale guard against O(n²) hot shingles)"),
+        P("exact", "boolean",
+          desc="Opt out of max_df pruning (exact but quadratic on hot shingles)"),
+        P("pair_a", default="id_a", desc="Output pair column A"),
+        P("pair_b", default="id_b", desc="Output pair column B"),
+        P("widen", "any", default="auto",
+          desc="Spread narrow scans: auto, false, or a partition count"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "threshold": 0.8},
+    tags=["dedup", "jaccard", "datapipe"],
+)
 def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Jaccard over shingle sets — safe-by-default at scale.
 
@@ -436,7 +499,21 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
     )
 
 
-@register("dedup.embedding", kind="transform", doc="Embedding-cosine near-duplicate pairs")
+@register(
+    "dedup.embedding", kind="transform", doc="Embedding-cosine near-duplicate pairs",
+    params=[
+        P("id_column", required=True, desc="Row id"),
+        P("column", default="embedding", desc="Vector column (array<float>)"),
+        P("bucket_column", desc="Blocking column — REQUIRED at scale "
+                                "(refuses all-pairs without it)"),
+        P("threshold", "float", default=0.95, min=-1.0, max=1.0,
+          desc="Cosine similarity cutoff"),
+        P("allow_full", "boolean", default=False,
+          desc="Opt in to the O(n²) unblocked comparison"),
+    ],
+    example={"id_column": "id", "bucket_column": "lsh_sig", "threshold": 0.95},
+    tags=["dedup", "embedding", "datapipe"],
+)
 def dedup_embedding(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Near-dup pairs by cosine similarity within a bucket column.
 

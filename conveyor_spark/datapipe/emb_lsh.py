@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def rademacher_sign(plane: int, dim: int) -> float:
@@ -53,7 +53,21 @@ def signature_expr(column: str, bits: int, dim: int):
     return acc
 
 
-@register("embedding.lsh", kind="transform", doc="Random-hyperplane LSH signature for vectors")
+@register(
+    "embedding.lsh", kind="transform",
+    doc="Random-hyperplane LSH signature for vectors",
+    params=[
+        P("column", default="embedding", desc="Vector column (array<float>)"),
+        P("output_column", default="lsh_sig", desc="Signature column"),
+        P("bits", "integer", default=16, min=1, max=63, desc="Hyperplanes (sig bits)"),
+        P("dim", "integer", min=1,
+          desc="Vector dimensionality — pass it to keep the plan job-free"),
+        P("infer_dim", "boolean", default=False,
+          desc="Opt in to a one-row job that infers dim"),
+    ],
+    example={"column": "embedding", "bits": 16, "dim": 64},
+    tags=["embedding", "lsh", "datapipe"],
+)
 def embedding_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     column = config.get("column", "embedding")

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.datapipe.dedup import let_expr
 
 
@@ -37,7 +37,16 @@ def _l2_norm(v: Column) -> Column:
     return F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
 
 
-@register("embedding.normalize", kind="transform", doc="L2-normalize a vector column")
+@register(
+    "embedding.normalize", kind="transform", doc="L2-normalize a vector column",
+    params=[
+        P("column", default="embedding", desc="Vector column (array<float>)"),
+        P("output_column", desc="Result column (default: in place)"),
+        P("norm_column", desc="Also emit the original L2 norm here"),
+    ],
+    example={"column": "embedding", "norm_column": "l2"},
+    tags=["embedding", "datapipe"],
+)
 def embedding_normalize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Config: ``column`` (default "embedding"), ``output_column``
     (default: overwrite), ``norm_column`` (optional: also emit the
@@ -66,7 +75,17 @@ def embedding_normalize(ctx: OpContext, inputs: list[DataFrame], config: dict[st
     return df.withColumn(out_col, normalized)
 
 
-@register("embedding.quantize", kind="transform", doc="Symmetric int8 quantization of a vector column")
+@register(
+    "embedding.quantize", kind="transform",
+    doc="Symmetric int8 quantization of a vector column",
+    params=[
+        P("column", default="embedding", desc="Vector column (array<float>)"),
+        P("output_column", desc="Result column (default: <column>_q8)"),
+        P("scale_column", desc="Dequant scale column (default: <column>_scale)"),
+    ],
+    example={"column": "embedding"},
+    tags=["embedding", "datapipe"],
+)
 def embedding_quantize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Per-row symmetric scalar quantization: scale = max|x| / 127,
     q_i = round(x_i / scale) in [-127, 127] as array<tinyint>, plus

@@ -29,10 +29,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("sessionize.assign", kind="transform", doc="Label each event with a per-user session id")
+@register(
+    "sessionize.assign", kind="transform",
+    doc="Label each event with a per-user session id",
+    params=[
+        P("by", "array", required=True, desc="Entity key column(s)"),
+        P("gap_seconds", "float", required=True, min=0, desc="Inactivity gap"),
+        P("ts_column", default="ts", desc="Event-time column"),
+        P("output_column", default="session_id", desc="Session id column"),
+        P("global_id", "boolean", default=False,
+          desc="Hash a globally-unique session id instead of a per-key ordinal"),
+    ],
+    example={"by": ["user_id"], "gap_seconds": 1800},
+    tags=["analytics", "session", "datapipe"],
+)
 def sessionize_assign(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Gap-based sessionization that KEEPS the events: every row gets
     its user's session index (0, 1, 2, ... in time order), a new
@@ -80,7 +93,19 @@ def sessionize_assign(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
     return df.withColumn(out_col, sid)
 
 
-@register("retention.cohort", kind="transform", doc="Cohort retention matrix from an event log")
+@register(
+    "retention.cohort", kind="transform",
+    doc="Cohort retention matrix from an event log",
+    params=[
+        P("by", "array", required=True, desc="Entity key column(s)"),
+        P("interval_seconds", "float", required=True, min=1,
+          desc="Cohort/period width (e.g. 86400 = daily)"),
+        P("ts_column", default="ts", desc="Event-time column"),
+        P("max_periods", "integer", min=1, desc="Cap on periods since cohort"),
+    ],
+    example={"by": ["user_id"], "interval_seconds": 86400},
+    tags=["analytics", "retention", "datapipe"],
+)
 def retention_cohort(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Classic retention triangle: users cohorted by the period of
     their first activity; each later period counts how many came
@@ -146,7 +171,21 @@ def retention_cohort(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     )
 
 
-@register("event.funnel", kind="transform", doc="First-touch funnel: per-user step progress")
+@register(
+    "event.funnel", kind="transform", doc="First-touch funnel: per-user step progress",
+    params=[
+        P("steps", "array", required=True, desc="Ordered event types (>=2)"),
+        P("by", "array", required=True, desc="Entity key column(s)"),
+        P("type_column", default="event_type", desc="Event-type column"),
+        P("ts_column", default="ts", desc="Event-time column"),
+        P("within_seconds", "float", min=0,
+          desc="Max seconds from first step to completion"),
+        P("include_incomplete", "boolean", default=True,
+          desc="Emit entities that never reached step 1"),
+    ],
+    example={"steps": ["view", "click", "purchase"], "by": ["user_id"]},
+    tags=["analytics", "funnel", "datapipe"],
+)
 def event_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Config: ``steps`` (ordered event-type list, >= 2), ``by``
     (user/group column), ``type_column`` (default "event_type"),

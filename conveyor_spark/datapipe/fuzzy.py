@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.datapipe.dedup import char_ngrams_expr
 
 
@@ -35,6 +35,18 @@ from conveyor_spark.datapipe.dedup import char_ngrams_expr
     min_inputs=2,
     max_inputs=2,
     doc="Edit-distance pairs via q-gram blocking + Levenshtein verify",
+    params=[
+        P("on", required=True, desc="Left string column"),
+        P("id_column", required=True, desc="Left row id"),
+        P("right_on", desc="Right string column (default: on)"),
+        P("right_id_column", desc="Right row id (default: id_column)"),
+        P("max_distance", "integer", default=2, min=0, desc="Levenshtein cutoff"),
+        P("ngram", "integer", default=3, min=1, desc="Blocking q-gram size"),
+        P("max_df", "float", min=0.0, max=1.0,
+          desc="Prune q-grams above this doc frequency (hot-gram guard)"),
+    ],
+    example={"on": "name", "id_column": "id", "max_distance": 2},
+    tags=["join", "fuzzy", "datapipe"],
 )
 def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """inputs = [left, right]. Config: ``on`` (left string column),

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 IMAGE_META_SCHEMA = T.StructType(
     [
@@ -45,7 +45,19 @@ def _fake_image_meta(data: bytes) -> dict[str, Any]:
     }
 
 
-@register("media.decode", kind="transform", doc="Decode binary media -> metadata struct (stubbed)")
+@register(
+    "media.decode", kind="transform",
+    doc="Decode binary media -> metadata struct (stubbed)",
+    params=[
+        P("column", required=True, desc="Binary media column"),
+        P("codec", default="fake", allowed=("fake", "real"),
+          desc="real needs PIL/av (NotImplementedError in this container); "
+               "fake is a deterministic stand-in with the same plumbing"),
+        P("output_column", default="media_meta", desc="Decoded-struct column"),
+    ],
+    example={"column": "content", "codec": "fake"},
+    tags=["multimodal", "datapipe"],
+)
 def media_decode(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     column = config.get("column")
@@ -79,7 +91,19 @@ def media_decode(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     return df.mapInPandas(run, out_schema)
 
 
-@register("media.frame_sample", kind="transform", doc="Sample N pseudo-frames per video (stubbed)")
+@register(
+    "media.frame_sample", kind="transform",
+    doc="Sample N pseudo-frames per video (stubbed)",
+    params=[
+        P("column", required=True, desc="Binary media column"),
+        P("id_column", required=True, desc="Media row id"),
+        P("n_frames", "integer", default=4, min=1, desc="Frames per item"),
+        P("codec", default="fake", allowed=("fake", "real"),
+          desc="real needs av (NotImplementedError in this container)"),
+    ],
+    example={"column": "content", "id_column": "path", "n_frames": 8},
+    tags=["multimodal", "datapipe"],
+)
 def frame_sample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Explode each binary 'video' into n deterministic frame rows
     (frame_idx, frame_hash). Real impl would decode with av/ffmpeg at
@@ -131,7 +155,16 @@ MAGIC_HEX = {
 }
 
 
-@register("media.metadata", kind="transform", doc="Sniff media container format from magic bytes (pure JVM)")
+@register(
+    "media.metadata", kind="transform",
+    doc="Sniff media container format from magic bytes (pure JVM)",
+    params=[
+        P("column", required=True, desc="Binary media column"),
+        P("output_column", default="media", desc="Metadata struct column"),
+    ],
+    example={"column": "content"},
+    tags=["multimodal", "datapipe"],
+)
 def media_metadata(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Container-format sniffing WITHOUT decoding: match the file's
     magic bytes (PNG/JPEG/GIF/PDF, RIFF-wrapped WAV/AVI/WEBP, MP4

@@ -37,11 +37,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.datapipe.hashing import md5_int
 
 
-@register("pack.sequences", kind="transform", doc="Pack docs into token-budget sequences (next-fit)")
+@register(
+    "pack.sequences", kind="transform",
+    doc="Pack docs into token-budget sequences (next-fit)",
+    params=[
+        P("weight_column", required=True, desc="Token-count column"),
+        P("budget", "integer", required=True, min=1, desc="Tokens per pack"),
+        P("id_column", required=True, desc="Document id (deterministic order)"),
+        P("output_column", default="pack_id", desc="Pack id column"),
+        P("shards", "integer", default=64, min=1,
+          desc="Parallel packing shards (packs never span shards)"),
+        P("oversize", default="own_pack", allowed=("own_pack", "error", "drop"),
+          desc="Docs larger than the budget"),
+        P("seed", default="pack", desc="Shard-assignment hash seed"),
+    ],
+    example={"weight_column": "n_tokens", "budget": 4096, "id_column": "doc_id"},
+    tags=["packing", "training", "datapipe"],
+)
 def pack_sequences(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Assign each row a ``pack_id`` such that the sum of
     ``weight_column`` within a pack is ≤ ``budget`` and packs are

@@ -29,13 +29,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError, ValidationError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 @register(
     "validate.expectations",
     kind="transform",
     doc="Dataset-level expectations in one aggregate pass",
+    params=[
+        P("expectations", "array", required=True,
+          desc="Checks: {kind: row_count|not_null|unique|accepted_values|"
+               "between|matches, column?, ...}"),
+        P("mode", default="error", allowed=("error", "report"),
+          desc="Fail the run vs emit a pass/fail report frame"),
+    ],
+    example={"expectations": [{"kind": "not_null", "column": "id"},
+                              {"kind": "row_count", "min": 1}]},
+    tags=["validation", "quality", "datapipe"],
 )
 def validate_expectations(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Config: ``expectations`` — a list of checks, each a dict:
@@ -144,6 +154,16 @@ def validate_expectations(ctx: OpContext, inputs: list[DataFrame], config: dict[
     min_inputs=2,
     max_inputs=2,
     doc="Population stability index between two datasets",
+    params=[
+        P("column", required=True, desc="Numeric column to compare"),
+        P("bins", "integer", default=10, min=2, desc="Histogram bins"),
+        P("min", "float", desc="Bin range low (default: reference min)"),
+        P("max", "float", desc="Bin range high (default: reference max)"),
+        P("epsilon", "float", default=0.000001, min=0,
+          desc="Zero-bin smoothing"),
+    ],
+    example={"column": "score", "bins": 10},
+    tags=["drift", "quality", "datapipe"],
 )
 def drift_psi(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """PSI of ``column`` between inputs[0] (reference/train) and

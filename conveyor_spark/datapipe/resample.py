@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 _AGGS = {
     "count": lambda c: F.count(c),
@@ -37,7 +37,24 @@ _AGGS = {
 }
 
 
-@register("time.resample", kind="transform", doc="Bucket events to a fixed grid with gap filling")
+@register(
+    "time.resample", kind="transform",
+    doc="Bucket events to a fixed grid with gap filling",
+    params=[
+        P("interval_seconds", "float", required=True, min=0.000001,
+          desc="Grid bucket width"),
+        P("aggs", "array", required=True,
+          desc="[{column, operation, alias?}] per-bucket aggregates"),
+        P("ts_column", default="ts", desc="Event-time column"),
+        P("by", "array", desc="Per-key grids"),
+        P("fill", default="none", allowed=("none", "zero", "ffill"),
+          desc="Empty-bucket handling (zero-fill or forward-fill)"),
+    ],
+    example={"interval_seconds": 3600,
+             "aggs": [{"column": "value", "operation": "sum", "alias": "total"}],
+             "fill": "zero"},
+    tags=["timeseries", "resample", "datapipe"],
+)
 def time_resample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Config: ``ts_column`` (default "ts"), ``interval_seconds``
     (required), ``by`` (optional key columns), ``aggs`` (dict

@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.datapipe.hashing import md5_int
 
 
@@ -67,7 +67,21 @@ def _order_cols(order_by: Any) -> list[Column]:
     return cols
 
 
-@register("topk.apply", kind="transform", doc="Top-k rows per group (optionally salted two-phase)")
+@register(
+    "topk.apply", kind="transform",
+    doc="Top-k rows per group (optionally salted two-phase)",
+    params=[
+        P("order_by", "array", required=True,
+          desc="Ranking columns ('name' or 'name desc')"),
+        P("k", "integer", required=True, min=1, desc="Rows kept per group"),
+        P("by", "array", required=True, desc="Group key column(s)"),
+        P("rank_column", desc="Also emit the rank here"),
+        P("salt", "integer", default=0, min=0,
+          desc="Two-phase tournament over N salts (hot-key guard)"),
+    ],
+    example={"by": ["category"], "order_by": ["score desc"], "k": 10},
+    tags=["selection", "topk", "datapipe"],
+)
 def topk_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Keep the k best rows per group.
 
@@ -116,7 +130,19 @@ def topk_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     return ranked.drop("__rk").select(*out_cols)
 
 
-@register("sample.weighted", kind="transform", doc="Deterministic weighted sample without replacement")
+@register(
+    "sample.weighted", kind="transform",
+    doc="Deterministic weighted sample without replacement",
+    params=[
+        P("weight_column", required=True, desc="Positive sampling weight"),
+        P("k", "integer", required=True, min=1, desc="Sample size"),
+        P("id_column", required=True, desc="Row id (deterministic A-Res keys)"),
+        P("key_column", desc="Also emit the A-Res key here"),
+        P("seed", default="wsample", desc="Hash seed"),
+    ],
+    example={"weight_column": "quality", "k": 10000, "id_column": "doc_id"},
+    tags=["selection", "sampling", "datapipe"],
+)
 def sample_weighted(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Efraimidis–Spirakis A-Res weighted reservoir selection.
 
@@ -164,7 +190,20 @@ def sample_weighted(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     return out.drop("__wkey")
 
 
-@register("sample.balanced", kind="transform", doc="Cap rows per group (deterministic hash order)")
+@register(
+    "sample.balanced", kind="transform",
+    doc="Cap rows per group (deterministic hash order)",
+    params=[
+        P("by", "array", required=True, desc="Group key column(s)"),
+        P("cap", "integer", required=True, min=1, desc="Max rows per group"),
+        P("id_column", required=True, desc="Row id (deterministic order)"),
+        P("seed", default="balance", desc="Hash seed"),
+        P("salt", "integer", default=0, min=0,
+          desc="Two-phase tournament over N salts (hot-key guard)"),
+    ],
+    example={"by": ["language"], "cap": 100000, "id_column": "doc_id"},
+    tags=["selection", "sampling", "datapipe"],
+)
 def sample_balanced(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Group-balanced downsampling: keep at most ``cap`` rows per
     group, selected in deterministic hash order — the corpus
@@ -204,7 +243,16 @@ def sample_balanced(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     return picked.drop("__pri").select(*out_cols)
 
 
-@register("skew.analyze", kind="transform", doc="Key-distribution diagnostics: heavy hitters + shares")
+@register(
+    "skew.analyze", kind="transform",
+    doc="Key-distribution diagnostics: heavy hitters + shares",
+    params=[
+        P("by", "array", required=True, desc="Key column(s) to profile"),
+        P("top", "integer", default=20, min=1, desc="Heavy hitters to report"),
+    ],
+    example={"by": ["user_id"], "top": 20},
+    tags=["diagnostics", "skew", "datapipe"],
+)
 def skew_analyze(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Answer "is this key safe to shuffle on?" before the shuffle.
 

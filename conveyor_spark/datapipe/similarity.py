@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -78,7 +78,20 @@ def _resolve_queries(
     return corpus.filter(F.col(id_column).isin(list(qids)))
 
 
-@register("knn.brute", kind="transform", min_inputs=1, max_inputs=2, doc="Exact top-k cosine neighbors")
+@register(
+    "knn.brute", kind="transform", min_inputs=1, max_inputs=2,
+    doc="Exact top-k cosine neighbors",
+    params=[
+        P("id_column", required=True, desc="Row id"),
+        P("column", default="embedding", desc="Vector column (array<float>)"),
+        P("query_ids", "array", desc="Query subset (default: second input)"),
+        P("k", "integer", default=10, min=1, desc="Neighbors per query"),
+        P("max_queries", "integer", default=100000, min=1,
+          desc="Broadcast guard: refuse more queries than this"),
+    ],
+    example={"id_column": "id", "k": 10, "query_ids": [1, 2, 3]},
+    tags=["similarity", "knn", "datapipe"],
+)
 def knn_brute(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """inputs: [corpus] or [corpus, queries]. Config: id_column,
     column (embedding), k, query_ids (when no query input given).
@@ -122,7 +135,19 @@ def knn_brute(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     return _topk(joined, k)
 
 
-@register("knn.ivf", kind="transform", min_inputs=1, max_inputs=2, doc="IVF-bucketed approximate top-k")
+@register(
+    "knn.ivf", kind="transform", min_inputs=1, max_inputs=2,
+    doc="IVF-bucketed approximate top-k",
+    params=[
+        P("id_column", required=True, desc="Row id"),
+        P("column", default="embedding", desc="Vector column (array<float>)"),
+        P("bucket_column", required=True, desc="Pre-assigned IVF cell column"),
+        P("k", "integer", default=10, min=1, desc="Neighbors per query"),
+        P("query_ids", "array", desc="Query subset (default: second input)"),
+    ],
+    example={"id_column": "id", "bucket_column": "ivf_cell", "k": 10},
+    tags=["similarity", "knn", "datapipe"],
+)
 def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Like knn.brute but only scans the query's bucket
     (`bucket_column` = precomputed cluster id)."""
@@ -156,8 +181,20 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
     return _topk(joined, k)
 
 
-@register("knn.lsh", kind="transform", min_inputs=1, max_inputs=2,
-          doc="Approximate k-NN join via hyperplane-LSH band buckets")
+@register(
+    "knn.lsh", kind="transform", min_inputs=1, max_inputs=2,
+    doc="Approximate k-NN join via hyperplane-LSH band buckets",
+    params=[
+        P("id_column", required=True, desc="Row id"),
+        P("column", default="embedding", desc="Vector column (array<float>)"),
+        P("dim", "integer", required=True, min=1, desc="Vector dimensionality"),
+        P("k", "integer", default=10, min=1, desc="Neighbors per query"),
+        P("bits", "integer", default=16, min=1, max=63, desc="Signature bits"),
+        P("bands", "integer", default=4, min=1, desc="LSH bands"),
+    ],
+    example={"id_column": "id", "dim": 64, "k": 10},
+    tags=["similarity", "knn", "lsh", "datapipe"],
+)
 def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """The BOTH-SIDES-LARGE ANN path (knn.brute broadcasts the query
     side; knn.ivf needs a pre-bucketed corpus): hyperplane signatures

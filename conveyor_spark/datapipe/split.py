@@ -18,11 +18,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.datapipe.hashing import md5_int
 
 
-@register("split.assign", kind="transform", doc="Deterministic hash-based train/val/test split")
+@register(
+    "split.assign", kind="transform",
+    doc="Deterministic hash-based train/val/test split",
+    params=[
+        P("id_column", required=True, desc="Row id (hash input)"),
+        P("fractions", "object", default={"train": 0.8, "val": 0.1, "test": 0.1},
+          desc="{split_name: fraction} (must sum to 1)"),
+        P("output_column", default="split", desc="Split label column"),
+        P("seed", default="split", desc="Hash seed"),
+        P("on_null", default="error",
+          desc="Null-id handling: error, hash (one deterministic split), "
+               "or a split name"),
+    ],
+    example={"id_column": "doc_id",
+             "fractions": {"train": 0.9, "val": 0.05, "test": 0.05}},
+    tags=["split", "training", "datapipe"],
+)
 def split_assign(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     id_column = config.get("id_column")
@@ -72,7 +88,16 @@ def split_assign(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     return df.withColumn(output_column, expr)
 
 
-@register("sample.apply", kind="transform", doc="Fraction sampling (seeded)")
+@register(
+    "sample.apply", kind="transform", doc="Fraction sampling (seeded)",
+    params=[
+        P("fraction", "float", required=True, min=0.0, max=1.0, desc="Keep fraction"),
+        P("with_replacement", "boolean", default=False, desc="Sample with replacement"),
+        P("seed", "integer", default=42, desc="RNG seed"),
+    ],
+    example={"fraction": 0.01, "seed": 42},
+    tags=["sampling", "datapipe"],
+)
 def sample_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     fraction = config.get("fraction")
     if fraction is None or not 0 < float(fraction) <= 1:
@@ -84,7 +109,22 @@ def sample_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     )
 
 
-@register("sample.stratified", kind="transform", doc="Deterministic per-stratum hash sampling")
+@register(
+    "sample.stratified", kind="transform",
+    doc="Deterministic per-stratum hash sampling",
+    params=[
+        P("by", "array", required=True, desc="Stratum key column(s)"),
+        P("id_column", required=True, desc="Row id (hash input)"),
+        P("fractions", "object", required=True,
+          desc="{stratum_value: fraction} keep rates"),
+        P("default_fraction", "float", default=1.0, min=0.0, max=1.0,
+          desc="Rate for strata not listed"),
+        P("seed", default="strat", desc="Hash seed"),
+    ],
+    example={"by": ["language"], "id_column": "doc_id",
+             "fractions": {"en": 0.1, "fr": 0.5}},
+    tags=["sampling", "datapipe"],
+)
 def sample_stratified(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Data-mixing primitive: keep a different deterministic fraction
     of each stratum — downsample the dominant language/source, keep

@@ -23,10 +23,23 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("anomaly.zscore", kind="transform", doc="Per-group z-score outlier flag/filter")
+@register(
+    "anomaly.zscore", kind="transform", doc="Per-group z-score outlier flag/filter",
+    params=[
+        P("column", required=True, desc="Numeric column"),
+        P("by", "array", desc="Per-group stats; global when omitted"),
+        P("threshold", "float", default=3.0, min=0, desc="|z| cutoff"),
+        P("mode", default="flag", allowed=("flag", "filter"),
+          desc="Add flag columns vs drop outliers"),
+        P("output_column", default="zscore", desc="Z-score column"),
+        P("flag_column", default="is_outlier", desc="Outlier flag column"),
+    ],
+    example={"column": "value", "by": ["sensor_id"], "threshold": 3.0},
+    tags=["anomaly", "quality", "datapipe"],
+)
 def anomaly_zscore(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """z = (x - mean_group) / std_group, flagged when |z| > threshold.
 

@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.datapipe.dedup import tokens_expr
 
 # Small stopword lists for the n-gram/stopword language heuristic.
@@ -36,7 +36,15 @@ def stopword_hits_expr(col: str, words: list[str]) -> Column:
     return F.size(F.array_intersect(tokens_expr(col), F.array(*[F.lit(w) for w in words])))
 
 
-@register("text.language_id", kind="transform", doc="Stopword-overlap language heuristic")
+@register(
+    "text.language_id", kind="transform", doc="Stopword-overlap language heuristic",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("output_column", default="pred_lang", desc="Predicted-language column"),
+    ],
+    example={"column": "text"},
+    tags=["text", "language", "datapipe"],
+)
 def language_id(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Predict language = argmax of distinct-stopword overlap; ties and
     zero-hit rows -> 'und' (undetermined). Deterministic: languages are
@@ -75,7 +83,12 @@ def language_id(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     )
 
 
-@register("text.quality", kind="transform", doc="Heuristic document quality features + score")
+@register(
+    "text.quality", kind="transform", doc="Heuristic document quality features + score",
+    params=[P("column", required=True, desc="Text column")],
+    example={"column": "text"},
+    tags=["text", "quality", "datapipe"],
+)
 def text_quality(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Adds n_tokens, avg_token_len, punct_ratio, digit_ratio,
     stopword_ratio, quality_score in [0,1]. Mirrors the usual
@@ -115,7 +128,12 @@ def text_quality(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     )
 
 
-@register("text.token_count", kind="transform", doc="Whitespace + BPE-ish token counts")
+@register(
+    "text.token_count", kind="transform", doc="Whitespace + BPE-ish token counts",
+    params=[P("column", required=True, desc="Text column")],
+    example={"column": "text"},
+    tags=["text", "tokens", "datapipe"],
+)
 def token_count(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """ws_tokens = whitespace tokens; bpe_tokens = BPE-ish estimate
     (pieces after splitting on word boundaries/punct, ~chars/4 floor)."""
@@ -135,7 +153,15 @@ def token_count(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     return df.withColumn("ws_tokens", ws).withColumn("bpe_tokens", bpe)
 
 
-@register("text.fingerprint", kind="transform", doc="Normalized-content md5 fingerprint")
+@register(
+    "text.fingerprint", kind="transform", doc="Normalized-content md5 fingerprint",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("output_column", default="fingerprint", desc="Fingerprint column"),
+    ],
+    example={"column": "text"},
+    tags=["text", "fingerprint", "datapipe"],
+)
 def fingerprint(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """md5 of casefolded text with punctuation stripped and whitespace
     collapsed — robust to formatting-only edits; pair with dedup.exact."""

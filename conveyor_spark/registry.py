@@ -45,6 +45,41 @@ OpFn = Callable[[OpContext, list[DataFrame], dict[str, Any]], Optional[DataFrame
 
 
 @dataclass(frozen=True)
+class Param:
+    """Structured config-parameter metadata (reference parity:
+    ConfigParameter + ParameterValidation, docs/metadata-system.md).
+
+    Powers the self-documenting CLI (`info`, `describe`), the guided
+    builder, OPERATORS.md generation, and spec validation warnings."""
+
+    name: str
+    type: str = "string"  # string|integer|float|boolean|array|object|any
+    required: bool = False
+    default: Any = None
+    desc: str = ""
+    allowed: tuple[str, ...] | None = None
+    min: float | None = None
+    max: float | None = None
+
+
+def P(
+    name: str,
+    type: str = "string",
+    required: bool = False,
+    default: Any = None,
+    desc: str = "",
+    allowed: tuple[str, ...] | list[str] | None = None,
+    min: float | None = None,
+    max: float | None = None,
+) -> Param:
+    """Terse Param constructor for @register(params=[...]) blocks."""
+    return Param(
+        name=name, type=type, required=required, default=default, desc=desc,
+        allowed=tuple(allowed) if allowed is not None else None, min=min, max=max,
+    )
+
+
+@dataclass(frozen=True)
 class Op:
     name: str
     fn: OpFn
@@ -54,6 +89,17 @@ class Op:
     produces_output: bool = True
     streaming_capable: bool = False
     doc: str = ""
+    # None = metadata not declared (the test suite forbids this);
+    # () = op takes no config parameters.
+    params: tuple[Param, ...] | None = None
+    example: tuple[tuple[str, Any], ...] | None = None  # sample config
+    tags: tuple[str, ...] = ()
+
+    def required_params(self) -> list[Param]:
+        return [p for p in (self.params or ()) if p.required]
+
+    def optional_params(self) -> list[Param]:
+        return [p for p in (self.params or ()) if not p.required]
 
 
 REGISTRY: dict[str, Op] = {}
@@ -68,6 +114,9 @@ def register(
     produces_output: bool | None = None,
     streaming_capable: bool = False,
     doc: str = "",
+    params: list[Param] | tuple[Param, ...] | None = None,
+    example: dict[str, Any] | None = None,
+    tags: list[str] | tuple[str, ...] = (),
 ) -> Callable[[OpFn], OpFn]:
     """Decorator registering an operator under its stage-function name."""
 
@@ -88,10 +137,48 @@ def register(
             produces_output=produces_output,
             streaming_capable=streaming_capable,
             doc=doc or (fn.__doc__ or "").strip().splitlines()[0] if fn.__doc__ else doc,
+            params=tuple(params) if params is not None else None,
+            example=tuple(example.items()) if example else None,
+            tags=tuple(tags),
         )
         return fn
 
     return deco
+
+
+def validate_config(op: Op, config: dict[str, Any]) -> list[str]:
+    """Metadata-driven config check: unknown keys, missing required
+    params, out-of-range / disallowed values. Returns warnings (the
+    compiler stays permissive — ops do their own hard validation);
+    the `validate` CLI verb and the guided builder surface these."""
+    warnings: list[str] = []
+    if op.params is None:
+        return warnings
+    known = {p.name for p in op.params}
+    # stage-level keys the compiler consumes for any op
+    universal = {"cache"}
+    for key in config:
+        if key.startswith("_"):  # test/injection hooks
+            continue
+        if key not in known and key not in universal:
+            warnings.append(f"unknown parameter {key!r} (known: {sorted(known)})")
+    for p in op.params:
+        if p.required and config.get(p.name) is None:
+            warnings.append(f"missing required parameter {p.name!r} ({p.type})")
+            continue
+        v = config.get(p.name)
+        if v is None:
+            continue
+        if p.allowed is not None and isinstance(v, str) and v not in p.allowed:
+            warnings.append(
+                f"parameter {p.name!r}: {v!r} not in allowed values {list(p.allowed)}"
+            )
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            if p.min is not None and v < p.min:
+                warnings.append(f"parameter {p.name!r}: {v} < min {p.min}")
+            if p.max is not None and v > p.max:
+                warnings.append(f"parameter {p.name!r}: {v} > max {p.max}")
+    return warnings
 
 
 def get_function(name: str) -> Op:

@@ -17,7 +17,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _write_single_file(df: DataFrame, path: str, fmt: str, **options: Any) -> None:
@@ -30,7 +30,20 @@ def _write_single_file(df: DataFrame, path: str, fmt: str, **options: Any) -> No
     shutil.rmtree(tmp, ignore_errors=True)
 
 
-@register("csv.write", kind="sink", doc="Write DataFrame to CSV")
+@register(
+    "csv.write", kind="sink", doc="Write DataFrame to CSV",
+    params=[
+        P("path", required=True, desc="Output path"),
+        P("single_file", "boolean", default=True,
+          desc="One exact file (reference parity) vs a partitioned directory"),
+        P("headers", "boolean", default=True, desc="Write a header row"),
+        P("delimiter", default=",", desc="Field delimiter"),
+        P("mode", default="overwrite",
+          allowed=("overwrite", "append", "ignore", "error"), desc="Save mode"),
+    ],
+    example={"path": "out/result.csv", "single_file": True},
+    tags=["file", "csv"],
+)
 def csv_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
     path = config.get("path")
     if not path:

@@ -18,7 +18,7 @@ from typing import Any, Callable, Iterator
 from pyspark.sql import DataFrame, Row
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _default_sender(url: str, method: str, headers: dict[str, str], body: bytes) -> int:
@@ -69,6 +69,16 @@ def _make_http_sink(method: str):
 
 
 for _m in ("POST", "PUT", "PATCH", "DELETE"):
-    register(f"http.{_m.lower()}", kind="sink", doc=f"HTTP {_m} rows to an endpoint")(
-        _make_http_sink(_m)
-    )
+    register(
+        f"http.{_m.lower()}", kind="sink", doc=f"HTTP {_m} rows to an endpoint",
+        params=[
+            P("url", required=True, desc="Endpoint URL"),
+            P("format", default="json", allowed=("json", "jsonl"),
+              desc="Batch body encoding"),
+            P("headers", "object", default={}, desc="Request headers"),
+            P("batch_size", "integer", default=500, min=1,
+              desc="Rows per request (per partition)"),
+        ],
+        example={"url": "https://api.example.com/ingest", "batch_size": 500},
+        tags=["http", "api"],
+    )(_make_http_sink(_m))

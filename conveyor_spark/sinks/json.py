@@ -16,11 +16,25 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.sinks.csv import _write_single_file
 
 
-@register("json.write", kind="sink", doc="Write DataFrame to JSON (records/jsonl/dataframe)")
+@register(
+    "json.write", kind="sink", doc="Write DataFrame to JSON (records/jsonl/dataframe)",
+    params=[
+        P("path", required=True, desc="Output path"),
+        P("format", default="records", allowed=("records", "jsonl", "dataframe"),
+          desc="records: one JSON array; jsonl: object per line; dataframe: columnar"),
+        P("pretty", "boolean", default=False, desc="Indent output"),
+        P("single_file", "boolean", default=True,
+          desc="One exact file vs a partitioned directory"),
+        P("mode", default="overwrite",
+          allowed=("overwrite", "append", "ignore", "error"), desc="Save mode"),
+    ],
+    example={"path": "out/result.json", "format": "jsonl"},
+    tags=["file", "json"],
+)
 def json_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
     path = config.get("path")
     if not path:

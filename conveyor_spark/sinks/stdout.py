@@ -14,10 +14,21 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("stdout.write", kind="sink", doc="Print DataFrame to stdout")
+@register(
+    "stdout.write", kind="sink", doc="Print DataFrame to stdout",
+    params=[
+        P("format", default="table", allowed=("table", "json", "jsonl", "csv"),
+          desc="Rendering"),
+        P("limit", "integer", min=1, desc="Preview row cap (default 20 for table)"),
+        P("pretty", "boolean", default=False, desc="Indent JSON output"),
+        P("delimiter", default=",", desc="CSV field delimiter"),
+    ],
+    example={"format": "table", "limit": 20},
+    tags=["stdout", "preview"],
+)
 def stdout_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
     df = inputs[0]
     fmt = config.get("format", "table")

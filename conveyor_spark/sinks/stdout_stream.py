@@ -17,7 +17,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame
 
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _fmt_row(d: dict[str, Any], fmt: str, pretty: bool) -> str:
@@ -28,7 +28,20 @@ def _fmt_row(d: dict[str, Any], fmt: str, pretty: bool) -> str:
     return _json.dumps(d, indent=2 if pretty else None, default=str)
 
 
-@register("stdout_stream.write", kind="sink", streaming_capable=True, doc="Per-record streaming print")
+@register(
+    "stdout_stream.write", kind="sink", streaming_capable=True,
+    doc="Per-record streaming print",
+    params=[
+        P("format", default="jsonl", allowed=("jsonl", "json"), desc="Record rendering"),
+        P("pretty", "boolean", default=False, desc="Indent JSON"),
+        P("output_mode", default="append", allowed=("append", "update", "complete"),
+          desc="Streaming output mode"),
+        P("await_termination", "boolean", default=True,
+          desc="Block until the query stops"),
+    ],
+    example={"format": "jsonl"},
+    tags=["stdout", "streaming"],
+)
 def stdout_stream_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
     df = inputs[0]
     fmt = config.get("format", "jsonl")

@@ -18,10 +18,20 @@ from typing import Any, Optional
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("csv.read", kind="source", doc="Read CSV file(s) into a DataFrame")
+@register(
+    "csv.read", kind="source", doc="Read CSV file(s) into a DataFrame",
+    params=[
+        P("path", required=True, desc="File or directory path (glob allowed)"),
+        P("schema", desc="DDL schema string; inferred when omitted"),
+        P("headers", "boolean", default=True, desc="First line is a header row"),
+        P("delimiter", default=",", desc="Field delimiter"),
+    ],
+    example={"path": "data/input.csv", "headers": True, "delimiter": ","},
+    tags=["file", "csv", "batch"],
+)
 def csv_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     path = config.get("path")
     if not path:

@@ -16,7 +16,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _require_engine() -> None:
@@ -29,7 +29,16 @@ def _require_engine() -> None:
         ) from None
 
 
-@register("excel.read", kind="source", doc="Read an XLSX sheet into a DataFrame")
+@register(
+    "excel.read", kind="source", doc="Read an XLSX sheet into a DataFrame",
+    params=[
+        P("path", required=True, desc="XLSX file path"),
+        P("sheet", "any", default=0, desc="Sheet index or name"),
+        P("headers", "boolean", default=True, desc="First row is a header row"),
+    ],
+    example={"path": "data/book.xlsx", "sheet": 0},
+    tags=["file", "excel", "driver-side"],
+)
 def excel_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     path = config.get("path")
     if not path:
@@ -47,7 +56,18 @@ def excel_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     return ctx.spark.createDataFrame(pdf)
 
 
-@register("excel.write", kind="sink", doc="Write DataFrame to an XLSX sheet")
+@register(
+    "excel.write", kind="sink", doc="Write DataFrame to an XLSX sheet",
+    params=[
+        P("path", required=True, desc="XLSX output path"),
+        P("sheet", default="Sheet1", desc="Sheet name"),
+        P("headers", "boolean", default=True, desc="Write a header row"),
+        P("max_rows", "integer", default=1000000, min=1,
+          desc="Guard: refuse to collect more rows than this to the driver"),
+    ],
+    example={"path": "out/report.xlsx"},
+    tags=["file", "excel", "driver-side"],
+)
 def excel_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
     path = config.get("path")
     if not path:

@@ -21,7 +21,7 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _path(config: dict[str, Any], op: str) -> str:
@@ -31,7 +31,15 @@ def _path(config: dict[str, Any], op: str) -> str:
     return path
 
 
-@register("orc.read", kind="source", doc="Read ORC file(s)/directory")
+@register(
+    "orc.read", kind="source", doc="Read ORC file(s)/directory",
+    params=[
+        P("path", required=True, desc="File or directory path"),
+        P("merge_schema", "boolean", default=False, desc="Merge schemas across files"),
+    ],
+    example={"path": "data/table.orc"},
+    tags=["file", "orc", "batch"],
+)
 def orc_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     reader = ctx.spark.read
     if config.get("merge_schema"):
@@ -39,7 +47,19 @@ def orc_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) ->
     return reader.orc(_path(config, "orc.read"))
 
 
-@register("orc.write", kind="sink", doc="Write DataFrame as ORC")
+@register(
+    "orc.write", kind="sink", doc="Write DataFrame as ORC",
+    params=[
+        P("path", required=True, desc="Output directory"),
+        P("mode", default="overwrite",
+          allowed=("overwrite", "append", "ignore", "error"), desc="Save mode"),
+        P("partition_by", "array", desc="Hive-style partition column(s)"),
+        P("compression", desc="Codec (snappy default; zlib/zstd/lzo/none)"),
+        P("max_records_per_file", "integer", min=1, desc="Shard size cap per file"),
+    ],
+    example={"path": "out/result.orc"},
+    tags=["file", "orc", "batch"],
+)
 def orc_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
     """Same shard knobs as parquet.write: ``max_records_per_file``,
     ``compression`` (snappy default; zlib/zstd/lzo/none), and
@@ -59,7 +79,20 @@ def orc_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     return None
 
 
-@register("text.read", kind="source", doc="Read text files (line-per-row or whole-file)")
+@register(
+    "text.read", kind="source", doc="Read text files (line-per-row or whole-file)",
+    params=[
+        P("path", required=True, desc="File or directory path"),
+        P("whole_file", "boolean", default=False,
+          desc="One row per file instead of per line"),
+        P("include_path", "boolean", default=False,
+          desc="Add a `path` provenance column"),
+        P("line_sep", desc="Record delimiter override"),
+        P("glob", desc="pathGlobFilter pattern (e.g. *.txt)"),
+    ],
+    example={"path": "corpus/", "whole_file": True, "include_path": True},
+    tags=["file", "text", "corpus"],
+)
 def text_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """``whole_file=false`` (default): one row per line, column
     ``value`` — the shape for log/corpus line shards; splitting is
@@ -85,7 +118,18 @@ def text_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     return df
 
 
-@register("binary.read", kind="source", doc="Read files as binary rows (multimodal ingestion)")
+@register(
+    "binary.read", kind="source", doc="Read files as binary rows (multimodal ingestion)",
+    params=[
+        P("path", required=True, desc="File or directory path"),
+        P("glob", desc="pathGlobFilter pattern (e.g. *.png)"),
+        P("recursive", "boolean", default=False, desc="Recurse into subdirectories"),
+        P("drop_content", "boolean", default=False,
+          desc="Metadata-only scan (skip content IO)"),
+    ],
+    example={"path": "images/", "glob": "*.png"},
+    tags=["file", "binary", "multimodal"],
+)
 def binary_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Spark's binaryFile source: (path, modificationTime, length,
     content). Config: ``glob`` -> pathGlobFilter (e.g. "*.png"),

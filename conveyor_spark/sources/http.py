@@ -17,7 +17,7 @@ from typing import Any, Callable
 from pyspark.sql import DataFrame, Row
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _default_fetcher(url: str, method: str, headers: dict[str, str], timeout: float) -> bytes:
@@ -28,7 +28,19 @@ def _default_fetcher(url: str, method: str, headers: dict[str, str], timeout: fl
         return resp.read()
 
 
-@register("http.get", kind="source", doc="GET an endpoint -> DataFrame (json/jsonl/raw)")
+@register(
+    "http.get", kind="source", doc="GET an endpoint -> DataFrame (json/jsonl/raw)",
+    params=[
+        P("url", required=True, desc="Endpoint URL (Handlebars-rendered)"),
+        P("format", default="json", allowed=("json", "jsonl", "raw"),
+          desc="Response parsing"),
+        P("headers", "object", default={}, desc="Request headers"),
+        P("method", default="GET", desc="HTTP method"),
+        P("timeout_seconds", "integer", default=30, min=1, desc="Request timeout"),
+    ],
+    example={"url": "https://api.example.com/items", "format": "json"},
+    tags=["http", "api"],
+)
 def http_get(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     url = config.get("url")
     if not url:

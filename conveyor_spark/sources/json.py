@@ -17,10 +17,20 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("json.read", kind="source", doc="Read JSON array/JSONL into a DataFrame")
+@register(
+    "json.read", kind="source", doc="Read JSON array/JSONL into a DataFrame",
+    params=[
+        P("path", required=True, desc="File or directory path"),
+        P("format", default="records", allowed=("records", "jsonl", "dataframe"),
+          desc="records: one JSON array; jsonl: one object per line; dataframe: columnar object"),
+        P("schema", desc="DDL schema string; inferred when omitted"),
+    ],
+    example={"path": "data/input.json", "format": "records"},
+    tags=["file", "json", "batch"],
+)
 def json_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     path = config.get("path")
     if not path:

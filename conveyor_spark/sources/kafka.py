@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _has_kafka(spark) -> bool:
@@ -48,7 +48,24 @@ def _check(config: dict[str, Any]) -> tuple[str, str]:
     return brokers, topic
 
 
-@register("kafka.read", kind="source", streaming_capable=True, doc="Consume a Kafka topic (batch or stream)")
+@register(
+    "kafka.read", kind="source", streaming_capable=True,
+    doc="Consume a Kafka topic (batch or stream)",
+    params=[
+        P("brokers", required=True, desc="Bootstrap servers (host:port,...)"),
+        P("topic", required=True, desc="Topic to subscribe"),
+        P("streaming", "boolean", default=False,
+          desc="readStream instead of a bounded batch read"),
+        P("starting_offsets", default="earliest",
+          allowed=("earliest", "latest"), desc="Where to start consuming"),
+        P("group_id", desc="Consumer group id"),
+        P("max_messages", "integer", min=1, desc="Batch mode row cap"),
+        P("raw", "boolean", default=False,
+          desc="Keep key/value as binary instead of casting to string"),
+    ],
+    example={"brokers": "localhost:9092", "topic": "events"},
+    tags=["kafka", "streaming"],
+)
 def kafka_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     brokers, topic = _check(config)
     _require(ctx.spark)
@@ -85,7 +102,19 @@ def kafka_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     )
 
 
-@register("kafka.write", kind="sink", streaming_capable=True, doc="Produce rows to a Kafka topic")
+@register(
+    "kafka.write", kind="sink", streaming_capable=True,
+    doc="Produce rows to a Kafka topic",
+    params=[
+        P("brokers", required=True, desc="Bootstrap servers (host:port,...)"),
+        P("topic", required=True, desc="Target topic"),
+        P("checkpoint_location", desc="Streaming: exactly-once checkpoint dir"),
+        P("await_termination", "boolean", default=True,
+          desc="Streaming: block until the query stops"),
+    ],
+    example={"brokers": "localhost:9092", "topic": "out"},
+    tags=["kafka", "streaming"],
+)
 def kafka_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
     brokers, topic = _check(config)
     _require(ctx.spark)

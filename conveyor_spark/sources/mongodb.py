@@ -27,7 +27,7 @@ from typing import Any, Callable, Iterator
 from pyspark.sql import DataFrame, Row
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _check_conn(config: dict[str, Any]) -> tuple[str, str, str]:
@@ -127,17 +127,44 @@ def _read(ctx: OpContext, config: dict[str, Any], mode: str) -> DataFrame:
     return ctx.spark.createDataFrame(rows)
 
 
-@register("mongodb.find", kind="source", doc="MongoDB find -> DataFrame")
+_CONN_PARAMS = [
+    P("uri", required=True, desc="Connection URI (Handlebars-rendered)"),
+    P("database", required=True, desc="Database name"),
+    P("collection", required=True, desc="Collection name"),
+]
+
+
+@register(
+    "mongodb.find", kind="source", doc="MongoDB find -> DataFrame",
+    params=_CONN_PARAMS + [
+        P("query", "object", default={}, desc="Filter document (JSON)"),
+        P("limit", "integer", min=1, desc="Row cap"),
+    ],
+    example={"uri": "mongodb://localhost:27017", "database": "app",
+             "collection": "users", "query": {"active": True}},
+    tags=["mongodb", "database"],
+)
 def mongodb_find(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     return _read(ctx, config, "find")
 
 
-@register("mongodb.findOne", kind="source", doc="MongoDB findOne -> 1-row DataFrame")
+@register(
+    "mongodb.findOne", kind="source", doc="MongoDB findOne -> 1-row DataFrame",
+    params=_CONN_PARAMS + [P("query", "object", default={}, desc="Filter document (JSON)")],
+    example={"uri": "mongodb://localhost:27017", "database": "app", "collection": "users"},
+    tags=["mongodb", "database"],
+)
 def mongodb_find_one(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     return _read(ctx, config, "findOne")
 
 
-@register("mongodb.aggregate", kind="source", doc="MongoDB aggregation pipeline -> DataFrame")
+@register(
+    "mongodb.aggregate", kind="source", doc="MongoDB aggregation pipeline -> DataFrame",
+    params=_CONN_PARAMS + [P("pipeline", "array", required=True, desc="Aggregation stages")],
+    example={"uri": "mongodb://localhost:27017", "database": "app",
+             "collection": "users", "pipeline": [{"$match": {"active": True}}]},
+    tags=["mongodb", "database"],
+)
 def mongodb_aggregate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     return _read(ctx, config, "aggregate")
 
@@ -226,10 +253,25 @@ for _op_name in [
     "insertOne", "insertMany", "updateOne", "updateMany",
     "deleteOne", "deleteMany", "replaceOne", "replaceMany", "bulkWrite",
 ]:
-    register(f"mongodb.{_op_name}", kind="sink", doc=f"MongoDB {_op_name}")(_make_sink(_op_name))
+    register(
+        f"mongodb.{_op_name}", kind="sink", doc=f"MongoDB {_op_name}",
+        params=_CONN_PARAMS + [
+            P("query", "any",
+              desc="Row-match template: Handlebars string rendered per row, "
+                   "or {\"keys\": [...]}; defaults to matching on _id"),
+        ],
+        example={"uri": "mongodb://localhost:27017", "database": "app",
+                 "collection": "users"},
+        tags=["mongodb", "database"],
+    )(_make_sink(_op_name))
 
 
-@register("mongodb.toObjectId", kind="transform", doc="Normalize a column to ObjectId hex")
+@register(
+    "mongodb.toObjectId", kind="transform", doc="Normalize a column to ObjectId hex",
+    params=[P("column", required=True, desc="Column holding id values")],
+    example={"column": "_id"},
+    tags=["mongodb"],
+)
 def mongodb_to_object_id(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """String -> 24-char ObjectId hex (reference: plugin lib.rs:1764-1773).
     Valid 24-hex strings pass through lowercased; anything else maps

@@ -12,10 +12,19 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("parquet.read", kind="source", doc="Read parquet file(s)/directory")
+@register(
+    "parquet.read", kind="source", doc="Read parquet file(s)/directory",
+    params=[
+        P("path", required=True, desc="File or directory path"),
+        P("merge_schema", "boolean", default=False,
+          desc="Merge schemas across files (schema evolution)"),
+    ],
+    example={"path": "data/table.parquet"},
+    tags=["file", "parquet", "batch"],
+)
 def parquet_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     path = config.get("path")
     if not path:
@@ -26,7 +35,20 @@ def parquet_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     return reader.parquet(path)
 
 
-@register("parquet.write", kind="sink", doc="Write DataFrame as parquet")
+@register(
+    "parquet.write", kind="sink", doc="Write DataFrame as parquet",
+    params=[
+        P("path", required=True, desc="Output directory"),
+        P("mode", default="overwrite",
+          allowed=("overwrite", "append", "ignore", "error"), desc="Save mode"),
+        P("partition_by", "array", desc="Hive-style partition column(s)"),
+        P("compression", desc="Codec (snappy default; zstd/gzip/none)"),
+        P("max_records_per_file", "integer", min=1,
+          desc="Shard size cap per output file"),
+    ],
+    example={"path": "out/result", "mode": "overwrite"},
+    tags=["file", "parquet", "batch"],
+)
 def parquet_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
     """Extra knobs for training-shard output: ``max_records_per_file``
     caps rows per output file (uniform shards for data loaders —

@@ -14,7 +14,7 @@ from typing import Any
 from pyspark.sql import DataFrame, Row
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _parse_records(text: str, fmt: str, headers: bool, delimiter: str) -> list[dict[str, Any]]:
@@ -43,7 +43,17 @@ def _parse_records(text: str, fmt: str, headers: bool, delimiter: str) -> list[d
     raise ConfigError(f"stdin.read: unknown format {fmt!r}")
 
 
-@register("stdin.read", kind="source", doc="Read all of stdin once (json/jsonl/csv/raw)")
+@register(
+    "stdin.read", kind="source", doc="Read all of stdin once (json/jsonl/csv/raw)",
+    params=[
+        P("format", default="jsonl", allowed=("json", "jsonl", "csv", "raw"),
+          desc="Input parsing"),
+        P("headers", "boolean", default=True, desc="CSV: first line is a header row"),
+        P("delimiter", default=",", desc="CSV field delimiter"),
+    ],
+    example={"format": "jsonl"},
+    tags=["stdin", "pipe"],
+)
 def stdin_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     fmt = config.get("format", "jsonl")
     headers = bool(config.get("headers", True))

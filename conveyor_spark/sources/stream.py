@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 class FileVersionSpooler:
@@ -77,7 +77,25 @@ class FileVersionSpooler:
         return t
 
 
-@register("file.watch", kind="source", streaming_capable=True, doc="Tail a directory/glob as a stream")
+@register(
+    "file.watch", kind="source", streaming_capable=True,
+    doc="Tail a directory/glob as a stream",
+    params=[
+        P("path", required=True, desc="Directory to watch"),
+        P("format", default="json", desc="File format (json/csv/parquet/text)"),
+        P("schema", desc="DDL schema (required for most streaming formats)"),
+        P("path_glob_filter", desc="Only match these file names"),
+        P("max_files_per_trigger", "integer", min=1, desc="Micro-batch file cap"),
+        P("reemit_on_modify", "boolean", default=False,
+          desc="Re-emit a file when modified (spool-copy shim over Spark's "
+               "process-once file source)"),
+        P("spool_dir", desc="Spool directory for reemit_on_modify"),
+        P("poll_interval", "float", default=1.0, min=0.01,
+          desc="Modify-poll period in seconds"),
+    ],
+    example={"path": "incoming/", "format": "json", "schema": "id INT, v STRING"},
+    tags=["file", "streaming", "watch"],
+)
 def file_watch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     path = config.get("path")
     if not path:
@@ -118,7 +136,20 @@ def file_watch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     return reader.load(path)
 
 
-@register("stdin.stream", kind="source", streaming_capable=True, doc="Line stream (socket/rate source)")
+@register(
+    "stdin.stream", kind="source", streaming_capable=True,
+    doc="Line stream (socket/rate source)",
+    params=[
+        P("mode", default="socket", allowed=("socket", "rate"), desc="Stream source"),
+        P("host", default="localhost", desc="Socket host"),
+        P("port", "integer", desc="Socket port (required for mode=socket)"),
+        P("format", default="text", allowed=("text", "json"), desc="Line parsing"),
+        P("schema", desc="DDL schema for format=json"),
+        P("rows_per_second", "integer", default=10, min=1, desc="Rate-source speed"),
+    ],
+    example={"mode": "socket", "port": 9999},
+    tags=["streaming", "socket"],
+)
 def stdin_stream(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     mode = config.get("mode", "socket")
     if mode == "socket":

@@ -17,10 +17,24 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("table.write", kind="sink", doc="Save as a (optionally bucketed) catalog table")
+@register(
+    "table.write", kind="sink", doc="Save as a (optionally bucketed) catalog table",
+    params=[
+        P("name", required=True, desc="Catalog table name"),
+        P("format", default="parquet", desc="Storage format"),
+        P("mode", default="overwrite",
+          allowed=("overwrite", "append", "ignore", "error"), desc="Save mode"),
+        P("bucket_by", "array", desc="Bucket column(s) for co-located joins"),
+        P("num_buckets", "integer", default=32, min=1, desc="Bucket count"),
+        P("sort_by", "array", desc="Sort column(s) within buckets"),
+        P("partition_by", "array", desc="Hive-style partition column(s)"),
+    ],
+    example={"name": "warehouse_events", "bucket_by": ["user_id"], "num_buckets": 32},
+    tags=["catalog", "bucketing"],
+)
 def table_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> None:
     name = config.get("name")
     if not name:
@@ -43,7 +57,12 @@ def table_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     return None
 
 
-@register("table.read", kind="source", doc="Read a catalog table")
+@register(
+    "table.read", kind="source", doc="Read a catalog table",
+    params=[P("name", required=True, desc="Catalog table name")],
+    example={"name": "warehouse_events"},
+    tags=["catalog"],
+)
 def table_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     name = config.get("name")
     if not name:

@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def count_tumbling(
@@ -92,8 +92,18 @@ def count_tumbling(
     )
 
 
-@register("stream.count_window", kind="transform", min_inputs=1, max_inputs=1,
-          streaming_capable=True, doc="Stateful count-based tumbling windows (streaming)")
+@register(
+    "stream.count_window", kind="transform", min_inputs=1, max_inputs=1,
+    streaming_capable=True, doc="Stateful count-based tumbling windows (streaming)",
+    params=[
+        P("size", "integer", required=True, min=1, desc="Rows per window"),
+        P("key_columns", "array", desc="Columns carried into the output"),
+        P("group_by", "array", desc="Per-key windows (state key)"),
+        P("order_by", "array", desc="In-batch ordering for determinism"),
+    ],
+    example={"size": 500, "group_by": ["event_type"], "order_by": ["ts"]},
+    tags=["streaming", "window", "stateful"],
+)
 def stream_count_window(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     sdf = inputs[0]
     if not sdf.isStreaming:

@@ -26,11 +26,23 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("stream.funnel", kind="transform", streaming_capable=True,
-          doc="Stateful first-touch funnel across micro-batches")
+@register(
+    "stream.funnel", kind="transform", streaming_capable=True,
+    doc="Stateful first-touch funnel across micro-batches",
+    params=[
+        P("steps", "array", required=True, desc="Ordered event types (>=2)"),
+        P("by", "array", required=True, desc="Entity key column(s)"),
+        P("type_column", default="event_type", desc="Event-type column"),
+        P("ts_column", default="ts", desc="Event-time column"),
+        P("within_seconds", "float", min=0,
+          desc="Max seconds from first step to completion"),
+    ],
+    example={"steps": ["view", "click", "purchase"], "by": ["user_id"]},
+    tags=["streaming", "funnel", "stateful"],
+)
 def stream_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Config mirrors event.funnel: ``steps`` (>=2), ``by``,
     ``type_column`` (default "event_type"), ``ts_column`` (default

@@ -95,10 +95,21 @@ def stream_dedup(
     return sdf.dropDuplicates(keys)
 
 
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("stream.dedup", kind="transform", streaming_capable=True, doc="Watermark-bounded streaming dedup")
+@register(
+    "stream.dedup", kind="transform", streaming_capable=True,
+    doc="Watermark-bounded streaming dedup",
+    params=[
+        P("columns", "array", desc="Duplicate key columns (alias: keys)"),
+        P("keys", "array", desc="Alias for columns"),
+        P("time_column", desc="Event-time column for watermarking"),
+        P("watermark", default="1 hour", desc="State retention bound"),
+    ],
+    example={"columns": ["event_id"], "time_column": "ts", "watermark": "1 hour"},
+    tags=["streaming", "dedup"],
+)
 def stream_dedup_op(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     keys = config.get("columns") or config.get("keys")
     if not keys:
@@ -127,8 +138,23 @@ def run_available_now(
     return sdf.sparkSession.table(query_name)
 
 
-@register("stream.join", kind="transform", min_inputs=2, max_inputs=2,
-          streaming_capable=True, doc="Stream-stream equi-join with event-time bound")
+@register(
+    "stream.join", kind="transform", min_inputs=2, max_inputs=2,
+    streaming_capable=True, doc="Stream-stream equi-join with event-time bound",
+    params=[
+        P("on", "array", required=True, desc="Equi-join key(s)"),
+        P("time_column", required=True, desc="Event-time column in both streams"),
+        P("max_delta", required=True,
+          desc="Max left.time - right.time (seconds or duration)"),
+        P("min_delta", "any",
+          desc="Lower bound on left.time - right.time (default: -max_delta)"),
+        P("watermark", desc="Watermark delay (default: max_delta)"),
+        P("how", default="inner", allowed=("inner", "left", "right"), desc="Join type"),
+        P("right_prefix", default="r_", desc="Prefix for right-side columns"),
+    ],
+    example={"on": ["user_id"], "time_column": "ts", "max_delta": "10 minutes"},
+    tags=["streaming", "join"],
+)
 def stream_join(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Stream-stream join: pair events from two streams on equi keys
     within an event-time window (|left.time - right.time| bounded).

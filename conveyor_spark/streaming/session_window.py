@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def session_assign(
@@ -124,8 +124,21 @@ def session_assign(
     )
 
 
-@register("stream.session_window", kind="transform", min_inputs=1, max_inputs=1,
-          streaming_capable=True, doc="Stateful sessions with gap + row/duration caps (streaming)")
+@register(
+    "stream.session_window", kind="transform", min_inputs=1, max_inputs=1,
+    streaming_capable=True,
+    doc="Stateful sessions with gap + row/duration caps (streaming)",
+    params=[
+        P("gap", "any", required=True, desc="Inactivity gap (seconds or duration)"),
+        P("group_by", "array", required=True, desc="Session key column(s)"),
+        P("ts_column", default="ts", desc="Event-time column"),
+        P("max_rows", "integer", min=1, desc="Force-close after N rows"),
+        P("max_duration", "any", desc="Force-close after this session length"),
+        P("key_columns", "array", desc="Columns carried into the output"),
+    ],
+    example={"gap": 1800, "group_by": ["user_id"]},
+    tags=["streaming", "session", "stateful"],
+)
 def stream_session_window(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     sdf = inputs[0]
     if not sdf.isStreaming:

@@ -21,12 +21,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 _OPS = {"count", "sum", "avg", "mean", "min", "max"}
 
 
-@register("aggregate.stream", kind="transform", streaming_capable=True, doc="Stream-style aggregate (count/sum/avg/min/max)")
+@register(
+    "aggregate.stream", kind="transform", streaming_capable=True,
+    doc="Stream-style aggregate (count/sum/avg/min/max)",
+    params=[
+        P("operation", required=True,
+          allowed=("count", "sum", "avg", "mean", "min", "max"), desc="Aggregate"),
+        P("value_column", desc="Column to aggregate (not needed for count)"),
+        P("group_by", "array", desc="Grouping column(s); global when omitted"),
+        P("output_column", desc="Result column (default: the operation name)"),
+    ],
+    example={"operation": "sum", "value_column": "amount", "group_by": ["region"]},
+    tags=["aggregate", "streaming"],
+)
 def aggregate_stream(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     operation = str(config.get("operation", "")).lower()

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.transforms.http_fetch import render_template
 
 
@@ -103,7 +103,27 @@ _PROVIDERS: dict[str, Callable[[str, dict[str, Any]], str]] = {
 }
 
 
-@register("ai.generate", kind="transform", doc="Per-row LLM generation (pluggable provider)")
+@register(
+    "ai.generate", kind="transform", doc="Per-row LLM generation (pluggable provider)",
+    params=[
+        P("provider", required=True,
+          allowed=("mock", "openai", "openrouter", "ollama", "anthropic"),
+          desc="Backend"),
+        P("prompt", required=True, desc="Handlebars prompt template rendered per row"),
+        P("output_column", required=True, desc="Generated-text column"),
+        P("model", desc="Model id (provider-specific)"),
+        P("max_tokens", "integer", default=256, min=1, desc="Generation cap"),
+        P("temperature", "float", default=0.0, min=0.0, desc="Sampling temperature"),
+        P("concurrency", "integer", default=4, min=1,
+          desc="In-flight request cap per partition"),
+        P("api_key_env", desc="Env var holding the API key"),
+        P("api_version", desc="Vendor API version header (required for "
+                              "provider=anthropic unless set via env)"),
+        P("base_url", desc="Endpoint override (openai-compatible providers)"),
+    ],
+    example={"provider": "mock", "prompt": "Summarize: {{text}}", "output_column": "summary"},
+    tags=["llm", "enrichment"],
+)
 def ai_generate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     provider = config.get("provider")

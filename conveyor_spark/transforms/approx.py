@@ -15,14 +15,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _as_list(v: Any) -> list[str]:
     return [v] if isinstance(v, str) else list(v)
 
 
-@register("approx.count_distinct", kind="transform", doc="HLL++ distinct count (per group or global)")
+@register(
+    "approx.count_distinct", kind="transform",
+    doc="HLL++ distinct count (per group or global)",
+    params=[
+        P("column", required=True, desc="Column to count"),
+        P("rsd", "float", default=0.05, min=0.000017, max=1.0,
+          desc="Relative standard deviation of the sketch"),
+        P("by", "array", desc="Grouping column(s); global when omitted"),
+    ],
+    example={"column": "user_id", "rsd": 0.01},
+    tags=["approx", "sketch"],
+)
 def approx_count_distinct(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     column = config.get("column")
@@ -36,7 +47,19 @@ def approx_count_distinct(ctx: OpContext, inputs: list[DataFrame], config: dict[
     return df.agg(agg)
 
 
-@register("approx.quantiles", kind="transform", doc="Quantile sketch (percentile_approx)")
+@register(
+    "approx.quantiles", kind="transform", doc="Quantile sketch (percentile_approx)",
+    params=[
+        P("column", required=True, desc="Numeric column"),
+        P("probabilities", "array", default=[0.25, 0.5, 0.75],
+          desc="Quantiles to estimate (each in [0,1])"),
+        P("accuracy", "integer", default=10000, min=1,
+          desc="Sketch accuracy (1/accuracy relative error)"),
+        P("by", "array", desc="Grouping column(s); global when omitted"),
+    ],
+    example={"column": "latency_ms", "probabilities": [0.5, 0.95, 0.99]},
+    tags=["approx", "sketch"],
+)
 def approx_quantiles(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     column = config.get("column")
@@ -53,7 +76,16 @@ def approx_quantiles(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     return df.agg(agg)
 
 
-@register("approx.frequent_items", kind="transform", doc="Heavy hitters per column")
+@register(
+    "approx.frequent_items", kind="transform", doc="Heavy hitters per column",
+    params=[
+        P("columns", "array", required=True, desc="Column(s) to scan"),
+        P("support", "float", default=0.01, min=0.0001, max=1.0,
+          desc="Minimum frequency"),
+    ],
+    example={"columns": ["event_type"], "support": 0.01},
+    tags=["approx", "sketch"],
+)
 def approx_frequent_items(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     columns = config.get("columns")

@@ -20,10 +20,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("chunk.apply", kind="transform", doc="Batch every N rows into an array column")
+@register(
+    "chunk.apply", kind="transform", doc="Batch every N rows into an array column",
+    params=[
+        P("batch_size", "integer", default=100, min=1, desc="Rows per chunk"),
+        P("order_by", "array", required=True,
+          desc="Deterministic global ordering for chunk assignment"),
+        P("output_column", default="records", desc="Array column name"),
+    ],
+    example={"batch_size": 500, "order_by": ["id"]},
+    tags=["batching"],
+)
 def chunk_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     batch_size = int(config.get("batch_size", 100))

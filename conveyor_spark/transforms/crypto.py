@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 _ALGOS = {"aes-128-gcm": 16, "aes-256-gcm": 32, "chacha20-poly1305": 32}
 
@@ -76,7 +76,19 @@ def _chacha_udf(key: bytes, mode: str, fail_on_error: bool):
     return apply
 
 
-@register("encrypt.apply", kind="transform", doc="AEAD-encrypt a string column")
+@register(
+    "encrypt.apply", kind="transform", doc="AEAD-encrypt a string column",
+    params=[
+        P("column", required=True, desc="Column to encrypt"),
+        P("key", required=True, desc="Key material (hex/base64; or ${ENV} ref)"),
+        P("algorithm", default="aes-256-gcm",
+          allowed=("aes-256-gcm", "aes-128-gcm", "chacha20-poly1305"),
+          desc="AEAD algorithm"),
+        P("output_column", desc="Result column (default: in place)"),
+    ],
+    example={"column": "ssn", "key": "${DATA_KEY}", "algorithm": "aes-256-gcm"},
+    tags=["crypto", "security"],
+)
 def encrypt_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     column, key, algorithm = _check(config)
@@ -91,7 +103,21 @@ def encrypt_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     return df.withColumn(out, _chacha_udf(key.encode(), "encrypt", True)(F.col(column)))
 
 
-@register("decrypt.apply", kind="transform", doc="AEAD-decrypt a string column")
+@register(
+    "decrypt.apply", kind="transform", doc="AEAD-decrypt a string column",
+    params=[
+        P("column", required=True, desc="Column to decrypt"),
+        P("key", required=True, desc="Key material (hex/base64; or ${ENV} ref)"),
+        P("algorithm", default="aes-256-gcm",
+          allowed=("aes-256-gcm", "aes-128-gcm", "chacha20-poly1305"),
+          desc="AEAD algorithm"),
+        P("output_column", desc="Result column (default: in place)"),
+        P("fail_on_error", "boolean", default=True,
+          desc="Error on bad ciphertext instead of null"),
+    ],
+    example={"column": "ssn", "key": "${DATA_KEY}"},
+    tags=["crypto", "security"],
+)
 def decrypt_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     column, key, algorithm = _check(config)

@@ -24,14 +24,26 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _as_list(v: Any) -> list[str]:
     return [v] if isinstance(v, str) else list(v)
 
 
-@register("distinct.apply", kind="transform", doc="Drop duplicate rows (keep first/last/any/none)")
+@register(
+    "distinct.apply", kind="transform",
+    doc="Drop duplicate rows (keep first/last/any/none)",
+    params=[
+        P("columns", "array", desc="Duplicate key columns (default: all)"),
+        P("keep", default="any", allowed=("any", "first", "last", "none"),
+          desc="Which duplicate survives (first/last need order_by; "
+               "none drops every duplicated row)"),
+        P("order_by", "array", desc="Ordering for keep=first/last"),
+    ],
+    example={"columns": ["user_id"], "keep": "first", "order_by": ["ts"]},
+    tags=["dedup", "relational"],
+)
 def distinct_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     subset = _as_list(config["columns"]) if config.get("columns") else df.columns

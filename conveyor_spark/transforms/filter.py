@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 _OPS = {"==", "=", "!=", "<>", ">", ">=", "<", "<=", "contains", "in", "not_in", "is_null", "not_null"}
 
@@ -56,7 +56,21 @@ def build_predicate(column: str, operator: str, value: Any) -> Column:
     raise ConfigError(f"filter.apply: unknown operator {operator!r} (expected one of {sorted(_OPS)})")
 
 
-@register("filter.apply", kind="transform", streaming_capable=True, doc="Filter rows by predicate")
+@register(
+    "filter.apply", kind="transform", streaming_capable=True,
+    doc="Filter rows by predicate",
+    params=[
+        P("column", desc="Column for the simple-predicate form"),
+        P("operator", default="==",
+          allowed=("==", "=", "!=", "<>", ">", ">=", "<", "<=", "contains",
+                   "in", "not_in", "is_null", "not_null"),
+          desc="Comparison operator"),
+        P("value", "any", desc="Comparison value (list for in/not_in)"),
+        P("expr", desc="Full SQL predicate (alternative to column/operator/value)"),
+    ],
+    example={"expr": "status = 'active' AND amount > 100"},
+    tags=["filter", "relational"],
+)
 def filter_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     if expr := config.get("expr"):

@@ -20,7 +20,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _as_list(v: Any) -> list[str]:
@@ -80,7 +80,23 @@ def build_agg(
     raise ConfigError(f"groupby.apply: unknown operation {operation!r}")
 
 
-@register("groupby.apply", kind="transform", streaming_capable=True, doc="GROUP BY with aggregations")
+@register(
+    "groupby.apply", kind="transform", streaming_capable=True,
+    doc="GROUP BY with aggregations",
+    params=[
+        P("by", "array", required=True, desc="Grouping column(s)"),
+        P("aggregations", "array", required=True,
+          desc="[{column, operation, alias?, p?, order_by?}] — ops: count, sum, "
+               "avg, min, max, first, last, collect, collect_set, "
+               "count_distinct, approx_count_distinct, percentile, "
+               "approx_percentile"),
+        P("grouping", default="groups", allowed=("groups", "rollup", "cube"),
+          desc="Plain GROUP BY vs ROLLUP/CUBE supersets"),
+    ],
+    example={"by": ["region"],
+             "aggregations": [{"column": "amount", "operation": "sum", "alias": "total"}]},
+    tags=["aggregate", "relational"],
+)
 def groupby_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """``grouping`` extends the reference surface: "groups" (default,
     plain GROUP BY), "rollup", or "cube" — hierarchical/multi-dim

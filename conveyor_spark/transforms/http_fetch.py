@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 from conveyor_spark.templating import compile_template, render
 
@@ -48,7 +48,23 @@ def _default_fetcher(url: str, method: str, headers: dict[str, str], body: str |
         return resp.read().decode("utf-8", errors="replace")
 
 
-@register("http.fetch", kind="transform", doc="Per-row/batch HTTP enrichment (bounded concurrency)")
+@register(
+    "http.fetch", kind="transform",
+    doc="Per-row/batch HTTP enrichment (bounded concurrency)",
+    params=[
+        P("url", required=True, desc="URL Handlebars template rendered per row"),
+        P("mode", default="per_row", allowed=("per_row", "batch"),
+          desc="One request per row, or one per Arrow batch"),
+        P("method", default="GET", desc="HTTP method"),
+        P("headers", "object", default={}, desc="Request headers (templated)"),
+        P("body", desc="Request body Handlebars template"),
+        P("result_field", default="http_result", desc="Response column name"),
+        P("concurrency", "integer", default=10, min=1,
+          desc="In-flight request cap per partition"),
+    ],
+    example={"url": "https://api.example.com/user/{{user_id}}", "concurrency": 10},
+    tags=["http", "enrichment"],
+)
 def http_fetch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     url = config.get("url")

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def dot_path_to_jsonpath(path: str) -> str:
@@ -27,7 +27,17 @@ def dot_path_to_jsonpath(path: str) -> str:
     return "$." + path
 
 
-@register("json.extract", kind="transform", streaming_capable=True, doc="Extract dot-path from JSON string column")
+@register(
+    "json.extract", kind="transform", streaming_capable=True,
+    doc="Extract dot-path from JSON string column",
+    params=[
+        P("column", required=True, desc="JSON string column"),
+        P("path", required=True, desc="Dot path (e.g. user.address.city)"),
+        P("output_column", required=True, desc="Column to create"),
+    ],
+    example={"column": "props", "path": "user.id", "output_column": "user_id"},
+    tags=["json"],
+)
 def json_extract(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     column = config.get("column")
@@ -40,7 +50,20 @@ def json_extract(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     )
 
 
-@register("json.parse", kind="transform", streaming_capable=True, doc="Typed from_json parse of a JSON string column")
+@register(
+    "json.parse", kind="transform", streaming_capable=True,
+    doc="Typed from_json parse of a JSON string column",
+    params=[
+        P("column", required=True, desc="JSON string column"),
+        P("schema", required=True, desc="DDL schema of the parsed struct"),
+        P("flatten", "boolean", default=False,
+          desc="Expand the struct's fields as top-level columns"),
+        P("fail_on_error", "boolean", default=False,
+          desc="Error on malformed JSON instead of null"),
+    ],
+    example={"column": "payload", "schema": "id INT, tags ARRAY<STRING>", "flatten": True},
+    tags=["json"],
+)
 def json_parse(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """json.extract's typed sibling: parse the whole JSON column
     against a DECLARED schema in one from_json (one parse per row no

@@ -21,10 +21,18 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("repartition.apply", kind="transform", doc="Hash/round-robin repartition")
+@register(
+    "repartition.apply", kind="transform", doc="Hash/round-robin repartition",
+    params=[
+        P("num_partitions", "integer", min=1, desc="Target partition count"),
+        P("by", "array", desc="Hash-partition column(s); round-robin when omitted"),
+    ],
+    example={"num_partitions": 200, "by": ["user_id"]},
+    tags=["layout", "shuffle"],
+)
 def repartition_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     n = config.get("num_partitions")
@@ -39,7 +47,13 @@ def repartition_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
     raise ConfigError("repartition.apply requires 'num_partitions' and/or 'by'")
 
 
-@register("coalesce.apply", kind="transform", doc="Reduce partition count without shuffle")
+@register(
+    "coalesce.apply", kind="transform", doc="Reduce partition count without shuffle",
+    params=[P("num_partitions", "integer", required=True, min=1,
+              desc="Target partition count")],
+    example={"num_partitions": 8},
+    tags=["layout"],
+)
 def coalesce_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     n = config.get("num_partitions")
     if n is None:
@@ -49,7 +63,13 @@ def coalesce_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     return inputs[0].coalesce(int(n))
 
 
-@register("cache.apply", kind="transform", doc="Persist for multi-consumer reuse")
+@register(
+    "cache.apply", kind="transform", doc="Persist for multi-consumer reuse",
+    params=[P("storage_level", default="MEMORY_AND_DISK",
+              desc="Spark StorageLevel name (e.g. MEMORY_ONLY, DISK_ONLY)")],
+    example={"storage_level": "MEMORY_AND_DISK"},
+    tags=["layout", "cache"],
+)
 def cache_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     from pyspark import StorageLevel
 

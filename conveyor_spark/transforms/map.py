@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 # `identifier OP (number|identifier)` with a single arithmetic operator —
 # the reference grammar (map.rs:129-227).
@@ -30,7 +30,16 @@ _SIMPLE_ARITH = re.compile(
 )
 
 
-@register("map.apply", kind="transform", streaming_capable=True, doc="Add/replace a derived column")
+@register(
+    "map.apply", kind="transform", streaming_capable=True,
+    doc="Add/replace a derived column",
+    params=[
+        P("expression", required=True, desc="SQL expression (full Spark SQL surface)"),
+        P("output_column", required=True, desc="Column to create or replace"),
+    ],
+    example={"expression": "price * (1 - discount)", "output_column": "net"},
+    tags=["projection", "expression"],
+)
 def map_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     expression = config.get("expression")

@@ -20,10 +20,21 @@ from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("observe.apply", kind="transform", doc="Attach named metrics collected during the sink action")
+@register(
+    "observe.apply", kind="transform",
+    doc="Attach named metrics collected during the sink action",
+    params=[
+        P("name", required=True, desc="Metric set name"),
+        P("metrics", "array",
+          desc="[{expr, alias}] aggregate expressions (default: row count)"),
+    ],
+    example={"name": "post_filter",
+             "metrics": [{"expr": "count(1)", "alias": "n_rows"}]},
+    tags=["observability"],
+)
 def observe_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Config: ``name`` (unique per pipeline, required), ``metrics``:
     list of {expr, alias} aggregate expressions (default: a row

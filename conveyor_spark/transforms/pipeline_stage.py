@@ -21,10 +21,19 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("stage.pipeline", kind="transform", min_inputs=0, max_inputs=1, doc="Run a sub-pipeline as one stage")
+@register(
+    "stage.pipeline", kind="transform", min_inputs=0, max_inputs=1,
+    doc="Run a sub-pipeline as one stage",
+    params=[
+        P("file", desc="Path to a sub-pipeline TOML"),
+        P("inline", "any", desc="Inline sub-pipeline (TOML string or table)"),
+    ],
+    example={"file": "pipelines/cleanup.toml"},
+    tags=["composition"],
+)
 def stage_pipeline(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     from conveyor_spark.compiler import compile_pipeline
     from conveyor_spark.config.spec import parse_spec

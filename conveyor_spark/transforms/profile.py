@@ -20,10 +20,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("profile.apply", kind="transform", doc="Per-column stats (nulls/distinct/min/max) in one pass")
+@register(
+    "profile.apply", kind="transform",
+    doc="Per-column stats (nulls/distinct/min/max) in one pass",
+    params=[
+        P("columns", "array", desc="Columns to profile (default: all)"),
+        P("distinct", default="exact", allowed=("exact", "approx", "none"),
+          desc="Distinct-count mode (approx = HLL sketch, one scan at scale)"),
+    ],
+    example={"distinct": "approx"},
+    tags=["quality", "profiling"],
+)
 def profile_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Config: ``columns`` (default: all), ``distinct`` =
     "exact" (default) | "approx" | "none". Output rows:

@@ -31,10 +31,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("py.eval", kind="transform", doc="Per-row scripted transform(row) UDF")
+@register(
+    "py.eval", kind="transform", doc="Per-row scripted transform(row) UDF",
+    params=[
+        P("script", required=True,
+          desc="Python source defining transform(row) -> dict|None"),
+        P("output_schema", desc="DDL schema of the result (default: input schema)"),
+    ],
+    example={"script": "def transform(row):\n    row['flag'] = row['x'] > 0\n    return row",
+             "output_schema": "x INT, flag BOOLEAN"},
+    tags=["udf", "scripting"],
+)
 def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     script = config.get("script")
@@ -72,7 +82,18 @@ def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
     return df.mapInPandas(run, out_schema)
 
 
-@register("py.group_eval", kind="transform", doc="Per-group scripted transform(key, pdf) UDF")
+@register(
+    "py.group_eval", kind="transform", doc="Per-group scripted transform(key, pdf) UDF",
+    params=[
+        P("script", required=True,
+          desc="Python source defining transform(key, pdf) -> pandas.DataFrame"),
+        P("group_by", "array", required=True, desc="Grouping column(s)"),
+        P("output_schema", desc="DDL schema of the result (default: input schema)"),
+    ],
+    example={"script": "def transform(key, pdf):\n    return pdf.head(1)",
+             "group_by": ["user_id"]},
+    tags=["udf", "scripting"],
+)
 def py_group_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Grouped-map variant (``applyInPandas``): the script defines
     ``transform(key: tuple, pdf: pandas.DataFrame) -> pandas.DataFrame``

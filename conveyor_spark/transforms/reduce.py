@@ -13,11 +13,22 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 from conveyor_spark.transforms.group_by import build_agg
 
 
-@register("reduce.apply", kind="transform", doc="Global aggregate to one row")
+@register(
+    "reduce.apply", kind="transform", doc="Global aggregate to one row",
+    params=[
+        P("column", required=True, desc="Column to aggregate"),
+        P("operation", required=True,
+          desc="Aggregate op (same vocabulary as groupby.apply)"),
+        P("output_column", default="result", desc="Result column name"),
+        P("order_by", "array", desc="Ordering for first/last/collect"),
+    ],
+    example={"column": "amount", "operation": "sum", "output_column": "total"},
+    tags=["aggregate"],
+)
 def reduce_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     column = config.get("column")

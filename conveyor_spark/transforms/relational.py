@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 _JOIN_TYPES = {
     "inner", "left", "right", "outer", "full", "left_outer", "right_outer",
@@ -30,7 +30,22 @@ _JOIN_TYPES = {
 }
 
 
-@register("join.apply", kind="transform", min_inputs=2, max_inputs=2, doc="Join two inputs")
+@register(
+    "join.apply", kind="transform", min_inputs=2, max_inputs=2, doc="Join two inputs",
+    params=[
+        P("on", "array", desc="Equi-join key(s); or use condition"),
+        P("condition", desc="Arbitrary join predicate (SQL)"),
+        P("how", default="inner",
+          allowed=("inner", "left", "right", "full", "left_semi", "left_anti", "cross"),
+          desc="Join type"),
+        P("broadcast", "boolean",
+          desc="Force broadcast of the smaller (right) side"),
+        P("salt", "integer", min=1,
+          desc="Skew mitigation: replicate the build side over N salts"),
+    ],
+    example={"on": ["customer_id"], "how": "left", "broadcast": True},
+    tags=["join", "relational"],
+)
 def join_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     if len(inputs) != 2:
         raise ConfigError("join.apply requires exactly 2 inputs")
@@ -78,7 +93,17 @@ def _salted_join(
     return out.drop("__salt")
 
 
-@register("union.apply", kind="transform", min_inputs=2, max_inputs=None, doc="Union N inputs by name")
+@register(
+    "union.apply", kind="transform", min_inputs=2, max_inputs=None,
+    doc="Union N inputs by name",
+    params=[
+        P("allow_missing_columns", "boolean", default=False,
+          desc="Null-fill columns absent from some inputs"),
+        P("distinct", "boolean", default=False, desc="Drop duplicates after union"),
+    ],
+    example={"allow_missing_columns": True},
+    tags=["set", "relational"],
+)
 def union_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     if len(inputs) < 2:
         raise ConfigError("union.apply requires >= 2 inputs")
@@ -91,7 +116,13 @@ def union_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     return out
 
 
-@register("intersect.apply", kind="transform", min_inputs=2, max_inputs=2, doc="Set intersection")
+@register(
+    "intersect.apply", kind="transform", min_inputs=2, max_inputs=2,
+    doc="Set intersection",
+    params=[P("all", "boolean", default=False, desc="Bag semantics (INTERSECT ALL)")],
+    example={"all": False},
+    tags=["set", "relational"],
+)
 def intersect_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     if len(inputs) != 2:
         raise ConfigError("intersect.apply requires exactly 2 inputs")
@@ -100,7 +131,12 @@ def intersect_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     return inputs[0].intersect(inputs[1])
 
 
-@register("except.apply", kind="transform", min_inputs=2, max_inputs=2, doc="Set difference")
+@register(
+    "except.apply", kind="transform", min_inputs=2, max_inputs=2, doc="Set difference",
+    params=[P("all", "boolean", default=True, desc="Bag semantics (EXCEPT ALL)")],
+    example={"all": True},
+    tags=["set", "relational"],
+)
 def except_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     if len(inputs) != 2:
         raise ConfigError("except.apply requires exactly 2 inputs")
@@ -109,7 +145,20 @@ def except_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     return inputs[0].subtract(inputs[1])
 
 
-@register("pivot.apply", kind="transform", doc="groupBy().pivot() wide aggregation")
+@register(
+    "pivot.apply", kind="transform", doc="groupBy().pivot() wide aggregation",
+    params=[
+        P("by", "array", required=True, desc="Row key column(s)"),
+        P("pivot", required=True, desc="Column whose values become new columns"),
+        P("values", "array",
+          desc="Explicit pivot values (skips the discovery pass — REQUIRED at "
+               "scale to avoid an extra distinct job)"),
+        P("agg", "object",
+          desc="{column, operation, output_column?} (default: count of pivot)"),
+    ],
+    example={"by": ["region"], "pivot": "status", "values": ["open", "closed"]},
+    tags=["pivot", "relational"],
+)
 def pivot_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     by = config.get("by")
@@ -129,7 +178,17 @@ def pivot_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     return pivoted.agg(agg)
 
 
-@register("unpivot.apply", kind="transform", doc="Melt wide columns to long")
+@register(
+    "unpivot.apply", kind="transform", doc="Melt wide columns to long",
+    params=[
+        P("ids", "array", required=True, desc="Identifier column(s) kept as-is"),
+        P("values", "array", required=True, desc="Columns to melt"),
+        P("variable_column", default="variable", desc="Melted-name column"),
+        P("value_column", default="value", desc="Melted-value column"),
+    ],
+    example={"ids": ["id"], "values": ["q1", "q2", "q3"]},
+    tags=["pivot", "relational"],
+)
 def unpivot_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     ids = config.get("ids")

@@ -13,14 +13,19 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _as_list(v: Any) -> list[str]:
     return [v] if isinstance(v, str) else list(v)
 
 
-@register("select.apply", kind="transform", doc="Project columns")
+@register(
+    "select.apply", kind="transform", doc="Project columns",
+    params=[P("columns", "array", required=True, desc="Columns to keep, in order")],
+    example={"columns": ["id", "name"]},
+    tags=["projection", "relational"],
+)
 def select_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     cols = config.get("columns")
     if not cols:

@@ -24,7 +24,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _keys(config: dict[str, Any], op: str) -> list[str]:
@@ -34,8 +34,19 @@ def _keys(config: dict[str, Any], op: str) -> list[str]:
     return [keys] if isinstance(keys, str) else list(keys)
 
 
-@register("table.upsert", kind="transform", min_inputs=2, max_inputs=2,
-          doc="Merge a change set into a snapshot (upsert + optional delete)")
+@register(
+    "table.upsert", kind="transform", min_inputs=2, max_inputs=2,
+    doc="Merge a change set into a snapshot (upsert + optional delete)",
+    params=[
+        P("key", "array", required=True, desc="Merge key column(s)"),
+        P("delete_column", desc="Boolean column in changes marking deletions"),
+        P("on_duplicate", default="error", allowed=("error", "last_wins"),
+          desc="Duplicate keys in the change set: fail or keep last"),
+        P("order_column", desc="Ordering for on_duplicate=last_wins"),
+    ],
+    example={"key": ["id"], "on_duplicate": "last_wins", "order_column": "updated_at"},
+    tags=["cdc", "merge"],
+)
 def table_upsert(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """inputs = [snapshot, changes]. Rows in ``changes`` replace
     snapshot rows with the same key; new keys are inserted; snapshot
@@ -109,8 +120,21 @@ def table_upsert(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     return kept.unionByName(incoming.select(*snapshot.columns))
 
 
-@register("scd2.apply", kind="transform", min_inputs=2, max_inputs=2,
-          doc="Slowly-changing-dimension type 2 historization")
+@register(
+    "scd2.apply", kind="transform", min_inputs=2, max_inputs=2,
+    doc="Slowly-changing-dimension type 2 historization",
+    params=[
+        P("key", "array", required=True, desc="Dimension key column(s)"),
+        P("ts_column", required=True, desc="Effective-time column in updates"),
+        P("valid_from", default="valid_from", desc="History start column"),
+        P("valid_to", default="valid_to", desc="History end column"),
+        P("current_flag", default="is_current", desc="Current-row flag column"),
+        P("skip_unchanged", "boolean", default=True,
+          desc="Ignore updates identical to the current row"),
+    ],
+    example={"key": ["customer_id"], "ts_column": "updated_at"},
+    tags=["cdc", "scd"],
+)
 def scd2_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """inputs = [history, updates]. Type-2 maintenance: an update for
     an existing key CLOSES the current row (valid_to = effective
@@ -209,8 +233,17 @@ def scd2_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     )
 
 
-@register("diff.apply", kind="transform", min_inputs=2, max_inputs=2,
-          doc="Row-level diff of two snapshots (added/removed/changed)")
+@register(
+    "diff.apply", kind="transform", min_inputs=2, max_inputs=2,
+    doc="Row-level diff of two snapshots (added/removed/changed)",
+    params=[
+        P("key", "array", required=True, desc="Row identity column(s)"),
+        P("include_unchanged", "boolean", default=False,
+          desc="Also emit unchanged rows"),
+    ],
+    example={"key": ["id"]},
+    tags=["cdc", "diff"],
+)
 def diff_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """inputs = [before, after]. Output: key columns + ``diff_status``
     in (added, removed, changed) + ``changed_columns`` (array of the

@@ -18,14 +18,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _as_list(v: Any) -> list[Any]:
     return [v] if not isinstance(v, (list, tuple)) else list(v)
 
 
-@register("sort.apply", kind="transform", doc="Sort by columns (per-column direction)")
+@register(
+    "sort.apply", kind="transform", doc="Sort by columns (per-column direction)",
+    params=[
+        P("columns", "array", required=True,
+          desc="Sort columns; each may be 'name' or 'name desc'"),
+        P("descending", "boolean", default=False, desc="Default direction"),
+        P("nulls_last", "boolean", default=False, desc="Null placement"),
+        P("limit", "integer", min=1,
+          desc="Top-k fast path (TakeOrderedAndProject, no full sort)"),
+    ],
+    example={"columns": ["amount desc"], "limit": 10},
+    tags=["sort", "relational"],
+)
 def sort_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     columns = config.get("columns")
@@ -51,7 +63,15 @@ def sort_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     return out
 
 
-@register("limit.apply", kind="transform", doc="Keep first N rows")
+@register(
+    "limit.apply", kind="transform", doc="Keep first N rows",
+    params=[
+        P("n", "integer", min=0, desc="Row cap"),
+        P("limit", "integer", min=0, desc="Alias for n"),
+    ],
+    example={"n": 100},
+    tags=["relational"],
+)
 def limit_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     n = config.get("n", config.get("limit"))
     if n is None:

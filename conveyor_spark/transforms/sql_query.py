@@ -24,11 +24,20 @@ from typing import Any
 from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("sql.query", kind="transform", min_inputs=0, max_inputs=None,
-          doc="Run a Spark SQL statement over the stage inputs (temp views)")
+@register(
+    "sql.query", kind="transform", min_inputs=0, max_inputs=None,
+    doc="Run a Spark SQL statement over the stage inputs (temp views)",
+    params=[
+        P("sql", required=True, desc="SQL statement"),
+        P("views", "array",
+          desc="View name per input (default: input_0, input_1, ...)"),
+    ],
+    example={"sql": "SELECT region, SUM(amount) AS total FROM input_0 GROUP BY region"},
+    tags=["sql", "relational"],
+)
 def sql_query(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     sql = config.get("sql")
     if not sql or not str(sql).strip():

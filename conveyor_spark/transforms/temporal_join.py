@@ -28,7 +28,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def _as_list(v: Any) -> list[str]:
@@ -41,6 +41,19 @@ def _as_list(v: Any) -> list[str]:
     min_inputs=2,
     max_inputs=2,
     doc="As-of (nearest-prior/next) join by key",
+    params=[
+        P("on", required=True, desc="Time/order column present in both inputs"),
+        P("by", "array", desc="Equi-key column(s) to match within"),
+        P("direction", default="backward", allowed=("backward", "forward"),
+          desc="Most recent prior row vs earliest following row"),
+        P("how", default="left", allowed=("left", "inner"), desc="Join type"),
+        P("tolerance", "any", desc="Max time distance (number or duration string)"),
+        P("right_prefix", default="r_", desc="Prefix for build-side columns"),
+        P("allow_unpartitioned", "boolean", default=False,
+          desc="Opt in to a keyless (single-partition) as-of"),
+    ],
+    example={"on": "ts", "by": ["user_id"], "direction": "backward"},
+    tags=["join", "temporal"],
 )
 def join_asof(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """inputs = [probe, build]: for each probe row, attach the most
@@ -149,6 +162,23 @@ def join_asof(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     min_inputs=2,
     max_inputs=2,
     doc="Point-in-interval join (bucketed equi-join or broadcast)",
+    params=[
+        P("on", required=True, desc="Point column in the probe input"),
+        P("lower", required=True, desc="Interval start column in the build input"),
+        P("upper", required=True, desc="Interval end column in the build input"),
+        P("bounds", default="[)", allowed=("[)", "[]", "()", "(]"),
+          desc="Interval bound inclusivity"),
+        P("by", "array", desc="Equi-key column(s) to match within"),
+        P("bucket", "any",
+          desc="Bucket width (number/duration): turns the range join into a "
+               "bucketed equi-join — the scale path"),
+        P("how", default="inner", allowed=("inner", "left"), desc="Join type"),
+        P("right_prefix", default="r_", desc="Prefix for build-side columns"),
+        P("allow_broadcast", "boolean", default=False,
+          desc="Allow the unbucketed broadcast-BNLJ fallback"),
+    ],
+    example={"on": "ts", "lower": "start_ts", "upper": "end_ts", "bucket": "1 hour"},
+    tags=["join", "temporal"],
 )
 def join_range(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """inputs = [points, intervals]: pair each point row with every

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from conveyor_spark.errors import ConfigError, ValidationError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 # reference type vocabulary -> acceptable Spark types
 _TYPE_VOCAB: dict[str, tuple[type, ...]] = {
@@ -39,7 +39,21 @@ _TYPE_VOCAB: dict[str, tuple[type, ...]] = {
 }
 
 
-@register("validate.schema", kind="transform", doc="Assert schema/data constraints; pass-through")
+@register(
+    "validate.schema", kind="transform",
+    doc="Assert schema/data constraints; pass-through",
+    params=[
+        P("mode", default="error", allowed=("error", "warn", "quarantine"),
+          desc="On violation: fail, log, or route bad rows aside"),
+        P("required_fields", "array", default=[], desc="Columns that must exist"),
+        P("non_nullable", "array", default=[], desc="Columns that must have no nulls"),
+        P("date_fields", "array", default=[], desc="Columns castable to date"),
+        P("unique_fields", "array", default=[], desc="Columns with unique values"),
+        P("field_types", "object", desc="{column: expected_type} map"),
+    ],
+    example={"required_fields": ["id"], "non_nullable": ["id"], "mode": "error"},
+    tags=["validation", "quality"],
+)
 def validate_schema(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """``mode`` extends the reference's all-or-nothing contract:
 

@@ -26,10 +26,25 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
-@register("window.apply", kind="transform", streaming_capable=True, doc="Assign window ids (count/time/session)")
+@register(
+    "window.apply", kind="transform", streaming_capable=True,
+    doc="Assign window ids (count/time/session)",
+    params=[
+        P("type", default="tumbling",
+          allowed=("count", "tumbling", "sliding", "session"), desc="Window kind"),
+        P("size", "any", desc="Window size: row count (count) or duration string"),
+        P("slide", desc="Slide duration (sliding windows)"),
+        P("gap", desc="Inactivity gap duration (session windows)"),
+        P("time_column", desc="Event-time column (time/session windows)"),
+        P("order_by", "array", desc="Row ordering (count windows)"),
+        P("partition_by", "array", desc="Per-key windows (count/session)"),
+    ],
+    example={"type": "tumbling", "time_column": "ts", "size": "1 hour"},
+    tags=["window", "time"],
+)
 def window_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     wtype = config.get("type", "tumbling")
@@ -101,7 +116,20 @@ def window_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     return seq.withColumn("window_id", F.floor(F.col("__gseq") / n)).drop("__gseq")
 
 
-@register("window.rollup", kind="transform", doc="Multi-granularity time rollup in one pass")
+@register(
+    "window.rollup", kind="transform", doc="Multi-granularity time rollup in one pass",
+    params=[
+        P("time_column", required=True, desc="Event-time column"),
+        P("granularities", "array", required=True,
+          desc="Subset of minute/hour/day/week/month/quarter/year"),
+        P("aggregations", "array", required=True,
+          desc="[{column, operation, alias?}]"),
+        P("group_by", "array", desc="Extra grouping column(s)"),
+    ],
+    example={"time_column": "ts", "granularities": ["hour", "day"],
+             "aggregations": [{"column": "value", "operation": "sum", "alias": "total"}]},
+    tags=["window", "time", "rollup"],
+)
 def window_rollup(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Hypertable-style continuous-aggregate batch: the same measures
     at SEVERAL time granularities (hour + day + week...) computed in

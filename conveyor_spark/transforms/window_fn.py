@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 _RANKERS = {
     "row_number": lambda _: F.row_number(),
@@ -56,7 +56,32 @@ def build_window(config: dict[str, Any]) -> WindowSpec:
     return w
 
 
-@register("window.function", kind="transform", doc="Analytic window function column")
+@register(
+    "window.function", kind="transform", doc="Analytic window function column",
+    params=[
+        P("function", required=True,
+          allowed=("row_number", "rank", "dense_rank", "percent_rank", "ntile",
+                   "lag", "lead", "cume_dist", "first_value", "last_value",
+                   "sum", "avg", "min", "max", "count"),
+          desc="Window function"),
+        P("output_column", required=True, desc="Result column"),
+        P("partition_by", "array",
+          desc="Window partition key(s) — REQUIRED at scale (a global window "
+               "is single-partition) unless allow_unpartitioned"),
+        P("order_by", "array", desc="Window ordering"),
+        P("column", desc="Input column (lag/lead/first/last/aggregates)"),
+        P("n", "integer", default=4, min=1, desc="ntile bucket count"),
+        P("offset", "integer", default=1, desc="lag/lead offset"),
+        P("default", "any", desc="lag/lead default value"),
+        P("rows_between", "array", desc="Frame [start, end] in rows"),
+        P("descending", "boolean", default=False, desc="Order direction"),
+        P("allow_unpartitioned", "boolean", default=False,
+          desc="Opt in to a global (single-partition) window"),
+    ],
+    example={"function": "rank", "partition_by": ["region"],
+             "order_by": ["amount"], "output_column": "rnk"},
+    tags=["window", "analytic"],
+)
 def window_function(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
     function = config.get("function")

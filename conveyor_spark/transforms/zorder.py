@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
-from conveyor_spark.registry import OpContext, register
+from conveyor_spark.registry import OpContext, P, register
 
 
 def zvalue_expr(quantized: list[Column], bits: int) -> Column:
@@ -50,7 +50,20 @@ def zvalue_expr(quantized: list[Column], bits: int) -> Column:
     return acc
 
 
-@register("sort.zorder", kind="transform", doc="Z-order clustering on 2-4 numeric columns")
+@register(
+    "sort.zorder", kind="transform", doc="Z-order clustering on 2-4 numeric columns",
+    params=[
+        P("columns", "array", required=True, desc="2-4 numeric columns to interleave"),
+        P("bits", "integer", default=12, min=1, max=21, desc="Bits per dimension"),
+        P("cluster", "boolean", default=True,
+          desc="Range-partition + sort by the z-value"),
+        P("num_partitions", "integer", min=1, desc="Output partition count"),
+        P("output_column", default="_zvalue", desc="Z-value column name"),
+        P("keep_zvalue", "boolean", default=False, desc="Keep the z-value column"),
+    ],
+    example={"columns": ["lat", "lon"], "bits": 12},
+    tags=["layout", "clustering"],
+)
 def sort_zorder(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Config: ``columns`` (2-4 numeric columns), ``bits`` (levels
     per dimension, default 12 — 2^12 buckets/dim; total z bits =

@@ -106,7 +106,7 @@ def test_widen_works_without_jdf(ctx, spark, docs):
         ("dedup.exact", {"columns": ["text"], "id_column": "doc_id"}),
         ("dedup.minhash", {"column": "text", "id_column": "doc_id",
                            "num_hashes": 8, "bands": 2}),
-        ("dedup.simhash", {"column": "text", "id_column": "doc_id"}),
+        ("dedup.simhash", {"column": "text"}),
         ("dedup.ngram_jaccard", {"column": "text", "id_column": "doc_id",
                                  "shingle": "word", "ngram": 3,
                                  "threshold": 0.5}),

@@ -154,7 +154,10 @@ def test_scd2_all_null_value_columns_survive(ctx, spark):
     upd = spark.createDataFrame([(1, "now", jun)],
                                 "id bigint, val string, eff timestamp")
     out = run_op(ctx, "scd2.apply", [hist, upd], key="id", ts_column="eff")
-    rows = sorted((r["id"], r["val"], r["is_current"]) for r in out.collect())
+    rows = sorted(
+        ((r["id"], r["val"], r["is_current"]) for r in out.collect()),
+        key=lambda t: (t[0], t[1] is not None, t[1] or "", t[2]),
+    )
     # key 1: NULL-valued current closed + new current; key 2 passes through
     assert rows == [(1, None, False), (1, "now", True), (2, None, True)]
 
