@@ -230,12 +230,15 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
 
     from conveyor_spark.datapipe.emb_lsh import signature_expr
 
-    def banded(df: DataFrame, ids: str, vs: str, bcol: str) -> DataFrame:
+    def banded(df: DataFrame, ids: str, bcol: str) -> DataFrame:
+        """SKINNY band rows: (id, band-bucket) only. The 64-float
+        vectors do NOT ride the band explode / candidate join / pair
+        dedup — at scale that would shuffle ~0.5 KB per candidate; ids
+        alone are ~16 bytes. Vectors attach to the deduped pairs via
+        two id-keyed equi-joins below."""
         sig = df.select(
             F.col(id_column).alias(ids),
-            F.col(column).alias(vs),
             signature_expr(column, bits, int(dim)).alias("__sig"),
-            norm_expr(F.col(column)).alias(f"{vs}n"),
         )
         bandvals = F.array(*[
             F.struct(
@@ -246,25 +249,41 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
             )
             for j in range(bands)
         ])
-        return sig.select(ids, vs, f"{vs}n", F.explode(bandvals).alias(bcol))
+        return sig.select(ids, F.explode(bandvals).alias(bcol))
 
-    c = banded(corpus, "neighbor_id", "__cv", "__cb")
-    q = banded(inputs[1], "query_id", "__qv", "__qb") if len(inputs) > 1 else (
-        c.select(F.col("neighbor_id").alias("query_id"),
-                 F.col("__cv").alias("__qv"),
-                 F.col("__cvn").alias("__qvn"),
-                 F.col("__cb").alias("__qb"))
+    queries_df = inputs[1] if len(inputs) > 1 else corpus
+    c = banded(corpus, "neighbor_id", "__cb")
+    q = (
+        banded(queries_df, "query_id", "__qb") if len(inputs) > 1
+        else c.select(F.col("neighbor_id").alias("query_id"), F.col("__cb").alias("__qb"))
     )
-    cand = (
+    pairs = (
         q.join(c, on=F.col("__qb") == F.col("__cb"))
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        # a pair met in several bands is ONE candidate; the carried
-        # vectors/norms are identical per id, so id-pair dedup suffices
+        # a pair met in several bands is ONE candidate
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
     )
-    scored = cand.withColumn(
-        "cosine",
-        F.round(pair_cosine(F.col("__qv"), F.col("__cv"),
-                            F.col("__qvn"), F.col("__cvn")), 6),
+    qvec = queries_df.select(
+        F.col(id_column).alias("query_id"),
+        F.col(column).alias("__qv"),
+        norm_expr(F.col(column)).alias("__qvn"),
+    )
+    cvec = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        F.col(column).alias("__cv"),
+        norm_expr(F.col(column)).alias("__cvn"),
+    )
+    scored = (
+        pairs.join(qvec, "query_id")
+        .join(cvec, "neighbor_id")
+        .withColumn(
+            "cosine",
+            F.round(pair_cosine(F.col("__qv"), F.col("__cv"),
+                                F.col("__qvn"), F.col("__cvn")), 6),
+        )
+        # drop the vectors BEFORE the per-query top-k window — its
+        # shuffle only needs (query_id, neighbor_id, cosine)
+        .select("query_id", "neighbor_id", "cosine")
     )
     return _topk(scored, k)

@@ -1311,7 +1311,7 @@ def q49_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain of one static file is a single micro-batch, so the stateful
     op's update rows are exactly the per-key count-window partition
     of the whole table (order_by makes it deterministic)."""
-    import tempfile
+    from conveyor_spark.streaming.ops import checkpoint_tmpdir
 
     from conveyor_spark.registry import get_function
     from conveyor_spark.streaming.ops import read_file_stream
@@ -1325,7 +1325,7 @@ def q49_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = get_function("stream.count_window").fn(
         ctx, [sdf], {"size": 500, "key_columns": "event_type", "order_by": "event_id"}
     )
-    with tempfile.TemporaryDirectory(prefix="conveyor-q49-") as ckpt:
+    with checkpoint_tmpdir("conveyor-q49-") as ckpt:
         q = (
             win.writeStream.format("memory").queryName("q49_count_windows")
             .outputMode("update").option("checkpointLocation", ckpt)
@@ -1789,7 +1789,7 @@ def q63_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch SQL sessionization oracle applies: an availableNow
     drain of one file is a single batch, so update rows = the full
     per-key session partition, last session per key open)."""
-    import tempfile
+    from conveyor_spark.streaming.ops import checkpoint_tmpdir
 
     from conveyor_spark.registry import get_function
     from conveyor_spark.streaming.ops import read_file_stream
@@ -1805,7 +1805,7 @@ def q63_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = get_function("stream.session_window").fn(
         ctx, [sdf], {"gap": 1800, "key_columns": "user_id", "ts_column": "ts"}
     )
-    with tempfile.TemporaryDirectory(prefix="conveyor-q63-") as ckpt:
+    with checkpoint_tmpdir("conveyor-q63-") as ckpt:
         q = (
             win.writeStream.format("memory").queryName("q63_sessions")
             .outputMode("update").option("checkpointLocation", ckpt)
@@ -1908,7 +1908,7 @@ def q66_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's clicks in the preceding 30 minutes. availableNow drain of
     one file = a single micro-batch, so the streaming join equals the
     batch inequality join (value-checked)."""
-    import tempfile
+    from conveyor_spark.streaming.ops import checkpoint_tmpdir
 
     from conveyor_spark.registry import get_function
     from conveyor_spark.streaming.ops import read_file_stream
@@ -1933,7 +1933,7 @@ def q66_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          "min_delta": 0, "watermark": "2 hours"},
     )
     out = joined.select("event_id", "user_id", "ts", "r_event_id", "r_ts")
-    with tempfile.TemporaryDirectory(prefix="conveyor-q66-") as ckpt:
+    with checkpoint_tmpdir("conveyor-q66-") as ckpt:
         q = (
             out.writeStream.format("memory").queryName("q66_stream_join")
             .outputMode("append").option("checkpointLocation", ckpt)
@@ -2879,7 +2879,7 @@ def q95_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time-sorted micro-batch, so the per-user update rows equal
     the batch funnel exactly (same chained-min oracle as q87, no
     window)."""
-    import tempfile
+    from conveyor_spark.streaming.ops import checkpoint_tmpdir
 
     from conveyor_spark.registry import get_function
     from conveyor_spark.streaming.ops import read_file_stream
@@ -2895,7 +2895,7 @@ def q95_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fun = get_function("stream.funnel").fn(
         ctx, [sdf], {"steps": ["view", "click", "purchase"], "by": "user_id"}
     )
-    with tempfile.TemporaryDirectory(prefix="conveyor-q95-") as ckpt:
+    with checkpoint_tmpdir("conveyor-q95-") as ckpt:
         q = (
             fun.writeStream.format("memory").queryName("q95_stream_funnel")
             .outputMode("update").option("checkpointLocation", ckpt)

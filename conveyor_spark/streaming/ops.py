@@ -120,12 +120,28 @@ def stream_dedup_op(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     )
 
 
+def checkpoint_tmpdir(prefix: str) -> tempfile.TemporaryDirectory:
+    """Temp checkpoint location for drain-style (availableNow) runs.
+
+    Prefers tmpfs (/dev/shm) — microbatch latency on a local drain is
+    dominated by checkpoint fsyncs, which tmpfs makes free. Override
+    with CONVEYOR_SPARK_CKPT_DIR (e.g. point it at a durable path for
+    restartable production streams; those should pass an explicit
+    checkpointLocation anyway)."""
+    import os
+
+    base = os.environ.get("CONVEYOR_SPARK_CKPT_DIR")
+    if base is None and os.path.isdir("/dev/shm"):
+        base = "/dev/shm"
+    return tempfile.TemporaryDirectory(prefix=prefix, dir=base)
+
+
 def run_available_now(
     sdf: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> DataFrame:
     """Drain all available input through a streaming plan into an
     in-memory table and return it as a (batch) DataFrame."""
-    with tempfile.TemporaryDirectory(prefix="conveyor-ckpt-") as ckpt:
+    with checkpoint_tmpdir("conveyor-ckpt-") as ckpt:
         q = (
             sdf.writeStream.format("memory")
             .queryName(query_name)
