@@ -37,6 +37,7 @@ def _write_single_file(df: DataFrame, path: str, fmt: str, **options: Any) -> No
         P("single_file", "boolean", default=True,
           desc="One exact file (reference parity) vs a partitioned directory"),
         P("headers", "boolean", default=True, desc="Write a header row"),
+        P("has_headers", "boolean", desc="Reference-spec alias for headers"),
         P("delimiter", default=",", desc="Field delimiter"),
         P("mode", default="overwrite",
           allowed=("overwrite", "append", "ignore", "error"), desc="Save mode"),
@@ -49,7 +50,8 @@ def csv_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     if not path:
         raise ConfigError("csv.write requires 'path'")
     df = inputs[0]
-    headers = bool(config.get("headers", True))
+    # `has_headers` is the reference's documented key
+    headers = bool(config.get("headers", config.get("has_headers", True)))
     delimiter = str(config.get("delimiter", ","))
     if config.get("single_file", True):
         _write_single_file(df, path, "csv", header=str(headers).lower(), sep=delimiter)

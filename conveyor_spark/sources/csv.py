@@ -27,6 +27,7 @@ from conveyor_spark.registry import OpContext, P, register
         P("path", required=True, desc="File or directory path (glob allowed)"),
         P("schema", desc="DDL schema string; inferred when omitted"),
         P("headers", "boolean", default=True, desc="First line is a header row"),
+        P("has_headers", "boolean", desc="Reference-spec alias for headers"),
         P("delimiter", default=",", desc="Field delimiter"),
     ],
     example={"path": "data/input.csv", "headers": True, "delimiter": ","},
@@ -36,7 +37,8 @@ def csv_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) ->
     path = config.get("path")
     if not path:
         raise ConfigError("csv.read requires 'path'")
-    headers = bool(config.get("headers", True))
+    # `has_headers` is the reference's documented key
+    headers = bool(config.get("headers", config.get("has_headers", True)))
     delimiter = str(config.get("delimiter", ","))
     schema: Optional[str] = config.get("schema")  # DDL string, e.g. "id BIGINT, name STRING"
     reader = ctx.spark.read.option("header", headers).option("sep", delimiter)

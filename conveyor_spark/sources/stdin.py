@@ -46,7 +46,7 @@ def _parse_records(text: str, fmt: str, headers: bool, delimiter: str) -> list[d
 @register(
     "stdin.read", kind="source", doc="Read all of stdin once (json/jsonl/csv/raw)",
     params=[
-        P("format", default="jsonl", allowed=("json", "jsonl", "csv", "raw"),
+        P("format", default="json", allowed=("json", "jsonl", "csv", "raw"),
           desc="Input parsing"),
         P("headers", "boolean", default=True, desc="CSV: first line is a header row"),
         P("delimiter", default=",", desc="CSV field delimiter"),
@@ -55,7 +55,8 @@ def _parse_records(text: str, fmt: str, headers: bool, delimiter: str) -> list[d
     tags=["stdin", "pipe"],
 )
 def stdin_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
-    fmt = config.get("format", "jsonl")
+    # default "json" = the reference's documented default
+    fmt = config.get("format", "json")
     headers = bool(config.get("headers", True))
     delimiter = str(config.get("delimiter", ","))
     text = config.get("_text")  # test hook: bypass real stdin

@@ -92,6 +92,8 @@ class FileVersionSpooler:
         P("spool_dir", desc="Spool directory for reemit_on_modify"),
         P("poll_interval", "float", default=1.0, min=0.01,
           desc="Modify-poll period in seconds"),
+        P("poll_interval_ms", "integer", min=1,
+          desc="Reference-spec alias: poll period in milliseconds"),
     ],
     example={"path": "incoming/", "format": "json", "schema": "id INT, v STRING"},
     tags=["file", "streaming", "watch"],
@@ -111,7 +113,12 @@ def file_watch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         spooler = FileVersionSpooler(path, spool)
         spooler.poll_once()  # current version is the first emission
         if not config.get("_no_poller_thread"):  # test hook: poll manually
-            spooler.start(float(config.get("poll_interval", 1.0)))
+            # `poll_interval_ms` is the reference's documented key
+            if (ms := config.get("poll_interval_ms")) is not None:
+                interval = float(ms) / 1000.0
+            else:
+                interval = float(config.get("poll_interval", 1.0))
+            spooler.start(interval)
         path = spool
     fmt = config.get("format", "json")
     if fmt == "text":

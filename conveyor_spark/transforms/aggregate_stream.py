@@ -33,6 +33,7 @@ _OPS = {"count", "sum", "avg", "mean", "min", "max"}
         P("operation", required=True,
           allowed=("count", "sum", "avg", "mean", "min", "max"), desc="Aggregate"),
         P("value_column", desc="Column to aggregate (not needed for count)"),
+        P("column", desc="Reference-spec alias for value_column"),
         P("group_by", "array", desc="Grouping column(s); global when omitted"),
         P("output_column", desc="Result column (default: the operation name)"),
     ],
@@ -44,7 +45,8 @@ def aggregate_stream(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     operation = str(config.get("operation", "")).lower()
     if operation not in _OPS:
         raise ConfigError(f"aggregate.stream: operation must be one of {sorted(_OPS)}")
-    value_column = config.get("value_column")
+    # `column` is the reference's documented key
+    value_column = config.get("value_column") or config.get("column")
     if operation != "count" and not value_column:
         raise ConfigError(f"aggregate.stream {operation} requires 'value_column'")
     output_column = config.get("output_column") or (

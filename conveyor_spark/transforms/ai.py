@@ -33,11 +33,15 @@ def _openai_chat(prompt: str, config: dict[str, Any]) -> str:
     # openai-compatible chat endpoint (also serves openrouter/ollama)
     from urllib.request import Request, urlopen
 
-    base = {
+    defaults = {
         "openai": "https://api.openai.com/v1",
         "openrouter": "https://openrouter.ai/api/v1",
-        "ollama": config.get("ollama_base_url", "http://localhost:11434/v1"),
-    }[config["provider"]]
+        # `api_base_url` is the reference's documented key (Ollama only)
+        "ollama": config.get("ollama_base_url")
+        or config.get("api_base_url")
+        or "http://localhost:11434/v1",
+    }
+    base = config.get("base_url") or defaults[config["provider"]]
     key = os.environ.get(config.get("api_key_env", "OPENAI_API_KEY"), "")
     payload = {
         "model": config.get("model"),
@@ -120,6 +124,8 @@ _PROVIDERS: dict[str, Callable[[str, dict[str, Any]], str]] = {
         P("api_version", desc="Vendor API version header (required for "
                               "provider=anthropic unless set via env)"),
         P("base_url", desc="Endpoint override (openai-compatible providers)"),
+        P("api_base_url", desc="Reference-spec alias for base_url (Ollama)"),
+        P("ollama_base_url", desc="Ollama endpoint override"),
     ],
     example={"provider": "mock", "prompt": "Summarize: {{text}}", "output_column": "summary"},
     tags=["llm", "enrichment"],

@@ -36,6 +36,7 @@ def _as_list(v: Any) -> list[str]:
     doc="Drop duplicate rows (keep first/last/any/none)",
     params=[
         P("columns", "array", desc="Duplicate key columns (default: all)"),
+        P("subset", "array", desc="Reference-spec alias for columns"),
         P("keep", default="any", allowed=("any", "first", "last", "none"),
           desc="Which duplicate survives (first/last need order_by; "
                "none drops every duplicated row)"),
@@ -46,7 +47,9 @@ def _as_list(v: Any) -> list[str]:
 )
 def distinct_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
-    subset = _as_list(config["columns"]) if config.get("columns") else df.columns
+    # `subset` is the reference's documented key (docs/builtin-functions.md)
+    cols = config.get("columns") or config.get("subset")
+    subset = _as_list(cols) if cols else df.columns
     keep = config.get("keep", "any")
     if keep == "any":
         return df.dropDuplicates(subset)

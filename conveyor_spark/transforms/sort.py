@@ -28,9 +28,11 @@ def _as_list(v: Any) -> list[Any]:
 @register(
     "sort.apply", kind="transform", doc="Sort by columns (per-column direction)",
     params=[
-        P("columns", "array", required=True,
-          desc="Sort columns; each may be 'name' or 'name desc'"),
-        P("descending", "boolean", default=False, desc="Default direction"),
+        P("columns", "array",
+          desc="Sort columns (or use the reference-spec alias 'by')"),
+        P("by", "array", desc="Reference-spec alias for columns"),
+        P("descending", "any", default=False,
+          desc="Sort direction: one boolean or a per-column array"),
         P("nulls_last", "boolean", default=False, desc="Null placement"),
         P("limit", "integer", min=1,
           desc="Top-k fast path (TakeOrderedAndProject, no full sort)"),
@@ -40,9 +42,10 @@ def _as_list(v: Any) -> list[Any]:
 )
 def sort_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     df = inputs[0]
-    columns = config.get("columns")
+    # `by` is the reference's documented key (docs/builtin-functions.md)
+    columns = config.get("columns") or config.get("by")
     if not columns:
-        raise ConfigError("sort.apply requires 'columns'")
+        raise ConfigError("sort.apply requires 'columns' (alias: 'by')")
     cols = _as_list(columns)
     desc = _as_list(config.get("descending", False))
     if len(desc) == 1:

@@ -43,12 +43,13 @@ _TYPE_VOCAB: dict[str, tuple[type, ...]] = {
     "validate.schema", kind="transform",
     doc="Assert schema/data constraints; pass-through",
     params=[
-        P("mode", default="error", allowed=("error", "warn", "quarantine"),
-          desc="On violation: fail, log, or route bad rows aside"),
+        P("mode", default="error", allowed=("error", "filter", "tag"),
+          desc="On violation: fail, drop bad rows, or tag them"),
         P("required_fields", "array", default=[], desc="Columns that must exist"),
         P("non_nullable", "array", default=[], desc="Columns that must have no nulls"),
         P("date_fields", "array", default=[], desc="Columns castable to date"),
         P("unique_fields", "array", default=[], desc="Columns with unique values"),
+        P("unique", "array", desc="Reference-spec alias for unique_fields"),
         P("field_types", "object", desc="{column: expected_type} map"),
     ],
     example={"required_fields": ["id"], "non_nullable": ["id"], "mode": "error"},
@@ -71,6 +72,9 @@ def validate_schema(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     duplicates deterministically instead)."""
     df = inputs[0]
     fields = {f.name: f.dataType for f in df.schema.fields}
+    if "unique" in config and "unique_fields" not in config:
+        # `unique` is the reference's documented key
+        config = {**config, "unique_fields": config["unique"]}
     mode = config.get("mode", "error")
     if mode not in ("error", "filter", "tag"):
         raise ConfigError("validate.schema: mode must be error|filter|tag")
