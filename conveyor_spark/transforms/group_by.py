@@ -86,10 +86,10 @@ def build_agg(
     params=[
         P("by", "array", required=True, desc="Grouping column(s)"),
         P("aggregations", "array", required=True,
-          desc="[{column, operation, alias?, p?, order_by?}] — ops: count, sum, "
-               "avg, min, max, first, last, collect, collect_set, "
-               "count_distinct, approx_count_distinct, percentile, "
-               "approx_percentile"),
+          desc="[{column, operation, output_column?, p?, order_by?}] — ops: "
+               "count, sum, avg/mean, min, max, median, std, var, first, "
+               "last, collect_list, collect_set, count_distinct, "
+               "approx_count_distinct, percentile, approx_percentile"),
         P("grouping", default="groups", allowed=("groups", "rollup", "cube"),
           desc="Plain GROUP BY vs ROLLUP/CUBE supersets"),
     ],

@@ -39,12 +39,15 @@ def render_template(template: str, row: dict[str, Any]) -> str:
     return render(template, row)
 
 
-def _default_fetcher(url: str, method: str, headers: dict[str, str], body: str | None) -> str:
+def _default_fetcher(
+    url: str, method: str, headers: dict[str, str], body: str | None,
+    timeout: float = 30.0,
+) -> str:
     from urllib.request import Request, urlopen
 
     data = body.encode() if body is not None else None
     req = Request(url, method=method, headers=headers, data=data)  # noqa: S310
-    with urlopen(req, timeout=30) as resp:  # noqa: S310
+    with urlopen(req, timeout=timeout) as resp:  # noqa: S310
         return resp.read().decode("utf-8", errors="replace")
 
 
@@ -61,6 +64,7 @@ def _default_fetcher(url: str, method: str, headers: dict[str, str], body: str |
         P("result_field", default="http_result", desc="Response column name"),
         P("concurrency", "integer", default=10, min=1,
           desc="In-flight request cap per partition"),
+        P("timeout_seconds", "integer", default=30, min=1, desc="Request timeout"),
     ],
     example={"url": "https://api.example.com/user/{{user_id}}", "concurrency": 10},
     tags=["http", "enrichment"],
@@ -78,7 +82,12 @@ def http_fetch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     body_template = config.get("body")
     headers = dict(config.get("headers", {}))
     concurrency = int(config.get("concurrency", 10))
-    fetcher: Callable[..., str] = config.get("_fetcher", _default_fetcher)
+    fetcher: Callable[..., str] = config.get("_fetcher")
+    if fetcher is None:
+        timeout = float(config.get("timeout_seconds", 30))
+
+        def fetcher(u, m, h, b, _t=timeout):  # noqa: E731
+            return _default_fetcher(u, m, h, b, _t)
 
     out_schema = T.StructType(df.schema.fields + [T.StructField(result_field, T.StringType())])
     in_columns = df.columns

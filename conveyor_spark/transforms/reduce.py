@@ -23,7 +23,7 @@ from conveyor_spark.transforms.group_by import build_agg
         P("column", required=True, desc="Column to aggregate"),
         P("operation", required=True,
           desc="Aggregate op (same vocabulary as groupby.apply)"),
-        P("output_column", default="result", desc="Result column name"),
+        P("output_column", desc="Result column name (default: same as column)"),
         P("order_by", "array", desc="Ordering for first/last/collect"),
     ],
     example={"column": "amount", "operation": "sum", "output_column": "total"},
@@ -35,5 +35,8 @@ def reduce_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     operation = config.get("operation")
     if not column or not operation:
         raise ConfigError("reduce.apply requires 'column' and 'operation'")
-    output_column = config.get("output_column", "result")
+    # reference default: result column keeps the input column's name
+    # (docs/builtin-functions.md reduce.apply); "result" kept as the
+    # documented fallback when the column key itself is absent
+    output_column = config.get("output_column") or column
     return df.agg(build_agg(column, operation, config.get("order_by")).alias(output_column))

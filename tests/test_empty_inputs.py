@@ -22,7 +22,7 @@ def test_relational_ops_on_empty(ctx, spark, empty):
                aggregations=[{"column": "v", "operation": "sum", "output_column": "s"}])
     assert g.count() == 0
     r = run_op(ctx, "reduce.apply", [empty], column="v", operation="sum")
-    assert r.count() == 1 and r.first()["result"] is None  # SQL SUM of empty = NULL
+    assert r.count() == 1 and r.first()["v"] is None  # SQL SUM of empty = NULL
     assert run_op(ctx, "chunk.apply", [empty], batch_size=10, order_by="id").count() == 0
     other = spark.createDataFrame([(1, "x")], "id BIGINT, r STRING")
     assert run_op(ctx, "join.apply", [empty, other], on="id").count() == 0

@@ -100,8 +100,8 @@ def test_groupby_all_ops(ctx, spark):
 
 def test_reduce(ctx, users):
     out = run_op(ctx, "reduce.apply", [users], column="id", operation="sum")
-    assert out.columns == ["result"]
-    assert out.first()["result"] == 6
+    assert out.columns == ["id"]  # reference default: same name
+    assert out.first()["id"] == 6
 
 
 def test_json_extract_missing_path_null(ctx, spark):
