@@ -191,6 +191,11 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         P("k", "integer", default=10, min=1, desc="Neighbors per query"),
         P("bits", "integer", default=16, min=1, max=63, desc="Signature bits"),
         P("bands", "integer", default=4, min=1, desc="LSH bands"),
+        P("max_bucket", "integer", min=1,
+          desc="Hot-bucket guard: drop band buckets holding more corpus "
+               "rows than this (bounds the candidate join on "
+               "duplicate-heavy data; costs recall inside near-dup "
+               "clusters)"),
     ],
     example={"id_column": "id", "dim": 64, "k": 10},
     tags=["similarity", "knn", "lsh", "datapipe"],
@@ -253,6 +258,21 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
 
     queries_df = inputs[1] if len(inputs) > 1 else corpus
     c = banded(corpus, "neighbor_id", "__cb")
+    if (max_bucket := config.get("max_bucket")) is not None:
+        # Hot-bucket guard (same role as dedup.ngram_jaccard's max_df):
+        # a band bucket holding d corpus rows contributes d candidates
+        # PER QUERY in it — duplicate-heavy corpora concentrate into a
+        # few buckets and the candidate join goes quadratic. Dropping
+        # buckets above the cap bounds the join at the cost of recall
+        # for items whose every bucket is hot (near-duplicate clusters
+        # — resolve those with dedup.minhash first). The count rides
+        # a window over the already-skinny (id, bucket) rows.
+        wb = Window.partitionBy("__cb")
+        c = (
+            c.withColumn("__bn", F.count(F.lit(1)).over(wb))
+            .filter(F.col("__bn") <= int(max_bucket))
+            .drop("__bn")
+        )
     q = (
         banded(queries_df, "query_id", "__qb") if len(inputs) > 1
         else c.select(F.col("neighbor_id").alias("query_id"), F.col("__cb").alias("__qb"))

@@ -310,6 +310,24 @@ def test_knn_lsh_two_input_and_validation(ctx, spark):
         run_op(ctx, "knn.lsh", [corpus], id_column="id")  # dim required
 
 
+def test_knn_lsh_max_bucket_guard(ctx, spark):
+    from tests.conftest import run_op
+
+    # 50 identical vectors (one hot bucket family) + a few distinct
+    dup = [(i, [1.0, 0.0, 0.0]) for i in range(50)]
+    rest = [(100 + i, [0.0, 1.0, float(i)]) for i in range(5)]
+    corpus = spark.createDataFrame(dup + rest, ["id", "embedding"])
+    full = run_op(ctx, "knn.lsh", [corpus], id_column="id", k=3, dim=3,
+                  bits=8, bands=4)
+    capped = run_op(ctx, "knn.lsh", [corpus], id_column="id", k=3, dim=3,
+                    bits=8, bands=4, max_bucket=10)
+    # the duplicate cluster's buckets (>10 rows) are dropped: its
+    # members lose candidates, the distinct tail keeps its results
+    assert capped.count() < full.count()
+    capped_q = {r["query_id"] for r in capped.collect()}
+    assert any(q >= 100 for q in capped_q)
+
+
 def test_sample_stratified_deterministic_fractions(ctx, spark):
     import pytest as _pytest
     from conveyor_spark.errors import ConfigError
