@@ -262,6 +262,11 @@ def _shingles(config: dict[str, Any], column: str) -> Column:
         P("shingle", default="word", allowed=("word", "char", "token"),
           desc="Shingle unit"),
         P("ngram", "integer", default=3, min=1, desc="Shingle size"),
+        P("pairs", default="all", allowed=("all", "star"),
+          desc="all: every intra-bucket pair (O(d^2) per bucket; needed "
+               "for pair-level verification); star: one edge per member "
+               "to the bucket-min hub (O(d), same connected components — "
+               "the scale mode for clustering)"),
         P("widen", "any", default="auto",
           desc="Spread narrow scans: auto, false, or a partition count"),
     ],
@@ -324,6 +329,43 @@ def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     buckets = with_sig.select(
         "__id", *extra, F.explode(F.array(*band_cols)).alias("__b")
     ).select("__id", *extra, F.col("__b.band").alias("band"), F.col("__b.sig").alias("sig"))
+    if config.get("pairs", "all") == "star":
+        # STAR EDGES: one edge per bucket member to the bucket's
+        # min-id hub instead of all O(d^2) intra-bucket pairs — the
+        # connected components are IDENTICAL (every member reaches
+        # the hub), edge count per bucket drops to O(d), and the
+        # self-join disappears entirely (a window over the skinny
+        # (id, band, sig) rows). The mode for dup-cluster-heavy
+        # corpora feeding dedup.components; pair-level candidate
+        # verification (jaccard on each pair) needs pairs="all".
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
+        if existing is not None:
+            # INCREMENTAL star: the hub must be a NEW doc — with a
+            # min-id hub, the dropped old-old edges could disconnect
+            # members that only met through an old hub. min over
+            # (is_old, id) prefers new members; buckets with no new
+            # member (old hub) are old-old only and skip entirely.
+            hub_struct = F.min(
+                F.struct((~F.col("__new")).alias("o"), F.col("__id").alias("i"))
+            ).over(w)
+            starred = buckets.withColumn("__hub", hub_struct["i"]).withColumn(
+                "__hubold", hub_struct["o"]
+            )
+            edges = starred.filter(
+                (F.col("__id") != F.col("__hub")) & (~F.col("__hubold"))
+            )
+        else:
+            hub_struct = F.min(F.struct(F.col("__id").alias("i"))).over(w)
+            starred = buckets.withColumn("__hub", hub_struct["i"])
+            edges = starred.filter(F.col("__id") != F.col("__hub"))
+        return (
+            edges.groupBy(
+                F.col("__hub").alias("id_a"), F.col("__id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("n_bands"))
+        )
     # pairs within a bucket; shuffle carries only (id, band, sig)
     a, b = buckets.alias("a"), buckets.alias("b")
     joined = a.join(b, on=["band", "sig"]).filter(F.col("a.__id") < F.col("b.__id"))

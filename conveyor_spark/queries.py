@@ -731,7 +731,9 @@ def q27_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("select.apply", ctx, [out], columns=["doc_id", "fingerprint"])
 
 
-def _minhash_oracle(num_hashes: int = 16, bands: int = 4, pair_where: str = "") -> str:
+def _minhash_oracle(
+    num_hashes: int = 16, bands: int = 4, pair_where: str = "", star: bool = False
+) -> str:
     from conveyor_spark.datapipe.dedup import MINHASH_P, minhash_params
 
     r = num_hashes // bands
@@ -746,6 +748,20 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, pair_where: str = "") 
         )
         for b in range(bands)
     )
+    if star:
+        tail = """
+    , hubs AS (SELECT band, sig, MIN(doc_id) AS hub FROM bands GROUP BY band, sig)
+    SELECT h.hub AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+    FROM bands b JOIN hubs h ON b.band = h.band AND b.sig = h.sig AND b.doc_id <> h.hub
+    GROUP BY h.hub, b.doc_id
+    """
+    else:
+        tail = f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
+    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    {pair_where}
+    GROUP BY a.doc_id, b.doc_id
+    """
     return f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
     sh AS (SELECT doc_id, {_SQL_SHINGLE3} AS sh FROM t),
@@ -758,10 +774,7 @@ def _minhash_oracle(num_hashes: int = 16, bands: int = 4, pair_where: str = "") 
     bands AS (
       {band_selects}
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_bands
-    FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-    {pair_where}
-    GROUP BY a.doc_id, b.doc_id
+    {tail}
     """
 
 
@@ -3115,6 +3128,20 @@ def q100_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _op("scd2.apply", ctx, [hist, upd], key="c_custkey", ts_column="eff")
     return out.select("c_custkey", "c_name", "c_mktsegment",
                       "valid_from", "valid_to", "is_current")
+
+
+@query("q101_minhash_star", _minhash_oracle(star=True))
+def q101_minhash_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.minhash pairs="star": one edge per bucket member to the
+    bucket-min hub instead of all O(d^2) intra-bucket pairs — same
+    connected components, O(d) edges per bucket, and the LSH
+    self-join is replaced by a window over the skinny (id, band,
+    sig) rows. The scale mode for duplicate-cluster-heavy corpora
+    feeding dedup.components."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("dedup.minhash", ctx, [d], column="text", id_column="doc_id",
+               num_hashes=16, bands=4, shingle="word", ngram=3, pairs="star")
 
 
 def entry_query(spark: SparkSession) -> DataFrame:

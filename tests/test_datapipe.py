@@ -36,6 +36,42 @@ def test_dedup_minhash_finds_near_dups(ctx, docs):
     assert all(4 not in p for p in got)    # unrelated never pairs
 
 
+def _components_of(ctx, pairs):
+    out = run_op(ctx, "dedup.components", [pairs])
+    comp = {}
+    for r in out.collect():
+        comp.setdefault(r["component"], set()).add(r["id"])
+    return {frozenset(s) for s in comp.values()}
+
+
+def test_dedup_minhash_star_same_components(ctx, docs):
+    cfg = dict(column="text", id_column="doc_id",
+               num_hashes=16, bands=8, shingle="word", ngram=2)
+    allp = run_op(ctx, "dedup.minhash", [docs], **cfg)
+    star = run_op(ctx, "dedup.minhash", [docs], **cfg, pairs="star")
+    # star emits at most as many edges, with identical connectivity
+    assert star.count() <= allp.count()
+    assert _components_of(ctx, star) == _components_of(ctx, allp)
+
+
+def test_dedup_minhash_star_incremental_hub_is_new(ctx, docs, spark):
+    # split docs into existing (1,2) and new (3,4,5); star edges must
+    # all touch the new side and preserve new-doc connectivity
+    existing = docs.filter("doc_id <= 2")
+    new = docs.filter("doc_id >= 3")
+    cfg = dict(column="text", id_column="doc_id",
+               num_hashes=16, bands=8, shingle="word", ngram=2)
+    star = run_op(ctx, "dedup.minhash", [new, existing], **cfg, pairs="star")
+    allp = run_op(ctx, "dedup.minhash", [new, existing], **cfg)
+    new_ids = {3, 4, 5}
+    for r in star.collect():
+        assert r["id_a"] in new_ids or r["id_b"] in new_ids
+    # every new doc paired in all-mode is still reachable in star mode
+    paired_all = {x for r in allp.collect() for x in (r["id_a"], r["id_b"])} & new_ids
+    paired_star = {x for r in star.collect() for x in (r["id_a"], r["id_b"])} & new_ids
+    assert paired_star == paired_all
+
+
 def test_dedup_simhash(ctx, docs):
     out = run_op(ctx, "dedup.simhash", [docs], column="text", bits=32)
     sh = {r["doc_id"]: r["simhash"] for r in out.collect()}
