@@ -70,6 +70,11 @@ CHECKS = [
         lambda p, o: "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
     ),
     (
+        "q101_minhash_star",
+        "star mode: NO LSH self-join — hub via window over skinny band rows",
+        lambda p, o: "Join" not in p and "Window" in p and "BatchEvalPython" not in p,
+    ),
+    (
         "q31_text_langid",
         "tokenizer evaluated once per row, not inlined per language-compare",
         lambda p, o: p.count("split(lower(") <= 5 and "BatchEvalPython" not in p,
