@@ -187,3 +187,34 @@ class TestRound3OpProperties:
             if done >= 1:
                 expect[u] = done
         assert out == expect
+
+    @given(
+        docs=st.lists(
+            st.tuples(st.integers(0, 10_000),
+                      st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+                               min_size=3, max_size=8)),
+            min_size=2, max_size=25, unique_by=lambda t: t[0]),
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_minhash_star_components_equal_all_pairs(self, spark, ctx, docs):
+        """pairs='star' must produce IDENTICAL connected components to
+        all-pairs mode on any input — star edges span every bucket."""
+        from tests.conftest import run_op
+
+        df = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in docs], ["doc_id", "text"]
+        )
+        cfg = dict(column="text", id_column="doc_id",
+                   num_hashes=8, bands=4, shingle="token")
+
+        def comps(pairs_df):
+            out = run_op(ctx, "dedup.components", [pairs_df])
+            comp: dict = {}
+            for r in out.collect():
+                comp.setdefault(r["component"], set()).add(r["id"])
+            return {frozenset(s) for s in comp.values()}
+
+        allp = run_op(ctx, "dedup.minhash", [df], **cfg)
+        star = run_op(ctx, "dedup.minhash", [df], **cfg, pairs="star")
+        assert comps(star) == comps(allp)
