@@ -29,9 +29,16 @@ def main(argv: list[str] | None = None) -> int:
     p_run = sub.add_parser("run", help="run a pipeline TOML")
     p_run.add_argument("pipeline")
     p_run.add_argument("--master", default=None)
+    p_run.add_argument("--dry-run", action="store_true",
+                       help="compile the full plan but run no sink actions")
     p_val = sub.add_parser("validate", help="validate a pipeline TOML")
     p_val.add_argument("pipeline")
-    sub.add_parser("functions", help="list registered functions")
+    p_fn = sub.add_parser("functions", help="list registered functions")
+    p_fn.add_argument("module_type", nargs="?", default=None,
+                      choices=["source", "transform", "sink"])
+    p_ls = sub.add_parser("list", help="alias of functions (reference verb)")
+    p_ls.add_argument("module_type", nargs="?", default=None,
+                      choices=["source", "transform", "sink"])
     p_info = sub.add_parser("info", help="show a function's parameters and usage")
     p_info.add_argument("function")
     p_desc = sub.add_parser("describe", help="function metadata as JSON")
@@ -66,6 +73,18 @@ def main(argv: list[str] | None = None) -> int:
     p_pl.add_argument("pipeline")
     p_build = sub.add_parser("build", help="guided stage builder (prompts on stdin)")
     p_build.add_argument("pipeline")
+    # reference verb group: stage new|add|edit|describe (src/main.rs:162-186)
+    p_stage = sub.add_parser("stage", help="stage verbs: new/add/edit/describe")
+    stage_sub = p_stage.add_subparsers(dest="stage_cmd", required=True)
+    ps_new = stage_sub.add_parser("new", help="alias of scaffold")
+    ps_new.add_argument("output", nargs="?", default="pipeline.toml")
+    ps_new.add_argument("--name", default="my_pipeline")
+    ps_new.add_argument("--description", default="A data processing pipeline")
+    ps_new.add_argument("--force", action="store_true")
+    ps_add = stage_sub.add_parser("add", help="guided add (alias of build)")
+    ps_add.add_argument("pipeline")
+    ps_desc = stage_sub.add_parser("describe", help="alias of describe")
+    ps_desc.add_argument("function")
     p_plugin = sub.add_parser("plugin", help="registry verbs: search/info/add")
     plugin_sub = p_plugin.add_subparsers(dest="plugin_cmd", required=True)
     pp_search = plugin_sub.add_parser("search", help="search the plugin registry")
@@ -84,6 +103,15 @@ def main(argv: list[str] | None = None) -> int:
     p_ex.add_argument("--mode", default="formatted",
                       choices=["simple", "extended", "formatted", "cost", "codegen"])
     args = parser.parse_args(argv)
+
+    # resolve reference-verb aliases onto the canonical verbs
+    if args.cmd == "stage":
+        if args.stage_cmd == "new":
+            args.cmd = "scaffold"
+        elif args.stage_cmd == "add":
+            args.cmd = "build"
+        else:  # describe
+            args.cmd = "describe"
 
     if args.cmd == "scaffold":
         from conveyor_spark.scaffold import scaffold_pipeline
@@ -179,11 +207,13 @@ def main(argv: list[str] | None = None) -> int:
             print(f"{mod}: {', '.join(ops) if ops else '(no new ops registered)'}")
         return 0
 
-    if args.cmd == "functions":
+    if args.cmd in ("functions", "list"):
         from conveyor_spark.registry import REGISTRY, _ensure_loaded
 
         _ensure_loaded()
         for name, op in sorted(REGISTRY.items()):
+            if args.module_type and op.kind != args.module_type:
+                continue
             print(f"{name:24s} [{op.kind}] {op.doc}")
         return 0
 
@@ -260,10 +290,20 @@ def main(argv: list[str] | None = None) -> int:
             result.outputs[sid].explain(mode=args.mode)
         return 0
 
-    from conveyor_spark.compiler import run_pipeline
+    from conveyor_spark.compiler import compile_pipeline, run_pipeline
     from conveyor_spark.session import get_spark
 
     spark = get_spark(app_name=f"conveyor:{spec.name}", master=args.master)
+    if getattr(args, "dry_run", False):
+        # reference: `run --dry-run` validates + builds without executing
+        try:
+            result = compile_pipeline(spark, spec, run_sinks=False)
+        except ConveyorError as exc:
+            print(f"dry run failed: {exc}", file=sys.stderr)
+            return 1
+        print(f"dry run OK: {len(result.outputs)} stage plans compiled, "
+              f"{len(result.skipped)} sinks skipped")
+        return 0
     try:
         result = run_pipeline(spark, spec)
     except ConveyorError as exc:

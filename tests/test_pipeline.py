@@ -166,6 +166,51 @@ path = "/tmp/x.csv"
     assert main(["validate", str(bad)]) == 2
 
 
+def test_cli_reference_verb_aliases(tmp_path, capsys):
+    """list [module_type], stage describe, info — reference CLI verbs."""
+    from conveyor_spark.cli import main
+
+    assert main(["list", "sink"]) == 0
+    out = capsys.readouterr().out
+    assert "csv.write" in out and "csv.read" not in out
+    assert main(["stage", "describe", "limit.apply"]) == 0
+    assert '"name": "limit.apply"' in capsys.readouterr().out
+    assert main(["info", "csv.read"]) == 0
+    out = capsys.readouterr().out
+    assert "Function: csv.read" in out and "Required:" in out
+    assert main(["info", "no.such.op"]) == 2
+
+
+def test_cli_run_dry_run(tmp_path, capsys, spark):
+    from conveyor_spark.cli import main
+
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"x": 1}\n{"x": 2}\n')
+    sink = tmp_path / "out.json"
+    p = tmp_path / "p.toml"
+    p.write_text(f"""
+[pipeline]
+name = "dry"
+
+[[stages]]
+id = "s"
+function = "json.read"
+[stages.config]
+path = "{src}"
+format = "jsonl"
+
+[[stages]]
+id = "w"
+function = "json.write"
+inputs = ["s"]
+[stages.config]
+path = "{sink}"
+""")
+    assert main(["run", str(p), "--dry-run"]) == 0
+    assert "dry run OK" in capsys.readouterr().out
+    assert not sink.exists()  # no sink action ran
+
+
 def test_error_strategy_alias_key_continue(spark):
     # 'strategy' key alias must resolve to the same continue semantics
     # as 'type' (the except-handler and the retry wrapper share the
