@@ -46,7 +46,11 @@ def main() -> int:
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # round-1 baseline covered q01-q50; keep a same-scope subtotal so
     # cross-round comparisons aren't skewed by suite growth
-    r1_scope = {n: v for n, v in timings.items() if n[:3] <= "q50"}
+    def _qnum(n: str) -> int:
+        digits = "".join(c for c in n[1:] if c.isdigit() or c == "_").split("_")[0]
+        return int(digits) if digits.isdigit() else 999
+
+    r1_scope = {n: v for n, v in timings.items() if _qnum(n) <= 50}
     baseline_total = round(sum(v for v in r1_scope.values() if v >= 0), 3)
     print(json.dumps({
         "metric": "conveyor_spark query suite wall time",
