@@ -60,6 +60,52 @@ def test_stdin_default_is_json_array(ctx):
     assert out.count() == 2
 
 
+import os
+
+import pytest
+
+_REF = "/root/reference/examples"
+
+
+@pytest.mark.skipif(not os.path.isdir(_REF), reason="reference repo not mounted")
+def test_reference_examples_run_verbatim(tmp_path):
+    """The reference's own examples/dag-pipeline-example.toml and
+    simple_pipeline.toml run UNCHANGED — same stages, config keys,
+    [global]/[error_handling] sections, relative data paths — the
+    drop-in-replacement proof. Runs via subprocess because the spec's
+    relative paths resolve against the process working directory
+    (same as the reference CLI)."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    (tmp_path / "data").mkdir()
+    shutil.copy(f"{_REF}/users.json", tmp_path / "data" / "users.json")
+    (tmp_path / "data" / "sales.csv").write_text(
+        "id,date,amount,customer_id\n"
+        "1,2024-01-01,1500.0,10\n2,2024-01-02,800.0,11\n3,2024-01-03,2000.0,12\n"
+    )
+    shutil.copy(f"{_REF}/dag-pipeline-example.toml", tmp_path / "dag.toml")
+    shutil.copy(f"{_REF}/simple_pipeline.toml", tmp_path / "simple.toml")
+    env = {**os.environ, "PYTHONPATH": "/root/repo", "SPARK_GRAFT_CPUS": "8"}
+    for spec in ("dag.toml", "simple.toml"):
+        proc = subprocess.run(
+            [sys.executable, "-m", "conveyor_spark", "run", spec],
+            cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+
+    out = json.loads((tmp_path / "output" / "active_users.json").read_text())
+    src = json.loads((tmp_path / "data" / "users.json").read_text())
+    assert out == [u for u in src if u["status"] == "active"]
+
+    rows = json.loads((tmp_path / "output" / "processed_sales.json").read_text())
+    assert [r["id"] for r in rows] == [1, 3]  # amount >= 1000 only
+    assert rows[0]["amount_with_tax"] == pytest.approx(1650.0)
+    assert (tmp_path / "output" / "high_value_sales.csv").read_text().startswith("id,")
+
+
 def test_file_watch_poll_interval_ms(ctx, tmp_path):
     # reemit path validates the knob parse without starting the poller
     f = tmp_path / "w.json"
