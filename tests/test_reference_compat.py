@@ -86,15 +86,21 @@ def test_reference_examples_run_verbatim(tmp_path):
         "id,date,amount,customer_id\n"
         "1,2024-01-01,1500.0,10\n2,2024-01-02,800.0,11\n3,2024-01-03,2000.0,12\n"
     )
+    (tmp_path / "examples").mkdir()
+    shutil.copy(f"{_REF}/users-sensitive.json", tmp_path / "examples" / "users-sensitive.json")
     shutil.copy(f"{_REF}/dag-pipeline-example.toml", tmp_path / "dag.toml")
     shutil.copy(f"{_REF}/simple_pipeline.toml", tmp_path / "simple.toml")
+    shutil.copy(f"{_REF}/function-based-pipeline.toml", tmp_path / "fn.toml")
+    shutil.copy(f"{_REF}/encryption-example.toml", tmp_path / "enc.toml")
     env = {**os.environ, "PYTHONPATH": "/root/repo", "SPARK_GRAFT_CPUS": "8"}
-    for spec in ("dag.toml", "simple.toml"):
+    outputs = {}
+    for spec in ("dag.toml", "simple.toml", "fn.toml", "enc.toml"):
         proc = subprocess.run(
             [sys.executable, "-m", "conveyor_spark", "run", spec],
             cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
         )
-        assert proc.returncode == 0, proc.stderr[-2000:]
+        assert proc.returncode == 0, f"{spec}: {proc.stderr[-2000:]}"
+        outputs[spec] = proc.stdout
 
     out = json.loads((tmp_path / "output" / "active_users.json").read_text())
     src = json.loads((tmp_path / "data" / "users.json").read_text())
@@ -104,6 +110,9 @@ def test_reference_examples_run_verbatim(tmp_path):
     assert [r["id"] for r in rows] == [1, 3]  # amount >= 1000 only
     assert rows[0]["amount_with_tax"] == pytest.approx(1650.0)
     assert (tmp_path / "output" / "high_value_sales.csv").read_text().startswith("id,")
+
+    # encryption example: encrypt -> decrypt roundtrip printed as table
+    assert "email_decrypted" in outputs["enc.toml"]
 
 
 def test_file_watch_poll_interval_ms(ctx, tmp_path):
