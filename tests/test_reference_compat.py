@@ -92,9 +92,10 @@ def test_reference_examples_run_verbatim(tmp_path):
     shutil.copy(f"{_REF}/simple_pipeline.toml", tmp_path / "simple.toml")
     shutil.copy(f"{_REF}/function-based-pipeline.toml", tmp_path / "fn.toml")
     shutil.copy(f"{_REF}/encryption-example.toml", tmp_path / "enc.toml")
+    shutil.copy(f"{_REF}/encryption-algorithms-example.toml", tmp_path / "encalgos.toml")
     env = {**os.environ, "PYTHONPATH": "/root/repo", "SPARK_GRAFT_CPUS": "8"}
     outputs = {}
-    for spec in ("dag.toml", "simple.toml", "fn.toml", "enc.toml"):
+    for spec in ("dag.toml", "simple.toml", "fn.toml", "enc.toml", "encalgos.toml"):
         proc = subprocess.run(
             [sys.executable, "-m", "conveyor_spark", "run", spec],
             cwd=tmp_path, env=env, capture_output=True, text=True, timeout=300,
