@@ -118,6 +118,37 @@ def _run_with_strategy(stage: StageSpec, spec: PipelineSpec, fn):
     return fn()
 
 
+def _dead_letter(stage: StageSpec, spec: PipelineSpec, error: str) -> None:
+    """Append failure metadata to the dead-letter queue, if enabled.
+
+    Reference parity+: [error_handling.dead_letter_queue] {enabled,
+    path} is declared in the reference's config schema and scaffold
+    (src/core/config.rs:109-118) but never consumed by its executor;
+    here a captured `continue` failure appends one JSON line
+    {stage_id, error, timestamp} (the documented record shape, minus
+    per-record payloads — a lazily-compiled stage has no materialized
+    records to quarantine)."""
+    import json as _json
+    import os
+    from datetime import datetime, timezone
+
+    dlq = (_strategy(stage, spec)).get("dead_letter_queue") or {}
+    if not dlq.get("enabled") or not dlq.get("path"):
+        return
+    path = dlq["path"]
+    if path.endswith(("/", os.sep)) or os.path.isdir(path):
+        os.makedirs(path, exist_ok=True)
+        path = os.path.join(path, "failed_records.jsonl")
+    else:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "a") as f:
+        f.write(_json.dumps({
+            "stage_id": stage.id,
+            "error": error,
+            "timestamp": datetime.now(timezone.utc).isoformat(),
+        }) + "\n")
+
+
 def compile_pipeline(
     spark: SparkSession, spec: PipelineSpec, run_sinks: bool = True
 ) -> RunResult:
@@ -185,6 +216,7 @@ def compile_pipeline(
         except Exception as exc:  # noqa: BLE001
             if strat_type == "continue":
                 result.errors[sid] = f"{type(exc).__name__}: {exc}"
+                _dead_letter(stage, spec, result.errors[sid])
                 continue
             raise
         if op.kind == "sink":

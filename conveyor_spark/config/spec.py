@@ -113,7 +113,10 @@ def parse_spec(data: dict[str, Any], env: dict[str, str] | None = None) -> Pipel
         version=str(meta.get("version", "0")),
         description=meta.get("description", ""),
         variables=variables,
-        error_handling=glob.get("error_handling", {}),
+        # [error_handling] lives at top level in the reference's specs
+        # (docs/configuration.md:155); [global].error_handling also
+        # accepted (earlier shape of this engine's own specs)
+        error_handling=data.get("error_handling", glob.get("error_handling", {})),
         timeout_seconds=glob.get("timeout_seconds"),
         plugins=list(glob.get("plugins", [])),
         stages=stages,

@@ -75,6 +75,31 @@ def test_error_strategy_continue(spark, tmp_path):
     assert result.skipped == ["f"]  # downstream skipped, run survives
 
 
+def test_dead_letter_queue_and_top_level_error_handling(spark, tmp_path):
+    """Reference shape: TOP-LEVEL [error_handling] with strategy= and
+    a dead_letter_queue — a captured failure appends {stage_id, error,
+    timestamp} to the DLQ file (the reference declares this config but
+    never consumes it; we do)."""
+    import json
+
+    dlq_dir = tmp_path / "errors"
+    spec = parse_spec({
+        "pipeline": {"name": "dlq"},
+        "error_handling": {
+            "strategy": "continue",
+            "dead_letter_queue": {"enabled": True, "path": str(dlq_dir) + "/"},
+        },
+        "stages": [
+            {"id": "bad", "function": "csv.read", "config": {"path": "/nope/missing.csv"}},
+        ],
+    })
+    result = compile_pipeline(spark, spec)
+    assert "bad" in result.errors
+    rec = json.loads((dlq_dir / "failed_records.jsonl").read_text().splitlines()[0])
+    assert rec["stage_id"] == "bad"
+    assert "error" in rec and "timestamp" in rec
+
+
 def test_error_strategy_stop(spark):
     spec = parse_spec({
         "pipeline": {"name": "stop"},
