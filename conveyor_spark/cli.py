@@ -23,8 +23,24 @@ from conveyor_spark.config.spec import load_spec
 from conveyor_spark.errors import ConveyorError
 
 
+def _apply_log_level(spark, level: str | None) -> None:
+    if level:
+        # reference levels map onto log4j's (trace/warn spellings differ)
+        spark.sparkContext.setLogLevel(
+            {"trace": "TRACE", "debug": "DEBUG", "info": "INFO",
+             "warn": "WARN", "error": "ERROR"}[level]
+        )
+
+
 def main(argv: list[str] | None = None) -> int:
+    from conveyor_spark import __version__
+
     parser = argparse.ArgumentParser(prog="conveyor-spark")
+    parser.add_argument("-V", "--version", action="version",
+                        version=f"conveyor-spark {__version__}")
+    parser.add_argument("-l", "--log-level", default=None,
+                        choices=["trace", "debug", "info", "warn", "error"],
+                        help="Spark log level (reference global flag)")
     sub = parser.add_subparsers(dest="cmd", required=True)
     p_run = sub.add_parser("run", help="run a pipeline TOML")
     p_run.add_argument("pipeline")
@@ -266,6 +282,7 @@ def main(argv: list[str] | None = None) -> int:
         from conveyor_spark.session import get_spark
 
         spark = get_spark(app_name=f"conveyor-explain:{spec.name}")
+        _apply_log_level(spark, args.log_level)
         result = compile_pipeline(spark, spec, run_sinks=False)
         stage_map = spec.stage_map()
         if args.stage is not None:
@@ -294,6 +311,7 @@ def main(argv: list[str] | None = None) -> int:
     from conveyor_spark.session import get_spark
 
     spark = get_spark(app_name=f"conveyor:{spec.name}", master=args.master)
+    _apply_log_level(spark, args.log_level)
     if getattr(args, "dry_run", False):
         # reference: `run --dry-run` validates + builds without executing
         try:
