@@ -1946,14 +1946,13 @@ def q66_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
          "min_delta": 0, "watermark": "2 hours"},
     )
     out = joined.select("event_id", "user_id", "ts", "r_event_id", "r_ts")
-    with checkpoint_tmpdir("conveyor-q66-") as ckpt:
-        q = (
-            out.writeStream.format("memory").queryName("q66_stream_join")
-            .outputMode("append").option("checkpointLocation", ckpt)
-            .trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-    return spark.table("q66_stream_join")
+    # bounded drain: 8 state partitions (one store per shuffle
+    # partition x 2 join sides; 32 is pure overhead at this volume)
+    from conveyor_spark.streaming.ops import run_available_now
+
+    return run_available_now(
+        out, "q66_stream_join", output_mode="append", state_partitions=8
+    )
 
 
 _Q67_MAGIC_SQL = """

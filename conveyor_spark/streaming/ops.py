@@ -137,19 +137,36 @@ def checkpoint_tmpdir(prefix: str) -> tempfile.TemporaryDirectory:
 
 
 def run_available_now(
-    sdf: DataFrame, query_name: str, output_mode: str = "complete"
+    sdf: DataFrame, query_name: str, output_mode: str = "complete",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain all available input through a streaming plan into an
-    in-memory table and return it as a (batch) DataFrame."""
+    in-memory table and return it as a (batch) DataFrame.
+
+    ``state_partitions`` sizes the stream's state stores: a stateful
+    query allocates one store per shuffle partition at FIRST start,
+    and for a bounded local drain 32 stores of a few rows each are
+    pure fixed overhead (q66: 6.5s -> 2.7s at 8). A production
+    stream should size this to its steady-state key cardinality
+    instead. Results are partitioning-independent; only the conf at
+    stream start matters, so it is set and restored around start."""
+    spark = sdf.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
     with checkpoint_tmpdir("conveyor-ckpt-") as ckpt:
-        q = (
-            sdf.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
+        try:
+            if state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+            q = (
+                sdf.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            if state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
         q.awaitTermination()
     return sdf.sparkSession.table(query_name)
 
