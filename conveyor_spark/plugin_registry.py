@@ -74,25 +74,32 @@ def add_plugin(
         raise ConfigError(
             f"plugin {name!r} has no 'module' entry — not a Python-module plugin"
         )
-    with open(pipeline_file, "rb") as f:
-        original = open(pipeline_file).read()
-        f.seek(0)
-        tomllib.load(f)  # must already parse
-    doc_lines = original.splitlines(keepends=True)
-    if "[global]" in original:
-        # append to (or create) the plugins list inside [global]
-        import re
+    import re
 
-        m = re.search(r'^plugins\s*=\s*\[(.*?)\]', original, re.M | re.S)
-        if m:
-            existing = m.group(1).strip()
+    with open(pipeline_file) as f:
+        original = f.read()
+    with open(pipeline_file, "rb") as f:
+        tomllib.load(f)  # must already parse
+    gm = re.search(r'^\[global\]\s*$', original, re.M)
+    if gm:
+        # the [global] section ends at the next table header
+        end = re.search(r'^\[', original[gm.end():], re.M)
+        sec_end = gm.end() + (end.start() if end else len(original) - gm.end())
+        section = original[gm.end():sec_end]
+        # only match a plugins key INSIDE [global] — a stage config
+        # could legitimately carry its own `plugins` key
+        pm = re.search(r'^plugins\s*=\s*\[(.*?)\]', section, re.M | re.S)
+        if pm:
+            existing = pm.group(1).strip()
             if f'"{module}"' in existing:
                 return module  # already wired
             sep = ", " if existing else ""
             new = f'plugins = [{existing}{sep}"{module}"]'
-            updated = original[: m.start()] + new + original[m.end():]
+            updated = (original[: gm.end() + pm.start()] + new
+                       + original[gm.end() + pm.end():])
         else:
-            updated = original.replace("[global]", f'[global]\nplugins = ["{module}"]', 1)
+            updated = (original[: gm.end()] + f'\nplugins = ["{module}"]'
+                       + original[gm.end():])
     else:
         updated = f'[global]\nplugins = ["{module}"]\n\n' + original
     with open(pipeline_file, "w") as f:
@@ -103,6 +110,6 @@ def add_plugin(
         load_spec(pipeline_file)
     except Exception:
         with open(pipeline_file, "w") as f:
-            f.writelines(doc_lines)
+            f.write(original)
         raise
     return module

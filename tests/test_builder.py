@@ -150,3 +150,20 @@ def test_plugin_add_wires_module_and_pipeline_runs(registry, pipeline_toml, spar
 def test_plugin_add_without_module_errors(registry, pipeline_toml):
     with pytest.raises(ConfigError, match="no 'module'"):
         add_plugin(pipeline_toml, "nomodule", registry)
+
+
+def test_plugin_add_ignores_stage_level_plugins_key(registry, tmp_path):
+    """A stage config carrying its own `plugins` key must not be
+    rewritten — only [global].plugins is."""
+    p = tmp_path / "p.toml"
+    p.write_text(
+        '[pipeline]\nname = "t"\n\n[global]\n\n'
+        '[[stages]]\nid = "s"\nfunction = "json.read"\n'
+        '[stages.config]\npath = "/tmp/x.json"\nplugins = ["unrelated"]\n'
+    )
+    add_plugin(str(p), "uppercase", registry)
+    from conveyor_spark.config.spec import load_spec
+
+    spec = load_spec(str(p))
+    assert spec.plugins == ["examples.plugins.uppercase"]
+    assert spec.stage_map()["s"].config["plugins"] == ["unrelated"]
