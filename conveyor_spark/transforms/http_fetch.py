@@ -65,6 +65,7 @@ def _default_fetcher(
         P("concurrency", "integer", default=10, min=1,
           desc="In-flight request cap per partition"),
         P("timeout_seconds", "integer", default=30, min=1, desc="Request timeout"),
+        P("timeout", "integer", min=1, desc="Reference-doc alias for timeout_seconds"),
     ],
     example={"url": "https://api.example.com/user/{{user_id}}", "concurrency": 10},
     tags=["http", "enrichment"],
@@ -84,7 +85,9 @@ def http_fetch(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     concurrency = int(config.get("concurrency", 10))
     fetcher: Callable[..., str] = config.get("_fetcher")
     if fetcher is None:
-        timeout = float(config.get("timeout_seconds", 30))
+        # both spellings are documented in the reference
+        # (builtin-functions.md: timeout_seconds; http-fetch-transform.md: timeout)
+        timeout = float(config.get("timeout_seconds", config.get("timeout", 30)))
 
         def fetcher(u, m, h, b, _t=timeout):  # noqa: E731
             return _default_fetcher(u, m, h, b, _t)
