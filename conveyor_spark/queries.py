@@ -2377,10 +2377,12 @@ def q80_decontam_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     the path for reference sets too big to broadcast exactly. Oracle
     is the EXACT semi-join: valid because at fpp=1e-9 the expected
     false-positive count at test scale is ~0 (verified hash-exact at
-    sf0.001/0.01/0.1; FPs only ever over-flag). Small filters inline
-    into the plan as a JVM array literal (sf<=0.01 here); larger
-    ones ride a broadcast + numpy bit-gather (sf0.1) — both paths
-    oracle-covered across the SF sweep."""
+    sf0.001/0.01/0.1; FPs only ever over-flag). Small reference sets
+    size to textbook m under independent hashing (no orbit-containment
+    channel), so every SF here stays on the inline all-JVM codegen
+    path — zero shuffle of the corpus, zero Python. Mid filters ride
+    a one-row broadcast join; only 10^8+-gram filters fall back to
+    the numpy bit-gather (both unit-tested, not reached here)."""
     ctx = _ctx(spark)
     d = load_table(spark, sf_dir, "documents")
     bench = _op("filter.apply", ctx, [d], expr="doc_id % 97 = 0")

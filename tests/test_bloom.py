@@ -35,12 +35,17 @@ def bench(spark):
 
 
 def test_size_filter_math():
-    m, k = _size_filter(1000, 0.01)
+    m, k, indep = _size_filter(1000, 0.01)
     assert m == 16384  # ~9.59 kbits ideal for 1k @ 1%, next pow2
     assert k == 11
-    m2, _ = _size_filter(1000, 1e-6)
+    assert not indep  # orbit floor (448) below textbook m: double hashing
+    m2, _, indep2 = _size_filter(1000, 1e-6)
     assert m2 > m
+    assert indep2  # sqrt(2n/fpp)=44.7k > textbook 2^15: independent hashes
     assert _size_filter(1, 0.5)[0] == 1024  # floor
+    # small-n tight-fpp regime stays at textbook sizing (inline path)
+    m3, k3, indep3 = _size_filter(2400, 1e-9)
+    assert indep3 and m3 == 1 << 17 and k3 == 16
 
 
 def _flags(ctx, corpus, bench, **kw):
@@ -58,8 +63,27 @@ def test_inline_path_matches_exact(ctx, corpus, bench):
     assert sum(got.values()) == 10
 
 
-def test_broadcast_path_matches_exact(ctx, corpus, bench):
-    got = _flags(ctx, corpus, bench, fpp=1e-6, inline_bits=1)  # force numpy path
+def test_broadcast_join_path_matches_exact(ctx, corpus, bench):
+    # inline_bits=1 forces the one-row broadcast-join path
+    got = _flags(ctx, corpus, bench, fpp=1e-6, inline_bits=1)
+    exact = {r["doc_id"]: r["contaminated"] for r in run_op(
+        ctx, "decontam.ngram", [corpus, bench], column="text",
+        id_column="doc_id", ngram=4).collect()}
+    assert got == exact
+
+
+def test_broadcast_join_plan_is_jvm_only(ctx, corpus, bench):
+    out = run_op(ctx, "decontam.bloom", [corpus, bench], column="text",
+                 id_column="doc_id", ngram=4, inline_bits=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+        assert bad not in plan
+
+
+def test_numpy_path_matches_exact(ctx, corpus, bench):
+    # broadcast_bits=1 too -> forces the huge-filter numpy bit-gather
+    got = _flags(ctx, corpus, bench, fpp=1e-6, inline_bits=1, broadcast_bits=1)
     exact = {r["doc_id"]: r["contaminated"] for r in run_op(
         ctx, "decontam.ngram", [corpus, bench], column="text",
         id_column="doc_id", ngram=4).collect()}

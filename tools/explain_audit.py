@@ -164,9 +164,11 @@ CHECKS = [
     ),
     (
         "q80_decontam_bloom",
-        "bloom check (inline path): zero shuffle of the corpus, zero Python in the plan",
+        "bloom check (inline path): zero shuffle of the corpus, zero Python, "
+        "no __pa position-matrix flatten at bench sizing",
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
-        and "ArrowEvalPython" not in p,
+        and "ArrowEvalPython" not in p and "MapInPandas" not in p
+        and "__pa" not in p,
     ),
     (
         "q81_embedding_normalize",
