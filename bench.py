@@ -2,10 +2,24 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line:
 
     {"metric": ..., "value": total_sec, "unit": "sec",
+     "calibration": {...}, "repeat": N,
      "queries": {name: sec, ...}, "sf": ...}
 
 Each query executes end-to-end into a `noop` sink (full compute, no
 driver-side result transfer). Usage: python bench.py [query ...]
+
+Host-variance controls (round-to-round artifacts are compared across
+different host windows, which wobble 2-4x):
+
+- **Calibration**: before the suite, q01 runs once and its time is
+  reported under ``calibration`` — a fixed yardstick to normalize a
+  round's absolute numbers against (the same plan every round, so
+  calibration ratio ~= host-speed ratio).
+- **Best-of-N**: SPARK_GRAFT_BENCH_REPEAT (default 2) runs every
+  query N times and reports the MIN per query — the min is the
+  number least polluted by a noisy scheduler window. Per-run times
+  are kept in ``queries_runs``. Set REPEAT=1 for the old
+  single-pass behavior. Output stays ONE JSON line either way.
 """
 
 from __future__ import annotations
@@ -15,10 +29,13 @@ import os
 import sys
 import time
 
+CALIBRATION_QUERY = "q01_pricing_summary"
+
 
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
     only = set(sys.argv[1:])
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -29,19 +46,34 @@ def main() -> int:
     # warm the JVM + parquet footers with a trivial job
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    timings: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        if only and name not in only:
-            continue
+    def run_once(name: str) -> float:
         t0 = time.time()
         try:
-            df = fn(spark, sf_dir)
+            df = QUERIES[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
         except Exception as exc:  # noqa: BLE001
-            print(f"bench: {name} failed: {type(exc).__name__}: {str(exc)[:200]}", file=sys.stderr)
-            timings[name] = -1.0
+            print(
+                f"bench: {name} failed: {type(exc).__name__}: {str(exc)[:200]}",
+                file=sys.stderr,
+            )
+            return -1.0
+        return round(time.time() - t0, 3)
+
+    # fixed-yardstick run: same plan every round, so the ratio of this
+    # number across two BENCH artifacts ~= the host-speed ratio
+    calibration = {"query": CALIBRATION_QUERY, "sec": run_once(CALIBRATION_QUERY)}
+
+    runs: dict[str, list[float]] = {}
+    for name in QUERIES:
+        if only and name not in only:
             continue
-        timings[name] = round(time.time() - t0, 3)
+        runs[name] = [run_once(name) for _ in range(repeat)]
+
+    # min unless any run errored (mixing -1 with a valid min would
+    # hide a flaky query behind its lucky run)
+    timings = {
+        n: (min(ts) if all(t >= 0 for t in ts) else -1.0) for n, ts in runs.items()
+    }
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     # round-1 baseline covered q01-q50; keep a same-scope subtotal so
@@ -58,7 +90,10 @@ def main() -> int:
         "unit": "sec",
         "value_r1_scope": baseline_total,
         "n_queries": len(timings),
+        "repeat": repeat,
+        "calibration": calibration,
         "queries": timings,
+        "queries_runs": runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     return 0
