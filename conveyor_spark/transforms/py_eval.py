@@ -16,11 +16,18 @@ schema).
 This is the slow path by design — a script that only does arithmetic
 or string ops belongs in map.apply (full Spark SQL, JVM-side).
 
-SECURITY: unlike the reference's WASM-sandboxed js.eval, the script
-runs as UNSANDBOXED Python (``exec``) inside executor workers, with
-the full privileges of the Spark job. Pipeline specs are trusted code
-— treat a TOML containing py.eval/py.group_eval exactly like a Python
-file: never run specs from untrusted sources.
+SECURITY: by default (``trusted = true``) the script runs as
+UNSANDBOXED Python (``exec``) inside executor workers, with the full
+privileges of the Spark job — treat such a TOML exactly like a Python
+file. For semi-trusted specs set ``trusted = false``: the script then
+runs in a per-partition subprocess locked down with OS rlimits (no
+fork/exec, no new file descriptors — so no sockets/files/processes —
+plus CPU and memory ceilings) and a stripped-builtins namespace with
+an import whitelist (see py_sandbox.py for the exact containment
+model and its limits vs the reference's WASM sandbox). Sandboxed rows
+cross a JSON boundary, so columns must be JSON-representable —
+arithmetic/string/collection transforms, not binary or timestamp
+surgery.
 """
 
 from __future__ import annotations
@@ -34,12 +41,79 @@ from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
 
 
+def _sandbox_partition(batches, script, out_columns, cfg, pd):
+    """Drive one sandbox subprocess for a partition: handshake, then
+    one JSON request/response round-trip per Arrow batch. Runs inside
+    the executor's Python worker (see py_sandbox.py for the child's
+    containment model)."""
+    import json
+    import subprocess
+    import sys
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "conveyor_spark.transforms.py_sandbox"],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.DEVNULL,
+        text=True,
+    )
+
+    def read_reply() -> dict:
+        line = proc.stdout.readline()
+        if not line:
+            rc = proc.wait()
+            raise RuntimeError(
+                f"py.eval sandbox died (exit {rc}) — CPU/memory limit hit "
+                "or the interpreter crashed"
+            )
+        reply = json.loads(line)
+        if "error" in reply:
+            proc.kill()
+            raise RuntimeError(f"py.eval sandbox: {reply['error']}")
+        return reply
+
+    try:
+        proc.stdin.write(json.dumps({
+            "script": script,
+            "columns": out_columns,
+            "cpu_seconds": cfg["cpu_seconds"],
+            "memory_mb": cfg["memory_mb"],
+            "modules": cfg["modules"],
+        }) + "\n")
+        proc.stdin.flush()
+        read_reply()  # ready
+        for pdf in batches:
+            # to_json/loads converts numpy scalars to plain JSON types
+            rows = json.loads(pdf.to_json(orient="records"))
+            proc.stdin.write(json.dumps({"rows": rows}) + "\n")
+            proc.stdin.flush()
+            reply = read_reply()
+            yield pd.DataFrame(
+                [[r.get(c) for c in out_columns] for r in reply["rows"]],
+                columns=out_columns,
+            )
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+        proc.wait()
+
+
 @register(
     "py.eval", kind="transform", doc="Per-row scripted transform(row) UDF",
     params=[
         P("script", required=True,
           desc="Python source defining transform(row) -> dict|None"),
         P("output_schema", desc="DDL schema of the result (default: input schema)"),
+        P("trusted", "boolean", default=True,
+          desc="false: run the script in an rlimit-sandboxed subprocess "
+               "(no processes/fds/network, CPU+memory capped, import whitelist)"),
+        P("sandbox_cpu_seconds", "integer", default=30, min=1,
+          desc="CPU ceiling per sandbox subprocess (trusted=false)"),
+        P("sandbox_memory_mb", "integer", default=512, min=16,
+          desc="Address-space ceiling per sandbox subprocess (trusted=false)"),
+        P("sandbox_modules", "array",
+          desc="Import whitelist override for the sandbox (trusted=false); "
+               "default: pure-computation stdlib modules"),
     ],
     example={"script": "def transform(row):\n    row['flag'] = row['x'] > 0\n    return row",
              "output_schema": "x INT, flag BOOLEAN"},
@@ -56,13 +130,29 @@ def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
     else:
         out_schema = df.schema
     out_columns = [f.name for f in out_schema.fields]
+    trusted = config.get("trusted", True)
 
-    # compile on the driver first so syntax errors fail fast
+    # compile on the driver first so syntax errors fail fast; probe-exec
+    # the script only when it is declared trusted
     compiled = compile(script, "<py.eval>", "exec")
-    probe: dict[str, Any] = {}
-    exec(compiled, probe)  # noqa: S102
-    if not callable(probe.get("transform")):
-        raise ConfigError("py.eval script must define transform(row)")
+    if trusted:
+        probe: dict[str, Any] = {}
+        exec(compiled, probe)  # noqa: S102
+        if not callable(probe.get("transform")):
+            raise ConfigError("py.eval script must define transform(row)")
+    else:
+        sandbox_cfg = {
+            "cpu_seconds": int(config.get("sandbox_cpu_seconds", 30)),
+            "memory_mb": int(config.get("sandbox_memory_mb", 512)),
+            "modules": config.get("sandbox_modules"),
+        }
+
+        def run_sandboxed(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            yield from _sandbox_partition(batches, script, out_columns, sandbox_cfg, pd)
+
+        return df.mapInPandas(run_sandboxed, out_schema)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -1,0 +1,138 @@
+"""Subprocess runner for ``py.eval`` with ``trusted = false``.
+
+The reference executes js.eval scripts inside a WASM-sandboxed Boa
+engine (plugins-wasm/conveyor-plugin-js-wasm/src/lib.rs:61-72) — the
+script cannot touch the host. This module is the Python analogue for
+semi-trusted pipeline specs: the executor spawns ``python -m
+conveyor_spark.transforms.py_sandbox`` per partition and streams rows
+over stdin/stdout as JSON batches, while the child locks itself down
+BEFORE executing the user script:
+
+- ``RLIMIT_NPROC = 0`` — fork/exec fails, so ``os.system`` & friends
+  die even if a script digs a handle to them out of the interpreter.
+- ``RLIMIT_NOFILE = 0`` — no NEW file descriptors: ``socket()``,
+  ``open()``, pipes all fail at the OS level (the already-open stdio
+  fds keep working, which is all the row protocol needs).
+- ``RLIMIT_AS`` / ``RLIMIT_CPU`` — memory and CPU ceilings; a runaway
+  script is killed by the kernel (SIGXCPU / MemoryError), not trusted
+  to cooperate.
+- Stripped builtins namespace — ``open``/``eval``/``exec``/
+  ``compile``/``input``/``breakpoint`` removed and ``__import__``
+  replaced with a whitelist of pre-imported pure-computation modules
+  (imports happen before the fd limit drops; nothing else can load).
+
+This is OS-level containment, not a bytecode verifier: a hostile
+script can still crash its own subprocess or burn its CPU quota, and
+CPython object-graph escapes can reach unexported objects — but the
+rlimits make those objects inert (no processes, no fds, no network).
+The reference's WASM sandbox is stronger in-principle; this one is
+the strongest available without shipping an interpreter.
+
+Protocol (one JSON object per line):
+  parent -> child:  {"script", "columns", "cpu_seconds", "memory_mb",
+                     "modules"} then {"rows": [...]} per Arrow batch
+  child -> parent:  {"ready": true} | {"rows": [...]} | {"error": msg}
+User ``print()`` output is redirected to stderr so it cannot corrupt
+the protocol stream.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+# pure-computation stdlib; no IO, no process control
+DEFAULT_MODULES = (
+    "math", "re", "json", "string", "datetime", "itertools", "functools",
+    "statistics", "random", "collections", "heapq", "bisect", "decimal",
+    "fractions", "textwrap", "unicodedata", "hashlib", "base64", "uuid",
+)
+
+_REMOVED_BUILTINS = (
+    "open", "input", "breakpoint", "exit", "quit", "eval", "exec",
+    "compile", "help", "license", "credits", "copyright", "memoryview",
+)
+
+
+def _restricted_builtins(allowed: dict) -> dict:
+    import builtins
+
+    ns = {k: getattr(builtins, k) for k in dir(builtins) if not k.startswith("_")}
+    for name in _REMOVED_BUILTINS:
+        ns.pop(name, None)
+    ns["None"], ns["True"], ns["False"] = None, True, False
+
+    def _import(name, *args, **kwargs):
+        root = name.split(".", 1)[0]
+        if root in allowed:
+            return allowed[root]
+        raise ImportError(f"module {name!r} is not allowed in the py.eval sandbox")
+
+    ns["__import__"] = _import
+    return ns
+
+
+def main() -> int:
+    import resource
+
+    proto_out = sys.stdout
+    proto_in = sys.stdin
+    # user print() goes to stderr; the protocol owns real stdout
+    sys.stdout = sys.stderr
+
+    header = json.loads(proto_in.readline())
+    script = header["script"]
+    columns = header["columns"]
+    cpu_s = int(header.get("cpu_seconds") or 30)
+    mem_b = int(header.get("memory_mb") or 512) * 1024 * 1024
+
+    # pre-import the whitelist while we can still open files
+    allowed: dict = {}
+    for mod in header.get("modules") or DEFAULT_MODULES:
+        try:
+            allowed[mod] = __import__(mod)
+        except ImportError:
+            pass
+    code = compile(script, "<py.eval:sandbox>", "exec")
+
+    resource.setrlimit(resource.RLIMIT_NPROC, (0, 0))
+    resource.setrlimit(resource.RLIMIT_NOFILE, (0, 0))
+    resource.setrlimit(resource.RLIMIT_AS, (mem_b, mem_b))
+    resource.setrlimit(resource.RLIMIT_CPU, (cpu_s, cpu_s))
+
+    def reply(obj: dict) -> None:
+        proto_out.write(json.dumps(obj) + "\n")
+        proto_out.flush()
+
+    ns: dict = {"__builtins__": _restricted_builtins(allowed)}
+    try:
+        exec(code, ns)  # noqa: S102 — the point of the sandbox
+        transform = ns["transform"]
+        if not callable(transform):
+            raise TypeError("'transform' is not callable")
+    except KeyError:
+        reply({"error": "py.eval script must define transform(row)"})
+        return 1
+    except Exception as exc:  # noqa: BLE001
+        reply({"error": f"{type(exc).__name__}: {exc}"})
+        return 1
+    reply({"ready": True})
+
+    for line in proto_in:
+        batch = json.loads(line)
+        out = []
+        try:
+            for row in batch["rows"]:
+                result = transform(row)
+                if result is None:
+                    continue  # dropped row (reference null semantics)
+                out.append({c: result.get(c) for c in columns})
+        except Exception as exc:  # noqa: BLE001
+            reply({"error": f"{type(exc).__name__}: {exc}"})
+            return 1
+        reply({"rows": out})
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,124 @@
+"""Tests for py.eval trusted=false (py_sandbox.py): containment of
+process/fd/network access, resource ceilings, and parity of results
+with the trusted path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.conftest import run_op
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame([(i, i * 10) for i in range(20)], ["id", "val"])
+
+
+SCRIPT_OK = """
+import math
+def transform(row):
+    row['root'] = math.sqrt(row['val'])
+    return row
+"""
+
+
+def test_sandboxed_matches_trusted(ctx, df):
+    kw = dict(column=None)
+    trusted = run_op(ctx, "py.eval", [df], script=SCRIPT_OK,
+                     output_schema="id BIGINT, val BIGINT, root DOUBLE")
+    sandboxed = run_op(ctx, "py.eval", [df], script=SCRIPT_OK,
+                       output_schema="id BIGINT, val BIGINT, root DOUBLE",
+                       trusted=False)
+    assert sorted(map(tuple, trusted.collect())) == sorted(map(tuple, sandboxed.collect()))
+
+
+def test_sandboxed_row_drop(ctx, df):
+    script = "def transform(row):\n    return row if row['id'] % 2 == 0 else None"
+    out = run_op(ctx, "py.eval", [df], script=script, trusted=False)
+    assert sorted(r["id"] for r in out.collect()) == list(range(0, 20, 2))
+
+
+def test_sandbox_blocks_os_system(ctx, df, tmp_path):
+    marker = tmp_path / "pwned"
+    script = f"""
+def transform(row):
+    import os
+    os.system('touch {marker}')
+    return row
+"""
+    with pytest.raises(Exception, match="sandbox"):
+        run_op(ctx, "py.eval", [df], script=script, trusted=False).collect()
+    assert not marker.exists()
+
+
+def test_sandbox_blocks_os_system_via_object_graph(ctx, df, tmp_path):
+    """Even a script that digs the real os module out of the
+    interpreter's object graph cannot spawn a process: RLIMIT_NPROC=0
+    makes fork/exec fail at the OS level."""
+    marker = tmp_path / "pwned_graph"
+    script = f"""
+def transform(row):
+    real_os = None
+    for c in ().__class__.__base__.__subclasses__():
+        try:
+            g = c.__init__.__globals__
+        except AttributeError:
+            continue
+        if 'os' in g and hasattr(g['os'], 'system'):
+            real_os = g['os']
+            break
+    real_os.system('touch {marker}')
+    return row
+"""
+    # the script itself survives (system() reports failure rather than
+    # raising), but the command must never have run
+    run_op(ctx, "py.eval", [df], script=script, trusted=False).collect()
+    assert not marker.exists()
+
+
+def test_sandbox_blocks_socket(ctx, df):
+    script = """
+def transform(row):
+    import socket
+    socket.socket().connect(('127.0.0.1', 80))
+    return row
+"""
+    with pytest.raises(Exception, match="sandbox"):
+        run_op(ctx, "py.eval", [df], script=script, trusted=False).collect()
+
+
+def test_sandbox_blocks_open(ctx, df, tmp_path):
+    marker = tmp_path / "written"
+    script = f"""
+def transform(row):
+    open('{marker}', 'w').write('x')
+    return row
+"""
+    with pytest.raises(Exception, match="sandbox"):
+        run_op(ctx, "py.eval", [df], script=script, trusted=False).collect()
+    assert not marker.exists()
+
+
+def test_sandbox_cpu_ceiling(ctx, df):
+    script = "def transform(row):\n    while True:\n        pass"
+    with pytest.raises(Exception, match="sandbox"):
+        run_op(ctx, "py.eval", [df], script=script, trusted=False,
+               sandbox_cpu_seconds=1).collect()
+
+
+def test_sandbox_module_whitelist_override(ctx, df):
+    # math excluded from the whitelist -> import fails inside the sandbox
+    with pytest.raises(Exception, match="sandbox"):
+        run_op(ctx, "py.eval", [df], script=SCRIPT_OK,
+               output_schema="id BIGINT, val BIGINT, root DOUBLE",
+               trusted=False, sandbox_modules=["json"]).collect()
+
+
+def test_trusted_default_unchanged(ctx, df):
+    # no trusted key -> old exec path (probe-exec on the driver still
+    # rejects scripts without transform())
+    from conveyor_spark.errors import ConfigError
+    with pytest.raises(ConfigError):
+        run_op(ctx, "py.eval", [df], script="x = 1")
