@@ -3145,6 +3145,97 @@ def q101_minhash_star(spark: SparkSession, sf_dir: str) -> DataFrame:
                num_hashes=16, bands=4, shingle="word", ngram=3, pairs="star")
 
 
+@query(
+    "q102_sliding_count_window",
+    """
+    WITH seq AS (
+      SELECT row_number() OVER (ORDER BY event_id) - 1 AS i, value
+      FROM events),
+    w AS (
+      SELECT unnest(generate_series(greatest(0, (i - 1000 + 500) // 500),
+                                    i // 500)) AS window_id,
+             value
+      FROM seq)
+    SELECT window_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value
+    FROM w GROUP BY window_id
+    """,
+)
+def q102_sliding_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sliding count windows (size=1000, slide=500): each row
+    belongs to every window whose [w*slide, w*slide+size) range
+    covers its global index, so consecutive windows overlap by half.
+    The reference TODO's this case into tumbling-of-slide
+    (core/streaming.rs:113-127); we compute true overlapping
+    membership via a map-side window-id explode on the two-phase
+    global index — no shuffle beyond the index pass."""
+    ctx = _ctx(spark)
+    ev = load_table(spark, sf_dir, "events")
+    df = _op("map.apply", ctx, [ev], expression="CAST(value AS DECIMAL(18,2))",
+             output_column="vdec")
+    df = _op("window.apply", ctx, [df], type="sliding", size=1000, slide=500,
+             order_by="event_id")
+    g = _op(
+        "groupby.apply", ctx, [df], by="window_id",
+        aggregations=[
+            {"column": "event_id", "operation": "count", "output_column": "n_events"},
+            {"column": "vdec", "operation": "sum", "output_column": "sum_dec"},
+            {"column": "value", "operation": "min", "output_column": "min_value"},
+        ],
+    )
+    g = _op("map.apply", ctx, [g], expression="CAST(sum_dec AS DOUBLE)",
+            output_column="sum_value")
+    return _op("select.apply", ctx, [g],
+               columns=["window_id", "n_events", "sum_value", "min_value"])
+
+
+@query(
+    "q103_stream_sliding_count_window",
+    """
+    WITH counts AS (
+      SELECT event_type, COUNT(*) AS c FROM events GROUP BY event_type),
+    w AS (
+      SELECT event_type, c,
+             unnest(generate_series(0, (c - 1) // 500)) AS window_id
+      FROM counts)
+    SELECT event_type, window_id,
+           least(1000, c - window_id * 500) AS n_rows,
+           (c - window_id * 500) >= 1000 AS closed
+    FROM w
+    """,
+)
+def q103_stream_sliding_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream.count_window with slide < size: cross-micro-batch REAL
+    sliding count windows via an O(1)-per-key row-counter state.
+
+    VALUE-CHECKED against the batch-equivalent SQL: an availableNow
+    drain of one static file is a single micro-batch, so the stateful
+    op emits exactly one row per (key, window) with
+    n_rows = min(size, c - w*slide) and closed = c - w*slide >= size
+    — the same table the SQL derives from per-key counts alone."""
+    from conveyor_spark.registry import get_function
+    from conveyor_spark.streaming.ops import checkpoint_tmpdir, read_file_stream
+
+    ctx = _ctx(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sdf = read_file_stream(
+        spark, sf_dir, batch.schema, "parquet",
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    win = get_function("stream.count_window").fn(
+        ctx, [sdf], {"size": 1000, "slide": 500, "key_columns": "event_type"}
+    )
+    with checkpoint_tmpdir("conveyor-q103-") as ckpt:
+        q = (
+            win.writeStream.format("memory").queryName("q103_sliding_windows")
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    return spark.table("q103_sliding_windows")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -1,4 +1,5 @@
-"""stream.count_window — COUNT-based tumbling windows on a stream.
+"""stream.count_window — COUNT-based tumbling/sliding windows on a
+stream.
 
 The reference's window.apply is count-based (`ready_chunks(size)`,
 core/streaming.rs:75-135) with no cross-batch state: a window that
@@ -92,11 +93,72 @@ def count_tumbling(
     )
 
 
+def count_sliding(
+    sdf: DataFrame,
+    key_columns: list[str],
+    size: int,
+    slide: int,
+) -> DataFrame:
+    """REAL sliding count windows across micro-batches (the reference
+    TODO's sliding into tumbling-of-slide, core/streaming.rs:113-127).
+    Window w covers per-key rows [w*slide, w*slide + size). The state
+    is a single per-key row counter: after c rows, window w holds
+    min(size, c - w*slide) rows, so a batch only needs the counter
+    before/after to emit every window it touched — state size is O(1)
+    per key regardless of overlap factor. Update semantics like the
+    tumbling op: one row per touched (key, window) per batch, closed
+    once the window reached ``size``."""
+    if not key_columns:
+        raise ConfigError("stream.count_window requires key_columns")
+    if size < 1 or slide < 1:
+        raise ConfigError("stream.count_window: size and slide must be >= 1")
+    key_fields = [sdf.schema[k] for k in key_columns]
+    out_schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("window_id", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("closed", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("rows_seen", T.LongType())])
+
+    def assign(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import pandas as pd
+
+        seen = state.get[0] if state.exists else 0
+        start = seen
+        for pdf in pdfs:
+            seen += len(pdf)
+        state.update((seen,))
+        rows = []
+        if seen > start:
+            # windows overlapping the row range [start, seen)
+            w_lo = max(0, -(-(start - size + 1) // slide))  # ceil clamped
+            w_hi = (seen - 1) // slide
+            for w in range(w_lo, w_hi + 1):
+                n_rows = min(size, seen - w * slide)
+                if n_rows > 0:
+                    rows.append(list(key) + [w, n_rows, seen - w * slide >= size])
+        yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return (
+        sdf.groupBy(*key_columns)
+        .applyInPandasWithState(
+            assign, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 @register(
     "stream.count_window", kind="transform", min_inputs=1, max_inputs=1,
-    streaming_capable=True, doc="Stateful count-based tumbling windows (streaming)",
+    streaming_capable=True,
+    doc="Stateful count-based tumbling/sliding windows (streaming)",
     params=[
         P("size", "integer", required=True, min=1, desc="Rows per window"),
+        P("slide", "integer", min=1,
+          desc="Rows between window starts (default: size, i.e. tumbling; "
+               "smaller = overlapping sliding windows)"),
         P("key_columns", "array", desc="Columns carried into the output"),
         P("group_by", "array", desc="Per-key windows (state key)"),
         P("order_by", "array", desc="In-batch ordering for determinism"),
@@ -116,4 +178,7 @@ def stream_count_window(ctx: OpContext, inputs: list[DataFrame], config: dict[st
     if size is None or not keys:
         raise ConfigError("stream.count_window requires 'size' and 'key_columns'")
     keys = [keys] if isinstance(keys, str) else list(keys)
+    slide = config.get("slide")
+    if slide is not None and int(slide) != int(size):
+        return count_sliding(sdf, keys, int(size), int(slide))
     return count_tumbling(sdf, keys, int(size), config.get("order_by"))

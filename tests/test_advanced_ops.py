@@ -86,6 +86,62 @@ def test_stream_count_window(ctx, spark, sf_dir, tmp_path):
     assert total == batch.count()
 
 
+def test_stream_sliding_count_window_cross_batch(ctx, spark, tmp_path):
+    """Sliding count windows must continue across micro-batches: two
+    files drained one per trigger, size=100/slide=50 over 250 rows
+    per key -> windows w0..w3 close at 100 rows each and w4 stays
+    open at 50, with the straddling windows topped up by batch 2."""
+    from conveyor_spark.streaming.ops import read_file_stream
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    # plain parquet FILES (a Spark directory write would be skipped by
+    # the file-stream source)
+    pq.write_table(
+        pa.table({"key": ["k"] * 150, "n": list(range(150))}),
+        src / "f1.parquet",
+    )
+    pq.write_table(
+        pa.table({"key": ["k"] * 100, "n": list(range(150, 250))}),
+        src / "f2.parquet",
+    )
+
+    schema = spark.createDataFrame([("k", 1)], "key STRING, n BIGINT").schema
+    sdf = read_file_stream(
+        spark, str(src), schema, "parquet",
+        options={"maxFilesPerTrigger": "1"},
+    )
+    win = run_op(ctx, "stream.count_window", [sdf], size=100, slide=50,
+                 key_columns="key")
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = (
+            win.writeStream.format("memory").queryName("t_slide_win")
+            .outputMode("update").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+    rows = spark.table("t_slide_win").collect()
+    # at least two emissions means more than one micro-batch ran
+    assert len(rows) > 5
+    final: dict[int, tuple[int, bool]] = {}
+    for r in rows:
+        wid = r["window_id"]
+        if wid not in final or r["n_rows"] > final[wid][0]:
+            final[wid] = (r["n_rows"], r["closed"])
+    assert final == {
+        0: (100, True), 1: (100, True), 2: (100, True), 3: (100, True),
+        4: (50, False),
+    }
+    # a straddling window must have been emitted open before closing
+    partials = [r for r in rows if r["n_rows"] < 100]
+    assert partials
+
+
 def test_stream_count_window_rejects_batch(ctx, spark):
     df = spark.createDataFrame([(1, "a")], "id INT, k STRING")
     with pytest.raises(ConfigError, match="streaming path"):

@@ -98,9 +98,36 @@ def test_count_window_batch(ctx, spark):
              run_op(ctx, "groupby.apply", [out], by="window_id",
                     aggregations=[{"column": "seq", "operation": "count", "output_column": "n"}]).collect()}
     assert sizes == {0: 3, 1: 3, 2: 3, 3: 1}
-    # sliding falls back to tumbling-of-slide (reference streaming.rs:113-127)
-    out = run_op(ctx, "window.apply", [df], type="sliding", size=4, slide=2, order_by="seq")
-    assert out.groupBy("window_id").count().count() == 5
+
+
+def test_sliding_count_window_batch(ctx, spark):
+    """REAL sliding membership (the reference TODO's this into
+    tumbling-of-slide): window w covers rows [w*slide, w*slide+size),
+    so consecutive windows overlap and rows duplicate per window."""
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "seq INT, v DOUBLE")
+    out = run_op(ctx, "window.apply", [df], type="sliding", size=4, slide=2,
+                 order_by="seq")
+    members: dict[int, list[int]] = {}
+    for r in out.collect():
+        members.setdefault(r["window_id"], []).append(r["seq"])
+    assert {w: sorted(v) for w, v in members.items()} == {
+        0: [0, 1, 2, 3], 1: [2, 3, 4, 5], 2: [4, 5, 6, 7],
+        3: [6, 7, 8, 9], 4: [8, 9],
+    }
+    # slide == size degenerates to tumbling (no duplication)
+    out = run_op(ctx, "window.apply", [df], type="sliding", size=2, slide=2,
+                 order_by="seq")
+    assert out.count() == 10
+    # slide > size: sampling windows with gaps; skipped rows drop
+    out = run_op(ctx, "window.apply", [df], type="sliding", size=2, slide=3,
+                 order_by="seq")
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["window_id"], []).append(r["seq"])
+    # rows 2, 5, 8 fall in the gaps; row 9 opens the partial window 3
+    assert {w: sorted(v) for w, v in got.items()} == {
+        0: [0, 1], 1: [3, 4], 2: [6, 7], 3: [9],
+    }
 
 
 def test_sql_query_over_inputs(ctx, spark):
