@@ -8,10 +8,13 @@ emits a runnable starter TOML (src/cli/scaffold.rs), ``add-stage``
 appends a validated stage block (src/cli/add_stage.rs), ``edit`` /
 ``remove-stage`` rewrite a stage in place (reference `edit` +
 interactive_builder, flag-driven here so authoring works in
-scripts/CI), and ``plugins`` imports a spec's [global] plugin modules
+scripts/CI), ``plugins`` imports a spec's [global] plugin modules
 and reports the ops each registers (reference `plugin list`,
-src/plugin_loader.rs). Every mutating verb re-validates the spec and
-restores the original file if the result would not parse.
+src/plugin_loader.rs), and ``update`` checks the package index for a
+newer release and upgrades via pip (reference `conveyor update`,
+src/update.rs — binary-swap there, pip here). Every mutating verb
+re-validates the spec and restores the original file if the result
+would not parse.
 """
 
 from __future__ import annotations
@@ -113,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
     pp_add.add_argument("pipeline")
     pp_add.add_argument("name")
     pp_add.add_argument("--registry", default=None)
+    p_up = sub.add_parser("update", help="self-update from the package index via pip")
+    p_up.add_argument("--check", action="store_true",
+                      help="only report whether a newer version exists")
+    p_up.add_argument("--index-url", default=None,
+                      help="alternate package index (PyPI JSON API layout)")
     p_ex = sub.add_parser("explain", help="print the physical plan(s) without running sinks")
     p_ex.add_argument("pipeline")
     p_ex.add_argument("--stage", default=None, help="explain one stage (default: sink inputs)")
@@ -208,6 +216,23 @@ def main(argv: list[str] | None = None) -> int:
             print(f"plugin {args.plugin_cmd} failed: {exc}", file=sys.stderr)
             return 2
         return 0
+
+    if args.cmd == "update":
+        from conveyor_spark.update import check_update, install_update
+
+        try:
+            if args.check:
+                cur, latest, newer = check_update(args.index_url)
+                if newer:
+                    print(f"update available: {cur} -> {latest} "
+                          "(run 'update' without --check to install)")
+                else:
+                    print(f"conveyor-spark {cur} is up to date (latest: {latest})")
+                return 0
+            return install_update(args.index_url)
+        except ConveyorError as exc:
+            print(f"update failed: {exc}", file=sys.stderr)
+            return 2
 
     if args.cmd == "plugins":
         from conveyor_spark.scaffold import list_plugins

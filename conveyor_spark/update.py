@@ -1,0 +1,106 @@
+"""``update`` CLI verb — pip-based self-update.
+
+Reference: src/update.rs — `conveyor update` queries the project's
+GitHub releases for the newest tag, compares it against the built-in
+version, and replaces the installed binary; `check_for_updates` is
+the same query in dry mode. A pip-distributed package updates through
+the package index instead: we query the index's JSON API for the
+latest published version and hand installation to ``pip install
+--upgrade``, which resolves wheels/sdists exactly like any other
+install (no hand-rolled binary swaps).
+
+Both the index fetch and the pip invocation are injectable so the
+verb is testable without network or a real index.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+import urllib.request
+from typing import Callable
+
+from conveyor_spark import __version__
+from conveyor_spark.errors import ConveyorError
+
+PACKAGE = "conveyor-spark"
+DEFAULT_INDEX = "https://pypi.org/pypi"
+
+
+def parse_version(v: str) -> tuple:
+    """Dotted-numeric compare key; non-numeric segments sort below
+    numeric ones of the same position (so 1.2.0 > 1.2.0rc1), matching
+    the reference's segment-wise is_newer_version (update.rs)."""
+    parts = []
+    for seg in v.strip().lstrip("v").split("."):
+        num = ""
+        for ch in seg:
+            if ch.isdigit():
+                num += ch
+            else:
+                break
+        suffix = seg[len(num):]
+        # (number, purely-numeric?, suffix): 1.2.0 > 1.2.0rc1 > 1.2.0rc0
+        parts.append((int(num) if num else -1, 0 if suffix else 1, suffix))
+    return tuple(parts)
+
+
+def latest_version(
+    index_url: str | None = None,
+    fetch: Callable[[str], str] | None = None,
+) -> str:
+    """Latest published version of this package on the index
+    (PyPI-style JSON API: ``{index}/{package}/json``)."""
+    base = (index_url or DEFAULT_INDEX).rstrip("/")
+    url = f"{base}/{PACKAGE}/json"
+    if fetch is None:
+        def fetch(u: str) -> str:  # pragma: no cover - network
+            with urllib.request.urlopen(u, timeout=10) as resp:
+                return resp.read().decode("utf-8")
+    try:
+        payload = json.loads(fetch(url))
+        return payload["info"]["version"]
+    except Exception as exc:  # noqa: BLE001
+        raise ConveyorError(f"could not query the package index at {url}: {exc}")
+
+
+def check_update(
+    index_url: str | None = None,
+    fetch: Callable[[str], str] | None = None,
+    current: str | None = None,
+) -> tuple[str, str, bool]:
+    """(current, latest, update_available)."""
+    cur = current or __version__
+    latest = latest_version(index_url, fetch)
+    return cur, latest, parse_version(latest) > parse_version(cur)
+
+
+def install_update(
+    index_url: str | None = None,
+    fetch: Callable[[str], str] | None = None,
+    pip_runner: Callable[[list[str]], int] | None = None,
+    current: str | None = None,
+    out=None,
+) -> int:
+    """Upgrade via pip when the index has a newer version. Returns a
+    process exit code (0 = success or already current)."""
+    out = out or sys.stdout
+    cur, latest, newer = check_update(index_url, fetch, current)
+    if not newer:
+        print(f"conveyor-spark {cur} is up to date (latest: {latest})", file=out)
+        return 0
+    print(f"updating conveyor-spark {cur} -> {latest} via pip...", file=out)
+    cmd = [sys.executable, "-m", "pip", "install", "--upgrade"]
+    if index_url:
+        cmd += ["--index-url", index_url]
+    cmd.append(f"{PACKAGE}=={latest}")
+    if pip_runner is None:
+        def pip_runner(c: list[str]) -> int:  # pragma: no cover - real pip
+            return subprocess.call(c)
+    rc = pip_runner(cmd)
+    if rc == 0:
+        print(f"updated to {latest}", file=out)
+    else:
+        print(f"pip exited with {rc}; package unchanged", file=out)
+    return rc
