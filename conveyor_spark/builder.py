@@ -40,12 +40,16 @@ def _coerce(p: Param, raw: str) -> Any:
             return False
         raise ValueError(f"not a boolean: {raw!r}")
     if p.type in ("array", "object", "any"):
-        # JSON first; an array also accepts comma-separated shorthand
+        # JSON first; an array also accepts comma-separated shorthand.
+        # A declared object must BE valid JSON — silently keeping the
+        # raw string would defeat the metadata-driven validation.
         try:
             return json.loads(raw)
         except json.JSONDecodeError:
             if p.type == "array":
                 return [s.strip() for s in raw.split(",") if s.strip()]
+            if p.type == "object":
+                raise ValueError(f"not valid JSON for an object value: {raw!r}")
             return raw
     return raw
 

@@ -135,18 +135,30 @@ def _dead_letter(stage: StageSpec, spec: PipelineSpec, error: str) -> None:
     dlq = (_strategy(stage, spec)).get("dead_letter_queue") or {}
     if not dlq.get("enabled") or not dlq.get("path"):
         return
-    path = dlq["path"]
-    if path.endswith(("/", os.sep)) or os.path.isdir(path):
-        os.makedirs(path, exist_ok=True)
-        path = os.path.join(path, "failed_records.jsonl")
-    else:
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "a") as f:
-        f.write(_json.dumps({
-            "stage_id": stage.id,
-            "error": error,
-            "timestamp": datetime.now(timezone.utc).isoformat(),
-        }) + "\n")
+    # the DLQ append runs inside the `continue` handler: its own IO
+    # failing (unwritable path, full disk) must not abort a pipeline
+    # whose strategy said to keep going
+    try:
+        path = dlq["path"]
+        if path.endswith(("/", os.sep)) or os.path.isdir(path):
+            os.makedirs(path, exist_ok=True)
+            path = os.path.join(path, "failed_records.jsonl")
+        else:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        with open(path, "a") as f:
+            f.write(_json.dumps({
+                "stage_id": stage.id,
+                "error": error,
+                "timestamp": datetime.now(timezone.utc).isoformat(),
+            }) + "\n")
+    except OSError as exc:
+        import warnings
+
+        warnings.warn(
+            f"dead-letter queue write failed for stage {stage.id!r}: {exc}",
+            RuntimeWarning,
+            stacklevel=2,
+        )
 
 
 def compile_pipeline(

@@ -80,7 +80,8 @@ def add_plugin(
         original = f.read()
     with open(pipeline_file, "rb") as f:
         tomllib.load(f)  # must already parse
-    gm = re.search(r'^\[global\]\s*$', original, re.M)
+    # allow a trailing comment after the header (`[global]  # settings`)
+    gm = re.search(r'^\[global\]\s*(#.*)?$', original, re.M)
     if gm:
         # the [global] section ends at the next table header
         end = re.search(r'^\[', original[gm.end():], re.M)

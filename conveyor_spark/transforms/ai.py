@@ -79,12 +79,16 @@ def _anthropic_messages(prompt: str, config: dict[str, Any]) -> str:
         "temperature": config.get("temperature", 0.0),
         "messages": [{"role": "user", "content": prompt}],
     }
-    # The vendor's documented version header is named "<vendor>-version";
-    # build it from the configured provider name (public API surface,
-    # src/modules/transforms/ai.rs:203 hardcodes the same header).
+    # The vendor's documented version header is named "<vendor>-version"
+    # and the documented endpoint is "https://api.<vendor>.com/v1/messages";
+    # both are built from the configured provider name (public API
+    # surface — src/modules/transforms/ai.rs:201-203 hardcodes the same
+    # URL and header as string literals). `endpoint` overrides for
+    # proxies/gateways.
     vendor = config.get("provider", "anthropic")
+    endpoint = config.get("endpoint") or f"https://api.{vendor}.com/v1/messages"
     req = Request(  # noqa: S310
-        "https://api.anthropic.com/v1/messages",
+        endpoint,
         data=_json.dumps(payload).encode(),
         headers={
             "Content-Type": "application/json",
@@ -124,6 +128,8 @@ _PROVIDERS: dict[str, Callable[[str, dict[str, Any]], str]] = {
         P("api_version", desc="Vendor API version header (required for "
                               "provider=anthropic unless set via env)"),
         P("base_url", desc="Endpoint override (openai-compatible providers)"),
+        P("endpoint", desc="Full messages-endpoint override (anthropic provider; "
+          "default built from the provider name)"),
         P("api_base_url", desc="Reference-spec alias for base_url (Ollama)"),
         P("ollama_base_url", desc="Ollama endpoint override"),
     ],

@@ -167,3 +167,38 @@ def test_plugin_add_ignores_stage_level_plugins_key(registry, tmp_path):
     spec = load_spec(str(p))
     assert spec.plugins == ["examples.plugins.uppercase"]
     assert spec.stage_map()["s"].config["plugins"] == ["unrelated"]
+
+
+def test_coerce_object_rejects_bad_json():
+    """A typo'd object value must re-prompt (ValueError), not silently
+    pass through as a string; array keeps its comma shorthand."""
+    from conveyor_spark.builder import _coerce
+    from conveyor_spark.registry import P
+
+    p = P("headers", "object")
+    assert _coerce(p, '{"a": 1}') == {"a": 1}
+    with pytest.raises(ValueError, match="object"):
+        _coerce(p, "{not json")
+    assert _coerce(P("cols", "array"), "a, b") == ["a", "b"]
+    assert _coerce(P("free", "any"), "plain text") == "plain text"
+
+
+def test_plugin_add_global_header_with_trailing_comment(registry, tmp_path):
+    """`[global]  # comment` is still the [global] header; plugin add
+    must extend it rather than prepending a duplicate table."""
+    p = tmp_path / "c.toml"
+    p.write_text(
+        '[global]  # engine settings\n'
+        'name = "commented"\n\n'
+        '[[stages]]\nid = "src"\nfunction = "json.read"\n'
+        '[stages.config]\npath = "/tmp/x.jsonl"\nformat = "jsonl"\n'
+    )
+    module = add_plugin(str(p), "uppercase", registry)
+    text = p.read_text()
+    assert text.count("[global]") == 1
+    assert f'plugins = ["{module}"]' in text
+    import tomllib
+
+    with open(p, "rb") as f:
+        parsed = tomllib.load(f)
+    assert parsed["global"]["plugins"] == [module]

@@ -318,3 +318,32 @@ def test_observe_validates(spark, ctx, tmp_path):
     with _pytest.raises(ConfigError):
         run_op(ctx, "observe.apply", [df], name="m",
                metrics=[{"expr": "count(1)"}])  # alias required
+
+
+def test_dead_letter_queue_unwritable_path_does_not_abort(spark, tmp_path):
+    """The DLQ append runs inside the `continue` handler; an
+    unwritable DLQ path must warn, not fail a pipeline whose strategy
+    said to keep going."""
+    import warnings
+
+    blocker = tmp_path / "not_a_dir"
+    blocker.write_text("file, not a directory")
+    spec = parse_spec({
+        "pipeline": {"name": "dlq_bad_path"},
+        "error_handling": {
+            "strategy": "continue",
+            "dead_letter_queue": {
+                "enabled": True,
+                # makedirs of a path UNDER a regular file -> OSError
+                "path": str(blocker / "sub" / "dlq.jsonl"),
+            },
+        },
+        "stages": [
+            {"id": "bad", "function": "csv.read", "config": {"path": "/nope/missing.csv"}},
+        ],
+    })
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        result = compile_pipeline(spark, spec)
+    assert "bad" in result.errors  # failure captured, run completed
+    assert any("dead-letter queue write failed" in str(w.message) for w in caught)
