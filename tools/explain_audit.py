@@ -99,6 +99,18 @@ CHECKS = [
         ) and any("Window [" in ln for ln in p.splitlines()),
     ),
     (
+        "q102_sliding_count_window",
+        "sliding membership is a map-side explode (Generate) over the "
+        "bucket-partitioned global index; no Python, no cartesian",
+        lambda p, o: "Generate" in p
+        and all(
+            "], [__gidx_bkt" in ln for ln in p.splitlines() if "Window [" in ln
+        )
+        and any("Window [" in ln for ln in p.splitlines())
+        and "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+        and "MapInPandas" not in p and "CartesianProduct" not in p,
+    ),
+    (
         "q56_pii_redact",
         "PII scrub is pure JVM regexp chain (no Python UDF)",
         lambda p, o: "BatchEvalPython" not in p and "ArrowEvalPython" not in p,
