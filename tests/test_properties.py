@@ -218,3 +218,31 @@ class TestRound3OpProperties:
         allp = run_op(ctx, "dedup.minhash", [df], **cfg)
         star = run_op(ctx, "dedup.minhash", [df], **cfg, pairs="star")
         assert comps(star) == comps(allp)
+
+
+class TestSlidingWindowProperties:
+    """Randomized invariants for real sliding count windows."""
+
+    @given(
+        n_rows=st.integers(min_value=1, max_value=60),
+        size=st.integers(min_value=1, max_value=12),
+        slide=st.integers(min_value=1, max_value=12),
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_sliding_membership_matches_definition(self, spark, ctx, n_rows, size, slide):
+        """Row i belongs to window w iff w*slide <= i < w*slide+size —
+        for ANY size/slide combination, including gaps (slide > size)."""
+        from tests.conftest import run_op
+
+        df = spark.createDataFrame([(i,) for i in range(n_rows)], "seq INT")
+        out = run_op(ctx, "window.apply", [df], type="sliding",
+                     size=size, slide=slide, order_by="seq")
+        got = {(r["seq"], r["window_id"]) for r in out.collect()}
+        expected = {
+            (i, w)
+            for i in range(n_rows)
+            for w in range((n_rows // slide) + 1)
+            if w * slide <= i < w * slide + size
+        }
+        assert got == expected
