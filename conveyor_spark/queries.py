@@ -1109,7 +1109,8 @@ def q40_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs=[("event_id", "count", "n_events"), ("vdec", "sum", "sum_dec")],
         watermark="2 hours",
     )
-    out = run_available_now(agg, "q40_streaming_tumbling")
+    # bounded drain: 8 state stores, not 32 (see run_available_now)
+    out = run_available_now(agg, "q40_streaming_tumbling", state_partitions=8)
     return out.select(
         "window_start", "window_end", "n_events",
         F.col("sum_dec").cast("double").alias("sum_value"),
@@ -1324,8 +1325,6 @@ def q49_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain of one static file is a single micro-batch, so the stateful
     op's update rows are exactly the per-key count-window partition
     of the whole table (order_by makes it deterministic)."""
-    from conveyor_spark.streaming.ops import checkpoint_tmpdir
-
     from conveyor_spark.registry import get_function
     from conveyor_spark.streaming.ops import read_file_stream
 
@@ -1338,14 +1337,11 @@ def q49_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = get_function("stream.count_window").fn(
         ctx, [sdf], {"size": 500, "key_columns": "event_type", "order_by": "event_id"}
     )
-    with checkpoint_tmpdir("conveyor-q49-") as ckpt:
-        q = (
-            win.writeStream.format("memory").queryName("q49_count_windows")
-            .outputMode("update").option("checkpointLocation", ckpt)
-            .trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-    return spark.table("q49_count_windows")
+    from conveyor_spark.streaming.ops import run_available_now
+
+    return run_available_now(
+        win, "q49_count_windows", output_mode="update", state_partitions=8
+    )
 
 
 @query(
@@ -1802,8 +1798,6 @@ def q63_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch SQL sessionization oracle applies: an availableNow
     drain of one file is a single batch, so update rows = the full
     per-key session partition, last session per key open)."""
-    from conveyor_spark.streaming.ops import checkpoint_tmpdir
-
     from conveyor_spark.registry import get_function
     from conveyor_spark.streaming.ops import read_file_stream
 
@@ -1818,14 +1812,12 @@ def q63_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = get_function("stream.session_window").fn(
         ctx, [sdf], {"gap": 1800, "key_columns": "user_id", "ts_column": "ts"}
     )
-    with checkpoint_tmpdir("conveyor-q63-") as ckpt:
-        q = (
-            win.writeStream.format("memory").queryName("q63_sessions")
-            .outputMode("update").option("checkpointLocation", ckpt)
-            .trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-    return spark.table("q63_sessions").select(
+    from conveyor_spark.streaming.ops import run_available_now
+
+    out = run_available_now(
+        win, "q63_sessions", output_mode="update", state_partitions=8
+    )
+    return out.select(
         "user_id", "session_id", "start_ts", "end_ts", "n_rows", "closed"
     )
 
@@ -1921,8 +1913,6 @@ def q66_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's clicks in the preceding 30 minutes. availableNow drain of
     one file = a single micro-batch, so the streaming join equals the
     batch inequality join (value-checked)."""
-    from conveyor_spark.streaming.ops import checkpoint_tmpdir
-
     from conveyor_spark.registry import get_function
     from conveyor_spark.streaming.ops import read_file_stream
 
@@ -2893,8 +2883,6 @@ def q95_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-time-sorted micro-batch, so the per-user update rows equal
     the batch funnel exactly (same chained-min oracle as q87, no
     window)."""
-    from conveyor_spark.streaming.ops import checkpoint_tmpdir
-
     from conveyor_spark.registry import get_function
     from conveyor_spark.streaming.ops import read_file_stream
 
@@ -2909,14 +2897,11 @@ def q95_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     fun = get_function("stream.funnel").fn(
         ctx, [sdf], {"steps": ["view", "click", "purchase"], "by": "user_id"}
     )
-    with checkpoint_tmpdir("conveyor-q95-") as ckpt:
-        q = (
-            fun.writeStream.format("memory").queryName("q95_stream_funnel")
-            .outputMode("update").option("checkpointLocation", ckpt)
-            .trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-    return spark.table("q95_stream_funnel")
+    from conveyor_spark.streaming.ops import run_available_now
+
+    return run_available_now(
+        fun, "q95_stream_funnel", output_mode="update", state_partitions=8
+    )
 
 
 @query(
@@ -3215,7 +3200,7 @@ def q103_stream_sliding_count_window(spark: SparkSession, sf_dir: str) -> DataFr
     n_rows = min(size, c - w*slide) and closed = c - w*slide >= size
     — the same table the SQL derives from per-key counts alone."""
     from conveyor_spark.registry import get_function
-    from conveyor_spark.streaming.ops import checkpoint_tmpdir, read_file_stream
+    from conveyor_spark.streaming.ops import read_file_stream
 
     ctx = _ctx(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -3226,14 +3211,11 @@ def q103_stream_sliding_count_window(spark: SparkSession, sf_dir: str) -> DataFr
     win = get_function("stream.count_window").fn(
         ctx, [sdf], {"size": 1000, "slide": 500, "key_columns": "event_type"}
     )
-    with checkpoint_tmpdir("conveyor-q103-") as ckpt:
-        q = (
-            win.writeStream.format("memory").queryName("q103_sliding_windows")
-            .outputMode("update").option("checkpointLocation", ckpt)
-            .trigger(availableNow=True).start()
-        )
-        q.awaitTermination()
-    return spark.table("q103_sliding_windows")
+    from conveyor_spark.streaming.ops import run_available_now
+
+    return run_available_now(
+        win, "q103_sliding_windows", output_mode="update", state_partitions=8
+    )
 
 
 def entry_query(spark: SparkSession) -> DataFrame:
