@@ -29,10 +29,14 @@ from conveyor_spark.errors import ConveyorError
 def _apply_log_level(spark, level: str | None) -> None:
     if level:
         # reference levels map onto log4j's (trace/warn spellings differ)
-        spark.sparkContext.setLogLevel(
-            {"trace": "TRACE", "debug": "DEBUG", "info": "INFO",
-             "warn": "WARN", "error": "ERROR"}[level]
-        )
+        log4j = {"trace": "TRACE", "debug": "DEBUG", "info": "INFO",
+                 "warn": "WARN", "error": "ERROR"}[level]
+        try:
+            spark.sparkContext.setLogLevel(log4j)
+        except Exception:
+            # Spark-Connect client: no SparkContext; server-side log
+            # level isn't client-settable — degrade to a no-op.
+            pass
 
 
 def main(argv: list[str] | None = None) -> int:

@@ -252,21 +252,39 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> RunResult:
     """Execute a pipeline spec end-to-end (with global timeout if set).
 
     The global timeout maps to a driver-side watchdog (reference:
-    tokio timeout, src/core/pipeline.rs:93-96); for Spark we cancel
-    the job group on expiry.
+    tokio timeout, src/core/pipeline.rs:93-96); for Spark we tag the
+    pipeline's jobs and cancel the tag on expiry. Classic sessions
+    use SparkContext job tags (plain names, cancellable from any
+    thread — verified to kill a running stage in ~0 s); the
+    session-level tag API is the Spark-Connect fallback, where
+    operations are tracked server-side per session. (On classic,
+    SparkSession.addTag's managed tags are thread-scoped, so
+    interruptTag from a watchdog thread resolves nothing — hence the
+    SparkContext path first.)
     """
     if spec.timeout_seconds:
         import threading
 
-        group = f"conveyor-{spec.name}-{id(spec)}"
-        sc = spark.sparkContext
-        sc.setJobGroup(group, spec.name, interruptOnCancel=True)
-        timer = threading.Timer(spec.timeout_seconds, lambda: sc.cancelJobGroup(group))
+        tag = f"conveyor-{spec.name}-{id(spec)}"
+        try:
+            sc = spark.sparkContext
+            sc.addJobTag(tag)
+            cancel, cleanup = (
+                lambda: sc.cancelJobsWithTag(tag),
+                lambda: sc.removeJobTag(tag),
+            )
+        except Exception:  # Spark-Connect client: no SparkContext
+            spark.addTag(tag)
+            cancel, cleanup = (
+                lambda: spark.interruptTag(tag),
+                lambda: spark.removeTag(tag),
+            )
+        timer = threading.Timer(spec.timeout_seconds, cancel)
         timer.daemon = True
         timer.start()
         try:
             return compile_pipeline(spark, spec)
         finally:
             timer.cancel()
-            sc.setJobGroup("", "")
+            cleanup()
     return compile_pipeline(spark, spec)

@@ -300,7 +300,28 @@ def decontam_bloom(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
         # Huge path (10^8+ grams): JVM computes the flattened
         # (n_grams*k) position array per doc; Python reshapes (-1, k)
         # and gathers bits — any gram with all k hits flags the doc.
-        bc = corpus.sparkSession.sparkContext.broadcast(bitset.tobytes())
+        try:
+            bc = corpus.sparkSession.sparkContext.broadcast(bitset.tobytes())
+        except Exception:
+            # Spark-Connect client: no SparkContext.broadcast. Fall
+            # back to the mid-path delivery (one-row broadcast join of
+            # the word array) — heavier per-task but Connect-safe.
+            import pyarrow as pa
+
+            words_np = np.frombuffer(bitset.tobytes(), dtype="<i8")
+            wdf = corpus.sparkSession.createDataFrame(
+                pa.table(
+                    {"__bloom_words": pa.array([words_np], type=pa.list_(pa.int64()))}
+                )
+            )
+            flagged = (
+                corpus.crossJoin(F.broadcast(wdf))
+                .withColumn(out_col, _flag_expr(F.col("__bloom_words")))
+                .drop("__bloom_words")
+            )
+            if mode == "filter":
+                return flagged.filter(~F.col(out_col)).drop(out_col)
+            return flagged
         pos_arr = F.flatten(F.transform(grams, lambda g: _positions(g, m, k, indep)))
         schema = T.StructType(
             corpus.schema.fields + [T.StructField(out_col, T.BooleanType())]

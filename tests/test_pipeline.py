@@ -347,3 +347,60 @@ def test_dead_letter_queue_unwritable_path_does_not_abort(spark, tmp_path):
         result = compile_pipeline(spark, spec)
     assert "bad" in result.errors  # failure captured, run completed
     assert any("dead-letter queue write failed" in str(w.message) for w in caught)
+
+
+def test_timeout_completes_fast_pipeline(spark, tmp_path):
+    """A pipeline well under its timeout runs normally; the watchdog
+    tag is added and removed (session tag API — works on classic AND
+    Spark-Connect sessions, unlike SparkContext.setJobGroup)."""
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"x": 1}\n{"x": 2}\n')
+    out = tmp_path / "out.jsonl"
+    spec = parse_spec({
+        "pipeline": {"name": "fast-with-timeout"},
+        "global": {"timeout_seconds": 300},
+        "stages": [
+            {"id": "src", "function": "json.read",
+             "config": {"path": str(src), "format": "jsonl"}},
+            {"id": "sink", "function": "json.write", "inputs": ["src"],
+             "config": {"path": str(out), "format": "jsonl"}},
+        ],
+    })
+    result = run_pipeline(spark, spec)
+    assert not result.errors
+    assert out.read_text().count("\n") == 2
+    assert not spark.sparkContext.getJobTags()  # watchdog tag cleaned up
+
+
+def test_timeout_interrupts_slow_pipeline(spark, tmp_path):
+    """The watchdog interrupts jobs tagged by a pipeline that blows
+    its budget: a 60 s-sleeping UDF under a 3 s timeout must fail in
+    far less than the sleep, with the failure captured per strategy."""
+    import time as _time
+
+    src = tmp_path / "in.jsonl"
+    src.write_text('{"x": 1}\n')
+    out = tmp_path / "slow_out.jsonl"
+    spec = parse_spec({
+        "pipeline": {"name": "slow-with-timeout"},
+        "global": {"timeout_seconds": 3},
+        "error_handling": {"strategy": "continue"},
+        "stages": [
+            {"id": "src", "function": "json.read",
+             "config": {"path": str(src), "format": "jsonl"}},
+            {"id": "slow", "function": "py.eval", "inputs": ["src"],
+             "config": {"script":
+                        "import time\n"
+                        "def transform(row):\n"
+                        "    time.sleep(60)\n"
+                        "    return row\n"}},
+            {"id": "sink", "function": "json.write", "inputs": ["slow"],
+             "config": {"path": str(out), "format": "jsonl"}},
+        ],
+    })
+    t0 = _time.time()
+    result = run_pipeline(spark, spec)
+    elapsed = _time.time() - t0
+    assert elapsed < 45, f"watchdog did not interrupt (took {elapsed:.1f}s)"
+    assert result.errors  # the interrupted stage surfaced as a failure
+    assert not spark.sparkContext.getJobTags()
