@@ -59,3 +59,46 @@ def test_bucketed_join_no_shuffle(ctx, spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS t_facts_b")
         spark.sql("DROP TABLE IF EXISTS t_dims_b")
+
+
+def test_aqe_splits_skewed_join_partition(ctx, spark):
+    """join.apply leaves the plan declarative enough for AQE's
+    OptimizeSkewedJoin to split a hot partition at runtime: with one
+    key holding ~50x the bytes of the median partition, the FINAL
+    adaptive plan must show SortMergeJoin(skew=true) over an
+    'AQEShuffleRead skewed' — proof the un-salted path still degrades
+    gracefully under skew on a real cluster (salt= remains the
+    explicit escape hatch when stats mislead AQE).
+
+    The payload is sha2 output: incompressible, so the hot shuffle
+    partition is big in BYTES (AQE's skew test is byte-based;
+    a constant payload LZ4-compresses below any threshold).
+    """
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32k",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = (
+            spark.range(0, 50_000)
+            .selectExpr("1 AS k", "sha2(cast(id AS string), 256) AS pay")
+            .unionAll(
+                spark.range(2, 1000).selectExpr("id AS k", "'small' AS pay")
+            )
+        )
+        right = spark.range(1, 1000).selectExpr("id AS k", "concat('r', id) AS r")
+        joined = run_op(ctx, "join.apply", [left, right], on="k", how="inner")
+        assert len(joined.collect()) == 50_998  # correctness under the split
+        plan = _plan(joined)  # same QueryExecution -> final adaptive plan
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
