@@ -479,12 +479,16 @@ def text_boilerplate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     with boilerplate lines removed) | ``flag`` (add
     ``boilerplate_ratio`` = boilerplate lines / lines).
 
-    Scale: lines posexplode (order preserved for reassembly); line
-    document-frequencies aggregate per (group, line) — the shuffle
-    carries distinct lines, not documents; group doc-totals ride
-    along as a broadcast aggregate; strip-mode reassembly is ONE
-    shuffle by doc id. Blank lines are preserved verbatim in strip
-    mode (they are structure, not boilerplate)."""
+    Scale: document text NEVER shuffles. Line document-frequencies
+    come from exploding each doc's DISTINCT trimmed lines (an array
+    expression, so a plain map-side-combinable count — no
+    count_distinct carrying ids); the qualifying boiler-line set per
+    group is tiny by construction (lines in ≥ min_df of docs) and
+    broadcasts back onto the documents, where strip/flag happen
+    INSIDE the row with codegen'd higher-order functions — no
+    explode/reassembly shuffle of the corpus. Blank lines are
+    preserved verbatim in strip mode (they are structure, not
+    boilerplate)."""
     df = inputs[0]
     column = config.get("column")
     id_column = config.get("id_column")
@@ -500,53 +504,60 @@ def text_boilerplate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     if mode not in ("strip", "flag"):
         raise ConfigError("text.boilerplate: mode must be strip|flag")
 
-    lines = df.select(
-        id_column, *group_by,
-        F.posexplode(F.split(F.col(column).cast("string"), r"\n")).alias("__pos", "__line"),
-    ).withColumn("__key", F.trim(F.col("__line")))
+    lines_arr = F.split(F.col(column).cast("string"), r"\n")
+
+    # one row per (group, distinct trimmed nonblank line, doc) —
+    # distinct-per-doc via array ops, so the groupBy is a plain count
+    keys = df.select(
+        *group_by,
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.transform(lines_arr, lambda l: F.trim(l)),
+                    lambda k: k != "",
+                )
+            )
+        ).alias("__key"),
+    )
+    dfreq = keys.groupBy(*group_by, "__key").agg(F.count("*").alias("__df"))
 
     totals = (
         df.groupBy(*group_by).agg(F.count_distinct(id_column).alias("__gtotal"))
         if group_by
         else df.agg(F.count_distinct(id_column).alias("__gtotal"))
     )
-    nonblank = lines.filter(F.col("__key") != "")
-    dfreq = nonblank.groupBy(*group_by, "__key").agg(
-        F.count_distinct(id_column).alias("__df")
-    )
     joined = dfreq.join(F.broadcast(totals), on=group_by) if group_by else dfreq.crossJoin(
         F.broadcast(totals)
     )
     boiler = joined.filter(
         (F.col("__df") >= F.greatest(F.col("__gtotal") * F.lit(min_df), F.lit(float(min_docs))))
-    ).select(*group_by, "__key").withColumn("__is_boiler", F.lit(True))
+    ).select(*group_by, "__key")
 
-    marked = lines.join(F.broadcast(boiler), on=[*group_by, "__key"], how="left")
-    is_b = F.coalesce(F.col("__is_boiler"), F.lit(False))
+    bsets = (
+        boiler.groupBy(*group_by).agg(F.collect_set("__key").alias("__bset"))
+        if group_by
+        else boiler.agg(F.collect_set("__key").alias("__bset"))
+    )
+    marked = (
+        df.join(F.broadcast(bsets), on=group_by, how="left")
+        if group_by
+        else df.crossJoin(F.broadcast(bsets))
+    )
+    bset = F.coalesce(F.col("__bset"), F.array().cast("array<string>"))
 
     if mode == "flag":
-        per_doc = marked.groupBy(id_column).agg(
-            (
-                F.sum(is_b.cast("bigint")).cast("double")
-                / F.greatest(F.sum((F.col("__key") != "").cast("bigint")), F.lit(1)).cast("double")
-            ).alias("boilerplate_ratio")
-        )
-        return df.join(per_doc, on=id_column, how="left")
+        n_boiler = F.size(F.filter(lines_arr, lambda l: F.array_contains(bset, F.trim(l))))
+        n_nonblank = F.size(F.filter(lines_arr, lambda l: F.trim(l) != ""))
+        return marked.withColumn(
+            "boilerplate_ratio",
+            n_boiler.cast("double")
+            / F.greatest(n_nonblank, F.lit(1)).cast("double"),
+        ).drop("__bset")
 
-    kept = marked.filter(~is_b)
-    rebuilt = kept.groupBy(id_column).agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
-                lambda x: x["__line"],
-            ),
-            "\n",
-        ).alias("__rebuilt")
+    rebuilt = F.array_join(
+        F.filter(lines_arr, lambda l: ~F.array_contains(bset, F.trim(l))), "\n"
     )
-    out = df.join(rebuilt, on=id_column, how="left").withColumn(
-        column, F.coalesce(F.col("__rebuilt"), F.lit(""))
-    )
-    return out.drop("__rebuilt")
+    return marked.withColumn(column, F.coalesce(rebuilt, F.lit(""))).drop("__bset")
 
 
 @register(

@@ -121,6 +121,12 @@ CHECKS = [
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p,
     ),
     (
+        "q65_boilerplate",
+        "boilerplate: doc text never shuffles — boiler set broadcast back, strip is per-row (no collect_list reassembly)",
+        lambda p, o: "collect_list" not in p and "SortMergeJoin" not in p
+        and "BatchEvalPython" not in p and p.count("BroadcastHashJoin") >= 1,
+    ),
+    (
         "q58_decontam_ngram",
         "benchmark grams broadcast (all joins BroadcastHashJoin, corpus never shuffles for the join)",
         lambda p, o: p.count("BroadcastHashJoin") >= 2 and "SortMergeJoin" not in p,
