@@ -59,9 +59,21 @@ def _op(name: str, ctx: OpContext, inputs: list[DataFrame], **config: Any) -> Da
     return get_function(name).fn(ctx, inputs, config)
 
 
+# (sf_dir, table) -> (session, DataFrame). A DataFrame is an immutable
+# plan; reusing it skips the spark.read.parquet footer/schema pass,
+# which is ~0.1 s of DRIVER time per call — the suite loads tables
+# hundreds of times, so this is tens of seconds of bench wall-clock.
+# Keyed on the session too: a new session must not serve plans bound
+# to a stopped one (tests spin up their own sessions).
+_TABLE_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a test table; events.ts (ns parquet) -> microsecond
     timestamp by truncation (matches DuckDB's TIMESTAMP read)."""
+    cached = _TABLE_CACHE.get((sf_dir, name))
+    if cached is not None and cached[0] is spark:
+        return cached[1]
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -73,6 +85,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.dataType.typeName() == "timestamp_ntz":
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    _TABLE_CACHE[(sf_dir, name)] = (spark, df)
     return df
 
 
