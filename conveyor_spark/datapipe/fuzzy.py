@@ -73,18 +73,32 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     q = int(config.get("ngram", 3))
     max_df = config.get("max_df")
 
-    def grams(df: DataFrame, idc: str, sc: str, ids: str, ss: str, ns: str) -> DataFrame:
+    def grams(df: DataFrame, idc: str, sc: str, ids: str, ss: str,
+              ns: str, ls: str) -> DataFrame:
+        """SKINNY posting rows: (id, gram-count, string-length, gram).
+        The strings themselves do NOT ride the gram explode / candidate
+        join / pair aggregation — for entity resolution the string can
+        be hundreds of bytes while the ints are 16; survivors get the
+        strings back via id-keyed joins below. The distinct-gram count
+        and length ride along so count/length filtering needs no extra
+        shuffle."""
         base = df.select(
             F.col(idc).alias(ids), F.lower(F.col(sc).cast("string")).alias(ss)
         ).withColumn("__gs", char_ngrams_expr(ss, q))
-        # the distinct-gram count rides along each exploded row — no
-        # extra shuffle to get it back later for count filtering
         return base.select(
-            ids, ss, F.size("__gs").alias(ns), F.explode("__gs").alias("__gram")
+            ids,
+            F.size("__gs").alias(ns),
+            F.length(ss).alias(ls),
+            F.explode("__gs").alias("__gram"),
         )
 
-    lg = grams(left, id_column, on, "id_a", "s_a", "n_a")
-    rg = grams(right, right_id, right_on, "id_b", "s_b", "n_b")
+    def names(df: DataFrame, idc: str, sc: str, ids: str, ss: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(ids), F.lower(F.col(sc).cast("string")).alias(ss)
+        )
+
+    lg = grams(left, id_column, on, "id_a", "s_a", "n_a", "l_a")
+    rg = grams(right, right_id, right_on, "id_b", "s_b", "n_b", "l_b")
     if max_df is not None:
         # prune grams present in more than max_df of the RIGHT side
         # (the posting-list side that explodes); broadcast keep-list
@@ -112,7 +126,7 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     # Levenshtein DP runs.
     cand = (
         lg.join(rg, "__gram")
-        .groupBy("id_a", "s_a", "n_a", "id_b", "s_b", "n_b")
+        .groupBy("id_a", "n_a", "l_a", "id_b", "n_b", "l_b")
         .agg(F.count(F.lit(1)).alias("__shared"))
     )
     if max_df is None:
@@ -122,10 +136,15 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
             F.col("__shared")
             >= F.greatest(F.greatest("n_a", "n_b") - F.lit(k * q), F.lit(1))
         )
-    cand = (
-        # cheap prefilter: |len(a) - len(b)| > k can never be within k
-        cand.filter(F.abs(F.length("s_a") - F.length("s_b")) <= k)
-        .drop("n_a", "n_b", "__shared")
+    # cheap prefilter: |len(a) - len(b)| > k can never be within k —
+    # applied while the rows are still string-free
+    cand = cand.filter(F.abs(F.col("l_a") - F.col("l_b")) <= k).select(
+        "id_a", "id_b"
+    )
+    # survivors only: strings come back via id-keyed joins (AQE
+    # broadcasts whichever name side is small)
+    cand = cand.join(names(left, id_column, on, "id_a", "s_a"), "id_a").join(
+        names(right, right_id, right_on, "id_b", "s_b"), "id_b"
     )
     # thresholded levenshtein early-exits the DP past k (returns -1)
     dist = F.levenshtein(F.col("s_a"), F.col("s_b"), k)
