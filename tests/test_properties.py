@@ -246,3 +246,95 @@ class TestSlidingWindowProperties:
             if w * slide <= i < w * slide + size
         }
         assert got == expected
+
+
+class TestSqlStringExprParity:
+    """The hyperplane-signature, simhash, and minhash expressions are
+    built as SQL strings for driver-speed (one parse call instead of
+    thousands of py4j round-trips). These tests pin the parsed
+    expressions to independent Python reference implementations so a
+    string-builder regression cannot silently change fingerprints."""
+
+    @given(
+        vecs=st.lists(
+            st.lists(
+                st.floats(-10, 10, allow_nan=False, width=32),
+                min_size=8, max_size=8,
+            ),
+            min_size=1, max_size=8,
+        ),
+        bits=st.sampled_from([4, 9, 16]),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_hyperplane_signature_matches_python(self, spark, vecs, bits):
+        from pyspark.sql import functions as F
+
+        from conveyor_spark.datapipe.emb_lsh import sign_matrix, signature_expr
+
+        dim = 8
+        planes = sign_matrix(bits, dim)
+
+        def py_sig(v):
+            acc = 0
+            for j in range(bits):
+                dot = 0.0
+                for x, s in zip(v, planes[j]):
+                    # float32 storage then float64 math, like Spark
+                    dot += float(np.float32(x)) * s
+                if dot > 0:
+                    acc += 2**j
+            return acc
+
+        import numpy as np
+
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "id INT, embedding ARRAY<FLOAT>",
+        )
+        got = {
+            r["id"]: r["sig"]
+            for r in df.select(
+                "id", signature_expr("embedding", bits, dim).alias("sig")
+            ).collect()
+        }
+        for i, v in enumerate(vecs):
+            assert got[i] == py_sig(v)
+
+    @given(
+        docs=st.lists(
+            st.lists(
+                st.text(alphabet="abcdef", min_size=1, max_size=6),
+                min_size=1, max_size=12,
+            ),
+            min_size=1, max_size=6,
+        ),
+        bits=st.sampled_from([4, 16, 32]),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_simhash_matches_python(self, spark, ctx, docs, bits):
+        import hashlib
+
+        from tests.conftest import run_op
+
+        def md5int60(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+        def py_simhash(tokens):
+            # tokens_expr lowercases and dedupes (array_distinct)
+            hs = [md5int60(t) for t in dict.fromkeys(tokens)]
+            acc = 0
+            for j in range(bits):
+                ones = sum((h >> j) & 1 for h in hs)
+                if ones * 2 > len(hs):
+                    acc += 2**j
+            return acc
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "id INT, text STRING",
+        )
+        out = run_op(ctx, "dedup.simhash", [df], column="text", bits=bits,
+                     shingle="token")
+        got = {r["id"]: r["simhash"] for r in out.collect()}
+        for i, toks in enumerate(docs):
+            assert got[i] == py_simhash(toks)
