@@ -18,8 +18,12 @@ different host windows, which wobble 2-4x):
 - **Best-of-N**: SPARK_GRAFT_BENCH_REPEAT (default 2) runs every
   query N times and reports the MIN per query — the min is the
   number least polluted by a noisy scheduler window. Per-run times
-  are kept in ``queries_runs``. Set REPEAT=1 for the old
-  single-pass behavior. Output stays ONE JSON line either way.
+  are emitted under ``queries_runs`` only when
+  SPARK_GRAFT_BENCH_RUNS_DETAIL=1 (they double the line length and
+  the archiving harness keeps only the line's tail). Set REPEAT=1
+  for the old single-pass behavior. Output stays ONE JSON line
+  either way, with the summary fields LAST so a tail-truncated
+  capture still carries them.
 """
 
 from __future__ import annotations
@@ -84,18 +88,31 @@ def main() -> int:
 
     r1_scope = {n: v for n, v in timings.items() if _qnum(n) <= 50}
     baseline_total = round(sum(v for v in r1_scope.values() if v >= 0), 3)
-    print(json.dumps({
-        "metric": "conveyor_spark query suite wall time",
-        "value": total,
-        "unit": "sec",
-        "value_r1_scope": baseline_total,
+    # Field ORDER is deliberate: the driver archives only the TAIL of
+    # this line (~2000 chars), so the long per-query dict goes FIRST
+    # and the summary (slowest-10, calibration, totals) goes LAST —
+    # whatever window the harness keeps, the summary survives. Full
+    # per-run detail is opt-in (SPARK_GRAFT_BENCH_RUNS_DETAIL=1) to
+    # keep the line short enough that the tail also covers most of
+    # the per-query dict.
+    out = {"queries": timings}
+    if os.environ.get("SPARK_GRAFT_BENCH_RUNS_DETAIL") == "1":
+        out["queries_runs"] = runs
+    out.update({
+        "top": dict(sorted(
+            ((n, v) for n, v in timings.items() if v >= 0),
+            key=lambda kv: -kv[1])[:10]),
+        "errors": sorted(n for n, v in timings.items() if v < 0),
         "n_queries": len(timings),
         "repeat": repeat,
         "calibration": calibration,
-        "queries": timings,
-        "queries_runs": runs,
+        "value_r1_scope": baseline_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "metric": "conveyor_spark query suite wall time",
+        "unit": "sec",
+        "value": total,
+    })
+    print(json.dumps(out))
     return 0
 
 
