@@ -338,3 +338,154 @@ class TestSqlStringExprParity:
         got = {r["id"]: r["simhash"] for r in out.collect()}
         for i, toks in enumerate(docs):
             assert got[i] == py_simhash(toks)
+
+
+class TestRound6OpProperties:
+    """Randomized Python-reference checks for the analytics/CDC ops
+    the earlier property classes didn't reach: exact n-gram jaccard,
+    sessionization, upsert-merge, and snapshot diff."""
+
+    @given(
+        docs=st.lists(
+            st.lists(st.text(alphabet="abcd", min_size=1, max_size=3),
+                     min_size=1, max_size=10),
+            min_size=2, max_size=8,
+        ),
+        threshold=st.sampled_from([0.1, 0.3, 0.5]),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_jaccard_exact_matches_bruteforce(self, spark, ctx, docs, threshold):
+        from tests.conftest import run_op
+
+        df = spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "id INT, text STRING",
+        )
+        out = run_op(ctx, "dedup.ngram_jaccard", [df], column="text",
+                     id_column="id", shingle="token", exact=True,
+                     threshold=threshold)
+        got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        sets = [set(t.lower() for t in toks) for toks in docs]
+        expect = {}
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                inter = len(sets[a] & sets[b])
+                if inter == 0:
+                    continue  # posting-list join never surfaces disjoint pairs
+                jac = inter / (len(sets[a]) + len(sets[b]) - inter)
+                if jac >= threshold:
+                    expect[(a, b)] = jac
+        assert set(got) == set(expect)
+        for pair, jac in expect.items():
+            assert got[pair] == pytest.approx(jac)
+
+    @given(
+        events=st.lists(
+            st.tuples(st.integers(0, 2), st.integers(0, 60)),  # (user, t_sec)
+            min_size=1, max_size=40,
+        ),
+        gap=st.integers(1, 10),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_sessionize_matches_python(self, spark, ctx, events, gap):
+        from pyspark.sql import functions as F
+
+        from tests.conftest import run_op
+
+        df = (
+            spark.createDataFrame(events, "user INT, t BIGINT")
+            .withColumn("ts", F.timestamp_seconds("t"))
+        )
+        out = run_op(ctx, "sessionize.assign", [df], by="user",
+                     gap_seconds=float(gap))
+        got = sorted((r["user"], r["t"], r["session_id"]) for r in out.collect())
+        # python reference: per-user time-sorted scan; tied timestamps
+        # share a session (delta 0 <= gap)
+        sid_of: dict[tuple[int, int], int] = {}
+        for u in {e[0] for e in events}:
+            ts = sorted({t for v, t in events if v == u})
+            idx = 0
+            for j, t in enumerate(ts):
+                if j > 0 and t - ts[j - 1] > gap:
+                    idx += 1
+                sid_of[(u, t)] = idx
+        expect = sorted((u, t, sid_of[(u, t)]) for u, t in events)
+        assert got == expect
+
+    @given(
+        snapshot=st.dictionaries(st.integers(0, 20), st.integers(0, 99),
+                                 max_size=15),
+        changes=st.lists(
+            st.tuples(st.integers(0, 20), st.integers(0, 99), st.booleans()),
+            max_size=15,
+        ),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_upsert_last_wins_matches_python(self, spark, ctx, snapshot, changes):
+        from tests.conftest import run_op
+
+        snap_df = spark.createDataFrame(
+            [(k, v) for k, v in snapshot.items()] or [(None, None)],
+            "id INT, val INT",
+        )
+        if not snapshot:
+            snap_df = snap_df.filter("id IS NOT NULL")
+        # unique (id, ord): ord = position, so last occurrence wins
+        chg_rows = [(k, v, d, i) for i, (k, v, d) in enumerate(changes)]
+        chg_df = spark.createDataFrame(
+            chg_rows or [(None, None, None, None)],
+            "id INT, val INT, del BOOLEAN, ord INT",
+        )
+        if not changes:
+            chg_df = chg_df.filter("id IS NOT NULL")
+        out = run_op(ctx, "table.upsert", [snap_df, chg_df], key="id",
+                     delete_column="del", on_duplicate="last_wins",
+                     order_column="ord")
+        got = sorted((r["id"], r["val"]) for r in out.collect())
+        state = dict(snapshot)
+        last: dict[int, tuple[int, bool]] = {}
+        for k, v, d in changes:
+            last[k] = (v, d)
+        for k, (v, d) in last.items():
+            if d:
+                state.pop(k, None)
+            else:
+                state[k] = v
+        assert got == sorted(state.items())
+
+    @given(
+        before=st.dictionaries(st.integers(0, 15),
+                               st.tuples(st.integers(0, 3), st.integers(0, 3)),
+                               max_size=12),
+        after=st.dictionaries(st.integers(0, 15),
+                              st.tuples(st.integers(0, 3), st.integers(0, 3)),
+                              max_size=12),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_diff_matches_python(self, spark, ctx, before, after):
+        from tests.conftest import run_op
+
+        def mkdf(d):
+            df = spark.createDataFrame(
+                [(k, x, y) for k, (x, y) in d.items()] or [(None, None, None)],
+                "id INT, x INT, y INT",
+            )
+            return df.filter("id IS NOT NULL") if not d else df
+
+        out = run_op(ctx, "diff.apply", [mkdf(before), mkdf(after)],
+                     key="id", include_unchanged=True)
+        got = {r["id"]: (r["diff_status"], tuple(r["changed_columns"]))
+               for r in out.collect()}
+        expect = {}
+        for k in set(before) | set(after):
+            if k not in before:
+                expect[k] = ("added", ())
+            elif k not in after:
+                expect[k] = ("removed", ())
+            else:
+                cols = tuple(
+                    c for c, i in (("x", 0), ("y", 1))
+                    if before[k][i] != after[k][i]
+                )
+                expect[k] = ("changed", cols) if cols else ("unchanged", ())
+        assert got == expect
