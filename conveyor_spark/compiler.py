@@ -269,6 +269,12 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> RunResult:
         try:
             sc = spark.sparkContext
             sc.addJobTag(tag)
+            # cancelJobsWithTag only marks tasks killed at their next
+            # poll point by default — a task blocked in non-polling
+            # work (HTTP read, Python UDF) would outlive the timeout.
+            # Interrupt-on-cancel restores the thread interrupt the
+            # old setJobGroup(..., interruptOnCancel=True) path had.
+            sc.setInterruptOnCancel(True)
             cancel, cleanup = (
                 lambda: sc.cancelJobsWithTag(tag),
                 lambda: sc.removeJobTag(tag),

@@ -277,25 +277,29 @@ def decontam_bloom(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
             lambda g: F.forall(_positions(g, m, k, indep), lambda p: _getbit(words, p)),
         )
 
-    if m <= inline_bits:
-        # Inline JVM path: array<bigint> literal + codegen'd exists/forall.
-        flagged = corpus.withColumn(out_col, _flag_expr(_words_literal(bitset)))
-    elif m <= broadcast_bits:
-        # Mid path: same JVM expression, word array delivered as a
-        # one-row broadcast cross join (BroadcastNestedLoopJoin of 1
-        # row) instead of a plan literal. Corpus never shuffles, no
-        # Python anywhere.
+    def _word_broadcast_path() -> DataFrame:
+        # Mid path: same JVM expression as inline, word array delivered
+        # as a one-row broadcast cross join (BroadcastNestedLoopJoin of
+        # 1 row) instead of a plan literal. Corpus never shuffles, no
+        # Python anywhere. Also the Spark-Connect fallback for the huge
+        # path (no SparkContext.broadcast there).
         import pyarrow as pa
 
         words_np = np.frombuffer(bitset.tobytes(), dtype="<i8")
         wdf = corpus.sparkSession.createDataFrame(
             pa.table({"__bloom_words": pa.array([words_np], type=pa.list_(pa.int64()))})
         )
-        flagged = (
+        return (
             corpus.crossJoin(F.broadcast(wdf))
             .withColumn(out_col, _flag_expr(F.col("__bloom_words")))
             .drop("__bloom_words")
         )
+
+    if m <= inline_bits:
+        # Inline JVM path: array<bigint> literal + codegen'd exists/forall.
+        flagged = corpus.withColumn(out_col, _flag_expr(_words_literal(bitset)))
+    elif m <= broadcast_bits:
+        flagged = _word_broadcast_path()
     else:
         # Huge path (10^8+ grams): JVM computes the flattened
         # (n_grams*k) position array per doc; Python reshapes (-1, k)
@@ -303,46 +307,35 @@ def decontam_bloom(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
         try:
             bc = corpus.sparkSession.sparkContext.broadcast(bitset.tobytes())
         except Exception:
-            # Spark-Connect client: no SparkContext.broadcast. Fall
-            # back to the mid-path delivery (one-row broadcast join of
-            # the word array) — heavier per-task but Connect-safe.
-            import pyarrow as pa
-
-            words_np = np.frombuffer(bitset.tobytes(), dtype="<i8")
-            wdf = corpus.sparkSession.createDataFrame(
-                pa.table(
-                    {"__bloom_words": pa.array([words_np], type=pa.list_(pa.int64()))}
-                )
+            bc = None  # Spark-Connect client: no SparkContext.broadcast
+        if bc is None:
+            flagged = _word_broadcast_path()
+        else:
+            pos_arr = F.flatten(
+                F.transform(grams, lambda g: _positions(g, m, k, indep))
             )
-            flagged = (
-                corpus.crossJoin(F.broadcast(wdf))
-                .withColumn(out_col, _flag_expr(F.col("__bloom_words")))
-                .drop("__bloom_words")
+            schema = T.StructType(
+                corpus.schema.fields + [T.StructField(out_col, T.BooleanType())]
             )
-            if mode == "filter":
-                return flagged.filter(~F.col(out_col)).drop(out_col)
-            return flagged
-        pos_arr = F.flatten(F.transform(grams, lambda g: _positions(g, m, k, indep)))
-        schema = T.StructType(
-            corpus.schema.fields + [T.StructField(out_col, T.BooleanType())]
-        )
 
-        def check(batches: Iterator) -> Iterator:
-            bits = np.frombuffer(bc.value, dtype=np.uint8)
-            for pdf in batches:
-                flags = []
-                for pos in pdf["__pa"]:
-                    p = np.asarray(pos, dtype=np.int64)
-                    if p.size == 0:
-                        flags.append(False)
-                        continue
-                    hit = (bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1
-                    flags.append(bool(hit.reshape(-1, k).all(axis=1).any()))
-                out = pdf.drop(columns=["__pa"])
-                out[out_col] = flags
-                yield out
+            def check(batches: Iterator) -> Iterator:
+                bits = np.frombuffer(bc.value, dtype=np.uint8)
+                for pdf in batches:
+                    flags = []
+                    for pos in pdf["__pa"]:
+                        p = np.asarray(pos, dtype=np.int64)
+                        if p.size == 0:
+                            flags.append(False)
+                            continue
+                        hit = (bits[p >> 3] >> (p & 7).astype(np.uint8)) & 1
+                        flags.append(bool(hit.reshape(-1, k).all(axis=1).any()))
+                    out = pdf.drop(columns=["__pa"])
+                    out[out_col] = flags
+                    yield out
 
-        flagged = corpus.withColumn("__pa", pos_arr).mapInPandas(check, schema=schema)
+            flagged = corpus.withColumn("__pa", pos_arr).mapInPandas(
+                check, schema=schema
+            )
 
     if mode == "filter":
         return flagged.filter(~F.col(out_col)).drop(out_col)

@@ -507,9 +507,13 @@ def text_boilerplate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     lines_arr = F.split(F.col(column).cast("string"), r"\n")
 
     # one row per (group, distinct trimmed nonblank line, doc) —
-    # distinct-per-doc via array ops, so the groupBy is a plain count
+    # distinct-per-doc via array ops; the doc id rides along so __df
+    # counts DOCUMENTS (a doc id split across several input rows must
+    # not multiply its lines' frequency, and __gtotal below is a
+    # distinct-id count — both sides of the min_df ratio must agree)
     keys = df.select(
         *group_by,
+        F.col(id_column).alias("__bid"),
         F.explode(
             F.array_distinct(
                 F.filter(
@@ -519,7 +523,9 @@ def text_boilerplate(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
             )
         ).alias("__key"),
     )
-    dfreq = keys.groupBy(*group_by, "__key").agg(F.count("*").alias("__df"))
+    dfreq = keys.groupBy(*group_by, "__key").agg(
+        F.count_distinct("__bid").alias("__df")
+    )
 
     totals = (
         df.groupBy(*group_by).agg(F.count_distinct(id_column).alias("__gtotal"))

@@ -74,31 +74,38 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     max_df = config.get("max_df")
 
     def grams(df: DataFrame, idc: str, sc: str, ids: str, ss: str,
-              ns: str, ls: str) -> DataFrame:
-        """SKINNY posting rows: (id, gram-count, string-length, gram).
-        The strings themselves do NOT ride the gram explode / candidate
-        join / pair aggregation — for entity resolution the string can
-        be hundreds of bytes while the ints are 16; survivors get the
-        strings back via id-keyed joins below. The distinct-gram count
-        and length ride along so count/length filtering needs no extra
-        shuffle."""
+              ns: str, ls: str, hs: str) -> DataFrame:
+        """SKINNY posting rows: (id, string-hash, gram-count,
+        string-length, gram). The strings themselves do NOT ride the
+        gram explode / candidate join / pair aggregation — for entity
+        resolution the string can be hundreds of bytes while the ints
+        are 24; survivors get the strings back via (id, hash)-keyed
+        joins below. The xxhash64 of the lowered string rides along so
+        an id that appears with SEVERAL different strings keeps each
+        string's gram counts separate (id alone would merge them); the
+        distinct-gram count and length ride along so count/length
+        filtering needs no extra shuffle."""
         base = df.select(
             F.col(idc).alias(ids), F.lower(F.col(sc).cast("string")).alias(ss)
         ).withColumn("__gs", char_ngrams_expr(ss, q))
         return base.select(
             ids,
+            F.xxhash64(ss).alias(hs),
             F.size("__gs").alias(ns),
             F.length(ss).alias(ls),
             F.explode("__gs").alias("__gram"),
         )
 
-    def names(df: DataFrame, idc: str, sc: str, ids: str, ss: str) -> DataFrame:
+    def names(df: DataFrame, idc: str, sc: str, ids: str, ss: str,
+              hs: str) -> DataFrame:
+        # one row per distinct (id, string): the join-back must not
+        # multiply survivors when the input carries duplicate rows
         return df.select(
             F.col(idc).alias(ids), F.lower(F.col(sc).cast("string")).alias(ss)
-        )
+        ).withColumn(hs, F.xxhash64(ss)).dropDuplicates([ids, hs])
 
-    lg = grams(left, id_column, on, "id_a", "s_a", "n_a", "l_a")
-    rg = grams(right, right_id, right_on, "id_b", "s_b", "n_b", "l_b")
+    lg = grams(left, id_column, on, "id_a", "s_a", "n_a", "l_a", "h_a")
+    rg = grams(right, right_id, right_on, "id_b", "s_b", "n_b", "l_b", "h_b")
     if max_df is not None:
         # prune grams present in more than max_df of the RIGHT side
         # (the posting-list side that explodes); broadcast keep-list
@@ -126,7 +133,7 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     # Levenshtein DP runs.
     cand = (
         lg.join(rg, "__gram")
-        .groupBy("id_a", "n_a", "l_a", "id_b", "n_b", "l_b")
+        .groupBy("id_a", "h_a", "n_a", "l_a", "id_b", "h_b", "n_b", "l_b")
         .agg(F.count(F.lit(1)).alias("__shared"))
     )
     if max_df is None:
@@ -139,12 +146,15 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     # cheap prefilter: |len(a) - len(b)| > k can never be within k —
     # applied while the rows are still string-free
     cand = cand.filter(F.abs(F.col("l_a") - F.col("l_b")) <= k).select(
-        "id_a", "id_b"
+        "id_a", "h_a", "id_b", "h_b"
     )
-    # survivors only: strings come back via id-keyed joins (AQE
-    # broadcasts whichever name side is small)
-    cand = cand.join(names(left, id_column, on, "id_a", "s_a"), "id_a").join(
-        names(right, right_id, right_on, "id_b", "s_b"), "id_b"
+    # survivors only: strings come back via (id, hash)-keyed joins
+    # (AQE broadcasts whichever name side is small)
+    cand = (
+        cand.join(names(left, id_column, on, "id_a", "s_a", "h_a"),
+                  ["id_a", "h_a"])
+        .join(names(right, right_id, right_on, "id_b", "s_b", "h_b"),
+              ["id_b", "h_b"])
     )
     # thresholded levenshtein early-exits the DP past k (returns -1)
     dist = F.levenshtein(F.col("s_a"), F.col("s_b"), k)

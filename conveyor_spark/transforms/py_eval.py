@@ -72,21 +72,33 @@ def _sandbox_partition(batches, script, out_columns, cfg, pd):
             raise RuntimeError(f"py.eval sandbox: {reply['error']}")
         return reply
 
+    def send(obj: dict) -> None:
+        # the child can die (rlimit CPU/memory kill) while we are
+        # mid-write: surface the same diagnostic the read side gives
+        # instead of a raw BrokenPipeError
+        try:
+            proc.stdin.write(json.dumps(obj) + "\n")
+            proc.stdin.flush()
+        except (BrokenPipeError, OSError):
+            rc = proc.wait()
+            raise RuntimeError(
+                f"py.eval sandbox died (exit {rc}) — CPU/memory limit hit "
+                "or the interpreter crashed"
+            )
+
     try:
-        proc.stdin.write(json.dumps({
+        send({
             "script": script,
             "columns": out_columns,
             "cpu_seconds": cfg["cpu_seconds"],
             "memory_mb": cfg["memory_mb"],
             "modules": cfg["modules"],
-        }) + "\n")
-        proc.stdin.flush()
+        })
         read_reply()  # ready
         for pdf in batches:
             # to_json/loads converts numpy scalars to plain JSON types
             rows = json.loads(pdf.to_json(orient="records"))
-            proc.stdin.write(json.dumps({"rows": rows}) + "\n")
-            proc.stdin.flush()
+            send({"rows": rows})
             reply = read_reply()
             yield pd.DataFrame(
                 [[r.get(c) for c in out_columns] for r in reply["rows"]],

@@ -61,6 +61,11 @@ def _restricted_builtins(allowed: dict) -> dict:
     for name in _REMOVED_BUILTINS:
         ns.pop(name, None)
     ns["None"], ns["True"], ns["False"] = None, True, False
+    # the one dunder normal code needs: `class` statements compile to
+    # a __build_class__ call — without it any script defining a class
+    # dies with NameError (the underscore filter above is about
+    # stripping _sys/__loader__-style escape hatches, not class syntax)
+    ns["__build_class__"] = builtins.__build_class__
 
     def _import(name, *args, **kwargs):
         root = name.split(".", 1)[0]
@@ -104,17 +109,18 @@ def main() -> int:
         proto_out.write(json.dumps(obj) + "\n")
         proto_out.flush()
 
-    ns: dict = {"__builtins__": _restricted_builtins(allowed)}
+    # __name__ present: class creation reads it for __module__
+    ns: dict = {"__builtins__": _restricted_builtins(allowed),
+                "__name__": "__sandbox__"}
     try:
         exec(code, ns)  # noqa: S102 — the point of the sandbox
-        transform = ns["transform"]
-        if not callable(transform):
-            raise TypeError("'transform' is not callable")
-    except KeyError:
-        reply({"error": "py.eval script must define transform(row)"})
-        return 1
-    except Exception as exc:  # noqa: BLE001
+    except Exception as exc:  # noqa: BLE001 — a KeyError here is the
+        # USER script's error, not a missing transform
         reply({"error": f"{type(exc).__name__}: {exc}"})
+        return 1
+    transform = ns.get("transform")
+    if not callable(transform):
+        reply({"error": "py.eval script must define transform(row)"})
         return 1
     reply({"ready": True})
 

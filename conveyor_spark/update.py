@@ -16,6 +16,7 @@ verb is testable without network or a real index.
 from __future__ import annotations
 
 import json
+import re
 import subprocess
 import sys
 import urllib.request
@@ -28,22 +29,39 @@ PACKAGE = "conveyor-spark"
 DEFAULT_INDEX = "https://pypi.org/pypi"
 
 
+_VER_RE = re.compile(
+    r"^(?P<release>\d+(?:\.\d+)*)"
+    r"(?:[._-]?(?P<pre_l>a|b|c|rc|alpha|beta|pre|preview)[._-]?(?P<pre_n>\d+)?)?"
+    r"(?:[._-]?(?P<post_l>post|rev|r)[._-]?(?P<post_n>\d+)?)?"
+    r"(?:[._-]?(?P<dev_l>dev)[._-]?(?P<dev_n>\d+)?)?$"
+)
+_PRE_RANK = {"a": 1, "alpha": 1, "b": 2, "beta": 2,
+             "c": 3, "rc": 3, "pre": 3, "preview": 3}
+
+
 def parse_version(v: str) -> tuple:
-    """Dotted-numeric compare key; non-numeric segments sort below
-    numeric ones of the same position (so 1.2.0 > 1.2.0rc1), matching
-    the reference's segment-wise is_newer_version (update.rs)."""
-    parts = []
-    for seg in v.strip().lstrip("v").split("."):
-        num = ""
-        for ch in seg:
-            if ch.isdigit():
-                num += ch
-            else:
-                break
-        suffix = seg[len(num):]
-        # (number, purely-numeric?, suffix): 1.2.0 > 1.2.0rc1 > 1.2.0rc0
-        parts.append((int(num) if num else -1, 0 if suffix else 1, suffix))
-    return tuple(parts)
+    """PEP-440-ordered compare key (practical subset): within one
+    release, dev < a < b < rc < final < post, and numeric pre-release
+    suffixes compare as NUMBERS (1.2.0rc10 > 1.2.0rc9, which a
+    lexicographic suffix compare inverts). Trailing zero release
+    segments are insignificant (1.2 == 1.2.0). The reference's
+    segment-wise is_newer_version (update.rs) only handles plain
+    dotted numerics; pip-published packages need the phase rules."""
+    s = v.strip().lstrip("v").lower()
+    m = _VER_RE.match(s)
+    if not m:
+        # unparseable: sort below every real version, tie-break textually
+        return ((), -1, 0, -1, 0, 0, s)
+    release = [int(x) for x in m["release"].split(".")]
+    while len(release) > 1 and release[-1] == 0:
+        release.pop()
+    phase = 0 if (m["dev_l"] and not m["pre_l"] and not m["post_l"]) else (
+        _PRE_RANK[m["pre_l"]] if m["pre_l"] else 4
+    )
+    pre_n = int(m["pre_n"] or 0)
+    post = (1, int(m["post_n"] or 0)) if m["post_l"] else (0, 0)
+    dev = (0, int(m["dev_n"] or 0)) if m["dev_l"] else (1, 0)
+    return (tuple(release), phase, pre_n, *post, *dev)
 
 
 def latest_version(

@@ -173,6 +173,19 @@ def test_fuzzy_join_max_df_prunes(ctx, spark):
     assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 10)}
 
 
+def test_fuzzy_join_duplicate_ids_keep_strings_separate(ctx, spark):
+    """An id that appears with two different strings must not pool
+    their gram counts or cross-attach the wrong string to a pair."""
+    left = spark.createDataFrame(
+        [(7, "alice cooper"), (7, "bob zzz qqq xxyy")], ["id", "name"]
+    )
+    right = spark.createDataFrame([(10, "alice cooperr")], ["id", "name"])
+    out = run_op(ctx, "join.fuzzy", [left, right], on="name", id_column="id",
+                 max_distance=2)
+    got = {(r["id_a"], r["s_a"], r["id_b"], r["distance"]) for r in out.collect()}
+    assert got == {(7, "alice cooper", 10, 1)}  # bob never pairs
+
+
 def test_fuzzy_join_validates(ctx, spark):
     df = spark.createDataFrame([(1, "x")], ["id", "name"])
     with pytest.raises(ConfigError):
@@ -213,6 +226,25 @@ def test_boilerplate_flag_ratio(ctx, bdocs):
     assert out[1] == pytest.approx(1 / 3)
     assert out[2] == pytest.approx(1 / 2)
     assert out[4] == 0.0
+
+
+def test_boilerplate_duplicate_doc_ids_count_once(ctx, spark):
+    """A doc id split across several input rows contributes ONCE to a
+    line's document frequency — __df and __gtotal must both count
+    distinct ids or the ratio doubles and legit lines get stripped."""
+    rows = [
+        (1, "SHARED LINE\nkeep one"),
+        (1, "SHARED LINE\nkeep two"),   # same doc id, second chunk
+        (2, "other text"),
+        (3, "more text"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    # 3 distinct docs; SHARED LINE is in 1 of 3 (0.33) < min_df=0.5 —
+    # the old row-count bug saw 2/3 and stripped it
+    out = [r["text"] for r in run_op(
+        ctx, "text.boilerplate", [df], column="text", id_column="id",
+        min_df=0.5).collect()]
+    assert sum("SHARED LINE" in t for t in out) == 2
 
 
 def test_boilerplate_preserves_blank_lines_and_validates(ctx, spark):

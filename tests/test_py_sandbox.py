@@ -116,6 +116,38 @@ def test_sandbox_module_whitelist_override(ctx, df):
                trusted=False, sandbox_modules=["json"]).collect()
 
 
+def test_sandbox_allows_class_statements(ctx, df):
+    """__build_class__ survives the dunder strip: scripts defining
+    helper classes must run (only the removed-builtins list is meant
+    to be unavailable)."""
+    script = """
+class Scaler:
+    def __init__(self, f):
+        self.f = f
+    def apply(self, v):
+        return v * self.f
+
+S = Scaler(3)
+def transform(row):
+    row['scaled'] = S.apply(row['val'])
+    return row
+"""
+    out = run_op(ctx, "py.eval", [df], script=script,
+                 output_schema="id BIGINT, val BIGINT, scaled BIGINT",
+                 trusted=False)
+    assert {r["id"]: r["scaled"] for r in out.collect()} == {
+        i: i * 30 for i in range(20)
+    }
+
+
+def test_sandbox_reports_user_keyerror_not_missing_transform(ctx, df):
+    """A KeyError raised by the script's own top-level code must
+    surface as that KeyError — not as 'must define transform(row)'."""
+    script = "CONFIG = {}\nTHRESHOLD = CONFIG['threshold']\ndef transform(row):\n    return row"
+    with pytest.raises(Exception, match="KeyError"):
+        run_op(ctx, "py.eval", [df], script=script, trusted=False).collect()
+
+
 def test_trusted_default_unchanged(ctx, df):
     # no trusted key -> old exec path (probe-exec on the driver still
     # rejects scripts without transform())

@@ -32,6 +32,14 @@ def test_parse_version_ordering():
     assert parse_version("v1.2.0") == parse_version("1.2.0")
     # a final release beats its own prerelease segment
     assert parse_version("1.2.0") > parse_version("1.2.0rc1")
+    # PEP 440 phases: numeric pre-release compare, dev below final,
+    # post above final (a lexicographic suffix compare inverts these)
+    assert parse_version("1.2.0rc10") > parse_version("1.2.0rc9")
+    assert parse_version("1.2.0") > parse_version("1.2.0.dev1")
+    assert parse_version("1.2.0.post1") > parse_version("1.2.0")
+    assert parse_version("1.2.0rc1") > parse_version("1.2.0rc1.dev2")
+    assert parse_version("1.2.0b1") > parse_version("1.2.0a5")
+    assert parse_version("1.2") == parse_version("1.2.0")
 
 
 def test_latest_version_queries_index():
