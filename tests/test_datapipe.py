@@ -160,6 +160,26 @@ def test_knn_ivf_prunes_buckets(ctx, spark):
     assert ids == {2}  # 3 is closer in cosine but lives in another bucket
 
 
+def test_dedup_embedding_gemm_matches_join(ctx, spark):
+    """The default per-bucket GEMM path and the pure-JVM pair join
+    must emit identical (id_a, id_b, round-6 cosine) triples."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(40)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id INT, embedding ARRAY<FLOAT>, label INT"
+    )
+    kw = dict(id_column="vec_id", bucket_column="label", threshold=0.2)
+    gemm = run_op(ctx, "dedup.embedding", [vecs], **kw)
+    join = run_op(ctx, "dedup.embedding", [vecs], method="join", **kw)
+    as_set = lambda df: {(r["id_a"], r["id_b"], r["cosine"]) for r in df.collect()}
+    got = as_set(gemm)
+    assert got == as_set(join)
+    assert got  # non-vacuous: threshold 0.2 keeps some pairs
+
+
 def test_dedup_embedding_requires_bucket(ctx, spark):
     vecs = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id INT, embedding ARRAY<FLOAT>")
     with pytest.raises(ConfigError, match="cross join"):
