@@ -144,13 +144,24 @@ def knn_brute(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
         P("bucket_column", required=True, desc="Pre-assigned IVF cell column"),
         P("k", "integer", default=10, min=1, desc="Neighbors per query"),
         P("query_ids", "array", desc="Query subset (default: second input)"),
+        P("method", default="gemm", allowed=("gemm", "join"),
+          desc="gemm: per-bucket BLAS via Arrow cogroup (default); "
+               "join: pure-JVM broadcast join (no Python workers)"),
     ],
     example={"id_column": "id", "bucket_column": "ivf_cell", "k": 10},
     tags=["similarity", "knn", "datapipe"],
 )
 def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Like knn.brute but only scans the query's bucket
-    (`bucket_column` = precomputed cluster id)."""
+    (`bucket_column` = precomputed cluster id).
+
+    Default method is a bucket-cogrouped GEMM: corpus and query rows
+    shuffle ONCE by bucket, Arrow lands each side as a matrix, and
+    Q @ C.T + argpartition produce each query's top-k inside the
+    cogroup — no per-pair row materialization, no interpreted dot
+    folds, and per-query top-k needs no window. method="join" keeps
+    the broadcast-join formulation (queries must be small there; the
+    cogroup path has no such constraint — BOTH sides may be large)."""
     corpus = inputs[0]
     id_column = config.get("id_column")
     column = config.get("column", "embedding")
@@ -171,6 +182,44 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         norm_expr(F.col(column)).alias("__cn"),
         F.col(bucket).alias("__cb"),
     )
+    if config.get("method", "gemm") == "gemm":
+        import numpy as np
+        import pandas as pd
+
+        idt = corpus.schema[id_column].dataType.simpleString()
+
+        def bucket_knn(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
+            if qpdf.empty or cpdf.empty:
+                return pd.DataFrame(
+                    {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+                )
+            cids = cpdf["neighbor_id"].to_numpy()
+            order = np.argsort(cids)  # neighbor-id tiebreak = _topk's
+            cids = cids[order]
+            C = np.asarray(cpdf["__cv"].to_list(), dtype=np.float64)[order]
+            cn = np.sqrt((C * C).sum(axis=1))
+            Q = np.asarray(qpdf["__qv"].to_list(), dtype=np.float64)
+            qn = np.sqrt((Q * Q).sum(axis=1))
+            sims = np.round((Q @ C.T) / np.outer(qn, cn), 6)
+            out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+            for i, qid in enumerate(qpdf["query_id"].to_numpy()):
+                row = sims[i]
+                mask = cids != qid
+                # stable sort on -cosine keeps the ascending-id order
+                # of equal-cosine neighbors (matches _topk's ordering)
+                idx = np.flatnonzero(mask)[
+                    np.argsort(-row[mask], kind="stable")[:k]
+                ]
+                out["query_id"] += [qid] * len(idx)
+                out["neighbor_id"] += list(cids[idx])
+                out["cosine"] += list(row[idx])
+                out["rank"] += list(range(1, len(idx) + 1))
+            return pd.DataFrame(out)
+
+        return q.groupby("__qb").cogroup(c.groupby("__cb")).applyInPandas(
+            bucket_knn,
+            schema=f"query_id {idt}, neighbor_id {idt}, cosine double, rank int",
+        )
     joined = c.join(F.broadcast(q), on=F.col("__cb") == F.col("__qb")).filter(
         F.col("neighbor_id") != F.col("query_id")
     )

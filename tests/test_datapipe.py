@@ -160,6 +160,25 @@ def test_knn_ivf_prunes_buckets(ctx, spark):
     assert ids == {2}  # 3 is closer in cosine but lives in another bucket
 
 
+def test_knn_ivf_gemm_matches_join(ctx, spark):
+    """Cogrouped GEMM and broadcast join must agree on every
+    (query, rank) -> (neighbor, cosine) assignment."""
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3)
+            for i in range(60)]
+    vecs = spark.createDataFrame(
+        rows, "vec_id INT, embedding ARRAY<FLOAT>, label INT"
+    )
+    kw = dict(id_column="vec_id", bucket_column="label", k=4,
+              query_ids=[0, 1, 2, 5, 7])
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    gemm = as_set(run_op(ctx, "knn.ivf", [vecs], **kw))
+    join = as_set(run_op(ctx, "knn.ivf", [vecs], method="join", **kw))
+    assert gemm == join and len(gemm) == 5 * 4
+
+
 def test_dedup_embedding_gemm_matches_join(ctx, spark):
     """The default per-bucket GEMM path and the pure-JVM pair join
     must emit identical (id_a, id_b, round-6 cosine) triples."""
