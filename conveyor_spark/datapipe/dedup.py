@@ -582,7 +582,7 @@ def dedup_embedding(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
             "dedup.embedding without 'bucket_column' is a full O(n^2) cross join; "
             "set allow_full=true to force"
         )
-    if config.get("method", "gemm") == "gemm":
+    if config.get("method", "gemm") == "gemm" and bucket:
         # Per-bucket BLAS path (default): each vector crosses the
         # bucket shuffle ONCE and Arrow-lands as a row of an (n_b, d)
         # matrix; a chunked M @ M.T emits only the surviving skinny
@@ -595,7 +595,10 @@ def dedup_embedding(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         # equi-join (a bucket's pairs were already one join partition);
         # chunking bounds the similarity block at ~320 MB regardless
         # of bucket size. Values match the fold exactly after round-6
-        # (GEMM reorders the summation; diffs are ~1 ulp).
+        # (GEMM reorders the summation; diffs are ~1 ulp). allow_full
+        # (no bucket) keeps the JOIN path below: a keyless GEMM would
+        # funnel everything into ONE Python task, while the cross join
+        # at least distributes the O(n^2) work.
         import numpy as np
         import pandas as pd
 
@@ -616,7 +619,9 @@ def dedup_embedding(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
                 sims = (M[s:s + ch] @ M.T) / np.outer(norms[s:s + ch], norms)
                 sims = np.round(sims, 6)
                 ri, ci = np.nonzero(sims >= thr)
-                keep = (ri + s) < ci  # upper triangle: id_a < id_b
+                # compare id VALUES, not positions: duplicate ids must
+                # not pair with themselves (join path: a.__id < b.__id)
+                keep = ids[ri + s] < ids[ci]
                 out_a.append(ids[ri[keep] + s])
                 out_b.append(ids[ci[keep]])
                 out_c.append(sims[ri[keep], ci[keep]])
@@ -626,8 +631,14 @@ def dedup_embedding(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
                                  "id_b": np.concatenate(out_b),
                                  "cosine": np.concatenate(out_c)})
 
-        grouped = df.groupBy(bucket) if bucket else df.groupBy(F.lit(1))
-        return grouped.applyInPandas(
+        # slim projection: only (id, vector, bucket) cross the bucket
+        # shuffle — never e.g. a document body riding the same row.
+        # NULL buckets are dropped to match the join path's null-unsafe
+        # a.__bk == b.__bk (groupBy would pool them into one group).
+        slim = df.select(id_column, column, bucket).filter(
+            F.col(bucket).isNotNull()
+        )
+        return slim.groupBy(bucket).applyInPandas(
             bucket_pairs, schema=f"id_a {idt}, id_b {idt}, cosine double"
         )
 

@@ -170,23 +170,26 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         raise ConfigError("knn.ivf requires 'id_column' and 'bucket_column'")
     k = int(config.get("k", 10))
     queries = _resolve_queries(corpus, inputs, config, id_column)
-    q = queries.select(
-        F.col(id_column).alias("query_id"),
-        F.col(column).alias("__qv"),
-        norm_expr(F.col(column)).alias("__qn"),
-        F.col(bucket).alias("__qb"),
-    )
-    c = corpus.select(
-        F.col(id_column).alias("neighbor_id"),
-        F.col(column).alias("__cv"),
-        norm_expr(F.col(column)).alias("__cn"),
-        F.col(bucket).alias("__cb"),
-    )
     if config.get("method", "gemm") == "gemm":
         import numpy as np
         import pandas as pd
 
         idt = corpus.schema[id_column].dataType.simpleString()
+        # slim rows only: norms are recomputed vectorized inside the
+        # cogroup (a norm_expr HOF fold per row would be interpreted
+        # JVM work shipping a column the GEMM never reads). NULL
+        # buckets are dropped to match the join path's null-unsafe
+        # __cb == __qb predicate (cogroup would pool them).
+        qg = queries.select(
+            F.col(id_column).alias("query_id"),
+            F.col(column).alias("__qv"),
+            F.col(bucket).alias("__qb"),
+        ).filter(F.col("__qb").isNotNull())
+        cg = corpus.select(
+            F.col(id_column).alias("neighbor_id"),
+            F.col(column).alias("__cv"),
+            F.col(bucket).alias("__cb"),
+        ).filter(F.col("__cb").isNotNull())
 
         def bucket_knn(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
             if qpdf.empty or cpdf.empty:
@@ -200,26 +203,44 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
             cn = np.sqrt((C * C).sum(axis=1))
             Q = np.asarray(qpdf["__qv"].to_list(), dtype=np.float64)
             qn = np.sqrt((Q * Q).sum(axis=1))
-            sims = np.round((Q @ C.T) / np.outer(qn, cn), 6)
+            qids = qpdf["query_id"].to_numpy()
             out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
-            for i, qid in enumerate(qpdf["query_id"].to_numpy()):
-                row = sims[i]
-                mask = cids != qid
-                # stable sort on -cosine keeps the ascending-id order
-                # of equal-cosine neighbors (matches _topk's ordering)
-                idx = np.flatnonzero(mask)[
-                    np.argsort(-row[mask], kind="stable")[:k]
-                ]
-                out["query_id"] += [qid] * len(idx)
-                out["neighbor_id"] += list(cids[idx])
-                out["cosine"] += list(row[idx])
-                out["rank"] += list(range(1, len(idx) + 1))
+            ch = max(1, int(4e7) // len(cids))  # <=320MB sim block
+            for s in range(0, len(qids), ch):
+                sims = np.round(
+                    (Q[s:s + ch] @ C.T) / np.outer(qn[s:s + ch], cn), 6
+                )
+                for i in range(sims.shape[0]):
+                    qid = qids[s + i]
+                    row = sims[i]
+                    mask = cids != qid
+                    # stable sort on -cosine keeps the ascending-id
+                    # order of equal-cosine neighbors (= _topk's order)
+                    idx = np.flatnonzero(mask)[
+                        np.argsort(-row[mask], kind="stable")[:k]
+                    ]
+                    out["query_id"] += [qid] * len(idx)
+                    out["neighbor_id"] += list(cids[idx])
+                    out["cosine"] += list(row[idx])
+                    out["rank"] += list(range(1, len(idx) + 1))
             return pd.DataFrame(out)
 
-        return q.groupby("__qb").cogroup(c.groupby("__cb")).applyInPandas(
+        return qg.groupby("__qb").cogroup(cg.groupby("__cb")).applyInPandas(
             bucket_knn,
             schema=f"query_id {idt}, neighbor_id {idt}, cosine double, rank int",
         )
+    q = queries.select(
+        F.col(id_column).alias("query_id"),
+        F.col(column).alias("__qv"),
+        norm_expr(F.col(column)).alias("__qn"),
+        F.col(bucket).alias("__qb"),
+    )
+    c = corpus.select(
+        F.col(id_column).alias("neighbor_id"),
+        F.col(column).alias("__cv"),
+        norm_expr(F.col(column)).alias("__cn"),
+        F.col(bucket).alias("__cb"),
+    )
     joined = c.join(F.broadcast(q), on=F.col("__cb") == F.col("__qb")).filter(
         F.col("neighbor_id") != F.col("query_id")
     )

@@ -33,7 +33,8 @@ _VER_RE = re.compile(
     r"^(?P<release>\d+(?:\.\d+)*)"
     r"(?:[._-]?(?P<pre_l>a|b|c|rc|alpha|beta|pre|preview)[._-]?(?P<pre_n>\d+)?)?"
     r"(?:[._-]?(?P<post_l>post|rev|r)[._-]?(?P<post_n>\d+)?)?"
-    r"(?:[._-]?(?P<dev_l>dev)[._-]?(?P<dev_n>\d+)?)?$"
+    r"(?:[._-]?(?P<dev_l>dev)[._-]?(?P<dev_n>\d+)?)?"
+    r"(?:\+[a-z0-9.]+)?$"  # local segment (setuptools-scm '+gabc123')
 )
 _PRE_RANK = {"a": 1, "alpha": 1, "b": 2, "beta": 2,
              "c": 3, "rc": 3, "pre": 3, "preview": 3}
@@ -46,7 +47,10 @@ def parse_version(v: str) -> tuple:
     lexicographic suffix compare inverts). Trailing zero release
     segments are insignificant (1.2 == 1.2.0). The reference's
     segment-wise is_newer_version (update.rs) only handles plain
-    dotted numerics; pip-published packages need the phase rules."""
+    dotted numerics; pip-published packages need the phase rules.
+    A '+local' build segment is ignored for ordering (PEP 440 ranks
+    it a hair above the same bare version; treating them equal means
+    a local build never sees its own base release as an 'update')."""
     s = v.strip().lstrip("v").lower()
     m = _VER_RE.match(s)
     if not m:

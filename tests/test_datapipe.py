@@ -199,6 +199,50 @@ def test_dedup_embedding_gemm_matches_join(ctx, spark):
     assert got  # non-vacuous: threshold 0.2 keeps some pairs
 
 
+def test_dedup_embedding_gemm_no_self_pairs_on_duplicate_ids(ctx, spark):
+    """Two rows sharing an id must not pair with each other (the join
+    path's strict a.id < b.id), and NULL buckets drop on both paths."""
+    vecs = spark.createDataFrame(
+        [(7, [1.0, 0.0], 0), (7, [1.0, 0.01], 0), (9, [1.0, 0.02], 0),
+         (11, [1.0, 0.0], None)],
+        "vec_id INT, embedding ARRAY<FLOAT>, label INT",
+    )
+    kw = dict(id_column="vec_id", bucket_column="label", threshold=0.5)
+    for method in ("gemm", "join"):
+        got = sorted((r["id_a"], r["id_b"]) for r in
+                     run_op(ctx, "dedup.embedding", [vecs], method=method,
+                            **kw).collect())
+        assert got == [(7, 9), (7, 9)]  # both id-7 rows pair with 9 only
+
+
+def test_dedup_embedding_allow_full_uses_distributed_join(ctx, spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.1]), (3, [0.0, 1.0])],
+        "vec_id INT, embedding ARRAY<FLOAT>",
+    )
+    out = run_op(ctx, "dedup.embedding", [vecs], id_column="vec_id",
+                 allow_full=True, threshold=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in out.collect()} == {(1, 2)}
+    # keyless GEMM would funnel everything into one Python worker —
+    # the plan must be the cross join, not applyInPandas
+    assert "FlatMapGroupsInPandas" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_knn_ivf_gemm_drops_null_buckets_like_join(ctx, spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0], None), (2, [0.9, 0.1], None), (3, [1.0, 0.1], 0),
+         (4, [0.9, 0.0], 0)],
+        "vec_id INT, embedding ARRAY<FLOAT>, label INT",
+    )
+    kw = dict(id_column="vec_id", bucket_column="label", k=2,
+              query_ids=[1, 3])
+    as_set = lambda df: {tuple(r) for r in df.collect()}
+    gemm = as_set(run_op(ctx, "knn.ivf", [vecs], **kw))
+    join = as_set(run_op(ctx, "knn.ivf", [vecs], method="join", **kw))
+    assert gemm == join
+    assert {r[0] for r in gemm} == {3}  # null-bucket query 1 matches nothing
+
+
 def test_dedup_embedding_requires_bucket(ctx, spark):
     vecs = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id INT, embedding ARRAY<FLOAT>")
     with pytest.raises(ConfigError, match="cross join"):

@@ -40,6 +40,11 @@ def test_parse_version_ordering():
     assert parse_version("1.2.0rc1") > parse_version("1.2.0rc1.dev2")
     assert parse_version("1.2.0b1") > parse_version("1.2.0a5")
     assert parse_version("1.2") == parse_version("1.2.0")
+    # setuptools-scm local builds order by their base version (a
+    # '+local' suffix must not demote the version below everything)
+    assert parse_version("1.3.0+g1a2b3c4") > parse_version("1.2.0")
+    assert parse_version("1.3.0.dev5+g1a2b3c4") < parse_version("1.3.0")
+    assert parse_version("1.3.0+g1a2b3c4") == parse_version("1.3.0")
 
 
 def test_latest_version_queries_index():
