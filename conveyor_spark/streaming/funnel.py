@@ -59,15 +59,18 @@ def stream_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     within_us = None if within is None else int(float(within) * 1_000_000)
     k = len(steps)
 
-    key_field = sdf.schema[by]
+    # declared type is array — accept both the list form and the bare
+    # string, and key state on EVERY entity column
+    bys = [by] if isinstance(by, str) else list(by)
+    key_fields = [sdf.schema[b] for b in bys]
     evs = sdf.filter(F.col(type_col).isin(steps)).select(
-        F.col(by),
+        *[F.col(b) for b in bys],
         F.unix_micros(F.col(ts_col)).alias("__us"),
         F.col(type_col).cast("string").alias("__et"),
     )
     out_schema = T.StructType(
         [
-            key_field,
+            *key_fields,
             T.StructField("steps_completed", T.IntegerType()),
             T.StructField("converted", T.BooleanType()),
             T.StructField("first_ts", T.TimestampType()),
@@ -113,7 +116,7 @@ def stream_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
             epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
             yield pd.DataFrame(
                 {
-                    key_field.name: [key[0]],
+                    **{f.name: [key[i]] for i, f in enumerate(key_fields)},
                     "steps_completed": [done],
                     "converted": [done == k],
                     "first_ts": [epoch + dt.timedelta(microseconds=t0)],
@@ -121,7 +124,7 @@ def stream_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
                 }
             )
 
-    return evs.groupBy(by).applyInPandasWithState(
+    return evs.groupBy(*bys).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -221,8 +221,13 @@ def stream_join(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     max_delta = config.get("max_delta")
     if max_delta is None:
         raise ConfigError("stream.join requires 'max_delta' (seconds)")
-    max_delta = float(max_delta)
-    min_delta = float(config.get("min_delta", -max_delta))
+    from conveyor_spark.durations import parse_duration_seconds
+
+    max_delta = parse_duration_seconds(max_delta, "stream.join max_delta")
+    min_delta = (
+        parse_duration_seconds(config["min_delta"], "stream.join min_delta")
+        if config.get("min_delta") is not None else -max_delta
+    )
     watermark = config.get("watermark")
     if not watermark:
         raise ConfigError(

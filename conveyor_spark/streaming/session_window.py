@@ -154,8 +154,13 @@ def stream_session_window(ctx: OpContext, inputs: list[DataFrame], config: dict[
     keys = [keys] if isinstance(keys, str) else list(keys)
     max_rows = config.get("max_rows")
     max_duration = config.get("max_duration")
+    from conveyor_spark.durations import parse_duration_seconds
+
     return session_assign(
-        sdf, keys, ts_column, float(gap),
+        sdf, keys, ts_column,
+        parse_duration_seconds(gap, "stream.session_window gap"),
         max_rows=None if max_rows is None else int(max_rows),
-        max_duration=None if max_duration is None else float(max_duration),
+        max_duration=None if max_duration is None else parse_duration_seconds(
+            max_duration, "stream.session_window max_duration"
+        ),
     )

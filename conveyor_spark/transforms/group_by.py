@@ -28,9 +28,23 @@ def _as_list(v: Any) -> list[str]:
 
 
 def build_agg(
-    column: str, operation: str, order_by: str | None = None, p: float | None = None
+    column: str, operation: str, order_by: str | list | None = None,
+    p: float | None = None,
 ) -> Column:
-    """Build one aggregate expression (op vocabulary: group_by.rs:142-157)."""
+    """Build one aggregate expression (op vocabulary: group_by.rs:142-157).
+
+    ``order_by`` accepts a column name or a LIST of names (the
+    declared param type); multiple columns order lexicographically
+    via a struct."""
+    if isinstance(order_by, (list, tuple)):
+        if not order_by:
+            order_by = None
+        elif len(order_by) == 1:
+            order_by = F.col(order_by[0])
+        else:
+            order_by = F.struct(*[F.col(x) for x in order_by])
+    elif isinstance(order_by, str):
+        order_by = F.col(order_by)
     c = F.col(column)
     op = operation.lower()
     if op == "percentile":
@@ -66,9 +80,9 @@ def build_agg(
     if op in ("var", "variance"):
         return F.var_samp(c)
     if op == "first":
-        return F.min_by(c, F.col(order_by)) if order_by else F.first(c)
+        return F.min_by(c, order_by) if order_by is not None else F.first(c)
     if op == "last":
-        return F.max_by(c, F.col(order_by)) if order_by else F.last(c)
+        return F.max_by(c, order_by) if order_by is not None else F.last(c)
     if op == "count_distinct":
         return F.countDistinct(c)
     if op == "approx_count_distinct":
@@ -112,7 +126,9 @@ def groupby_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     exprs = []
     for a in aggs:
         col, op = a["column"], a["operation"]
-        out = a.get("output_column") or f"{col}_{op}"
+        # 'alias' is the spelling the registered examples and the
+        # reference docs use; 'output_column' is the engine-wide key
+        out = a.get("output_column") or a.get("alias") or f"{col}_{op}"
         exprs.append(build_agg(col, op, a.get("order_by"), a.get("p")).alias(out))
     cols = _as_list(by)
     if grouping == "groups":

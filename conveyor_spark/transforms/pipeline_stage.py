@@ -46,31 +46,47 @@ def stage_pipeline(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     else:
         raise ConfigError("stage.pipeline requires 'file' or 'inline'")
 
-    # Splice the parent's input in as a pseudo-stage.
+    # Splice the parent's input in as a pseudo-stage. Detect the
+    # reference STRUCTURALLY — only an `inputs` entry of "__parent__"
+    # counts (the string appearing in some config VALUE must not
+    # trigger the splice).
     parent_df = inputs[0] if inputs else None
-    spec = parse_spec(data) if "__parent__" not in str(data) else None
-    if spec is None:
-        # child references __parent__: register a passthrough source
-        for raw in data.get("stages", []):
-            raw["inputs"] = [i for i in raw.get("inputs", [])]
+    uses_parent = any(
+        "__parent__" in (raw.get("inputs") or [])
+        for raw in data.get("stages", [])
+    )
+    splice_name = None
+    if uses_parent:
+        # register the passthrough source under a UNIQUE per-call name:
+        # a fixed name would let two concurrently-compiled pipelines
+        # overwrite each other's closure and silently read the wrong
+        # parent DataFrame; the entry is removed after compile so the
+        # registry never pins the DataFrame
+        from conveyor_spark.registry import REGISTRY, Op
+
+        splice_name = f"__parent_input_{id(data):x}__"
         data = dict(data)
         data["stages"] = [
-            {"id": "__parent__", "function": "__parent_input__", "inputs": []},
+            {"id": "__parent__", "function": splice_name, "inputs": []},
             *data["stages"],
         ]
-        from conveyor_spark.registry import REGISTRY, Op
 
         def _parent_src(c: OpContext, ins: list[DataFrame], cfg: dict[str, Any]) -> DataFrame:
             if parent_df is None:
                 raise ConfigError("stage.pipeline child uses __parent__ but stage has no input")
             return parent_df
 
-        REGISTRY["__parent_input__"] = Op(
-            name="__parent_input__", fn=_parent_src, kind="source", min_inputs=0, max_inputs=0
+        REGISTRY[splice_name] = Op(
+            name=splice_name, fn=_parent_src, kind="source", min_inputs=0, max_inputs=0
         )
+    try:
         spec = parse_spec(data)
+        result = compile_pipeline(ctx.spark, spec)
+    finally:
+        if splice_name is not None:
+            from conveyor_spark.registry import REGISTRY
 
-    result = compile_pipeline(ctx.spark, spec)
+            REGISTRY.pop(splice_name, None)
     # Terminal output = the unique stage no other stage consumes.
     consumed = {i for s in spec.stages for i in s.inputs}
     terminals = [sid for sid in result.outputs if sid not in consumed]

@@ -206,11 +206,13 @@ def py_group_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     df = inputs[0]
     script = config.get("script")
     group_by = config.get("group_by")
-    schema_ddl = config.get("output_schema")
-    if not script or not group_by or not schema_ddl:
-        raise ConfigError("py.group_eval requires 'script', 'group_by', 'output_schema'")
+    if not script or not group_by:
+        raise ConfigError("py.group_eval requires 'script' and 'group_by'")
     keys = [group_by] if isinstance(group_by, str) else list(group_by)
-    out_schema = T._parse_datatype_string(schema_ddl)
+    schema_ddl = config.get("output_schema")
+    # same default as py.eval: scripts that keep the input shape
+    # (filtering/capping groups) need no explicit schema
+    out_schema = T._parse_datatype_string(schema_ddl) if schema_ddl else df.schema
 
     compiled = compile(script, "<py.group_eval>", "exec")
     probe: dict[str, Any] = {}

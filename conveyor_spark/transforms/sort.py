@@ -52,6 +52,15 @@ def sort_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         desc = desc * len(cols)
     if len(desc) != len(cols):
         raise ConfigError("sort.apply: 'descending' length must match 'columns'")
+    # "amount desc" / "name asc" spell the direction inline (the
+    # registered example and SQL habit); the suffix wins over the
+    # positional 'descending' flag for that column
+    for i, c in enumerate(cols):
+        if isinstance(c, str) and " " in c.strip():
+            name, _, suffix = c.strip().rpartition(" ")
+            if suffix.lower() in ("asc", "desc"):
+                cols[i] = name.strip()
+                desc[i] = suffix.lower() == "desc"
     nulls_last = bool(config.get("nulls_last", False))
     order = []
     for c, d in zip(cols, desc):

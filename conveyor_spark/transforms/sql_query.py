@@ -51,6 +51,9 @@ def sql_query(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
             )
     else:
         views = [f"t{i}" for i in range(len(inputs))]
+        # also register the documented default names (input_0, ...)
+        for i, df in enumerate(inputs):
+            df.createOrReplaceTempView(f"input_{i}")
     for name, df in zip(views, inputs):
         df.createOrReplaceTempView(name)
     return ctx.spark.sql(str(sql))

@@ -145,8 +145,11 @@ def join_asof(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     if tolerance is not None:
         if right_on not in carry:
             raise ConfigError("join.asof: tolerance needs the build time column carried (not a key)")
+        from conveyor_spark.durations import parse_duration_seconds
+
+        tol = parse_duration_seconds(tolerance, "join.asof tolerance")
         gap = F.abs(F.col("__asof_t").cast("double") - m[right_on].cast("double"))
-        m = F.when(m.isNotNull() & (gap <= float(tolerance)), m)
+        m = F.when(m.isNotNull() & (gap <= tol), m)
     out = matched.withColumn("__asof_m", m)
     if how == "inner":
         out = out.where(F.col("__asof_m").isNotNull())
@@ -248,9 +251,20 @@ def join_range(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         joined = joined.drop("__rng_k")
         if how == "left":
             matched = joined
-            missing = points.join(
-                matched.select(*points.columns).distinct(), points.columns, "left_anti"
-            ).withColumn("__rng_b", F.lit(None).cast(r.schema["__rng_b"].dataType))
+            # NULL-SAFE anti-join: plain column-list equality would
+            # never match a row containing a NULL (NULL = NULL is
+            # NULL), re-emitting every matched-with-NULLs row as
+            # unmatched too — silent duplicates
+            mk = matched.select(
+                *[F.col(c).alias(f"__m_{c}") for c in points.columns]
+            ).distinct()
+            anti = None
+            for c in points.columns:
+                e = F.col(c).eqNullSafe(F.col(f"__m_{c}"))
+                anti = e if anti is None else anti & e
+            missing = points.join(mk, anti, "left_anti").withColumn(
+                "__rng_b", F.lit(None).cast(r.schema["__rng_b"].dataType)
+            )
             joined = matched.unionByName(missing)
     else:
         if not by and not config.get("allow_broadcast", False):

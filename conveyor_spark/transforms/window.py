@@ -196,6 +196,6 @@ def window_rollup(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     exprs = []
     for a in aggs:
         col, op = a["column"], a["operation"]
-        out = a.get("output_column") or f"{col}_{op}"
+        out = a.get("output_column") or a.get("alias") or f"{col}_{op}"
         exprs.append(build_agg(col, op, a.get("order_by")).alias(out))
     return exploded.groupBy("granularity", "bucket_start", *keys).agg(*exprs)

@@ -100,6 +100,14 @@ def window_function(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
             raise ConfigError(f"window.function {fn} requires 'column'")
         offset = int(config.get("offset", 1))
         col = (F.lag if fn == "lag" else F.lead)(F.col(src), offset, config.get("default"))
+    elif fn in ("first_value", "last_value"):
+        src = config.get("column")
+        if not src:
+            raise ConfigError(f"window.function {fn} requires 'column'")
+        # over a window the frame's own ordering makes first/last
+        # deterministic — no min_by/order_by needed (build_agg's
+        # vocabulary spells these 'first'/'last')
+        col = (F.first if fn == "first_value" else F.last)(F.col(src))
     else:
         # aggregate-over-frame: sum/avg/min/max/count/... on `column`
         from conveyor_spark.transforms.group_by import build_agg

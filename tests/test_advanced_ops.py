@@ -165,10 +165,15 @@ def test_py_group_eval_normalize(ctx, spark):
     assert rows[("b", 10.0)] == -0.5 and rows[("b", 30.0)] == 0.5
 
 
-def test_py_group_eval_requires_schema(ctx, spark):
-    df = spark.createDataFrame([("a", 1.0)], "k STRING, v DOUBLE")
-    with pytest.raises(ConfigError, match="output_schema"):
-        run_op(ctx, "py.group_eval", [df], script="def transform(k,p): return p", group_by="k")
+def test_py_group_eval_schema_defaults_to_input(ctx, spark):
+    # the param metadata promises "default: input schema" — a
+    # shape-preserving script needs no explicit DDL (matches py.eval)
+    df = spark.createDataFrame([("a", 1.0), ("a", 2.0), ("b", 3.0)],
+                               "k STRING, v DOUBLE")
+    out = run_op(ctx, "py.group_eval", [df],
+                 script="def transform(k, p):\n    return p.head(1)",
+                 group_by="k")
+    assert out.schema == df.schema and out.count() == 2
 
 
 def test_window_rollup_levels_single_pass(ctx, spark):

@@ -1,0 +1,184 @@
+"""Regression tests for declared-interface bugs a review pass found:
+registered examples / param metadata promising forms the code
+rejected (array types, alias keys, duration strings, documented
+defaults), plus two silent-wrong-data paths (range-left NULL rows,
+stage.pipeline's global splice registration)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conveyor_spark.durations import parse_duration_seconds
+from conveyor_spark.errors import ConfigError
+from tests.conftest import run_op
+
+
+def test_parse_duration_seconds_forms():
+    assert parse_duration_seconds(90) == 90.0
+    assert parse_duration_seconds("90") == 90.0
+    assert parse_duration_seconds("10 minutes") == 600.0
+    assert parse_duration_seconds("2 hours") == 7200.0
+    assert parse_duration_seconds("1.5s") == 1.5
+    assert parse_duration_seconds("500 ms") == 0.5
+    assert parse_duration_seconds("1 day") == 86400.0
+    with pytest.raises(ConfigError, match="cannot parse"):
+        parse_duration_seconds("a fortnight")
+
+
+def test_range_left_null_columns_not_duplicated(ctx, spark):
+    """A matched point row containing a NULL must not ALSO be emitted
+    as unmatched (the anti-join has to be null-safe)."""
+    points = spark.createDataFrame(
+        [(1, None, 5.0), (2, "ok", 50.0)], "id INT, v STRING, ts DOUBLE"
+    )
+    iv = spark.createDataFrame([(0.0, 10.0, "w1")], "lo DOUBLE, hi DOUBLE, tag STRING")
+    out = run_op(ctx, "join.range", [points, iv], on="ts", lower="lo",
+                 upper="hi", bucket=10.0, how="left").collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r["r_tag"])
+    assert by_id[1] == ["w1"]   # matched once, NOT re-emitted as unmatched
+    assert by_id[2] == [None]   # genuinely unmatched
+
+
+def test_stream_funnel_accepts_array_by(ctx, spark, tmp_path):
+    """'by' is declared type=array; the registered example form
+    (a list, including multi-column) must work."""
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [("u1", "app", "view", 1.0), ("u1", "app", "click", 2.0),
+         ("u2", "web", "view", 3.0)],
+        "user_id STRING, channel STRING, event_type STRING, t DOUBLE",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    sdf = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .limit(0)  # rate source only bootstraps the stream machinery
+    )
+    # batch path is enough to exercise the config handling: build the
+    # plan on a memory stream instead
+    mem = src.write.format("parquet").mode("overwrite")
+    path = str(tmp_path / "ev")
+    mem.save(path)
+    stream = spark.readStream.schema(src.schema).parquet(path)
+    out = run_op(ctx, "stream.funnel", [stream],
+                 steps=["view", "click"], by=["user_id", "channel"],
+                 ts_column="ts")
+    q = (out.writeStream.format("memory").queryName("funnel_arr")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    try:
+        q.processAllAvailable()
+        rows = {(r["user_id"], r["channel"]): r["steps_completed"]
+                for r in spark.sql("SELECT * FROM funnel_arr").collect()}
+    finally:
+        q.stop()
+    assert rows == {("u1", "app"): 2, ("u2", "web"): 1}
+
+
+def test_window_function_first_last_value(ctx, spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20), ("b", 1, 30)], "k STRING, seq INT, v INT"
+    )
+    out = run_op(ctx, "window.function", [df], function="first_value",
+                 column="v", partition_by=["k"], order_by=["seq"],
+                 output_column="fv")
+    got = {(r["k"], r["seq"]): r["fv"] for r in out.collect()}
+    assert got == {("a", 1): 10, ("a", 2): 10, ("b", 1): 30}
+    out = run_op(ctx, "window.function", [df], function="last_value",
+                 column="v", partition_by=["k"], order_by=["seq"],
+                 output_column="lv")
+    # default frame = unbounded preceding..current row
+    got = {(r["k"], r["seq"]): r["lv"] for r in out.collect()}
+    assert got == {("a", 1): 10, ("a", 2): 20, ("b", 1): 30}
+
+
+def test_groupby_alias_key(ctx, spark):
+    """The registered example uses 'alias'; it must name the column."""
+    df = spark.createDataFrame([("x", 1), ("x", 2)], "region STRING, amount INT")
+    out = run_op(ctx, "groupby.apply", [df], by="region",
+                 aggregations=[{"column": "amount", "operation": "sum",
+                                "alias": "total"}])
+    assert out.columns == ["region", "total"]
+    assert out.first()["total"] == 3
+
+
+def test_sql_query_default_view_names(ctx, spark):
+    """Both the documented default (input_0) and the legacy t0 work."""
+    df = spark.createDataFrame([(1,)], "x INT")
+    assert run_op(ctx, "sql.query", [df],
+                  sql="SELECT COUNT(*) AS c FROM input_0").first()["c"] == 1
+    assert run_op(ctx, "sql.query", [df],
+                  sql="SELECT COUNT(*) AS c FROM t0").first()["c"] == 1
+
+
+def test_reduce_order_by_array(ctx, spark):
+    df = spark.createDataFrame(
+        [("a", 1, 2), ("b", 2, 1)], "name STRING, ts INT, tie INT"
+    )
+    # declared array form, single and multi column
+    assert run_op(ctx, "reduce.apply", [df], column="name", operation="last",
+                  order_by=["ts"]).first()["name"] == "b"
+    assert run_op(ctx, "reduce.apply", [df], column="name", operation="last",
+                  order_by=["tie", "ts"]).first()["name"] == "a"
+
+
+def test_sort_direction_suffix(ctx, spark):
+    """The registered example spells direction inline: 'amount desc'."""
+    df = spark.createDataFrame([(1,), (3,), (2,)], "amount INT")
+    out = run_op(ctx, "sort.apply", [df], columns=["amount desc"], limit=2)
+    assert [r["amount"] for r in out.collect()] == [3, 2]
+
+
+def test_asof_tolerance_duration_string(ctx, spark):
+    probe = spark.createDataFrame([(1, 100.0)], "uid INT, ts DOUBLE")
+    build = spark.createDataFrame([(1, 40.0, "old")], "uid INT, ts DOUBLE, tag STRING")
+    hit = run_op(ctx, "join.asof", [probe, build], on="ts", by="uid",
+                 tolerance="1 minute")
+    assert hit.first()["r_tag"] == "old"  # 60s gap == tolerance
+    miss = run_op(ctx, "join.asof", [probe, build], on="ts", by="uid",
+                  tolerance="59s")
+    assert miss.first()["r_tag"] is None
+
+
+def test_stage_pipeline_splice_is_scoped(ctx, spark):
+    """__parent__ in a config VALUE must not trigger the splice, and
+    the per-call splice op must not linger in the global registry."""
+    from conveyor_spark.registry import REGISTRY
+
+    inline = """
+[pipeline]
+name = "child"
+
+[[stages]]
+id = "flt"
+function = "filter.apply"
+inputs = ["__parent__"]
+[stages.config]
+column = "x"
+operator = ">"
+value = 1
+"""
+    df = spark.createDataFrame([(1,), (2,)], "x INT")
+    out = run_op(ctx, "stage.pipeline", [df], inline=inline)
+    assert [r["x"] for r in out.collect()] == [2]
+    assert not [k for k in REGISTRY if k.startswith("__parent_input")]
+
+    # the literal string in a VALUE (not an inputs list) is inert
+    benign = """
+[pipeline]
+name = "child2"
+
+[[stages]]
+id = "m"
+function = "map.apply"
+inputs = []
+"""
+    # a child with a source-less transform stage fails spec parsing —
+    # all we assert is that no splice registration happened for a spec
+    # that never references __parent__ via inputs
+    with pytest.raises(Exception):
+        run_op(ctx, "stage.pipeline", [df],
+               inline=benign.replace('function = "map.apply"',
+                                     'function = "map.apply"\n[stages.config]\nexpression = "\'__parent__\'"\noutput_column = "y"'))
+    assert not [k for k in REGISTRY if k.startswith("__parent_input")]
