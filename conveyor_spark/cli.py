@@ -288,15 +288,34 @@ def main(argv: list[str] | None = None) -> int:
         print(f"invalid pipeline: {exc}", file=sys.stderr)
         return 2
     if args.cmd == "validate":
+        import importlib
+
         from conveyor_spark.errors import FunctionNotFound
         from conveyor_spark.registry import get_function, validate_config
 
+        # load declared plugins so their ops resolve; a plugin that
+        # fails to import here keeps its functions lenient (they may
+        # only be importable in the run environment)
+        lenient = False
+        for mod in spec.plugins:
+            try:
+                importlib.import_module(mod)
+            except ImportError:
+                lenient = True
         n_warn = 0
         for stage in spec.stages:
             try:
                 op = get_function(stage.function)
             except FunctionNotFound:
-                # plugin-provided function — resolved at run time
+                if not spec.plugins or not lenient:
+                    # nothing could provide this op at run time either:
+                    # a typo'd function name must fail HERE, not at run
+                    print(
+                        f"invalid pipeline: stage {stage.id!r}: unknown "
+                        f"function {stage.function!r}",
+                        file=sys.stderr,
+                    )
+                    return 2
                 continue
             for w in validate_config(op, stage.config):
                 print(f"warning: stage {stage.id!r} ({stage.function}): {w}",

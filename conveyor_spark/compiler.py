@@ -197,7 +197,9 @@ def compile_pipeline(
             raise ConfigError(
                 f"stage {sid!r}: {stage.function} needs >= {op.min_inputs} inputs"
             )
-        if op.max_inputs not in (None, 0) and len(stage.inputs) > op.max_inputs:
+        # max_inputs=0 means "no inputs" (every source op), NOT
+        # unbounded — None is the unbounded sentinel
+        if op.max_inputs is not None and len(stage.inputs) > op.max_inputs:
             raise ConfigError(
                 f"stage {sid!r}: {stage.function} accepts <= {op.max_inputs} inputs"
             )
@@ -206,6 +208,12 @@ def compile_pipeline(
         if failed_inputs:
             result.skipped.append(sid)
             continue
+        no_output = [i for i in stage.inputs if i not in result.outputs]
+        if no_output:
+            raise ConfigError(
+                f"stage {sid!r}: input stage(s) {no_output} produced no "
+                "output (sinks cannot feed downstream stages)"
+            )
         inputs = [result.outputs[i] for i in stage.inputs]
 
         if op.kind == "sink" and not run_sinks:
@@ -220,7 +228,10 @@ def compile_pipeline(
                 stage, spec, lambda: op.fn(ctx, inputs, dict(stage.config))
             )
             if out is not None:
-                if stage.config.get("cache"):
+                # a sink's return (e.g. kafka.write's StreamingQuery
+                # under await_termination=false) is not a DataFrame —
+                # never .cache() it
+                if stage.config.get("cache") and op.kind != "sink":
                     out = out.cache()
                 result.outputs[sid] = out
         except ConveyorError:

@@ -69,12 +69,18 @@ def _resolve_env(value: str, env: dict[str, str]) -> str:
 
 
 def _interpolate(value: Any, variables: dict[str, str]) -> Any:
-    """Recursive ``{{var}}`` substitution in stage configs."""
+    """Recursive ``{{var}}`` substitution in stage configs.
+
+    Only names DEFINED in [global].variables substitute at parse
+    time; unknown ``{{ x }}`` stays literal — it is (usually) a
+    per-row Handlebars template the executing op renders against row
+    data (http.fetch urls, mongodb sink queries, ai prompts).
+    Raising here made every row-templated config unloadable."""
     if isinstance(value, str):
         def sub(m: re.Match[str]) -> str:
             name = m.group(1)
             if name not in variables:
-                raise ConfigError(f"undefined variable {name!r} in config")
+                return m.group(0)  # leave for row-level templating
             return str(variables[name])
 
         return _VAR_RE.sub(sub, value)

@@ -20,11 +20,31 @@ from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
 
 
-def _write_single_file(df: DataFrame, path: str, fmt: str, **options: Any) -> None:
-    """Write via a temp dir then move the single part file to `path`."""
+def _write_single_file(
+    df: DataFrame, path: str, fmt: str, mode: str = "overwrite", **options: Any
+) -> None:
+    """Write via a temp dir then move the single part file to `path`.
+
+    Honors the declared save modes against the DESTINATION file (the
+    temp-dir indirection would otherwise silently overwrite):
+    error/ignore check existence; append is refused — a single exact
+    file has no safe concat semantics across schemas/headers (use
+    single_file=false for append)."""
+    if mode == "append":
+        raise ConfigError(
+            f"{fmt}.write: mode='append' is not supported with "
+            "single_file=true (a single exact file cannot be appended "
+            "safely); set single_file=false"
+        )
+    if os.path.exists(path):
+        if mode == "ignore":
+            return
+        if mode in ("error", "errorifexists"):
+            raise ConfigError(f"{fmt}.write: {path!r} already exists (mode='error')")
     tmp = path + ".__tmp__"
     df.coalesce(1).write.mode("overwrite").options(**options).format(fmt).save(tmp)
-    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    # glob.escape: the user's path may contain [, ], * (glob syntax)
+    part = glob.glob(os.path.join(glob.escape(tmp), "part-*"))[0]
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     shutil.move(part, path)
     shutil.rmtree(tmp, ignore_errors=True)
@@ -54,7 +74,8 @@ def csv_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     headers = bool(config.get("headers", config.get("has_headers", True)))
     delimiter = str(config.get("delimiter", ","))
     if config.get("single_file", True):
-        _write_single_file(df, path, "csv", header=str(headers).lower(), sep=delimiter)
+        _write_single_file(df, path, "csv", mode=config.get("mode", "overwrite"),
+                           header=str(headers).lower(), sep=delimiter)
     else:
         df.write.mode(config.get("mode", "overwrite")).options(
             header=str(headers).lower(), sep=delimiter

@@ -47,7 +47,8 @@ def json_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
 
     if fmt == "jsonl" and not pretty:
         if config.get("single_file", True):
-            _write_single_file(df, path, "json")
+            _write_single_file(df, path, "json",
+                               mode=config.get("mode", "overwrite"))
         else:
             df.write.mode(config.get("mode", "overwrite")).json(path)
         return None

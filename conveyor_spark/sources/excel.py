@@ -63,7 +63,8 @@ def excel_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         P("sheet", default="Sheet1", desc="Sheet name"),
         P("headers", "boolean", default=True, desc="Write a header row"),
         P("max_rows", "integer", default=1000000, min=1,
-          desc="Guard: refuse to collect more rows than this to the driver"),
+          desc="Guard: refuse (error) to collect more rows than this "
+               "to the driver"),
     ],
     example={"path": "out/report.xlsx"},
     tags=["file", "excel", "driver-side"],
@@ -75,9 +76,15 @@ def excel_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     _require_engine()
     df = inputs[0]
     # driver-side materialization — excel is not a distributed format;
-    # guard against accidentally collecting a huge frame.
+    # guard against accidentally collecting a huge frame. REFUSE (the
+    # param's promise) rather than silently truncate to max_rows.
     limit = int(config.get("max_rows", 1_000_000))
-    pdf = df.limit(limit).toPandas()
+    pdf = df.limit(limit + 1).toPandas()
+    if len(pdf) > limit:
+        raise ConfigError(
+            f"excel.write: input exceeds max_rows={limit}; raise max_rows "
+            "deliberately or use a distributed sink"
+        )
     pdf.to_excel(
         path,
         sheet_name=config.get("sheet", "Sheet1"),

@@ -59,12 +59,6 @@ def http_get(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) ->
     else:
         payload = _json.loads(text)
         records = payload if isinstance(payload, list) else [payload]
-    if not records:
-        return ctx.spark.createDataFrame([], "raw STRING")
-    keys: list[str] = []
-    for r in records:
-        for k in r:
-            if k not in keys:
-                keys.append(k)
-    rows = [Row(**{k: r.get(k) for k in keys}) for r in records]
-    return ctx.spark.createDataFrame(rows)
+    from conveyor_spark.sources.records import records_to_dataframe
+
+    return records_to_dataframe(ctx.spark, records)

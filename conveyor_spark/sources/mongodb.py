@@ -97,7 +97,29 @@ def _read(ctx: OpContext, config: dict[str, Any], mode: str) -> DataFrame:
             reader = reader.option(
                 "aggregation.pipeline", _json.dumps(config.get("pipeline", []))
             )
-        return reader.load()
+        else:
+            # the find path's 'query' filter must reach the connector
+            # too (as a $match pushed into the aggregation pipeline) —
+            # ignoring it would silently return the WHOLE collection
+            # when the JAR happens to be on the classpath
+            query = config.get("query", {})
+            if isinstance(query, str):
+                query = _json.loads(query)
+            if query:
+                reader = reader.option(
+                    "aggregation.pipeline", _json.dumps([{"$match": query}])
+                )
+        df = reader.load()
+        if mode == "findOne":
+            df = df.limit(1)
+        elif mode == "find" and (limit := config.get("limit")):
+            df = df.limit(int(limit))
+        # schema parity with the pymongo fallback: _id as string
+        if "_id" in df.columns:
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("_id", F.col("_id").cast("string"))
+        return df
     # driver-side fallback (small results; reference is also
     # single-node here)
     factory = _client_factory(config)
@@ -116,15 +138,9 @@ def _read(ctx: OpContext, config: dict[str, Any], mode: str) -> DataFrame:
     for d in docs:
         if "_id" in d:
             d["_id"] = str(d["_id"])
-    if not docs:
-        return ctx.spark.createDataFrame([], "_id STRING")
-    keys: list[str] = []
-    for d in docs:
-        for k in d:
-            if k not in keys:
-                keys.append(k)
-    rows = [Row(**{k: d.get(k) for k in keys}) for d in docs]
-    return ctx.spark.createDataFrame(rows)
+    from conveyor_spark.sources.records import records_to_dataframe
+
+    return records_to_dataframe(ctx.spark, docs, empty_schema="_id STRING")
 
 
 _CONN_PARAMS = [

@@ -11,7 +11,7 @@ import json as _json
 import sys
 from typing import Any
 
-from pyspark.sql import DataFrame, Row
+from pyspark.sql import DataFrame
 
 from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
@@ -63,13 +63,6 @@ def stdin_read(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     if text is None:
         text = sys.stdin.read()
     records = _parse_records(text, fmt, headers, delimiter)
-    if not records:
-        return ctx.spark.createDataFrame([], "raw STRING")
-    # Normalize missing keys -> None so the schema is the union of keys.
-    keys: list[str] = []
-    for r in records:
-        for k in r:
-            if k not in keys:
-                keys.append(k)
-    rows = [Row(**{k: r.get(k) for k in keys}) for r in records]
-    return ctx.spark.createDataFrame(rows)
+    from conveyor_spark.sources.records import records_to_dataframe
+
+    return records_to_dataframe(ctx.spark, records)

@@ -182,3 +182,100 @@ inputs = []
                inline=benign.replace('function = "map.apply"',
                                      'function = "map.apply"\n[stages.config]\nexpression = "\'__parent__\'"\noutput_column = "y"'))
     assert not [k for k in REGISTRY if k.startswith("__parent_input")]
+
+
+# -- sinks / sources / compiler hardening ----------------------------------
+
+def test_single_file_save_modes(ctx, spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "x INT")
+    dest = str(tmp_path / "out.csv")
+    run_op(ctx, "csv.write", [df], path=dest)
+    assert open(dest).read().startswith("x")
+    # append is refused for an exact single file
+    with pytest.raises(ConfigError, match="append"):
+        run_op(ctx, "csv.write", [df], path=dest, mode="append")
+    # error mode refuses to replace
+    with pytest.raises(ConfigError, match="already exists"):
+        run_op(ctx, "csv.write", [df], path=dest, mode="error")
+    # ignore mode leaves the existing file alone
+    before = open(dest).read()
+    run_op(ctx, "csv.write", [spark.createDataFrame([(9,)], "x INT")],
+           path=dest, mode="ignore")
+    assert open(dest).read() == before
+
+
+def test_single_file_glob_special_path(ctx, spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "x INT")
+    dest = str(tmp_path / "result[2024].csv")
+    run_op(ctx, "csv.write", [df], path=dest)
+    assert open(dest).read().splitlines()[1] == "1"
+
+
+def test_compiler_rejects_consuming_a_sink(spark, tmp_path):
+    from conveyor_spark.compiler import run_pipeline
+    from conveyor_spark.config.spec import parse_spec
+
+    spec = parse_spec({
+        "pipeline": {"name": "p"},
+        "stages": [
+            {"id": "src", "function": "parquet.read",
+             "config": {"path": "/root/testdata/sf0.001/region.parquet"}},
+            {"id": "snk", "function": "csv.write", "inputs": ["src"],
+             "config": {"path": str(tmp_path / "o.csv")}},
+            {"id": "after", "function": "filter.apply", "inputs": ["snk"],
+             "config": {"column": "r_regionkey", "operator": ">", "value": 0}},
+        ],
+    })
+    with pytest.raises(ConfigError, match="produced no output"):
+        run_pipeline(spark, spec)
+
+
+def test_compiler_rejects_inputs_into_source(spark, tmp_path):
+    from conveyor_spark.compiler import run_pipeline
+    from conveyor_spark.config.spec import parse_spec
+
+    spec = parse_spec({
+        "pipeline": {"name": "p"},
+        "stages": [
+            {"id": "a", "function": "parquet.read",
+             "config": {"path": "/root/testdata/sf0.001/region.parquet"}},
+            {"id": "b", "function": "parquet.read", "inputs": ["a"],
+             "config": {"path": "/root/testdata/sf0.001/region.parquet"}},
+        ],
+    })
+    with pytest.raises(ConfigError, match="accepts <= 0 inputs"):
+        run_pipeline(spark, spec)
+
+
+def test_validate_rejects_unknown_function_without_plugins(tmp_path):
+    from conveyor_spark.cli import main
+
+    p = tmp_path / "typo.toml"
+    p.write_text("""
+[pipeline]
+name = "typo"
+
+[[stages]]
+id = "s"
+function = "csv.raed"
+[stages.config]
+path = "/tmp/x.csv"
+""")
+    assert main(["validate", str(p)]) == 2
+
+
+def test_http_get_scalar_json_records(ctx, spark):
+    out = run_op(ctx, "http.get", [], url="http://x.test/",
+                 _fetcher=lambda *a: b"[1, 2, 3]")
+    assert [r["value"] for r in out.collect()] == [1, 2, 3]
+    out = run_op(ctx, "http.get", [], url="http://x.test/", format="jsonl",
+                 _fetcher=lambda *a: b'"abc"\n{"k": 1}')
+    rows = out.collect()
+    assert rows[0]["value"] == "abc" and rows[1]["k"] == 1
+
+
+def test_excel_write_refuses_oversize(ctx, spark, tmp_path):
+    pytest.importorskip("openpyxl")
+    df = spark.createDataFrame([(i,) for i in range(5)], "x INT")
+    with pytest.raises(ConfigError, match="max_rows"):
+        run_op(ctx, "excel.write", [df], path=str(tmp_path / "o.xlsx"), max_rows=3)

@@ -57,9 +57,14 @@ def test_variable_interpolation():
     assert spec.stages[0].config["path"] == "/data/f.csv"
 
 
-def test_undefined_variable_rejected():
-    with pytest.raises(ConfigError, match="undefined variable"):
-        parse_spec(_spec([{"id": "a", "function": "f", "config": {"p": "{{ nope }}"}}]))
+def test_undefined_variable_left_for_row_templating():
+    # {{ x }} not in [global].variables is a per-row Handlebars
+    # template (http.fetch urls, mongodb queries) — it must survive
+    # spec parsing untouched, not raise
+    spec = parse_spec(
+        _spec([{"id": "a", "function": "f", "config": {"p": "u/{{ user_id }}"}}])
+    )
+    assert spec.stages[0].config["p"] == "u/{{ user_id }}"
 
 
 def test_env_resolution(monkeypatch):
