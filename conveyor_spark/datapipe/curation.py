@@ -71,10 +71,10 @@ def text_normalize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     - ``collapse_whitespace`` (default true): any whitespace run -> one
       space.
     - ``trim`` (default true).
-    - ``form`` (default "none"): "nfc"/"nfkc" Unicode normalization,
-      applied FIRST via an Arrow-batched pandas iterator (the only
-      non-codegen path here; opt-in because the JVM lacks a SQL-level
-      normalizer).
+    - ``form`` (default "none"): nfc/nfd/nfkc/nfkd Unicode
+      normalization, applied FIRST via an Arrow-batched pandas
+      iterator (the only non-codegen path here; opt-in because the
+      JVM lacks a SQL-level normalizer).
     """
     df = inputs[0]
     column = config.get("column")
@@ -82,8 +82,8 @@ def text_normalize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
         raise ConfigError("text.normalize requires 'column'")
     out = config.get("output_column", column)
     form = str(config.get("form", "none")).lower()
-    if form not in ("none", "nfc", "nfkc"):
-        raise ConfigError("text.normalize: form must be none|nfc|nfkc")
+    if form not in ("none", "nfc", "nfd", "nfkc", "nfkd"):
+        raise ConfigError("text.normalize: form must be none|nfc|nfd|nfkc|nfkd")
 
     if form != "none":
         import unicodedata
@@ -387,6 +387,15 @@ def text_extract(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     if not column or not fields:
         raise ConfigError("text.extract requires 'column' and 'fields'")
     keep_empty = bool(config.get("keep_empty", False))
+    # declared array form [{name, pattern, ...}]; the dict form
+    # {name: {pattern, ...}} is accepted for backward compatibility
+    if isinstance(fields, list):
+        named = {}
+        for spec in fields:
+            if not isinstance(spec, dict) or not spec.get("name"):
+                raise ConfigError("text.extract: each field needs a 'name'")
+            named[spec["name"]] = spec
+        fields = named
     for name, spec in fields.items():
         pattern = spec.get("pattern")
         if not pattern:

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
-from conveyor_spark.datapipe.hashing import md5_int
+from conveyor_spark.datapipe.hashing import md5_int, seeded
 
 # Universal-hash parameters for MinHash: ONE 28-bit md5 base hash per
 # shingle, then k cheap integer mixes h_i = (a_i*h + b_i) mod P.
@@ -161,10 +161,8 @@ def _seeded_hash_fn(seed: int):
     (``lambda s, i=i``) silently changes PySpark's higher-order-function
     arity — the 2nd parameter becomes the ARRAY INDEX — so seeds must
     be captured by closure."""
-    suffix = F.lit(f"#{seed}")
-
     def fn(s: Column) -> Column:
-        return F.conv(F.substring(F.md5(F.concat(s, suffix)), 1, 15), 16, 10).cast("bigint")
+        return seeded(s, seed)  # hashing.py: THE portable seeded hash
 
     return fn
 
@@ -417,18 +415,22 @@ def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     # materialize the hash array once — the per-bit votes reference it
     # `bits` times (see dedup_minhash on CollapseProject behavior)
     df = widen(ctx, df, config).withColumn("__simhash_h", F.transform(toks, lambda t: md5_int(t)))
-    # per-bit vote: count of set bits vs total tokens. Bit tests use
-    # modulo arithmetic ((h % 2^(j+1)) >= 2^j) — equivalent to
-    # (h >> j) & 1 for the non-negative 60-bit hashes. ONE SQL-string
-    # expression instead of a per-bit Column loop: the loop version
-    # made ~10 py4j round-trips per bit (measured ~2.5 s of driver
-    # time per build at bits=32) and unrolled `bits` copies of the
-    # fold into codegen; the sequence() form is a single parsed
-    # expression with the same arithmetic, so oracle parity holds.
+    # per-bit vote: count of set bits vs total tokens. Bit test is
+    # (h >> j) & 1 — NOT the earlier modulo form ((h % 2^(j+1)) >=
+    # 2^j): at j=63 that computed h % shiftleft(2L, 63), and 2<<63
+    # overflows int64 to 0, so h % 0 returned NULL and poisoned the
+    # whole fold (every fingerprint NULL at bits=64). The shift form
+    # is identical for the non-negative 60-bit hashes at every j.
+    # ONE SQL-string expression instead of a per-bit Column loop: the
+    # loop version made ~10 py4j round-trips per bit (measured
+    # ~2.5 s of driver time per build at bits=32) and unrolled
+    # `bits` copies of the fold into codegen; the sequence() form is
+    # a single parsed expression with the same arithmetic, so oracle
+    # parity holds.
     vote = (
         "aggregate(transform(sequence(0, {last}), j -> "
         "CAST(aggregate(__simhash_h, 0L, "
-        "(a, h) -> a + CAST((h % shiftleft(2L, j)) >= shiftleft(1L, j) AS BIGINT)"
+        "(a, h) -> a + (shiftright(h, j) & 1)"
         ") * 2 > size(__simhash_h) AS BIGINT) * shiftleft(1L, j)), "
         "0L, (a, v) -> a + v)"
     ).format(last=bits - 1)

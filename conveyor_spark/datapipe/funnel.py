@@ -87,7 +87,12 @@ def sessionize_assign(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
     run = Window.partitionBy(by).orderBy(us).rangeBetween(Window.unboundedPreceding, 0)
     idx = (F.sum(boundary).over(run) - F.lit(1)).cast("bigint")
     if config.get("global_id", False):
-        sid = F.concat(F.col(by).cast("string"), F.lit("#"), idx.cast("string"))
+        # 'by' is declared array — join all key columns into the id
+        bys = [by] if isinstance(by, str) else list(by)
+        key_str = F.concat_ws(
+            "|", *[F.col(b).cast("string") for b in bys]
+        )
+        sid = F.concat(key_str, F.lit("#"), idx.cast("string"))
     else:
         sid = idx
     return df.withColumn(out_col, sid)
@@ -139,14 +144,16 @@ def retention_cohort(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
 
     from pyspark.sql import Window
 
+    bys = [by] if isinstance(by, str) else list(by)  # declared array
     bkt = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(interval_us))
-    w = Window.partitionBy(by)
-    marked = df.select(F.col(by), bkt.alias("__bkt")).withColumn(
+    w = Window.partitionBy(*bys)
+    marked = df.select(*[F.col(b) for b in bys], bkt.alias("__bkt")).withColumn(
         "__cohort", F.min("__bkt").over(w)
     )
     periods = (
         marked.select(
-            "__cohort", (F.col("__bkt") - F.col("__cohort")).alias("period"), F.col(by)
+            "__cohort", (F.col("__bkt") - F.col("__cohort")).alias("period"),
+            *[F.col(b) for b in bys],
         )
         .distinct()
     )
@@ -214,17 +221,18 @@ def event_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     within_us = None if within is None else int(float(within) * 1_000_000)
     k = len(steps)
 
+    bys = [by] if isinstance(by, str) else list(by)  # declared array
     evs = (
         df.filter(F.col(type_col).isin(list(steps)))
         .select(
-            F.col(by),
+            *[F.col(b) for b in bys],
             F.struct(
                 F.unix_micros(F.col(ts_col)).alias("us"),
                 F.col(type_col).cast("string").alias("et"),
             ).alias("ev"),
         )
     )
-    per_user = evs.groupBy(by).agg(F.array_sort(F.collect_list("ev")).alias("seq"))
+    per_user = evs.groupBy(*bys).agg(F.array_sort(F.collect_list("ev")).alias("seq"))
 
     steps_arr = F.array(*[F.lit(s) for s in steps])
     zero = F.struct(
@@ -267,7 +275,7 @@ def event_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     out = (
         per_user.withColumn("__st", state)
         .select(
-            F.col(by),
+            *[F.col(b) for b in bys],
             F.col("__st.done").alias("steps_completed"),
             (F.col("__st.done") == k).alias("converted"),
             F.timestamp_micros(F.col("__st.t0")).alias("first_ts"),

@@ -71,9 +71,16 @@ def validate_expectations(ctx: OpContext, inputs: list[DataFrame], config: dict[
     if not expectations:
         raise ConfigError("validate.expectations requires 'expectations'")
     mode = config.get("mode", "error")
+    if mode == "report":
+        mode = "metrics"  # the declared allowed spelling
     if mode not in ("error", "metrics"):
-        raise ConfigError("validate.expectations: mode must be error|metrics")
+        raise ConfigError("validate.expectations: mode must be error|report (metrics)")
 
+    # 'between' is the documented alias of 'in_range'
+    expectations = [
+        {**ex, "kind": "in_range"} if ex.get("kind") == "between" else ex
+        for ex in expectations
+    ]
     aggs: list[Column] = [F.count(F.lit(1)).alias("__rows")]
     for i, ex in enumerate(expectations):
         kind = ex.get("kind")
@@ -192,19 +199,40 @@ def drift_psi(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     column = config.get("column")
     lo = config.get("min")
     hi = config.get("max")
-    if not column or lo is None or hi is None:
-        raise ConfigError("drift.psi requires 'column', 'min' and 'max'")
-    lo, hi = float(lo), float(hi)
-    if not hi > lo:
-        raise ConfigError("drift.psi: max must be > min")
+    if not column:
+        raise ConfigError("drift.psi requires 'column'")
+    if (lo is None) != (hi is None):
+        raise ConfigError("drift.psi: pass both 'min' and 'max' or neither")
     bins = int(config.get("bins", 10))
     if bins < 2:
         raise ConfigError("drift.psi: bins must be >= 2")
     eps = float(config.get("epsilon", 1e-6))
 
+    if lo is not None:
+        lo, hi = float(lo), float(hi)
+        if not hi > lo:
+            raise ConfigError("drift.psi: max must be > min")
+        lo_c, hi_w = F.lit(lo), F.lit(hi - lo)
+        bounds = None
+    else:
+        # documented default: derive the bin range from the REFERENCE
+        # side (both sides bin on the same range, so runs against one
+        # reference stay comparable) — a lazy 1-row broadcast, no
+        # driver action at plan build
+        x0 = F.col(column).cast("double")
+        bounds = ref.agg(
+            F.min(x0).alias("__psi_lo"), F.max(x0).alias("__psi_hi")
+        )
+        lo_c = F.col("__psi_lo")
+        # constant column: width 0 would divide by zero — every value
+        # then lands in bin 0 via the guard
+        hi_w = F.greatest(F.col("__psi_hi") - F.col("__psi_lo"), F.lit(1e-300))
+
     def binned(df: DataFrame, name: str) -> DataFrame:
+        if bounds is not None:
+            df = df.crossJoin(F.broadcast(bounds))
         x = F.col(column).cast("double")
-        b = F.floor((x - F.lit(lo)) / F.lit(hi - lo) * F.lit(float(bins))).cast("int")
+        b = F.floor((x - lo_c) / hi_w * F.lit(float(bins))).cast("int")
         b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1))
         return (
             df.filter(x.isNotNull())

@@ -84,9 +84,29 @@ def time_resample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     if isinstance(by, str):
         by = [by]
     fill = config.get("fill", "none")
+    if fill == "ffill":
+        fill = "prev"  # the declared allowed spelling
     if fill not in ("none", "zero", "prev"):
-        raise ConfigError("time.resample: fill must be none|zero|prev")
-    aggs: dict[str, Any] = config.get("aggs") or {"n": {"column": ts_col, "fn": "count"}}
+        raise ConfigError("time.resample: fill must be none|zero|ffill (prev)")
+    aggs = config.get("aggs") or {"n": {"column": ts_col, "fn": "count"}}
+    # declared array form [{column, operation, alias?, fill?}]; the
+    # dict form {name: {column, fn, fill?}} stays accepted
+    if isinstance(aggs, list):
+        named: dict[str, Any] = {}
+        for spec in aggs:
+            fn = str(spec.get("operation") or spec.get("fn") or "count").lower()
+            col = spec.get("column", ts_col)
+            name = spec.get("alias") or spec.get("output_column") or f"{col}_{fn}"
+            named[name] = {"column": col, "fn": fn,
+                           **({"fill": spec["fill"]} if "fill" in spec else {})}
+        aggs = named
+    else:
+        # the dict form may also spell the fn as 'operation'
+        aggs = {
+            name: {**spec, "fn": str(spec.get("operation") or spec.get("fn")
+                                     or "count").lower()}
+            for name, spec in aggs.items()
+        }
 
     exprs = []
     for name, spec in aggs.items():
@@ -98,7 +118,11 @@ def time_resample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     bucket = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(interval_us)).alias("__bkt")
     observed = df.withColumn("__bkt", bucket).groupBy(*by, "__bkt").agg(*exprs)
 
-    fills = {name: str(spec.get("fill", fill)) for name, spec in aggs.items()}
+    fills = {
+        name: ("prev" if str(spec.get("fill", fill)) == "ffill"
+               else str(spec.get("fill", fill)))
+        for name, spec in aggs.items()
+    }
     bad = {n: f for n, f in fills.items() if f not in ("none", "zero", "prev")}
     if bad:
         raise ConfigError(f"time.resample: bad per-agg fill {bad}")

@@ -53,12 +53,23 @@ def _as_list(v: Any) -> list[str]:
     return list(v)
 
 
+def _split_dir(item: str) -> tuple[str, bool]:
+    """'name' / 'name desc' / 'name asc' -> (name, descending?)."""
+    s = item.strip()
+    if " " in s:
+        name, _, suffix = s.rpartition(" ")
+        if suffix.lower() in ("asc", "desc"):
+            return name.strip(), suffix.lower() == "desc"
+    return s, False
+
+
 def _order_cols(order_by: Any) -> list[Column]:
-    """[{column, direction}] or ["col", ...] -> Column list."""
+    """[{column, direction}] or ["col", "col desc", ...] -> Columns."""
     cols: list[Column] = []
     for item in order_by:
         if isinstance(item, str):
-            cols.append(F.col(item).asc())
+            name, desc = _split_dir(item)
+            cols.append(F.col(name).desc() if desc else F.col(name).asc())
         else:
             c = F.col(item["column"])
             cols.append(
@@ -114,7 +125,7 @@ def topk_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         # rows land deterministically; each bucket holds ~1/salt of
         # the group and its top-k is computed from a far smaller sort.
         last = order_by[-1]
-        tie = last if isinstance(last, str) else last["column"]
+        tie = _split_dir(last)[0] if isinstance(last, str) else last["column"]
         bucket = F.pmod(F.xxhash64(F.col(tie).cast("string")), F.lit(salt))
         w1 = Window.partitionBy(*by, bucket).orderBy(*order)
         df = (

@@ -279,3 +279,111 @@ def test_excel_write_refuses_oversize(ctx, spark, tmp_path):
     df = spark.createDataFrame([(i,) for i in range(5)], "x INT")
     with pytest.raises(ConfigError, match="max_rows"):
         run_op(ctx, "excel.write", [df], path=str(tmp_path / "o.xlsx"), max_rows=3)
+
+
+# -- datapipe declared-interface fixes -------------------------------------
+
+def test_simhash_bits_64_not_null(ctx, spark):
+    """bits=64 used to compute h % (2<<63) == h % 0 -> NULL for every
+    document (int64 overflow in the old modulo bit test)."""
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "id INT, text STRING")
+    out = run_op(ctx, "dedup.simhash", [df], column="text", bits=64)
+    val = out.first()["simhash"]
+    assert val is not None and val != 0
+
+
+def test_event_funnel_array_by(ctx, spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("u1", "a", "view", 1.0), ("u1", "a", "click", 2.0),
+         ("u1", "b", "view", 3.0)],
+        "user_id STRING, site STRING, event_type STRING, t DOUBLE",
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = run_op(ctx, "event.funnel", [df], steps=["view", "click"],
+                 by=["user_id", "site"])
+    got = {(r["user_id"], r["site"]): r["steps_completed"] for r in out.collect()}
+    assert got == {("u1", "a"): 2, ("u1", "b"): 1}
+
+
+def test_retention_and_sessionize_array_by(ctx, spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("u1", 10.0), ("u1", 90000.0), ("u2", 10.0)], "user_id STRING, t DOUBLE"
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = run_op(ctx, "retention.cohort", [df], by=["user_id"],
+                 interval_seconds=86400)
+    periods = {r["period"]: r["active_users"] for r in out.collect()}
+    assert periods == {0: 2, 1: 1}
+    sess = run_op(ctx, "sessionize.assign", [df], by=["user_id"],
+                  gap_seconds=60, global_id=True)
+    ids = {r["session_id"] for r in sess.collect()}
+    assert ids == {"u1#0", "u1#1", "u2#0"}
+
+
+def test_text_extract_array_fields(ctx, spark):
+    df = spark.createDataFrame([("status=404 path=/x",)], "log STRING")
+    out = run_op(ctx, "text.extract", [df], column="log",
+                 fields=[{"name": "code", "pattern": r"status=(\d+)", "type": "int"},
+                         {"name": "path", "pattern": r"path=(\S+)"}])
+    r = out.first()
+    assert r["code"] == 404 and r["path"] == "/x"
+
+
+def test_time_resample_array_aggs_and_ffill(ctx, spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("k", 0.0, 10.0), ("k", 7200.0, 30.0)], "k STRING, t DOUBLE, value DOUBLE"
+    ).withColumn("ts", F.timestamp_seconds("t"))
+    out = run_op(ctx, "time.resample", [df], interval_seconds=3600, by=["k"],
+                 aggs=[{"column": "value", "operation": "sum", "alias": "total"}],
+                 fill="ffill")
+    rows = sorted((r["total"]) for r in out.collect())
+    # gap hour carried the previous value forward
+    assert rows == [10.0, 10.0, 30.0]
+    assert "total" in out.columns
+
+
+def test_topk_order_by_desc_suffix(ctx, spark):
+    df = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, 9), ("g", 3, 7)], "grp STRING, id INT, score INT"
+    )
+    out = run_op(ctx, "topk.apply", [df], by=["grp"],
+                 order_by=["score desc", "id"], k=2)
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
+    # salted path extracts the tie column from the suffixed form too
+    out = run_op(ctx, "topk.apply", [df], by=["grp"],
+                 order_by=["score desc", "id asc"], k=2, salt=3)
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
+
+
+def test_drift_psi_default_range_from_reference(ctx, spark):
+    ref = spark.createDataFrame([(float(i),) for i in range(10)], "score DOUBLE")
+    cur = spark.createDataFrame([(float(i),) for i in range(5, 15)], "score DOUBLE")
+    out = run_op(ctx, "drift.psi", [ref, cur], column="score", bins=5)
+    rows = out.collect()
+    assert len(rows) == 5 and rows[0]["psi_total"] > 0
+    # explicit range still works and must agree with itself
+    out2 = run_op(ctx, "drift.psi", [ref, cur], column="score", bins=5,
+                  min=0.0, max=9.0)
+    assert abs(rows[0]["psi_total"] - out2.collect()[0]["psi_total"]) < 1e-12
+
+
+def test_expectations_report_mode_and_between(ctx, spark):
+    df = spark.createDataFrame([(1, 0.5), (2, 0.7)], "id INT, score DOUBLE")
+    out = run_op(ctx, "validate.expectations", [df], mode="report",
+                 expectations=[{"kind": "between", "column": "score",
+                                "min": 0.0, "max": 1.0},
+                               {"kind": "not_null", "column": "id"}])
+    rows = out.collect()
+    assert all(r["passed"] for r in rows)
+
+
+def test_text_normalize_nfd(ctx, spark):
+    df = spark.createDataFrame([("café",)], "text STRING")
+    out = run_op(ctx, "text.normalize", [df], column="text", form="nfd",
+                 lowercase=False, collapse_whitespace=False, trim=False)
+    # NFD decomposes the accent into a combining mark (len 4 -> 5)
+    assert len(out.first()["text"]) == 5

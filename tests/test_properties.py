@@ -308,7 +308,7 @@ class TestSqlStringExprParity:
             ),
             min_size=1, max_size=6,
         ),
-        bits=st.sampled_from([4, 16, 32]),
+        bits=st.sampled_from([4, 16, 32, 64]),
     )
     @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
     def test_simhash_matches_python(self, spark, ctx, docs, bits):

@@ -108,5 +108,7 @@ def test_psi_config_errors(ctx, spark):
         run_op(ctx, "drift.psi", [df, df], column="v", min=5, max=5)
     with pytest.raises(ConfigError):
         run_op(ctx, "drift.psi", [df, df], column="v", min=0, max=1, bins=1)
+    # min without max (or vice versa) is an error; BOTH absent is the
+    # documented derive-from-reference default
     with pytest.raises(ConfigError):
-        run_op(ctx, "drift.psi", [df, df], column="v")
+        run_op(ctx, "drift.psi", [df, df], column="v", min=0)
