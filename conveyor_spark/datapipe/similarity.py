@@ -68,12 +68,15 @@ def _topk(joined: DataFrame, k: int) -> DataFrame:
 
 
 def _resolve_queries(
-    corpus: DataFrame, inputs: list[DataFrame], config: dict[str, Any], id_column: str
+    corpus: DataFrame, inputs: list[DataFrame], config: dict[str, Any],
+    id_column: str, allow_self: bool = False,
 ) -> DataFrame:
     if len(inputs) > 1:
         return inputs[1]
     qids = config.get("query_ids")
     if not qids:
+        if allow_self:
+            return corpus  # self-kNN (same default as knn.lsh)
         raise ConfigError("knn requires a second input or 'query_ids'")
     return corpus.filter(F.col(id_column).isin(list(qids)))
 
@@ -169,7 +172,9 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
     if not id_column or not bucket:
         raise ConfigError("knn.ivf requires 'id_column' and 'bucket_column'")
     k = int(config.get("k", 10))
-    queries = _resolve_queries(corpus, inputs, config, id_column)
+    # no queries given -> self-kNN within each bucket (knn.lsh's
+    # default; self-matches are excluded either way)
+    queries = _resolve_queries(corpus, inputs, config, id_column, allow_self=True)
     if config.get("method", "gemm") == "gemm":
         import numpy as np
         import pandas as pd

@@ -232,7 +232,11 @@ def join_range(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
 
     v = F.col(on)
     if bucket is not None:
-        w = float(bucket)
+        from conveyor_spark.durations import parse_duration_seconds
+
+        # "1 hour" etc. — the point column's native unit is seconds
+        # for timestamps, so duration strings translate directly
+        w = parse_duration_seconds(bucket, "join.range bucket")
         exploded = r.withColumn(
             "__rng_k",
             F.explode(

@@ -1,0 +1,144 @@
+"""EXECUTE every transform op's registered example config.
+
+tests/test_metadata.py checks examples against the declared param
+metadata (names, types, allowed values) but never runs them — which
+let several ops ship examples their own code crashed on (simhash
+bits=64, text.extract's array fields, time.resample's aggs shape,
+topk's 'score desc', drift.psi's default range...). This suite runs
+each example against a kitchen-sink DataFrame carrying every column
+the examples reference; a new op's example is executed by default —
+opting out requires an entry in EXCLUDE with a reason.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from conveyor_spark.registry import REGISTRY, _ensure_loaded
+from tests.conftest import run_op
+
+# ops whose example cannot run in this harness — reason required
+EXCLUDE = {
+    "http.fetch": "per-row HTTP against a real endpoint",
+    "decrypt.apply": "needs ciphertext produced by a matching key",
+    "stage.pipeline": "example references a pipeline file on disk",
+    "stream.count_window": "needs a streaming input",
+    "stream.dedup": "needs a streaming input",
+    "stream.funnel": "needs a streaming input",
+    "stream.join": "needs streaming inputs",
+    "stream.session_window": "needs a streaming input",
+}
+
+# config overrides where the example's value is a placeholder
+# (env-var keys), keyed by op name
+OVERRIDES = {
+    "encrypt.apply": {"key": "0123456789abcdef0123456789abcdef"},
+}
+
+# ops whose example needs a specific input SHAPE (pair lists, SCD2
+# history, column-collision-free frames); fn(df) -> [inputs]
+INPUT_BUILDERS = {
+    # a pairs frame: (id_a, id_b) edges
+    "dedup.components": lambda df: [
+        df.selectExpr("id AS id_a", "id + 1 AS id_b")
+    ],
+    # flatten=True collides with the kitchen sink's own 'id' column —
+    # that refusal is correct behavior; parse into a clean frame
+    "json.parse": lambda df: [df.select("payload")],
+    # scd2 history: value columns + the bookkeeping triple
+    "scd2.apply": lambda df: [
+        df.select("customer_id", "amount", "updated_at").selectExpr(
+            "*",
+            "updated_at AS valid_from",
+            "CAST(NULL AS TIMESTAMP) AS valid_to",
+            "true AS is_current",
+        ),
+        df.select("customer_id", "amount", "updated_at"),
+    ],
+}
+
+
+def _ts(s: float) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+@pytest.fixture(scope="module")
+def kitchen_sink(spark):
+    rows = []
+    for i in range(1, 9):
+        rows.append(
+            {
+                "id": i,
+                "doc_id": i,
+                "x": i,
+                "user_id": i,
+                "customer_id": i % 3,
+                "sensor_id": i % 2,
+                "event_id": i,
+                "_id": f"{i:024x}",
+                "name": f"acme corp {i}",
+                "text": f"the quick brown fox {i} jumps over the lazy dog",
+                "log": f"status={400 + i} path=/p/{i}",
+                "html": f"<p>hello <b>{i}</b></p>",
+                "props": f'{{"user": {{"id": {i}}}}}',
+                "payload": f'{{"id": {i}, "tags": ["a"]}}',
+                "ssn": f"123-45-678{i}",
+                "content": f"BYTES{i}".encode(),
+                "path": f"/data/file{i}.bin",
+                "source": f"src{i % 2}",
+                "language": "en" if i % 2 else "fr",
+                "region": "east" if i % 2 else "west",
+                "status": "active" if i % 2 else "closed",
+                "event_type": ["view", "click", "purchase"][i % 3],
+                "category": f"cat{i % 2}",
+                "amount": 100.0 + i,
+                "price": 10.0 * i,
+                "discount": 0.1,
+                "value": float(i),
+                "score": i / 10.0,
+                "quality": i / 10.0,
+                "latency_ms": 10.0 * i,
+                "n_tokens": 100 * i,
+                "lat": 10.0 + i,
+                "lon": 20.0 + i,
+                "q1": float(i),
+                "q2": float(i * 2),
+                "q3": float(i * 3),
+                "lsh_sig": i % 2,
+                "ivf_cell": i % 2,
+                "embedding": [float((i * 7 + j) % 13) / 13 for j in range(64)],
+                "ts": _ts(i * 400.0),
+                "updated_at": _ts(i * 400.0),
+                "start_ts": _ts(0.0),
+                "end_ts": _ts(7200.0),
+            }
+        )
+    return spark.createDataFrame(rows)
+
+
+def _transform_ops():
+    _ensure_loaded()
+    return sorted(
+        name for name, op in REGISTRY.items()
+        if op.kind == "transform" and op.example
+        and op.fn.__module__.startswith("conveyor_spark")
+    )
+
+
+@pytest.mark.parametrize("name", _transform_ops())
+def test_registered_example_executes(ctx, kitchen_sink, name):
+    op = REGISTRY[name]
+    if name in EXCLUDE:
+        pytest.skip(EXCLUDE[name])
+    cfg = dict(op.example)
+    cfg.update(OVERRIDES.get(name, {}))
+    if name in INPUT_BUILDERS:
+        inputs = INPUT_BUILDERS[name](kitchen_sink)
+    else:
+        inputs = [kitchen_sink] * max(op.min_inputs, 1)
+    out = run_op(ctx, name, inputs, **cfg)
+    # the example must produce a materializable DataFrame
+    assert out is not None
+    out.limit(5).collect()
