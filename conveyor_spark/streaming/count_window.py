@@ -66,8 +66,9 @@ def count_tumbling(
         window_id, filled = state.get if state.exists else (0, 0)
         emitted: dict[int, int] = {}
         for pdf in pdfs:
-            if order_by:
-                pdf = pdf.sort_values(order_by)
+            # no sort: the output is per-window COUNTS, which are
+            # invariant under row ordering — order_by is interface
+            # parity only (see the param desc)
             n = len(pdf)
             i = 0
             while i < n:
@@ -159,9 +160,12 @@ def count_sliding(
         P("slide", "integer", min=1,
           desc="Rows between window starts (default: size, i.e. tumbling; "
                "smaller = overlapping sliding windows)"),
-        P("key_columns", "array", desc="Columns carried into the output"),
+        P("key_columns", "array",
+          desc="Alias for group_by (the state/grouping key)"),
         P("group_by", "array", desc="Per-key windows (state key)"),
-        P("order_by", "array", desc="In-batch ordering for determinism"),
+        P("order_by", "array",
+          desc="Accepted for interface parity; the emitted per-window "
+               "counts are row-order invariant, so no sort runs"),
     ],
     example={"size": 500, "group_by": ["event_type"], "order_by": ["ts"]},
     tags=["streaming", "window", "stateful"],

@@ -59,6 +59,11 @@ def stream_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     within_us = None if within is None else int(float(within) * 1_000_000)
     k = len(steps)
 
+    if not sdf.isStreaming:
+        raise ConfigError(
+            "stream.funnel is the streaming path; use event.funnel for "
+            "batch DataFrames"
+        )
     # declared type is array — accept both the list form and the bare
     # string, and key state on EVERY entity column
     bys = [by] if isinstance(by, str) else list(by)
@@ -67,7 +72,10 @@ def stream_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
         *[F.col(b) for b in bys],
         F.unix_micros(F.col(ts_col)).alias("__us"),
         F.col(type_col).cast("string").alias("__et"),
-    )
+    ).filter(F.col("__us").isNotNull())
+    # (null timestamps are unorderable — dropped, matching the batch
+    # funnel where a null-us struct can never satisfy `us > tp`; a
+    # NaN reaching int() would otherwise kill the streaming query)
     out_schema = T.StructType(
         [
             *key_fields,
@@ -91,22 +99,25 @@ def stream_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
         import pandas as pd
 
         done, t0, tp = state.get if state.exists else (0, 0, 0)
-        touched = False
+        # Gather the key's WHOLE micro-batch before sorting: pdfs is
+        # an iterator of Arrow chunks (~10k rows each), and a
+        # chunk-local sort folds cross-chunk events out of event-time
+        # order — the strict `us > tp` chain then silently misses
+        # conversions for any key with more rows than one chunk.
+        events: list[tuple] = []
         for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            touched = True
-            pdf = pdf.sort_values(["__us", "__et"])
-            for us, et in zip(pdf["__us"], pdf["__et"]):
-                us = int(us)
-                if done == 0:
-                    if et == steps[0]:
-                        done, t0, tp = 1, us, us
-                elif done < k and et == steps[done] and us > tp and (
-                    within_us is None or us <= t0 + within_us
-                ):
-                    done += 1
-                    tp = us
+            events.extend(zip(pdf["__us"], pdf["__et"]))
+        touched = bool(events)
+        for us, et in sorted(events):
+            us = int(us)
+            if done == 0:
+                if et == steps[0]:
+                    done, t0, tp = 1, us, us
+            elif done < k and et == steps[done] and us > tp and (
+                within_us is None or us <= t0 + within_us
+            ):
+                done += 1
+                tp = us
         state.update((done, t0, tp))
         if touched and done >= 1:
             # tz-aware UTC epoch: naive datetimes would be re-read in the

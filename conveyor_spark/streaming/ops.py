@@ -183,6 +183,7 @@ def run_available_now(
           desc="Lower bound on left.time - right.time (default: -max_delta)"),
         P("watermark", desc="Watermark delay (default: max_delta)"),
         P("how", default="inner", allowed=("inner", "left", "right"), desc="Join type"),
+        P("right_time_column", desc="Right stream's time column (default: time_column)"),
         P("right_prefix", default="r_", desc="Prefix for right-side columns"),
     ],
     example={"on": ["user_id"], "time_column": "ts", "max_delta": "10 minutes"},
@@ -230,10 +231,11 @@ def stream_join(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     )
     watermark = config.get("watermark")
     if not watermark:
-        raise ConfigError(
-            "stream.join requires 'watermark' (e.g. '2 hours') — unbounded "
-            "join state never gets cleaned up"
-        )
+        # the documented default: state only needs to cover the join
+        # window itself, so the time bound doubles as the delay
+        import math
+
+        watermark = f"{int(math.ceil(abs(max_delta)))} seconds"
     how = config.get("how", "inner")
     if how not in ("inner", "left", "right"):
         raise ConfigError("stream.join: how must be inner|left|right")

@@ -74,7 +74,21 @@ def session_assign(
     dur_us = int(max_duration * 1_000_000) if max_duration is not None else None
     cap_rows = int(max_rows) if max_rows is not None else None
 
+    # EPOCH micros computed JVM-side (unix_micros), not pandas
+    # wall-clock .value: Arrow hands pandas the session-timezone
+    # wall-clock, so gap arithmetic there distorts across DST jumps
+    # and NULL timestamps become NaT (INT64_MIN garbage). Same
+    # tz-safe contract as stream.funnel; null timestamps are dropped
+    # (unorderable).
+    from pyspark.sql import functions as F
+
+    src = sdf.select(
+        *key_columns, F.unix_micros(F.col(ts_column)).alias("__us")
+    ).filter(F.col("__us").isNotNull())
+
     def assign(key, pdfs: Iterator, state: GroupState) -> Iterator:
+        import datetime as dt
+
         import pandas as pd
 
         if state.exists:
@@ -82,44 +96,47 @@ def session_assign(
         else:
             session_id, start_us, last_us, n_rows = 0, None, None, 0
         out: list[list] = []
-
-        def us(ts) -> int:
-            return int(pd.Timestamp(ts).value // 1_000)
+        epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
 
         def emit(closed: bool) -> None:
             out.append(
                 list(key)
                 + [
                     session_id,
-                    pd.Timestamp(start_us * 1_000),
-                    pd.Timestamp(last_us * 1_000),
+                    epoch + dt.timedelta(microseconds=start_us),
+                    epoch + dt.timedelta(microseconds=last_us),
                     n_rows,
                     closed,
                 ]
             )
 
+        # gather the key's WHOLE micro-batch before sorting — pdfs is
+        # an iterator of Arrow chunks, and a chunk-local sort folds
+        # cross-chunk events out of event-time order (wrong session
+        # starts/splits for keys with more rows than one chunk)
+        times: list[int] = []
         for pdf in pdfs:
-            for ts in pdf[ts_column].sort_values():
-                t = us(ts)
-                if start_us is None:
-                    start_us, last_us, n_rows = t, t, 1
-                    continue
-                gap_break = t - last_us > gap_us
-                row_break = cap_rows is not None and n_rows >= cap_rows
-                dur_break = dur_us is not None and t - start_us > dur_us
-                if gap_break or row_break or dur_break:
-                    emit(True)
-                    session_id += 1
-                    start_us, last_us, n_rows = t, t, 1
-                else:
-                    last_us = max(last_us, t)
-                    n_rows += 1
+            times.extend(int(v) for v in pdf["__us"])
+        for t in sorted(times):
+            if start_us is None:
+                start_us, last_us, n_rows = t, t, 1
+                continue
+            gap_break = t - last_us > gap_us
+            row_break = cap_rows is not None and n_rows >= cap_rows
+            dur_break = dur_us is not None and t - start_us > dur_us
+            if gap_break or row_break or dur_break:
+                emit(True)
+                session_id += 1
+                start_us, last_us, n_rows = t, t, 1
+            else:
+                last_us = max(last_us, t)
+                n_rows += 1
         if start_us is not None:
             emit(False)  # the still-open session's current shape
         state.update((session_id, start_us, last_us, n_rows))
         yield pd.DataFrame(out, columns=[f.name for f in out_schema.fields])
 
-    return sdf.groupBy(*key_columns).applyInPandasWithState(
+    return src.groupBy(*key_columns).applyInPandasWithState(
         assign, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
 
@@ -130,11 +147,13 @@ def session_assign(
     doc="Stateful sessions with gap + row/duration caps (streaming)",
     params=[
         P("gap", "any", required=True, desc="Inactivity gap (seconds or duration)"),
-        P("group_by", "array", required=True, desc="Session key column(s)"),
+        P("group_by", "array",
+          desc="Session key column(s) (this or key_columns is required)"),
         P("ts_column", default="ts", desc="Event-time column"),
         P("max_rows", "integer", min=1, desc="Force-close after N rows"),
         P("max_duration", "any", desc="Force-close after this session length"),
-        P("key_columns", "array", desc="Columns carried into the output"),
+        P("key_columns", "array",
+          desc="Alias for group_by (the state/grouping key)"),
     ],
     example={"gap": 1800, "group_by": ["user_id"]},
     tags=["streaming", "session", "stateful"],

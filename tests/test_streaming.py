@@ -177,8 +177,10 @@ def test_stream_join_validates(ctx, spark, tmp_path):
         spark.readStream.schema("k string, ts string").json(str(src))
         .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
     )
-    with _pytest.raises(ConfigError):  # no watermark
-        run_op(ctx, "stream.join", [sdf, sdf], on="k", time_column="ts", max_delta=60)
+    # no watermark -> the documented default (max_delta as the delay)
+    out = run_op(ctx, "stream.join", [sdf, sdf], on="k", time_column="ts",
+                 max_delta=60)
+    assert out.isStreaming
     with _pytest.raises(ConfigError):  # no time column
         run_op(ctx, "stream.join", [sdf, sdf], on="k", max_delta=60, watermark="1 hour")
     with _pytest.raises(ConfigError):  # no max_delta
@@ -270,3 +272,54 @@ def test_stream_funnel_validates(ctx, spark, tmp_path):
         run_op(ctx, "stream.funnel", [sdf], steps=["view"], by="u")
     with _pytest.raises(ConfigError):
         run_op(ctx, "stream.funnel", [sdf], steps=["view", "click"])
+
+
+def test_funnel_and_sessions_order_across_arrow_chunks(ctx, spark, tmp_path):
+    """applyInPandasWithState hands each key's batch as MULTIPLE Arrow
+    chunks once it exceeds maxRecordsPerBatch; a chunk-local sort used
+    to fold cross-chunk events out of event-time order (missed funnel
+    conversions, wrong session starts). Shrink the chunk size and feed
+    one key's data REVERSED so the late chunk holds the earliest
+    events."""
+    import json as _j
+
+    from conveyor_spark.streaming.ops import run_available_now
+    from tests.conftest import run_op
+
+    src = tmp_path / "ev"
+    src.mkdir()
+    # one user: 120 alternating view/click pairs in REVERSE time order,
+    # so with chunk size 40 the earliest events land in the last chunk
+    rows = []
+    for i in range(120):
+        t = 120 - i
+        rows.append({"user_id": "u1", "event_type": "view" if t % 2 else "click",
+                     "t": float(t)})
+    (src / "a.jsonl").write_text("\n".join(_j.dumps(r) for r in rows))
+    schema = "user_id STRING, event_type STRING, t DOUBLE"
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "40")
+    try:
+        def stream():
+            return (
+                spark.readStream.schema(schema).json(str(src))
+                .withColumn("ts", F.timestamp_seconds("t"))
+            )
+
+        out = run_op(ctx, "stream.funnel", [stream()],
+                     steps=["view", "click"], by="user_id")
+        got = run_available_now(out, "t_chunk_funnel", output_mode="update")
+        r = got.collect()[-1]
+        # view at t=1 then click at t=2 — only visible if the whole
+        # batch was sorted before folding
+        assert r["steps_completed"] == 2 and r["converted"]
+
+        sess = run_op(ctx, "stream.session_window", [stream()],
+                      gap=30, group_by=["user_id"])
+        got = run_available_now(sess, "t_chunk_sess", output_mode="update")
+        r = got.collect()[-1]
+        # one contiguous session over all 120 events, starting at t=1
+        assert r["n_rows"] == 120 and not r["closed"]
+        assert r["start_ts"].second == 1 and r["start_ts"].minute == 0
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
