@@ -91,6 +91,11 @@ class StageBuilder:
             except ValueError as exc:
                 self.say(f"    invalid: {exc}")
                 continue
+            if value is None and p.required:
+                # typing 'null' for an object/any param coerces to
+                # None — that must not satisfy a REQUIRED parameter
+                self.say(f"    {p.name} is required — {p.desc}")
+                continue
             if err := _check(p, value):
                 self.say(f"    invalid: {err}")
                 continue

@@ -92,7 +92,9 @@ def add_plugin(
         pm = re.search(r'^plugins\s*=\s*\[(.*?)\]', section, re.M | re.S)
         if pm:
             existing = pm.group(1).strip()
-            if f'"{module}"' in existing:
+            # TOML strings may be basic ("x") OR literal ('x') — an
+            # already-wired single-quoted entry must not be duplicated
+            if f'"{module}"' in existing or f"'{module}'" in existing:
                 return module  # already wired
             sep = ", " if existing else ""
             new = f'plugins = [{existing}{sep}"{module}"]'

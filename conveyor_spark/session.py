@@ -41,7 +41,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32),
+            # parenthesize: the bare conditional binds the WHOLE
+            # or-expression, discarding an explicit shuffle_partitions
+            # whenever the cpus env var is non-numeric
+            str(shuffle_partitions or (int(cpus) if str(cpus).isdigit() else 32)),
         )
         # Broadcast small dims automatically; explicit broadcast()
         # hints are still used for known-small tables.

@@ -32,7 +32,9 @@ from urllib.parse import quote as _urlquote
 
 from conveyor_spark.errors import ConfigError
 
-_TAG_RE = re.compile(r"(\{\{\{\s*.*?\s*\}\}\}|\{\{.*?\}\})", re.S)
+# tag bodies exclude braces so mixed raw/normal tags can't swallow
+# intervening literal text ('{{{a}} x {{b}}}' is not ONE raw tag)
+_TAG_RE = re.compile(r"(\{\{\{[^{}]*\}\}\}|\{\{[^{}]*\}\})")
 
 _HELPERS: dict[str, Callable[..., Any]] = {
     "upper": lambda v, *a: str(v).upper(),
@@ -58,14 +60,12 @@ def _lookup(path: str, scopes: list[Any]) -> Any:
     """Resolve a dotted path against the scope stack (innermost first)."""
     if path.startswith(('"', "'")) and path.endswith(path[0]):
         return path[1:-1]
-    try:
+    # strict numeric literals only — float() would also accept
+    # 'nan'/'inf'/'infinity' and shadow context keys of those names
+    if re.fullmatch(r"-?\d+", path):
         return int(path)
-    except ValueError:
-        pass
-    try:
+    if re.fullmatch(r"-?\d+\.\d+", path):
         return float(path)
-    except ValueError:
-        pass
     if path in ("true", "false"):
         return path == "true"
     parts = path.split(".")
@@ -82,7 +82,14 @@ def _lookup(path: str, scopes: list[Any]) -> Any:
         elif isinstance(scope, dict) and head in scope:
             cur = scope[head]
             parts_iter = parts[1:]
-        elif hasattr(scope, head) and not isinstance(scope, (str, int, float)):
+        elif (
+            hasattr(scope, head)
+            and not isinstance(scope, (str, int, float))
+            and not callable(getattr(scope, head))
+        ):
+            # attribute fallback is for DATA attributes (Row fields,
+            # dataclasses) — a callable match is a method (dict.items,
+            # list.copy, ...) leaking through, never template data
             cur = getattr(scope, head)
             parts_iter = parts[1:]
         else:
@@ -158,10 +165,14 @@ def _parse(template: str) -> list[Any]:
         else:
             root.append(node)
 
-    for piece in _TAG_RE.split(template):
+    # re.split with a capturing group alternates text/tag: only ODD
+    # indices are tags — a text piece that merely STARTS with '{{'
+    # (an unterminated tag) must stay literal, not be silently
+    # sliced apart
+    for i, piece in enumerate(_TAG_RE.split(template)):
         if not piece:
             continue
-        if not piece.startswith("{{"):
+        if i % 2 == 0:
             emit(_Text(piece))
             continue
         raw = piece.startswith("{{{")
@@ -200,7 +211,17 @@ def _render_nodes(nodes: list[Any], scopes: list[Any], html_escape: bool) -> str
             out.append(node.s)
         elif isinstance(node, _Var):
             v = _eval_expr(node.expr, scopes)
-            s = "" if v is None else (_json.dumps(v, default=str) if isinstance(v, (dict, list)) else str(v))
+            # Handlebars spells booleans lowercase — Python's
+            # 'True'/'False' breaks the documented row-query pattern
+            # '{"active": {{ active }}}' (json.loads rejects it)
+            if v is None:
+                s = ""
+            elif v is True or v is False:
+                s = "true" if v else "false"
+            elif isinstance(v, (dict, list)):
+                s = _json.dumps(v, default=str)
+            else:
+                s = str(v)
             if html_escape and not node.raw:
                 s = _html.escape(s, quote=True)
             out.append(s)

@@ -182,3 +182,60 @@ def test_cli_explain_and_build_only(tmp_path, capsys, spark):
     result = compile_pipeline(spark, load_spec(str(out)), run_sinks=False)
     assert "print_results" in result.skipped
     assert "filter_active" in result.outputs and not result.errors
+
+
+def test_add_stage_object_and_dotted_config(tmp_path):
+    """Dict config values become inline tables (not Python reprs) and
+    dotted keys are quoted (not silently nested)."""
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out))
+    add_stage(str(out), "split", "split.assign", ["filter_active"],
+              ["id_column=id", 'fractions={"train": 0.9, "test": 0.1}',
+               'some.dotted.key=v'])
+    spec = load_spec(str(out))
+    cfg = spec.stage_map()["split"].config
+    assert cfg["fractions"] == {"train": 0.9, "test": 0.1}
+    assert cfg["some.dotted.key"] == "v"
+
+
+def test_add_stage_rejects_null_config(tmp_path):
+    out = tmp_path / "p.toml"
+    scaffold_pipeline(str(out))
+    before = out.read_text()
+    with pytest.raises(Exception, match="null"):
+        add_stage(str(out), "s2", "filter.apply", ["filter_active"],
+                  ["column=null"])
+    assert out.read_text() == before  # file untouched
+
+
+def test_list_plugins_reports_ops_for_cached_modules(tmp_path):
+    """import_module is a no-op for an already-imported plugin; the
+    report must still attribute its registered ops."""
+    import sys
+
+    from conveyor_spark.scaffold import list_plugins
+
+    plug = tmp_path / "cached_plug_mod.py"
+    plug.write_text(
+        "from conveyor_spark.registry import register, OpContext\n"
+        "@register('cached.noop', kind='transform')\n"
+        "def noop(ctx, inputs, config):\n"
+        "    return inputs[0]\n"
+    )
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import importlib
+        importlib.import_module("cached_plug_mod")  # pre-cache it
+        p = tmp_path / "p.toml"
+        p.write_text(
+            '[pipeline]\nname = "x"\n\n[global]\n'
+            'plugins = ["cached_plug_mod"]\n\n'
+            '[[stages]]\nid = "s"\nfunction = "cached.noop"\n'
+        )
+        report = dict(list_plugins(str(p)))
+        assert report["cached_plug_mod"] == ["cached.noop"]
+    finally:
+        sys.path.remove(str(tmp_path))
+        sys.modules.pop("cached_plug_mod", None)
+        from conveyor_spark.registry import REGISTRY
+        REGISTRY.pop("cached.noop", None)

@@ -152,3 +152,40 @@ def test_mongodb_variable_templated_connection(spark, tmp_path):
     )
     calls = _recorded(str(tmp_path))
     assert calls and calls[0]["kind"] == "insert_many"
+
+
+def test_boolean_renders_lowercase_json_compatible():
+    # Handlebars spells booleans 'true'/'false'; the documented
+    # mongodb row-query pattern feeds the render into json.loads
+    import json
+
+    s = render('{"active": {{ active }}, "n": {{ n }}}',
+               {"active": True, "n": 3})
+    assert json.loads(s) == {"active": True, "n": 3}
+    assert render("{{ off }}", {"off": False}) == "false"
+
+
+def test_missing_name_never_leaks_container_methods():
+    # 'items'/'keys'/... collide with dict attributes — a missing
+    # context name must render '', not a bound-method repr
+    assert render("{{ items }}", {"a": 1}) == ""
+    assert render("{{ keys }}-{{ update }}", {"a": 1}) == "-"
+    # but a real data attribute still resolves (Row-style objects)
+    class Obj:
+        user_id = 42
+    assert render("{{ user_id }}", Obj()) == "42"
+
+
+def test_nan_inf_are_context_keys_not_literals():
+    assert render("{{ nan }}", {"nan": "hello"}) == "hello"
+    assert render("{{ inf }}", {"inf": 5}) == "5"
+
+
+def test_unterminated_tag_stays_literal():
+    assert render("{{a}}{{b", {"a": 1, "b": 2}) == "1{{b"
+    assert render("x }} y", {}) == "x }} y"
+
+
+def test_mixed_raw_and_normal_tags_keep_literal_text():
+    out = render("{{{a}}} text {{b}}", {"a": "<x>", "b": 2})
+    assert out == "<x> text 2"
