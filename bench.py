@@ -39,12 +39,20 @@ CALIBRATION_QUERY = "q01_pricing_summary"
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")))
+    rep_raw = os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")
+    repeat = max(1, int(rep_raw)) if rep_raw.strip().isdigit() else 1
     only = set(sys.argv[1:])
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from conveyor_spark.queries import QUERIES
     from conveyor_spark.session import get_spark
+
+    if unknown := sorted(only - set(QUERIES)):
+        # a typo'd name would otherwise bench NOTHING and emit a
+        # perfect-looking {"value": 0.0} artifact with exit 0
+        print(f"bench: unknown queries {unknown}; known: {sorted(QUERIES)[:5]}...",
+              file=sys.stderr)
+        return 2
 
     spark = get_spark(app_name="conveyor-bench")
     # warm the JVM + parquet footers with a trivial job

@@ -73,12 +73,18 @@ def main() -> int:
     common = sorted(set(oq) & set(nq))
 
     rows = []
+    broken = []  # worked in OLD, errors in NEW — worst regression
     for q in common:
         a, b = oq[q], nq[q]
+        if b is not None and b < 0 and (a is not None and a >= 0):
+            broken.append(q)
+            rows.append((q, a, b, None))
+            continue
         if a is None or b is None or a < 0 or b < 0:
             rows.append((q, a, b, None))
             continue
-        norm = b / (a * host) if a * host > 0 else float("inf")
+        # bench rounds to 1ms; a recorded 0.0 just means sub-resolution
+        norm = b / (max(a, 0.001) * host)
         rows.append((q, a, b, norm))
 
     regressed = [(q, a, b, r) for q, a, b, r in rows if r is not None and r > args.threshold]
@@ -98,11 +104,17 @@ def main() -> int:
         print(f"  removed: {q}")
     for q in only_new:
         print(f"  added: {q} ({nq[q]:.2f}s)")
-    errs = [q for q, a, b, r in rows if r is None]
+    errs = [q for q, a, b, r in rows if r is None and q not in broken]
     for q in errs:
         print(f"  not comparable (error/missing time): {q}")
+    for q in broken:
+        print(f"  BROKEN {q}: ran in old ({oq[q]:.2f}s), errors in new")
+    if only_old:
+        # a query VANISHING from the suite also fails the gate — a
+        # regression can't hide behind a deletion
+        print(f"  gate: {len(only_old)} queries removed from the suite")
 
-    return 1 if regressed else 0
+    return 1 if (regressed or broken or only_old) else 0
 
 
 if __name__ == "__main__":

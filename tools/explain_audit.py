@@ -286,19 +286,24 @@ def extra_checks(spark, sf_dir: str) -> list[tuple[str, str, bool]]:
     # bucketed join: no exchange on either side (co-location)
     facts = spark.range(0, 5000).selectExpr("id AS k", "id * 2 AS v")
     dims = spark.range(0, 500).selectExpr("id AS k", "concat('d', id) AS name")
-    get_function("table.write").fn(ctx, [facts], {"name": "audit_facts", "bucket_by": "k", "num_buckets": 4, "sort_by": "k"})
-    get_function("table.write").fn(ctx, [dims], {"name": "audit_dims", "bucket_by": "k", "num_buckets": 4, "sort_by": "k"})
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # table writes INSIDE the try: a failure writing the second table
+    # (stale table from a crashed run, disk error) must still drop
+    # whatever was created, or the next audit run inherits it
     try:
-        jp = plan_of(spark.table("audit_facts").join(spark.table("audit_dims"), on="k"))
-        results.append((
-            "bucketed_join",
-            "bucketed tables join without Exchange (co-located)",
-            "Exchange hashpartitioning" not in jp and "SortMergeJoin" in jp,
-        ))
+        get_function("table.write").fn(ctx, [facts], {"name": "audit_facts", "bucket_by": "k", "num_buckets": 4, "sort_by": "k"})
+        get_function("table.write").fn(ctx, [dims], {"name": "audit_dims", "bucket_by": "k", "num_buckets": 4, "sort_by": "k"})
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            jp = plan_of(spark.table("audit_facts").join(spark.table("audit_dims"), on="k"))
+            results.append((
+                "bucketed_join",
+                "bucketed tables join without Exchange (co-located)",
+                "Exchange hashpartitioning" not in jp and "SortMergeJoin" in jp,
+            ))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS audit_facts")
         spark.sql("DROP TABLE IF EXISTS audit_dims")
     return results
@@ -319,9 +324,17 @@ def main() -> int:
         if not ok:
             failures += 1
     for qname, desc, pred in CHECKS:
-        df = QUERIES[qname](spark, sf_dir)
-        p, o = plan_of(df), optimized_of(df)
-        ok = pred(p, o)
+        # one failing/renamed query must print FAIL and move on — the
+        # contract is a line per assertion plus a summary, not an
+        # aborted traceback that hides the remaining checks
+        try:
+            df = QUERIES[qname](spark, sf_dir)
+            p = plan_of(df)
+            ok = pred(p, None)  # no check uses the optimized plan
+        except Exception as exc:  # noqa: BLE001
+            print(f"FAIL {qname}: {desc} — {type(exc).__name__}: {str(exc)[:200]}")
+            failures += 1
+            continue
         print(f"{'PASS' if ok else 'FAIL'} {qname}: {desc}")
         if not ok:
             failures += 1
