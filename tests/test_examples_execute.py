@@ -21,20 +21,23 @@ from tests.conftest import run_op
 
 # ops whose example cannot run in this harness — reason required
 EXCLUDE = {
-    "http.fetch": "per-row HTTP against a real endpoint",
     "decrypt.apply": "needs ciphertext produced by a matching key",
     "stage.pipeline": "example references a pipeline file on disk",
-    "stream.count_window": "needs a streaming input",
-    "stream.dedup": "needs a streaming input",
-    "stream.funnel": "needs a streaming input",
-    "stream.join": "needs streaming inputs",
-    "stream.session_window": "needs a streaming input",
+}
+
+# ops whose example needs STREAMING inputs — built by the
+# streaming_sink fixture; the example still executes end-to-end
+STREAMING = {
+    "stream.count_window", "stream.dedup", "stream.funnel",
+    "stream.join", "stream.session_window",
 }
 
 # config overrides where the example's value is a placeholder
-# (env-var keys), keyed by op name
+# (env-var keys / real endpoints), keyed by op name
 OVERRIDES = {
     "encrypt.apply": {"key": "0123456789abcdef0123456789abcdef"},
+    # the documented injection hook replaces the real endpoint
+    "http.fetch": {"_fetcher": lambda u, m, h, b, t: '{"ok": true}'},
 }
 
 # ops whose example needs a specific input SHAPE (pair lists, SCD2
@@ -128,12 +131,27 @@ def _transform_ops():
 
 
 @pytest.mark.parametrize("name", _transform_ops())
-def test_registered_example_executes(ctx, kitchen_sink, name):
+def test_registered_example_executes(ctx, kitchen_sink, name, tmp_path):
     op = REGISTRY[name]
     if name in EXCLUDE:
         pytest.skip(EXCLUDE[name])
     cfg = dict(op.example)
     cfg.update(OVERRIDES.get(name, {}))
+    if name in STREAMING:
+        # drain the example end-to-end over a file stream of the same
+        # kitchen-sink rows
+        from conveyor_spark.streaming.ops import run_available_now
+
+        path = str(tmp_path / "stream_src")
+        kitchen_sink.write.mode("overwrite").parquet(path)
+        sdf = ctx.spark.readStream.schema(kitchen_sink.schema).parquet(path)
+        out = run_op(ctx, name, [sdf] * max(op.min_inputs, 1), **cfg)
+        mode = "append" if name in ("stream.dedup", "stream.join") else "update"
+        got = run_available_now(
+            out, f"t_ex_{name.replace('.', '_')}", output_mode=mode
+        )
+        got.collect()
+        return
     if name in INPUT_BUILDERS:
         inputs = INPUT_BUILDERS[name](kitchen_sink)
     else:
