@@ -67,6 +67,22 @@ def _op(name: str, ctx: OpContext, inputs: list[DataFrame], **config: Any) -> Da
 # to a stopped one (tests spin up their own sessions).
 _TABLE_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
+# (sf_dir, table) -> (session, on-disk StructType). The streaming
+# queries need the RAW schema (ts stays bigint there; load_table
+# rewrites it), and re-reading parquet footers per invocation was
+# ~0.1 s of driver time x 6 queries x bench repeats.
+_RAW_SCHEMA_CACHE: dict[tuple[str, str], tuple[SparkSession, object]] = {}
+
+
+def raw_schema(spark: SparkSession, sf_dir: str, name: str):
+    key = (sf_dir, name)
+    hit = _RAW_SCHEMA_CACHE.get(key)
+    if hit is not None and hit[0] is spark:
+        return hit[1]
+    schema = spark.read.parquet(f"{sf_dir}/{name}.parquet").schema
+    _RAW_SCHEMA_CACHE[key] = (spark, schema)
+    return schema
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load a test table; events.ts (ns parquet) -> microsecond
@@ -360,10 +376,11 @@ def q12_validate_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q13_chunk_batches",
+    # CTE form: DuckDB can't GROUP BY a window function directly
     """
-    SELECT ((row_number() OVER (ORDER BY event_id)) - 1) // 500 AS chunk_id,
-           COUNT(*) AS n_records
-    FROM events GROUP BY ((row_number() OVER (ORDER BY event_id)) - 1) // 500
+    WITH seq AS (
+      SELECT (row_number() OVER (ORDER BY event_id) - 1) // 500 AS chunk_id FROM events)
+    SELECT chunk_id, COUNT(*) AS n_records FROM seq GROUP BY chunk_id
     """,
 )
 def q13_chunk_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -374,14 +391,6 @@ def q13_chunk_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _op("chunk.apply", ctx, [ev], batch_size=500, order_by="event_id")
     df = _op("map.apply", ctx, [df], expression="CAST(size(records) AS BIGINT)", output_column="n_records")
     return _op("select.apply", ctx, [df], columns=["chunk_id", "n_records"])
-
-
-# oops — DuckDB can't GROUP BY a window function; fix q13's oracle:
-ORACLES["q13_chunk_batches"] = """
-WITH seq AS (
-  SELECT (row_number() OVER (ORDER BY event_id) - 1) // 500 AS chunk_id FROM events)
-SELECT chunk_id, COUNT(*) AS n_records FROM seq GROUP BY chunk_id
-"""
 
 
 @query(
@@ -707,9 +716,12 @@ _SQL_SHINGLE3 = (
 )
 
 
-def _sql_hash(expr: str, seed: int | None = None) -> str:
-    inner = expr if seed is None else f"{expr} || '#{seed}'"
-    return f"(('0x' || substr(md5({inner}), 1, 15))::BIGINT)"
+def _sql_hash(expr: str) -> str:
+    # the ONE portable-hash recipe — hashing.py owns it; every inline
+    # copy is a drift risk for the oracle contract
+    from conveyor_spark.datapipe.hashing import md5_int_sql
+
+    return md5_int_sql(expr)
 
 
 @query(
@@ -848,25 +860,36 @@ def q30_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                shingle="word", ngram=3, threshold=0.5, exact=True)
 
 
+from conveyor_spark.datapipe.text import DEFAULT_STOPWORDS, STOPWORDS
+
 _STOP_SQL = {
     lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
-    for lang, words in __import__("conveyor_spark.datapipe.text", fromlist=["STOPWORDS"]).STOPWORDS.items()
+    for lang, words in STOPWORDS.items()
 }
+
+# generate the language-ID CASE from STOPWORDS exactly like the op
+# does (sorted languages, first-max wins) — a hardcoded 4-way CASE
+# would silently break when a language is added
+_LANGS = sorted(_STOP_SQL)
+_HITS = ",\n    ".join(
+    f"len(list_intersect(tk, {_STOP_SQL[l]})) AS h_{l}" for l in _LANGS
+)
+_GREATEST = "greatest(" + ", ".join(f"h_{l}" for l in _LANGS) + ")"
+_LANG_CASE = (
+    f"CASE WHEN {_GREATEST} = 0 THEN 'und'\n       "
+    + "\n       ".join(
+        f"WHEN h_{l} = {_GREATEST} THEN '{l}'" for l in _LANGS[:-1]
+    )
+    + f"\n       ELSE '{_LANGS[-1]}' END"
+)
 
 _LANGID_ORACLE = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKENS_D} AS tk FROM documents),
 hits AS (SELECT doc_id,
-    len(list_intersect(tk, {_STOP_SQL['de']})) AS h_de,
-    len(list_intersect(tk, {_STOP_SQL['en']})) AS h_en,
-    len(list_intersect(tk, {_STOP_SQL['es']})) AS h_es,
-    len(list_intersect(tk, {_STOP_SQL['fr']})) AS h_fr
+    {_HITS}
   FROM t)
 SELECT doc_id,
-  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
-       WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
-       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
-       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
-       ELSE 'fr' END AS pred_lang
+  {_LANG_CASE} AS pred_lang
 FROM hits
 """
 
@@ -881,6 +904,8 @@ def q31_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("select.apply", ctx, [out], columns=["doc_id", "pred_lang"])
 
 
+_N_STOP = len(DEFAULT_STOPWORDS)  # the op's divisor — keep in lockstep
+
 _QUALITY_ORACLE = f"""
 WITH b AS (
   SELECT doc_id, text,
@@ -892,10 +917,10 @@ WITH b AS (
 SELECT doc_id, n_tokens,
        nc::DOUBLE / greatest(n_tokens, 1) AS avg_token_len,
        np::DOUBLE / greatest(nc, 1) AS punct_ratio,
-       swh::DOUBLE / 10.0 AS stopword_ratio,
+       swh::DOUBLE / {_N_STOP}.0 AS stopword_ratio,
        0.4 * ((n_tokens >= 10 AND n_tokens <= 100000)::INT)::DOUBLE
          + 0.3 * (1.0 - least((np::DOUBLE / greatest(nc, 1)) * 5, 1.0))
-         + 0.3 * least((swh::DOUBLE / 10.0) * 2, 1.0) AS quality_score
+         + 0.3 * least((swh::DOUBLE / {_N_STOP}.0) * 2, 1.0) AS quality_score
 FROM b
 """
 
@@ -1108,10 +1133,10 @@ def q40_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ctx(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw_schema(spark, sf_dir, "events")
     # The file-stream source needs a directory; glob-filter the file.
     sdf = read_file_stream(
-        spark, sf_dir, batch.schema, "parquet",
+        spark, sf_dir, schema, "parquet",
         options={"pathGlobFilter": "events.parquet"},
     )
     if dict(sdf.dtypes).get("ts") == "bigint":
@@ -1342,9 +1367,9 @@ def q49_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conveyor_spark.streaming.ops import read_file_stream
 
     ctx = _ctx(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw_schema(spark, sf_dir, "events")
     sdf = read_file_stream(
-        spark, sf_dir, batch.schema, "parquet",
+        spark, sf_dir, schema, "parquet",
         options={"pathGlobFilter": "events.parquet"},
     )
     win = get_function("stream.count_window").fn(
@@ -1662,9 +1687,18 @@ def q58_decontam_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q59_asof_join",
+    # the click side pre-dedupes (user_id, ts) ties to the max
+    # event_id row — join.asof breaks equal-time build ties by the
+    # max carried struct (event_id leads the field order), while
+    # DuckDB ASOF picks an ARBITRARY tied row; without this the two
+    # engines only agree while the generator emits no ties
     """
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-    c AS (SELECT * FROM events WHERE event_type = 'click')
+    c AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'click') WHERE rn = 1)
     SELECT p.event_id, p.user_id, p.ts, c.ts AS click_ts, c.value AS click_value
     FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
     """,
@@ -1815,9 +1849,9 @@ def q63_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conveyor_spark.streaming.ops import read_file_stream
 
     ctx = _ctx(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw_schema(spark, sf_dir, "events")
     sdf = read_file_stream(
-        spark, sf_dir, batch.schema, "parquet",
+        spark, sf_dir, schema, "parquet",
         options={"pathGlobFilter": "events.parquet"},
     )
     if dict(sdf.dtypes).get("ts") == "bigint":
@@ -1930,11 +1964,11 @@ def q66_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conveyor_spark.streaming.ops import read_file_stream
 
     ctx = _ctx(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw_schema(spark, sf_dir, "events")
 
     def stream() -> DataFrame:
         sdf = read_file_stream(
-            spark, sf_dir, batch.schema, "parquet",
+            spark, sf_dir, schema, "parquet",
             options={"pathGlobFilter": "events.parquet"},
         )
         if dict(sdf.dtypes).get("ts") == "bigint":
@@ -2242,7 +2276,7 @@ def q75_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q76_corpus_pipeline",
-    r"""
+    rf"""
     WITH norm AS (
       SELECT doc_id, lang,
              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
@@ -2258,7 +2292,7 @@ def q75_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON fp.doc_id = k.doc_id),
     sampled AS (
       SELECT * FROM (
-        SELECT *, (('0x' || substr(md5(doc_id::VARCHAR || '#strat'), 1, 15))::BIGINT) % 10000 AS bucket
+        SELECT *, {_sql_hash("doc_id::VARCHAR || '#strat'")} % 10000 AS bucket
         FROM uniq)
       WHERE bucket < (CASE lang WHEN 'en' THEN 0.5 ELSE 1.0 END) * 10000),
     tok AS (SELECT doc_id, list_filter(string_split_regex(t, '\s+'), x -> x <> '') AS tk
@@ -2316,10 +2350,10 @@ def q77_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q78_weighted_sample",
-    """
+    f"""
     SELECT doc_id, lang, n_chars FROM (
       SELECT doc_id, lang, n_chars,
-             -ln(((('0x' || substr(md5(doc_id::VARCHAR || '|w3'), 1, 15))::BIGINT + 1)::DOUBLE
+             -ln((({_sql_hash("doc_id::VARCHAR || '|w3'")} + 1)::DOUBLE
                   / 1152921504606846976.0) ) / n_chars::DOUBLE AS k
       FROM documents WHERE n_chars > 0)
     ORDER BY k, doc_id LIMIT 500
@@ -2454,12 +2488,12 @@ def q82_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q83_pack_sequences",
-    """
+    f"""
     WITH RECURSIVE t AS (
       SELECT doc_id, n_chars,
-             (('0x' || substr(md5(doc_id::VARCHAR || '#pack'), 1, 15))::BIGINT) % 32 AS shard,
+             {_sql_hash("doc_id::VARCHAR || '#pack'")} % 32 AS shard,
              row_number() OVER (
-               PARTITION BY (('0x' || substr(md5(doc_id::VARCHAR || '#pack'), 1, 15))::BIGINT) % 32
+               PARTITION BY {_sql_hash("doc_id::VARCHAR || '#pack'")} % 32
                ORDER BY doc_id) AS rn
       FROM documents),
     r AS (
@@ -2491,12 +2525,12 @@ def q83_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q84_sample_balanced",
-    """
+    f"""
     SELECT doc_id, lang FROM (
       SELECT doc_id, lang,
              row_number() OVER (
                PARTITION BY lang
-               ORDER BY (('0x' || substr(md5(doc_id::VARCHAR || '|bal'), 1, 15))::BIGINT),
+               ORDER BY {_sql_hash("doc_id::VARCHAR || '|bal'")},
                         doc_id) AS rk
       FROM documents) t
     WHERE rk <= 40
@@ -2900,9 +2934,9 @@ def q95_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from conveyor_spark.streaming.ops import read_file_stream
 
     ctx = _ctx(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw_schema(spark, sf_dir, "events")
     sdf = read_file_stream(
-        spark, sf_dir, batch.schema, "parquet",
+        spark, sf_dir, schema, "parquet",
         options={"pathGlobFilter": "events.parquet"},
     )
     if dict(sdf.dtypes).get("ts") == "bigint":
@@ -3216,9 +3250,9 @@ def q103_stream_sliding_count_window(spark: SparkSession, sf_dir: str) -> DataFr
     from conveyor_spark.streaming.ops import read_file_stream
 
     ctx = _ctx(spark)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    schema = raw_schema(spark, sf_dir, "events")
     sdf = read_file_stream(
-        spark, sf_dir, batch.schema, "parquet",
+        spark, sf_dir, schema, "parquet",
         options={"pathGlobFilter": "events.parquet"},
     )
     win = get_function("stream.count_window").fn(
