@@ -130,6 +130,56 @@ def _transform_ops():
     )
 
 
+# file-format sources/sinks: execute their examples too, with paths
+# rewritten into tmp. External-service ops (http/mongodb/kafka/
+# stdin/table/file.watch) have dedicated injection-based tests.
+_FILE_SINKS = {"csv.write", "json.write", "parquet.write", "orc.write"}
+_FILE_SOURCES = {"csv.read", "json.read", "parquet.read", "orc.read",
+                 "text.read", "binary.read"}
+
+
+def _io_ops():
+    _ensure_loaded()
+    return sorted(_FILE_SINKS | _FILE_SOURCES)
+
+
+@pytest.mark.parametrize("name", _io_ops())
+def test_file_io_example_executes(ctx, kitchen_sink, name, tmp_path):
+    op = REGISTRY[name]
+    cfg = dict(op.example)
+    small = kitchen_sink.select("id", "name", "score")
+    if name in _FILE_SINKS:
+        cfg["path"] = str(tmp_path / cfg["path"])
+        run_op(ctx, name, [small], **cfg)
+        import os
+
+        assert os.path.exists(cfg["path"])
+        return
+    # sources: materialize a file of the example's format first
+    src = tmp_path / "src"
+    fmt = name.split(".")[0]
+    if fmt == "csv":
+        small.coalesce(1).write.option("header", True).csv(str(src))
+    elif fmt == "json":
+        # the example reads format=records (a JSON array)
+        import json as _j
+
+        src.mkdir()
+        rows = [r.asDict() for r in small.collect()]
+        (src / "input.json").write_text(_j.dumps(rows))
+    elif fmt in ("parquet", "orc"):
+        small.coalesce(1).write.format(fmt).save(str(src))
+    elif fmt == "text":
+        src.mkdir()
+        (src / "a.txt").write_text("hello corpus\n")
+    elif fmt == "binary":
+        src.mkdir()
+        (src / "img.png").write_bytes(b"\x89PNG fake")
+    cfg["path"] = str(src) if fmt != "json" else str(src / "input.json")
+    out = run_op(ctx, name, [], **cfg)
+    assert out.count() >= 1
+
+
 @pytest.mark.parametrize("name", _transform_ops())
 def test_registered_example_executes(ctx, kitchen_sink, name, tmp_path):
     op = REGISTRY[name]
