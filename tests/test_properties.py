@@ -340,6 +340,72 @@ class TestSqlStringExprParity:
             assert got[i] == py_simhash(toks)
 
 
+class TestGemmJoinParity:
+    """The Arrow/BLAS vector paths must be indistinguishable from the
+    pure-JVM join formulations on arbitrary inputs — including
+    duplicate ids, NULL buckets, singleton buckets, and cosine ties."""
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 12),                      # id (dups allowed)
+                st.integers(0, 2),                       # bucket
+                st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+            ),
+            min_size=2, max_size=25,
+        ),
+        threshold=st.sampled_from([-0.5, 0.0, 0.5]),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_dedup_embedding_parity(self, spark, ctx, rows, threshold):
+        from tests.conftest import run_op
+
+        # zero vectors divide by zero identically on both paths — skip
+        rows = [(i, b, [float(x) for x in v]) for i, b, v in rows
+                if any(v)]
+        if len(rows) < 2:
+            return
+        df = spark.createDataFrame(
+            rows, "vec_id INT, label INT, embedding ARRAY<FLOAT>"
+        )
+        kw = dict(id_column="vec_id", bucket_column="label",
+                  threshold=threshold, column="embedding")
+        as_set = lambda d: sorted(
+            (r["id_a"], r["id_b"], r["cosine"]) for r in d.collect()
+        )
+        assert as_set(run_op(ctx, "dedup.embedding", [df], **kw)) == \
+            as_set(run_op(ctx, "dedup.embedding", [df], method="join", **kw))
+
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(0, 20),
+                st.integers(0, 2),
+                st.lists(st.integers(-3, 3), min_size=4, max_size=4),
+            ),
+            min_size=2, max_size=25,
+            unique_by=lambda t: t[0],  # knn ids must be unique
+        ),
+        k=st.integers(1, 4),
+    )
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    def test_knn_ivf_parity(self, spark, ctx, rows, k):
+        from tests.conftest import run_op
+
+        rows = [(i, b, [float(x) for x in v]) for i, b, v in rows if any(v)]
+        if len(rows) < 2:
+            return
+        df = spark.createDataFrame(
+            rows, "vec_id INT, label INT, embedding ARRAY<FLOAT>"
+        )
+        qids = [r[0] for r in rows[: max(1, len(rows) // 2)]]
+        kw = dict(id_column="vec_id", bucket_column="label", k=k,
+                  query_ids=qids, column="embedding")
+        as_set = lambda d: sorted(tuple(r) for r in d.collect())
+        assert as_set(run_op(ctx, "knn.ivf", [df], **kw)) == \
+            as_set(run_op(ctx, "knn.ivf", [df], method="join", **kw))
+
+
 class TestRound6OpProperties:
     """Randomized Python-reference checks for the analytics/CDC ops
     the earlier property classes didn't reach: exact n-gram jaccard,
