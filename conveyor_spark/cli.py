@@ -300,7 +300,9 @@ def main(argv: list[str] | None = None) -> int:
         for mod in spec.plugins:
             try:
                 importlib.import_module(mod)
-            except ImportError:
+            except Exception:  # noqa: BLE001 — any import-time failure
+                # (ImportError, SyntaxError, module-level RuntimeError)
+                # keeps validate lenient rather than crashing it
                 lenient = True
         n_warn = 0
         for stage in spec.stages:
@@ -320,6 +322,29 @@ def main(argv: list[str] | None = None) -> int:
             for w in validate_config(op, stage.config):
                 print(f"warning: stage {stage.id!r} ({stage.function}): {w}",
                       file=sys.stderr)
+                n_warn += 1
+            # unresolved {{var}} survives parsing (it may be a per-row
+            # Handlebars template) — surface it here so a typo'd
+            # [global].variables reference is still visible
+            import re as _re
+
+            def _tmpl_vars(v):
+                if isinstance(v, str):
+                    yield from _re.findall(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}", v)
+                elif isinstance(v, dict):
+                    for x in v.values():
+                        yield from _tmpl_vars(x)
+                elif isinstance(v, list):
+                    for x in v:
+                        yield from _tmpl_vars(x)
+
+            for name in sorted(set(_tmpl_vars(stage.config))):
+                print(
+                    f"warning: stage {stage.id!r} ({stage.function}): "
+                    f"'{{{{ {name} }}}}' is not a [global].variables entry — "
+                    "left as a per-row template (typo?)",
+                    file=sys.stderr,
+                )
                 n_warn += 1
         suffix = f", {n_warn} warnings" if n_warn else ""
         print(f"pipeline {spec.name!r} OK ({len(spec.stages)} stages{suffix})")

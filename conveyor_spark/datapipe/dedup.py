@@ -609,24 +609,33 @@ def dedup_embedding(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
 
         def bucket_pairs(pdf: "pd.DataFrame") -> "pd.DataFrame":
             empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            pdf = pdf[pdf[column].notna()]
             if len(pdf) < 2:
                 return empty
             pdf = pdf.sort_values(id_column)
-            ids = pdf[id_column].to_numpy()
-            M = np.asarray(pdf[column].to_list(), dtype=np.float64)
-            norms = np.sqrt((M * M).sum(axis=1))
-            ch = max(1, int(4e7) // len(ids))  # <=320MB sim block
             out_a, out_b, out_c = [], [], []
-            for s in range(0, len(ids), ch):
-                sims = (M[s:s + ch] @ M.T) / np.outer(norms[s:s + ch], norms)
-                sims = np.round(sims, 6)
-                ri, ci = np.nonzero(sims >= thr)
-                # compare id VALUES, not positions: duplicate ids must
-                # not pair with themselves (join path: a.__id < b.__id)
-                keep = ids[ri + s] < ids[ci]
-                out_a.append(ids[ri[keep] + s])
-                out_b.append(ids[ci[keep]])
-                out_c.append(sims[ri[keep], ci[keep]])
+            # RAGGED buckets: vectors of different lengths can't share
+            # a matrix, and the join path's zip_with over a length
+            # mismatch yields a NULL cosine (pair dropped) — so GEMM
+            # within each length group reproduces it exactly
+            for _, grp in pdf.groupby(pdf[column].str.len()):
+                if len(grp) < 2:
+                    continue
+                ids = grp[id_column].to_numpy()
+                M = np.asarray(grp[column].to_list(), dtype=np.float64)
+                norms = np.sqrt((M * M).sum(axis=1))
+                ch = max(1, int(4e7) // len(ids))  # <=320MB sim block
+                for s in range(0, len(ids), ch):
+                    sims = (M[s:s + ch] @ M.T) / np.outer(norms[s:s + ch], norms)
+                    sims = np.round(sims, 6)
+                    ri, ci = np.nonzero(sims >= thr)
+                    # compare id VALUES, not positions: duplicate ids
+                    # must not pair with themselves (join path:
+                    # a.__id < b.__id)
+                    keep = ids[ri + s] < ids[ci]
+                    out_a.append(ids[ri[keep] + s])
+                    out_b.append(ids[ci[keep]])
+                    out_c.append(sims[ri[keep], ci[keep]])
             if not out_a:
                 return empty
             return pd.DataFrame({"id_a": np.concatenate(out_a),

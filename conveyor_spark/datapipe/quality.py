@@ -223,7 +223,16 @@ def drift_psi(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
         bounds = ref.agg(
             F.min(x0).alias("__psi_lo"), F.max(x0).alias("__psi_hi")
         )
-        lo_c = F.col("__psi_lo")
+        # an empty/all-NULL reference derives NULL bounds: every
+        # current row would bin to NULL, silently reading as PSI 0
+        # ("perfectly stable") — fail loudly instead
+        lo_c = F.when(
+            F.col("__psi_lo").isNull(),
+            F.raise_error(F.lit(
+                "drift.psi: reference side has no non-null values to "
+                "derive min/max from; pass explicit 'min'/'max'"
+            )).cast("double"),
+        ).otherwise(F.col("__psi_lo"))
         # constant column: width 0 would divide by zero — every value
         # then lands in bin 0 via the guard
         hi_w = F.greatest(F.col("__psi_hi") - F.col("__psi_lo"), F.lit(1e-300))

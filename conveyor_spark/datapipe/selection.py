@@ -53,14 +53,7 @@ def _as_list(v: Any) -> list[str]:
     return list(v)
 
 
-def _split_dir(item: str) -> tuple[str, bool]:
-    """'name' / 'name desc' / 'name asc' -> (name, descending?)."""
-    s = item.strip()
-    if " " in s:
-        name, _, suffix = s.rpartition(" ")
-        if suffix.lower() in ("asc", "desc"):
-            return name.strip(), suffix.lower() == "desc"
-    return s, False
+from conveyor_spark.ordering import split_dir as _split_dir
 
 
 def _order_cols(order_by: Any) -> list[Column]:

@@ -197,38 +197,57 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         ).filter(F.col("__cb").isNotNull())
 
         def bucket_knn(qpdf: "pd.DataFrame", cpdf: "pd.DataFrame") -> "pd.DataFrame":
+            empty = pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+            )
+            # NULL vectors can't join a matrix; the join path's NULL
+            # cosine for them is filtered there too (see below)
+            qpdf = qpdf[qpdf["__qv"].notna()]
+            cpdf = cpdf[cpdf["__cv"].notna()]
             if qpdf.empty or cpdf.empty:
-                return pd.DataFrame(
-                    {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
-                )
-            cids = cpdf["neighbor_id"].to_numpy()
-            order = np.argsort(cids)  # neighbor-id tiebreak = _topk's
-            cids = cids[order]
-            C = np.asarray(cpdf["__cv"].to_list(), dtype=np.float64)[order]
-            cn = np.sqrt((C * C).sum(axis=1))
-            Q = np.asarray(qpdf["__qv"].to_list(), dtype=np.float64)
-            qn = np.sqrt((Q * Q).sum(axis=1))
-            qids = qpdf["query_id"].to_numpy()
-            out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
-            ch = max(1, int(4e7) // len(cids))  # <=320MB sim block
-            for s in range(0, len(qids), ch):
-                sims = np.round(
-                    (Q[s:s + ch] @ C.T) / np.outer(qn[s:s + ch], cn), 6
-                )
-                for i in range(sims.shape[0]):
-                    qid = qids[s + i]
-                    row = sims[i]
-                    mask = cids != qid
-                    # stable sort on -cosine keeps the ascending-id
-                    # order of equal-cosine neighbors (= _topk's order)
-                    idx = np.flatnonzero(mask)[
-                        np.argsort(-row[mask], kind="stable")[:k]
-                    ]
-                    out["query_id"] += [qid] * len(idx)
-                    out["neighbor_id"] += list(cids[idx])
-                    out["cosine"] += list(row[idx])
-                    out["rank"] += list(range(1, len(idx) + 1))
-            return pd.DataFrame(out)
+                return empty
+            frames = []
+            # ragged data: a query only scores same-length corpus
+            # vectors (a length mismatch is a NULL cosine on the join
+            # path, dropped there as well)
+            qlen = qpdf["__qv"].str.len()
+            clen = cpdf["__cv"].str.len()
+            for dim in sorted(set(qlen) & set(clen)):
+                qp, cp = qpdf[qlen == dim], cpdf[clen == dim]
+                cids = cp["neighbor_id"].to_numpy()
+                order = np.argsort(cids)  # neighbor-id tiebreak = _topk's
+                cids = cids[order]
+                C = np.asarray(cp["__cv"].to_list(), dtype=np.float64)[order]
+                cn = np.sqrt((C * C).sum(axis=1))
+                Q = np.asarray(qp["__qv"].to_list(), dtype=np.float64)
+                qn = np.sqrt((Q * Q).sum(axis=1))
+                qids = qp["query_id"].to_numpy()
+                out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
+                ch = max(1, int(4e7) // len(cids))  # <=320MB sim block
+                for s in range(0, len(qids), ch):
+                    sims = np.round(
+                        (Q[s:s + ch] @ C.T) / np.outer(qn[s:s + ch], cn), 6
+                    )
+                    # self-exclusion, vectorized
+                    sims[cids[None, :] == qids[s:s + ch, None]] = -np.inf
+                    n_c = sims.shape[1]
+                    kk = min(k, n_c)
+                    # per-row k-th largest VALUE (vectorized); then each
+                    # row exact-sorts only the >= threshold candidates by
+                    # (cosine desc, id asc) — same result as a full sort
+                    # (ties included before the cut), O(n + t log t)
+                    thresh = np.partition(sims, n_c - kk, axis=1)[:, n_c - kk]
+                    for i in range(sims.shape[0]):
+                        row = sims[i]
+                        cand = np.flatnonzero(row >= thresh[i])
+                        cand = cand[np.lexsort((cids[cand], -row[cand]))][:kk]
+                        cand = cand[row[cand] > -np.inf]
+                        out["query_id"] += [qids[s + i]] * len(cand)
+                        out["neighbor_id"] += list(cids[cand])
+                        out["cosine"] += list(row[cand])
+                        out["rank"] += list(range(1, len(cand) + 1))
+                frames.append(pd.DataFrame(out))
+            return pd.concat(frames) if frames else empty
 
         return qg.groupby("__qb").cogroup(cg.groupby("__cb")).applyInPandas(
             bucket_knn,
@@ -253,7 +272,9 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         "cosine",
         F.round(pair_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")), 6),
     )
-    return _topk(joined, k)
+    # a NULL cosine (null vector / length mismatch) is not a neighbor
+    # — and the GEMM path cannot produce one, so filter for parity
+    return _topk(joined.filter(F.col("cosine").isNotNull()), k)
 
 
 @register(

@@ -62,9 +62,14 @@ def stage_pipeline(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
         # overwrite each other's closure and silently read the wrong
         # parent DataFrame; the entry is removed after compile so the
         # registry never pins the DataFrame
+        import uuid
+
         from conveyor_spark.registry import REGISTRY, Op
 
-        splice_name = f"__parent_input_{id(data):x}__"
+        # uuid, NOT id(data): the dict is rebound below, CPython can
+        # recycle the address for a concurrent call's dict and the
+        # "unique" names would collide
+        splice_name = f"__parent_input_{uuid.uuid4().hex}__"
         data = dict(data)
         data["stages"] = [
             {"id": "__parent__", "function": splice_name, "inputs": []},

@@ -55,12 +55,14 @@ def sort_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     # "amount desc" / "name asc" spell the direction inline (the
     # registered example and SQL habit); the suffix wins over the
     # positional 'descending' flag for that column
+    from conveyor_spark.ordering import split_dir
+
     for i, c in enumerate(cols):
-        if isinstance(c, str) and " " in c.strip():
-            name, _, suffix = c.strip().rpartition(" ")
-            if suffix.lower() in ("asc", "desc"):
-                cols[i] = name.strip()
-                desc[i] = suffix.lower() == "desc"
+        if isinstance(c, str):
+            name, is_desc = split_dir(c)
+            if name != c.strip():
+                cols[i] = name
+                desc[i] = is_desc
     nulls_last = bool(config.get("nulls_last", False))
     order = []
     for c, d in zip(cols, desc):

@@ -50,9 +50,27 @@ def build_window(config: dict[str, Any]) -> WindowSpec:
             cols.append(F.col(c).desc() if d else F.col(c).asc())
         w = w.orderBy(*cols)
     if frame := config.get("rows_between"):
-        lo = Window.unboundedPreceding if frame[0] is None else int(frame[0])
-        hi = Window.unboundedFollowing if frame[1] is None else int(frame[1])
-        w = w.rowsBetween(lo, hi)
+        def bound(v, unbounded: int) -> int:
+            # TOML arrays cannot hold null, so the spellable forms are
+            # strings: "unbounded" / "current" (or a row offset)
+            if v is None:
+                return unbounded
+            if isinstance(v, str) and not v.lstrip("-").isdigit():
+                s = v.strip().lower().replace("_", "")
+                if s in ("unbounded", "unboundedpreceding", "unboundedfollowing"):
+                    return unbounded
+                if s in ("current", "currentrow"):
+                    return Window.currentRow
+                raise ConfigError(
+                    f"window.function: bad frame bound {v!r} "
+                    "(offset, 'unbounded' or 'current')"
+                )
+            return int(v)
+
+        w = w.rowsBetween(
+            bound(frame[0], Window.unboundedPreceding),
+            bound(frame[1], Window.unboundedFollowing),
+        )
     return w
 
 
@@ -104,9 +122,12 @@ def window_function(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         src = config.get("column")
         if not src:
             raise ConfigError(f"window.function {fn} requires 'column'")
-        # over a window the frame's own ordering makes first/last
-        # deterministic — no min_by/order_by needed (build_agg's
-        # vocabulary spells these 'first'/'last')
+        # SQL-standard semantics, including the standard's famous
+        # gotcha: with order_by and no explicit frame, the default
+        # frame ends at CURRENT ROW, so last_value returns each row's
+        # own value (exactly like Spark SQL's last_value). Pass
+        # rows_between: ["unbounded", "unbounded"] for the
+        # whole-partition last value.
         col = (F.first if fn == "first_value" else F.last)(F.col(src))
     else:
         # aggregate-over-frame: sum/avg/min/max/count/... on `column`

@@ -228,6 +228,29 @@ def test_dedup_embedding_allow_full_uses_distributed_join(ctx, spark):
     assert "FlatMapGroupsInPandas" not in out._jdf.queryExecution().executedPlan().toString()
 
 
+def test_vector_ops_tolerate_null_and_ragged_vectors(ctx, spark):
+    """A NULL or odd-length embedding must not crash the GEMM paths —
+    the join formulation yields a NULL cosine (dropped), and GEMM
+    must match by skipping cross-length pairs."""
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0), (3, None, 0),
+         (4, [1.0, 0.0, 0.0], 0), (5, [0.9, 0.1, 0.05], 0)],
+        "vec_id INT, embedding ARRAY<FLOAT>, label INT",
+    )
+    kw = dict(id_column="vec_id", bucket_column="label", threshold=0.5)
+    as_set = lambda d: sorted((r["id_a"], r["id_b"]) for r in d.collect())
+    gemm = as_set(run_op(ctx, "dedup.embedding", [vecs], **kw))
+    join = as_set(run_op(ctx, "dedup.embedding", [vecs], method="join", **kw))
+    assert gemm == join == [(1, 2), (4, 5)]  # only same-length pairs
+    kw2 = dict(id_column="vec_id", bucket_column="label", k=2,
+               query_ids=[1, 3, 4])
+    g = sorted(tuple(r) for r in run_op(ctx, "knn.ivf", [vecs], **kw2).collect())
+    j = sorted(tuple(r) for r in
+               run_op(ctx, "knn.ivf", [vecs], method="join", **kw2).collect())
+    assert g == j
+    assert {r[0] for r in g} == {1, 4}  # null-vector query 3 matches nothing
+
+
 def test_knn_ivf_gemm_drops_null_buckets_like_join(ctx, spark):
     vecs = spark.createDataFrame(
         [(1, [1.0, 0.0], None), (2, [0.9, 0.1], None), (3, [1.0, 0.1], 0),

@@ -387,3 +387,33 @@ def test_text_normalize_nfd(ctx, spark):
                  lowercase=False, collapse_whitespace=False, trim=False)
     # NFD decomposes the accent into a combining mark (len 4 -> 5)
     assert len(out.first()["text"]) == 5
+
+
+def test_last_value_whole_partition_via_frame(ctx, spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 20)], "k STRING, seq INT, v INT"
+    )
+    out = run_op(ctx, "window.function", [df], function="last_value",
+                 column="v", partition_by=["k"], order_by=["seq"],
+                 rows_between=["unbounded", "unbounded"],
+                 output_column="lv")
+    assert {r["lv"] for r in out.collect()} == {20}
+
+
+def test_validate_warns_on_unresolved_template(tmp_path, capsys):
+    from conveyor_spark.cli import main
+
+    p = tmp_path / "p.toml"
+    p.write_text("""
+[pipeline]
+name = "t"
+
+[[stages]]
+id = "s"
+function = "csv.read"
+[stages.config]
+path = "{{ outpt_dir }}/f.csv"
+""")
+    assert main(["validate", str(p)]) == 0
+    err = capsys.readouterr().err
+    assert "outpt_dir" in err and "typo" in err

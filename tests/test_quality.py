@@ -112,3 +112,15 @@ def test_psi_config_errors(ctx, spark):
     # documented derive-from-reference default
     with pytest.raises(ConfigError):
         run_op(ctx, "drift.psi", [df, df], column="v", min=0)
+
+
+def test_psi_empty_reference_fails_loudly(ctx, spark):
+    """Derived-bounds mode with an empty/all-NULL reference must not
+    silently report PSI 0 ('stable')."""
+    import pytest as _pytest
+
+    ref = spark.createDataFrame([], "v DOUBLE")
+    cur = spark.createDataFrame([(1.0,), (2.0,)], "v DOUBLE")
+    out = run_op(ctx, "drift.psi", [ref, cur], column="v", bins=4)
+    with _pytest.raises(Exception, match="no non-null values"):
+        out.collect()
