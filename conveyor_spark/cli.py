@@ -297,14 +297,38 @@ def main(argv: list[str] | None = None) -> int:
         # fails to import here keeps its functions lenient (they may
         # only be importable in the run environment)
         lenient = False
+        n_warn = 0
         for mod in spec.plugins:
             try:
                 importlib.import_module(mod)
-            except Exception:  # noqa: BLE001 — any import-time failure
-                # (ImportError, SyntaxError, module-level RuntimeError)
-                # keeps validate lenient rather than crashing it
+            except Exception as exc:  # noqa: BLE001 — any import-time
+                # failure keeps validate lenient rather than crashing
+                # it, but NEVER silently: the user must see that their
+                # plugin is broken even though validate continues
+                print(
+                    f"warning: plugin {mod!r} failed to import "
+                    f"({type(exc).__name__}: {exc}) — its functions "
+                    "cannot be checked",
+                    file=sys.stderr,
+                )
+                n_warn += 1
                 lenient = True
-        n_warn = 0
+        # unresolved {{var}} survives parsing (it may be a per-row
+        # Handlebars template) — surfaced below so a typo'd
+        # [global].variables reference is still visible. Same pattern
+        # the substitution itself uses — do not fork it.
+        from conveyor_spark.config.spec import _VAR_RE
+
+        def _tmpl_vars(v):
+            if isinstance(v, str):
+                yield from (m.group(1) for m in _VAR_RE.finditer(v))
+            elif isinstance(v, dict):
+                for x in v.values():
+                    yield from _tmpl_vars(x)
+            elif isinstance(v, list):
+                for x in v:
+                    yield from _tmpl_vars(x)
+
         for stage in spec.stages:
             try:
                 op = get_function(stage.function)
@@ -323,21 +347,6 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"warning: stage {stage.id!r} ({stage.function}): {w}",
                       file=sys.stderr)
                 n_warn += 1
-            # unresolved {{var}} survives parsing (it may be a per-row
-            # Handlebars template) — surface it here so a typo'd
-            # [global].variables reference is still visible
-            import re as _re
-
-            def _tmpl_vars(v):
-                if isinstance(v, str):
-                    yield from _re.findall(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}", v)
-                elif isinstance(v, dict):
-                    for x in v.values():
-                        yield from _tmpl_vars(x)
-                elif isinstance(v, list):
-                    for x in v:
-                        yield from _tmpl_vars(x)
-
             for name in sorted(set(_tmpl_vars(stage.config))):
                 print(
                     f"warning: stage {stage.id!r} ({stage.function}): "

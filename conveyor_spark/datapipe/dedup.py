@@ -624,6 +624,16 @@ def dedup_embedding(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
                 ids = grp[id_column].to_numpy()
                 M = np.asarray(grp[column].to_list(), dtype=np.float64)
                 norms = np.sqrt((M * M).sum(axis=1))
+                # zero-norm / NaN vectors have no direction: their
+                # cosine is NaN, which Spark COMPARES AS LARGEST — on
+                # the join path a NaN pair would pass any threshold.
+                # Excluded uniformly on both paths (see the join
+                # branch's matching filter).
+                ok = np.isfinite(norms) & (norms > 0)
+                if not ok.all():
+                    ids, M, norms = ids[ok], M[ok], norms[ok]
+                    if len(ids) < 2:
+                        continue
                 ch = max(1, int(4e7) // len(ids))  # <=320MB sim block
                 for s in range(0, len(ids), ch):
                     sims = (M[s:s + ch] @ M.T) / np.outer(norms[s:s + ch], norms)
@@ -660,6 +670,12 @@ def dedup_embedding(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         F.col(column).alias("__v"),
         norm_expr(F.col(column)).alias("__n"),  # norm once per vector
         *( [F.col(bucket).alias("__bk")] if bucket else [] ),
+    ).filter(
+        # zero-norm / NaN vectors: cosine is NaN, and Spark compares
+        # NaN as LARGER than everything — such a pair would pass any
+        # threshold. Excluded (cosine undefined), matching the GEMM
+        # path. NaN > 0 is true in Spark, hence the explicit isnan.
+        F.col("__n").isNotNull() & ~F.isnan("__n") & (F.col("__n") > 0)
     )
     a, b = vecs.alias("a"), vecs.alias("b")
     on = [F.col("a.__bk") == F.col("b.__bk")] if bucket else []

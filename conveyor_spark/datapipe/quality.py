@@ -253,6 +253,24 @@ def drift_psi(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     c = binned(cur, "n_cur")
     # dense bin spine so empty bins exist on both sides
     spine = ref.sparkSession.range(bins).select(F.col("id").cast("int").alias("bin"))
+    if bounds is not None:
+        # the bin-expression guard only fires when a non-null CURRENT
+        # row is evaluated; anchoring the same check to the spine
+        # (always `bins` rows) makes an empty/all-NULL reference fail
+        # even when the current side is empty too
+        spine = (
+            spine.crossJoin(F.broadcast(bounds))
+            .filter(
+                F.when(
+                    F.col("__psi_lo").isNull(),
+                    F.raise_error(F.lit(
+                        "drift.psi: reference side has no non-null values "
+                        "to derive min/max from; pass explicit 'min'/'max'"
+                    )).cast("boolean"),
+                ).otherwise(F.lit(True))
+            )
+            .select("bin")
+        )
     joined = (
         spine.join(F.broadcast(r), "bin", "left")
         .join(F.broadcast(c), "bin", "left")

@@ -56,6 +56,15 @@ def pair_cosine(qv: Column, cv: Column, qn: Column, cn: Column) -> Column:
     return dot_expr(qv, cv) / (qn * cn)
 
 
+def valid_norm(n: Column) -> Column:
+    """Rows a cosine is defined for. Zero-norm vectors would divide
+    by zero — a hard DIVIDE_BY_ZERO error under ANSI mode (the Spark
+    4 default), not a NaN — and NaN norms compare as LARGEST in
+    Spark, so both must be filtered BEFORE the division, on every
+    join-path op (the GEMM paths mask the same rows numpy-side)."""
+    return n.isNotNull() & ~F.isnan(n) & (n > 0)
+
+
 def _topk(joined: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
@@ -124,12 +133,12 @@ def knn_brute(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
         F.col(id_column).alias("query_id"),
         F.col(column).alias("__qv"),
         norm_expr(F.col(column)).alias("__qn"),
-    )
+    ).filter(valid_norm(F.col("__qn")))
     c = corpus.select(
         F.col(id_column).alias("neighbor_id"),
         F.col(column).alias("__cv"),
         norm_expr(F.col(column)).alias("__cn"),
-    )
+    ).filter(valid_norm(F.col("__cn")))
     joined = c.crossJoin(F.broadcast(q)).filter(F.col("neighbor_id") != F.col("query_id"))
     joined = joined.withColumn(
         "cosine",
@@ -222,6 +231,18 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
                 Q = np.asarray(qp["__qv"].to_list(), dtype=np.float64)
                 qn = np.sqrt((Q * Q).sum(axis=1))
                 qids = qp["query_id"].to_numpy()
+                # zero-norm / NaN vectors: a NaN sims COLUMN would
+                # poison the per-row partition threshold (NaN sorts
+                # largest) and silently drop real neighbors — exclude
+                # them (cosine undefined; join path filters the same)
+                cok = np.isfinite(cn) & (cn > 0)
+                if not cok.all():
+                    cids, C, cn = cids[cok], C[cok], cn[cok]
+                qok = np.isfinite(qn) & (qn > 0)
+                if not qok.all():
+                    Q, qn, qids = Q[qok], qn[qok], qids[qok]
+                if not len(cids) or not len(qids):
+                    continue
                 out = {"query_id": [], "neighbor_id": [], "cosine": [], "rank": []}
                 ch = max(1, int(4e7) // len(cids))  # <=320MB sim block
                 for s in range(0, len(qids), ch):
@@ -258,13 +279,13 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         F.col(column).alias("__qv"),
         norm_expr(F.col(column)).alias("__qn"),
         F.col(bucket).alias("__qb"),
-    )
+    ).filter(valid_norm(F.col("__qn")))
     c = corpus.select(
         F.col(id_column).alias("neighbor_id"),
         F.col(column).alias("__cv"),
         norm_expr(F.col(column)).alias("__cn"),
         F.col(bucket).alias("__cb"),
-    )
+    ).filter(valid_norm(F.col("__cn")))
     joined = c.join(F.broadcast(q), on=F.col("__cb") == F.col("__qb")).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
@@ -272,9 +293,16 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         "cosine",
         F.round(pair_cosine(F.col("__qv"), F.col("__cv"), F.col("__qn"), F.col("__cn")), 6),
     )
-    # a NULL cosine (null vector / length mismatch) is not a neighbor
-    # — and the GEMM path cannot produce one, so filter for parity
-    return _topk(joined.filter(F.col("cosine").isNotNull()), k)
+    # NULL cosine (null vector / length mismatch) or NaN cosine
+    # (zero-norm vector — Spark sorts NaN FIRST in desc order, so it
+    # would outrank every real neighbor) is not a neighbor; the GEMM
+    # path excludes both, so filter for parity
+    return _topk(
+        joined.filter(
+            F.col("cosine").isNotNull() & ~F.isnan("cosine")
+        ),
+        k,
+    )
 
 
 @register(
@@ -384,12 +412,12 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         F.col(id_column).alias("query_id"),
         F.col(column).alias("__qv"),
         norm_expr(F.col(column)).alias("__qvn"),
-    )
+    ).filter(valid_norm(F.col("__qvn")))
     cvec = corpus.select(
         F.col(id_column).alias("neighbor_id"),
         F.col(column).alias("__cv"),
         norm_expr(F.col(column)).alias("__cvn"),
-    )
+    ).filter(valid_norm(F.col("__cvn")))
     scored = (
         pairs.join(qvec, "query_id")
         .join(cvec, "neighbor_id")

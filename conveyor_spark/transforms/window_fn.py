@@ -50,26 +50,34 @@ def build_window(config: dict[str, Any]) -> WindowSpec:
             cols.append(F.col(c).desc() if d else F.col(c).asc())
         w = w.orderBy(*cols)
     if frame := config.get("rows_between"):
-        def bound(v, unbounded: int) -> int:
+        def bound(v, unbounded: int, side: str) -> int:
             # TOML arrays cannot hold null, so the spellable forms are
             # strings: "unbounded" / "current" (or a row offset)
             if v is None:
                 return unbounded
-            if isinstance(v, str) and not v.lstrip("-").isdigit():
+            if isinstance(v, str):
                 s = v.strip().lower().replace("_", "")
-                if s in ("unbounded", "unboundedpreceding", "unboundedfollowing"):
+                # direction-explicit aliases only at their matching
+                # endpoint — "unbounded_following" as the START bound
+                # would silently mean the opposite of what it says
+                if s == "unbounded" or (
+                    s == "unboundedpreceding" and side == "start"
+                ) or (s == "unboundedfollowing" and side == "end"):
                     return unbounded
                 if s in ("current", "currentrow"):
                     return Window.currentRow
-                raise ConfigError(
-                    f"window.function: bad frame bound {v!r} "
-                    "(offset, 'unbounded' or 'current')"
-                )
+                try:
+                    return int(v)
+                except ValueError:
+                    raise ConfigError(
+                        f"window.function: bad frame {side} bound {v!r} "
+                        "(offset, 'unbounded' or 'current')"
+                    ) from None
             return int(v)
 
         w = w.rowsBetween(
-            bound(frame[0], Window.unboundedPreceding),
-            bound(frame[1], Window.unboundedFollowing),
+            bound(frame[0], Window.unboundedPreceding, "start"),
+            bound(frame[1], Window.unboundedFollowing, "end"),
         )
     return w
 
