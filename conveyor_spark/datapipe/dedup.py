@@ -438,7 +438,8 @@ def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
 
 
 @register(
-    "dedup.ngram_jaccard", kind="transform", doc="Pairwise n-gram Jaccard similarity",
+    "dedup.ngram_jaccard", kind="transform", max_inputs=2,
+    doc="Pairwise n-gram Jaccard similarity",
     params=[
         P("column", required=True, desc="Text column"),
         P("id_column", required=True, desc="Document id"),
@@ -503,7 +504,12 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         sets_b = base.select(F.col("__id").alias(id_b), F.col("__sh").alias("__sh_b"),
                              F.col("__size").alias("__size_b"))
         inter = F.size(F.array_intersect("__sh_a", "__sh_b"))
-        jac = inter / (F.col("__size_a") + F.col("__size_b") - inter)
+        denom = F.col("__size_a") + F.col("__size_b") - inter
+        # a candidate pair of two EMPTY shingle sets has denominator 0
+        # — under ANSI (Spark 4 default) the division would be a hard
+        # DIVIDE_BY_ZERO, not NaN; jaccard over empty sets is
+        # undefined, so the pair is dropped via a NULL
+        jac = F.when(denom > 0, inter / denom)
         return (
             cands.join(sets_a, on=id_a).join(sets_b, on=id_b)
             .select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"),

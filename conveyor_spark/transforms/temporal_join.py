@@ -237,6 +237,8 @@ def join_range(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         # "1 hour" etc. — the point column's native unit is seconds
         # for timestamps, so duration strings translate directly
         w = parse_duration_seconds(bucket, "join.range bucket")
+        if w <= 0:
+            raise ConfigError("join.range: bucket must be > 0")
         exploded = r.withColumn(
             "__rng_k",
             F.explode(

@@ -452,3 +452,54 @@ def test_frame_bound_direction_mismatch_rejected(ctx, spark):
                partition_by=["k"], order_by=["seq"],
                rows_between=["current", "--3"],
                output_column="s")
+
+
+def test_jaccard_candidate_verify_empty_sets_no_crash(ctx, spark):
+    """Two empty-token docs in a candidate pair: jaccard undefined —
+    the pair drops instead of an ANSI DIVIDE_BY_ZERO crash."""
+    docs = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "a b c"), (4, "a b c")], "doc_id INT, text STRING"
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a INT, id_b INT")
+    out = run_op(ctx, "dedup.ngram_jaccard", [docs, pairs], column="text",
+                 id_column="doc_id", shingle="token", threshold=0.5)
+    assert [(r["id_a"], r["id_b"]) for r in out.collect()] == [(3, 4)]
+
+
+def test_range_bucket_must_be_positive(ctx, spark):
+    pts = spark.createDataFrame([(1, 5.0)], "id INT, ts DOUBLE")
+    iv = spark.createDataFrame([(0.0, 10.0)], "lo DOUBLE, hi DOUBLE")
+    with pytest.raises(ConfigError, match="bucket must be > 0"):
+        run_op(ctx, "join.range", [pts, iv], on="ts", lower="lo", upper="hi",
+               bucket=0)
+
+
+def test_jaccard_candidate_verify_wired_in_pipeline(spark, tmp_path):
+    """The documented minhash -> candidate-verify composition must
+    compile as a pipeline: run_op bypasses the compiler's arity
+    check, which used to reject the second input (max_inputs=1)."""
+    import json as _j
+
+    from conveyor_spark.compiler import run_pipeline
+    from conveyor_spark.config.spec import parse_spec
+
+    src = tmp_path / "docs.jsonl"
+    src.write_text("\n".join(_j.dumps({"doc_id": i, "text": "a b c"})
+                             for i in (1, 2)))
+    spec = parse_spec({
+        "pipeline": {"name": "p"},
+        "stages": [
+            {"id": "docs", "function": "json.read",
+             "config": {"path": str(src), "format": "jsonl"}},
+            {"id": "cand", "function": "dedup.minhash", "inputs": ["docs"],
+             "config": {"column": "text", "id_column": "doc_id",
+                        "num_hashes": 8, "bands": 2, "shingle": "token"}},
+            {"id": "ver", "function": "dedup.ngram_jaccard",
+             "inputs": ["docs", "cand"],
+             "config": {"column": "text", "id_column": "doc_id",
+                        "shingle": "token", "threshold": 0.5}},
+        ],
+    })
+    result = run_pipeline(spark, spec)
+    rows = result.outputs["ver"].collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
