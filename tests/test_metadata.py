@@ -137,3 +137,28 @@ def test_generate_operators_md():
 def test_P_helper_normalizes():
     p = P("x", allowed=["a", "b"])
     assert p.allowed == ("a", "b")
+
+
+def test_ops_reading_second_input_declare_it():
+    """An op whose body reads inputs[1] (or branches on a second
+    input) must register max_inputs >= 2 — run_op bypasses the
+    compiler's arity check, so only this scan catches the mismatch
+    before a real pipeline TOML does (dedup.ngram_jaccard shipped
+    broken this way)."""
+    import inspect
+
+    from conveyor_spark.registry import REGISTRY, _ensure_loaded
+
+    _ensure_loaded()
+    gaps = []
+    for name, op in sorted(REGISTRY.items()):
+        if not op.fn.__module__.startswith("conveyor_spark"):
+            continue
+        try:
+            src = inspect.getsource(op.fn)
+        except (OSError, TypeError):
+            continue
+        uses_second = "inputs[1]" in src or "len(inputs) > 1" in src
+        if uses_second and op.max_inputs is not None and op.max_inputs < 2:
+            gaps.append(name)
+    assert not gaps, f"ops reading a second input but declaring max_inputs<2: {gaps}"
