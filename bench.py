@@ -40,7 +40,13 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     rep_raw = os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "2")
-    repeat = max(1, int(rep_raw)) if rep_raw.strip().isdigit() else 1
+    if not rep_raw.strip().isdigit():
+        # a typo'd repeat would otherwise silently fall back to
+        # single-run timings (noisier artifact, exit 0)
+        print(f"bench: SPARK_GRAFT_BENCH_REPEAT={rep_raw!r} is not a "
+              "positive integer", file=sys.stderr)
+        return 2
+    repeat = max(1, int(rep_raw))
     only = set(sys.argv[1:])
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

@@ -315,20 +315,18 @@ def main(argv: list[str] | None = None) -> int:
                 lenient = True
         # unresolved {{var}} survives parsing (it may be a per-row
         # Handlebars template) — surfaced below so a typo'd
-        # [global].variables reference is still visible. Same pattern
-        # the substitution itself uses — do not fork it.
-        from conveyor_spark.config.spec import _VAR_RE
+        # [global].variables reference is still visible. Shared with
+        # compile_pipeline so `run` users see the same warning.
+        from conveyor_spark.config.spec import unresolved_template_refs
 
-        def _tmpl_vars(v):
-            if isinstance(v, str):
-                yield from (m.group(1) for m in _VAR_RE.finditer(v))
-            elif isinstance(v, dict):
-                for x in v.values():
-                    yield from _tmpl_vars(x)
-            elif isinstance(v, list):
-                for x in v:
-                    yield from _tmpl_vars(x)
-
+        for sid, fn, name in unresolved_template_refs(spec):
+            print(
+                f"warning: stage {sid!r} ({fn}): "
+                f"'{{{{ {name} }}}}' is not a [global].variables entry — "
+                "left as a per-row template (typo?)",
+                file=sys.stderr,
+            )
+            n_warn += 1
         for stage in spec.stages:
             try:
                 op = get_function(stage.function)
@@ -346,14 +344,6 @@ def main(argv: list[str] | None = None) -> int:
             for w in validate_config(op, stage.config):
                 print(f"warning: stage {stage.id!r} ({stage.function}): {w}",
                       file=sys.stderr)
-                n_warn += 1
-            for name in sorted(set(_tmpl_vars(stage.config))):
-                print(
-                    f"warning: stage {stage.id!r} ({stage.function}): "
-                    f"'{{{{ {name} }}}}' is not a [global].variables entry — "
-                    "left as a per-row template (typo?)",
-                    file=sys.stderr,
-                )
                 n_warn += 1
         suffix = f", {n_warn} warnings" if n_warn else ""
         print(f"pipeline {spec.name!r} OK ({len(spec.stages)} stages{suffix})")

@@ -184,6 +184,23 @@ def compile_pipeline(
                 f"plugin module {mod!r} not importable (is it on PYTHONPATH?): {exc}"
             ) from None
 
+    # a typo'd [global].variables reference survives parsing as the
+    # literal '{{ name }}' (it may legitimately be a per-row
+    # template); warn at compile so `run` users see it, not only
+    # `validate` users — same helper, same precision (params the op
+    # declares templated stay silent)
+    from conveyor_spark.config.spec import unresolved_template_refs
+
+    for sid_w, fn_w, name_w in unresolved_template_refs(spec):
+        import sys
+
+        print(
+            f"warning: stage {sid_w!r} ({fn_w}): '{{{{ {name_w} }}}}' is "
+            "not a [global].variables entry — left as a per-row template "
+            "(typo?)",
+            file=sys.stderr,
+        )
+
     ctx = OpContext(spark=spark, variables=spec.variables)
     result = RunResult()
     stage_map = spec.stage_map()

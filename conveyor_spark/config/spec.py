@@ -148,3 +148,40 @@ def load_spec(path: str, env: dict[str, str] | None = None) -> PipelineSpec:
     with open(path, "rb") as f:  # noqa: PTH123
         data = tomllib.load(f)
     return parse_spec(data, env)
+
+
+def unresolved_template_refs(
+    spec: "PipelineSpec",
+) -> list[tuple[str, str, str]]:
+    """``(stage_id, function, var_name)`` for every ``{{name}}`` that
+    survived parse-time substitution and does NOT sit under a param
+    the op declares ``templated=True`` (http.fetch url, ai.generate
+    prompt, mongodb sink query, ...) — i.e. a probable
+    [global].variables typo. Shared by `validate` and the compiler so
+    `run` users see the warning too, while legitimately row-templated
+    configs stay silent."""
+    from conveyor_spark.registry import REGISTRY
+
+    def walk(v: Any):
+        if isinstance(v, str):
+            yield from (m.group(1) for m in _VAR_RE.finditer(v))
+        elif isinstance(v, dict):
+            for x in v.values():
+                yield from walk(x)
+        elif isinstance(v, list):
+            for x in v:
+                yield from walk(x)
+
+    out: list[tuple[str, str, str]] = []
+    for stage in spec.stages:
+        op = REGISTRY.get(stage.function)
+        templated = {
+            p.name for p in (op.params or ()) if p.templated
+        } if op is not None else set()
+        names = set()
+        for key, value in stage.config.items():
+            if key in templated:
+                continue
+            names.update(walk(value))
+        out.extend((stage.id, stage.function, n) for n in sorted(names))
+    return out

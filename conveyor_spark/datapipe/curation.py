@@ -394,6 +394,11 @@ def text_extract(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         for spec in fields:
             if not isinstance(spec, dict) or not spec.get("name"):
                 raise ConfigError("text.extract: each field needs a 'name'")
+            if spec["name"] in named:
+                # last-wins would silently drop a copy-pasted field
+                raise ConfigError(
+                    f"text.extract: duplicate field name {spec['name']!r}"
+                )
             named[spec["name"]] = spec
         fields = named
     for name, spec in fields.items():

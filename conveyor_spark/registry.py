@@ -60,6 +60,9 @@ class Param:
     allowed: tuple[str, ...] | None = None
     min: float | None = None
     max: float | None = None
+    # True = value is a per-row/per-run Handlebars template, so an
+    # unresolved {{name}} inside it is expected, not a typo
+    templated: bool = False
 
 
 def P(
@@ -71,11 +74,13 @@ def P(
     allowed: tuple[str, ...] | list[str] | None = None,
     min: float | None = None,
     max: float | None = None,
+    templated: bool = False,
 ) -> Param:
     """Terse Param constructor for @register(params=[...]) blocks."""
     return Param(
         name=name, type=type, required=required, default=default, desc=desc,
         allowed=tuple(allowed) if allowed is not None else None, min=min, max=max,
+        templated=templated,
     )
 
 

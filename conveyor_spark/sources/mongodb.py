@@ -144,7 +144,8 @@ def _read(ctx: OpContext, config: dict[str, Any], mode: str) -> DataFrame:
 
 
 _CONN_PARAMS = [
-    P("uri", required=True, desc="Connection URI (Handlebars-rendered)"),
+    P("uri", required=True, templated=True,
+      desc="Connection URI (Handlebars-rendered)"),
     P("database", required=True, desc="Database name"),
     P("collection", required=True, desc="Collection name"),
 ]
@@ -272,7 +273,7 @@ for _op_name in [
     register(
         f"mongodb.{_op_name}", kind="sink", doc=f"MongoDB {_op_name}",
         params=_CONN_PARAMS + [
-            P("query", "any",
+            P("query", "any", templated=True,
               desc="Row-match template: Handlebars string rendered per row, "
                    "or {\"keys\": [...]}; defaults to matching on _id"),
         ],

@@ -232,10 +232,13 @@ def stream_join(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     watermark = config.get("watermark")
     if not watermark:
         # the documented default: state only needs to cover the join
-        # window itself, so the time bound doubles as the delay
+        # window itself, so the time bound doubles as the delay.
+        # An asymmetric min_delta can stretch the window further than
+        # max_delta (e.g. min_delta='-1 hour', max_delta='10 seconds')
+        # — cover whichever side reaches further.
         import math
 
-        watermark = f"{int(math.ceil(abs(max_delta)))} seconds"
+        watermark = f"{int(math.ceil(max(abs(max_delta), abs(min_delta))))} seconds"
     how = config.get("how", "inner")
     if how not in ("inner", "left", "right"):
         raise ConfigError("stream.join: how must be inner|left|right")

@@ -117,7 +117,8 @@ _PROVIDERS: dict[str, Callable[[str, dict[str, Any]], str]] = {
         P("provider", required=True,
           allowed=("mock", "openai", "openrouter", "ollama", "anthropic"),
           desc="Backend"),
-        P("prompt", required=True, desc="Handlebars prompt template rendered per row"),
+        P("prompt", required=True, templated=True,
+          desc="Handlebars prompt template rendered per row"),
         P("output_column", required=True, desc="Generated-text column"),
         P("model", desc="Model id (provider-specific)"),
         P("max_tokens", "integer", default=256, min=1, desc="Generation cap"),

@@ -55,12 +55,14 @@ def _default_fetcher(
     "http.fetch", kind="transform",
     doc="Per-row/batch HTTP enrichment (bounded concurrency)",
     params=[
-        P("url", required=True, desc="URL Handlebars template rendered per row"),
+        P("url", required=True, templated=True,
+          desc="URL Handlebars template rendered per row"),
         P("mode", default="per_row", allowed=("per_row", "batch"),
           desc="One request per row, or one per Arrow batch"),
         P("method", default="GET", desc="HTTP method"),
-        P("headers", "object", default={}, desc="Request headers (templated)"),
-        P("body", desc="Request body Handlebars template"),
+        P("headers", "object", default={}, templated=True,
+          desc="Request headers (templated)"),
+        P("body", templated=True, desc="Request body Handlebars template"),
         P("result_field", default="http_result", desc="Response column name"),
         P("concurrency", "integer", default=10, min=1,
           desc="In-flight request cap per partition"),

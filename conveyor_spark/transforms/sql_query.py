@@ -52,8 +52,17 @@ def sql_query(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     else:
         views = [f"t{i}" for i in range(len(inputs))]
         # also register the documented default names (input_0, ...)
-        for i, df in enumerate(inputs):
-            df.createOrReplaceTempView(f"input_{i}")
-    for name, df in zip(views, inputs):
-        df.createOrReplaceTempView(name)
-    return ctx.spark.sql(str(sql))
+        views = views + [f"input_{i}" for i in range(len(inputs))]
+        inputs = inputs + inputs
+    registered = []
+    try:
+        for name, df in zip(views, inputs):
+            df.createOrReplaceTempView(name)
+            registered.append(name)
+        # spark.sql() analyzes eagerly, so the returned plan no
+        # longer needs the views — drop them so a stage can't leak
+        # (or keep clobbering) session temp views of the same name
+        return ctx.spark.sql(str(sql))
+    finally:
+        for name in registered:
+            ctx.spark.catalog.dropTempView(name)

@@ -354,3 +354,12 @@ def test_text_extract_config_errors(ctx, spark):
         run_op(ctx, "text.extract", [df], column="s")
     with pytest.raises(ConfigError):
         run_op(ctx, "text.extract", [df], column="s", fields={"a": {}})
+
+
+def test_text_extract_rejects_duplicate_field_names(ctx, spark):
+    df = spark.createDataFrame([(1, "a=1 b=2")], ["id", "s"])
+    with pytest.raises(ConfigError, match="duplicate field"):
+        run_op(ctx, "text.extract", [df], column="s", fields=[
+            {"name": "a", "pattern": r"a=(\d+)"},
+            {"name": "a", "pattern": r"b=(\d+)"},
+        ])

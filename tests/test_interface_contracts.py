@@ -503,3 +503,82 @@ def test_jaccard_candidate_verify_wired_in_pipeline(spark, tmp_path):
     result = run_pipeline(spark, spec)
     rows = result.outputs["ver"].collect()
     assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+
+
+def test_run_warns_on_unresolved_template(tmp_path, capsys, spark):
+    """`validate` users were warned about typo'd {{var}}s; `run`
+    users must be too — compile_pipeline emits the same warning."""
+    from conveyor_spark.compiler import compile_pipeline
+    from conveyor_spark.config.spec import parse_spec
+
+    src = tmp_path / "in.csv"
+    src.write_text("a\n1\n")
+    spec = parse_spec({
+        "pipeline": {"name": "t"},
+        "stages": [
+            {"id": "s", "function": "csv.read",
+             "config": {"path": str(src)}},
+            {"id": "f", "function": "filter.apply", "inputs": ["s"],
+             "config": {"expr": "a IS NOT NULL",
+                        "_note": "{{ outpt_dir }}"}},
+        ],
+    })
+    compile_pipeline(spark, spec, run_sinks=False)
+    err = capsys.readouterr().err
+    assert "outpt_dir" in err and "typo" in err
+
+
+def test_templated_params_stay_silent(tmp_path, capsys):
+    """{{row_field}} inside a param the op declares templated=True
+    (http.fetch url, ai.generate prompt) is the documented per-row
+    form — neither validate nor compile may flag it."""
+    from conveyor_spark.config.spec import (
+        parse_spec, unresolved_template_refs,
+    )
+
+    spec = parse_spec({
+        "pipeline": {"name": "t"},
+        "stages": [
+            {"id": "src", "function": "stdin.read", "config": {}},
+            {"id": "fetch", "function": "http.fetch", "inputs": ["src"],
+             "config": {"url": "https://x/{{ user_id }}",
+                        "output_column": "resp"}},
+            {"id": "gen", "function": "ai.generate", "inputs": ["fetch"],
+             "config": {"provider": "mock",
+                        "prompt": "Summarize: {{ text }}",
+                        "output_column": "out"}},
+        ],
+    })
+    assert unresolved_template_refs(spec) == []
+    # a non-templated param on the same stage still warns
+    spec2 = parse_spec({
+        "pipeline": {"name": "t"},
+        "stages": [
+            {"id": "src", "function": "stdin.read", "config": {}},
+            {"id": "gen", "function": "ai.generate", "inputs": ["src"],
+             "config": {"provider": "mock", "prompt": "hi",
+                        "output_column": "{{ out_col }}"}},
+        ],
+    })
+    assert unresolved_template_refs(spec2) == [
+        ("gen", "ai.generate", "out_col")
+    ]
+
+
+def test_bench_rejects_non_numeric_repeat():
+    """A typo'd SPARK_GRAFT_BENCH_REPEAT must fail loudly (exit 2),
+    not silently fall back to noisier single-run timings — mirrors
+    the unknown-query guard. The check fires before Spark starts, so
+    this subprocess returns immediately."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SPARK_GRAFT_BENCH_REPEAT="twice")
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "q01_pricing_summary"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=60,
+    )
+    assert proc.returncode == 2
+    assert "SPARK_GRAFT_BENCH_REPEAT" in proc.stderr

@@ -148,3 +148,21 @@ def test_sql_query_over_inputs(ctx, spark):
         run_op(ctx, "sql.query", [a, b], views=["only_one"], sql="SELECT 1")
     with _p.raises(ConfigError, match="requires 'sql'"):
         run_op(ctx, "sql.query", [a])
+
+
+def test_sql_query_drops_views_after_resolve(ctx, spark):
+    """The temp views are implementation detail of one stage — they
+    must not persist (or keep clobbering a same-named session view)
+    after sql.query returns; the returned plan stays usable."""
+    from tests.conftest import run_op
+
+    a = spark.createDataFrame([(1, "x")], "id INT, v STRING")
+    out = run_op(ctx, "sql.query", [a], sql="SELECT v FROM input_0")
+    for name in ("t0", "input_0"):
+        assert not spark.catalog.tableExists(name), f"{name} leaked"
+    # plan resolved eagerly — still executable after the drop
+    assert out.first()["v"] == "x"
+    out2 = run_op(ctx, "sql.query", [a], views=["named_v"],
+                  sql="SELECT COUNT(*) AS c FROM named_v")
+    assert not spark.catalog.tableExists("named_v")
+    assert out2.first()["c"] == 1

@@ -181,6 +181,13 @@ def test_stream_join_validates(ctx, spark, tmp_path):
     out = run_op(ctx, "stream.join", [sdf, sdf], on="k", time_column="ts",
                  max_delta=60)
     assert out.isStreaming
+    # asymmetric bounds: the wider side (|min_delta| = 1 hour) must
+    # set the derived watermark, or in-window late rows get dropped
+    out2 = run_op(ctx, "stream.join", [sdf, sdf], on="k", time_column="ts",
+                  max_delta="10 seconds", min_delta="-1 hour")
+    plan2 = out2._jdf.queryExecution().analyzed().toString()
+    # 3600s normalizes to "1 hours" in EventTimeWatermark
+    assert "1 hours" in plan2, plan2
     with _pytest.raises(ConfigError):  # no time column
         run_op(ctx, "stream.join", [sdf, sdf], on="k", max_delta=60, watermark="1 hour")
     with _pytest.raises(ConfigError):  # no max_delta
