@@ -138,7 +138,7 @@ def checkpoint_tmpdir(prefix: str) -> tempfile.TemporaryDirectory:
 
 def run_available_now(
     sdf: DataFrame, query_name: str, output_mode: str = "complete",
-    state_partitions: int | None = None,
+    state_partitions: int | None = None, checkpoint: str | None = None,
 ) -> DataFrame:
     """Drain all available input through a streaming plan into an
     in-memory table and return it as a (batch) DataFrame.
@@ -149,25 +149,56 @@ def run_available_now(
     pure fixed overhead (q66: 6.5s -> 2.7s at 8). A production
     stream should size this to its steady-state key cardinality
     instead. Results are partitioning-independent; only the conf at
-    stream start matters, so it is set and restored around start."""
+    stream start matters, so it is set and restored around start.
+
+    ``checkpoint``: a DURABLE checkpoint location. The default (None)
+    is a throwaway temp dir — right for one-shot drains. Pass a real
+    path to make the drain restartable: a later call with the same
+    path resumes source offsets AND operator state from the
+    checkpoint, i.e. already-read files are not re-read and stateful
+    ops (count windows, dedup, sessionization) continue where they
+    left off — Structured Streaming's crash-recovery contract.
+    Restartable drains go through ``foreachBatch`` because the memory
+    sink refuses to recover from a checkpoint ("This query does not
+    support recovering..."); foreachBatch is the recovery-capable
+    collection sink."""
     spark = sdf.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    with checkpoint_tmpdir("conveyor-ckpt-") as ckpt:
+    batches: dict[int, list] = {}
+
+    def start(ckpt: str):
         try:
             if state_partitions is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
-            q = (
-                sdf.writeStream.format("memory")
-                .queryName(query_name)
-                .outputMode(output_mode)
-                .option("checkpointLocation", ckpt)
+            w = sdf.writeStream.outputMode(output_mode)
+            if checkpoint is not None:
+                def collect_batch(bdf: DataFrame, batch_id: int) -> None:
+                    batches[batch_id] = bdf.collect()
+
+                w = w.foreachBatch(collect_batch)
+            else:
+                w = w.format("memory").queryName(query_name)
+            return (
+                w.option("checkpointLocation", ckpt)
                 .trigger(availableNow=True)
                 .start()
             )
         finally:
             if state_partitions is not None:
                 spark.conf.set("spark.sql.shuffle.partitions", old)
-        q.awaitTermination()
+
+    if checkpoint is not None:
+        start(checkpoint).awaitTermination()
+        # mirror the memory sink's semantics over collected batches:
+        # complete mode = the last batch IS the result; update/append
+        # mode = every batch's rows accumulate
+        if output_mode == "complete":
+            rows = batches[max(batches)] if batches else []
+        else:
+            rows = [r for _, b in sorted(batches.items()) for r in b]
+        return spark.createDataFrame(rows, schema=sdf.schema)
+    with checkpoint_tmpdir("conveyor-ckpt-") as ckpt:
+        start(ckpt).awaitTermination()
     return sdf.sparkSession.table(query_name)
 
 
