@@ -1,0 +1,323 @@
+"""Pure-Python media decoders for ``codec='real'`` paths.
+
+The reference ships real media decoding through native libs; this
+container has neither PIL nor av, so these decoders implement the
+formats' public specs directly on the stdlib (``zlib``, ``struct``)
+plus numpy:
+
+- PNG: chunk walk + IHDR parse, and a FULL pixel decode (IDAT
+  inflate + per-row unfilter, bit-depth 8, color types 0/2/3/4/6,
+  non-interlaced) — enough to compute real pixel statistics.
+- JPEG: marker scan to the SOF segment for dimensions/channels.
+- GIF: logical-screen parse + frame (image-descriptor) walk WITHOUT
+  LZW decode — frame boundaries and per-frame byte spans are exact,
+  which is what frame sampling needs.
+- WAV: RIFF chunk walk for PCM format/rate/channels/duration.
+
+Everything raises ``MediaDecodeError`` on malformed input so callers
+can choose null-out vs fail semantics. Decoders run inside
+``mapInPandas`` workers: imports are stdlib-only and module-level, so
+per-partition import cost is nil.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+
+class MediaDecodeError(ValueError):
+    """Input bytes are not a valid instance of the claimed format."""
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_chunks(data: bytes):
+    """Yield (type, payload) for each chunk; validates CRCs."""
+    if data[:8] != PNG_SIGNATURE:
+        raise MediaDecodeError("bad PNG signature")
+    pos = 8
+    while pos + 8 <= len(data):
+        length, ctype = struct.unpack(">I4s", data[pos : pos + 8])
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(data):
+            raise MediaDecodeError("truncated PNG chunk")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise MediaDecodeError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, payload
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise MediaDecodeError("PNG missing IEND")
+
+
+def png_meta(data: bytes) -> dict:
+    """IHDR parse: width/height/bit depth/color type (+ channels)."""
+    for ctype, payload in png_chunks(data):
+        if ctype != b"IHDR":
+            raise MediaDecodeError("PNG first chunk is not IHDR")
+        if len(payload) != 13:
+            raise MediaDecodeError("bad IHDR length")
+        w, h, depth, color, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", payload
+        )
+        if color not in _PNG_CHANNELS:
+            raise MediaDecodeError(f"unknown PNG color type {color}")
+        return {
+            "width": w,
+            "height": h,
+            "bit_depth": depth,
+            "color_type": color,
+            "channels": _PNG_CHANNELS[color],
+            "interlaced": interlace == 1,
+        }
+    raise MediaDecodeError("empty PNG")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_pixels(data: bytes):
+    """Full decode -> numpy uint8 array of shape (height, width,
+    channels). Supports bit depth 8, color types 0/2/3/4/6,
+    non-interlaced (the overwhelming bulk of real corpora; Adam7
+    raises). Filters: all five from the spec, applied per row —
+    None/Sub/Up vectorized with numpy, Average/Paeth per-pixel (they
+    are sequential in x by construction)."""
+    import numpy as np
+
+    meta = None
+    palette = None
+    idat = []
+    for ctype, payload in png_chunks(data):
+        if ctype == b"IHDR":
+            meta = png_meta(data)
+        elif ctype == b"PLTE":
+            if len(payload) % 3:
+                raise MediaDecodeError("bad PLTE length")
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(payload)
+    if meta is None or not idat:
+        raise MediaDecodeError("PNG missing IHDR/IDAT")
+    if meta["bit_depth"] != 8:
+        raise MediaDecodeError(f"unsupported bit depth {meta['bit_depth']}")
+    if meta["interlaced"]:
+        raise MediaDecodeError("Adam7 interlacing not supported")
+    w, h, ch = meta["width"], meta["height"], meta["channels"]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        raise MediaDecodeError(f"IDAT inflate failed: {exc}") from None
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise MediaDecodeError("decompressed size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ftype, line = row[0], np.frombuffer(row[1:], dtype=np.uint8)
+        if ftype == 0:  # None
+            rec = line.copy()
+        elif ftype == 1:  # Sub: per-lane cumulative sum mod 256
+            rec = (
+                (np.cumsum(line.reshape(-1, ch), axis=0) % 256)
+                .astype(np.uint8)
+                .reshape(-1)
+            )
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype in (3, 4):  # Average / Paeth: sequential in x
+            rec = np.zeros(stride, dtype=np.uint8)
+            for x in range(stride):
+                a = int(rec[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                if ftype == 3:
+                    rec[x] = (int(line[x]) + (a + b) // 2) % 256
+                else:
+                    c = int(prev[x - ch]) if x >= ch else 0
+                    rec[x] = (int(line[x]) + _paeth(a, b, c)) % 256
+        else:
+            raise MediaDecodeError(f"unknown PNG filter {ftype}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    if meta["color_type"] == 3:
+        if palette is None:
+            raise MediaDecodeError("palette image missing PLTE")
+        if int(px.max()) >= len(palette):
+            raise MediaDecodeError("palette index out of range")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def jpeg_meta(data: bytes) -> dict:
+    """Marker scan to the first SOF0-SOF15 frame header."""
+    if data[:2] != b"\xff\xd8":
+        raise MediaDecodeError("bad JPEG SOI")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise MediaDecodeError(f"bad JPEG marker at {pos}")
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers
+            continue
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if seglen < 8:
+                raise MediaDecodeError("short SOF segment")
+            precision, h, w, ncomp = struct.unpack(
+                ">BHHB", data[pos + 4 : pos + 10]
+            )
+            return {
+                "width": w,
+                "height": h,
+                "channels": ncomp,
+                "bit_depth": precision,
+            }
+        pos += 2 + seglen
+    raise MediaDecodeError("JPEG has no SOF marker")
+
+
+def gif_meta(data: bytes) -> dict:
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("bad GIF header")
+    w, h = struct.unpack("<HH", data[6:10])
+    return {"width": w, "height": h, "version": data[3:6].decode("ascii")}
+
+
+def _gif_skip_subblocks(data: bytes, pos: int) -> int:
+    while True:
+        if pos >= len(data):
+            raise MediaDecodeError("truncated GIF sub-blocks")
+        n = data[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        pos += n
+
+
+def gif_frames(data: bytes) -> list[tuple[int, int]]:
+    """(start, end) byte span of each frame's image descriptor +
+    LZW data — exact frame boundaries without LZW decode."""
+    gif_meta(data)  # validates header
+    pos = 10
+    packed = data[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (2 << (packed & 0x07))
+    frames = []
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:  # trailer
+            return frames
+        if b == 0x21:  # extension: label + sub-blocks
+            pos = _gif_skip_subblocks(data, pos + 2)
+        elif b == 0x2C:  # image descriptor
+            start = pos
+            if pos + 10 > len(data):
+                raise MediaDecodeError("truncated image descriptor")
+            ipacked = data[pos + 9]
+            pos += 10
+            if ipacked & 0x80:  # local color table
+                pos += 3 * (2 << (ipacked & 0x07))
+            pos += 1  # LZW min code size
+            pos = _gif_skip_subblocks(data, pos)
+            frames.append((start, pos))
+        else:
+            raise MediaDecodeError(f"unknown GIF block 0x{b:02x}")
+    raise MediaDecodeError("GIF missing trailer")
+
+
+def wav_meta(data: bytes) -> dict:
+    """RIFF walk: fmt (codec/channels/rate/bits) + data size."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise MediaDecodeError("bad WAV/RIFF header")
+    pos = 12
+    fmt = None
+    data_size = None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack("<4sI", data[pos : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise MediaDecodeError("short fmt chunk")
+            audio_fmt, nch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            fmt = {
+                "audio_format": audio_fmt,  # 1 = PCM, 3 = float
+                "channels": nch,
+                "sample_rate": rate,
+                "bits_per_sample": bits,
+            }
+        elif cid == b"data":
+            data_size = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise MediaDecodeError("WAV missing fmt/data chunk")
+    bytes_per_frame = fmt["channels"] * max(1, fmt["bits_per_sample"] // 8)
+    n_frames = data_size // bytes_per_frame if bytes_per_frame else 0
+    fmt["n_frames"] = n_frames
+    fmt["duration_ms"] = (
+        int(n_frames * 1000 / fmt["sample_rate"]) if fmt["sample_rate"] else 0
+    )
+    return fmt
+
+
+def sniff_format(data: bytes) -> str:
+    """Same decision tree as media.metadata's JVM exprs (keep in
+    sync) — used by codec='real' to dispatch a decoder."""
+    if data[:8] == PNG_SIGNATURE:
+        return "png"
+    if data[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if data[:4] == b"GIF8":
+        return "gif"
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
+def real_image_meta(data: bytes) -> dict | None:
+    """codec='real' seam for media.decode: returns the
+    IMAGE_META_SCHEMA dict for formats we can truly parse, None for
+    undecodable bytes (caller chooses null-out vs fail)."""
+    fmt = sniff_format(data)
+    try:
+        if fmt == "png":
+            m = png_meta(data)
+        elif fmt == "jpeg":
+            m = jpeg_meta(data)
+        elif fmt == "gif":
+            m = gif_meta(data)
+        elif fmt == "wav":
+            # audio has no raster dims; format + size still real
+            wav_meta(data)
+            m = {"width": None, "height": None}
+        else:
+            return None
+    except MediaDecodeError:
+        return None
+    return {
+        "width": m.get("width"),
+        "height": m.get("height"),
+        "format": fmt,
+        "n_bytes": len(data),
+    }

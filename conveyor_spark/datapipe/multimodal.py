@@ -5,12 +5,15 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
 ``mapInPandas`` so each executor processes whole record batches with
 the (heavy) media library imported once per partition.
 
-The container has no image/audio libs, so the actual decoders are
-STUBS: ``codec='fake'`` produces deterministic metadata from the
-bytes themselves (size, md5-derived pseudo-dimensions) — making the
-Spark-side plumbing (schema, batching, partitioning) fully testable —
-while ``codec='real'`` raises NotImplementedError at the exact seam
-where PIL/librosa/av would plug in.
+The container has no image/audio libs. ``codec='fake'`` produces
+deterministic metadata from the bytes themselves (size, md5-derived
+pseudo-dimensions) — making the Spark-side plumbing (schema,
+batching, partitioning) fully testable. ``codec='real'`` now decodes
+for real via the pure-Python format parsers in
+``conveyor_spark.datapipe.codecs`` (PNG chunk walk + full pixel
+inflate, JPEG SOF scan, GIF frame walk, WAV RIFF parse); formats
+those can't express (video codecs needing av/ffmpeg) still raise
+NotImplementedError at the seam.
 """
 
 from __future__ import annotations
@@ -47,13 +50,15 @@ def _fake_image_meta(data: bytes) -> dict[str, Any]:
 
 @register(
     "media.decode", kind="transform",
-    doc="Decode binary media -> metadata struct (stubbed)",
+    doc="Decode binary media -> metadata struct (real PNG/JPEG/GIF/WAV)",
     params=[
         P("column", required=True, desc="Binary media column"),
         P("codec", default="fake", allowed=("fake", "real"),
-          desc="real needs PIL/av (NotImplementedError in this container); "
-               "fake is a deterministic stand-in with the same plumbing"),
+          desc="real = pure-Python PNG/JPEG/GIF/WAV parsers (datapipe."
+               "codecs); fake is a deterministic stand-in, same plumbing"),
         P("output_column", default="media_meta", desc="Decoded-struct column"),
+        P("on_error", default="null", allowed=("null", "fail"),
+          desc="real codec: undecodable bytes -> NULL struct or raise"),
     ],
     example={"column": "content", "codec": "fake"},
     tags=["multimodal", "datapipe"],
@@ -71,20 +76,31 @@ def media_decode(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     out_schema = T.StructType(df.schema.fields + [T.StructField(output_column, IMAGE_META_SCHEMA)])
     in_columns = df.columns
 
+    on_error = config.get("on_error", "null")
+
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        # real decoders would be imported HERE, once per partition:
-        #   from PIL import Image
         if codec == "real":
-            raise NotImplementedError(
-                "real media decoding requires PIL/librosa/av — not in this container"
-            )
+            # heavy imports would go here once per partition; the
+            # pure-Python parsers are stdlib+numpy, import is free
+            from conveyor_spark.datapipe.codecs import real_image_meta
+
+            def decode(v: bytes):
+                meta = real_image_meta(v)
+                if meta is None and on_error == "fail":
+                    raise ValueError(
+                        f"media.decode: undecodable {len(v)}-byte value "
+                        "(not PNG/JPEG/GIF/WAV)"
+                    )
+                return meta
+        else:
+            decode = _fake_image_meta
 
         for pdf in batches:
             pdf = pdf.copy()
             pdf[output_column] = [
-                _fake_image_meta(bytes(v)) if v is not None else None for v in pdf[column]
+                decode(bytes(v)) if v is not None else None for v in pdf[column]
             ]
             yield pd.DataFrame(pdf, columns=in_columns + [output_column])
 
@@ -93,21 +109,26 @@ def media_decode(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
 
 @register(
     "media.frame_sample", kind="transform",
-    doc="Sample N pseudo-frames per video (stubbed)",
+    doc="Sample N frames per item (real GIF frame walk, fake stub)",
     params=[
         P("column", required=True, desc="Binary media column"),
         P("id_column", required=True, desc="Media row id"),
         P("n_frames", "integer", default=4, min=1, desc="Frames per item"),
         P("codec", default="fake", allowed=("fake", "real"),
-          desc="real needs av (NotImplementedError in this container)"),
+          desc="real = GIF frame walk (true frame boundaries, no LZW "
+               "decode); video codecs still need av (NotImplementedError)"),
     ],
     example={"column": "content", "id_column": "path", "n_frames": 8},
     tags=["multimodal", "datapipe"],
 )
 def frame_sample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
-    """Explode each binary 'video' into n deterministic frame rows
-    (frame_idx, frame_hash). Real impl would decode with av/ffmpeg at
-    the marked seam; the batching/explode plumbing is real."""
+    """Explode each binary 'video' into n frame rows (frame_idx,
+    frame_hash). codec='real': animated GIFs are parsed for true
+    frame boundaries (datapipe.codecs.gif_frames) and n_frames are
+    sampled evenly across the actual frames — frame_idx is the REAL
+    frame index, frame_hash the md5 of that frame's byte span;
+    non-GIF formats raise NotImplementedError (video needs av).
+    codec='fake' keeps the deterministic pseudo-frame stub."""
     df = inputs[0]
     column = config.get("column")
     id_column = config.get("id_column")
@@ -130,16 +151,48 @@ def frame_sample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         import pandas as pd
 
         if codec == "real":
-            raise NotImplementedError("real frame sampling requires av/ffmpeg")
+            from conveyor_spark.datapipe.codecs import (
+                MediaDecodeError, gif_frames, sniff_format,
+            )
+
+        def sample_real(data: bytes) -> list[tuple[int, str]]:
+            fmt = sniff_format(data)
+            if fmt != "gif":
+                raise NotImplementedError(
+                    f"real frame sampling for {fmt!r} requires av/ffmpeg; "
+                    "only GIF has a pure-Python frame walk"
+                )
+            try:
+                spans = gif_frames(data)
+            except MediaDecodeError:
+                return []  # corrupt container: no frames, not a crash
+            if not spans:
+                return []
+            # evenly spaced over the REAL frames, dedup'd and ordered
+            step = max(1, len(spans) // n_frames)
+            picked = sorted(set(range(0, len(spans), step)))[:n_frames]
+            return [
+                (i, hashlib.md5(data[spans[i][0] : spans[i][1]]).hexdigest())
+                for i in picked
+            ]
+
         for pdf in batches:
             out_ids, out_idx, out_hash = [], [], []
             for rid, data in zip(pdf[id_column], pdf[column]):
                 if data is None:
                     continue
-                for i in range(n_frames):
+                data = bytes(data)
+                if codec == "real":
+                    frames = sample_real(data)
+                else:
+                    frames = [
+                        (i, hashlib.md5(data + str(i).encode()).hexdigest())
+                        for i in range(n_frames)
+                    ]
+                for i, fh in frames:
                     out_ids.append(rid)
                     out_idx.append(i)
-                    out_hash.append(hashlib.md5(bytes(data) + str(i).encode()).hexdigest())
+                    out_hash.append(fh)
             yield pd.DataFrame(
                 {id_column: out_ids, "frame_idx": out_idx, "frame_hash": out_hash}
             )
@@ -209,3 +262,96 @@ def media_metadata(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     return df.withColumn(f"{prefix}_format", fmt).withColumn(
         f"{prefix}_bytes", F.length(F.col(column)).cast("bigint")
     )
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean", T.ArrayType(T.DoubleType())),
+        T.StructField("std", T.ArrayType(T.DoubleType())),
+        T.StructField("luminance", T.DoubleType()),
+    ]
+)
+
+
+@register(
+    "media.pixel_stats", kind="transform",
+    doc="REAL PNG pixel decode -> per-channel stats (pure Python)",
+    params=[
+        P("column", required=True, desc="Binary PNG column"),
+        P("output_column", default="pixel_stats", desc="Stats struct column"),
+        P("on_error", default="null", allowed=("null", "fail"),
+          desc="Non-PNG/corrupt bytes -> NULL struct or raise"),
+    ],
+    example={"column": "content"},
+    tags=["multimodal", "datapipe"],
+)
+def pixel_stats(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Fully decode PNG pixels (IDAT inflate + unfilter — a REAL
+    decode, not the metadata sniff) and emit per-channel mean/std
+    plus BT.601 luminance: the image-quality first pass a crawled
+    image corpus needs (flag all-black/all-white/low-variance items)
+    before any model sees them.
+
+    Scale: mapInPandas over Arrow batches, one Python worker per
+    partition, no shuffle; cost is linear in pixel bytes. The decoder
+    is pure stdlib+numpy (datapipe/codecs.py) so executors need no
+    native image libraries.
+    """
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("media.pixel_stats requires 'column'")
+    output_column = config.get("output_column", "pixel_stats")
+    on_error = config.get("on_error", "null")
+    from conveyor_spark.datapipe.dedup import widen
+
+    df = widen(ctx, df, config)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(output_column, PIXEL_STATS_SCHEMA)]
+    )
+    in_columns = df.columns
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from conveyor_spark.datapipe.codecs import (
+            MediaDecodeError, png_pixels,
+        )
+
+        def stats(v) -> dict | None:
+            if v is None:
+                return None
+            try:
+                px = png_pixels(bytes(v))
+            except (MediaDecodeError, NotImplementedError) as exc:
+                if on_error == "fail":
+                    raise ValueError(f"media.pixel_stats: {exc}") from None
+                return None
+            h, w, ch = px.shape
+            flat = px.reshape(-1, ch).astype("float64")
+            mean = flat.mean(axis=0)
+            # BT.601 luma over the color channels (gray: identity)
+            if ch >= 3:
+                lum = float(
+                    0.299 * mean[0] + 0.587 * mean[1] + 0.114 * mean[2]
+                )
+            else:
+                lum = float(mean[0])
+            return {
+                "width": w,
+                "height": h,
+                "channels": ch,
+                "mean": [float(x) for x in mean],
+                "std": [float(x) for x in flat.std(axis=0)],
+                "luminance": lum,
+            }
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[output_column] = [stats(v) for v in pdf[column]]
+            yield pd.DataFrame(pdf, columns=in_columns + [output_column])
+
+    return df.mapInPandas(run, out_schema)

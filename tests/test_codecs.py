@@ -1,0 +1,209 @@
+"""Pure-Python media decoders (datapipe/codecs.py) + the Spark ops'
+codec='real' branches, against handcrafted spec-level fixtures —
+no image library anywhere, including the tests."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from conveyor_spark.datapipe.codecs import (
+    MediaDecodeError,
+    gif_frames,
+    gif_meta,
+    jpeg_meta,
+    png_meta,
+    png_pixels,
+    real_image_meta,
+    sniff_format,
+    wav_meta,
+)
+from tests.conftest import run_op
+
+
+# -- fixture builders (the encoders live in the tests: decode must
+#    invert an independent implementation of the spec) ---------------
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload)) + ctype + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def make_png(pixels: np.ndarray, color_type: int, filters=None) -> bytes:
+    """Encode uint8 (h, w, ch) with a chosen PNG filter per row."""
+    h, w, ch = pixels.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    filters = filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y, f in zip(range(h), filters):
+        line = pixels[y].reshape(-1).astype(np.int32)
+        raw.append(f)
+        for x in range(w * ch):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - a
+            elif f == 2:
+                v = line[x] - b
+            elif f == 3:
+                v = line[x] - (a + b) // 2
+            else:  # paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = line[x] - pred
+            raw.append(int(v) % 256)
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def make_jpeg(w: int, h: int, ncomp: int = 3) -> bytes:
+    sof = struct.pack(">BHHB", 8, h, w, ncomp) + b"\x01\x11\x00" * ncomp
+    return (
+        b"\xff\xd8"                                   # SOI
+        + b"\xff\xe0" + struct.pack(">H", 4) + b"JF"  # APP0 stub
+        + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+        + b"\xff\xd9"                                 # EOI
+    )
+
+
+def make_gif(w: int, h: int, n_frames: int) -> bytes:
+    out = bytearray(b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00")
+    for i in range(n_frames):
+        out += b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # graphics control
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        out += b"\x02" + bytes([3, i, 1, 2]) + b"\x00"  # LZW sub-blocks
+    out += b"\x3b"
+    return bytes(out)
+
+
+def make_wav(rate: int, channels: int, n_frames: int, bits=16) -> bytes:
+    data = b"\x00" * (n_frames * channels * (bits // 8))
+    fmt = struct.pack("<HHIIHH", 1, channels, rate,
+                      rate * channels * bits // 8, channels * bits // 8, bits)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# -- codec unit tests ------------------------------------------------
+
+def test_png_pixels_roundtrip_all_filters():
+    rng = np.random.RandomState(7)
+    for ct, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        px = rng.randint(0, 256, size=(5, 4, ch)).astype(np.uint8)
+        data = make_png(px, ct, filters=[0, 1, 2, 3, 4])
+        meta = png_meta(data)
+        assert (meta["width"], meta["height"], meta["channels"]) == (4, 5, ch)
+        assert np.array_equal(png_pixels(data), px)
+
+
+def test_png_palette_maps_through_plte():
+    idx = np.array([[[0], [1]], [[1], [0]]], dtype=np.uint8)
+    plte = _chunk(b"PLTE", bytes([255, 0, 0, 0, 0, 255]))
+    data = make_png(idx, 3)
+    # splice PLTE between IHDR and IDAT
+    ihdr_end = 8 + 12 + 13
+    data = data[:ihdr_end] + plte + data[ihdr_end:]
+    px = png_pixels(data)
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0) and tuple(px[0, 1]) == (0, 0, 255)
+
+
+def test_png_corruption_rejected():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = make_png(px, 2)
+    with pytest.raises(MediaDecodeError, match="CRC"):
+        png_pixels(good[:20] + bytes([good[20] ^ 0xFF]) + good[21:])
+    with pytest.raises(MediaDecodeError, match="signature"):
+        png_meta(b"not a png at all")
+
+
+def test_jpeg_gif_wav_meta():
+    j = jpeg_meta(make_jpeg(640, 480))
+    assert (j["width"], j["height"], j["channels"]) == (640, 480, 3)
+    g = gif_meta(make_gif(32, 16, 3))
+    assert (g["width"], g["height"], g["version"]) == (32, 16, "89a")
+    assert len(gif_frames(make_gif(32, 16, 3))) == 3
+    w = wav_meta(make_wav(16000, 2, 8000))
+    assert (w["sample_rate"], w["channels"], w["n_frames"]) == (16000, 2, 8000)
+    assert w["duration_ms"] == 500
+    with pytest.raises(MediaDecodeError):
+        wav_meta(b"RIFF\x00\x00\x00\x00AVI ")
+
+
+def test_sniff_and_real_image_meta():
+    png = make_png(np.zeros((3, 7, 3), dtype=np.uint8), 2)
+    assert sniff_format(png) == "png"
+    m = real_image_meta(png)
+    assert (m["width"], m["height"], m["format"]) == (7, 3, "png")
+    m = real_image_meta(make_wav(8000, 1, 100))
+    assert m["format"] == "wav" and m["width"] is None
+    assert real_image_meta(b"garbage bytes") is None
+
+
+# -- Spark ops: codec='real' end-to-end ------------------------------
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(rows, "id STRING, content BINARY")
+
+
+def test_media_decode_real(ctx, spark):
+    png = make_png(np.full((3, 5, 3), 9, dtype=np.uint8), 2)
+    rows = [("png", png), ("jpg", make_jpeg(100, 50)),
+            ("bad", b"\x00\x01junk"), ("none", None)]
+    out = run_op(ctx, "media.decode", [_media_df(spark, rows)],
+                 column="content", codec="real")
+    got = {r["id"]: r["media_meta"] for r in out.collect()}
+    assert (got["png"]["width"], got["png"]["height"], got["png"]["format"]) \
+        == (5, 3, "png")
+    assert (got["jpg"]["width"], got["jpg"]["height"]) == (100, 50)
+    assert got["bad"] is None and got["none"] is None
+    # on_error=fail surfaces the undecodable row
+    import pyspark.errors
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        run_op(ctx, "media.decode", [_media_df(spark, rows)],
+               column="content", codec="real", on_error="fail").collect()
+
+
+def test_media_frame_sample_real_gif(ctx, spark):
+    gif = make_gif(8, 8, 10)
+    out = run_op(ctx, "media.frame_sample", [_media_df(spark, [("g", gif)])],
+                 column="content", id_column="id", n_frames=5, codec="real")
+    rows = sorted((r["frame_idx"], r["frame_hash"]) for r in out.collect())
+    assert [i for i, _ in rows] == [0, 2, 4, 6, 8]  # real frame indices
+    # frame bytes differ, so hashes differ
+    assert len({h for _, h in rows}) == 5
+
+
+def test_media_pixel_stats_real(ctx, spark):
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(6, 4, 3)).astype(np.uint8)
+    flat = px.reshape(-1, 3).astype(np.float64)
+    df = _media_df(spark, [("a", make_png(px, 2, filters=[4, 3, 2, 1, 0, 4])),
+                           ("bad", b"nope"), ("none", None)])
+    out = run_op(ctx, "media.pixel_stats", [df], column="content")
+    got = {r["id"]: r["pixel_stats"] for r in out.collect()}
+    s = got["a"]
+    assert (s["width"], s["height"], s["channels"]) == (4, 6, 3)
+    np.testing.assert_allclose(s["mean"], flat.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(s["std"], flat.std(axis=0), rtol=1e-9)
+    exp_lum = 0.299 * flat.mean(axis=0)[0] + 0.587 * flat.mean(axis=0)[1] \
+        + 0.114 * flat.mean(axis=0)[2]
+    assert abs(s["luminance"] - exp_lum) < 1e-9
+    assert got["bad"] is None and got["none"] is None

@@ -304,8 +304,13 @@ def test_media_decode_fake_and_real(ctx, spark):
     meta = out["media_meta"]
     assert 64 <= meta["width"] < 256 and meta["n_bytes"] == 10
     assert meta["format"] in ("png", "jpeg", "webp")
-    with pytest.raises(Exception, match="NotImplementedError|not in this container"):
-        run_op(ctx, "media.decode", [df], column="data", codec="real").collect()
+    # codec='real' now truly decodes (tests/test_codecs.py); junk
+    # bytes null out by default and raise under on_error='fail'
+    got = run_op(ctx, "media.decode", [df], column="data", codec="real").first()
+    assert got["media_meta"] is None
+    with pytest.raises(Exception, match="undecodable"):
+        run_op(ctx, "media.decode", [df], column="data", codec="real",
+               on_error="fail").collect()
 
 
 def test_frame_sample(ctx, spark):

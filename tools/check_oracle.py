@@ -72,6 +72,10 @@ def main() -> int:
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
+    if unknown := sorted(only - set(qs)):
+        # a typo'd name silently checked NOTHING and printed "N pass"
+        print(f"check_oracle: unknown queries {unknown}", file=sys.stderr)
+        return 2
     n_pass = n_fail = n_rows_only = 0
     report: dict[str, dict] = {}
     for name, fn in qs.items():
