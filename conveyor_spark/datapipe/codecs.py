@@ -321,3 +321,34 @@ def real_image_meta(data: bytes) -> dict | None:
         "format": fmt,
         "n_bytes": len(data),
     }
+
+
+def png_encode(pixels) -> bytes:
+    """Minimal PNG encoder (bit depth 8, gray/gray-alpha/RGB/RGBA,
+    filter 0, one IDAT). The inverse of ``png_pixels`` — lets
+    pipelines materialize real PNG bytes without an image library
+    (and gives correctness harnesses an encode->decode round trip)."""
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(ch)
+    if color is None:
+        raise MediaDecodeError(f"cannot encode {ch}-channel PNG")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )

@@ -3265,6 +3265,74 @@ def q103_stream_sliding_count_window(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+@query(
+    "q104_media_pixel_stats",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 7 + 13 * g.y + g.x) % 256)::DOUBLE AS p
+      FROM documents d,
+           (SELECT x.x, y.y
+            FROM (SELECT unnest(range(8)) AS x) x,
+                 (SELECT unnest(range(8)) AS y) y) g
+    )
+    SELECT doc_id,
+           8 AS width, 8 AS height, 1 AS channels,
+           SUM(p) / 64 AS mean_v,
+           sqrt(SUM(p * p) / 64 - (SUM(p) / 64) * (SUM(p) / 64)) AS std_v,
+           SUM(p) / 64 AS luminance
+    FROM px GROUP BY doc_id
+    """,
+)
+def q104_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode, hash-exact: each doc_id becomes an 8x8 gray
+    PNG with pixel (doc_id*7 + 13y + x) % 256, encoded with the
+    pure-Python encoder, then media.pixel_stats inflates + unfilters
+    the bytes and computes mean/std/luminance. The oracle computes
+    the SAME statistics analytically from the pixel formula — it
+    never sees a PNG — so a value match proves the whole
+    encode->compress->decode->unfilter->stats path bit-exactly (all
+    intermediate doubles are dyadic rationals below 2^53, so Spark,
+    numpy, and DuckDB agree to the last bit; sqrt is IEEE
+    correctly-rounded in all three).
+
+    Scale: synthesis + decode are one mapInPandas each (no shuffle);
+    the only shuffle is none at all — stats are per-row."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from conveyor_spark.datapipe.codecs import png_encode
+
+        grid = 13 * np.arange(8)[:, None] + np.arange(8)[None, :]
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "data": [
+                    png_encode(((int(i) * 7 + grid) % 256).astype("uint8"))
+                    for i in pdf["doc_id"]
+                ],
+            })
+
+    imgs = d.mapInPandas(synth, "doc_id LONG, data BINARY")
+    out = _op("media.pixel_stats", ctx, [imgs], column="data",
+              on_error="fail")
+    for name, expr in [
+        ("width", "pixel_stats.width"), ("height", "pixel_stats.height"),
+        ("channels", "pixel_stats.channels"),
+        ("mean_v", "pixel_stats.mean[0]"), ("std_v", "pixel_stats.std[0]"),
+        ("luminance", "pixel_stats.luminance"),
+    ]:
+        out = _op("map.apply", ctx, [out], expression=expr, output_column=name)
+    return _op("select.apply", ctx, [out], columns=[
+        "doc_id", "width", "height", "channels", "mean_v", "std_v",
+        "luminance",
+    ])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

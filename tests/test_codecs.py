@@ -207,3 +207,14 @@ def test_media_pixel_stats_real(ctx, spark):
         + 0.114 * flat.mean(axis=0)[2]
     assert abs(s["luminance"] - exp_lum) < 1e-9
     assert got["bad"] is None and got["none"] is None
+
+
+def test_png_encode_decode_roundtrip():
+    rng = np.random.RandomState(11)
+    from conveyor_spark.datapipe.codecs import png_encode
+
+    for ch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(9, 5, ch)).astype(np.uint8)
+        assert np.array_equal(png_pixels(png_encode(px)), px)
+    with pytest.raises(MediaDecodeError, match="cannot encode"):
+        png_encode(np.zeros((2, 2, 5), dtype=np.uint8))
