@@ -3333,6 +3333,48 @@ def q104_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@query(
+    "q105_py_eval_ast",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(
+               regexp_split_to_array(trim(text), '\\s+'), t -> lower(t)
+             ) AS words
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id,
+           len(words) AS n_words,
+           len(list_distinct(words)) AS n_unique,
+           (len(words) * 1000) // len(list_distinct(words)) AS rep_permille
+    FROM w
+    """,
+)
+def q105_py_eval_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """py.eval with engine='ast': the embedded micro-interpreter
+    (py_ast.py — the reference's WASM-sandboxed js.eval analogue,
+    plugins-wasm lib.rs:61-72) runs a loop+dict+method script per row
+    with NO CPython exec anywhere, and the oracle recomputes the
+    same statistics in SQL. Integer-only outputs keep the hash
+    comparison exact."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    d = _op("filter.apply", ctx, [d], column="n_chars", operator=">", value=0)
+    script = (
+        "def transform(row):\n"
+        "    words = [w.lower() for w in row['text'].split()]\n"
+        "    seen = set()\n"
+        "    for w in words:\n"
+        "        seen.add(w)\n"
+        "    return {'doc_id': row['doc_id'], 'n_words': len(words),\n"
+        "            'n_unique': len(seen),\n"
+        "            'rep_permille': (len(words) * 1000) // len(seen)}\n"
+    )
+    return _op("py.eval", ctx, [d], script=script, engine="ast",
+               output_schema="doc_id BIGINT, n_words INT, n_unique INT, "
+                             "rep_permille BIGINT")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,517 @@
+"""Embedded micro-interpreter for py.eval's ``engine='ast'`` mode.
+
+The reference runs user scripts in a WASM-sandboxed Boa JS engine
+(plugins-wasm/conveyor-plugin-js-wasm/src/lib.rs:61-72): the sandbox
+is the *interpreter itself* — the guest language simply has no
+construct that reaches the host. This module is the same idea for a
+Python-shaped script: instead of ``exec`` (CPython, escapable via the
+object graph) or an OS-jailed subprocess (py_sandbox.py, strong but
+process-per-partition), the script's AST is *interpreted* by this
+walker, and only whitelisted constructs exist:
+
+- no ``import``, no ``exec``/``eval``/``open``/``getattr``;
+- attribute access only as whitelisted METHOD calls on str/list/
+  dict/set/tuple values — never underscore-prefixed, so the CPython
+  object graph (``__class__``/``__globals__``/...) is unreachable by
+  construction (``str.format`` is excluded for the same reason:
+  its spec mini-language does attribute lookups);
+- builtins are a fixed table of pure functions;
+- every loop iteration / call burns a step from a per-row budget, so
+  runaway scripts terminate deterministically instead of pinning an
+  executor core.
+
+Supported surface: functions (incl. helpers + recursion), if/for/
+while/break/continue, arithmetic/comparison/boolean ops, f-strings,
+list/dict/set/tuple literals, subscripts + slices, list/dict/set
+comprehensions, lambda. That covers every row-transform the js.eval
+examples in the reference exercise; anything outside raises
+``SandboxViolation`` at *parse* time (driver-side, fail fast), not at
+row time.
+"""
+
+from __future__ import annotations
+
+import ast
+from typing import Any
+
+from conveyor_spark.errors import ConfigError
+
+
+class SandboxViolation(ConfigError):
+    """Script uses a construct the micro-interpreter doesn't allow."""
+
+
+class StepBudgetExceeded(RuntimeError):
+    """Per-row step budget exhausted (runaway loop/recursion)."""
+
+
+_ALLOWED_NODES = (
+    ast.Module, ast.FunctionDef, ast.arguments, ast.arg, ast.Return,
+    ast.Assign, ast.AugAssign, ast.AnnAssign, ast.Expr, ast.Pass,
+    ast.If, ast.For, ast.While, ast.Break, ast.Continue,
+    ast.BoolOp, ast.BinOp, ast.UnaryOp, ast.Compare, ast.IfExp,
+    ast.Dict, ast.List, ast.Tuple, ast.Set, ast.Subscript, ast.Slice,
+    ast.Name, ast.Constant, ast.Call, ast.Attribute, ast.keyword,
+    ast.JoinedStr, ast.FormattedValue, ast.Lambda,
+    ast.ListComp, ast.SetComp, ast.DictComp, ast.GeneratorExp,
+    ast.comprehension, ast.Starred,
+    # operator/context tokens
+    ast.Load, ast.Store, ast.Del, ast.And, ast.Or, ast.Not,
+    ast.Add, ast.Sub, ast.Mult, ast.Div, ast.FloorDiv, ast.Mod,
+    ast.Pow, ast.USub, ast.UAdd, ast.Eq, ast.NotEq, ast.Lt, ast.LtE,
+    ast.Gt, ast.GtE, ast.In, ast.NotIn, ast.Is, ast.IsNot,
+    ast.BitAnd, ast.BitOr, ast.BitXor, ast.LShift, ast.RShift,
+    ast.Invert, ast.Delete,
+)
+
+_BUILTINS: dict[str, Any] = {
+    "len": len, "range": range, "min": min, "max": max, "abs": abs,
+    "round": round, "sum": sum, "sorted": sorted, "str": str,
+    "int": int, "float": float, "bool": bool, "list": list,
+    "dict": dict, "set": set, "tuple": tuple, "enumerate": enumerate,
+    "zip": zip, "any": any, "all": all, "reversed": reversed,
+    "divmod": divmod, "ord": ord, "chr": chr, "repr": repr,
+    "None": None, "True": True, "False": False,
+}
+
+# value type -> callable method names. NOTHING underscore-prefixed,
+# no str.format (its format-spec language does attribute access).
+_METHODS: dict[type, frozenset] = {
+    str: frozenset({
+        "upper", "lower", "strip", "lstrip", "rstrip", "split",
+        "rsplit", "join", "replace", "startswith", "endswith", "find",
+        "rfind", "index", "count", "title", "capitalize", "casefold",
+        "isdigit", "isalpha", "isalnum", "islower", "isupper",
+        "isspace", "zfill", "ljust", "rjust", "splitlines",
+        "partition", "rpartition", "swapcase", "removeprefix",
+        "removesuffix", "encode",
+    }),
+    bytes: frozenset({"decode", "hex"}),
+    list: frozenset({
+        "append", "extend", "pop", "insert", "remove", "index",
+        "count", "sort", "reverse", "clear", "copy",
+    }),
+    dict: frozenset({
+        "get", "keys", "values", "items", "pop", "update",
+        "setdefault", "clear", "copy",
+    }),
+    set: frozenset({
+        "add", "discard", "remove", "union", "intersection",
+        "difference", "symmetric_difference", "issubset", "issuperset",
+        "copy", "clear", "pop",
+    }),
+    tuple: frozenset({"index", "count"}),
+    int: frozenset({"bit_length"}),
+    float: frozenset({"is_integer"}),
+}
+
+
+def validate_script(script: str) -> ast.Module:
+    """Driver-side static check: parse + whole-tree whitelist walk.
+    Returns the parsed module; raises SandboxViolation on anything
+    the interpreter would refuse, so a bad script fails at compile
+    time, not on the millionth row."""
+    try:
+        tree = ast.parse(script, "<py.eval:ast>")
+    except SyntaxError as exc:
+        raise SandboxViolation(f"py.eval script syntax error: {exc}") from None
+    for node in ast.walk(tree):
+        if not isinstance(node, _ALLOWED_NODES):
+            raise SandboxViolation(
+                f"py.eval engine='ast' does not allow "
+                f"{type(node).__name__} (line {getattr(node, 'lineno', '?')})"
+            )
+        if isinstance(node, ast.Attribute):
+            if node.attr.startswith("_"):
+                raise SandboxViolation(
+                    f"underscore attribute {node.attr!r} is not allowed"
+                )
+            if not isinstance(node.ctx, ast.Load):
+                raise SandboxViolation("attribute assignment is not allowed")
+        if isinstance(node, ast.Name) and node.id.startswith("__"):
+            raise SandboxViolation(f"dunder name {node.id!r} is not allowed")
+        if isinstance(node, ast.FunctionDef) and (
+            node.decorator_list or node.args.posonlyargs
+            or node.args.kwonlyargs or node.args.vararg or node.args.kwarg
+        ):
+            raise SandboxViolation(
+                "decorators and */** parameters are not allowed"
+            )
+    funcs = [n for n in tree.body if isinstance(n, ast.FunctionDef)]
+    if "transform" not in {f.name for f in funcs}:
+        raise SandboxViolation("py.eval script must define transform(row)")
+    return tree
+
+
+class _Break(Exception):
+    pass
+
+
+class _Continue(Exception):
+    pass
+
+
+class _Return(Exception):
+    def __init__(self, value):
+        self.value = value
+
+
+class _Function:
+    __slots__ = ("name", "params", "defaults", "body", "interp")
+
+    def __init__(self, name, params, defaults, body, interp):
+        self.name = name
+        self.params = params
+        self.defaults = defaults
+        self.body = body
+        self.interp = interp
+
+    def __call__(self, *args):
+        n_missing = len(self.params) - len(args)
+        if n_missing < 0 or n_missing > len(self.defaults):
+            raise TypeError(
+                f"{self.name}() takes {len(self.params)} arguments "
+                f"({len(args)} given)"
+            )
+        bound = dict(zip(self.params, args))
+        if n_missing:
+            for p, v in zip(self.params[-n_missing:], self.defaults[-n_missing:]):
+                bound[p] = v
+        return self.interp._call_body(self.body, bound)
+
+
+class Interpreter:
+    """One instance per partition; ``run_transform`` per row."""
+
+    def __init__(self, tree: ast.Module, step_budget: int = 1_000_000):
+        self.step_budget = step_budget
+        self.steps = 0
+        self.globals: dict[str, Any] = {}
+        self.depth = 0
+        for stmt in tree.body:
+            if isinstance(stmt, ast.FunctionDef):
+                self.globals[stmt.name] = _Function(
+                    stmt.name,
+                    [a.arg for a in stmt.args.args],
+                    [self._eval(d, self.globals) for d in stmt.args.defaults],
+                    stmt.body,
+                    self,
+                )
+            else:
+                self._exec(stmt, self.globals)
+
+    # -- plumbing ----------------------------------------------------
+
+    def _tick(self):
+        self.steps += 1
+        if self.steps > self.step_budget:
+            raise StepBudgetExceeded(
+                f"py.eval engine='ast': step budget ({self.step_budget}) "
+                "exhausted — runaway loop or recursion in the script"
+            )
+
+    def run_transform(self, row: dict) -> Any:
+        self.steps = 0  # budget is per row
+        return self.globals["transform"](row)
+
+    def _call_body(self, body, local_vars: dict) -> Any:
+        self._tick()
+        self.depth += 1
+        if self.depth > 64:
+            self.depth -= 1
+            raise StepBudgetExceeded("py.eval engine='ast': recursion deeper than 64")
+        try:
+            for stmt in body:
+                self._exec(stmt, local_vars)
+        except _Return as r:
+            return r.value
+        finally:
+            self.depth -= 1
+        return None
+
+    # -- statements --------------------------------------------------
+
+    def _exec(self, node, env) -> None:
+        self._tick()
+        if isinstance(node, ast.Expr):
+            self._eval(node.value, env)
+        elif isinstance(node, ast.Assign):
+            value = self._eval(node.value, env)
+            for target in node.targets:
+                self._assign(target, value, env)
+        elif isinstance(node, ast.AugAssign):
+            current = self._eval_target(node.target, env)
+            value = self._binop(node.op, current, self._eval(node.value, env))
+            self._assign(node.target, value, env)
+        elif isinstance(node, ast.AnnAssign):
+            if node.value is not None:
+                self._assign(node.target, self._eval(node.value, env), env)
+        elif isinstance(node, ast.Return):
+            raise _Return(self._eval(node.value, env) if node.value else None)
+        elif isinstance(node, ast.If):
+            branch = node.body if self._eval(node.test, env) else node.orelse
+            for stmt in branch:
+                self._exec(stmt, env)
+        elif isinstance(node, ast.While):
+            while self._eval(node.test, env):
+                self._tick()
+                try:
+                    for stmt in node.body:
+                        self._exec(stmt, env)
+                except _Break:
+                    break
+                except _Continue:
+                    continue
+            else:
+                for stmt in node.orelse:
+                    self._exec(stmt, env)
+        elif isinstance(node, ast.For):
+            broke = False
+            for item in self._eval(node.iter, env):
+                self._tick()
+                self._assign(node.target, item, env)
+                try:
+                    for stmt in node.body:
+                        self._exec(stmt, env)
+                except _Break:
+                    broke = True
+                    break
+                except _Continue:
+                    continue
+            if not broke:
+                for stmt in node.orelse:
+                    self._exec(stmt, env)
+        elif isinstance(node, ast.Break):
+            raise _Break()
+        elif isinstance(node, ast.Continue):
+            raise _Continue()
+        elif isinstance(node, ast.Pass):
+            pass
+        elif isinstance(node, ast.Delete):
+            for target in node.targets:
+                if isinstance(target, ast.Subscript):
+                    obj = self._eval(target.value, env)
+                    del obj[self._eval(target.slice, env)]
+                elif isinstance(target, ast.Name):
+                    del env[target.id]
+                else:
+                    raise SandboxViolation("unsupported del target")
+        elif isinstance(node, ast.FunctionDef):
+            env[node.name] = _Function(
+                node.name, [a.arg for a in node.args.args],
+                [self._eval(d, env) for d in node.args.defaults],
+                node.body, self,
+            )
+        else:  # pragma: no cover — validate_script screens these out
+            raise SandboxViolation(f"unsupported statement {type(node).__name__}")
+
+    def _assign(self, target, value, env) -> None:
+        if isinstance(target, ast.Name):
+            env[target.id] = value
+        elif isinstance(target, ast.Subscript):
+            obj = self._eval(target.value, env)
+            obj[self._eval(target.slice, env)] = value
+        elif isinstance(target, (ast.Tuple, ast.List)):
+            items = list(value)
+            if len(items) != len(target.elts):
+                raise ValueError("unpacking length mismatch")
+            for t, v in zip(target.elts, items):
+                self._assign(t, v, env)
+        else:
+            raise SandboxViolation(
+                f"unsupported assignment target {type(target).__name__}"
+            )
+
+    def _eval_target(self, target, env):
+        if isinstance(target, ast.Name):
+            return self._lookup(target.id, env)
+        if isinstance(target, ast.Subscript):
+            return self._eval(target.value, env)[self._eval(target.slice, env)]
+        raise SandboxViolation("unsupported augmented-assignment target")
+
+    # -- expressions -------------------------------------------------
+
+    def _lookup(self, name: str, env):
+        if name in env:
+            return env[name]
+        if name in self.globals:
+            return self.globals[name]
+        if name in _BUILTINS:
+            return _BUILTINS[name]
+        raise NameError(f"name {name!r} is not defined")
+
+    def _binop(self, op, left, right):
+        import operator as _op
+
+        table = {
+            ast.Add: _op.add, ast.Sub: _op.sub, ast.Mult: _op.mul,
+            ast.Div: _op.truediv, ast.FloorDiv: _op.floordiv,
+            ast.Mod: _op.mod, ast.Pow: _op.pow, ast.BitAnd: _op.and_,
+            ast.BitOr: _op.or_, ast.BitXor: _op.xor,
+            ast.LShift: _op.lshift, ast.RShift: _op.rshift,
+        }
+        fn = table.get(type(op))
+        if fn is None:
+            raise SandboxViolation(f"unsupported operator {type(op).__name__}")
+        if isinstance(op, ast.Pow) and isinstance(left, int) \
+                and isinstance(right, int) and abs(right) > 4096:
+            raise StepBudgetExceeded("integer exponent too large")
+        return fn(left, right)
+
+    def _eval(self, node, env):
+        self._tick()
+        if isinstance(node, ast.Constant):
+            return node.value
+        if isinstance(node, ast.Name):
+            return self._lookup(node.id, env)
+        if isinstance(node, ast.BinOp):
+            return self._binop(
+                node.op, self._eval(node.left, env), self._eval(node.right, env)
+            )
+        if isinstance(node, ast.UnaryOp):
+            v = self._eval(node.operand, env)
+            if isinstance(node.op, ast.USub):
+                return -v
+            if isinstance(node.op, ast.UAdd):
+                return +v
+            if isinstance(node.op, ast.Not):
+                return not v
+            return ~v
+        if isinstance(node, ast.BoolOp):
+            if isinstance(node.op, ast.And):
+                result = True
+                for v in node.values:
+                    result = self._eval(v, env)
+                    if not result:
+                        return result
+                return result
+            for v in node.values:
+                result = self._eval(v, env)
+                if result:
+                    return result
+            return result
+        if isinstance(node, ast.Compare):
+            import operator as _op
+
+            table = {
+                ast.Eq: _op.eq, ast.NotEq: _op.ne, ast.Lt: _op.lt,
+                ast.LtE: _op.le, ast.Gt: _op.gt, ast.GtE: _op.ge,
+                ast.Is: _op.is_, ast.IsNot: _op.is_not,
+                ast.In: lambda a, b: a in b,
+                ast.NotIn: lambda a, b: a not in b,
+            }
+            left = self._eval(node.left, env)
+            for op, rhs in zip(node.ops, node.comparators):
+                right = self._eval(rhs, env)
+                if not table[type(op)](left, right):
+                    return False
+                left = right
+            return True
+        if isinstance(node, ast.IfExp):
+            return (
+                self._eval(node.body, env)
+                if self._eval(node.test, env)
+                else self._eval(node.orelse, env)
+            )
+        if isinstance(node, ast.List):
+            return [self._eval(e, env) for e in node.elts]
+        if isinstance(node, ast.Tuple):
+            return tuple(self._eval(e, env) for e in node.elts)
+        if isinstance(node, ast.Set):
+            return {self._eval(e, env) for e in node.elts}
+        if isinstance(node, ast.Dict):
+            return {
+                self._eval(k, env): self._eval(v, env)
+                for k, v in zip(node.keys, node.values)
+            }
+        if isinstance(node, ast.Subscript):
+            return self._eval(node.value, env)[self._eval(node.slice, env)]
+        if isinstance(node, ast.Slice):
+            return slice(
+                self._eval(node.lower, env) if node.lower else None,
+                self._eval(node.upper, env) if node.upper else None,
+                self._eval(node.step, env) if node.step else None,
+            )
+        if isinstance(node, ast.Attribute):
+            return self._method(node, env)
+        if isinstance(node, ast.Call):
+            fn = self._eval(node.func, env)
+            args = []
+            for a in node.args:
+                if isinstance(a, ast.Starred):
+                    args.extend(self._eval(a.value, env))
+                else:
+                    args.append(self._eval(a, env))
+            kwargs = {
+                kw.arg: self._eval(kw.value, env)
+                for kw in node.keywords if kw.arg is not None
+            }
+            return fn(*args, **kwargs)
+        if isinstance(node, ast.JoinedStr):
+            parts = []
+            for v in node.values:
+                if isinstance(v, ast.Constant):
+                    parts.append(str(v.value))
+                else:  # FormattedValue — evaluated by US, no format() escape
+                    val = self._eval(v.value, env)
+                    if v.format_spec is not None:
+                        spec = self._eval(v.format_spec, env)
+                        parts.append(format(val, spec))
+                    else:
+                        parts.append(str(val))
+            return "".join(parts)
+        if isinstance(node, ast.Lambda):
+            return _Function(
+                "<lambda>", [a.arg for a in node.args.args],
+                [self._eval(d, env) for d in node.args.defaults],
+                [ast.Return(value=node.body)], self,
+            )
+        if isinstance(node, (ast.ListComp, ast.SetComp, ast.GeneratorExp)):
+            out = []
+            self._comp(node.generators, 0, env, lambda e: out.append(self._eval(node.elt, e)))
+            if isinstance(node, ast.SetComp):
+                return set(out)
+            return out  # generators materialize: budget stays enforceable
+        if isinstance(node, ast.DictComp):
+            out = {}
+
+            def emit(e):
+                out[self._eval(node.key, e)] = self._eval(node.value, e)
+
+            self._comp(node.generators, 0, env, emit)
+            return out
+        raise SandboxViolation(f"unsupported expression {type(node).__name__}")
+
+    def _comp(self, gens, i, env, emit):
+        if i == len(gens):
+            emit(env)
+            return
+        gen = gens[i]
+        for item in self._eval(gen.iter, env):
+            self._tick()
+            scoped = dict(env)
+            self._assign(gen.target, item, scoped)
+            if all(self._eval(c, scoped) for c in gen.ifs):
+                self._comp(gens, i + 1, scoped, emit)
+
+    def _method(self, node: ast.Attribute, env):
+        obj = self._eval(node.value, env)
+        for base, names in _METHODS.items():
+            if isinstance(obj, base):
+                if node.attr not in names:
+                    raise SandboxViolation(
+                        f"method {type(obj).__name__}.{node.attr} is not allowed"
+                    )
+                # bool is an int subclass: resolve on the real type
+                return getattr(obj, node.attr)
+        raise SandboxViolation(
+            f"attribute access on {type(obj).__name__} is not allowed"
+        )
+
+
+def make_transform(script: str, step_budget: int = 1_000_000):
+    """Compile + return a ``transform(row)`` callable backed by the
+    micro-interpreter. One Interpreter per call site (partition)."""
+    tree = validate_script(script)
+    interp = Interpreter(tree, step_budget=step_budget)
+    return interp.run_transform

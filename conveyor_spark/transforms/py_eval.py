@@ -28,6 +28,14 @@ model and its limits vs the reference's WASM sandbox). Sandboxed rows
 cross a JSON boundary, so columns must be JSON-representable —
 arithmetic/string/collection transforms, not binary or timestamp
 surgery.
+
+``engine = 'ast'`` is the third mode and the closest analogue of the
+reference's WASM sandbox: the script is INTERPRETED by the embedded
+micro-interpreter in py_ast.py rather than executed by CPython, so
+host access is impossible by construction (no import/exec/getattr
+nodes exist, dunder attributes are rejected at parse time, loops burn
+a per-row step budget). It runs in-process — no subprocess hop, no
+JSON boundary — at the cost of a restricted language surface.
 """
 
 from __future__ import annotations
@@ -119,6 +127,14 @@ def _sandbox_partition(batches, script, out_columns, cfg, pd):
         P("trusted", "boolean", default=True,
           desc="false: run the script in an rlimit-sandboxed subprocess "
                "(no processes/fds/network, CPU+memory capped, import whitelist)"),
+        P("engine", default="auto", allowed=("auto", "exec", "subprocess", "ast"),
+          desc="auto = exec when trusted, subprocess when not; 'ast' runs "
+               "the embedded micro-interpreter (py_ast.py) — sandboxed by "
+               "construction like the reference's WASM engine, in-process"),
+        P("step_budget", "integer", default=1000000, min=1000,
+          desc="engine='ast': interpreter steps allowed per row"),
+        P("widen", "any", default="auto",
+          desc="Spread narrow scans: auto, false, or a partition count"),
         P("sandbox_cpu_seconds", "integer", default=30, min=1,
           desc="CPU ceiling per sandbox subprocess (trusted=false)"),
         P("sandbox_memory_mb", "integer", default=512, min=16,
@@ -142,12 +158,49 @@ def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
     else:
         out_schema = df.schema
     out_columns = [f.name for f in out_schema.fields]
+    # scripted per-row UDFs are the canonical CPU-heavy narrow-scan
+    # case: a single-file scan arrives as ONE partition and would
+    # serialize the whole interpreted stage onto one core
+    from conveyor_spark.datapipe.dedup import widen
+
+    df = widen(ctx, df, config)
     trusted = config.get("trusted", True)
+    engine = config.get("engine", "auto")
+    if engine == "auto":
+        engine = "exec" if trusted else "subprocess"
+    if engine == "exec" and not trusted:
+        raise ConfigError(
+            "py.eval: engine='exec' runs unsandboxed — it cannot be "
+            "combined with trusted=false (use 'ast' or 'subprocess')"
+        )
+
+    if engine == "ast":
+        from conveyor_spark.transforms.py_ast import (
+            make_transform, validate_script,
+        )
+
+        validate_script(script)  # driver-side fail-fast
+        step_budget = int(config.get("step_budget", 1_000_000))
+
+        def run_ast(batches: Iterator) -> Iterator:
+            import pandas as pd
+
+            transform = make_transform(script, step_budget=step_budget)
+            for pdf in batches:
+                out_rows = []
+                for row in pdf.to_dict("records"):
+                    result = transform(row)
+                    if result is None:
+                        continue
+                    out_rows.append([result.get(c) for c in out_columns])
+                yield pd.DataFrame(out_rows, columns=out_columns)
+
+        return df.mapInPandas(run_ast, out_schema)
 
     # compile on the driver first so syntax errors fail fast; probe-exec
     # the script only when it is declared trusted
     compiled = compile(script, "<py.eval>", "exec")
-    if trusted:
+    if engine == "exec":
         probe: dict[str, Any] = {}
         exec(compiled, probe)  # noqa: S102
         if not callable(probe.get("transform")):

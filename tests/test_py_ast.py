@@ -1,0 +1,189 @@
+"""Embedded micro-interpreter (py_ast.py): language surface,
+sandbox-by-construction guarantees, and the py.eval engine='ast'
+Spark path."""
+
+from __future__ import annotations
+
+import pytest
+
+from conveyor_spark.transforms.py_ast import (
+    SandboxViolation,
+    StepBudgetExceeded,
+    make_transform,
+    validate_script,
+)
+from tests.conftest import run_op
+
+
+def T(script, row):
+    return make_transform(script)(row)
+
+
+# -- language surface ------------------------------------------------
+
+def test_arith_strings_collections():
+    s = """
+def transform(row):
+    words = row['text'].lower().split()
+    counts = {}
+    for w in words:
+        counts[w] = counts.get(w, 0) + 1
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    row['top_word'] = top[0][0] if top else None
+    row['n_unique'] = len(counts)
+    row['ratio'] = round(len(words) / max(1, len(set(words))), 3)
+    return row
+"""
+    out = T(s, {"text": "a B a c b A"})
+    assert out["top_word"] == "a" and out["n_unique"] == 3
+    assert out["ratio"] == 2.0
+
+
+def test_control_flow_and_helpers():
+    s = """
+def fib(n):
+    a, b = 0, 1
+    while n > 0:
+        a, b = b, a + b
+        n -= 1
+    return a
+
+def transform(row):
+    row['fib'] = fib(row['n'])
+    row['evens'] = [x * x for x in range(10) if x % 2 == 0]
+    row['fstr'] = f"n={row['n']:03d}"
+    return row
+"""
+    out = T(s, {"n": 10})
+    assert out["fib"] == 55
+    assert out["evens"] == [0, 4, 16, 36, 64]
+    assert out["fstr"] == "n=010"
+
+
+def test_none_return_drops_row_semantics():
+    s = """
+def transform(row):
+    if row['x'] < 0:
+        return None
+    return row
+"""
+    fn = make_transform(s)
+    assert fn({"x": -1}) is None
+    assert fn({"x": 1}) == {"x": 1}
+
+
+def test_recursion_and_defaults():
+    s = """
+def total(xs, acc=0):
+    if not xs:
+        return acc
+    return total(xs[1:], acc + xs[0])
+
+def transform(row):
+    return {'t': total(row['xs'])}
+"""
+    assert T(s, {"xs": [1, 2, 3, 4]}) == {"t": 10}
+
+
+# -- sandbox guarantees ----------------------------------------------
+
+@pytest.mark.parametrize("script", [
+    "import os\ndef transform(row):\n    return row",
+    "def transform(row):\n    __import__('os')\n    return row",
+    "def transform(row):\n    return row.__class__",
+    "def transform(row):\n    return ''.format.__globals__",
+    "class X:\n    pass\ndef transform(row):\n    return row",
+    "def transform(row):\n    yield row",
+    "def transform(row):\n    with open('x') as f:\n        pass",
+    "def transform(row):\n    row.x = 1\n    return row",
+])
+def test_escape_vectors_rejected_at_parse(script):
+    with pytest.raises(SandboxViolation):
+        validate_script(script)
+
+
+def test_dangerous_runtime_lookups_fail():
+    # names that parse fine but resolve to nothing in the sandbox
+    for name in ("open", "exec", "eval", "type", "vars", "globals",
+                 "getattr", "setattr", "compile", "input", "breakpoint"):
+        s = f"def transform(row):\n    return {name}"
+        with pytest.raises(NameError):
+            make_transform(s)({})
+    with pytest.raises(NameError):
+        make_transform("def transform(row):\n    open('/etc/passwd')")({})
+    with pytest.raises(NameError):
+        make_transform("def transform(row):\n    exec('1')")({})
+    # str.format is excluded (its spec language does attribute access)
+    s = "def transform(row):\n    return '{}'.format(1)"
+    with pytest.raises(SandboxViolation, match="format"):
+        make_transform(s)({})
+
+
+def test_step_budget_kills_runaway():
+    s = """
+def transform(row):
+    while True:
+        pass
+"""
+    with pytest.raises(StepBudgetExceeded):
+        make_transform(s, step_budget=10_000)({})
+    s2 = """
+def loop():
+    return loop()
+
+def transform(row):
+    return loop()
+"""
+    with pytest.raises(StepBudgetExceeded):
+        make_transform(s2)({})
+    with pytest.raises(StepBudgetExceeded, match="exponent"):
+        make_transform("def transform(row):\n    return 2 ** 10**6")({})
+
+
+def test_budget_is_per_row():
+    s = """
+def transform(row):
+    t = 0
+    for i in range(200):
+        t += i
+    return {'t': t}
+"""
+    fn = make_transform(s, step_budget=2_000)
+    for _ in range(20):  # would blow a cumulative budget
+        assert fn({})["t"] == 19900
+
+
+# -- Spark path ------------------------------------------------------
+
+def test_py_eval_engine_ast(ctx, spark):
+    df = spark.createDataFrame(
+        [(1, "Alpha Beta"), (2, "gamma"), (3, None)],
+        "id INT, text STRING",
+    )
+    s = """
+def transform(row):
+    if row['text'] is None:
+        return None
+    return {'id': row['id'], 'n_words': len(row['text'].split()),
+            'upper': row['text'].upper()}
+"""
+    out = run_op(ctx, "py.eval", [df], script=s, engine="ast",
+                 output_schema="id INT, n_words INT, upper STRING")
+    got = {r["id"]: (r["n_words"], r["upper"]) for r in out.collect()}
+    assert got == {1: (2, "ALPHA BETA"), 2: (1, "GAMMA")}
+
+
+def test_py_eval_engine_ast_rejects_escape_on_driver(ctx, spark):
+    df = spark.createDataFrame([(1,)], "id INT")
+    with pytest.raises(SandboxViolation):
+        run_op(ctx, "py.eval", [df], script="import os\ndef transform(row):\n    return row",
+               engine="ast")
+
+
+def test_py_eval_exec_untrusted_rejected(ctx, spark):
+    from conveyor_spark.errors import ConfigError
+
+    df = spark.createDataFrame([(1,)], "id INT")
+    with pytest.raises(ConfigError, match="unsandboxed"):
+        run_op(ctx, "py.eval", [df], script="def transform(row):\n    return row",
+               engine="exec", trusted=False)
