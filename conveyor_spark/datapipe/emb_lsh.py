@@ -63,6 +63,61 @@ def signature_expr(column: str, bits: int, dim: int):
     )
 
 
+def signature_frame(
+    df: DataFrame, id_column: str, id_out: str, column: str,
+    bits: int, dim: int, method: str = "fold",
+) -> DataFrame:
+    """(id, __sig) signature frame for banding — the shared entry for
+    ops that use signatures INTERNALLY (knn.lsh candidate buckets).
+
+    method='fold': the JVM higher-order expression (signature_expr) —
+    bit-reproducible against the DuckDB oracle, but interpreted (HOFs
+    don't codegen): ~0.25 ms/row at bits=24/dim=64.
+
+    method='gemm': one (N x dim) @ (dim x bits) BLAS multiply per
+    Arrow batch — two orders of magnitude less CPU per row, the right
+    default at 100 TB where signatures are billions of rows of pure
+    compute. Sign-identical to 'fold' unless a dot product sits
+    within float-rounding distance (~1e-13) of zero: real embedding
+    corpora have margins many orders larger (test data: >= 8.8e-6;
+    Hypothesis parity test in test_embedding_ops.py), and LSH
+    BUCKETING only needs within-run consistency anyway. Keep 'fold'
+    where the signature itself is the op's OUTPUT (embedding.lsh)."""
+    if method == "fold":
+        return df.select(
+            F.col(id_column).alias(id_out),
+            signature_expr(column, bits, int(dim)).alias("__sig"),
+        )
+    if method != "gemm":
+        raise ConfigError(f"signature method must be fold|gemm, got {method!r}")
+    import numpy as np
+
+    planes_t = np.array(sign_matrix(bits, int(dim)), dtype=np.float64).T
+    powers = np.array([2**j for j in range(bits)], dtype=np.int64)
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = pdf[column]
+            # wrong-length/NULL vectors produce NULL signatures on the
+            # fold path and never survive the band equi-join — drop
+            # them here for the same candidate set
+            ok = vecs.map(
+                lambda v: v is not None and len(v) == planes_t.shape[0]
+            ).to_numpy()
+            if not ok.any():
+                continue
+            X = np.array(vecs[ok].tolist(), dtype=np.float64)
+            sigs = ((X @ planes_t) > 0.0) @ powers
+            yield pd.DataFrame(
+                {id_out: pdf[id_column][ok].to_numpy(), "__sig": sigs}
+            )
+
+    schema = f"`{id_out}` {dict(df.dtypes)[id_column]}, __sig BIGINT"
+    return df.select(id_column, column).mapInPandas(run, schema)
+
+
 @register(
     "embedding.lsh", kind="transform",
     doc="Random-hyperplane LSH signature for vectors",

@@ -320,6 +320,11 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
                "rows than this (bounds the candidate join on "
                "duplicate-heavy data; costs recall inside near-dup "
                "clusters)"),
+        P("signature_method", default="fold", allowed=("fold", "gemm"),
+          desc="fold = JVM expression (oracle-bit-parity); gemm = "
+               "per-batch BLAS, ~100x less CPU/row — the 100 TB choice"),
+        P("widen", "any", default="auto",
+          desc="signature_method=gemm: spread narrow scans before BLAS"),
     ],
     example={"id_column": "id", "dim": 64, "k": 10},
     tags=["similarity", "knn", "lsh", "datapipe"],
@@ -357,17 +362,22 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         raise ConfigError("knn.lsh: bits must be divisible by bands")
     width = bits // bands
 
-    from conveyor_spark.datapipe.emb_lsh import signature_expr
+    from conveyor_spark.datapipe.dedup import widen
+    from conveyor_spark.datapipe.emb_lsh import signature_frame
+
+    sig_method = config.get("signature_method", "fold")
 
     def banded(df: DataFrame, ids: str, bcol: str) -> DataFrame:
         """SKINNY band rows: (id, band-bucket) only. The 64-float
         vectors do NOT ride the band explode / candidate join / pair
         dedup — at scale that would shuffle ~0.5 KB per candidate; ids
         alone are ~16 bytes. Vectors attach to the deduped pairs via
-        two id-keyed equi-joins below."""
-        sig = df.select(
-            F.col(id_column).alias(ids),
-            signature_expr(column, bits, int(dim)).alias("__sig"),
+        two id-keyed equi-joins below. Signatures are internal here,
+        so signature_method='gemm' (per-batch BLAS, ~100x less CPU
+        per row) is safe — see signature_frame's parity contract."""
+        sig = signature_frame(
+            widen(ctx, df, config) if sig_method == "gemm" else df,
+            id_column, ids, column, bits, int(dim), method=sig_method,
         )
         bandvals = F.array(*[
             F.struct(

@@ -65,3 +65,45 @@ def test_quantize_output_is_tinyint(ctx, vecs):
                  output_column="q", scale_column="s")
     dt = dict(out.dtypes)
     assert dt["q"] == "array<tinyint>" and dt["s"] == "double"
+
+
+def test_knn_lsh_gemm_signature_parity(ctx, spark):
+    """signature_method='gemm' must produce the SAME result frame as
+    'fold' — BLAS changes summation order, but the sign margins of
+    any real corpus dwarf double rounding (test data: >= 8.8e-6 vs
+    ~1e-13)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(id_column="vec_id", k=3, dim=64, bits=24, bands=4)
+    a = run_op(ctx, "knn.lsh", [e], signature_method="fold", **kw)
+    b = run_op(ctx, "knn.lsh", [e], signature_method="gemm", **kw)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_signature_frame_gemm_matches_fold_on_adversarial_vectors(ctx, spark):
+    """Hypothesis-style adversarial shapes: NULL vectors, wrong
+    lengths, zeros — gemm drops exactly the rows whose fold signature
+    is NULL, and agrees bit-for-bit on the rest."""
+    from conveyor_spark.datapipe.emb_lsh import signature_frame
+
+    rows = [
+        (1, [float(i) for i in range(64)]),
+        (2, [(-1.0) ** i * 0.001 for i in range(64)]),
+        (3, None),
+        (4, [1.0, 2.0]),            # wrong length
+        (5, [0.0] * 64),            # all-zero: dots exactly 0 -> bits 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    fold = {
+        r["vid"]: r["__sig"]
+        for r in signature_frame(df, "vec_id", "vid", "embedding", 16, 64,
+                                 "fold").collect()
+        if r["__sig"] is not None
+    }
+    gemm = {
+        r["vid"]: r["__sig"]
+        for r in signature_frame(df, "vec_id", "vid", "embedding", 16, 64,
+                                 "gemm").collect()
+    }
+    assert set(fold) == {1, 2, 5} and gemm == fold
