@@ -64,14 +64,31 @@ _ALLOWED_NODES = (
     ast.Invert, ast.Delete,
 )
 
+_MAX_LEN = 10_000_000  # elements per value — the memory ceiling
+
+
+def _bounded(fn):
+    """Wrap a sequence factory so one call can't materialize an
+    unbounded iterable (list(range(10**12)))."""
+    def wrapped(*args, **kwargs):
+        if args and hasattr(args[0], "__len__") and len(args[0]) > _MAX_LEN:
+            raise StepBudgetExceeded(
+                f"{fn.__name__}() over more than {_MAX_LEN} elements"
+            )
+        return fn(*args, **kwargs)
+
+    wrapped.__name__ = fn.__name__
+    return wrapped
+
+
 _BUILTINS: dict[str, Any] = {
     "len": len, "range": range, "min": min, "max": max, "abs": abs,
-    "round": round, "sum": sum, "sorted": sorted, "str": str,
-    "int": int, "float": float, "bool": bool, "list": list,
-    "dict": dict, "set": set, "tuple": tuple, "enumerate": enumerate,
-    "zip": zip, "any": any, "all": all, "reversed": reversed,
-    "divmod": divmod, "ord": ord, "chr": chr, "repr": repr,
-    "None": None, "True": True, "False": False,
+    "round": round, "sum": sum, "sorted": _bounded(sorted), "str": str,
+    "int": int, "float": float, "bool": bool, "list": _bounded(list),
+    "dict": dict, "set": _bounded(set), "tuple": _bounded(tuple),
+    "enumerate": enumerate, "zip": zip, "any": any, "all": all,
+    "reversed": reversed, "divmod": divmod, "ord": ord, "chr": chr,
+    "repr": repr, "None": None, "True": True, "False": False,
 }
 
 # value type -> callable method names. NOTHING underscore-prefixed,
@@ -340,6 +357,12 @@ class Interpreter:
             return _BUILTINS[name]
         raise NameError(f"name {name!r} is not defined")
 
+    # The step budget bounds TIME; these bound MEMORY: without them a
+    # script inside the budget can still build multi-GB values in a
+    # handful of ops (s = s + s doubles per iteration; [0] * 10**9 is
+    # one op; x = x * x squares an int's digit count per step).
+    _MAX_LEN = _MAX_LEN
+
     def _binop(self, op, left, right):
         import operator as _op
 
@@ -356,6 +379,23 @@ class Interpreter:
         if isinstance(op, ast.Pow) and isinstance(left, int) \
                 and isinstance(right, int) and abs(right) > 4096:
             raise StepBudgetExceeded("integer exponent too large")
+        if isinstance(op, ast.LShift) and isinstance(right, int) \
+                and right > 65536:
+            raise StepBudgetExceeded("shift amount too large")
+        seqs = (str, bytes, list, tuple)
+        if isinstance(op, ast.Add) and isinstance(left, seqs) \
+                and len(left) + len(right) > self._MAX_LEN:
+            raise StepBudgetExceeded("concatenation result too large")
+        if isinstance(op, ast.Mult):
+            for seq, n in ((left, right), (right, left)):
+                if isinstance(seq, seqs) and isinstance(n, int) \
+                        and len(seq) * max(n, 0) > self._MAX_LEN:
+                    raise StepBudgetExceeded("repetition result too large")
+            # x = x * x squares the digit count every step: cap the
+            # product's bit length (floats/bools are int-subclass-free)
+            if isinstance(left, int) and isinstance(right, int) \
+                    and left.bit_length() + right.bit_length() > 1 << 20:
+                raise StepBudgetExceeded("integer product too large")
         return fn(left, right)
 
     def _eval(self, node, env):
@@ -502,8 +542,16 @@ class Interpreter:
                     raise SandboxViolation(
                         f"method {type(obj).__name__}.{node.attr} is not allowed"
                     )
-                # bool is an int subclass: resolve on the real type
-                return getattr(obj, node.attr)
+                bound = getattr(obj, node.attr)
+                if node.attr in ("zfill", "ljust", "rjust"):
+                    # width-pad methods materialize their argument
+                    def padded(width, *rest, _b=bound):
+                        if isinstance(width, int) and width > _MAX_LEN:
+                            raise StepBudgetExceeded("pad width too large")
+                        return _b(width, *rest)
+
+                    return padded
+                return bound
         raise SandboxViolation(
             f"attribute access on {type(obj).__name__} is not allowed"
         )

@@ -187,3 +187,33 @@ def test_py_eval_exec_untrusted_rejected(ctx, spark):
     with pytest.raises(ConfigError, match="unsandboxed"):
         run_op(ctx, "py.eval", [df], script="def transform(row):\n    return row",
                engine="exec", trusted=False)
+
+
+@pytest.mark.parametrize("script", [
+    "def transform(row):\n    s = 'a'\n    for i in range(60):\n        s = s + s\n    return row",
+    "def transform(row):\n    return {'x': [0] * 10**12}",
+    "def transform(row):\n    return {'x': 'ab' * (10**10)}",
+    "def transform(row):\n    x = 3\n    for i in range(60):\n        x = x * x\n    return row",
+    "def transform(row):\n    return {'x': 1 << 10**9}",
+    "def transform(row):\n    return {'x': list(range(10**12))}",
+    "def transform(row):\n    return {'x': 'a'.zfill(10**10)}",
+])
+def test_memory_bombs_capped(script):
+    """The step budget bounds time; these bound MEMORY — each script
+    stays within the step budget while trying to build a multi-GB
+    value, and must die on the size guards instead of OOMing."""
+    with pytest.raises(StepBudgetExceeded):
+        make_transform(script)({})
+
+
+def test_size_guards_allow_normal_work():
+    s = """
+def transform(row):
+    row['pad'] = str(row['x']).zfill(8)
+    row['big'] = [0] * 1000
+    row['sq'] = (10**6) * (10**6)
+    return row
+"""
+    out = make_transform(s)({"x": 42})
+    assert out["pad"] == "00000042" and len(out["big"]) == 1000
+    assert out["sq"] == 10**12
