@@ -352,3 +352,63 @@ def png_encode(pixels) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def wav_encode(samples, sample_rate: int) -> bytes:
+    """Minimal PCM16 WAV encoder: int16 samples, mono (1-D input) or
+    interleaved multi-channel ((frames, channels)). Inverse of
+    ``wav_samples`` — same encode->decode round-trip role as
+    ``png_encode``."""
+    import numpy as np
+
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    if arr.ndim != 2:
+        raise MediaDecodeError("wav_encode expects 1-D or 2-D samples")
+    if not np.issubdtype(arr.dtype, np.integer) or \
+            int(arr.max(initial=0)) > 32767 or int(arr.min(initial=0)) < -32768:
+        raise MediaDecodeError("wav_encode expects int16-range samples")
+    nch = arr.shape[1]
+    data = arr.astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * nch * 2, nch * 2, 16
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_samples(data: bytes):
+    """Full PCM decode -> (meta dict, numpy int array of shape
+    (frames, channels)). PCM16 (int16) and PCM8 (unsigned byte, per
+    the WAV spec) supported; float/compressed codecs raise."""
+    import numpy as np
+
+    meta = wav_meta(data)
+    if meta["audio_format"] != 1:
+        raise MediaDecodeError(
+            f"only PCM wav supported (audio_format={meta['audio_format']})"
+        )
+    bits = meta["bits_per_sample"]
+    if bits not in (8, 16):
+        raise MediaDecodeError(f"unsupported PCM bit depth {bits}")
+    # find the data chunk again (wav_meta only kept its size)
+    pos = 12
+    raw = None
+    while pos + 8 <= len(data):
+        cid, clen = struct.unpack("<4sI", data[pos : pos + 8])
+        if cid == b"data":
+            raw = data[pos + 8 : pos + 8 + clen]
+            break
+        pos += 8 + clen + (clen & 1)
+    if raw is None:
+        raise MediaDecodeError("WAV missing data chunk")
+    dtype = "<i2" if bits == 16 else "u1"
+    arr = np.frombuffer(raw, dtype=dtype)
+    nch = meta["channels"]
+    usable = (len(arr) // nch) * nch
+    return meta, arr[:usable].reshape(-1, nch).astype("int32")

@@ -3379,6 +3379,70 @@ def q105_py_eval_ast(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "rep_permille BIGINT")
 
 
+@query(
+    "q106_audio_pcm_stats",
+    """
+    WITH s AS (
+      SELECT d.doc_id,
+             (((d.doc_id * 31 + t.t * 7) % 2001) - 1000)::DOUBLE AS v
+      FROM documents d, (SELECT unnest(range(64)) AS t) t
+    )
+    SELECT doc_id,
+           8000 AS sample_rate, 1 AS channels,
+           64::BIGINT AS n_frames, 8 AS duration_ms,
+           MAX(abs(v))::INT AS peak,
+           SUM(v) / 64 AS mean_v,
+           sqrt(SUM(v * v) / 64) AS rms
+    FROM s GROUP BY doc_id
+    """,
+)
+def q106_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/PCM decode, hash-exact (audio sibling of q104): each
+    doc_id becomes a 64-sample mono PCM16 wave with sample
+    ((doc_id*31 + 7t) % 2001) - 1000, encoded with the pure-Python
+    encoder, decoded by audio.pcm_stats; the oracle computes the same
+    levels analytically from the sample formula (integer samples,
+    n=64 a power of two -> every intermediate is a dyadic rational,
+    sqrt IEEE-rounded: bit-equal across Spark/numpy/DuckDB)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from conveyor_spark.datapipe.codecs import wav_encode
+
+        t = 7 * np.arange(64, dtype=np.int64)
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "data": [
+                    wav_encode(
+                        (((int(i) * 31 + t) % 2001) - 1000).astype("int16"),
+                        8000,
+                    )
+                    for i in pdf["doc_id"]
+                ],
+            })
+
+    wavs = d.mapInPandas(synth, "doc_id LONG, data BINARY")
+    out = _op("audio.pcm_stats", ctx, [wavs], column="data", on_error="fail")
+    for name, expr in [
+        ("sample_rate", "pcm_stats.sample_rate"),
+        ("channels", "pcm_stats.channels"),
+        ("n_frames", "pcm_stats.n_frames"),
+        ("duration_ms", "pcm_stats.duration_ms"),
+        ("peak", "pcm_stats.peak"), ("mean_v", "pcm_stats.mean"),
+        ("rms", "pcm_stats.rms"),
+    ]:
+        out = _op("map.apply", ctx, [out], expression=expr, output_column=name)
+    return _op("select.apply", ctx, [out], columns=[
+        "doc_id", "sample_rate", "channels", "n_frames", "duration_ms",
+        "peak", "mean_v", "rms",
+    ])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -218,3 +218,42 @@ def test_png_encode_decode_roundtrip():
         assert np.array_equal(png_pixels(png_encode(px)), px)
     with pytest.raises(MediaDecodeError, match="cannot encode"):
         png_encode(np.zeros((2, 2, 5), dtype=np.uint8))
+
+
+def test_wav_encode_decode_roundtrip_and_pcm8():
+    from conveyor_spark.datapipe.codecs import wav_encode, wav_samples
+
+    rng = np.random.RandomState(5)
+    s = rng.randint(-32768, 32768, size=(40, 2)).astype(np.int16)
+    meta, out = wav_samples(wav_encode(s, 44100))
+    assert np.array_equal(out, s.astype(np.int32))
+    assert (meta["sample_rate"], meta["channels"], meta["n_frames"]) == (44100, 2, 40)
+    # PCM8 (unsigned per spec) decodes too
+    body = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (b"RIFF" + struct.pack("<I", 28 + 4) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + body
+            + b"data" + struct.pack("<I", 4) + bytes([0, 128, 255, 64]))
+    meta8, out8 = wav_samples(wav8)
+    assert meta8["bits_per_sample"] == 8 and out8.reshape(-1).tolist() == [0, 128, 255, 64]
+    # float wav refused
+    fbody = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    fwav = (b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fbody
+            + b"data" + struct.pack("<I", 0))
+    with pytest.raises(MediaDecodeError, match="PCM"):
+        wav_samples(fwav)
+
+
+def test_audio_pcm_stats_op(ctx, spark):
+    from conveyor_spark.datapipe.codecs import wav_encode
+
+    s = np.array([0, 100, -200, 300], dtype=np.int16)
+    df = _media_df(spark, [("a", wav_encode(s, 16000)),
+                           ("bad", b"not a wav"), ("none", None)])
+    out = run_op(ctx, "audio.pcm_stats", [df], column="content")
+    got = {r["id"]: r["pcm_stats"] for r in out.collect()}
+    st = got["a"]
+    assert (st["sample_rate"], st["channels"], st["n_frames"]) == (16000, 1, 4)
+    assert st["peak"] == 300 and st["mean"] == 50.0
+    assert abs(st["rms"] - float(np.sqrt((s.astype(np.float64) ** 2).mean()))) == 0.0
+    assert got["bad"] is None and got["none"] is None
