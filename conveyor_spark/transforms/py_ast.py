@@ -557,6 +557,61 @@ class Interpreter:
         )
 
 
+def referenced_columns(tree: ast.Module) -> set[str] | None:
+    """Static column-pruning analysis for engine='ast' — the
+    scripted-UDF analogue of Catalyst's column pruning, which cannot
+    see through a mapInPandas barrier. Returns the set of row keys
+    ``transform`` can possibly READ, or None when the access pattern
+    is dynamic (so the caller must keep every column).
+
+    The row parameter may appear ONLY as: ``row['const']`` (load or
+    store), ``row.get('const', ...)``, or a direct ``return row``
+    (safe because the caller always keeps the output-schema columns,
+    and anything else in the returned dict is dropped by the
+    result.get(output_column) projection anyway). Any other use —
+    aliasing, iteration, ``in``, passing ``row`` to a helper,
+    dynamic keys — returns None."""
+    fn = next(
+        (n for n in tree.body
+         if isinstance(n, ast.FunctionDef) and n.name == "transform"),
+        None,
+    )
+    if fn is None or not fn.args.args:
+        return None
+    param = fn.args.args[0].arg
+    parents: dict[ast.AST, ast.AST] = {}
+    for node in ast.walk(fn):
+        for child in ast.iter_child_nodes(node):
+            parents[child] = node
+    cols: set[str] = set()
+    for node in ast.walk(fn):
+        if not (isinstance(node, ast.Name) and node.id == param):
+            continue
+        par = parents.get(node)
+        if isinstance(par, ast.Subscript) and par.value is node:
+            key = par.slice
+            if isinstance(key, ast.Constant) and isinstance(key.value, str):
+                cols.add(key.value)
+                continue
+            return None  # dynamic or non-string key
+        if isinstance(par, ast.Attribute) and par.value is node \
+                and par.attr == "get":
+            call = parents.get(par)
+            if (
+                isinstance(call, ast.Call) and call.func is par
+                and call.args
+                and isinstance(call.args[0], ast.Constant)
+                and isinstance(call.args[0].value, str)
+            ):
+                cols.add(call.args[0].value)
+                continue
+            return None
+        if isinstance(par, ast.Return):
+            continue  # `return row` — output projection bounds it
+        return None  # aliasing / iteration / helper call / `in` / del
+    return cols
+
+
 def make_transform(script: str, step_budget: int = 1_000_000):
     """Compile + return a ``transform(row)`` callable backed by the
     micro-interpreter. One Interpreter per call site (partition)."""

@@ -176,11 +176,24 @@ def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
 
     if engine == "ast":
         from conveyor_spark.transforms.py_ast import (
-            make_transform, validate_script,
+            make_transform, referenced_columns, validate_script,
         )
 
-        validate_script(script)  # driver-side fail-fast
+        tree = validate_script(script)  # driver-side fail-fast
         step_budget = int(config.get("step_budget", 1_000_000))
+        # scripted-UDF column pruning: Catalyst cannot prune through
+        # a mapInPandas barrier, but the AST is statically analyzable
+        # — ship only the columns the script can read plus the
+        # output-schema columns (`return row` passthrough). On a
+        # wide 100 TB corpus this is the difference between scanning
+        # 2 columns and scanning 40.
+        cols = referenced_columns(tree)
+        if cols is not None:
+            keep = [c for c in df.columns if c in cols or c in out_columns]
+            if not keep:
+                keep = df.columns[:1]  # constant-only script: row count
+            if len(keep) < len(df.columns):
+                df = df.select(*keep)
 
         def run_ast(batches: Iterator) -> Iterator:
             import pandas as pd

@@ -217,3 +217,56 @@ def transform(row):
     out = make_transform(s)({"x": 42})
     assert out["pad"] == "00000042" and len(out["big"]) == 1000
     assert out["sq"] == 10**12
+
+
+# -- static column pruning -------------------------------------------
+
+def test_referenced_columns_analysis():
+    import ast as _ast
+
+    from conveyor_spark.transforms.py_ast import referenced_columns
+
+    def cols(src):
+        return referenced_columns(_ast.parse(src))
+
+    assert cols(
+        "def transform(row):\n"
+        "    return {'a': row['x'] + row.get('y', 0)}"
+    ) == {"x", "y"}
+    # `return row` passthrough stays analyzable
+    assert cols(
+        "def transform(row):\n    row['z'] = row['x']\n    return row"
+    ) == {"x", "z"}
+    # dynamic access patterns bail to None (keep everything)
+    for src in [
+        "def transform(row):\n    return {k: v for k, v in row.items()}",
+        "def transform(row):\n    r = row\n    return {'a': r['x']}",
+        "def transform(row):\n    k = 'x'\n    return {'a': row[k]}",
+        "def transform(row):\n    return helper(row)",
+        "def transform(row):\n    return {'a': 'x' in row}",
+    ]:
+        assert cols(src) is None
+
+
+def test_py_eval_ast_prunes_scan_columns(ctx, spark, tmp_path, sf_dir):
+    """The mapInPandas input must carry ONLY the columns the script
+    reads + the output schema — visible in the parquet ReadSchema."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = ("def transform(row):\n"
+         "    return {'doc_id': row['doc_id'],"
+         " 'n': len(row['text'].split())}\n")
+    out = run_op(ctx, "py.eval", [d], script=s, engine="ast",
+                 output_schema="doc_id BIGINT, n INT", widen=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+    assert out.count() == d.count()
+    # passthrough `return row` keeps output-schema columns intact
+    s2 = ("def transform(row):\n"
+          "    row['flag'] = row['n_chars'] > 100\n"
+          "    return row\n")
+    out2 = run_op(ctx, "py.eval", [d], script=s2, engine="ast",
+                  output_schema="doc_id BIGINT, lang STRING, flag BOOLEAN",
+                  widen=False)
+    r = out2.filter("doc_id = 1").first()
+    exp = d.filter("doc_id = 1").first()
+    assert r["lang"] == exp["lang"] and r["flag"] == (exp["n_chars"] > 100)

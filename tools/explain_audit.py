@@ -224,6 +224,28 @@ CHECKS = [
         lambda p, o: all("[user_id" in ln for ln in p.splitlines() if "Window [" in ln)
         and "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
     ),
+    (
+        "q104_media_pixel_stats",
+        "real PNG decode: id-only scan, widen exchange only, per-row (no agg shuffle)",
+        lambda p, o: "ReadSchema: struct<doc_id:bigint>" in p
+        and p.count("Exchange") == 1 and "HashAggregate" not in p,
+    ),
+    (
+        "q105_py_eval_ast",
+        "AST UDF: static column pruning pierces the mapInPandas barrier "
+        "(lang/source never leave the scan), widen exchange only",
+        lambda p, o: "lang" not in [
+            c.split(":")[0]
+            for ln in p.splitlines() if "ReadSchema" in ln
+            for c in ln.split("ReadSchema: struct<")[1].rstrip(">").split(",")
+        ] and p.count("Exchange") == 1,
+    ),
+    (
+        "q106_audio_pcm_stats",
+        "real PCM decode: id-only scan, widen exchange only, per-row (no agg shuffle)",
+        lambda p, o: "ReadSchema: struct<doc_id:bigint>" in p
+        and p.count("Exchange") == 1 and "HashAggregate" not in p,
+    ),
 ]
 
 
