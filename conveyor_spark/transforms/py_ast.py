@@ -32,6 +32,7 @@ row time.
 from __future__ import annotations
 
 import ast
+import re as _re
 from typing import Any
 
 from conveyor_spark.errors import ConfigError
@@ -329,7 +330,11 @@ class Interpreter:
             obj = self._eval(target.value, env)
             obj[self._eval(target.slice, env)] = value
         elif isinstance(target, (ast.Tuple, ast.List)):
-            items = list(value)
+            # islice: `a, b = range(10**12)` must fail on count, not
+            # materialize the whole iterable first
+            import itertools
+
+            items = list(itertools.islice(iter(value), len(target.elts) + 1))
             if len(items) != len(target.elts):
                 raise ValueError("unpacking length mismatch")
             for t, v in zip(target.elts, items):
@@ -496,6 +501,11 @@ class Interpreter:
                     val = self._eval(v.value, env)
                     if v.format_spec is not None:
                         spec = self._eval(v.format_spec, env)
+                        # a width like {x:>999999999} allocates the
+                        # padding in one call — same bomb as zfill
+                        if any(int(d) > _MAX_LEN
+                               for d in _re.findall(r"\d+", str(spec))):
+                            raise StepBudgetExceeded("format width too large")
                         parts.append(format(val, spec))
                     else:
                         parts.append(str(val))

@@ -270,3 +270,21 @@ def test_py_eval_ast_prunes_scan_columns(ctx, spark, tmp_path, sf_dir):
     r = out2.filter("doc_id = 1").first()
     exp = d.filter("doc_id = 1").first()
     assert r["lang"] == exp["lang"] and r["flag"] == (exp["n_chars"] > 100)
+
+
+def test_format_spec_and_unpack_bombs_capped():
+    with pytest.raises(StepBudgetExceeded, match="format width"):
+        make_transform(
+            "def transform(row):\n    return {'x': f'{5:>999999999}'}"
+        )({})
+    with pytest.raises(ValueError, match="unpacking"):
+        make_transform(
+            "def transform(row):\n    a, b = range(10**12)\n    return row"
+        )({})
+    # normal formatting and unpacking unaffected
+    fn = make_transform(
+        "def transform(row):\n"
+        "    a, b = [1, 2]\n"
+        "    return {'s': f'{a:>4}|{b:03d}'}"
+    )
+    assert fn({}) == {"s": "   1|002"}
