@@ -168,6 +168,11 @@ def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
     engine = config.get("engine", "auto")
     if engine == "auto":
         engine = "exec" if trusted else "subprocess"
+    if engine not in ("exec", "subprocess", "ast"):
+        # without this a typo'd engine would silently run sandboxed
+        raise ConfigError(
+            f"py.eval: unknown engine {engine!r} (auto|exec|subprocess|ast)"
+        )
     if engine == "exec" and not trusted:
         raise ConfigError(
             "py.eval: engine='exec' runs unsandboxed — it cannot be "

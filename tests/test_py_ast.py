@@ -288,3 +288,12 @@ def test_format_spec_and_unpack_bombs_capped():
         "    return {'s': f'{a:>4}|{b:03d}'}"
     )
     assert fn({}) == {"s": "   1|002"}
+
+
+def test_py_eval_unknown_engine_rejected(ctx, spark):
+    from conveyor_spark.errors import ConfigError
+
+    df = spark.createDataFrame([(1,)], "id INT")
+    with pytest.raises(ConfigError, match="unknown engine"):
+        run_op(ctx, "py.eval", [df],
+               script="def transform(row):\n    return row", engine="astt")
