@@ -555,3 +555,56 @@ class TestRound6OpProperties:
                 )
                 expect[k] = ("changed", cols) if cols else ("unchanged", ())
         assert got == expect
+
+
+@given(
+    h=st.integers(1, 10), w=st.integers(1, 10),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(h, w, ch, data):
+    """encode(filters f_0..f_h) |> decode == identity for every
+    image shape, channel count, and per-row filter choice — the
+    decoder inverts an INDEPENDENT encoder implementation of the
+    spec (tests/test_codecs.py's), not its own."""
+    import numpy as np
+
+    from conveyor_spark.datapipe.codecs import png_meta, png_pixels
+    from tests.test_codecs import make_png
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    filters = data.draw(
+        st.lists(st.integers(0, 4), min_size=h, max_size=h)
+    )
+    px = np.array(
+        data.draw(st.lists(
+            st.lists(st.lists(st.integers(0, 255), min_size=ch, max_size=ch),
+                     min_size=w, max_size=w),
+            min_size=h, max_size=h,
+        )),
+        dtype=np.uint8,
+    )
+    enc = make_png(px, color, filters=filters)
+    meta = png_meta(enc)
+    assert (meta["width"], meta["height"], meta["channels"]) == (w, h, ch)
+    assert np.array_equal(png_pixels(enc), px)
+
+
+@given(
+    frames=st.integers(0, 1000), rate=st.sampled_from([8000, 16000, 44100]),
+    nch=st.integers(1, 4), seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_wav_roundtrip_property(frames, rate, nch, seed):
+    import numpy as np
+
+    from conveyor_spark.datapipe.codecs import wav_encode, wav_samples
+
+    s = np.random.RandomState(seed).randint(
+        -32768, 32768, size=(frames, nch)
+    ).astype(np.int16)
+    meta, out = wav_samples(wav_encode(s, rate))
+    assert (meta["sample_rate"], meta["channels"], meta["n_frames"]) \
+        == (rate, nch, frames)
+    assert np.array_equal(out, s.astype(np.int32))
