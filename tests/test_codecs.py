@@ -257,3 +257,34 @@ def test_audio_pcm_stats_op(ctx, spark):
     assert st["peak"] == 300 and st["mean"] == 50.0
     assert abs(st["rms"] - float(np.sqrt((s.astype(np.float64) ** 2).mean()))) == 0.0
     assert got["bad"] is None and got["none"] is None
+
+
+def test_pcm8_stats_centered(ctx, spark):
+    # PCM8 silence (all 128) must read as level zero
+    wav8 = (b"RIFF" + struct.pack("<I", 32) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16)
+            + struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", 4) + bytes([128, 128, 128, 128]))
+    out = run_op(ctx, "audio.pcm_stats", [_media_df(spark, [("s", wav8)])],
+                 column="content")
+    st = out.first()["pcm_stats"]
+    assert st["peak"] == 0 and st["mean"] == 0.0 and st["rms"] == 0.0
+
+
+def test_media_resize_real(ctx, spark):
+    from conveyor_spark.datapipe.codecs import png_encode, png_pixels
+
+    px = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    df = _media_df(spark, [("a", png_encode(px)), ("bad", b"x"), ("n", None)])
+    out = run_op(ctx, "media.resize", [df], column="content",
+                 width=4, height=2, output_column="thumb")
+    got = {r["id"]: r["thumb"] for r in out.collect()}
+    thumb = png_pixels(bytes(got["a"]))
+    ys = (np.arange(2) * 8) // 2
+    xs = (np.arange(4) * 8) // 4
+    assert np.array_equal(thumb, px[ys][:, xs])
+    assert got["bad"] is None and got["n"] is None
+    # upscale works too (index repetition)
+    up = run_op(ctx, "media.resize", [df.filter("id = 'a'")],
+                column="content", width=16, height=16)
+    assert png_pixels(bytes(up.first()["content"])).shape == (16, 16, 3)
