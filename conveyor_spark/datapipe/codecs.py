@@ -30,6 +30,26 @@ class MediaDecodeError(ValueError):
     """Input bytes are not a valid instance of the claimed format."""
 
 
+def _decoder(fn):
+    """Boundary guard for untrusted bytes: truncated input surfaces
+    wherever a struct.unpack or byte index lands first — map those to
+    MediaDecodeError so callers see ONE failure type (fuzz-tested in
+    test_codecs.py) instead of struct.error/IndexError leaking out of
+    a corrupt-corpus scan."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data, *args, **kwargs):
+        try:
+            return fn(data, *args, **kwargs)
+        except (struct.error, IndexError) as exc:
+            raise MediaDecodeError(
+                f"{fn.__name__}: truncated/malformed input ({exc})"
+            ) from None
+
+    return wrapped
+
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel
@@ -58,6 +78,7 @@ def png_chunks(data: bytes):
     raise MediaDecodeError("PNG missing IEND")
 
 
+@_decoder
 def png_meta(data: bytes) -> dict:
     """IHDR parse: width/height/bit depth/color type (+ channels)."""
     for ctype, payload in png_chunks(data):
@@ -91,6 +112,7 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+@_decoder
 def png_pixels(data: bytes):
     """Full decode -> numpy uint8 array of shape (height, width,
     channels). Supports bit depth 8, color types 0/2/3/4/6,
@@ -165,6 +187,7 @@ def png_pixels(data: bytes):
     return px
 
 
+@_decoder
 def jpeg_meta(data: bytes) -> dict:
     """Marker scan to the first SOF0-SOF15 frame header."""
     if data[:2] != b"\xff\xd8":
@@ -195,6 +218,7 @@ def jpeg_meta(data: bytes) -> dict:
     raise MediaDecodeError("JPEG has no SOF marker")
 
 
+@_decoder
 def gif_meta(data: bytes) -> dict:
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise MediaDecodeError("bad GIF header")
@@ -213,6 +237,7 @@ def _gif_skip_subblocks(data: bytes, pos: int) -> int:
         pos += n
 
 
+@_decoder
 def gif_frames(data: bytes) -> list[tuple[int, int]]:
     """(start, end) byte span of each frame's image descriptor +
     LZW data — exact frame boundaries without LZW decode."""
@@ -245,6 +270,7 @@ def gif_frames(data: bytes) -> list[tuple[int, int]]:
     raise MediaDecodeError("GIF missing trailer")
 
 
+@_decoder
 def wav_meta(data: bytes) -> dict:
     """RIFF walk: fmt (codec/channels/rate/bits) + data size."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
@@ -382,6 +408,7 @@ def wav_encode(samples, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+@_decoder
 def wav_samples(data: bytes):
     """Full PCM decode -> (meta dict, numpy int array of shape
     (frames, channels)). PCM16 (int16) and PCM8 (unsigned byte, per

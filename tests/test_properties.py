@@ -608,3 +608,26 @@ def test_wav_roundtrip_property(frames, rate, nch, seed):
     assert (meta["sample_rate"], meta["channels"], meta["n_frames"]) \
         == (rate, nch, frames)
     assert np.array_equal(out, s.astype(np.int32))
+
+
+@given(
+    prefix=st.sampled_from([
+        b"", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a",
+        b"RIFF", b"RIFF1234WAVE",
+    ]),
+    tail=st.binary(max_size=200),
+)
+@settings(max_examples=300, deadline=None)
+def test_codecs_never_leak_raw_exceptions(prefix, tail):
+    """Corrupt-corpus contract: any byte string either decodes or
+    raises MediaDecodeError — struct.error/IndexError never escape a
+    decoder into a scan over crawled data."""
+    from conveyor_spark.datapipe import codecs as C
+
+    data = prefix + tail
+    for fn in (C.png_meta, C.png_pixels, C.jpeg_meta, C.gif_meta,
+               C.gif_frames, C.wav_meta, C.wav_samples):
+        try:
+            fn(data)
+        except C.MediaDecodeError:
+            pass
