@@ -522,3 +522,101 @@ def media_resize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
             yield pd.DataFrame(pdf, columns=out_columns)
 
     return df.mapInPandas(run, out_schema)
+
+
+def _phash64(px) -> int:
+    """Classic 64-bit pHash over decoded pixels: integer BT.601
+    grayscale (299R+587G+114B — unscaled; median thresholding is
+    invariant to positive scaling), 32x32 nearest-neighbor resample,
+    orthonormal 2D DCT-II, top-left 8x8 low-frequency block, bit =
+    coefficient > median-of-64. Pure numpy — the DCT is two 32x32
+    matrix multiplies."""
+    import numpy as np
+
+    h, w, ch = px.shape
+    if ch >= 3:
+        gray = (
+            299 * px[:, :, 0].astype(np.int64)
+            + 587 * px[:, :, 1].astype(np.int64)
+            + 114 * px[:, :, 2].astype(np.int64)
+        )
+    else:
+        gray = px[:, :, 0].astype(np.int64)
+    ys = (np.arange(32) * h) // 32
+    xs = (np.arange(32) * w) // 32
+    small = gray[ys][:, xs].astype(np.float64)
+    n = 32
+    k = np.arange(n)
+    basis = np.sqrt(2.0 / n) * np.cos(
+        np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n)
+    )
+    basis[0] *= 1.0 / np.sqrt(2.0)
+    coef = basis @ small @ basis.T
+    block = coef[:8, :8].reshape(-1)
+    bits = block > np.median(block)
+    return int(bits.astype(np.uint64) @ (1 << np.arange(64, dtype=np.uint64)))
+
+
+@register(
+    "media.phash", kind="transform",
+    doc="REAL perceptual hash (decode -> DCT -> 64-bit fingerprint)",
+    params=[
+        P("column", required=True, desc="Binary PNG column"),
+        P("output_column", default="phash", desc="Fingerprint column (int64)"),
+        P("on_error", default="null", allowed=("null", "fail"),
+          desc="Non-PNG/corrupt bytes -> NULL or raise"),
+    ],
+    example={"column": "content"},
+    tags=["multimodal", "dedup", "phash", "datapipe"],
+)
+def media_phash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Image near-dup fingerprints from REAL pixel content: decode
+    PNG, 2D-DCT the 32x32 grayscale, threshold the low-frequency
+    block at its median -> 64-bit hash that survives resizing and
+    mild noise. Feed the output to dedup.hamming (pigeonhole-exact
+    banded pairing) for the image analogue of the simhash text
+    pipeline — near-dup image detection with no native imaging
+    library on any executor.
+
+    Scale: mapInPandas, no shuffle; fingerprints are 8 bytes/row, so
+    the downstream pairing shuffles fingerprints, never pixels."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("media.phash requires 'column'")
+    output_column = config.get("output_column", "phash")
+    on_error = config.get("on_error", "null")
+    from conveyor_spark.datapipe.dedup import widen
+
+    df = widen(ctx, df, config)
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField(output_column, T.LongType())]
+    )
+    in_columns = df.columns
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from conveyor_spark.datapipe.codecs import (
+            MediaDecodeError, png_pixels,
+        )
+
+        def hash_one(v):
+            if v is None:
+                return None
+            try:
+                px = png_pixels(bytes(v))
+            except MediaDecodeError as exc:
+                if on_error == "fail":
+                    raise ValueError(f"media.phash: {exc}") from None
+                return None
+            # numpy uint64 -> signed int64 wrap for Spark LongType
+            u = _phash64(px)
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[output_column] = [hash_one(v) for v in pdf[column]]
+            yield pd.DataFrame(pdf, columns=in_columns + [output_column])
+
+    return df.mapInPandas(run, out_schema)

@@ -3443,6 +3443,37 @@ def q106_audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@query(
+    "q107_dedup_hamming",
+    # pair the q45 signatures brute-force; the banded op must match
+    # EXACTLY (pigeonhole: bands = d+1 has full recall at distance d)
+    f"""
+    WITH fp AS ({_emb_lsh_oracle()})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           bit_count(xor(a.lsh_sig, b.lsh_sig))::INT AS distance
+    FROM fp a JOIN fp b ON a.vec_id < b.vec_id
+    WHERE bit_count(xor(a.lsh_sig, b.lsh_sig)) <= 2
+    """,
+)
+def q107_dedup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.hamming: the pairing half of fingerprint near-dup
+    (feeds from dedup.simhash, media.phash, or — here — the
+    embedding.lsh signatures of q45): banded (band, block) equi-join
+    with pigeonhole-EXACT recall at max_distance, verified by one
+    codegen'd bit_count(a ^ b). The oracle computes the same pairs
+    by brute-force cross join over the same signatures, so a hash
+    match proves the banding loses nothing. Hamming-close LSH
+    signatures <=> cosine-close vectors, so this is also the
+    signature-only (no-vector-shuffle) coarse pass of embedding
+    dedup."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    sigs = _op("embedding.lsh", ctx, [e], column="embedding", bits=16, dim=64)
+    sigs = _op("select.apply", ctx, [sigs], columns=["vec_id", "lsh_sig"])
+    return _op("dedup.hamming", ctx, [sigs], id_column="vec_id",
+               fingerprint_column="lsh_sig", bits=16, max_distance=2)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

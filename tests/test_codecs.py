@@ -288,3 +288,59 @@ def test_media_resize_real(ctx, spark):
     up = run_op(ctx, "media.resize", [df.filter("id = 'a'")],
                 column="content", width=16, height=16)
     assert png_pixels(bytes(up.first()["content"])).shape == (16, 16, 3)
+
+
+def test_phash_plus_hamming_finds_image_near_dups(ctx, spark):
+    """The image near-dup pipeline end to end: real PNG decode ->
+    pHash fingerprints -> pigeonhole-banded Hamming pairing. A
+    resized copy must pair with its original; an unrelated image
+    must not."""
+    from conveyor_spark.datapipe.codecs import png_encode
+
+    x = np.linspace(0, 4 * np.pi, 64)
+    base = ((np.sin(x)[:, None] * np.cos(x)[None, :] + 1) * 127).astype(np.uint8)
+    img = np.repeat(base[:, :, None], 3, axis=2)
+    ys = (np.arange(96) * 64) // 96
+    resized = img[ys][:, ys]
+    other = ((np.cos(3 * x)[:, None] * np.sin(2 * x)[None, :] + 1) * 127)
+    other = np.repeat(other.astype(np.uint8)[:, :, None], 3, axis=2)
+    df = spark.createDataFrame(
+        [(1, bytearray(png_encode(img))), (2, bytearray(png_encode(resized))),
+         (3, bytearray(png_encode(other))), (4, None)],
+        "img_id INT, content BINARY",
+    )
+    hashed = run_op(ctx, "media.phash", [df], column="content")
+    got = {r["img_id"]: r["phash"] for r in hashed.collect()}
+    assert got[4] is None and got[1] == got[2] != got[3]
+    pairs = run_op(ctx, "dedup.hamming", [hashed.filter("phash IS NOT NULL")],
+                   id_column="img_id", fingerprint_column="phash",
+                   bits=64, max_distance=6)
+    assert [(r["id_a"], r["id_b"]) for r in pairs.collect()] == [(1, 2)]
+
+
+def test_dedup_hamming_pigeonhole_exact(ctx, spark):
+    """bands = max_distance+1 must be EXACT: every pair within the
+    distance is found (pigeonhole), none beyond it survives verify —
+    checked against the brute-force cross join."""
+    import itertools
+    import random
+
+    random.seed(11)
+    rows = [(i, random.getrandbits(64) - (1 << 63)) for i in range(120)]
+    for i in range(0, 12, 2):
+        rows.append((500 + i, rows[i][1] ^ (1 << (i % 64))))
+        rows.append((600 + i, rows[i][1] ^ 0b10101))
+    df = spark.createDataFrame(rows, "id BIGINT, fp BIGINT")
+    out = run_op(ctx, "dedup.hamming", [df], id_column="id",
+                 fingerprint_column="fp", bits=64, max_distance=3)
+    got = sorted((r["id_a"], r["id_b"], r["distance"]) for r in out.collect())
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    exp = sorted(
+        (a, b, ham(x, y))
+        for (a, x), (b, y) in itertools.combinations(rows, 2)
+        if ham(x, y) <= 3
+    )
+    assert got == exp and len(got) >= 6
