@@ -246,6 +246,14 @@ CHECKS = [
         lambda p, o: "ReadSchema: struct<doc_id:bigint>" in p
         and p.count("Exchange") == 1 and "HashAggregate" not in p,
     ),
+    (
+        "q107_dedup_hamming",
+        "hamming pairing: all-JVM (no Python), band equi-join only "
+        "(no cartesian/BNLJ), one codegen'd bit_count verify",
+        lambda p, o: "MapInPandas" not in p and "BatchEvalPython" not in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p and "bit_count" in p,
+    ),
 ]
 
 
