@@ -66,6 +66,9 @@ def _propagate(und: DataFrame, labels: DataFrame) -> DataFrame:
           desc="Fixed iteration count (skips convergence checks)"),
         P("max_iterations", "integer", default=20, min=1,
           desc="Convergence-mode bound (graph diameter)"),
+        P("rounds_per_check", "integer", default=2, min=1,
+          desc="Propagation rounds per materialize+convergence check "
+               "(labels are monotone, so batched checks stay exact)"),
     ],
     example={"pair_a": "id_a", "pair_b": "id_b"},
     tags=["dedup", "graph", "datapipe"],
@@ -102,9 +105,22 @@ def dedup_components(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
             labels = _propagate(und, labels).drop("__old")
     else:
         max_iterations = int(config.get("max_iterations", 20))
+        # Batch propagation rounds between materializations: labels
+        # only ever decrease, so if the LAST round of a batch changed
+        # nothing its input was already a fixed point — checking only
+        # that round is exact, and each skipped check saves a
+        # localCheckpoint + count job. Duplicate clusters are
+        # near-cliques (diameter 2-3), so batch=2 usually converges
+        # in ONE materialization cycle instead of three or four.
+        batch = max(1, int(config.get("rounds_per_check", 2)))
         labels = labels.localCheckpoint(eager=True)
-        for _ in range(max_iterations):
-            new_labels = _propagate(und, labels).localCheckpoint(eager=True)
+        done = 0
+        while done < max_iterations:
+            stepped = labels
+            for _ in range(min(batch, max_iterations - done)):
+                stepped = _propagate(und, stepped.drop("__old"))
+                done += 1
+            new_labels = stepped.localCheckpoint(eager=True)
             # convergence = scan of the just-materialized round
             changed = (
                 new_labels.filter(F.col("label") != F.col("__old")).limit(1).count()
