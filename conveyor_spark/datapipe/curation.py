@@ -722,3 +722,94 @@ def text_chunk(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
             F.col("__c.n_tokens").alias("n_tokens"),
         )
     )
+
+
+# default tracking params stripped by url.normalize: the query-string
+# noise that makes one page crawl as many URLs
+URL_TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "igshid", "ref", "mc_eid")
+
+
+@register(
+    "url.normalize", kind="transform",
+    doc="Canonicalize URLs (case/port/fragment/tracking-params/slash)",
+    params=[
+        P("column", required=True, desc="URL column"),
+        P("output_column", desc="Result column (default: in place)"),
+        P("strip_tracking", "boolean", default=True,
+          desc="Drop utm_* and known click-id params"),
+        P("sort_params", "boolean", default=True,
+          desc="Sort remaining query params (order-insensitive dedup)"),
+        P("strip_trailing_slash", "boolean", default=True,
+          desc="Drop a trailing path slash ('/a/' == '/a', '/' == '')"),
+        P("strip_www", "boolean", default=False,
+          desc="Also drop a leading 'www.' host label"),
+    ],
+    example={"column": "url"},
+    tags=["url", "dedup", "curation"],
+)
+def url_normalize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """The first pass of web-corpus URL dedup: one page crawls as
+    many URLs (scheme/host case, default ports, fragments, utm_*
+    click-ids, param order, trailing slash); canonicalize before
+    grouping and the exact-dedup pass collapses them.
+
+    Rules: lowercase scheme+host, drop :80/:443 on the matching
+    scheme, drop the #fragment, drop tracking params (utm_* plus
+    URL_TRACKING_PARAMS), sort surviving params, strip one trailing
+    path slash. Values WITHOUT a scheme pass through untouched (only
+    trimmed) — this op never invents structure.
+
+    Pure chained JVM string/regexp/array expressions — codegen'd,
+    zero shuffle, linear; RE2-safe patterns keep it oracle-checkable.
+    """
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("url.normalize requires 'column'")
+    out = config.get("output_column", column)
+    strip_tracking = bool(config.get("strip_tracking", True))
+    sort_params = bool(config.get("sort_params", True))
+    strip_slash = bool(config.get("strip_trailing_slash", True))
+    strip_www = bool(config.get("strip_www", False))
+
+    u = F.trim(F.col(column).cast("string"))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    after = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?#]*)", 1))
+    rest = F.expr(
+        f"substring(regexp_replace(trim(CAST(`{column}` AS STRING)), "
+        r"'^[A-Za-z][A-Za-z0-9+.-]*://', ''), "
+        r"length(regexp_extract(regexp_replace(trim(CAST(`" + column
+        + "` AS STRING)), '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1)) + 1)"
+    )
+    rest = F.regexp_replace(rest, r"#.*$", "")  # fragment off first
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+
+    host = hostport
+    host = F.when(scheme == "http", F.regexp_replace(host, r":80$", "")) \
+        .when(scheme == "https", F.regexp_replace(host, r":443$", "")) \
+        .otherwise(host)
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    if strip_slash:
+        path = F.regexp_replace(path, r"/$", "")
+
+    params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    if strip_tracking:
+        tracked = ", ".join(f"'{t}'" for t in URL_TRACKING_PARAMS)
+        params = F.expr(
+            f"filter(filter(split(regexp_extract(regexp_replace("
+            f"regexp_replace(trim(CAST(`{column}` AS STRING)), "
+            r"'^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''), "
+            r"'\\?(.*)$', 1), '[&]'), p -> p != ''), "
+            f"p -> NOT (p LIKE 'utm\\\\_%' OR split(p, '=')[0] IN ({tracked})))"
+        )
+    if sort_params:
+        params = F.array_sort(params)
+    qstr = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+
+    normalized = F.concat(scheme, F.lit("://"), host, path, qstr)
+    return df.withColumn(out, F.when(scheme == "", u).otherwise(normalized))

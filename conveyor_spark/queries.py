@@ -3474,6 +3474,44 @@ def q107_dedup_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
                fingerprint_column="lsh_sig", bits=16, max_distance=2)
 
 
+@query(
+    "q108_url_normalize",
+    # analytic oracle: construct the EXPECTED canonical form directly
+    # from doc_id — independent of any SQL re-implementation of the
+    # normalizer
+    """
+    SELECT doc_id,
+           CASE doc_id % 3
+             WHEN 0 THEN 'http://www.site' || CAST(doc_id % 5 AS VARCHAR)
+                  || '.com/p/' || CAST(doc_id AS VARCHAR)
+                  || '?a=1&b=' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 1 THEN 'https://example.com/x/y?z=' || CAST(doc_id AS VARCHAR)
+             ELSE 'not a url ' || CAST(doc_id AS VARCHAR)
+           END AS url
+    FROM documents
+    """,
+)
+def q108_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """url.normalize: web-corpus URL canonicalization (scheme/host
+    case, default ports, fragments, utm_*/click-id params, param
+    order, trailing slash) as pure codegen'd string expressions. The
+    query synthesizes messy URL variants from doc_id and the oracle
+    states the expected canonical string analytically."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    messy = (
+        "CASE CAST(doc_id % 3 AS INT) "
+        "WHEN 0 THEN 'HTTP://WWW.Site' || CAST(doc_id % 5 AS STRING) "
+        "  || '.COM:80/p/' || CAST(doc_id AS STRING) "
+        "  || '/?utm_source=t&b=' || CAST(doc_id % 7 AS STRING) || '&a=1#frag' "
+        "WHEN 1 THEN 'https://Example.COM:443/x/y?z=' || CAST(doc_id AS STRING) "
+        "ELSE '  not a url ' || CAST(doc_id AS STRING) || '  ' END"
+    )
+    d = _op("map.apply", ctx, [d], expression=messy, output_column="url")
+    out = _op("url.normalize", ctx, [d], column="url")
+    return _op("select.apply", ctx, [out], columns=["doc_id", "url"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -363,3 +363,33 @@ def test_text_extract_rejects_duplicate_field_names(ctx, spark):
             {"name": "a", "pattern": r"a=(\d+)"},
             {"name": "a", "pattern": r"b=(\d+)"},
         ])
+
+
+def test_url_normalize(ctx, spark):
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/Path//Pg/?utm_source=x&b=2&a=1#f"),
+        (2, "https://example.com:443/"),
+        (3, "https://example.com:8443/x?gclid=abc&z=1"),
+        (4, "not a url at all"),
+        (5, "  ftp://Files.Example.org/pub/  "),
+        (6, None),
+        (7, "https://site.com/page/?"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, url STRING")
+    out = run_op(ctx, "url.normalize", [df], column="url")
+    got = {r["id"]: r["url"] for r in out.collect()}
+    assert got == {
+        1: "http://www.example.com/Path//Pg?a=1&b=2",
+        2: "https://example.com",
+        3: "https://example.com:8443/x?z=1",   # non-default port kept
+        4: "not a url at all",                 # schemeless: trim only
+        5: "ftp://files.example.org/pub",
+        6: None,
+        7: "https://site.com/page",
+    }
+    # strip_www + no param sorting + keep tracking
+    out2 = run_op(ctx, "url.normalize", [df], column="url",
+                  strip_www=True, sort_params=False, strip_tracking=False)
+    got2 = {r["id"]: r["url"] for r in out2.collect()}
+    assert got2[1] == "http://example.com/Path//Pg?utm_source=x&b=2&a=1"
+    assert got2[3] == "https://example.com:8443/x?gclid=abc&z=1"
