@@ -91,42 +91,89 @@ def _interpolate(value: Any, variables: dict[str, str]) -> Any:
     return value
 
 
+def _require(value: Any, typ: type, what: str) -> Any:
+    """Shape check for TOML-representable-but-wrong values: `stages =
+    5`, `[global] variables = "x"`, `inputs = 3` are all valid TOML
+    that used to escape as TypeError/AttributeError deep in the
+    parser or compiler. Every malformed shape must die here as a
+    ConfigError naming the offending key (fuzz-locked by
+    tests/test_spec_fuzz.py)."""
+    if not isinstance(value, typ) or (typ is not bool and isinstance(value, bool)):
+        raise ConfigError(
+            f"{what} must be a {typ.__name__}, got {type(value).__name__}: {value!r}"
+        )
+    return value
+
+
 def parse_spec(data: dict[str, Any], env: dict[str, str] | None = None) -> PipelineSpec:
     env = dict(os.environ) if env is None else env
-    meta = data.get("pipeline", {})
-    glob = data.get("global", {})
+    _require(data, dict, "pipeline spec")
+    meta = _require(data.get("pipeline", {}), dict, "[pipeline]")
+    glob = _require(data.get("global", {}), dict, "[global]")
     variables = {
-        k: _resolve_env(str(v), env) for k, v in (glob.get("variables") or {}).items()
+        str(k): _resolve_env(str(v), env)
+        for k, v in _require(
+            glob.get("variables") or {}, dict, "[global].variables"
+        ).items()
     }
     stages_raw = data.get("stages", [])
-    if not stages_raw:
-        raise ConfigError("pipeline must declare at least one stage")
+    if not isinstance(stages_raw, list) or not stages_raw:
+        raise ConfigError("pipeline must declare at least one [[stages]] entry")
     stages = []
     for raw in stages_raw:
+        _require(raw, dict, "[[stages]] entry")
         if "id" not in raw or "function" not in raw:
             raise ConfigError(f"stage missing 'id'/'function': {raw}")
+        sid = _require(raw["id"], str, "stage 'id'")
+        inputs_raw = raw.get("inputs", [])
+        if isinstance(inputs_raw, str):
+            # ergonomic: a single upstream may be written unbracketed
+            inputs_raw = [inputs_raw]
+        _require(inputs_raw, list, f"stage {sid!r} 'inputs'")
+        for inp in inputs_raw:
+            _require(inp, str, f"stage {sid!r} input")
         stages.append(
             StageSpec(
-                id=raw["id"],
-                function=raw["function"],
-                inputs=list(raw.get("inputs", [])),
-                config=_interpolate(raw.get("config", {}), variables),
-                error_strategy=raw.get("error_strategy", {}),
+                id=sid,
+                function=_require(raw["function"], str, f"stage {sid!r} 'function'"),
+                inputs=list(inputs_raw),
+                config=_interpolate(
+                    _require(raw.get("config", {}) or {}, dict, f"stage {sid!r} 'config'"),
+                    variables,
+                ),
+                error_strategy=_require(
+                    raw.get("error_strategy", {}) or {}, dict,
+                    f"stage {sid!r} 'error_strategy'",
+                ),
             )
         )
     spec = PipelineSpec(
-        name=meta.get("name", "pipeline"),
+        name=str(meta.get("name", "pipeline")),
         version=str(meta.get("version", "0")),
-        description=meta.get("description", ""),
+        description=str(meta.get("description", "")),
         variables=variables,
         # [error_handling] lives at top level in the reference's specs
         # (docs/configuration.md:155); [global].error_handling also
         # accepted (earlier shape of this engine's own specs)
-        error_handling=data.get("error_handling", glob.get("error_handling", {})),
+        error_handling=_require(
+            data.get("error_handling", glob.get("error_handling", {})) or {},
+            dict, "[error_handling]",
+        ),
         timeout_seconds=glob.get("timeout_seconds"),
-        plugins=list(glob.get("plugins", [])),
+        plugins=[
+            _require(p, str, "[global].plugins entry")
+            for p in _require(glob.get("plugins", []), list, "[global].plugins")
+        ],
         stages=stages,
     )
+    if spec.timeout_seconds is not None:
+        if isinstance(spec.timeout_seconds, bool) or not isinstance(
+            spec.timeout_seconds, (int, float)
+        ) or spec.timeout_seconds <= 0:
+            raise ConfigError(
+                "[global].timeout_seconds must be a positive number, got "
+                f"{spec.timeout_seconds!r}"
+            )
     validate_spec(spec)
     return spec
 
