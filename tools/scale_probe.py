@@ -1,0 +1,247 @@
+"""Standing skewed-scale probe: make the 100x claim reproducible.
+
+Replicates the sf0.1 tables the heavy queries read (documents,
+embeddings, part) to N-times the rows with a ZIPF cluster-size
+distribution — row r of a table gets ~target * r^-alpha / H(alpha)
+near-duplicate copies (capped at --max-cluster) — then runs the
+heavy query set against the probe directory and asserts, from the
+Spark UI REST API's per-stage metrics:
+
+  * every query completes (no error, no OOM),
+  * ZERO disk spill across all stages (--allow-spill-mb to relax),
+  * per-query shuffle write below --max-shuffle-mb.
+
+Zipf replication is the adversarial shape for this suite: duplicate
+clusters are exactly what LSH/minhash/jaccard exist to find, and
+uncapped identical clusters make any pair-emitting dedup quadratic
+BY THE DATA (round-5 NOTES: that is a real 100 TB failure mode, with
+minhash pairs='star' + knn.lsh max_bucket as the mitigations). Copies
+here are perturbed near-dups (suffix token / vector noise / name
+edit) so the probe exercises the hot-bucket paths without the
+degenerate identical-signature blowup.
+
+Usage:
+    python tools/scale_probe.py [--scale 4] [--alpha 1.1]
+        [--max-cluster 256] [--sf-dir /root/testdata/sf0.1]
+        [--queries q28_dedup_minhash ...] [--out probe.json]
+        [--max-shuffle-mb 2048] [--max-sec 0] [--keep]
+
+Exit 0 = all assertions hold; 1 = violation (named on stderr).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+HEAVY_SET = [
+    "q28_dedup_minhash",
+    "q51_jaccard_pruned",
+    "q52_jaccard_candidates",
+    "q53_dedup_components",
+    "q64_fuzzy_join",
+    "q68_knn_lsh",
+    "q80_decontam_bloom",
+    "q83_pack_sequences",
+]
+
+# tables the heavy set reads -> (id column, perturbation kind)
+REPLICATED = {
+    "documents": ("doc_id", "text"),
+    "embeddings": ("vec_id", "vector"),
+    "part": ("p_partkey", "name"),
+}
+PASSTHROUGH = ["region", "nation", "customer", "supplier", "orders",
+               "lineitem", "events"]
+
+
+def zipf_expr(n_rows: int, scale: int, alpha: float, cap: int) -> str:
+    """SQL for the copy count of the row with 1-based rank __r."""
+    h = sum(r ** -alpha for r in range(1, n_rows + 1))
+    target = n_rows * scale
+    return (
+        f"least({cap}, greatest(1, "
+        f"cast(round({target} * pow(__r, {-alpha}) / {h}) as int)))"
+    )
+
+
+def build_probe(spark, sf_dir: str, out_dir: str, scale: int,
+                alpha: float, cap: int) -> dict[str, int]:
+    """Write the replicated probe tables; return row counts."""
+    from pyspark.sql import functions as F
+
+    counts: dict[str, int] = {}
+    for name in PASSTHROUGH:
+        src = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(src):
+            os.symlink(src, os.path.join(out_dir, f"{name}.parquet"))
+
+    for name, (id_col, kind) in REPLICATED.items():
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        n = df.count()
+        # rank by id: a one-partition window is fine for the probe
+        # GENERATOR (the system under test is the queries, not this)
+        from pyspark.sql import Window
+        ranked = df.withColumn(
+            "__r", F.row_number().over(Window.orderBy(id_col))
+        ).withColumn("__copies", F.expr(zipf_expr(n, scale, alpha, cap)))
+        k = cap + 1  # unique-id stride > any copy index
+        exploded = ranked.withColumn(
+            "__c", F.explode(F.expr("sequence(1, __copies)"))
+        ).withColumn(id_col, F.col(id_col) * k + F.col("__c"))
+        if kind == "text":
+            # near-dup copies: tiny suffix, realistic crawl noise
+            exploded = exploded.withColumn(
+                "text", F.expr("concat(text, ' ##c', __c)")
+            ).withColumn("n_chars", F.length("text"))
+        elif kind == "vector":
+            # deterministic per-element noise ~1e-4: same cluster
+            # under any sane cosine threshold, distinct signatures
+            exploded = exploded.withColumn(
+                "embedding",
+                F.expr(
+                    "transform(embedding, (x, i) -> x + cast(pmod("
+                    f"xxhash64({id_col}, i), 1001) - 500 as float) * 1e-6f)"
+                ),
+            )
+        elif kind == "name":
+            exploded = exploded.withColumn(
+                "p_name", F.expr("concat(p_name, ' ', __c % 10)")
+            )
+        out = exploded.drop("__r", "__copies", "__c") \
+            .repartition(32)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{name}.parquet"))
+        counts[name] = spark.read.parquet(
+            os.path.join(out_dir, f"{name}.parquet")).count()
+    return counts
+
+
+class StageMetrics:
+    """Per-query deltas from the UI REST API's stage metrics."""
+
+    def __init__(self, spark):
+        self._base = spark.sparkContext.uiWebUrl
+        self._app = spark.sparkContext.applicationId
+        self._seen: set[tuple[int, int]] = set()
+
+    def _stages(self) -> list[dict]:
+        url = f"{self._base}/api/v1/applications/{self._app}/stages"
+        with urllib.request.urlopen(url, timeout=10) as r:
+            return json.load(r)
+
+    def snapshot(self) -> dict[str, float]:
+        """Metrics of stages not yet attributed to a prior call."""
+        tot = {"shuffle_write_mb": 0.0, "shuffle_read_mb": 0.0,
+               "spilled_disk_mb": 0.0, "spilled_mem_mb": 0.0,
+               "stages": 0}
+        for s in self._stages():
+            key = (s["stageId"], s["attemptId"])
+            if key in self._seen or s["status"] == "SKIPPED":
+                continue
+            self._seen.add(key)
+            tot["shuffle_write_mb"] += s.get("shuffleWriteBytes", 0) / 2**20
+            tot["shuffle_read_mb"] += s.get("shuffleReadBytes", 0) / 2**20
+            tot["spilled_disk_mb"] += s.get("diskBytesSpilled", 0) / 2**20
+            tot["spilled_mem_mb"] += s.get("memoryBytesSpilled", 0) / 2**20
+            tot["stages"] += 1
+        return {k: round(v, 2) for k, v in tot.items()}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--scale", type=int, default=4)
+    ap.add_argument("--alpha", type=float, default=1.1)
+    ap.add_argument("--max-cluster", type=int, default=256)
+    ap.add_argument("--queries", nargs="*", default=HEAVY_SET)
+    ap.add_argument("--out", default=None, help="JSON artifact path")
+    ap.add_argument("--max-shuffle-mb", type=float, default=2048.0)
+    ap.add_argument("--allow-spill-mb", type=float, default=0.0)
+    ap.add_argument("--max-sec", type=float, default=0.0,
+                    help="per-query wall cap, 0 = no cap (hosts vary)")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the probe directory")
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from conveyor_spark.queries import QUERIES
+    from conveyor_spark.session import get_spark
+
+    unknown = sorted(set(args.queries) - set(QUERIES))
+    if unknown:
+        print(f"scale_probe: unknown queries {unknown}", file=sys.stderr)
+        return 2
+
+    spark = get_spark(app_name="conveyor-scale-probe",
+                      extra_conf={"spark.ui.enabled": "true"})
+    probe_dir = tempfile.mkdtemp(prefix="scale_probe_")
+    violations: list[str] = []
+    result: dict = {
+        "sf_dir": args.sf_dir, "scale": args.scale, "alpha": args.alpha,
+        "max_cluster": args.max_cluster, "queries": {},
+    }
+    try:
+        t0 = time.time()
+        result["rows"] = build_probe(
+            spark, args.sf_dir, probe_dir, args.scale, args.alpha,
+            args.max_cluster)
+        result["build_sec"] = round(time.time() - t0, 1)
+        metrics = StageMetrics(spark)
+        metrics.snapshot()  # absorb generator stages
+
+        for name in args.queries:
+            t0 = time.time()
+            try:
+                df = QUERIES[name](spark, probe_dir)
+                n_rows = df.count()
+                err = None
+            except Exception as exc:  # noqa: BLE001
+                n_rows, err = -1, f"{type(exc).__name__}: {str(exc)[:200]}"
+            sec = round(time.time() - t0, 2)
+            q = {"sec": sec, "rows": n_rows, "error": err}
+            q.update(metrics.snapshot())
+            result["queries"][name] = q
+            if err:
+                violations.append(f"{name}: ERROR {err}")
+            if q["spilled_disk_mb"] > args.allow_spill_mb:
+                violations.append(
+                    f"{name}: spilled {q['spilled_disk_mb']} MB to disk")
+            if q["shuffle_write_mb"] > args.max_shuffle_mb:
+                violations.append(
+                    f"{name}: shuffle write {q['shuffle_write_mb']} MB "
+                    f"> cap {args.max_shuffle_mb}")
+            if args.max_sec and sec > args.max_sec:
+                violations.append(f"{name}: {sec}s > cap {args.max_sec}s")
+            print(f"  {name}: {sec}s rows={n_rows} "
+                  f"shuffleW={q['shuffle_write_mb']}MB "
+                  f"spillD={q['spilled_disk_mb']}MB"
+                  + (f" ERROR {err}" if err else ""))
+    finally:
+        if args.keep:
+            print(f"probe dir kept: {probe_dir}")
+        else:
+            shutil.rmtree(probe_dir, ignore_errors=True)
+
+    result["violations"] = violations
+    result["pass"] = not violations
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    print(json.dumps({k: result[k] for k in
+                      ("scale", "alpha", "rows", "pass", "violations")}))
+    if violations:
+        for v in violations:
+            print(f"VIOLATION: {v}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
