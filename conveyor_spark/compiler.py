@@ -161,6 +161,47 @@ def _dead_letter(stage: StageSpec, spec: PipelineSpec, error: str) -> None:
         )
 
 
+# [global] state_store names -> provider classes. HDFS-backed is
+# Spark's default (whole state in executor memory, snapshot per
+# commit); RocksDB keeps state off-heap with incremental changelog
+# checkpointing — the provider to run when per-partition state
+# exceeds executor heap (large dedup/session/join state at 100 TB).
+STATE_STORE_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider",
+}
+
+
+def _apply_session_conf(spark: SparkSession, spec: PipelineSpec) -> None:
+    """Apply [global.spark] runtime confs + the [global] state_store
+    convenience key at compile time. Streaming state-store and AQE
+    confs are runtime-settable, so this works on the driver's plain
+    session too; a non-runtime key raises ConfigError naming it."""
+    conf = dict(spec.spark_conf)
+    if spec.state_store is not None:
+        conf.setdefault(
+            "spark.sql.streaming.stateStore.providerClass",
+            STATE_STORE_PROVIDERS[spec.state_store],
+        )
+        if spec.state_store == "rocksdb":
+            # incremental checkpoints: upload the changelog, not the
+            # whole store, per commit — the reason to pick RocksDB
+            conf.setdefault(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled",
+                "true",
+            )
+    for key, value in conf.items():
+        try:
+            spark.conf.set(key, value)
+        except Exception as exc:  # AnalysisException: static conf
+            raise ConfigError(
+                f"[global.spark] conf {key!r} cannot be set at runtime: {exc}"
+            ) from None
+
+
 def compile_pipeline(
     spark: SparkSession, spec: PipelineSpec, run_sinks: bool = True
 ) -> RunResult:
@@ -200,6 +241,8 @@ def compile_pipeline(
             "(typo?)",
             file=sys.stderr,
         )
+
+    _apply_session_conf(spark, spec)
 
     ctx = OpContext(spark=spark, variables=spec.variables)
     result = RunResult()

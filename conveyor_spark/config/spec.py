@@ -45,6 +45,12 @@ class PipelineSpec:
     error_handling: dict[str, Any] = field(default_factory=dict)
     timeout_seconds: float | None = None
     plugins: list[str] = field(default_factory=list)  # python modules registering ops
+    # [global.spark]: runtime Spark confs applied at compile (state
+    # store provider, shuffle partitions, AQE knobs, ...)
+    spark_conf: dict[str, str] = field(default_factory=dict)
+    # [global] state_store = "hdfs" | "rocksdb": convenience spelling
+    # for the streaming state-store provider class
+    state_store: str | None = None
     stages: list[StageSpec] = field(default_factory=list)
 
     def stage_map(self) -> dict[str, StageSpec]:
@@ -164,8 +170,22 @@ def parse_spec(data: dict[str, Any], env: dict[str, str] | None = None) -> Pipel
             _require(p, str, "[global].plugins entry")
             for p in _require(glob.get("plugins", []), list, "[global].plugins")
         ],
+        spark_conf={
+            str(k): str(v)
+            for k, v in _require(
+                glob.get("spark", {}) or {}, dict, "[global.spark]"
+            ).items()
+        },
+        state_store=glob.get("state_store"),
         stages=stages,
     )
+    if spec.state_store is not None and spec.state_store not in (
+        "hdfs", "rocksdb"
+    ):
+        raise ConfigError(
+            "[global].state_store must be 'hdfs' or 'rocksdb', got "
+            f"{spec.state_store!r}"
+        )
     if spec.timeout_seconds is not None:
         if isinstance(spec.timeout_seconds, bool) or not isinstance(
             spec.timeout_seconds, (int, float)

@@ -130,6 +130,17 @@ def generate_operators_md() -> str:
         "",
         "Generated from registry metadata (`python tools/gen_operators_md.py`).",
         f"{len(REGISTRY)} registered functions.",
+        "",
+        "## `[global]` pipeline configuration",
+        "",
+        "| key | type | description |",
+        "|---|---|---|",
+        "| `variables` | table | `{{name}}` interpolation values; `${ENV}` resolves inside them |",
+        "| `plugins` | array | Python modules imported at compile; each calls `register()` |",
+        "| `timeout_seconds` | number | Driver-side watchdog: cancels the pipeline's jobs on expiry |",
+        "| `error_handling` | table | Default stage strategy: `type` = stop/continue/retry, `max_retries`, `retry_delay_seconds`, `dead_letter_queue` |",
+        "| `state_store` | string | Streaming state-store provider: `hdfs` (default — in-memory with per-commit snapshots) or `rocksdb` (off-heap, incremental changelog checkpointing; pick when per-partition state exceeds executor heap) |",
+        "| `spark` | table | Arbitrary **runtime** Spark confs applied at compile, e.g. `\"spark.sql.shuffle.partitions\" = \"64\"` or any `spark.sql.streaming.stateStore.*` knob; a non-runtime key is a ConfigError naming it |",
     ]
     for kind, title in [("source", "Sources"), ("transform", "Transforms"), ("sink", "Sinks")]:
         ops = by_kind.get(kind, [])

@@ -404,3 +404,47 @@ def test_timeout_interrupts_slow_pipeline(spark, tmp_path):
     assert elapsed < 45, f"watchdog did not interrupt (took {elapsed:.1f}s)"
     assert result.errors  # the interrupted stage surfaced as a failure
     assert not spark.sparkContext.getJobTags()
+
+
+def test_global_spark_conf_and_state_store(spark, tmp_path):
+    """[global.spark] runtime confs and [global] state_store apply at
+    compile; a static (non-runtime) conf is a ConfigError naming it."""
+    src = tmp_path / "u.json"
+    src.write_text(json.dumps([{"id": 1}]))
+    base_stages = [
+        {"id": "read", "function": "json.read",
+         "config": {"path": str(src), "format": "records"}},
+    ]
+    key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(key, None)
+    try:
+        spec = parse_spec({
+            "global": {
+                "state_store": "rocksdb",
+                "spark": {"spark.sql.autoBroadcastJoinThreshold": "32m"},
+            },
+            "stages": base_stages,
+        })
+        compile_pipeline(spark, spec, run_sinks=False)
+        assert spark.conf.get(key).endswith("RocksDBStateStoreProvider")
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "32m"
+
+        # static conf -> ConfigError naming the key, not a stack trace
+        bad = parse_spec({
+            "global": {"spark": {"spark.sql.warehouse.dir": "/tmp/x"}},
+            "stages": base_stages,
+        })
+        with pytest.raises(ConveyorError, match="warehouse"):
+            compile_pipeline(spark, bad, run_sinks=False)
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+    with pytest.raises(ConveyorError, match="state_store"):
+        parse_spec({
+            "global": {"state_store": "leveldb"},
+            "stages": base_stages,
+        })

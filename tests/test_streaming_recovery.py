@@ -7,6 +7,11 @@ files are not re-read — and (b) stateful operator state — per-key
 counters continue across the restart. This is Structured Streaming's
 crash-recovery contract, and the one claim the engine makes at scale
 that a to-completion drain never exercises.
+
+Parametrized over both state-store providers ([global] state_store):
+the HDFS-backed default and RocksDB with changelog checkpointing —
+recovery must hold identically under either, since RocksDB is the
+provider a 100 TB deployment would actually run.
 """
 
 from __future__ import annotations
@@ -14,10 +19,32 @@ from __future__ import annotations
 import json
 import time
 
+import pytest
 from pyspark.sql import functions as F
 
+from conveyor_spark.compiler import STATE_STORE_PROVIDERS
 from conveyor_spark.streaming.count_window import count_tumbling
 from conveyor_spark.streaming.ops import run_available_now
+
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+
+
+@pytest.fixture(params=["hdfs", "rocksdb"])
+def state_provider(request, spark):
+    """Run the recovery contract under each state-store provider."""
+    old = spark.conf.get(_PROVIDER_KEY, None)
+    spark.conf.set(_PROVIDER_KEY, STATE_STORE_PROVIDERS[request.param])
+    if request.param == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb."
+            "changelogCheckpointing.enabled", "true")
+    try:
+        yield request.param
+    finally:
+        if old is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, old)
 
 
 def _jsonl(path, rows):
@@ -30,7 +57,7 @@ def _read(spark, src):
     return spark.readStream.schema("user_id STRING, seq LONG").json(str(src))
 
 
-def test_stateful_state_survives_restart(spark, tmp_path):
+def test_stateful_state_survives_restart(spark, tmp_path, state_provider):
     """Tumbling count-window (size=2) over two drains on one durable
     checkpoint. Run 1 sees 3 rows: window 0 closes, window 1 half
     full. Run 2 sees 1 MORE row: with recovered state (rows_seen=3)
@@ -56,7 +83,7 @@ def test_stateful_state_survives_restart(spark, tmp_path):
     assert got2 == {(1, 2, True)}, got2
 
 
-def test_midstream_kill_recovers_exactly_once(spark, tmp_path):
+def test_midstream_kill_recovers_exactly_once(spark, tmp_path, state_provider):
     """Kill a running query between micro-batches (maxFilesPerTrigger=1
     over 3 files, stop after the first committed batch), then restart
     on the same checkpoint and drain. The final complete-mode counts
@@ -109,7 +136,7 @@ def test_midstream_kill_recovers_exactly_once(spark, tmp_path):
     assert got == {"u0": 6, "u1": 6}, got
 
 
-def test_dedup_state_survives_restart(spark, tmp_path):
+def test_dedup_state_survives_restart(spark, tmp_path, state_provider):
     """stream.dedup's seen-keys state must persist across a restart:
     a key first seen in run 1 and re-sent in run 2 is still a
     duplicate. With lost state it would be re-emitted."""
