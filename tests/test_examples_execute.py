@@ -90,6 +90,7 @@ def kitchen_sink(spark):
                 "ssn": f"123-45-678{i}",
                 "content": f"BYTES{i}".encode(),
                 "path": f"/data/file{i}.bin",
+                "url": f"HTTP://Site{i}.COM:80/p/{i}?utm_source=x&a={i}#f",
                 "source": f"src{i % 2}",
                 "language": "en" if i % 2 else "fr",
                 "region": "east" if i % 2 else "west",
@@ -133,9 +134,10 @@ def _transform_ops():
 # file-format sources/sinks: execute their examples too, with paths
 # rewritten into tmp. External-service ops (http/mongodb/kafka/
 # stdin/table/file.watch) have dedicated injection-based tests.
-_FILE_SINKS = {"csv.write", "json.write", "parquet.write", "orc.write"}
+_FILE_SINKS = {"csv.write", "json.write", "parquet.write", "orc.write",
+               "xml.write", "avro.write"}
 _FILE_SOURCES = {"csv.read", "json.read", "parquet.read", "orc.read",
-                 "text.read", "binary.read"}
+                 "text.read", "binary.read", "xml.read", "avro.read"}
 
 
 def _io_ops():
@@ -169,6 +171,13 @@ def test_file_io_example_executes(ctx, kitchen_sink, name, tmp_path):
         (src / "input.json").write_text(_j.dumps(rows))
     elif fmt in ("parquet", "orc"):
         small.coalesce(1).write.format(fmt).save(str(src))
+    elif fmt == "avro":
+        from conveyor_spark.sources.avro import _avro_format
+
+        small.coalesce(1).write.format(_avro_format(ctx.spark)).save(str(src))
+    elif fmt == "xml":
+        small.coalesce(1).write.format("xml") \
+            .option("rowTag", cfg.get("row_tag", "row")).save(str(src))
     elif fmt == "text":
         src.mkdir()
         (src / "a.txt").write_text("hello corpus\n")
