@@ -254,6 +254,13 @@ CHECKS = [
         and "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p and "bit_count" in p,
     ),
+    (
+        "q108_url_normalize",
+        "url canonicalization: zero shuffle, zero Python, id-only scan",
+        lambda p, o: "Exchange" not in p and "MapInPandas" not in p
+        and "BatchEvalPython" not in p
+        and "ReadSchema: struct<doc_id:bigint>" in p,
+    ),
 ]
 
 
