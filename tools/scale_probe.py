@@ -166,6 +166,12 @@ def main() -> int:
     ap.add_argument("--allow-spill-mb", type=float, default=0.0)
     ap.add_argument("--max-sec", type=float, default=0.0,
                     help="per-query wall cap, 0 = no cap (hosts vary)")
+    ap.add_argument("--shuffle-partitions", type=int, default=0,
+                    help="0 = size with scale (max(32, 8*scale)): a "
+                         "deployment holding partitions at 32 while the "
+                         "data grows 16x is under-provisioned by "
+                         "definition, and the probe would only prove "
+                         "THAT")
     ap.add_argument("--keep", action="store_true",
                     help="keep the probe directory")
     args = ap.parse_args()
@@ -179,13 +185,16 @@ def main() -> int:
         print(f"scale_probe: unknown queries {unknown}", file=sys.stderr)
         return 2
 
+    n_shuffle = args.shuffle_partitions or max(32, 8 * args.scale)
     spark = get_spark(app_name="conveyor-scale-probe",
+                      shuffle_partitions=n_shuffle,
                       extra_conf={"spark.ui.enabled": "true"})
     probe_dir = tempfile.mkdtemp(prefix="scale_probe_")
     violations: list[str] = []
     result: dict = {
         "sf_dir": args.sf_dir, "scale": args.scale, "alpha": args.alpha,
-        "max_cluster": args.max_cluster, "queries": {},
+        "max_cluster": args.max_cluster,
+        "shuffle_partitions": n_shuffle, "queries": {},
     }
     try:
         t0 = time.time()
