@@ -439,3 +439,265 @@ def wav_samples(data: bytes):
     nch = meta["channels"]
     usable = (len(arr) // nch) * nch
     return meta, arr[:usable].reshape(-1, nch).astype("int32")
+
+
+# --------------------------------------------------------------------------
+# GIF pixel decode/encode (GIF-variant LZW, palette mapping, Adam-style
+# 4-pass interlace). Reference seam closed: gif_frames gave byte spans
+# without decoding; gif_pixels decodes the actual raster.
+# --------------------------------------------------------------------------
+
+
+def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+    """GIF-variant LZW: LSB-first bitstream, clear/end codes, code
+    width grows AFTER the table reaches 2^width, capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out: list[int] = []
+    table: list[bytes] = []
+    width = prev = 0  # set on clear
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+        prev = -1
+
+    reset()
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            bits -= width
+            if code == clear:
+                reset()
+                continue
+            if code == end:
+                return out
+            if prev < 0:  # first code after clear: literal by spec
+                if code >= clear:
+                    raise MediaDecodeError("LZW: first code not literal")
+                out.append(code)
+                prev = code
+                continue
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):  # the KwKwK case
+                entry = table[prev] + table[prev][:1]
+            else:
+                raise MediaDecodeError(f"LZW: code {code} out of range")
+            out.extend(entry)
+            if len(table) < 4096:
+                table.append(table[prev] + entry[:1])
+                # width grows when the NEXT code could overflow it
+                if len(table) == (1 << width) and width < 12:
+                    width += 1
+            prev = code
+    raise MediaDecodeError("LZW: missing end-of-information code")
+
+
+def _lzw_encode(min_code_size: int, indices) -> bytes:
+    """Real GIF LZW compression (dict of tuples -> code), emitting
+    clear at start and on table overflow — the exact inverse of
+    ``_lzw_decode`` for any index sequence below 2^min_code_size."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = bits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, bits
+        acc |= code << bits
+        bits += width
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    table: dict[tuple, int] = {}
+    width = min_code_size + 1
+
+    def reset():
+        nonlocal table, width
+        table = {(i,): i for i in range(clear)}
+        width = min_code_size + 1
+
+    reset()
+    emit(clear, width)
+    seq: tuple = ()
+    next_code = end + 1
+    for ix in indices:
+        ix = int(ix)
+        if not 0 <= ix < clear:
+            raise MediaDecodeError(f"LZW: index {ix} exceeds palette")
+        cand = seq + (ix,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        # decoder adds its entry BEFORE growing width on the same
+        # boundary — mirror exactly
+        table[cand] = next_code
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        next_code += 1
+        if next_code > 4095:
+            emit(clear, width)
+            reset()
+            next_code = end + 1
+        seq = (ix,)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+@_decoder
+def gif_pixels(data: bytes, frame: int = 0):
+    """Decode frame ``frame`` -> numpy uint8 array (fh, fw, 3) in the
+    frame's own rectangle (GIF frames may be sub-rects of the logical
+    screen; callers compositing animations own the placement).
+    Handles global/local color tables, interlacing, and transparency
+    AS PALETTE COLOR (stats want real sample values, not alpha)."""
+    import numpy as np
+
+    gif_meta(data)  # validates header
+    packed = data[10]
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(data[pos:pos + 3 * n], np.uint8)
+        if len(global_pal) != 3 * n:
+            raise MediaDecodeError("truncated global color table")
+        global_pal = global_pal.reshape(-1, 3)
+        pos += 3 * n
+    seen = 0
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x3B:
+            break
+        if b == 0x21:
+            pos = _gif_skip_subblocks(data, pos + 2)
+        elif b == 0x2C:
+            fx, fy, fw, fh = struct.unpack("<HHHH", data[pos + 1:pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            pal = global_pal
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(data[pos:pos + 3 * n], np.uint8)
+                if len(pal) != 3 * n:
+                    raise MediaDecodeError("truncated local color table")
+                pal = pal.reshape(-1, 3)
+                pos += 3 * n
+            mcs = data[pos]
+            pos += 1
+            blocks = []
+            while True:
+                n = data[pos]
+                pos += 1
+                if n == 0:
+                    break
+                blocks.append(data[pos:pos + n])
+                if len(blocks[-1]) != n:
+                    raise MediaDecodeError("truncated LZW sub-block")
+                pos += n
+            if seen != frame:
+                seen += 1
+                continue
+            if pal is None:
+                raise MediaDecodeError("GIF frame has no color table")
+            if not 2 <= mcs <= 8:
+                raise MediaDecodeError(f"bad LZW min code size {mcs}")
+            idx = _lzw_decode(mcs, b"".join(blocks))
+            if len(idx) < fw * fh:
+                raise MediaDecodeError(
+                    f"LZW output {len(idx)} < {fw}x{fh} frame")
+            arr = np.asarray(idx[: fw * fh], dtype=np.int32)
+            if int(arr.max(initial=0)) >= len(pal):
+                raise MediaDecodeError("palette index out of range")
+            grid = arr.reshape(fh, fw)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y for start, step in _GIF_INTERLACE_PASSES
+                    for y in range(start, fh, step)
+                ]
+                de = np.empty_like(grid)
+                de[order] = grid
+                grid = de
+            return pal[grid]
+        else:
+            raise MediaDecodeError(f"unknown GIF block 0x{b:02x}")
+    raise MediaDecodeError(f"GIF has no frame {frame}")
+
+
+def gif_encode(pixels, interlace: bool = False) -> bytes:
+    """Single-frame GIF89a encoder: (h, w) gray uses the 256-gray
+    palette; (h, w, 3) requires <= 256 distinct colors (exact
+    palette — GIF is an indexed format; quantization belongs to a
+    real image library). The inverse of ``gif_pixels``."""
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        pal = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+        idx = px.astype(np.int32)
+    elif px.ndim == 3 and px.shape[2] == 3:
+        flat = px.reshape(-1, 3)
+        pal, inv = np.unique(flat, axis=0, return_inverse=True)
+        if len(pal) > 256:
+            raise MediaDecodeError(
+                f"gif_encode: {len(pal)} distinct colors > 256")
+        idx = inv.reshape(px.shape[:2]).astype(np.int32)
+    else:
+        raise MediaDecodeError("gif_encode: expected (h,w) or (h,w,3)")
+    h, w = idx.shape
+    n_pal = max(2, int(pal.shape[0]))
+    depth = max(1, (n_pal - 1).bit_length())
+    table = np.zeros((1 << depth, 3), dtype=np.uint8)
+    table[: pal.shape[0]] = pal
+    if interlace:
+        order = [
+            y for start, step in _GIF_INTERLACE_PASSES
+            for y in range(start, h, step)
+        ]
+        idx = idx[order]
+    mcs = max(2, depth)
+    lzw = _lzw_encode(mcs, idx.reshape(-1))
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HHBBB", w, h, 0x80 | (depth - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def decode_image(data: bytes):
+    """Sniff + decode any supported raster -> (h, w, ch) uint8.
+    PNG and GIF are fully decoded; JPEG still raises (entropy decode
+    needs a real image library — the one remaining seam)."""
+    b = bytes(data)
+    if b[:8] == PNG_SIGNATURE:
+        return png_pixels(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_pixels(b)
+    if b[:3] == b"\xff\xd8\xff":
+        raise MediaDecodeError(
+            "JPEG entropy decode not supported without an image library")
+    raise MediaDecodeError("unrecognized image format")

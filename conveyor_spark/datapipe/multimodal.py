@@ -278,18 +278,19 @@ PIXEL_STATS_SCHEMA = T.StructType(
 
 @register(
     "media.pixel_stats", kind="transform",
-    doc="REAL PNG pixel decode -> per-channel stats (pure Python)",
+    doc="REAL PNG/GIF pixel decode -> per-channel stats (pure Python)",
     params=[
-        P("column", required=True, desc="Binary PNG column"),
+        P("column", required=True, desc="Binary PNG/GIF column"),
         P("output_column", default="pixel_stats", desc="Stats struct column"),
         P("on_error", default="null", allowed=("null", "fail"),
-          desc="Non-PNG/corrupt bytes -> NULL struct or raise"),
+          desc="Undecodable/corrupt bytes -> NULL struct or raise"),
     ],
     example={"column": "content"},
     tags=["multimodal", "datapipe"],
 )
 def pixel_stats(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
-    """Fully decode PNG pixels (IDAT inflate + unfilter — a REAL
+    """Fully decode image pixels (PNG inflate+unfilter or GIF
+    LZW+palette — a REAL
     decode, not the metadata sniff) and emit per-channel mean/std
     plus BT.601 luminance: the image-quality first pass a crawled
     image corpus needs (flag all-black/all-white/low-variance items)
@@ -318,14 +319,14 @@ def pixel_stats(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
         import pandas as pd
 
         from conveyor_spark.datapipe.codecs import (
-            MediaDecodeError, png_pixels,
+            MediaDecodeError, decode_image,
         )
 
         def stats(v) -> dict | None:
             if v is None:
                 return None
             try:
-                px = png_pixels(bytes(v))
+                px = decode_image(bytes(v))
             except (MediaDecodeError, NotImplementedError) as exc:
                 if on_error == "fail":
                     raise ValueError(f"media.pixel_stats: {exc}") from None
@@ -450,14 +451,14 @@ def pcm_stats(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
 
 @register(
     "media.resize", kind="transform",
-    doc="REAL PNG resize (decode -> nearest-neighbor -> re-encode)",
+    doc="REAL image resize (PNG/GIF decode -> nearest-neighbor -> PNG)",
     params=[
-        P("column", required=True, desc="Binary PNG column"),
+        P("column", required=True, desc="Binary image column (PNG/GIF)"),
         P("width", "integer", required=True, min=1, desc="Target width"),
         P("height", "integer", required=True, min=1, desc="Target height"),
         P("output_column", desc="Resized-binary column (default: in place)"),
         P("on_error", default="null", allowed=("null", "fail"),
-          desc="Non-PNG/corrupt bytes -> NULL or raise"),
+          desc="Undecodable/corrupt bytes -> NULL or raise"),
     ],
     example={"column": "content", "width": 32, "height": 32},
     tags=["multimodal", "datapipe"],
@@ -499,14 +500,14 @@ def media_resize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         import pandas as pd
 
         from conveyor_spark.datapipe.codecs import (
-            MediaDecodeError, png_encode, png_pixels,
+            MediaDecodeError, decode_image, png_encode,
         )
 
         def resize(v) -> bytes | None:
             if v is None:
                 return None
             try:
-                px = png_pixels(bytes(v))
+                px = decode_image(bytes(v))
             except MediaDecodeError as exc:
                 if on_error == "fail":
                     raise ValueError(f"media.resize: {exc}") from None
@@ -561,17 +562,17 @@ def _phash64(px) -> int:
     "media.phash", kind="transform",
     doc="REAL perceptual hash (decode -> DCT -> 64-bit fingerprint)",
     params=[
-        P("column", required=True, desc="Binary PNG column"),
+        P("column", required=True, desc="Binary image column (PNG/GIF)"),
         P("output_column", default="phash", desc="Fingerprint column (int64)"),
         P("on_error", default="null", allowed=("null", "fail"),
-          desc="Non-PNG/corrupt bytes -> NULL or raise"),
+          desc="Undecodable/corrupt bytes -> NULL or raise"),
     ],
     example={"column": "content"},
     tags=["multimodal", "dedup", "phash", "datapipe"],
 )
 def media_phash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Image near-dup fingerprints from REAL pixel content: decode
-    PNG, 2D-DCT the 32x32 grayscale, threshold the low-frequency
+    PNG/GIF, 2D-DCT the 32x32 grayscale, threshold the low-frequency
     block at its median -> 64-bit hash that survives resizing and
     mild noise. Feed the output to dedup.hamming (pigeonhole-exact
     banded pairing) for the image analogue of the simhash text
@@ -598,14 +599,14 @@ def media_phash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
         import pandas as pd
 
         from conveyor_spark.datapipe.codecs import (
-            MediaDecodeError, png_pixels,
+            MediaDecodeError, decode_image,
         )
 
         def hash_one(v):
             if v is None:
                 return None
             try:
-                px = png_pixels(bytes(v))
+                px = decode_image(bytes(v))
             except MediaDecodeError as exc:
                 if on_error == "fail":
                     raise ValueError(f"media.phash: {exc}") from None

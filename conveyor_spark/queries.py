@@ -3512,6 +3512,74 @@ def q108_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("select.apply", ctx, [out], columns=["doc_id", "url"])
 
 
+@query(
+    "q109_gif_pixel_stats",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 7 + 13 * g.y + g.x) % 256)::DOUBLE AS p
+      FROM documents d,
+           (SELECT x.x, y.y
+            FROM (SELECT unnest(range(8)) AS x) x,
+                 (SELECT unnest(range(8)) AS y) y) g
+    )
+    SELECT doc_id,
+           8 AS width, 8 AS height, 3 AS channels,
+           SUM(p) / 64 AS mean_v,
+           sqrt(SUM(p * p) / 64 - (SUM(p) / 64) * (SUM(p) / 64)) AS std_v,
+           0.299 * (SUM(p) / 64) + 0.587 * (SUM(p) / 64)
+               + 0.114 * (SUM(p) / 64) AS luminance
+    FROM px GROUP BY doc_id
+    """,
+)
+def q109_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, hash-exact: the q104 image per doc_id encoded
+    as a GIF (gray palette + REAL LZW compression) instead of a PNG,
+    then media.pixel_stats LZW-decodes + palette-maps the bytes. The
+    gray palette expands to 3 equal RGB channels, so channels=3 and
+    luminance goes through the BT.601 weights — the oracle computes
+    the identical expression analytically (same IEEE ops, same
+    order). A value match proves the whole GIF encode->LZW->decode->
+    palette->stats path bit-exactly, complementing q104's
+    inflate/unfilter proof with the OTHER compression family.
+
+    Scale: synthesis + decode are each one mapInPandas; no shuffle —
+    stats are per-row."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from conveyor_spark.datapipe.codecs import gif_encode
+
+        grid = 13 * np.arange(8)[:, None] + np.arange(8)[None, :]
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "data": [
+                    gif_encode(((int(i) * 7 + grid) % 256).astype("uint8"))
+                    for i in pdf["doc_id"]
+                ],
+            })
+
+    imgs = d.mapInPandas(synth, "doc_id LONG, data BINARY")
+    out = _op("media.pixel_stats", ctx, [imgs], column="data",
+              on_error="fail")
+    for name, expr in [
+        ("width", "pixel_stats.width"), ("height", "pixel_stats.height"),
+        ("channels", "pixel_stats.channels"),
+        ("mean_v", "pixel_stats.mean[0]"), ("std_v", "pixel_stats.std[0]"),
+        ("luminance", "pixel_stats.luminance"),
+    ]:
+        out = _op("map.apply", ctx, [out], expression=expr, output_column=name)
+    return _op("select.apply", ctx, [out], columns=[
+        "doc_id", "width", "height", "channels", "mean_v", "std_v",
+        "luminance",
+    ])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

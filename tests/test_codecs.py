@@ -344,3 +344,128 @@ def test_dedup_hamming_pigeonhole_exact(ctx, spark):
         if ham(x, y) <= 3
     )
     assert got == exp and len(got) >= 6
+
+
+# ------------------------------------------------------------------ GIF decode
+
+
+def test_gif_lzw_roundtrip_crosses_table_reset():
+    """> 4096 dictionary entries forces the encoder's clear/reset —
+    the decoder must follow through the same boundary."""
+    import numpy as np
+
+    from conveyor_spark.datapipe.codecs import _lzw_decode, _lzw_encode
+
+    rng = np.random.RandomState(7)
+    seq = list(rng.randint(0, 256, 60_000))
+    assert _lzw_decode(8, _lzw_encode(8, seq)) == seq
+    # minimum code size edge: 2-bit alphabet
+    seq2 = list(rng.randint(0, 4, 5_000))
+    assert _lzw_decode(2, _lzw_encode(2, seq2)) == seq2
+
+
+def test_gif_pixels_roundtrip_gray_rgb_interlaced():
+    import numpy as np
+
+    from conveyor_spark.datapipe.codecs import gif_encode, gif_pixels
+
+    gray = ((7 * (13 * np.arange(16)[:, None] + np.arange(9))) % 256).astype(
+        "uint8")
+    got = gif_pixels(gif_encode(gray))
+    assert got.shape == (16, 9, 3)
+    assert (got[:, :, 0] == gray).all() and (got[:, :, 2] == gray).all()
+
+    # interlaced rows must land back in raster order
+    assert (gif_pixels(gif_encode(gray, interlace=True))[:, :, 0]
+            == gray).all()
+
+    rgb = np.zeros((5, 7, 3), "uint8")
+    rgb[..., 0] = np.arange(7)
+    rgb[..., 1] = 100
+    assert (gif_pixels(gif_encode(rgb)) == rgb).all()
+
+
+def test_gif_encode_rejects_wide_palettes():
+    import numpy as np
+
+    from conveyor_spark.datapipe.codecs import gif_encode
+
+    k = np.arange(20 * 20, dtype=np.uint32)
+    rgb = np.stack([k % 256, k // 256, np.zeros_like(k)], axis=1) \
+        .reshape(20, 20, 3).astype("uint8")  # 400 distinct colors
+    with pytest.raises(MediaDecodeError, match="distinct colors"):
+        gif_encode(rgb)
+
+
+def test_gif_pixels_second_frame_and_missing_frame():
+    import numpy as np
+
+    from conveyor_spark.datapipe.codecs import gif_encode, gif_pixels
+
+    # build a 3-frame gif by repeating a real frame's descriptor+data
+    # span before the trailer
+    one = gif_encode(np.arange(64, dtype=np.uint8).reshape(8, 8) * 3 % 256)
+    # header = 13-byte preamble + 768-byte global table (gray encode
+    # always writes a 256-entry palette); searching for 0x2C would
+    # false-hit gray level 44 inside the palette
+    desc = 13 + 768
+    assert one[desc] == 0x2C
+    header, frame_bytes = one[:desc], one[desc:-1]  # strip trailer 0x3B
+    gif = header + frame_bytes * 3 + b"\x3b"
+    px = gif_pixels(gif, frame=2)
+    assert px.shape == (8, 8, 3)
+    with pytest.raises(MediaDecodeError, match="no frame"):
+        gif_pixels(gif, frame=7)
+    # the frame-walk fixture has no color table at all: clean refusal
+    with pytest.raises(MediaDecodeError, match="color table"):
+        gif_pixels(make_gif(8, 8, 1))
+
+
+def test_gif_pixels_truncation_rejected():
+    """Every truncation of a valid GIF dies as MediaDecodeError —
+    never IndexError/struct.error out of the decode boundary."""
+    import numpy as np
+
+    from conveyor_spark.datapipe.codecs import gif_encode, gif_pixels
+
+    full = gif_encode((np.arange(64, dtype=np.uint8).reshape(8, 8)))
+    for cut in range(1, len(full) - 1, 3):
+        try:
+            gif_pixels(full[:cut])
+        except MediaDecodeError:
+            pass
+
+
+def test_decode_image_dispatch():
+    import numpy as np
+
+    from conveyor_spark.datapipe.codecs import (
+        decode_image, gif_encode, png_encode,
+    )
+
+    img = (np.arange(24, dtype=np.uint8).reshape(4, 6) * 9 % 256)
+    assert (decode_image(png_encode(img))[:, :, 0] == img).all()
+    assert (decode_image(gif_encode(img))[:, :, 0] == img).all()
+    with pytest.raises(MediaDecodeError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0rest")
+    with pytest.raises(MediaDecodeError, match="unrecognized"):
+        decode_image(b"not an image at all")
+
+
+def test_pixel_stats_decodes_gif(ctx, spark):
+    """media.pixel_stats over a GIF must equal the same op over the
+    SAME pixels as PNG — one stats path, two containers."""
+    import numpy as np
+
+    from conveyor_spark.datapipe.codecs import gif_encode, png_encode
+
+    img = ((np.arange(8)[:, None] * 13 + np.arange(8)) * 5 % 256).astype(
+        "uint8")
+    df = _media_df(spark, [("png", png_encode(img)), ("gif", gif_encode(img))])
+    out = run_op(ctx, "media.pixel_stats", [df], column="content",
+                 on_error="fail")
+    rows = {r["id"]: r["pixel_stats"] for r in out.collect()}
+    assert rows["png"]["width"] == rows["gif"]["width"] == 8
+    # gray PNG has 1 channel; the GIF palette expands to RGB of equal
+    # values — luminance must agree exactly
+    assert rows["png"]["luminance"] == rows["gif"]["luminance"]

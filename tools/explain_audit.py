@@ -231,6 +231,12 @@ CHECKS = [
         and p.count("Exchange") == 1 and "HashAggregate" not in p,
     ),
     (
+        "q109_gif_pixel_stats",
+        "real GIF decode: id-only scan, widen exchange only, per-row (no agg shuffle)",
+        lambda p, o: "ReadSchema: struct<doc_id:bigint>" in p
+        and p.count("Exchange") == 1 and "HashAggregate" not in p,
+    ),
+    (
         "q105_py_eval_ast",
         "AST UDF: static column pruning pierces the mapInPandas barrier "
         "(lang/source never leave the scan), widen exchange only",
