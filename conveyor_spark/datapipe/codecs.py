@@ -690,14 +690,17 @@ def gif_encode(pixels, interlace: bool = False) -> bytes:
 
 def decode_image(data: bytes):
     """Sniff + decode any supported raster -> (h, w, ch) uint8.
-    PNG and GIF are fully decoded; JPEG still raises (entropy decode
-    needs a real image library — the one remaining seam)."""
+    PNG (inflate + unfilter), GIF (LZW + palette), and baseline
+    sequential JPEG (Huffman + dequant + IDCT + chroma upsample,
+    datapipe.jpeg) are fully decoded pure-Python; progressive JPEG
+    and everything needing a video codec still raise."""
     b = bytes(data)
     if b[:8] == PNG_SIGNATURE:
         return png_pixels(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return gif_pixels(b)
     if b[:3] == b"\xff\xd8\xff":
-        raise MediaDecodeError(
-            "JPEG entropy decode not supported without an image library")
+        from conveyor_spark.datapipe.jpeg import jpeg_pixels
+
+        return jpeg_pixels(b)
     raise MediaDecodeError("unrecognized image format")

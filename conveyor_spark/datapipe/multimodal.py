@@ -10,8 +10,9 @@ deterministic metadata from the bytes themselves (size, md5-derived
 pseudo-dimensions) — making the Spark-side plumbing (schema,
 batching, partitioning) fully testable. ``codec='real'`` now decodes
 for real via the pure-Python format parsers in
-``conveyor_spark.datapipe.codecs`` (PNG chunk walk + full pixel
-inflate, JPEG SOF scan, GIF frame walk, WAV RIFF parse); formats
+``conveyor_spark.datapipe.codecs`` / ``datapipe.jpeg`` (full PNG
+pixel inflate, baseline JPEG Huffman+IDCT decode, GIF LZW frame
+decode, WAV RIFF parse); formats
 those can't express (video codecs needing av/ffmpeg) still raise
 NotImplementedError at the seam.
 """

@@ -3580,6 +3580,82 @@ def q109_gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@query(
+    "q110_jpeg_pixel_stats",
+    """
+    WITH v AS (
+      SELECT doc_id,
+             (doc_id % 256)::DOUBLE AS v1,
+             ((doc_id * 7 + 13) % 256)::DOUBLE AS v2,
+             ((doc_id * 31 + 5) % 256)::DOUBLE AS v3,
+             (255 - doc_id % 256)::DOUBLE AS v4
+      FROM documents
+    )
+    SELECT doc_id,
+           16 AS width, 16 AS height, 1 AS channels,
+           (v1 + v2 + v3 + v4) / 4 AS mean_v,
+           sqrt((v1*v1 + v2*v2 + v3*v3 + v4*v4) / 4
+                - ((v1 + v2 + v3 + v4) / 4) * ((v1 + v2 + v3 + v4) / 4))
+               AS std_v,
+           (v1 + v2 + v3 + v4) / 4 AS luminance
+    FROM v
+    """,
+)
+def q110_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, hash-exact: each doc_id becomes a
+    16x16 gray JPEG of four constant 8x8 quadrants (values derived
+    from doc_id), encoded at quality 75 — where the luma DC quant
+    step is exactly 8, so the (v-128)*8 DC term survives
+    quantization bit-perfectly and decode returns the EXACT quadrant
+    values (pytest pins this island; lossy-path fidelity is asserted
+    separately with bounded error). media.pixel_stats then
+    Huffman-decodes + IDCTs the bytes; the oracle computes the same
+    statistics analytically from the quadrant values — a value match
+    proves the whole JFIF emit->Huffman->dequant->IDCT->stats path.
+    Quadrant DCs DIFFER, so the DC-prediction chain across blocks is
+    exercised, not just isolated blocks.
+
+    Scale: synthesis + decode are each one mapInPandas; no shuffle —
+    stats are per-row."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from conveyor_spark.datapipe.jpeg import jpeg_encode
+
+        def img(i: int) -> bytes:
+            m = np.zeros((16, 16), dtype=np.uint8)
+            m[:8, :8] = i % 256
+            m[:8, 8:] = (i * 7 + 13) % 256
+            m[8:, :8] = (i * 31 + 5) % 256
+            m[8:, 8:] = 255 - i % 256
+            return jpeg_encode(m, quality=75)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "data": [img(int(i)) for i in pdf["doc_id"]],
+            })
+
+    imgs = d.mapInPandas(synth, "doc_id LONG, data BINARY")
+    out = _op("media.pixel_stats", ctx, [imgs], column="data",
+              on_error="fail")
+    for name, expr in [
+        ("width", "pixel_stats.width"), ("height", "pixel_stats.height"),
+        ("channels", "pixel_stats.channels"),
+        ("mean_v", "pixel_stats.mean[0]"), ("std_v", "pixel_stats.std[0]"),
+        ("luminance", "pixel_stats.luminance"),
+    ]:
+        out = _op("map.apply", ctx, [out], expression=expr, output_column=name)
+    return _op("select.apply", ctx, [out], columns=[
+        "doc_id", "width", "height", "channels", "mean_v", "std_v",
+        "luminance",
+    ])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

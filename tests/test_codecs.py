@@ -446,8 +446,13 @@ def test_decode_image_dispatch():
     img = (np.arange(24, dtype=np.uint8).reshape(4, 6) * 9 % 256)
     assert (decode_image(png_encode(img))[:, :, 0] == img).all()
     assert (decode_image(gif_encode(img))[:, :, 0] == img).all()
-    with pytest.raises(MediaDecodeError, match="JPEG"):
-        decode_image(b"\xff\xd8\xff\xe0rest")
+    from conveyor_spark.datapipe.jpeg import jpeg_encode
+
+    jp = decode_image(jpeg_encode(img, quality=95))
+    assert jp.shape == (4, 6, 1)  # lossy: dims + bounded error
+    assert np.abs(jp[:, :, 0].astype(int) - img.astype(int)).max() <= 16
+    with pytest.raises(MediaDecodeError):
+        decode_image(b"\xff\xd8\xff\xe0rest")  # truncated JPEG
     with pytest.raises(MediaDecodeError, match="unrecognized"):
         decode_image(b"not an image at all")
 

@@ -231,6 +231,12 @@ CHECKS = [
         and p.count("Exchange") == 1 and "HashAggregate" not in p,
     ),
     (
+        "q110_jpeg_pixel_stats",
+        "real JPEG decode: id-only scan, widen exchange only, per-row (no agg shuffle)",
+        lambda p, o: "ReadSchema: struct<doc_id:bigint>" in p
+        and p.count("Exchange") == 1 and "HashAggregate" not in p,
+    ),
+    (
         "q109_gif_pixel_stats",
         "real GIF decode: id-only scan, widen exchange only, per-row (no agg shuffle)",
         lambda p, o: "ReadSchema: struct<doc_id:bigint>" in p
