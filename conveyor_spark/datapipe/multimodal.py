@@ -452,12 +452,16 @@ def pcm_stats(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
 
 @register(
     "media.resize", kind="transform",
-    doc="REAL image resize (PNG/GIF decode -> nearest-neighbor -> PNG)",
+    doc="REAL image resize (PNG/GIF/JPEG decode -> nearest-neighbor -> re-encode)",
     params=[
-        P("column", required=True, desc="Binary image column (PNG/GIF)"),
+        P("column", required=True, desc="Binary image column (PNG/GIF/JPEG)"),
         P("width", "integer", required=True, min=1, desc="Target width"),
         P("height", "integer", required=True, min=1, desc="Target height"),
         P("output_column", desc="Resized-binary column (default: in place)"),
+        P("format", default="png", allowed=("png", "jpeg"),
+          desc="Output container: png (lossless) or jpeg (smaller shards)"),
+        P("quality", "integer", default=85, min=1, max=100,
+          desc="JPEG quality (format=jpeg only)"),
         P("on_error", default="null", allowed=("null", "fail"),
           desc="Undecodable/corrupt bytes -> NULL or raise"),
     ],
@@ -465,7 +469,8 @@ def pcm_stats(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     tags=["multimodal", "datapipe"],
 )
 def media_resize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
-    """Genuinely resize PNG images — full decode, nearest-neighbor
+    """Genuinely resize images (PNG/GIF/JPEG in) — full decode,
+    nearest-neighbor
     index sampling (floor(i * in/out), the standard NN grid —
     deterministic, no interpolation kernel to disagree about), and
     re-encode — all pure Python/numpy (datapipe/codecs.py), so the
@@ -486,6 +491,8 @@ def media_resize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     out_w, out_h = int(config["width"]), int(config["height"])
     output_column = config.get("output_column", column)
     on_error = config.get("on_error", "null")
+    out_format = config.get("format", "png")
+    quality = int(config.get("quality", 85))
     from conveyor_spark.datapipe.dedup import widen
 
     df = widen(ctx, df, config)
@@ -503,6 +510,18 @@ def media_resize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         from conveyor_spark.datapipe.codecs import (
             MediaDecodeError, decode_image, png_encode,
         )
+        from conveyor_spark.datapipe.jpeg import jpeg_encode
+
+        def encode(px) -> bytes:
+            if out_format == "jpeg":
+                # JPEG has no gray+alpha/RGBA: flatten to the color
+                # channels the container can hold
+                if px.shape[2] in (2, 4):
+                    px = px[:, :, :-1]
+                if px.shape[2] == 1:
+                    px = px[:, :, 0]
+                return jpeg_encode(px, quality=quality)
+            return png_encode(px)
 
         def resize(v) -> bytes | None:
             if v is None:
@@ -516,7 +535,7 @@ def media_resize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
             h, w, _ = px.shape
             ys = (np.arange(out_h) * h) // out_h
             xs = (np.arange(out_w) * w) // out_w
-            return png_encode(px[ys][:, xs])
+            return encode(px[ys][:, xs])
 
         for pdf in batches:
             pdf = pdf.copy()

