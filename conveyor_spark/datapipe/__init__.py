@@ -19,6 +19,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     embedding,
     funnel,
     fuzzy,
+    graph,
     similarity,
     text,
     multimodal,

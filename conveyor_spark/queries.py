@@ -3656,6 +3656,127 @@ def q110_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
 
+@query(
+    "q111_pagerank",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l.l_suppkey AS src,
+             o.o_custkey + 10000000 AS dst
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM nodes),
+    consts AS (
+      SELECT (1000000000000 * 1500) // (10000 * n) AS base FROM n
+    ),
+    r0 AS (SELECT node, 1000000000000 // n.n AS rank FROM nodes, n),
+    r1 AS (
+      SELECT v.node, (SELECT base FROM consts)
+             + COALESCE(s.inflow, 0) AS rank
+      FROM nodes v
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((r.rank * 8500) // (10000 * d.deg)) AS BIGINT)
+                   AS inflow
+        FROM edges e
+        JOIN deg d USING (src)
+        JOIN r0 r ON r.node = e.src
+        GROUP BY e.dst
+      ) s USING (node)
+    ),
+    r2 AS (
+      SELECT v.node, (SELECT base FROM consts)
+             + COALESCE(s.inflow, 0) AS rank
+      FROM nodes v
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((r.rank * 8500) // (10000 * d.deg)) AS BIGINT)
+                   AS inflow
+        FROM edges e
+        JOIN deg d USING (src)
+        JOIN r1 r ON r.node = e.src
+        GROUP BY e.dst
+      ) s USING (node)
+    ),
+    r3 AS (
+      SELECT v.node, (SELECT base FROM consts)
+             + COALESCE(s.inflow, 0) AS rank
+      FROM nodes v
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((r.rank * 8500) // (10000 * d.deg)) AS BIGINT)
+                   AS inflow
+        FROM edges e
+        JOIN deg d USING (src)
+        JOIN r2 r ON r.node = e.src
+        GROUP BY e.dst
+      ) s USING (node)
+    ),
+    r4 AS (
+      SELECT v.node, (SELECT base FROM consts)
+             + COALESCE(s.inflow, 0) AS rank
+      FROM nodes v
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((r.rank * 8500) // (10000 * d.deg)) AS BIGINT)
+                   AS inflow
+        FROM edges e
+        JOIN deg d USING (src)
+        JOIN r3 r ON r.node = e.src
+        GROUP BY e.dst
+      ) s USING (node)
+    ),
+    r5 AS (
+      SELECT v.node, (SELECT base FROM consts)
+             + COALESCE(s.inflow, 0) AS rank
+      FROM nodes v
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((r.rank * 8500) // (10000 * d.deg)) AS BIGINT)
+                   AS inflow
+        FROM edges e
+        JOIN deg d USING (src)
+        JOIN r4 r ON r.node = e.src
+        GROUP BY e.dst
+      ) s USING (node)
+    )
+    SELECT node, rank FROM r5
+    """,
+)
+def q111_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph.pagerank precision='exact' over the supplier->customer
+    ship graph (distinct (l_suppkey, o_custkey) pairs; customer ids
+    offset so the bipartite sides stay distinct nodes). Fixed-point
+    integer arithmetic makes the power iteration bit-reproducible
+    across partitionings, retries, AND engines — the oracle unrolls
+    the identical integer recurrence five times in SQL and must
+    hash-match exactly. Float pagerank could never pass this gate
+    (partition merge order changes final ulps); that is precisely
+    why the exact mode exists for reproducible pipelines.
+
+    Scale: one equi-join + one aggregation per iteration, lineage
+    truncated per round via localCheckpoint (the dedup.components
+    pattern)."""
+    ctx = _ctx(spark)
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    o = _op("map.apply", ctx, [o], expression="o_orderkey",
+            output_column="l_orderkey")
+    j = _op("join.apply", ctx, [l, o], on="l_orderkey", how="inner",
+            broadcast=False)
+    j = _op("map.apply", ctx, [j], expression="CAST(l_suppkey AS BIGINT)",
+            output_column="src")
+    j = _op("map.apply", ctx, [j],
+            expression="CAST(o_custkey + 10000000 AS BIGINT)",
+            output_column="dst")
+    edges = _op("select.apply", ctx, [j], columns=["src", "dst"])
+    return _op("graph.pagerank", ctx, [edges], iterations=5,
+               precision="exact")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

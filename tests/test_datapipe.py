@@ -525,3 +525,48 @@ def test_dedup_incremental_modes(ctx, spark):
     assert (1, 11) in got    # new doc duplicates the corpus
     assert (10, 12) in got   # new-new duplicate
     assert all(a >= 10 or b >= 10 for a, b in got)  # never old-old
+
+
+def test_pagerank_exact_matches_python_model(ctx, spark):
+    """precision='exact' fixed-point pagerank equals a dict-based
+    integer reference bit-for-bit (the reproducibility contract)."""
+    edges = [(1, 2), (2, 3), (3, 1), (1, 3), (4, 3), (2, 3)]  # dup edge
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    out = run_op(ctx, "graph.pagerank", [df], iterations=5,
+                 precision="exact")
+    got = {r["node"]: r["rank"] for r in out.collect()}
+
+    scale, d_num, d_den = 10**12, 8500, 10_000
+    uniq = set(edges)
+    nodes = sorted({s for s, _ in uniq} | {d for _, d in uniq})
+    n = len(nodes)
+    deg = {}
+    for s, _ in uniq:
+        deg[s] = deg.get(s, 0) + 1
+    base = (scale * (d_den - d_num)) // (d_den * n)
+    r = {v: scale // n for v in nodes}
+    for _ in range(5):
+        inflow = {v: 0 for v in nodes}
+        for s, t in uniq:
+            inflow[t] += (r[s] * d_num) // (d_den * deg[s])
+        r = {v: base + inflow[v] for v in nodes}
+    assert got == r
+
+
+def test_pagerank_float_close_to_exact(ctx, spark):
+    edges = [(i, (i * 3 + 1) % 7) for i in range(7)] + [(0, 3), (5, 3)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    fl = {r["node"]: r["rank"] for r in run_op(
+        ctx, "graph.pagerank", [df], iterations=8).collect()}
+    ex = {r["node"]: r["rank"] / 1e12 for r in run_op(
+        ctx, "graph.pagerank", [df], iterations=8,
+        precision="exact").collect()}
+    assert set(fl) == set(ex)
+    for v in fl:
+        assert abs(fl[v] - ex[v]) < 1e-6, (v, fl[v], ex[v])
+
+
+def test_pagerank_rejects_missing_columns(ctx, spark):
+    df = spark.createDataFrame([(1, 2)], "a LONG, b LONG")
+    with pytest.raises(ConfigError, match="src"):
+        run_op(ctx, "graph.pagerank", [df])

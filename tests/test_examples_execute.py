@@ -36,6 +36,9 @@ STREAMING = {
 # (env-var keys / real endpoints), keyed by op name
 OVERRIDES = {
     "encrypt.apply": {"key": "0123456789abcdef0123456789abcdef"},
+    # the kitchen sink has no (src, dst) pair; reuse two id columns
+    "graph.pagerank": {"src_column": "user_id", "dst_column": "customer_id",
+                       "iterations": 2},
     # the documented injection hook replaces the real endpoint
     "http.fetch": {"_fetcher": lambda u, m, h, b, t: '{"ok": true}'},
 }

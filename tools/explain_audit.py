@@ -267,6 +267,13 @@ CHECKS = [
         and "BroadcastNestedLoopJoin" not in p and "bit_count" in p,
     ),
     (
+        "q111_pagerank",
+        "pagerank iteration: equi-joins only (no cartesian/BNLJ), zero Python",
+        lambda p, o: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p,
+    ),
+    (
         "q108_url_normalize",
         "url canonicalization: zero shuffle, zero Python, id-only scan",
         lambda p, o: "Exchange" not in p and "MapInPandas" not in p
