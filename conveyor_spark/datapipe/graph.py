@@ -95,7 +95,14 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     if n == 0:
         return nodes.withColumn(out_col, F.lit(None).cast(
             "long" if precision == "exact" else "double"))
-    degrees = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # out-table (src, dst, deg) computed ONCE: each iteration then
+    # pays one join + one aggregation, not a degrees re-join
+    out_edges = (
+        edges.join(
+            edges.groupBy("src").agg(F.count("*").alias("deg")), "src"
+        )
+        .localCheckpoint(eager=False)
+    )
 
     if precision == "exact":
         # integer damping as a rational d_num/d_den so any float the
@@ -106,8 +113,7 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
         ranks = nodes.withColumn(out_col, F.lit(scale // n).cast("long"))
         for _ in range(n_iter):
             contrib = (
-                ranks.join(degrees, ranks["node"] == degrees["src"])
-                .join(edges, "src")
+                ranks.join(out_edges, ranks["node"] == out_edges["src"])
                 # ONE floor division per edge: (r * d_num) div (d_den * deg)
                 .select(
                     F.col("dst").alias("node"),
@@ -133,8 +139,7 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     ranks = nodes.withColumn(out_col, F.lit(1.0 / n))
     for _ in range(n_iter):
         contrib = (
-            ranks.join(degrees, ranks["node"] == degrees["src"])
-            .join(edges, "src")
+            ranks.join(out_edges, ranks["node"] == out_edges["src"])
             .select(
                 F.col("dst").alias("node"),
                 (F.col(out_col) * damping / F.col("deg")).alias("share"),
