@@ -3626,13 +3626,21 @@ def q110_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from conveyor_spark.datapipe.jpeg import jpeg_encode
 
+        cache: dict[int, bytes] = {}
+
         def img(i: int) -> bytes:
-            m = np.zeros((16, 16), dtype=np.uint8)
-            m[:8, :8] = i % 256
-            m[:8, 8:] = (i * 7 + 13) % 256
-            m[8:, :8] = (i * 31 + 5) % 256
-            m[8:, 8:] = 255 - i % 256
-            return jpeg_encode(m, quality=75)
+            # every quadrant is a function of i mod 256, so the image
+            # family has period 256 — encode each distinct image once
+            k = i % 256
+            got = cache.get(k)
+            if got is None:
+                m = np.zeros((16, 16), dtype=np.uint8)
+                m[:8, :8] = k
+                m[:8, 8:] = (i * 7 + 13) % 256
+                m[8:, :8] = (i * 31 + 5) % 256
+                m[8:, 8:] = 255 - k
+                got = cache[k] = jpeg_encode(m, quality=75)
+            return got
 
         for pdf in batches:
             yield pd.DataFrame({
