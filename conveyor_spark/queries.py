@@ -3785,6 +3785,39 @@ def q111_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                precision="exact")
 
 
+@query(
+    "q112_bpe_saturated",
+    """
+    SELECT doc_id,
+           len(list_filter(
+               regexp_extract_all(lower(text), '[a-z0-9]+|[^\\sa-z0-9]'),
+               x -> x != ''))::INT AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q112_bpe_saturated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.bpe_train -> text.bpe_encode at SATURATION: n_merges is
+    set past the corpus vocabulary's total merge budget, so training
+    runs until every distinct word fully merges into a single token
+    and encode must therefore emit exactly one token per word — a
+    SQL-expressible invariant (n_bpe_tokens == regex word count)
+    that hash-checks the whole distributed-count -> driver merge
+    loop -> broadcast greedy-encode path end-to-end. Every word
+    re-merges through its full ranked chain at encode time, so the
+    lowest-rank selection loop is exercised on every row; the
+    non-degenerate limited-merge behavior is pinned by the
+    differential Hypothesis suite (tests/test_bpe.py) against a
+    recount-from-scratch reference.
+
+    Scale: one explode+groupBy corpus pass, compact driver loop,
+    pure-map encode (no shuffle)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = _op("text.bpe_train", ctx, [d], column="text", n_merges=5000)
+    out = _op("text.bpe_encode", ctx, [d, merges], column="text")
+    return _op("select.apply", ctx, [out], columns=["doc_id", "n_bpe_tokens"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -50,6 +50,13 @@ INPUT_BUILDERS = {
     "dedup.components": lambda df: [
         df.selectExpr("id AS id_a", "id + 1 AS id_b")
     ],
+    # second input must be a bpe_train merge table
+    "text.bpe_encode": lambda df: [
+        df,
+        df.sparkSession.createDataFrame(
+            [(0, "t", "h"), (1, "th", "e")],
+            "rank INT, left STRING, right STRING"),
+    ],
     # flatten=True collides with the kitchen sink's own 'id' column —
     # that refusal is correct behavior; parse into a clean frame
     "json.parse": lambda df: [df.select("payload")],

@@ -267,6 +267,13 @@ CHECKS = [
         and "BroadcastNestedLoopJoin" not in p and "bit_count" in p,
     ),
     (
+        "q112_bpe_saturated",
+        "bpe encode: two-column scan, pure map (no join/agg in the encode plan)",
+        lambda p, o: "ReadSchema: struct<doc_id:bigint,text:string>" in p
+        and "MapInPandas" in p and "HashAggregate" not in p
+        and "Join" not in p,
+    ),
+    (
         "q111_pagerank",
         "pagerank iteration: equi-joins only (no cartesian/BNLJ), zero Python",
         lambda p, o: "CartesianProduct" not in p
