@@ -174,11 +174,20 @@ STATE_STORE_PROVIDERS = {
 }
 
 
-def _apply_session_conf(spark: SparkSession, spec: PipelineSpec) -> None:
+def _apply_session_conf(
+    spark: SparkSession, spec: PipelineSpec
+) -> dict[str, str | None]:
     """Apply [global.spark] runtime confs + the [global] state_store
     convenience key at compile time. Streaming state-store and AQE
     confs are runtime-settable, so this works on the driver's plain
-    session too; a non-runtime key raises ConfigError naming it."""
+    session too; a non-runtime key raises ConfigError naming it.
+
+    Returns the prior values (None = was unset) so run_pipeline can
+    restore them — one pipeline's confs must not leak into the next
+    pipeline compiled on the same shared session. compile_pipeline
+    alone does NOT restore: its returned lazy DataFrames still need
+    the confs at action time (callers driving compile directly own
+    the session's lifecycle)."""
     conf = dict(spec.spark_conf)
     if spec.state_store is not None:
         conf.setdefault(
@@ -193,13 +202,29 @@ def _apply_session_conf(spark: SparkSession, spec: PipelineSpec) -> None:
                 "changelogCheckpointing.enabled",
                 "true",
             )
+    prior: dict[str, str | None] = {}
     for key, value in conf.items():
+        prior[key] = spark.conf.get(key, None)
         try:
             spark.conf.set(key, value)
         except Exception as exc:  # AnalysisException: static conf
             raise ConfigError(
                 f"[global.spark] conf {key!r} cannot be set at runtime: {exc}"
             ) from None
+    return prior
+
+
+def _restore_session_conf(
+    spark: SparkSession, prior: dict[str, str | None]
+) -> None:
+    for key, value in prior.items():
+        try:
+            if value is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - restore is best-effort
+            pass
 
 
 def compile_pipeline(
@@ -322,6 +347,10 @@ def compile_pipeline(
 def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> RunResult:
     """Execute a pipeline spec end-to-end (with global timeout if set).
 
+    Applied [global.spark] confs are restored after the run — a
+    pipeline's confs must not leak into the next one compiled on
+    this session.
+
     The global timeout maps to a driver-side watchdog (reference:
     tokio timeout, src/core/pipeline.rs:93-96); for Spark we tag the
     pipeline's jobs and cancel the tag on expiry. Classic sessions
@@ -359,9 +388,15 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> RunResult:
         timer = threading.Timer(spec.timeout_seconds, cancel)
         timer.daemon = True
         timer.start()
+        prior = _apply_session_conf(spark, spec)
         try:
             return compile_pipeline(spark, spec)
         finally:
             timer.cancel()
             cleanup()
-    return compile_pipeline(spark, spec)
+            _restore_session_conf(spark, prior)
+    prior = _apply_session_conf(spark, spec)
+    try:
+        return compile_pipeline(spark, spec)
+    finally:
+        _restore_session_conf(spark, prior)

@@ -97,6 +97,13 @@ def _interpolate(value: Any, variables: dict[str, str]) -> Any:
     return value
 
 
+def _none_default(value: Any) -> Any:
+    """Absent (None) -> {}; any PRESENT falsy value (false, 0, "")
+    is a wrong type and must reach _require — `config = false` used
+    to silently run the stage with all defaults."""
+    return {} if value is None else value
+
+
 def _require(value: Any, typ: type, what: str) -> Any:
     """Shape check for TOML-representable-but-wrong values: `stages =
     5`, `[global] variables = "x"`, `inputs = 3` are all valid TOML
@@ -119,7 +126,7 @@ def parse_spec(data: dict[str, Any], env: dict[str, str] | None = None) -> Pipel
     variables = {
         str(k): _resolve_env(str(v), env)
         for k, v in _require(
-            glob.get("variables") or {}, dict, "[global].variables"
+            _none_default(glob.get("variables")), dict, "[global].variables"
         ).items()
     }
     stages_raw = data.get("stages", [])
@@ -144,11 +151,11 @@ def parse_spec(data: dict[str, Any], env: dict[str, str] | None = None) -> Pipel
                 function=_require(raw["function"], str, f"stage {sid!r} 'function'"),
                 inputs=list(inputs_raw),
                 config=_interpolate(
-                    _require(raw.get("config", {}) or {}, dict, f"stage {sid!r} 'config'"),
+                    _require(_none_default(raw.get("config")), dict, f"stage {sid!r} 'config'"),
                     variables,
                 ),
                 error_strategy=_require(
-                    raw.get("error_strategy", {}) or {}, dict,
+                    _none_default(raw.get("error_strategy")), dict,
                     f"stage {sid!r} 'error_strategy'",
                 ),
             )
@@ -162,7 +169,8 @@ def parse_spec(data: dict[str, Any], env: dict[str, str] | None = None) -> Pipel
         # (docs/configuration.md:155); [global].error_handling also
         # accepted (earlier shape of this engine's own specs)
         error_handling=_require(
-            data.get("error_handling", glob.get("error_handling", {})) or {},
+            _none_default(
+                data.get("error_handling", glob.get("error_handling"))),
             dict, "[error_handling]",
         ),
         timeout_seconds=glob.get("timeout_seconds"),
@@ -173,7 +181,7 @@ def parse_spec(data: dict[str, Any], env: dict[str, str] | None = None) -> Pipel
         spark_conf={
             str(k): str(v)
             for k, v in _require(
-                glob.get("spark", {}) or {}, dict, "[global.spark]"
+                _none_default(glob.get("spark")), dict, "[global.spark]"
             ).items()
         },
         state_store=glob.get("state_store"),

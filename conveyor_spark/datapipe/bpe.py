@@ -44,7 +44,12 @@ from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
 
 END = "</w>"
-DEFAULT_PATTERN = r"[a-z0-9]+|[^\sa-z0-9]"
+# explicit ASCII whitespace class: \s means ASCII-only under JVM
+# regex (the train pass) but UNICODE whitespace under Python re (the
+# encode workers) — U+00A0 in crawled text would tokenize
+# differently between the two. An explicit class behaves identically
+# in JVM regex, Python re, and RE2.
+DEFAULT_PATTERN = r"[a-z0-9]+|[^ \t\n\x0b\f\ra-z0-9]"
 
 
 def train_merges(word_freqs: dict[str, int], n_merges: int) -> list[tuple[str, str]]:

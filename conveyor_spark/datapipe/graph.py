@@ -78,6 +78,8 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     precision = config.get("precision", "float")
     scale = int(config.get("scale_factor", 10**12))
     out_col = config.get("output_column", "rank")
+    if out_col == "node":
+        raise ConfigError("graph.pagerank: output_column cannot be 'node'")
 
     edges = (
         df.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -95,6 +97,7 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     if n == 0:
         return nodes.withColumn(out_col, F.lit(None).cast(
             "long" if precision == "exact" else "double"))
+
     # out-table (src, dst, deg) computed ONCE: each iteration then
     # pays one join + one aggregation, not a degrees re-join
     out_edges = (
@@ -110,7 +113,9 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
         d_num = int(round(damping * 10_000))
         d_den = 10_000
         base = (scale * (d_den - d_num)) // (d_den * n)
-        ranks = nodes.withColumn(out_col, F.lit(scale // n).cast("long"))
+        # internal rank column name is reserved (__pr) so a user
+        # output_column can never collide with the join's src/dst/deg
+        ranks = nodes.withColumn("__pr", F.lit(scale // n).cast("long"))
         for _ in range(n_iter):
             contrib = (
                 ranks.join(out_edges, ranks["node"] == out_edges["src"])
@@ -118,7 +123,7 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
                 .select(
                     F.col("dst").alias("node"),
                     F.expr(
-                        f"(({out_col} * {d_num}L) div ({d_den}L * deg))"
+                        f"((__pr * {d_num}L) div ({d_den}L * deg))"
                     ).alias("share"),
                 )
                 .groupBy("node")
@@ -129,20 +134,20 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
                 .select(
                     "node",
                     (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0)))
-                    .cast("long").alias(out_col),
+                    .cast("long").alias("__pr"),
                 )
                 .localCheckpoint(eager=False)
             )
-        return ranks
+        return ranks.select("node", F.col("__pr").alias(out_col))
     # float mode
     base = (1.0 - damping) / n
-    ranks = nodes.withColumn(out_col, F.lit(1.0 / n))
+    ranks = nodes.withColumn("__pr", F.lit(1.0 / n))
     for _ in range(n_iter):
         contrib = (
             ranks.join(out_edges, ranks["node"] == out_edges["src"])
             .select(
                 F.col("dst").alias("node"),
-                (F.col(out_col) * damping / F.col("deg")).alias("share"),
+                (F.col("__pr") * damping / F.col("deg")).alias("share"),
             )
             .groupBy("node")
             .agg(F.sum("share").alias("inflow"))
@@ -152,8 +157,8 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
             .select(
                 "node",
                 (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0.0)))
-                .alias(out_col),
+                .alias("__pr"),
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select("node", F.col("__pr").alias(out_col))

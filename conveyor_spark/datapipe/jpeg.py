@@ -391,6 +391,26 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _decode_boundary(fn):
+    """Same contract as codecs._decoder, widened: malformed segments
+    can also surface as ValueError (np.frombuffer on an odd-length
+    16-bit DQT) — a corrupt crawled JPEG must die as MediaDecodeError
+    so on_error='null' handlers catch it, never abort the task."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(data, *args, **kwargs):
+        try:
+            return fn(data, *args, **kwargs)
+        except (struct.error, IndexError, ValueError, KeyError) as exc:
+            raise MediaDecodeError(
+                f"{fn.__name__}: truncated/malformed input ({exc})"
+            ) from None
+
+    return wrapped
+
+
+@_decode_boundary
 def jpeg_pixels(data: bytes):
     """Decode baseline sequential JPEG -> (h, w, ch) uint8 (ch = 1
     gray, 3 color). Progressive (SOF2) and arithmetic coding raise."""

@@ -3790,7 +3790,8 @@ def q111_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id,
            len(list_filter(
-               regexp_extract_all(lower(text), '[a-z0-9]+|[^\\sa-z0-9]'),
+               regexp_extract_all(lower(text),
+                                  '[a-z0-9]+|[^ \\t\\n\\x0b\\f\\ra-z0-9]'),
                x -> x != ''))::INT AS n_bpe_tokens
     FROM documents
     """,

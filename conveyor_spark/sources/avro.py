@@ -26,24 +26,32 @@ _FQCN = "org.apache.spark.sql.avro.AvroFileFormat"
 
 def _avro_format(spark) -> str:
     """'avro' when the spark-avro service registration is deployed;
-    the embedded AvroFileFormat class otherwise."""
+    the embedded AvroFileFormat class otherwise; ConfigError naming
+    the package when the classpath has neither."""
     try:
         jvm = spark._jvm  # noqa: SLF001 — classic session
         loader = jvm.org.apache.spark.util.Utils.getContextOrSparkClassLoader()
-        try:
-            jvm.java.lang.Class.forName(
-                "org.apache.spark.sql.avro.AvroDataSourceV2", False, loader
-            )
-            return "avro"  # spark-avro module deployed: short name works
-        except Exception:
-            jvm.java.lang.Class.forName(_FQCN, False, loader)
-            return _FQCN
-    except ConfigError:
-        raise
     except Exception:
         # Spark-Connect client (no _jvm): the server resolves the
-        # format; prefer the FQCN, which works on both layouts
+        # format; the FQCN works on both layouts of Spark 4
         return _FQCN
+    try:
+        jvm.java.lang.Class.forName(
+            "org.apache.spark.sql.avro.AvroDataSourceV2", False, loader
+        )
+        return "avro"  # spark-avro module deployed: short name works
+    except Exception:
+        pass
+    try:
+        jvm.java.lang.Class.forName(_FQCN, False, loader)
+        return _FQCN
+    except Exception:
+        raise ConfigError(
+            "avro ops require Avro support on the classpath — deploy "
+            "org.apache.spark:spark-avro_2.13:<spark-version> "
+            "(--packages), or run on Spark 4 whose spark-sql embeds "
+            "AvroFileFormat"
+        ) from None
 
 
 @register(

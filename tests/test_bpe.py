@@ -116,3 +116,21 @@ def test_bpe_encode_rejects_wrong_table(ctx, spark):
     df = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
     with pytest.raises(ConfigError, match="merge"):
         run_op(ctx, "text.bpe_encode", [df, df], column="text")
+
+
+def test_train_and_encode_agree_on_unicode_whitespace(ctx, spark):
+    """Review finding: \\s is ASCII-only in JVM regex but Unicode in
+    Python re — U+00A0 must tokenize IDENTICALLY in the train pass
+    (JVM) and the encode workers (Python). With the explicit ASCII
+    class, NBSP is a character token in both."""
+    text = "aa\u00a0bb aa\u00a0bb aa"
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    merges = run_op(ctx, "text.bpe_train", [df], column="text",
+                    n_merges=100)
+    out = run_op(ctx, "text.bpe_encode", [df, merges], column="text",
+                 tokens_column="toks")
+    row = out.collect()[0]
+    # saturated vocabulary: words aa, bb and the NBSP char token ->
+    # 3 aa + 2 bb + 2 nbsp = 7 tokens in BOTH engines' view
+    assert row["n_bpe_tokens"] == 7, row["toks"]
+    assert "\u00a0</w>" in row["toks"]

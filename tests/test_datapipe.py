@@ -570,3 +570,18 @@ def test_pagerank_rejects_missing_columns(ctx, spark):
     df = spark.createDataFrame([(1, 2)], "a LONG, b LONG")
     with pytest.raises(ConfigError, match="src"):
         run_op(ctx, "graph.pagerank", [df])
+
+
+def test_pagerank_output_column_collisions_safe(ctx, spark):
+    """Review finding: output_column names colliding with the
+    internal join columns (deg/src/dst) produced ambiguous-column
+    errors or wrong ranks; 'node' is refused outright."""
+    edges = [(1, 2), (2, 1), (1, 3)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    for name in ("deg", "src", "dst", "share", "inflow"):
+        out = run_op(ctx, "graph.pagerank", [df], iterations=2,
+                     precision="exact", output_column=name)
+        got = {r["node"]: r[name] for r in out.collect()}
+        assert len(got) == 3 and all(v > 0 for v in got.values())
+    with pytest.raises(ConfigError, match="node"):
+        run_op(ctx, "graph.pagerank", [df], output_column="node")

@@ -115,3 +115,42 @@ def test_avro_roundtrip(ctx, spark, tmp_path):
     back = run_op(ctx, "avro.read", [], path=out)
     assert sorted((r["id"], r["name"], r["score"]) for r in back.collect()) == \
         [(1, "alpha", 1.5), (2, "beta", None)]
+
+
+def test_avro_missing_classes_raise_config_error(ctx, spark, monkeypatch):
+    """Review finding: with NEITHER avro class resolvable the format
+    helper silently returned the FQCN and users got a raw JVM
+    ClassNotFoundException later; it must refuse with ConfigError
+    naming the package."""
+    import conveyor_spark.sources.avro as avro_mod
+
+    class _Loader:
+        pass
+
+    class _FakeClass:
+        @staticmethod
+        def forName(*a, **k):
+            raise RuntimeError("ClassNotFoundException (simulated)")
+
+    class _FakeLang:
+        Class = _FakeClass
+
+    class _FakeUtils:
+        @staticmethod
+        def getContextOrSparkClassLoader():
+            return _Loader()
+
+    class _FakeJvm:
+        class org:
+            class apache:
+                class spark:
+                    class util:
+                        Utils = _FakeUtils
+        class java:
+            lang = _FakeLang
+
+    class _FakeSpark:
+        _jvm = _FakeJvm
+
+    with pytest.raises(ConfigError, match="spark-avro"):
+        avro_mod._avro_format(_FakeSpark())

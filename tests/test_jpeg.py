@@ -121,3 +121,32 @@ def test_media_resize_jpeg_output(ctx, spark):
     assert data[:3] == b"\xff\xd8\xff"
     px = decode_image(data)
     assert px.shape == (16, 16, 3)
+
+
+def test_malformed_segments_die_as_media_error():
+    """Review finding: struct.error/IndexError/ValueError escaped the
+    decode boundary on malformed (not merely truncated) segments."""
+    cases = [
+        b"\xff\xd8\xff\xc0\x00\x04\x08\x00",           # SOF seglen 4
+        # SOS declares 3 scan components on a 1-component frame
+        bytes.fromhex("ffd8ffc0000b08001000100101110000"
+                      "ffda00080301000211031100"),
+        # odd-length 16-bit DQT payload
+        b"\xff\xd8\xff\xdb\x00\x06\x10\x00\x01\x02",
+    ]
+    for payload in cases:
+        with pytest.raises(MediaDecodeError):
+            jpeg_pixels(payload)
+
+
+def test_corrupt_jpeg_nulls_not_task_failure(ctx, spark):
+    """One corrupt JPEG in a corpus must NULL out under
+    on_error='null', not abort the Spark job."""
+    good = jpeg_encode(_smooth_rgb(16, 16), quality=80)
+    df = spark.createDataFrame(
+        [("ok", bytearray(good)),
+         ("bad", bytearray(b"\xff\xd8\xff\xc0\x00\x04\x08\x00"))],
+        "id STRING, content BINARY")
+    out = run_op(ctx, "media.pixel_stats", [df], column="content")
+    got = {r["id"]: r["pixel_stats"] for r in out.collect()}
+    assert got["ok"] is not None and got["bad"] is None

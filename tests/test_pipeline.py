@@ -448,3 +448,29 @@ def test_global_spark_conf_and_state_store(spark, tmp_path):
             "global": {"state_store": "leveldb"},
             "stages": base_stages,
         })
+
+
+def test_run_pipeline_restores_global_spark_confs(spark, tmp_path):
+    """Review finding: one pipeline's [global.spark] confs leaked
+    into every later pipeline on the shared session; run_pipeline
+    must restore prior values (compile_pipeline alone keeps them —
+    its lazy outputs still need them at action time)."""
+    from conveyor_spark.compiler import run_pipeline
+
+    src = tmp_path / "u.json"
+    src.write_text(json.dumps([{"id": 1}]))
+    out = tmp_path / "o.json"
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    spec = parse_spec({
+        "global": {"spark": {key: "16m"}},
+        "stages": [
+            {"id": "r", "function": "json.read",
+             "config": {"path": str(src), "format": "records"}},
+            {"id": "w", "function": "json.write", "inputs": ["r"],
+             "config": {"path": str(out), "format": "records"}},
+        ],
+    })
+    run_pipeline(spark, spec)
+    assert out.exists()
+    assert spark.conf.get(key) == before  # restored, not leaked

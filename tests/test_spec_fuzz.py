@@ -142,7 +142,8 @@ def test_single_defect_always_rejected(data, rng):
     stages = data["stages"]
     defect = rng.draw(st.sampled_from(
         ["dup_id", "unknown_input", "cycle", "drop_function", "empty",
-         "bad_inputs_type", "bad_stages_type", "bad_timeout"]
+         "bad_inputs_type", "bad_stages_type", "bad_timeout",
+         "falsy_config", "falsy_error_handling"]
     ))
     if defect == "dup_id" and len(stages) >= 2:
         stages[-1]["id"] = stages[0]["id"]
@@ -167,6 +168,13 @@ def test_single_defect_always_rejected(data, rng):
         data["stages"] = rng.draw(
             st.one_of(st.integers(), st.text(max_size=5), st.booleans())
         )
+    elif defect == "falsy_config":
+        # present-but-falsy wrong types must die, not default to {}
+        stages[-1]["config"] = rng.draw(
+            st.sampled_from([False, 0, "", 0.0]))
+    elif defect == "falsy_error_handling":
+        data["error_handling"] = rng.draw(
+            st.sampled_from([False, 0, "", True, 7]))
     elif defect == "bad_timeout":
         data["global"] = {"timeout_seconds": rng.draw(
             st.one_of(st.just(0), st.integers(max_value=0), st.text(max_size=4),
