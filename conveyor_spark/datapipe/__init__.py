@@ -30,4 +30,5 @@ from conveyor_spark.datapipe import (  # noqa: F401
     selection,
     split,
     stats,
+    substring,
 )

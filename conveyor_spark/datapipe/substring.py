@@ -1,0 +1,147 @@
+"""dedup.substring — maximal cross-document duplicate token spans.
+
+The "exact substring dedup" pass of modern training-data pipelines
+(Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+Better"): find every maximal span of >= min_length consecutive
+tokens shared verbatim between two documents, so the pipeline can
+cut the duplicated ranges rather than drop whole near-dup docs. The
+reference paper builds a monolithic suffix array; the Spark-first
+equivalent is a gram-diagonal construction that is pure relational
+algebra and therefore shards, verifies, and ORACLE-checks:
+
+1. tokenize each doc; emit one posting (gram_hash, id, pos) per
+   min_length-token window — skinny rows, hash via the shared
+   portable md5 (hashing.py) so DuckDB can replay it.
+2. prune grams appearing in more than max_df of docs (boilerplate:
+   headers, licenses) — the hot-gram guard every self-join op here
+   carries. Pruning can only FRAGMENT a span crossing a boilerplate
+   gram, never invent one.
+3. self-join postings on the hash (id_a < id_b): matching windows.
+4. gaps-and-islands per (id_a, id_b, diagonal = pos_a - pos_b):
+   consecutive matches on one diagonal ARE one maximal span of
+   length run + min_length - 1.
+5. verify=true (default) re-attaches the token arrays and compares
+   the actual slices, making the result exact even under a 60-bit
+   hash collision (at 10^12 grams, expected collisions are real —
+   the verify join is output-sized, so it is cheap insurance).
+
+Scale: postings are O(tokens) skinny triples; the join shuffles
+(hash) only; the islands window partitions by (id_a, id_b, diag) —
+never global. Quadratic blowup concentrates exactly where real
+duplication lives, like every dedup op in this family; max_df bounds
+the boilerplate worst case.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from conveyor_spark.datapipe.hashing import md5_int
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, P, register
+
+
+@register(
+    "dedup.substring", kind="transform",
+    doc="Maximal duplicate token spans (>= min_length) across documents",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id"),
+        P("min_length", "integer", default=20, min=2,
+          desc="Minimum span length in tokens (also the gram size)"),
+        P("max_df", "float", default=0.05, min=0.0, max=1.0,
+          desc="Drop grams present in more than this fraction of docs "
+               "(boilerplate guard; may fragment spans crossing them)"),
+        P("lowercase", "boolean", default=True, desc="Casefold first"),
+        P("verify", "boolean", default=True,
+          desc="Re-compare the actual token slices (exact under hash "
+               "collisions; output-sized join)"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "min_length": 10},
+    tags=["dedup", "substring", "datapipe"],
+)
+def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Output: (id_a, id_b, start_a, start_b, length) — token-indexed
+    maximal shared spans, id_a < id_b, length >= min_length. Feed the
+    ranges to a cutting pass (text.chunk/slice) or treat any hit as a
+    near-dup edge for dedup.components."""
+    df = inputs[0]
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("dedup.substring requires 'column' and 'id_column'")
+    k = int(config.get("min_length", 20))
+    max_df = float(config.get("max_df", 0.05))
+    lowercase = bool(config.get("lowercase", True))
+    verify = bool(config.get("verify", True))
+
+    text = F.col(column).cast("string")
+    if lowercase:
+        text = F.lower(text)
+    toks = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+    base = df.select(
+        F.col(id_column).cast("long").alias("id"),
+        toks.alias("__toks"),
+    ).where(F.size("__toks") >= k)
+
+    # one posting per window: (gram hash, id, pos). concat_ws folds
+    # the k-token slice into one string hashed JVM-side.
+    gram = md5_int(
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__p") + 1, k)))
+    postings = (
+        base.withColumn(
+            "__p", F.explode(F.sequence(F.lit(0), F.size("__toks") - k)))
+        .select(F.col("id"), F.col("__p").alias("pos"),
+                gram.alias("h"))
+    )
+
+    if max_df < 1.0:
+        n_docs = base.select("id").distinct().count()
+        cap = max(int(max_df * n_docs), 1)
+        hot = (
+            postings.groupBy("h")
+            .agg(F.count_distinct("id").alias("df"))
+            .where(F.col("df") > cap)
+            .select("h")
+        )
+        postings = postings.join(F.broadcast(hot), "h", "left_anti")
+
+    a = postings.select(F.col("h"), F.col("id").alias("id_a"),
+                        F.col("pos").alias("pos_a"))
+    b = postings.select(F.col("h"), F.col("id").alias("id_b"),
+                        F.col("pos").alias("pos_b"))
+    pairs = a.join(b, "h").where(F.col("id_a") < F.col("id_b")) \
+        .select("id_a", "id_b", "pos_a", "pos_b")
+
+    # gaps-and-islands on each diagonal: consecutive pos_a = one span
+    w = Window.partitionBy(
+        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    spans = (
+        pairs.withColumn("__isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", F.col("pos_a") - F.col("pos_b"), "__isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count("*") + k - 1).cast("int").alias("length"),
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "length")
+    )
+
+    if verify:
+        ta = base.select(F.col("id").alias("id_a"),
+                         F.col("__toks").alias("__ta"))
+        tb = base.select(F.col("id").alias("id_b"),
+                         F.col("__toks").alias("__tb"))
+        spans = (
+            spans.join(ta, "id_a").join(tb, "id_b")
+            .where(
+                F.slice(F.col("__ta"), F.col("start_a") + 1, F.col("length"))
+                == F.slice(F.col("__tb"), F.col("start_b") + 1, F.col("length"))
+            )
+            .select("id_a", "id_b", "start_a", "start_b", "length")
+        )
+    return spans

@@ -3819,6 +3819,65 @@ def q112_bpe_saturated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("select.apply", ctx, [out], columns=["doc_id", "n_bpe_tokens"])
 
 
+@query(
+    "q113_dedup_substring",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 15),
+    posts AS (
+      SELECT doc_id AS id, pos,
+             array_to_string(t[pos+1 : pos+15], ' ') AS g
+      FROM base, LATERAL (SELECT unnest(range(len(t) - 14)) AS pos) p
+    ),
+    stats AS (SELECT g, COUNT(DISTINCT id) AS df FROM posts GROUP BY g),
+    cap AS (
+      SELECT greatest(CAST(floor(0.05 * (SELECT COUNT(*) FROM base))
+                           AS BIGINT), 1) AS c
+    ),
+    pp AS (
+      SELECT posts.* FROM posts JOIN stats USING (g), cap
+      WHERE stats.df <= cap.c
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM pp a JOIN pp b ON a.g = b.g AND a.id < b.id
+    ),
+    isl AS (
+      SELECT id_a, id_b, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+             ) AS island
+      FROM pairs
+    )
+    SELECT id_a, id_b,
+           MIN(pos_a)::INT AS start_a, MIN(pos_b)::INT AS start_b,
+           (COUNT(*) + 14)::INT AS length
+    FROM isl GROUP BY id_a, id_b, pos_a - pos_b, island
+    """,
+)
+def q113_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.substring: maximal cross-document duplicate token spans
+    >= 15 tokens (the Lee-et-al exact-substring dedup pass, as
+    relational algebra: gram postings -> hot-gram pruning ->
+    hash-join -> gaps-and-islands per diagonal -> slice-verify). The
+    oracle replays the identical construction on gram STRINGS (no
+    hash), so a hash match also certifies the 60-bit portable-hash
+    join introduced no collision at this scale; the verify join
+    makes the op exact even when one does.
+
+    Scale: postings are skinny (hash, id, pos) triples; the islands
+    window partitions by (pair, diagonal) — never global."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("dedup.substring", ctx, [d], column="text",
+               id_column="doc_id", min_length=15, max_df=0.05)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -585,3 +585,51 @@ def test_pagerank_output_column_collisions_safe(ctx, spark):
         assert len(got) == 3 and all(v > 0 for v in got.values())
     with pytest.raises(ConfigError, match="node"):
         run_op(ctx, "graph.pagerank", [df], output_column="node")
+
+
+def test_dedup_substring_finds_planted_spans(ctx, spark):
+    common = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = [
+        (1, f"one two {common} three four"),
+        (2, f"{common} five six seven"),
+        (3, "totally different words here nothing shared at all"),
+        (4, f"x y z {common} p q {common} r"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    out = run_op(ctx, "dedup.substring", [df], column="text",
+                 id_column="doc_id", min_length=8, max_df=1.0)
+    got = {(r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["length"])
+           for r in out.collect()}
+    # doc1[2:10] == doc2[0:8] == doc4[3:11] == doc4[13:21] (the
+    # 8-token common block); no doc3 hits
+    assert (1, 2, 2, 0, 8) in got
+    assert (1, 4, 2, 3, 8) in got and (1, 4, 2, 13, 8) in got
+    assert (2, 4, 0, 3, 8) in got and (2, 4, 0, 13, 8) in got
+    assert not any(3 in (a, b) for a, b, *_ in got)
+
+
+def test_dedup_substring_maximal_not_fragmented(ctx, spark):
+    """A 12-token shared run with min_length=5 must come back as ONE
+    span of length 12, not 8 overlapping 5-grams."""
+    words = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, f"pre {words} postA"), (2, f"{words} tailB unique2")],
+        "doc_id LONG, text STRING")
+    out = run_op(ctx, "dedup.substring", [df], column="text",
+                 id_column="doc_id", min_length=5, max_df=1.0)
+    got = [(r["start_a"], r["start_b"], r["length"]) for r in out.collect()]
+    assert got == [(1, 0, 12)], got
+
+
+def test_dedup_substring_max_df_prunes_boilerplate(ctx, spark):
+    boiler = " ".join(f"b{i}" for i in range(6))
+    rows = [(i, f"doc {i} says {boiler}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    # boilerplate gram is in 100% of docs; max_df=0.5 prunes it
+    out = run_op(ctx, "dedup.substring", [df], column="text",
+                 id_column="doc_id", min_length=6, max_df=0.5)
+    assert out.count() == 0
+    # with pruning off, all C(10,2) pairs share the span
+    out2 = run_op(ctx, "dedup.substring", [df], column="text",
+                  id_column="doc_id", min_length=6, max_df=1.0)
+    assert out2.count() == 45

@@ -267,6 +267,17 @@ CHECKS = [
         and "BroadcastNestedLoopJoin" not in p and "bit_count" in p,
     ),
     (
+        "q113_dedup_substring",
+        "substring spans: islands window partitioned by (pair, diagonal) — "
+        "never global; equi-join only, zero Python",
+        lambda p, o: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and all("pos_a#" in ln or "id_a" in ln
+                for ln in p.splitlines() if "Window [" in ln)
+        and any("Window [" in ln for ln in p.splitlines()),
+    ),
+    (
         "q112_bpe_saturated",
         "bpe encode: two-column scan, pure map (no join/agg in the encode plan)",
         lambda p, o: "ReadSchema: struct<doc_id:bigint,text:string>" in p
