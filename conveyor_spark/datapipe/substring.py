@@ -145,3 +145,96 @@ def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
             .select("id_a", "id_b", "start_a", "start_b", "length")
         )
     return spans
+
+
+@register(
+    "text.cut_spans", kind="transform", min_inputs=2, max_inputs=2,
+    doc="Remove token ranges (e.g. dedup.substring hits) from documents",
+    params=[
+        P("column", required=True, desc="Text column to cut"),
+        P("id_column", required=True, desc="Document id in the doc input"),
+        P("span_id_column", default="id_b",
+          desc="Doc id column in the spans input (dedup.substring "
+               "convention: cut the LATER doc of each pair)"),
+        P("start_column", default="start_b", desc="Span start (token index)"),
+        P("length_column", default="length", desc="Span length (tokens)"),
+        P("output_column", desc="Cut-text column (default: in place)"),
+        P("count_column", default="n_cut_tokens",
+          desc="Removed-token count column"),
+        P("lowercase", "boolean", default=True,
+          desc="Tokenization must match the span detector's"),
+    ],
+    example={"column": "text", "id_column": "doc_id"},
+    tags=["dedup", "substring", "datapipe"],
+)
+def text_cut_spans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """inputs = [documents, spans]. Drops every token whose index
+    falls inside any of the doc's spans and rejoins the survivors
+    with single spaces (tokenization — lowercase + whitespace split —
+    must match dedup.substring's so indices line up). Docs with no
+    spans pass through re-tokenized, so the output column is
+    uniformly normalized.
+
+    Scale: spans aggregate to one (id, ranges[]) row each (spans are
+    output-sized, tiny next to the corpus); ONE left join back to the
+    docs; the cut itself is a per-row JVM filter over (token, index)
+    pairs — codegen, no Python. Overlapping ranges just both match;
+    no merge pass needed."""
+    docs, spans = inputs[0], inputs[1]
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("text.cut_spans requires 'column' and 'id_column'")
+    sid = config.get("span_id_column", "id_b")
+    start_c = config.get("start_column", "start_b")
+    len_c = config.get("length_column", "length")
+    for need in (sid, start_c, len_c):
+        if need not in spans.columns:
+            raise ConfigError(
+                f"text.cut_spans: spans input lacks column {need!r} "
+                f"(have {spans.columns})")
+    out_col = config.get("output_column", column)
+    count_col = config.get("count_column", "n_cut_tokens")
+    lowercase = bool(config.get("lowercase", True))
+
+    ranges = (
+        spans.groupBy(F.col(sid).alias("__cut_id"))
+        .agg(F.collect_list(
+            F.struct(F.col(start_c).cast("int").alias("s"),
+                     F.col(len_c).cast("int").alias("l"))).alias("__ranges"))
+    )
+    text = F.col(column).cast("string")
+    if lowercase:
+        text = F.lower(text)
+    toks = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+    joined = docs.join(
+        ranges, docs[id_column] == ranges["__cut_id"], "left"
+    ).drop("__cut_id")
+    rng = F.coalesce(
+        F.col("__ranges"),
+        F.array().cast("array<struct<s:int,l:int>>"),
+    )
+    # keep token i unless some range covers it
+    kept = F.filter(
+        F.zip_with(
+            toks,
+            F.sequence(F.lit(0), F.greatest(F.size(toks), F.lit(1)) - 1),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda p: ~F.exists(
+            rng, lambda r: (p["i"] >= r["s"]) & (p["i"] < r["s"] + r["l"])
+        ),
+    )
+    out = (
+        joined.withColumn("__kept", kept)
+        .withColumn(
+            count_col,
+            (F.size(toks) - F.size(F.col("__kept"))).cast("int"),
+        )
+        .withColumn(
+            out_col,
+            F.array_join(F.transform(F.col("__kept"), lambda p: p["t"]), " "),
+        )
+        .drop("__ranges", "__kept")
+    )
+    return out

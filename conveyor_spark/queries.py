@@ -3878,6 +3878,90 @@ def q113_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
                id_column="doc_id", min_length=15, max_df=0.05)
 
 
+@query(
+    "q114_substring_cut",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x != '') AS t
+      FROM documents
+    ),
+    base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 15),
+    posts AS (
+      SELECT doc_id AS id, pos,
+             array_to_string(t[pos+1 : pos+15], ' ') AS g
+      FROM base, LATERAL (SELECT unnest(range(len(t) - 14)) AS pos) p
+    ),
+    stats AS (SELECT g, COUNT(DISTINCT id) AS df FROM posts GROUP BY g),
+    cap AS (
+      SELECT greatest(CAST(floor(0.05 * (SELECT COUNT(*) FROM base))
+                           AS BIGINT), 1) AS c
+    ),
+    pp AS (
+      SELECT posts.* FROM posts JOIN stats USING (g), cap
+      WHERE stats.df <= cap.c
+    ),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b
+      FROM pp a JOIN pp b ON a.g = b.g AND a.id < b.id
+    ),
+    isl AS (
+      SELECT id_a, id_b, pos_a, pos_b,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, pos_a - pos_b ORDER BY pos_a
+             ) AS island
+      FROM pairs
+    ),
+    spans AS (
+      SELECT id_a, id_b, MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+             COUNT(*) + 14 AS length
+      FROM isl GROUP BY id_a, id_b, pos_a - pos_b, island
+    ),
+    rng AS (
+      SELECT id_b AS id, list({'s': start_b, 'l': length}) AS rs
+      FROM spans GROUP BY id_b
+    ),
+    cut AS (
+      SELECT d.doc_id, d.t,
+             COALESCE(r.rs, CAST([] AS STRUCT(s BIGINT, l BIGINT)[])) AS rs
+      FROM toks d LEFT JOIN rng r ON r.id = d.doc_id
+    )
+    SELECT doc_id,
+           -- DuckDB's array_to_string([]) is NULL; Spark's
+           -- array_join([]) is '' — align on ''
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(len(t)),
+                 i -> len(list_filter(rs,
+                      x -> i >= x.s AND i < x.s + x.l)) = 0),
+               i -> t[i+1]), ' '), '') AS text,
+           (len(t) - len(list_filter(range(len(t)),
+               i -> len(list_filter(rs,
+                    x -> i >= x.s AND i < x.s + x.l)) = 0)))::INT
+               AS n_cut_tokens
+    FROM cut
+    """,
+)
+def q114_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detect -> cut capstone: dedup.substring finds every
+    maximal >= 15-token duplicate span, then text.cut_spans removes
+    the duplicated ranges from the LATER doc of each pair (id_b),
+    leaving one canonical copy in the corpus. The oracle replays
+    both stages in SQL — including the list-lambda token filter —
+    and must match the cut TEXT itself hash-exactly, not just
+    counts. Docs shorter than the gram or span-free pass through
+    re-tokenized (normalized single spacing) on both engines."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    spans = _op("dedup.substring", ctx, [d], column="text",
+                id_column="doc_id", min_length=15, max_df=0.05)
+    out = _op("text.cut_spans", ctx, [d, spans], column="text",
+              id_column="doc_id")
+    return _op("select.apply", ctx, [out],
+               columns=["doc_id", "text", "n_cut_tokens"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

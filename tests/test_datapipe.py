@@ -633,3 +633,36 @@ def test_dedup_substring_max_df_prunes_boilerplate(ctx, spark):
     out2 = run_op(ctx, "dedup.substring", [df], column="text",
                   id_column="doc_id", min_length=6, max_df=1.0)
     assert out2.count() == 45
+
+
+def test_cut_spans_removes_detected_duplicates(ctx, spark):
+    """detect -> cut composition: the duplicated block disappears
+    from the LATER doc; the earlier doc keeps it."""
+    common = " ".join(f"c{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [(1, f"one two {common} end1"),
+         (2, f"{common} tail here"),
+         (3, "no duplicates at all in this one")],
+        "doc_id LONG, text STRING")
+    spans = run_op(ctx, "dedup.substring", [df], column="text",
+                   id_column="doc_id", min_length=8, max_df=1.0)
+    out = run_op(ctx, "text.cut_spans", [df, spans], column="text",
+                 id_column="doc_id", output_column="cut",
+                 )
+    got = {r["doc_id"]: (r["cut"], r["n_cut_tokens"]) for r in out.collect()}
+    assert got[2] == ("tail here", 8)       # block cut from the later doc
+    assert got[1][1] == 0 and "c3" in got[1][0]  # earlier doc intact
+    assert got[3] == ("no duplicates at all in this one", 0)
+
+
+def test_cut_spans_overlapping_ranges(ctx, spark):
+    df = spark.createDataFrame([(1, "a b c d e f g h")],
+                               "doc_id LONG, text STRING")
+    spans = spark.createDataFrame(
+        [(0, 1, 2, 1, 4), (0, 1, 4, 4, 3)],
+        "id_a LONG, id_b LONG, start_a INT, start_b INT, length INT")
+    out = run_op(ctx, "text.cut_spans", [df, spans], column="text",
+                 id_column="doc_id")
+    row = out.collect()[0]
+    # tokens 1..4 and 4..6 cut -> keep indices 0, 7
+    assert row["text"] == "a h" and row["n_cut_tokens"] == 6

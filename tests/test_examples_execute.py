@@ -50,6 +50,13 @@ INPUT_BUILDERS = {
     "dedup.components": lambda df: [
         df.selectExpr("id AS id_a", "id + 1 AS id_b")
     ],
+    # second input is a dedup.substring span table
+    "text.cut_spans": lambda df: [
+        df,
+        df.sparkSession.createDataFrame(
+            [(1, 2, 0, 0, 3)],
+            "id_a LONG, id_b LONG, start_a INT, start_b INT, length INT"),
+    ],
     # second input must be a bpe_train merge table
     "text.bpe_encode": lambda df: [
         df,

@@ -267,6 +267,13 @@ CHECKS = [
         and "BroadcastNestedLoopJoin" not in p and "bit_count" in p,
     ),
     (
+        "q114_substring_cut",
+        "cut pass: per-row JVM token filter (no Python), spans aggregated "
+        "once and joined back",
+        lambda p, o: "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "CartesianProduct" not in p,
+    ),
+    (
         "q113_dedup_substring",
         "substring spans: islands window partitioned by (pair, diagonal) — "
         "never global; equi-join only, zero Python",
