@@ -78,6 +78,9 @@ def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     lowercase = bool(config.get("lowercase", True))
     verify = bool(config.get("verify", True))
 
+    from conveyor_spark.datapipe.dedup import widen
+
+    df = widen(ctx, df, config)  # a single-file scan would serialize
     text = F.col(column).cast("string")
     if lowercase:
         text = F.lower(text)
@@ -86,6 +89,10 @@ def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         F.col(id_column).cast("long").alias("id"),
         toks.alias("__toks"),
     ).where(F.size("__toks") >= k)
+    # the token table feeds the postings scan AND both verify joins
+    # AND the doc count: materialize it once instead of re-splitting
+    # the whole corpus 4x (the components/pagerank checkpoint pattern)
+    base = base.localCheckpoint(eager=False)
 
     # one posting per window: (gram hash, id, pos). concat_ws folds
     # the k-token slice into one string hashed JVM-side.
@@ -99,7 +106,7 @@ def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     )
 
     if max_df < 1.0:
-        n_docs = base.select("id").distinct().count()
+        n_docs = base.count()  # ids are unique per doc row
         cap = max(int(max_df * n_docs), 1)
         hot = (
             postings.groupBy("h")
@@ -197,6 +204,9 @@ def text_cut_spans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     count_col = config.get("count_column", "n_cut_tokens")
     lowercase = bool(config.get("lowercase", True))
 
+    from conveyor_spark.datapipe.dedup import widen
+
+    docs = widen(ctx, docs, config)
     ranges = (
         spans.groupBy(F.col(sid).alias("__cut_id"))
         .agg(F.collect_list(
