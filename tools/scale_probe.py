@@ -49,6 +49,7 @@ HEAVY_SET = [
     "q68_knn_lsh",
     "q80_decontam_bloom",
     "q83_pack_sequences",
+    "q113_dedup_substring",
 ]
 
 # Quadratic-BY-DATA paths: under adversarial duplication (Zipf
