@@ -105,10 +105,16 @@ def _estimate_scan_splits(ctx: OpContext, files: list[str]) -> int:
     return total
 
 
-def tokens_expr(col: str, distinct: bool = True) -> Column:
-    """Whitespace tokens of lowercased text (empty strings dropped)."""
-    toks = F.split(F.lower(F.col(col)), r"\s+")
-    toks = F.filter(toks, lambda t: t != "")
+def tokens_expr(col: str, distinct: bool = True,
+                lowercase: bool = True) -> Column:
+    """Whitespace tokens of (lowercased) text, empty strings dropped.
+    THE tokenizer for every span/shingle op — dedup.substring and
+    text.cut_spans index into these tokens, so all users must share
+    one definition (and the q113/q114 oracles replay it in SQL)."""
+    c = F.col(col).cast("string")
+    if lowercase:
+        c = F.lower(c)
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
     return F.array_distinct(toks) if distinct else toks
 
 

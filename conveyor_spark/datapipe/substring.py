@@ -44,6 +44,25 @@ from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
 
 
+def _islands_to_spans(pairs: DataFrame, k: int) -> DataFrame:
+    """(id_a, id_b, pos_a, pos_b) gram matches -> maximal spans via
+    gaps-and-islands per diagonal. Shared by the main path and the
+    collision re-verify."""
+    w = Window.partitionBy(
+        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
+    ).orderBy("pos_a")
+    return (
+        pairs.withColumn("__isl", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("id_a", "id_b", F.col("pos_a") - F.col("pos_b"), "__isl")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count("*") + k - 1).cast("int").alias("length"),
+        )
+        .select("id_a", "id_b", "start_a", "start_b", "length")
+    )
+
+
 @register(
     "dedup.substring", kind="transform",
     doc="Maximal duplicate token spans (>= min_length) across documents",
@@ -78,16 +97,15 @@ def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     lowercase = bool(config.get("lowercase", True))
     verify = bool(config.get("verify", True))
 
-    from conveyor_spark.datapipe.dedup import widen
+    from conveyor_spark.datapipe.dedup import tokens_expr, widen
 
     df = widen(ctx, df, config)  # a single-file scan would serialize
-    text = F.col(column).cast("string")
-    if lowercase:
-        text = F.lower(text)
-    toks = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
+    # id used only for equality/ordering — never cast (UUID/string
+    # ids must work like in every sibling dedup op)
     base = df.select(
-        F.col(id_column).cast("long").alias("id"),
-        toks.alias("__toks"),
+        F.col(id_column).alias("id"),
+        tokens_expr(column, distinct=False, lowercase=lowercase)
+        .alias("__toks"),
     ).where(F.size("__toks") >= k)
     # the token table feeds the postings scan AND both verify joins
     # AND the doc count: materialize it once instead of re-splitting
@@ -124,33 +142,49 @@ def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         .select("id_a", "id_b", "pos_a", "pos_b")
 
     # gaps-and-islands on each diagonal: consecutive pos_a = one span
-    w = Window.partitionBy(
-        "id_a", "id_b", F.col("pos_a") - F.col("pos_b")
-    ).orderBy("pos_a")
-    spans = (
-        pairs.withColumn("__isl", F.col("pos_a") - F.row_number().over(w))
-        .groupBy("id_a", "id_b", F.col("pos_a") - F.col("pos_b"), "__isl")
-        .agg(
-            F.min("pos_a").alias("start_a"),
-            F.min("pos_b").alias("start_b"),
-            (F.count("*") + k - 1).cast("int").alias("length"),
-        )
-        .select("id_a", "id_b", "start_a", "start_b", "length")
-    )
+    spans = _islands_to_spans(pairs, k)
 
     if verify:
         ta = base.select(F.col("id").alias("id_a"),
                          F.col("__toks").alias("__ta"))
         tb = base.select(F.col("id").alias("id_b"),
                          F.col("__toks").alias("__tb"))
-        spans = (
-            spans.join(ta, "id_a").join(tb, "id_b")
-            .where(
-                F.slice(F.col("__ta"), F.col("start_a") + 1, F.col("length"))
-                == F.slice(F.col("__tb"), F.col("start_b") + 1, F.col("length"))
-            )
-            .select("id_a", "id_b", "start_a", "start_b", "length")
+        checked = spans.join(ta, "id_a").join(tb, "id_b").withColumn(
+            "__ok",
+            F.slice(F.col("__ta"), F.col("start_a") + 1, F.col("length"))
+            == F.slice(F.col("__tb"), F.col("start_b") + 1, F.col("length")),
         )
+        clean = checked.where("__ok").select(
+            "id_a", "id_b", "start_a", "start_b", "length")
+        # a hash collision that merged into a true run must not drop
+        # the whole island: re-derive the VERIFIED gram matches inside
+        # the mismatching candidates (a ~zero-row set) and re-island.
+        # This is what makes 'exact under collisions' actually true —
+        # plain slice-filtering would only turn false positives into
+        # false negatives.
+        dirty = checked.where("NOT __ok")
+        repaired = _islands_to_spans(
+            dirty.select(
+                "id_a", "id_b",
+                F.explode(
+                    F.filter(
+                        F.sequence(
+                            F.lit(0), F.col("length") - F.lit(k)),
+                        lambda i: F.slice(
+                            F.col("__ta"), F.col("start_a") + i + 1, k)
+                        == F.slice(
+                            F.col("__tb"), F.col("start_b") + i + 1, k),
+                    )
+                ).alias("__off"),
+                "start_a", "start_b",
+            ).select(
+                "id_a", "id_b",
+                (F.col("start_a") + F.col("__off")).alias("pos_a"),
+                (F.col("start_b") + F.col("__off")).alias("pos_b"),
+            ),
+            k,
+        )
+        spans = clean.unionByName(repaired)
     return spans
 
 
@@ -204,7 +238,7 @@ def text_cut_spans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     count_col = config.get("count_column", "n_cut_tokens")
     lowercase = bool(config.get("lowercase", True))
 
-    from conveyor_spark.datapipe.dedup import widen
+    from conveyor_spark.datapipe.dedup import tokens_expr, widen
 
     docs = widen(ctx, docs, config)
     ranges = (
@@ -213,10 +247,6 @@ def text_cut_spans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
             F.struct(F.col(start_c).cast("int").alias("s"),
                      F.col(len_c).cast("int").alias("l"))).alias("__ranges"))
     )
-    text = F.col(column).cast("string")
-    if lowercase:
-        text = F.lower(text)
-    toks = F.filter(F.split(text, r"\s+"), lambda x: x != F.lit(""))
     joined = docs.join(
         ranges, docs[id_column] == ranges["__cut_id"], "left"
     ).drop("__cut_id")
@@ -224,27 +254,40 @@ def text_cut_spans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
         F.col("__ranges"),
         F.array().cast("array<struct<s:int,l:int>>"),
     )
-    # keep token i unless some range covers it
-    kept = F.filter(
-        F.zip_with(
-            toks,
-            F.sequence(F.lit(0), F.greatest(F.size(toks), F.lit(1)) - 1),
-            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
-        ),
-        lambda p: ~F.exists(
-            rng, lambda r: (p["i"] >= r["s"]) & (p["i"] < r["s"] + r["l"])
-        ),
+    # materialize tokens ONCE (null text -> empty doc); a repeated
+    # split would re-evaluate the regex per expression subtree, and
+    # the zip_with/sequence phantom-pad trick produced
+    # n_cut_tokens = -1 on empty docs
+    toks_once = F.coalesce(
+        tokens_expr(column, distinct=False, lowercase=lowercase),
+        F.array().cast("array<string>"),
     )
+    kept_idx = F.when(
+        F.size("__toks") > 0,
+        F.filter(
+            F.sequence(F.lit(0), F.size("__toks") - 1),
+            lambda i: ~F.exists(
+                rng, lambda r: (i >= r["s"]) & (i < r["s"] + r["l"])
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     out = (
-        joined.withColumn("__kept", kept)
+        joined.withColumn("__toks", toks_once)
+        .withColumn("__keep", kept_idx)
         .withColumn(
             count_col,
-            (F.size(toks) - F.size(F.col("__kept"))).cast("int"),
+            (F.size("__toks") - F.size("__keep")).cast("int"),
         )
         .withColumn(
             out_col,
-            F.array_join(F.transform(F.col("__kept"), lambda p: p["t"]), " "),
+            F.array_join(
+                F.transform(
+                    F.col("__keep"),
+                    lambda i: F.element_at(F.col("__toks"), i + 1),
+                ),
+                " ",
+            ),
         )
-        .drop("__ranges", "__kept")
+        .drop("__ranges", "__toks", "__keep")
     )
     return out

@@ -666,3 +666,63 @@ def test_cut_spans_overlapping_ranges(ctx, spark):
     row = out.collect()[0]
     # tokens 1..4 and 4..6 cut -> keep indices 0, 7
     assert row["text"] == "a h" and row["n_cut_tokens"] == 6
+
+
+def test_cut_spans_empty_blank_null_docs(ctx, spark):
+    """Review finding: the phantom-pad index trick made empty docs
+    report n_cut_tokens = -1; blank and NULL text must come back as
+    ('', 0)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None), (4, "real words here")],
+        "doc_id LONG, text STRING")
+    spans = spark.createDataFrame(
+        [], "id_a LONG, id_b LONG, start_a INT, start_b INT, length INT")
+    out = run_op(ctx, "text.cut_spans", [df, spans], column="text",
+                 id_column="doc_id")
+    got = {r["doc_id"]: (r["text"], r["n_cut_tokens"]) for r in out.collect()}
+    assert got[1] == ("", 0) and got[2] == ("", 0) and got[3] == ("", 0)
+    assert got[4] == ("real words here", 0)
+
+
+def test_substring_accepts_string_ids(ctx, spark):
+    """Review finding: the long cast crashed UUID/string doc ids
+    under ANSI; ids are only compared, never computed on."""
+    common = " ".join(f"s{i}" for i in range(8))
+    df = spark.createDataFrame(
+        [("doc-a", f"x {common} y"), ("doc-b", f"{common} z")],
+        "doc_id STRING, text STRING")
+    out = run_op(ctx, "dedup.substring", [df], column="text",
+                 id_column="doc_id", min_length=8, max_df=1.0)
+    got = [(r["id_a"], r["id_b"], r["length"]) for r in out.collect()]
+    assert got == [("doc-a", "doc-b", 8)]
+
+
+def test_substring_verify_repairs_hash_collisions(ctx, spark, monkeypatch):
+    """Review finding: verify used to DROP a whole island when a
+    collision merged into a true run (false positive -> false
+    negative). Force mass collisions with a degenerate hash: the
+    verified output must equal the true-hash output exactly."""
+    import conveyor_spark.datapipe.substring as sub
+    from pyspark.sql import functions as F
+
+    common = " ".join(f"t{i}" for i in range(9))
+    docs = [
+        (1, f"aa bb {common} cc dd"),
+        (2, f"{common} ee ff gg hh"),
+        (3, "qq ww ee rr tt yy uu ii oo pp zz xx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    truth = {(r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["length"])
+             for r in run_op(ctx, "dedup.substring", [df], column="text",
+                             id_column="doc_id", min_length=6,
+                             max_df=1.0).collect()}
+    assert truth  # the planted span is found
+
+    # every gram of equal token-length collides now
+    monkeypatch.setattr(sub, "md5_int",
+                        lambda c: (F.length(c) % 4).cast("bigint"))
+    got = {(r["id_a"], r["id_b"], r["start_a"], r["start_b"], r["length"])
+           for r in run_op(ctx, "dedup.substring", [df], column="text",
+                           id_column="doc_id", min_length=6,
+                           max_df=1.0).collect()}
+    assert got == truth, (got, truth)
