@@ -166,3 +166,86 @@ def sample_stratified(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
     for value, f in sorted(fractions.items()):
         frac = F.when(stratum == str(value), F.lit(float(f))).otherwise(frac)
     return df.filter(bucket < frac * 10000)
+
+
+@register(
+    "sample.mixture", kind="transform", min_inputs=1, max_inputs=None,
+    doc="Deterministic weighted corpus mixture (fractional epochs per source)",
+    params=[
+        P("weights", "array", required=True,
+          desc="Epochs per source, aligned with the stage's inputs; "
+               "2.0 = every row twice, 0.25 = a deterministic quarter"),
+        P("id_column", required=True,
+          desc="Stable row id (selection is a pure function of it)"),
+        P("seed", default="mixture", desc="Hash seed"),
+        P("source_column", default="mix_source",
+          desc="Emitted source index column"),
+        P("epoch_column", default="mix_epoch",
+          desc="Emitted repetition index column"),
+    ],
+    example={"weights": [1.0, 0.5], "id_column": "doc_id"},
+    tags=["sampling", "training", "datapipe"],
+)
+def sample_mixture(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """The data-mixing op of a training run (Pile/Dolma-style source
+    weights): source i contributes floor(w_i) full epochs plus a
+    deterministic frac(w_i) sample of a final partial epoch. Rows are
+    selected by portable hash of (id, seed, epoch) — reproducible
+    across runs/partitionings/engines, and DIFFERENT rows drop from
+    each partial epoch (no systematic exclusion of the same docs).
+    All inputs must share a schema (select/rename upstream).
+
+    Output = union of the selected copies + ``mix_source`` /
+    ``mix_epoch`` index columns (drop them downstream if unwanted).
+
+    Scale: pure union of filtered scans — zero shuffle, zero Python;
+    each source is read once per FULL epoch it contributes (Spark
+    scan reuse applies under one action)."""
+    from conveyor_spark.datapipe.hashing import md5_int
+
+    weights = config.get("weights")
+    id_column = config.get("id_column")
+    if not weights or not id_column:
+        raise ConfigError("sample.mixture requires 'weights' and 'id_column'")
+    if len(weights) != len(inputs):
+        raise ConfigError(
+            f"sample.mixture: {len(weights)} weights for {len(inputs)} inputs")
+    seed = str(config.get("seed", "mixture"))
+    src_col = config.get("source_column", "mix_source")
+    ep_col = config.get("epoch_column", "mix_epoch")
+    first = inputs[0].columns
+    for i, df in enumerate(inputs[1:], 1):
+        if df.columns != first:
+            raise ConfigError(
+                f"sample.mixture: input {i} schema {df.columns} != "
+                f"input 0 schema {first}")
+
+    parts = []
+    for si, (df, w) in enumerate(zip(inputs, weights)):
+        w = float(w)
+        if w < 0:
+            raise ConfigError(f"sample.mixture: weight {w} < 0")
+        full = int(w)
+        frac = w - full
+        for epoch in range(full):
+            parts.append(df.withColumn(src_col, F.lit(si))
+                           .withColumn(ep_col, F.lit(epoch)))
+        if frac > 1e-12:
+            # portable-hash threshold on (id, seed, source, epoch):
+            # the SAME construction DuckDB replays (q115)
+            key = F.concat_ws(
+                "#", F.col(id_column).cast("string"), F.lit(seed),
+                F.lit(str(si)), F.lit(str(full)))
+            keep = F.pmod(md5_int(key), F.lit(1_000_000)) < int(
+                round(frac * 1_000_000))
+            parts.append(df.where(keep)
+                           .withColumn(src_col, F.lit(si))
+                           .withColumn(ep_col, F.lit(full)))
+    if not parts:
+        empty = inputs[0].withColumn(src_col, F.lit(0)) \
+                         .withColumn(ep_col, F.lit(0))
+        return empty.where(F.lit(False))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -3962,6 +3962,40 @@ def q114_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                columns=["doc_id", "text", "n_cut_tokens"])
 
 
+@query(
+    "q115_sample_mixture",
+    """
+    WITH even AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0),
+    odd AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 1)
+    SELECT doc_id, 0 AS mix_source, 0 AS mix_epoch FROM even
+    UNION ALL
+    SELECT doc_id, 0, 1 FROM even
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+           || '#mixture#0#1'), 1, 15))::BIGINT) % 1000000 < 500000
+    UNION ALL
+    SELECT doc_id, 1, 0 FROM odd
+    WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+           || '#mixture#1#0'), 1, 15))::BIGINT) % 1000000 < 500000
+    """,
+)
+def q115_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample.mixture: Pile/Dolma-style source weighting — source 0
+    (even doc ids) at 1.5 epochs, source 1 (odd) at 0.5. The partial
+    epochs select rows by portable hash of (id, seed, source, epoch),
+    which the oracle replays literally: the mixture is a pure
+    function of ids, reproducible across runs/partitionings/engines
+    (the property a training-data freeze needs — rerunning the
+    pipeline reproduces the exact same token stream)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    even = _op("filter.apply", ctx, [d], expr="doc_id % 2 = 0")
+    odd = _op("filter.apply", ctx, [d], expr="doc_id % 2 = 1")
+    out = _op("sample.mixture", ctx, [even, odd], weights=[1.5, 0.5],
+              id_column="doc_id")
+    return _op("select.apply", ctx, [out],
+               columns=["doc_id", "mix_source", "mix_epoch"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -50,6 +50,8 @@ INPUT_BUILDERS = {
     "dedup.components": lambda df: [
         df.selectExpr("id AS id_a", "id + 1 AS id_b")
     ],
+    # the example's two weights need two (schema-identical) sources
+    "sample.mixture": lambda df: [df, df],
     # second input is a dedup.substring span table
     "text.cut_spans": lambda df: [
         df,

@@ -132,3 +132,38 @@ def test_skew_analyze_top_bounds_output(ctx, spark):
 def test_skew_analyze_requires_by(ctx, scored):
     with pytest.raises(ConfigError):
         run_op(ctx, "skew.analyze", [scored], top=3)
+
+
+def test_sample_mixture_deterministic_weights(ctx, spark):
+    a = spark.createDataFrame([(i, f"a{i}") for i in range(400)],
+                              "doc_id LONG, text STRING")
+    b = spark.createDataFrame([(i + 1000, f"b{i}") for i in range(400)],
+                              "doc_id LONG, text STRING")
+    out = run_op(ctx, "sample.mixture", [a, b], weights=[2.25, 0.5],
+                 id_column="doc_id")
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["mix_source"], []).append(r)
+    # source 0: 2 full epochs + ~quarter partial
+    n0, n1 = len(by_src[0]), len(by_src[1])
+    assert 2 * 400 + 40 <= n0 <= 2 * 400 + 160, n0
+    assert 120 <= n1 <= 280, n1
+    # bit-deterministic: second run identical
+    out2 = run_op(ctx, "sample.mixture", [a, b], weights=[2.25, 0.5],
+                  id_column="doc_id")
+    key = lambda r: (r["mix_source"], r["mix_epoch"], r["doc_id"])
+    assert sorted(map(key, rows)) == sorted(map(key, out2.collect()))
+    # epochs labeled 0..2 for source 0
+    assert {r["mix_epoch"] for r in by_src[0]} == {0, 1, 2}
+
+
+def test_sample_mixture_validates(ctx, spark):
+    a = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
+    b = spark.createDataFrame([(1,)], "doc_id LONG")
+    with pytest.raises(ConfigError, match="weights"):
+        run_op(ctx, "sample.mixture", [a, a], weights=[1.0],
+               id_column="doc_id")
+    with pytest.raises(ConfigError, match="schema"):
+        run_op(ctx, "sample.mixture", [a, b], weights=[1.0, 1.0],
+               id_column="doc_id")

@@ -267,6 +267,12 @@ CHECKS = [
         and "BroadcastNestedLoopJoin" not in p and "bit_count" in p,
     ),
     (
+        "q115_sample_mixture",
+        "mixture: union of filtered scans — zero shuffle, zero Python",
+        lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
+        and "MapInPandas" not in p and "Union" in p,
+    ),
+    (
         "q114_substring_cut",
         "cut pass: per-row JVM token filter (no Python), spans aggregated "
         "once and joined back",
