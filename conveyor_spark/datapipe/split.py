@@ -201,8 +201,6 @@ def sample_mixture(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     Scale: pure union of filtered scans — zero shuffle, zero Python;
     each source is read once per FULL epoch it contributes (Spark
     scan reuse applies under one action)."""
-    from conveyor_spark.datapipe.hashing import md5_int
-
     weights = config.get("weights")
     id_column = config.get("id_column")
     if not weights or not id_column:
@@ -213,18 +211,24 @@ def sample_mixture(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     seed = str(config.get("seed", "mixture"))
     src_col = config.get("source_column", "mix_source")
     ep_col = config.get("epoch_column", "mix_epoch")
-    first = inputs[0].columns
+    def shape(df):
+        return [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+
+    first = shape(inputs[0])
     for i, df in enumerate(inputs[1:], 1):
-        if df.columns != first:
+        if shape(df) != first:
             raise ConfigError(
-                f"sample.mixture: input {i} schema {df.columns} != "
-                f"input 0 schema {first}")
+                f"sample.mixture: input {i} schema {shape(df)} != "
+                f"input 0 schema {first} (names AND types must match)")
 
     parts = []
     for si, (df, w) in enumerate(zip(inputs, weights)):
         w = float(w)
-        if w < 0:
-            raise ConfigError(f"sample.mixture: weight {w} < 0")
+        if not 0 <= w <= 100:
+            # a typo'd weight (row budget? token count?) would build
+            # int(w) plan branches and melt the driver before any error
+            raise ConfigError(
+                f"sample.mixture: weight {w} outside [0, 100] epochs")
         full = int(w)
         frac = w - full
         for epoch in range(full):
@@ -232,10 +236,16 @@ def sample_mixture(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
                            .withColumn(ep_col, F.lit(epoch)))
         if frac > 1e-12:
             # portable-hash threshold on (id, seed, source, epoch):
-            # the SAME construction DuckDB replays (q115)
-            key = F.concat_ws(
-                "#", F.col(id_column).cast("string"), F.lit(seed),
-                F.lit(str(si)), F.lit(str(full)))
+            # the SAME construction DuckDB replays (q115). concat (not
+            # concat_ws) PROPAGATES null ids -> null hash -> excluded
+            # from partial epochs, exactly like the oracle's
+            # CAST(NULL)||... (concat_ws would collapse every NULL-id
+            # row onto ONE key, keeping or dropping them en masse).
+            # Full epochs still carry null-id rows; give rows real ids
+            # if they must participate in fractional sampling.
+            key = F.concat(
+                F.col(id_column).cast("string"),
+                F.lit(f"#{seed}#{si}#{full}"))
             keep = F.pmod(md5_int(key), F.lit(1_000_000)) < int(
                 round(frac * 1_000_000))
             parts.append(df.where(keep)

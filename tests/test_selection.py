@@ -167,3 +167,26 @@ def test_sample_mixture_validates(ctx, spark):
     with pytest.raises(ConfigError, match="schema"):
         run_op(ctx, "sample.mixture", [a, b], weights=[1.0, 1.0],
                id_column="doc_id")
+
+
+def test_sample_mixture_null_ids_and_bad_weights(ctx, spark):
+    """Review findings: NULL ids must be EXCLUDED from partial
+    epochs (null-propagating key, matching the oracle), kept in full
+    epochs; runaway weights and type-mismatched schemas refuse."""
+    a = spark.createDataFrame(
+        [(1, "x"), (None, "n1"), (None, "n2")], "doc_id LONG, text STRING")
+    out = run_op(ctx, "sample.mixture", [a], weights=[1.5],
+                 id_column="doc_id")
+    rows = out.collect()
+    full = [r for r in rows if r["mix_epoch"] == 0]
+    partial = [r for r in rows if r["mix_epoch"] == 1]
+    assert len(full) == 3                      # nulls ride full epochs
+    assert all(r["doc_id"] is not None for r in partial)
+
+    with pytest.raises(ConfigError, match="epochs"):
+        run_op(ctx, "sample.mixture", [a], weights=[150000.0],
+               id_column="doc_id")
+    b = spark.createDataFrame([("1", "y")], "doc_id STRING, text STRING")
+    with pytest.raises(ConfigError, match="types"):
+        run_op(ctx, "sample.mixture", [a, b], weights=[1.0, 1.0],
+               id_column="doc_id")
