@@ -113,3 +113,95 @@ def anomaly_zscore(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     return flagged.withColumn(
         flag_col, F.coalesce(F.abs(F.col(z_col)) > threshold, F.lit(False))
     )
+
+
+@register(
+    "stats.correlation", kind="transform",
+    doc="Exact Pearson correlation matrix over numeric columns",
+    params=[
+        P("columns", "array", required=True,
+          desc="Numeric columns (>= 2); all pairs are computed"),
+        P("by", "array", desc="Optional group columns (per-group matrices)"),
+    ],
+    example={"columns": ["price", "discount", "amount"]},
+    tags=["stats", "profile", "datapipe"],
+)
+def stats_correlation(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Output: one row per ordered pair (col_a < col_b by position)
+    with ``corr`` — or per (group, pair) with ``by``. Rows where
+    EITHER column is NULL are excluded from that pair's moments
+    (pairwise deletion, corr()'s standard semantics).
+
+    Determinism: the anomaly.zscore pattern — all five moments
+    (n, sx, sy, sxy, sxx, syy) accumulate at DECIMAL(18,3), whose
+    products stay inside 38 digits, so the sums are EXACT integers/
+    fixed-point in any engine and any partition order; corr is then
+    one double expression over exact inputs, bit-identical
+    everywhere. Zero-variance pairs yield NULL (undefined), never a
+    division error (ANSI-safe guards).
+
+    Scale: ONE aggregate pass computes every pair's moments
+    simultaneously (no per-pair scans); grouped mode is a single
+    groupBy shuffle."""
+    df = inputs[0]
+    columns = config.get("columns")
+    if not columns or len(columns) < 2:
+        raise ConfigError("stats.correlation requires >= 2 'columns'")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ConfigError(f"stats.correlation: unknown columns {missing}")
+    by = config.get("by") or []
+    if isinstance(by, str):
+        by = [by]
+
+    aggs = []
+    pairs = [(a, b) for i, a in enumerate(columns)
+             for b in columns[i + 1:]]
+    for a, b in pairs:
+        xa = F.when(F.col(b).isNotNull(), F.col(a)).cast("decimal(18,3)")
+        xb = F.when(F.col(a).isNotNull(), F.col(b)).cast("decimal(18,3)")
+        tag = f"{a}__{b}"
+        aggs += [
+            F.count(F.when(
+                F.col(a).isNotNull() & F.col(b).isNotNull(), 1
+            )).alias(f"__n_{tag}"),
+            F.sum(xa).alias(f"__sx_{tag}"),
+            F.sum(xb).alias(f"__sy_{tag}"),
+            F.sum(xa * xb).alias(f"__sxy_{tag}"),
+            F.sum(xa * xa).alias(f"__sxx_{tag}"),
+            F.sum(xb * xb).alias(f"__syy_{tag}"),
+        ]
+    grouped = df.groupBy(*[F.col(c) for c in by]) if by else df.groupBy()
+    moments = grouped.agg(*aggs)
+
+    # ONE row of moments -> pair rows via a single explode; a
+    # union-of-selects here would make Catalyst duplicate the whole
+    # aggregate (and the scan) once per pair — the audit caught
+    # exactly that on the first version
+    def corr_expr(tag):
+        n = F.col(f"__n_{tag}").cast("double")
+        sx = F.col(f"__sx_{tag}").cast("double")
+        sy = F.col(f"__sy_{tag}").cast("double")
+        sxy = F.col(f"__sxy_{tag}").cast("double")
+        sxx = F.col(f"__sxx_{tag}").cast("double")
+        syy = F.col(f"__syy_{tag}").cast("double")
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        return F.when(
+            (n >= 2) & (vx > 0) & (vy > 0),
+            (n * sxy - sx * sy) / F.sqrt(vx * vy),
+        )
+
+    rows = F.array(*[
+        F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            corr_expr(f"{a}__{b}").alias("corr"),
+        )
+        for a, b in pairs
+    ])
+    return (
+        moments.select(*[F.col(c) for c in by],
+                       F.explode(rows).alias("__pair"))
+        .select(*by, "__pair.col_a", "__pair.col_b", "__pair.corr")
+    )

@@ -3996,6 +3996,57 @@ def q115_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
                columns=["doc_id", "mix_source", "mix_epoch"])
 
 
+@query(
+    "q116_stats_correlation",
+    """
+    WITH nn AS (SELECT COUNT(*)::DOUBLE AS n FROM lineitem)
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+             (n * CAST(SUM(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE))
+             / sqrt((n * CAST(SUM(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE))
+                    * (n * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE)))
+             AS corr
+      FROM lineitem, nn GROUP BY n
+      UNION ALL
+      SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b,
+             (n * CAST(SUM(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE))
+             / sqrt((n * CAST(SUM(CAST(l_quantity AS DECIMAL(18,3)) * CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(18,3))) AS DOUBLE))
+                    * (n * CAST(SUM(CAST(l_discount AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE)))
+             AS corr
+      FROM lineitem, nn GROUP BY n
+      UNION ALL
+      SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b,
+             (n * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE)
+              - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE))
+             / sqrt((n * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE))
+                    * (n * CAST(SUM(CAST(l_discount AS DECIMAL(18,3)) * CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE) * CAST(SUM(CAST(l_discount AS DECIMAL(18,3))) AS DOUBLE)))
+             AS corr
+      FROM lineitem, nn GROUP BY n
+    """,
+)
+def q116_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats.correlation: the full pairwise Pearson matrix over
+    lineitem's money columns in ONE aggregate pass. Exact-moments
+    determinism (the anomaly.zscore pattern): all sums accumulate at
+    DECIMAL(18,3) — products stay inside 38 digits, so the moments
+    are exact in any engine/partition order — and corr is the same
+    double expression over those exact values on both engines,
+    hash-identical to the last bit. (Naive corr() built on double
+    accumulators could never pass this gate: partition merge order
+    moves the result.)"""
+    ctx = _ctx(spark)
+    l = load_table(spark, sf_dir, "lineitem")
+    return _op("stats.correlation", ctx, [l],
+               columns=["l_quantity", "l_extendedprice", "l_discount"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -140,3 +140,42 @@ def test_zscore_config_errors(ctx, metrics):
         run_op(ctx, "anomaly.zscore", [metrics], by="grp")
     with pytest.raises(ConfigError):
         run_op(ctx, "anomaly.zscore", [metrics], column="v", mode="nope")
+
+
+def test_stats_correlation_exact(ctx, spark):
+    import math
+
+    rows = [(float(i), float(2 * i + 1), float((-1) ** i * i), None if i == 3 else float(i * i))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE, z DOUBLE, w DOUBLE")
+    out = run_op(ctx, "stats.correlation", [df], columns=["x", "y", "z", "w"])
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in out.collect()}
+    assert got[("x", "y")] == 1.0                      # perfectly linear
+    assert abs(got[("x", "z")]) < 0.6                  # alternating sign
+
+    # pairwise deletion: (x, w) computed over the 9 non-null rows
+    import statistics
+    xs = [r[0] for r in rows if r[3] is not None]
+    ws = [r[3] for r in rows if r[3] is not None]
+    n = len(xs)
+    sx, sw = sum(xs), sum(ws)
+    sxw = sum(a * b for a, b in zip(xs, ws))
+    sxx = sum(a * a for a in xs)
+    sww = sum(b * b for b in ws)
+    expect = (n * sxw - sx * sw) / math.sqrt(
+        (n * sxx - sx * sx) * (n * sww - sw * sw))
+    assert abs(got[("x", "w")] - expect) < 1e-12
+
+    # zero variance -> NULL, not an ANSI division error
+    cdf = spark.createDataFrame([(1.0, 5.0), (2.0, 5.0)], "a DOUBLE, b DOUBLE")
+    out2 = run_op(ctx, "stats.correlation", [cdf], columns=["a", "b"])
+    assert out2.collect()[0]["corr"] is None
+
+
+def test_stats_correlation_grouped(ctx, spark):
+    rows = [("g1", float(i), float(3 * i)) for i in range(5)] + \
+           [("g2", float(i), float(-i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "g STRING, x DOUBLE, y DOUBLE")
+    out = run_op(ctx, "stats.correlation", [df], columns=["x", "y"], by=["g"])
+    got = {r["g"]: r["corr"] for r in out.collect()}
+    assert got["g1"] == 1.0 and got["g2"] == -1.0

@@ -267,6 +267,14 @@ CHECKS = [
         and "BroadcastNestedLoopJoin" not in p and "bit_count" in p,
     ),
     (
+        "q116_stats_correlation",
+        "correlation matrix: ONE aggregate pass for all pairs (single "
+        "parquet scan, partial agg), zero Python",
+        lambda p, o: p.count("Scan parquet") == 1
+        and p.count("HashAggregate") >= 2 and "partial_" in p.lower()
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q115_sample_mixture",
         "mixture: union of filtered scans — zero shuffle, zero Python",
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
