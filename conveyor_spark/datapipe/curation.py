@@ -23,6 +23,7 @@ Scale design:
 
 from __future__ import annotations
 
+import re as _re
 from typing import Any, Iterator
 
 import pandas as pd
@@ -725,8 +726,12 @@ def text_chunk(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
 
 
 # default tracking params stripped by url.normalize: the query-string
-# noise that makes one page crawl as many URLs
-URL_TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "igshid", "ref", "mc_eid")
+# noise that makes one page crawl as many URLs. Deliberately NOT
+# included: 'ref' — it's frequently functional (GitLab/GitHub API
+# ?ref=branch, docs sites), and a false merge in downstream exact
+# dedup costs more than missed tracking noise; opt in via the
+# tracking_params config if your corpus uses it as a click-id.
+URL_TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "igshid", "mc_eid")
 
 
 @register(
@@ -737,6 +742,10 @@ URL_TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "igshid", "ref", "mc_eid")
         P("output_column", desc="Result column (default: in place)"),
         P("strip_tracking", "boolean", default=True,
           desc="Drop utm_* and known click-id params"),
+        P("tracking_params", "array",
+          desc="Override the exact-name strip list (default: "
+               "gclid/fbclid/msclkid/igshid/mc_eid; utm_* is always "
+               "prefix-matched)"),
         P("sort_params", "boolean", default=True,
           desc="Sort remaining query params (order-insensitive dedup)"),
         P("strip_trailing_slash", "boolean", default=True,
@@ -797,13 +806,27 @@ def url_normalize(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
 
     params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
     if strip_tracking:
-        tracked = ", ".join(f"'{t}'" for t in URL_TRACKING_PARAMS)
+        tracking = config.get("tracking_params")
+        if tracking is None:
+            tracking = URL_TRACKING_PARAMS
+        elif isinstance(tracking, str):
+            tracking = [tracking]
+        bad = [t for t in tracking if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", str(t))]
+        if bad:
+            raise ConfigError(
+                f"url.normalize: tracking_params must be plain param "
+                f"names, got {bad}"
+            )
+        tracked = ", ".join(f"'{t}'" for t in tracking)
+        name_clause = (
+            f" OR split(p, '=')[0] IN ({tracked})" if tracked else ""
+        )
         params = F.expr(
             f"filter(filter(split(regexp_extract(regexp_replace("
             f"regexp_replace(trim(CAST(`{column}` AS STRING)), "
             r"'^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*$', ''), "
             r"'\\?(.*)$', 1), '[&]'), p -> p != ''), "
-            f"p -> NOT (p LIKE 'utm\\\\_%' OR split(p, '=')[0] IN ({tracked})))"
+            f"p -> NOT (p LIKE 'utm\\\\_%'{name_clause}))"
         )
     if sort_params:
         params = F.array_sort(params)

@@ -132,6 +132,15 @@ def stats_correlation(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
     EITHER column is NULL are excluded from that pair's moments
     (pairwise deletion, corr()'s standard semantics).
 
+    Domain: values are accumulated at DECIMAL(18,3), so inputs are
+    quantized to 3 decimals and |x| must be < 10^15; values outside
+    that range try_cast to NULL and are pairwise-deleted in ANSI and
+    non-ANSI mode alike (n counts the cast values, so the count and
+    the moments always agree). For
+    data with sub-millesimal variation or astronomical magnitudes,
+    rescale the column first (map.apply) — exactness is per the
+    stated grid, by design.
+
     Determinism: the anomaly.zscore pattern — all five moments
     (n, sx, sy, sxy, sxx, syy) accumulate at DECIMAL(18,3), whose
     products stay inside 38 digits, so the sums are EXACT integers/
@@ -158,12 +167,26 @@ def stats_correlation(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
     pairs = [(a, b) for i, a in enumerate(columns)
              for b in columns[i + 1:]]
     for a, b in pairs:
-        xa = F.when(F.col(b).isNotNull(), F.col(a)).cast("decimal(18,3)")
-        xb = F.when(F.col(a).isNotNull(), F.col(b)).cast("decimal(18,3)")
+        # try_cast, not cast: a value outside decimal(18,3) must become
+        # NULL (-> pairwise deletion) in ANSI and non-ANSI mode alike,
+        # not kill the whole job at the millionth row under ANSI. The
+        # deletion gates on the PARTNER'S CAST value, so an overflow on
+        # either side drops the whole pair symmetrically — gating on
+        # the raw column would keep the partner's value in its sums
+        # while n excluded the row.
+        ca = F.col(a).try_cast("decimal(18,3)")
+        cb = F.col(b).try_cast("decimal(18,3)")
+        xa = F.when(cb.isNotNull(), ca)
+        xb = F.when(ca.isNotNull(), cb)
         tag = f"{a}__{b}"
+        # n must count the CAST values, not the originals: a value
+        # outside decimal(18,3) (|x| >= 10^15) casts to NULL under
+        # non-ANSI, and counting originals would let n disagree with
+        # the moment sums — a silently wrong corr. Counting the casts
+        # makes overflow behave exactly like pairwise-NULL deletion.
         aggs += [
             F.count(F.when(
-                F.col(a).isNotNull() & F.col(b).isNotNull(), 1
+                xa.isNotNull() & xb.isNotNull(), 1
             )).alias(f"__n_{tag}"),
             F.sum(xa).alias(f"__sx_{tag}"),
             F.sum(xb).alias(f"__sy_{tag}"),

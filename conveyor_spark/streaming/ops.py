@@ -16,7 +16,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from conveyor_spark.errors import ConfigError
+from conveyor_spark.errors import ConfigError, ConveyorError
 
 
 def read_file_stream(
@@ -161,7 +161,14 @@ def run_available_now(
     Restartable drains go through ``foreachBatch`` because the memory
     sink refuses to recover from a checkpoint ("This query does not
     support recovering..."); foreachBatch is the recovery-capable
-    collection sink."""
+    collection sink.
+
+    A resumed COMPLETE-mode drain with no new input raises
+    ConveyorError rather than returning an empty DataFrame: zero
+    micro-batches ran, so nothing re-emitted the (still live)
+    aggregate state, and silence would be indistinguishable from "no
+    results". Update/append resumes with no new input legitimately
+    return zero NEW rows and stay silent."""
     spark = sdf.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     batches: dict[int, list] = {}
@@ -208,11 +215,32 @@ def run_available_now(
                     spark.conf.set(k, prev)
 
     if checkpoint is not None:
+        # a resumed drain that finds no new input runs ZERO micro-
+        # batches: in complete mode the aggregate state still exists
+        # in the state store, but nothing re-emits it, so an empty
+        # result here would be indistinguishable from "no results".
+        # Detect that case (prior commits in the checkpoint + no new
+        # batches) and fail loudly instead of returning wrong data.
+        import os
+
+        had_commits = bool(
+            os.path.isdir(os.path.join(checkpoint, "commits"))
+            and any(not n.startswith(".")
+                    for n in os.listdir(os.path.join(checkpoint, "commits")))
+        )
         start(checkpoint).awaitTermination()
         # mirror the memory sink's semantics over collected batches:
         # complete mode = the last batch IS the result; update/append
         # mode = every batch's rows accumulate
         if output_mode == "complete":
+            if not batches and had_commits:
+                raise ConveyorError(
+                    "run_available_now: resumed complete-mode drain at "
+                    f"checkpoint {checkpoint!r} found no new input, so no "
+                    "micro-batch re-emitted the (still live) aggregate "
+                    "state. Read the previous run's sink output, or feed "
+                    "new data before resuming."
+                )
             rows = batches[max(batches)] if batches else []
         else:
             rows = [r for _, b in sorted(batches.items()) for r in b]

@@ -67,29 +67,29 @@ _ALLOWED_NODES = (
 
 _MAX_LEN = 10_000_000  # elements per value — the memory ceiling
 
-
-def _bounded(fn):
-    """Wrap a sequence factory so one call can't materialize an
-    unbounded iterable (list(range(10**12)))."""
-    def wrapped(*args, **kwargs):
-        if args and hasattr(args[0], "__len__") and len(args[0]) > _MAX_LEN:
-            raise StepBudgetExceeded(
-                f"{fn.__name__}() over more than {_MAX_LEN} elements"
-            )
-        return fn(*args, **kwargs)
-
-    wrapped.__name__ = fn.__name__
-    return wrapped
-
-
+# Builtins that are pure AND cannot consume an unbounded iterable at
+# C speed. Lazy producers (range/zip/enumerate/reversed) are fine —
+# CONSUMPTION is what must burn budget, and every consumer (for
+# loops, comprehensions, the wrapped builtins below, starred args,
+# `in`) ticks per element.
 _BUILTINS: dict[str, Any] = {
-    "len": len, "range": range, "min": min, "max": max, "abs": abs,
-    "round": round, "sum": sum, "sorted": _bounded(sorted), "str": str,
-    "int": int, "float": float, "bool": bool, "list": _bounded(list),
-    "dict": dict, "set": _bounded(set), "tuple": _bounded(tuple),
-    "enumerate": enumerate, "zip": zip, "any": any, "all": all,
+    "len": len, "range": range, "abs": abs,
+    "round": round, "str": str,
+    "int": int, "float": float, "bool": bool,
+    "enumerate": enumerate, "zip": zip,
     "reversed": reversed, "divmod": divmod, "ord": ord, "chr": chr,
     "repr": repr, "None": None, "True": True, "False": False,
+}
+
+# Builtins that consume their (single) iterable argument at C speed:
+# without per-element ticking, sum(range(10**9)) burns ONE step and
+# pins the core for minutes, and list(zip(range(10**9), ...)) evades
+# any __len__ check because zip has none. Each Interpreter wraps
+# these so iteration goes through its own ticked generator.
+_CONSUMERS = {
+    "sum": sum, "min": min, "max": max, "any": any, "all": all,
+    "sorted": sorted, "list": list, "set": set, "tuple": tuple,
+    "dict": dict,
 }
 
 # value type -> callable method names. NOTHING underscore-prefixed,
@@ -206,6 +206,9 @@ class Interpreter:
         self.steps = 0
         self.globals: dict[str, Any] = {}
         self.depth = 0
+        self._builtins = dict(_BUILTINS)
+        for name, fn in _CONSUMERS.items():
+            self._builtins[name] = self._wrap_consumer(name, fn)
         for stmt in tree.body:
             if isinstance(stmt, ast.FunctionDef):
                 self.globals[stmt.name] = _Function(
@@ -227,6 +230,48 @@ class Interpreter:
                 f"py.eval engine='ast': step budget ({self.step_budget}) "
                 "exhausted — runaway loop or recursion in the script"
             )
+
+    def _ticked(self, iterable):
+        """Re-expose an iterable with one budget tick per element, so
+        C-speed consumers (sum/list/sorted/`in`/starred args) burn
+        steps exactly like an interpreted for-loop would."""
+        count = 0
+        for item in iterable:
+            self._tick()
+            count += 1
+            if count > _MAX_LEN:
+                raise StepBudgetExceeded(
+                    f"iteration over more than {_MAX_LEN} elements"
+                )
+            yield item
+
+    def _wrap_consumer(self, name: str, fn):
+        """Route an iterator-consuming builtin's single-iterable form
+        through _ticked. Multi-scalar min/max and dict(mapping) pass
+        through untouched (nothing unbounded to consume)."""
+        def wrapped(*args, **kwargs):
+            if name == "dict":
+                if len(args) == 1 and not isinstance(args[0], dict):
+                    return fn(self._ticked(args[0]), **kwargs)
+                return fn(*args, **kwargs)
+            if name in ("min", "max") and len(args) != 1:
+                return fn(*args, **kwargs)
+            if args:
+                return fn(self._ticked(args[0]), *args[1:], **kwargs)
+            return fn(**kwargs)
+
+        wrapped.__name__ = name
+        return wrapped
+
+    def _contains(self, item, container):
+        if hasattr(container, "__next__"):
+            # a lazy iterator (zip/enumerate/reversed): membership
+            # consumes it at C speed — tick per element instead
+            for candidate in self._ticked(container):
+                if item is candidate or item == candidate:
+                    return True
+            return False
+        return item in container
 
     def run_transform(self, row: dict) -> Any:
         self.steps = 0  # budget is per row
@@ -358,8 +403,8 @@ class Interpreter:
             return env[name]
         if name in self.globals:
             return self.globals[name]
-        if name in _BUILTINS:
-            return _BUILTINS[name]
+        if name in self._builtins:
+            return self._builtins[name]
         raise NameError(f"name {name!r} is not defined")
 
     # The step budget bounds TIME; these bound MEMORY: without them a
@@ -382,8 +427,14 @@ class Interpreter:
         if fn is None:
             raise SandboxViolation(f"unsupported operator {type(op).__name__}")
         if isinstance(op, ast.Pow) and isinstance(left, int) \
-                and isinstance(right, int) and abs(right) > 4096:
-            raise StepBudgetExceeded("integer exponent too large")
+                and isinstance(right, int):
+            # bound the RESULT's size, not just the exponent: chained
+            # ** ((x**4096)**4096) keeps each exponent small while the
+            # base's bit length explodes — same product guard as Mult
+            if abs(right) > 4096 or (
+                right > 1 and left.bit_length() * right > 1 << 20
+            ):
+                raise StepBudgetExceeded("integer power result too large")
         if isinstance(op, ast.LShift) and isinstance(right, int) \
                 and right > 65536:
             raise StepBudgetExceeded("shift amount too large")
@@ -442,8 +493,8 @@ class Interpreter:
                 ast.Eq: _op.eq, ast.NotEq: _op.ne, ast.Lt: _op.lt,
                 ast.LtE: _op.le, ast.Gt: _op.gt, ast.GtE: _op.ge,
                 ast.Is: _op.is_, ast.IsNot: _op.is_not,
-                ast.In: lambda a, b: a in b,
-                ast.NotIn: lambda a, b: a not in b,
+                ast.In: self._contains,
+                ast.NotIn: lambda a, b: not self._contains(a, b),
             }
             left = self._eval(node.left, env)
             for op, rhs in zip(node.ops, node.comparators):
@@ -484,7 +535,7 @@ class Interpreter:
             args = []
             for a in node.args:
                 if isinstance(a, ast.Starred):
-                    args.extend(self._eval(a.value, env))
+                    args.extend(self._ticked(self._eval(a.value, env)))
                 else:
                     args.append(self._eval(a, env))
             kwargs = {

@@ -393,3 +393,41 @@ def test_url_normalize(ctx, spark):
     got2 = {r["id"]: r["url"] for r in out2.collect()}
     assert got2[1] == "http://example.com/Path//Pg?utm_source=x&b=2&a=1"
     assert got2[3] == "https://example.com:8443/x?gclid=abc&z=1"
+
+
+def test_url_normalize_ref_is_functional_not_tracking(ctx, spark):
+    """'ref' is frequently a functional parameter (GitLab/GitHub API
+    ?ref=branch); stripping it by default merged distinct resources in
+    downstream exact-dedup (ADVICE r7). It survives by default and is
+    strippable via tracking_params opt-in."""
+    rows = [
+        (1, "https://gitlab.com/api/v4/files/x?ref=main"),
+        (2, "https://gitlab.com/api/v4/files/x?ref=dev"),
+        (3, "https://shop.com/p/1?ref=newsletter&fbclid=z"),
+    ]
+    df = spark.createDataFrame(rows, "id INT, url STRING")
+    got = {r["id"]: r["url"] for r in
+           run_op(ctx, "url.normalize", [df], column="url").collect()}
+    assert got[1] == "https://gitlab.com/api/v4/files/x?ref=main"
+    assert got[2] == "https://gitlab.com/api/v4/files/x?ref=dev"
+    assert got[1] != got[2]
+    assert got[3] == "https://shop.com/p/1?ref=newsletter"  # fbclid off
+
+    # corpus that DOES use ref as a click-id: opt in explicitly
+    got2 = {r["id"]: r["url"] for r in
+            run_op(ctx, "url.normalize", [df], column="url",
+                   tracking_params=["fbclid", "ref"]).collect()}
+    assert got2[3] == "https://shop.com/p/1"
+
+    # the list is interpolated into SQL: reject non-name entries
+    from conveyor_spark.errors import ConfigError
+    with pytest.raises(ConfigError, match="plain param"):
+        run_op(ctx, "url.normalize", [df], column="url",
+               tracking_params=["a'); drop --"])
+
+    # empty override: only the utm_* prefix rule remains
+    df2 = spark.createDataFrame(
+        [(1, "https://a.com/x?utm_source=t&gclid=g")], "id INT, url STRING")
+    got3 = run_op(ctx, "url.normalize", [df2], column="url",
+                  tracking_params=[]).collect()[0]["url"]
+    assert got3 == "https://a.com/x?gclid=g"

@@ -136,8 +136,75 @@ def transform(row):
 """
     with pytest.raises(StepBudgetExceeded):
         make_transform(s2)({})
-    with pytest.raises(StepBudgetExceeded, match="exponent"):
+    with pytest.raises(StepBudgetExceeded, match="power"):
         make_transform("def transform(row):\n    return 2 ** 10**6")({})
+
+
+def test_c_speed_iterator_consumers_burn_budget():
+    """Builtins that consume iterators at C speed must burn the step
+    budget per element (ADVICE r7): sum(range(10**9)) used to run
+    unbounded with step_budget=1000, and list/sorted/tuple/set over
+    len-less iterators (zip, enumerate) evaded the __len__ bound."""
+    bombs = [
+        "return {'x': sum(range(10**9))}",
+        "return {'x': min(range(10**9))}",
+        "return {'x': max(range(10**9))}",
+        "return {'x': all(range(1, 10**9))}",
+        "return {'x': list(zip(range(10**9), range(10**9)))}",
+        "return {'x': sorted(zip(range(10**9), range(10**9)))}",
+        "return {'x': tuple(enumerate(range(10**9)))}",
+        "return {'x': set(zip(range(10**9), range(10**9)))}",
+        "return {'x': dict(zip(range(10**9), range(10**9)))}",
+        # membership over a lazy iterator consumes it at C speed too
+        "return {'x': (-1, -1) in zip(range(10**9), range(10**9))}",
+        # starred arguments materialize the iterable into the call
+        "return {'x': max(*range(10**9))}",
+    ]
+    for body in bombs:
+        with pytest.raises(StepBudgetExceeded):
+            make_transform(
+                f"def transform(row):\n    {body}", step_budget=10_000
+            )({})
+
+
+def test_chained_pow_bounded_by_base_size():
+    """Chained ** evaded the exponent-only guard: (x**4096)**4096
+    builds a multi-GB int in one op. The guard now bounds the
+    RESULT's bit length like the Mult product guard."""
+    s = ("def transform(row):\n"
+         "    x = 10**300\n"
+         "    x = x ** 4096\n"
+         "    return {'x': x ** 4096}")
+    with pytest.raises(StepBudgetExceeded, match="power"):
+        make_transform(s)({})
+
+
+def test_consumer_wrappers_allow_normal_work():
+    s = """
+def transform(row):
+    vals = [3, 1, 2]
+    row['s'] = sum(vals)
+    row['mn'] = min(vals)
+    row['mx'] = max(2, 7)
+    row['srt'] = sorted(vals, reverse=True)
+    row['d'] = dict(zip(['a', 'b'], vals))
+    row['d2'] = dict(row['d'])
+    row['t'] = tuple(reversed(vals))
+    row['in'] = (1, 1) in zip(vals, vals)
+    row['any'] = any(v > 2 for v in vals)
+    row['star'] = max(*vals)
+    row['sum2'] = sum(range(100), 5)
+    row['mindef'] = min([], default=-1)
+    return row
+"""
+    out = make_transform(s, step_budget=5_000)({})
+    assert out["s"] == 6 and out["mn"] == 1 and out["mx"] == 7
+    assert out["srt"] == [3, 2, 1]
+    assert out["d"] == {"a": 3, "b": 1} and out["d2"] == out["d"]
+    assert out["t"] == (2, 1, 3)
+    assert out["in"] is True and out["any"] is True
+    assert out["star"] == 3 and out["sum2"] == 4955
+    assert out["mindef"] == -1
 
 
 def test_budget_is_per_row():

@@ -172,6 +172,32 @@ def test_stats_correlation_exact(ctx, spark):
     assert out2.collect()[0]["corr"] is None
 
 
+def test_stats_correlation_overflow_is_pairwise_deleted(ctx, spark):
+    """Values outside decimal(18,3) (|x| >= 10^15) must behave exactly
+    like NULLs — pairwise-deleted with n counted from the CAST values
+    (ADVICE r7: counting the originals let n disagree with the moment
+    sums, a silently wrong corr; under ANSI a plain cast killed the
+    job instead)."""
+    import math
+
+    rows = [(float(i), float(2 * i + 1)) for i in range(10)]
+    rows[3] = (1e16, rows[3][1])        # overflows the decimal domain
+    df = spark.createDataFrame(rows, "x DOUBLE, y DOUBLE")
+    out = run_op(ctx, "stats.correlation", [df], columns=["x", "y"])
+    got = out.collect()[0]["corr"]
+
+    xs = [r[0] for i, r in enumerate(rows) if i != 3]
+    ys = [r[1] for i, r in enumerate(rows) if i != 3]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    syy = sum(b * b for b in ys)
+    expect = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(got - expect) < 1e-12
+
+
 def test_stats_correlation_grouped(ctx, spark):
     rows = [("g1", float(i), float(3 * i)) for i in range(5)] + \
            [("g2", float(i), float(-i)) for i in range(5)]

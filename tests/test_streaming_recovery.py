@@ -136,6 +136,45 @@ def test_midstream_kill_recovers_exactly_once(spark, tmp_path, state_provider):
     assert got == {"u0": 6, "u1": 6}, got
 
 
+def test_complete_mode_no_new_data_resume_raises(spark, tmp_path):
+    """A resumed complete-mode drain with no new input runs zero
+    micro-batches, so nothing re-emits the live aggregate state; an
+    empty result would be indistinguishable from 'no results' (ADVICE
+    r7). It must fail loudly instead. Update/append resumes stay
+    silent — zero NEW rows is their correct answer."""
+    from conveyor_spark.errors import ConveyorError
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _jsonl(src / "f1.jsonl", [{"user_id": "a", "seq": 1}])
+
+    def agg():
+        return _read(spark, src).groupBy("user_id").agg(
+            F.count("*").alias("n"))
+
+    out1 = run_available_now(agg(), "t_noop_1", output_mode="complete",
+                             state_partitions=2, checkpoint=ckpt)
+    assert {(r["user_id"], r["n"]) for r in out1.collect()} == {("a", 1)}
+
+    # resume with NOTHING new: complete mode raises...
+    with pytest.raises(ConveyorError, match="no new input"):
+        run_available_now(agg(), "t_noop_2", output_mode="complete",
+                          state_partitions=2, checkpoint=ckpt)
+
+    # ...while an update-mode resume legitimately returns zero rows
+    ckpt_u = str(tmp_path / "ckpt_u")
+    from conveyor_spark.streaming.ops import stream_dedup
+    out_u1 = run_available_now(
+        stream_dedup(_read(spark, src), ["user_id"]), "t_noop_u1",
+        output_mode="append", state_partitions=2, checkpoint=ckpt_u)
+    assert out_u1.count() == 1
+    out_u2 = run_available_now(
+        stream_dedup(_read(spark, src), ["user_id"]), "t_noop_u2",
+        output_mode="append", state_partitions=2, checkpoint=ckpt_u)
+    assert out_u2.count() == 0
+
+
 def test_dedup_state_survives_restart(spark, tmp_path, state_provider):
     """stream.dedup's seen-keys state must persist across a restart:
     a key first seen in run 1 and re-sent in run 2 is still a
