@@ -27,6 +27,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     packing,
     quality,
     resample,
+    scoring,
     selection,
     split,
     stats,

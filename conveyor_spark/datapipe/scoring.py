@@ -1,0 +1,434 @@
+"""Model-based corpus scoring: n-gram LM perplexity, linear quality
+classification, BM25 relevance ranking.
+
+The *model-driven* curation stages of an LLM data pipeline — the
+CCNet / GPT-3 / LLaMA recipe steps that sit after rule-based cleaning
+(text.quality, text.normalize) and before sampling:
+
+- ``text.perplexity``: score candidate docs by an n-gram language
+  model trained on a reference corpus (CCNet trains KenLM on
+  Wikipedia and keeps the low-perplexity head). Our LM is an add-k
+  smoothed order-n word model built with pure aggregates — the
+  context-sensitive upgrade of ``text.freq_score``'s unigram mean.
+- ``classify.linear``: apply a linear text classifier (fasttext-style
+  bag-of-words logit) from a provided (term, weight) table — the
+  "quality classifier trained on a high-quality reference corpus"
+  step of the GPT-3/LLaMA recipes. Training happens offline; this op
+  is the 100 TB-scale *inference* pass.
+- ``rank.bm25``: BM25 relevance of every document against a set of
+  queries — retrieval-style corpus selection (DSIR-like targeted
+  sampling, benchmark-adjacent data discovery) and the ranking
+  counterpart of decontam.ngram's binary matching.
+
+Determinism (the oracle contract): every count is an exact int64
+aggregate; each per-term contribution is ONE double expression over
+exact ints (ln(), /) which is bit-identical in any engine; per-doc
+totals fold the contributions in a FIXED order (position or term) via
+F.aggregate over a sorted array — never a partition-order SUM over
+doubles (NOTES.md determinism rule 1; the fold pattern is proven by
+drift.psi/q92). Final log-derived scores round to 9, the established
+log-noise policy.
+
+Scale: nothing here shuffles document text more than once. The LM /
+df / posting tables are vocabulary-sized aggregates; scalar totals
+(vocab size, avgdl, N) ride as broadcast 1-row frames; per-doc
+re-aggregates shuffle (id, double) pairs only. Stop-word-heavy
+posting joins are the one skew hazard — rank.bm25 exposes ``max_df``
+pruning (same knob as dedup.ngram_jaccard) for corpora where the
+query set shares hot terms, and AQE skew-split covers the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, P, register
+from conveyor_spark.datapipe.dedup import let_expr, tokens_expr
+
+
+def ngrams_expr(col: str, n: int):
+    """NON-distinct word n-grams (space-joined), empty for docs with
+    fewer than n tokens. Counting sibling of dedup.word_shingles_expr
+    (which dedups — right for shingle sets, wrong for LM counts)."""
+    toks = tokens_expr(col, distinct=False)
+    if n <= 1:
+        return toks
+    return let_expr(
+        toks,
+        lambda tk: F.when(
+            F.size(tk) < n, F.array().cast("array<string>")
+        ).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tk) - n),
+                lambda i: F.concat_ws(" ", F.slice(tk, i + 1, n)),
+            )
+        ),
+    )
+
+
+def fold_sum(pairs_col):
+    """Deterministic double sum: fold a collect_list of (key, val)
+    structs in key order. The ONLY safe way to total per-group doubles
+    across engines and partitionings (drift.psi precedent)."""
+    return F.aggregate(
+        F.array_sort(pairs_col),
+        F.lit(0.0),
+        lambda acc, x: acc + x["v"],
+    )
+
+
+@register(
+    "text.perplexity", kind="transform", min_inputs=1, max_inputs=2,
+    doc="n-gram LM negative log-likelihood (CCNet-style quality score)",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id (unique)"),
+        P("order", "integer", default=2, min=1, max=4,
+          desc="LM order n (1 = unigram, 2 = bigram, ...)"),
+        P("k", "float", default=1.0, desc="Add-k smoothing constant"),
+        P("output_column", default="nll", desc="Score column"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "order": 2},
+    tags=["text", "quality", "lm", "curation"],
+)
+def text_perplexity(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Per-document negative log-likelihood under an add-k smoothed
+    order-n word LM — the CCNet quality filter shape (train a LM on a
+    trusted reference corpus, keep the low-perplexity head of the
+    candidate corpus; perplexity = exp(nll), monotone in nll, so
+    filter on nll directly and skip the cross-engine exp()).
+
+    inputs: [docs] (self-scored) or [docs, reference] (LM trained on
+    the reference — the CCNet deployment). Output: docs + ``nll``
+    (mean -ln P(w|context), round 9; NULL for docs with < n tokens)
+    + ``lm_ngrams`` (scored n-gram count).
+
+    Model: P(w|ctx) = (c(ctx·w) + k) / (c(ctx) + k·V) where c counts
+    n-grams / (n-1)-gram contexts over the reference and V is its
+    unigram vocabulary size. Unseen context => ln(1/V) (uniform), the
+    standard add-k behavior. Context counts include corpus-tail
+    occurrences (c(ctx) is the plain (n-1)-gram count), so the model
+    is an unnormalized scorer at document boundaries — fine for
+    filtering, documented for theory sticklers.
+
+    Exactness: counts are int64; each n-gram's logprob is one
+    ln(int/int) double (bit-identical everywhere); the per-doc mean
+    folds logprobs in position order (see module docstring). A sum of
+    floats via SUM() would NOT hash-stably replay — text.freq_score
+    (curation.py) dodged logs entirely for that reason; the fold
+    removes the dodge.
+
+    Scale: two vocabulary-sized count aggregates + one 1-row vocab
+    scalar (broadcast); candidates shuffle (id, gram) pairs for the
+    count joins and (id, double) for the final mean — the text itself
+    is never shuffled twice. c(ctx) join keys are (n-1)-grams: hot
+    contexts ("of the") skew the join; AQE skew-split handles it, and
+    order=2 keys are already 2-word strings, far flatter than raw
+    tokens."""
+    docs = inputs[0]
+    ref = inputs[1] if len(inputs) > 1 else docs
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("text.perplexity requires 'column' and 'id_column'")
+    n = int(config.get("order", 2))
+    if not 1 <= n <= 4:
+        raise ConfigError("text.perplexity: 'order' must be 1..4")
+    k = float(config.get("k", 1.0))
+    if k <= 0:
+        raise ConfigError("text.perplexity: smoothing 'k' must be > 0")
+    out = config.get("output_column", "nll")
+
+    grams = ref.select(F.explode(ngrams_expr(column, n)).alias("__g")) \
+        .groupBy("__g").agg(F.count(F.lit(1)).alias("__cg"))
+    uni = ref.select(F.explode(tokens_expr(column, distinct=False)).alias("__w")) \
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("__cw"))
+    if n == 1:
+        # context count = total token count, one scalar
+        scalars = uni.agg(
+            F.count(F.lit(1)).alias("__v"), F.sum("__cw").alias("__cc")
+        )
+    else:
+        ctx_counts = ref.select(
+            F.explode(ngrams_expr(column, n - 1)).alias("__ctx")
+        ).groupBy("__ctx").agg(F.count(F.lit(1)).alias("__cc"))
+        scalars = uni.agg(F.count(F.lit(1)).alias("__v"))
+
+    cand = docs.select(
+        F.col(id_column).alias("__id"),
+        F.posexplode(ngrams_expr(column, n)).alias("__pos", "__g"),
+    ).join(grams, "__g", "left")
+    if n > 1:
+        cand = cand.withColumn(
+            "__ctx", F.substring_index("__g", " ", n - 1)
+        ).join(ctx_counts, "__ctx", "left")
+    cand = cand.join(F.broadcast(scalars))
+
+    cc = F.coalesce(F.col("__cc"), F.lit(0)).cast("double")
+    lp = F.log(
+        (F.coalesce(F.col("__cg"), F.lit(0)).cast("double") + F.lit(k))
+        / (cc + F.lit(k) * F.col("__v").cast("double"))
+    )
+    per_doc = (
+        cand.select("__id", "__pos", lp.alias("__lp"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.collect_list(
+                F.struct(F.col("__pos").alias("k"), F.col("__lp").alias("v"))
+            ).alias("__lps"),
+        )
+        .select(
+            "__id",
+            "__n",
+            F.round(
+                -fold_sum(F.col("__lps")) / F.col("__n").cast("double"), 9
+            ).alias(out),
+        )
+    )
+    return (
+        docs.join(per_doc, docs[id_column] == per_doc["__id"], "left")
+        .drop("__id")
+        .withColumn("lm_ngrams", F.coalesce(F.col("__n"), F.lit(0)).cast("int"))
+        .drop("__n")
+    )
+
+
+@register(
+    "classify.linear", kind="transform", min_inputs=2, max_inputs=2,
+    doc="Linear bag-of-words classifier inference (quality filter)",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id (unique)"),
+        P("bias", "float", default=0.0, desc="Intercept term"),
+        P("mode", default="mean", allowed=("mean", "sum", "binary"),
+          desc="Term aggregation: tf-weighted mean / sum, or distinct-term sum"),
+        P("output_column", default="logit", desc="Raw score column"),
+        P("label_column", default="predicted",
+          desc="Boolean column: logit > 0"),
+        P("term_column", default="term", desc="Weights-table term column"),
+        P("weight_column", default="weight", desc="Weights-table weight column"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "mode": "mean"},
+    tags=["text", "quality", "classify", "curation"],
+)
+def classify_linear(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Inference pass of a linear text classifier: logit = bias +
+    agg(tf_t * w_t) over the document's terms, from a (term, weight)
+    table trained OFFLINE (GPT-3/LLaMA-style "quality classifier
+    trained to distinguish a trusted corpus"; fasttext's linear core
+    without the subword hashing). Emits the raw ``logit`` (sigmoid is
+    monotone — threshold on the logit and skip cross-engine exp())
+    and ``predicted`` = logit > 0.
+
+    inputs: [docs, weights]. ``mode``: "mean" (fasttext: tf-weighted
+    mean over token count), "sum" (raw dot product), "binary"
+    (distinct-term sum — presence features). Docs with zero tokens
+    get logit = bias, predicted accordingly.
+
+    Exactness: per-term contribution = tf (int64) * weight (double) —
+    one multiply; the per-doc total folds contributions in TERM order
+    (module docstring); round 9.
+
+    Scale: the weights table is vocabulary-sized — broadcast-joined
+    against (id, term, tf) postings, so the corpus shuffles only its
+    posting pairs once for the tf groupBy. OOV terms drop out of the
+    inner join instead of riding as zero rows."""
+    docs, weights = inputs
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("classify.linear requires 'column' and 'id_column'")
+    mode = config.get("mode", "mean")
+    if mode not in ("mean", "sum", "binary"):
+        raise ConfigError("classify.linear: mode must be mean|sum|binary")
+    bias = float(config.get("bias", 0.0))
+    out = config.get("output_column", "logit")
+    label = config.get("label_column", "predicted")
+    term_col = config.get("term_column", "term")
+    weight_col = config.get("weight_column", "weight")
+    for c in (term_col, weight_col):
+        if c not in weights.columns:
+            raise ConfigError(
+                f"classify.linear: weights table has no column {c!r} "
+                f"(has {weights.columns})"
+            )
+
+    w = weights.select(
+        F.col(term_col).cast("string").alias("__w"),
+        F.col(weight_col).cast("double").alias("__wt"),
+    )
+    tf = (
+        docs.select(
+            F.col(id_column).alias("__id"),
+            F.explode(tokens_expr(column, distinct=False)).alias("__w"),
+        )
+        .groupBy("__id", "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    tfw = F.lit(1.0) if mode == "binary" else F.col("__tf").cast("double")
+    contrib = tf.join(F.broadcast(w), "__w").select(
+        "__id", "__tf", (tfw * F.col("__wt")).alias("__c"), "__w"
+    )
+    per_doc = contrib.groupBy("__id").agg(
+        F.collect_list(
+            F.struct(F.col("__w").alias("k"), F.col("__c").alias("v"))
+        ).alias("__cs"),
+    ).select("__id", fold_sum(F.col("__cs")).alias("__dot"))
+    # mean mode normalizes by the doc's TOTAL token count (fasttext),
+    # not just matched terms — needs the per-doc length too
+    if mode == "mean":
+        lens = tf.groupBy("__id").agg(F.sum("__tf").alias("__len"))
+        per_doc = per_doc.join(lens, "__id").select(
+            "__id", (F.col("__dot") / F.col("__len").cast("double")).alias("__dot")
+        )
+    # + 0.0 normalizes IEEE -0.0 (a logit that rounds to zero keeps
+    # its sign bit in some engines; repr('-0.0') would hash-differ)
+    scored = per_doc.select(
+        "__id",
+        (F.round(F.col("__dot") + F.lit(bias), 9) + F.lit(0.0)).alias(out),
+    )
+    joined = docs.join(scored, docs[id_column] == scored["__id"], "left").drop("__id")
+    joined = joined.withColumn(out, F.coalesce(F.col(out), F.lit(round(bias, 9))))
+    return joined.withColumn(label, F.col(out) > 0)
+
+
+@register(
+    "rank.bm25", kind="transform", min_inputs=2, max_inputs=2,
+    doc="BM25 relevance of documents against a query set",
+    params=[
+        P("column", required=True, desc="Document text column"),
+        P("id_column", required=True, desc="Document id (unique)"),
+        P("query_id_column", default="query_id", desc="Query id column"),
+        P("query_column", default="query", desc="Query text column"),
+        P("k1", "float", default=1.2, desc="Term-frequency saturation"),
+        P("b", "float", default=0.75, desc="Length normalization"),
+        P("top_k", "integer", min=1,
+          desc="Keep only the k best docs per query (ties: lower doc id)"),
+        P("max_df", "float", default=1.0,
+          desc="Prune query terms present in more than this fraction "
+               "of docs before the posting join (skew guard; 1.0 = off)"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "top_k": 5},
+    tags=["text", "ranking", "retrieval", "curation"],
+)
+def rank_bm25(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Okapi BM25 scores for every (query, doc) pair sharing >= 1
+    term — retrieval-style corpus selection: rank training docs by
+    relevance to benchmark-like queries (DSIR-flavored targeted
+    sampling) or surface benchmark-adjacent data that decontam.ngram's
+    exact matching misses.
+
+    Output: (query_id, doc_id, score[, rank with top_k]) — one row per
+    candidate pair. score = sum over matched query terms of
+    idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)), with
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) — the standard
+    non-negative BM25+ idf. Duplicate terms within a query count once.
+
+    Exactness: tf/df/dl/N are int64 aggregates; avgdl = int/int; each
+    term's contribution is one double expression; the per-pair total
+    folds contributions in term order; score rounds to 9. top_k ties
+    break on doc id (total order — NOTES.md rule 5).
+
+    Scale: df and postings are one aggregate each over the corpus
+    (shuffle keyed by term, bounded by vocabulary x docs containing
+    it); the query side is benchmark-sized and broadcast. Hot shared
+    terms (stopwords in queries) explode the posting join — BM25's
+    idf already near-zeroes them, so ``max_df`` prunes them BEFORE
+    the join at a bounded score cost (same knob and rationale as
+    dedup.ngram_jaccard's default mode). Scalars (N, avgdl) ride as a
+    broadcast 1-row frame."""
+    docs, queries = inputs
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("rank.bm25 requires 'column' and 'id_column'")
+    qid = config.get("query_id_column", "query_id")
+    qcol = config.get("query_column", "query")
+    for c, side in ((qid, "query_id_column"), (qcol, "query_column")):
+        if c not in queries.columns:
+            raise ConfigError(
+                f"rank.bm25: queries table has no column {c!r} ({side})"
+            )
+    k1 = float(config.get("k1", 1.2))
+    b = float(config.get("b", 0.75))
+    top_k = config.get("top_k")
+    max_df = float(config.get("max_df", 1.0))
+    if not 0 < max_df <= 1.0:
+        raise ConfigError("rank.bm25: max_df must be in (0, 1]")
+
+    postings = (
+        docs.select(
+            F.col(id_column).alias("__id"),
+            F.explode(tokens_expr(column, distinct=False)).alias("__t"),
+        )
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    dl = postings.groupBy("__id").agg(F.sum("__tf").alias("__dl"))
+    df_t = postings.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    scalars = dl.agg(
+        F.count(F.lit(1)).alias("__N"), F.sum("__dl").alias("__toks")
+    )
+
+    qterms = queries.select(
+        F.col(qid).alias("__qid"),
+        F.explode(tokens_expr(qcol, distinct=True)).alias("__t"),
+    ).distinct()
+
+    cand = (
+        qterms.join(df_t, "__t")
+        .join(F.broadcast(scalars))
+    )
+    if max_df < 1.0:
+        cand = cand.filter(
+            F.col("__df").cast("double")
+            <= F.lit(max_df) * F.col("__N").cast("double")
+        )
+    nn = F.col("__N").cast("double")
+    dfl = F.col("__df").cast("double")
+    idf = F.log(
+        F.lit(1.0) + (nn - dfl + F.lit(0.5)) / (dfl + F.lit(0.5))
+    )
+    cand = cand.select("__qid", "__t", idf.alias("__idf"), "__N", "__toks")
+
+    pair_terms = (
+        cand.join(postings, "__t")
+        .join(dl, "__id")
+    )
+    avgdl = F.col("__toks").cast("double") / F.col("__N").cast("double")
+    tfd = F.col("__tf").cast("double")
+    dld = F.col("__dl").cast("double")
+    contrib = F.col("__idf") * (
+        tfd * F.lit(k1 + 1.0)
+        / (tfd + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dld / avgdl))
+    )
+    scored = (
+        pair_terms.select("__qid", "__id", "__t", contrib.alias("__c"))
+        .groupBy("__qid", "__id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("__t").alias("k"), F.col("__c").alias("v"))
+            ).alias("__cs")
+        )
+        .select(
+            F.col("__qid").alias(qid),
+            F.col("__id").alias(id_column),
+            F.round(fold_sum(F.col("__cs")), 9).alias("score"),
+        )
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(qid).orderBy(
+            F.col("score").desc(), F.col(id_column)
+        )
+        scored = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= int(top_k))
+        )
+    return scored

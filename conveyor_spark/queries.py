@@ -4047,6 +4047,162 @@ def q116_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
                columns=["l_quantity", "l_extendedprice", "l_discount"])
 
 
+@query(
+    "q117_text_perplexity",
+    f"""
+    WITH tk AS (SELECT doc_id, lang, {_SQL_TOKENS} AS tk FROM documents),
+    ref AS (SELECT tk FROM tk WHERE lang = 'en'),
+    uni AS (SELECT t AS w, COUNT(*)::BIGINT AS cw
+            FROM (SELECT unnest(tk) AS t FROM ref) GROUP BY t),
+    v AS (SELECT COUNT(*)::BIGINT AS v FROM uni),
+    rpos AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM ref),
+    big AS (SELECT g, COUNT(*)::BIGINT AS cg
+            FROM (SELECT tk[i] || ' ' || tk[i + 1] AS g FROM rpos) GROUP BY g),
+    cpos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tk),
+    cgr AS (SELECT doc_id, i, tk[i] || ' ' || tk[i + 1] AS g, tk[i] AS ctx
+            FROM cpos),
+    sc AS (SELECT c.doc_id, c.i,
+                  ln((COALESCE(b.cg, 0) + 1.0)
+                     / (COALESCE(u.cw, 0) + 1.0 * v.v)) AS lp
+           FROM cgr c
+           LEFT JOIN big b ON c.g = b.g
+           LEFT JOIN uni u ON c.ctx = u.w
+           CROSS JOIN v),
+    agg AS (SELECT doc_id, COUNT(*)::INT AS lm_ngrams,
+                   round(-list_reduce(list_prepend(0.0::DOUBLE,
+                             list(lp ORDER BY i)), (a, b) -> a + b)
+                         / COUNT(*), 9) AS nll
+            FROM sc GROUP BY doc_id)
+    SELECT d.doc_id, COALESCE(a.lm_ngrams, 0)::INT AS lm_ngrams, a.nll
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def q117_text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.perplexity: CCNet-style LM quality scoring — an add-1
+    bigram LM is trained on the 'en' cohort (the trusted reference)
+    and every document is scored by mean -ln P(w|prev). Exact-count
+    moments + fixed-order fold make the nll hash-identical across
+    engines (the determinism that made text.freq_score avoid logs —
+    see scoring.py). Real pipelines threshold nll to keep the fluent
+    head of the corpus."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    ref = _op("filter.apply", ctx, [d], expr="lang = 'en'")
+    out = _op("text.perplexity", ctx, [d, ref],
+              column="text", id_column="doc_id", order=2)
+    return _op("select.apply", ctx, [out],
+               columns=["doc_id", "lm_ngrams", "nll"])
+
+
+# the offline-trained "quality classifier" weights for q118: database
+# words up-weighted, filler down — a stand-in for a fasttext export
+_Q118_WEIGHTS = [
+    ("join", 1.5), ("hash", 1.2), ("merge", 0.8), ("scan", 0.6),
+    ("the", -0.3), ("a", -0.4), ("slow", -1.0), ("dup", -2.0),
+]
+_Q118_W_SQL = ", ".join(f"('{t}', {w})" for t, w in _Q118_WEIGHTS)
+
+
+@query(
+    "q118_classify_linear",
+    f"""
+    WITH w(term, weight) AS (VALUES {_Q118_W_SQL}),
+    tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+    tf AS (SELECT doc_id, t, COUNT(*)::BIGINT AS tf
+           FROM tok GROUP BY doc_id, t),
+    lens AS (SELECT doc_id, SUM(tf)::BIGINT AS len FROM tf GROUP BY doc_id),
+    c AS (SELECT tf.doc_id, tf.t, tf.tf * w.weight AS c
+          FROM tf JOIN w ON tf.t = w.term),
+    dot AS (SELECT doc_id,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list(c ORDER BY t)), (a, b) -> a + b) AS dot
+            FROM c GROUP BY doc_id),
+    sc AS (SELECT l.doc_id, round(d.dot / l.len + -0.05, 9) + 0.0 AS logit
+           FROM dot d JOIN lens l ON d.doc_id = l.doc_id)
+    SELECT d.doc_id,
+           COALESCE(sc.logit, -0.05) AS logit,
+           COALESCE(sc.logit, -0.05) > 0 AS predicted
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """,
+)
+def q118_classify_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classify.linear: quality-classifier inference (the GPT-3/LLaMA
+    'trained classifier' corpus filter) — a fixed (term, weight)
+    table stands in for the offline-trained model; the op computes
+    the tf-weighted mean logit per document and a predicted label.
+    Exactness: int64 tf x double weight per term, folded in term
+    order; the oracle replays the identical fold."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(_Q118_WEIGHTS, "term STRING, weight DOUBLE")
+    out = _op("classify.linear", ctx, [d, w],
+              column="text", id_column="doc_id", mode="mean", bias=-0.05)
+    return _op("select.apply", ctx, [out],
+               columns=["doc_id", "logit", "predicted"])
+
+
+_Q119_QUERIES = [
+    (1, "hash join order"),
+    (2, "stream window batch"),
+    (3, "slow table scan merge"),
+]
+_Q119_Q_SQL = ", ".join(f"({i}, '{q}')" for i, q in _Q119_QUERIES)
+
+
+@query(
+    "q119_rank_bm25",
+    f"""
+    WITH q(query_id, query) AS (VALUES {_Q119_Q_SQL}),
+    tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+    postings AS (SELECT doc_id, t, COUNT(*)::BIGINT AS tf
+                 FROM tok GROUP BY doc_id, t),
+    dl AS (SELECT doc_id, SUM(tf)::BIGINT AS dl FROM postings GROUP BY doc_id),
+    dft AS (SELECT t, COUNT(*)::BIGINT AS df FROM postings GROUP BY t),
+    sca AS (SELECT COUNT(*)::BIGINT AS n, SUM(dl)::BIGINT AS toks FROM dl),
+    qt AS (SELECT DISTINCT query_id,
+                  unnest(list_distinct(list_filter(
+                      string_split_regex(lower(query), '\\s+'),
+                      x -> x <> ''))) AS t
+           FROM q),
+    cand AS (SELECT qt.query_id, qt.t,
+                    ln(1.0 + (sca.n - dft.df + 0.5) / (dft.df + 0.5)) AS idf,
+                    sca.n, sca.toks
+             FROM qt JOIN dft ON qt.t = dft.t CROSS JOIN sca),
+    pt AS (SELECT c.query_id, p.doc_id, c.t,
+                  c.idf * (p.tf * 2.2
+                      / (p.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                       / (c.toks / CAST(c.n AS DOUBLE))))) AS ct
+           FROM cand c
+           JOIN postings p ON c.t = p.t
+           JOIN dl ON p.doc_id = dl.doc_id),
+    sc AS (SELECT query_id, doc_id,
+                  round(list_reduce(list_prepend(0.0::DOUBLE,
+                      list(ct ORDER BY t)), (a, b) -> a + b), 9) AS score
+           FROM pt GROUP BY query_id, doc_id),
+    rk AS (SELECT query_id, doc_id, score,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id)::INT AS rank
+           FROM sc)
+    SELECT query_id, doc_id, score, rank FROM rk WHERE rank <= 10
+    """,
+)
+def q119_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank.bm25: retrieval-style corpus selection — BM25 top-10 docs
+    per query over the corpus (DSIR-flavored targeted sampling /
+    benchmark-adjacent data discovery). All counts int64, idf/tf
+    terms one double expression each, per-pair score folded in term
+    order, ties on doc_id — the oracle replays the identical
+    arithmetic; a hash match proves the whole posting/df/avgdl
+    pipeline."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    q = spark.createDataFrame(_Q119_QUERIES, "query_id INT, query STRING")
+    return _op("rank.bm25", ctx, [d, q],
+               column="text", id_column="doc_id", top_k=10)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -66,6 +66,19 @@ INPUT_BUILDERS = {
             [(0, "t", "h"), (1, "th", "e")],
             "rank INT, left STRING, right STRING"),
     ],
+    # second input is the offline-trained (term, weight) table
+    "classify.linear": lambda df: [
+        df,
+        df.sparkSession.createDataFrame(
+            [("quick", 1.0), ("lazy", -1.0)], "term STRING, weight DOUBLE"),
+    ],
+    # second input is the query set
+    "rank.bm25": lambda df: [
+        df,
+        df.sparkSession.createDataFrame(
+            [(1, "quick fox"), (2, "lazy dog")],
+            "query_id INT, query STRING"),
+    ],
     # flatten=True collides with the kitchen sink's own 'id' column —
     # that refusal is correct behavior; parse into a clean frame
     "json.parse": lambda df: [df.select("payload")],

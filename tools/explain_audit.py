@@ -275,6 +275,34 @@ CHECKS = [
         and "BatchEvalPython" not in p,
     ),
     (
+        "q117_text_perplexity",
+        "LM scoring: all-JVM counts + fold (zero Python), no cartesian "
+        "(vocab scalar rides a broadcast 1-row frame), partial aggs",
+        lambda p, o: "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "CartesianProduct" not in p
+        and "partial_" in p.lower() and "BroadcastExchange" in p,
+    ),
+    (
+        "q118_classify_linear",
+        "classifier inference: weights table broadcast-joined, zero "
+        "Python, no cartesian/BNLJ",
+        lambda p, o: "BroadcastHashJoin" in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    ),
+    (
+        "q119_rank_bm25",
+        "bm25: query side broadcast into the posting join, top-k window "
+        "partitioned by query (never global), zero Python",
+        lambda p, o: p.count("BroadcastHashJoin") >= 2
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "CartesianProduct" not in p
+        and all("query_id" in ln or "__qid" in ln
+                for ln in p.splitlines() if "Window [" in ln)
+        and any("Window [" in ln for ln in p.splitlines()),
+    ),
+    (
         "q115_sample_mixture",
         "mixture: union of filtered scans — zero shuffle, zero Python",
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
