@@ -14,6 +14,7 @@ hot path) except media decoding, which is Arrow-batched mapInPandas.
 from conveyor_spark.datapipe import (  # noqa: F401
     bloom,
     bpe,
+    clustering,
     components,
     curation,
     dedup,

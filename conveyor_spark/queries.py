@@ -4203,6 +4203,71 @@ def q119_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                column="text", id_column="doc_id", top_k=10)
 
 
+def _kmeans_oracle(k: int, iterations: int, dim: int = 64) -> str:
+    """Unroll Lloyd's algorithm in DuckDB SQL, replaying clustering.py
+    bit-for-bit: same first-k-by-id init, same left-to-right squared-
+    distance fold, same lowest-index tie break, same floor-quantized
+    int64 centroid sums (see clustering.py's determinism contract)."""
+    blocks = [
+        # init centroids: first k vectors by id, promoted to double
+        f"""c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS c,
+               list_transform(v, x -> x::DOUBLE) AS cv
+        FROM (SELECT vec_id, embedding AS v FROM embeddings
+              ORDER BY vec_id LIMIT {k}))"""
+    ]
+    for t in range(1, iterations + 1):
+        prev = f"c{t - 1}"
+        blocks.append(f"""d{t} AS (
+        SELECT e.vec_id, e.v, {prev}.c,
+               list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, {dim + 1}),
+                       i -> (e.v[i]::DOUBLE - {prev}.cv[i])
+                            * (e.v[i]::DOUBLE - {prev}.cv[i]))),
+                   (a, b) -> a + b) AS dist
+        FROM e CROSS JOIN {prev})""")
+        blocks.append(f"""a{t} AS (
+        SELECT vec_id, v, c FROM (
+            SELECT vec_id, v, c,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, c) AS rn
+            FROM d{t}) WHERE rn = 1)""")
+        if t < iterations:
+            blocks.append(f"""s{t} AS (
+        SELECT a.c, dims.i,
+               SUM(floor(a.v[dims.i]::DOUBLE * 1048576.0)::BIGINT) AS s,
+               COUNT(*)::BIGINT AS n
+        FROM a{t} a CROSS JOIN
+             (SELECT unnest(range(1, {dim + 1})) AS i) dims
+        GROUP BY a.c, dims.i)""")
+            blocks.append(f"""c{t} AS (
+        SELECT c0.c,
+               COALESCE(m.cv, (SELECT cv FROM c{t - 1} p
+                               WHERE p.c = c0.c)) AS cv
+        FROM c0 LEFT JOIN (
+            SELECT c, list(s::DOUBLE / (1048576.0 * n) ORDER BY i) AS cv
+            FROM s{t} GROUP BY c) m ON c0.c = m.c)""")
+    return (
+        "WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),\n"
+        + ",\n".join(blocks)
+        + f"\nSELECT vec_id, c AS cluster FROM a{iterations}"
+    )
+
+
+@query("q120_embedding_kmeans", _kmeans_oracle(k=4, iterations=3))
+def q120_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding.kmeans: 3 Lloyd iterations, k=4, over the embeddings
+    table — the coarse-quantizer trainer for knn.ivf. The oracle
+    unrolls the identical iterations in SQL; a hash match proves the
+    whole loop (init, distance folds, argmin ties, floor-quantized
+    centroid means) is partition-order-independent and engine-exact —
+    the property MLlib's double-sum centroids do NOT have."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    out = _op("embedding.kmeans", ctx, [e], id_column="vec_id",
+              column="embedding", k=4, iterations=3)
+    return _op("select.apply", ctx, [out], columns=["vec_id", "cluster"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

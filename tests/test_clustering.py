@@ -1,0 +1,130 @@
+"""embedding.kmeans (clustering.py) against a plain-Python Lloyd's
+reference with the identical init / quantization / tie rules."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from conveyor_spark.errors import ConfigError
+from tests.conftest import run_op
+
+Q = 1048576.0
+
+
+def py_kmeans(vecs: dict[int, list[float]], k: int, iterations: int):
+    ids = sorted(vecs)
+    centroids = [list(map(float, vecs[i])) for i in ids[:k]]
+    assign = {}
+    for _ in range(iterations):
+        assign = {}
+        for i in ids:
+            dists = [
+                sum((x - c) * (x - c) for x, c in zip(vecs[i], cent))
+                for cent in centroids
+            ]
+            assign[i] = dists.index(min(dists))
+        new_c = [list(c) for c in centroids]
+        for j in range(k):
+            members = [i for i in ids if assign[i] == j]
+            if not members:
+                continue
+            for d in range(len(centroids[j])):
+                s = sum(math.floor(vecs[i][d] * Q) for i in members)
+                new_c[j][d] = s / (Q * len(members))
+        centroids = new_c
+    sizes = [sum(1 for i in ids if assign[i] == j) for j in range(k)]
+    return assign, centroids, sizes
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    # two obvious blobs + one outlier, dim 4
+    data = {
+        1: [0.1, 0.2, 0.1, 0.0],
+        2: [0.2, 0.1, 0.0, 0.1],
+        3: [0.15, 0.15, 0.05, 0.05],
+        4: [5.0, 5.1, 4.9, 5.0],
+        5: [5.1, 5.0, 5.0, 4.9],
+        6: [-3.0, -3.0, -3.0, -3.0],
+    }
+    return data
+
+
+@pytest.fixture(scope="module")
+def vdf(spark, vecs):
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    return spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+
+def test_kmeans_matches_python_reference(ctx, vdf, vecs):
+    # float32 storage: quantize the python reference's inputs the same
+    import numpy as np
+
+    v32 = {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
+    for k, iters in ((2, 3), (3, 2)):
+        exp_assign, exp_cent, exp_sizes = py_kmeans(v32, k, iters)
+        out = run_op(ctx, "embedding.kmeans", [vdf], id_column="vec_id",
+                     k=k, iterations=iters)
+        got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+        assert got == exp_assign, (k, iters)
+
+        cent = run_op(ctx, "embedding.kmeans", [vdf], id_column="vec_id",
+                      k=k, iterations=iters, output="centroids")
+        crows = {r["cluster"]: (r["centroid"], r["size"])
+                 for r in cent.collect()}
+        assert len(crows) == k
+        for j in range(k):
+            assert crows[j][1] == exp_sizes[j]
+            for a, b in zip(crows[j][0], exp_cent[j]):
+                assert a == pytest.approx(b, abs=1e-12)
+
+
+def test_kmeans_blobs_separate(ctx, vdf):
+    out = run_op(ctx, "embedding.kmeans", [vdf], id_column="vec_id",
+                 k=3, iterations=5)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[4] == got[5]
+    assert len({got[1], got[4], got[6]}) == 3
+
+
+def test_kmeans_dirty_vectors_get_null(ctx, spark):
+    rows = [
+        (1, [0.0, 0.0]), (2, [1.0, 1.0]),
+        (3, None), (4, [1.0]), (5, [0.5, None]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = run_op(ctx, "embedding.kmeans", [df], id_column="vec_id",
+                 k=2, iterations=1)
+    got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+    assert got[1] is not None and got[2] is not None
+    assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_kmeans_config_errors(ctx, vdf, spark):
+    with pytest.raises(ConfigError, match="id_column"):
+        run_op(ctx, "embedding.kmeans", [vdf], k=2)
+    with pytest.raises(ConfigError, match="'k'"):
+        run_op(ctx, "embedding.kmeans", [vdf], id_column="vec_id")
+    with pytest.raises(ConfigError, match="usable vectors"):
+        run_op(ctx, "embedding.kmeans", [vdf], id_column="vec_id", k=99)
+    with pytest.raises(ConfigError, match="no column"):
+        run_op(ctx, "embedding.kmeans", [vdf], id_column="vec_id", k=2,
+               column="nope")
+    empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ConfigError, match="no non-null vectors"):
+        run_op(ctx, "embedding.kmeans", [empty], id_column="vec_id", k=1)
+
+
+def test_kmeans_feeds_knn_ivf(ctx, vdf):
+    """The op's stated purpose: assignments become knn.ivf's bucket
+    column."""
+    clustered = run_op(ctx, "embedding.kmeans", [vdf], id_column="vec_id",
+                       k=2, iterations=2, output_column="ivf_cell")
+    assert "ivf_cell" in clustered.columns
+    out = run_op(ctx, "knn.ivf", [clustered],
+                 id_column="vec_id", column="embedding",
+                 bucket_column="ivf_cell", k=1)
+    assert out.count() > 0

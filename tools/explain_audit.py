@@ -303,6 +303,15 @@ CHECKS = [
         and any("Window [" in ln for ln in p.splitlines()),
     ),
     (
+        "q120_embedding_kmeans",
+        "kmeans assignment: pure-codegen argmin (zero Python, no "
+        "cartesian — centroids are literals, not a joined side)",
+        lambda p, o: "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "array_position" in p,
+    ),
+    (
         "q115_sample_mixture",
         "mixture: union of filtered scans — zero shuffle, zero Python",
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
