@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from typing import Any
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
@@ -165,3 +165,291 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     return df.join(
         result, df[id_column] == result["__kid"], "left"
     ).drop("__kid")
+
+
+def _sub_dist_expr(vec, start: int, codeword: list[float]):
+    """Squared L2 between vec[start:start+len(codeword)] (0-based
+    start) and a codeword, folded left-to-right."""
+    c = F.array(*[F.lit(float(x)) for x in codeword])
+    sub = F.slice(vec, start + 1, len(codeword))
+    return F.aggregate(
+        F.zip_with(
+            sub, c,
+            lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+        ),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int):
+    """Shared PQ trainer: per-subspace Lloyd's with the module's
+    determinism recipe, ALL subspaces advanced in one distributed
+    pass per iteration. Returns (codebooks[m][k][sd], final assigned
+    DataFrame with __c0.._c{m-1} columns from the post-update
+    encode pass)."""
+    sd = dim // m
+    init = clean.orderBy("__kid").limit(k).select("__v").collect()
+    if len(init) < k:
+        raise ConfigError(
+            f"embedding.pq: k={k} but only {len(init)} usable vectors"
+        )
+    codebooks = [
+        [[float(x) for x in r[0][s * sd:(s + 1) * sd]] for r in init]
+        for s in range(m)
+    ]
+
+    def assign(df_in: DataFrame) -> DataFrame:
+        cols = []
+        for s in range(m):
+            dists = F.array(*[
+                _sub_dist_expr(F.col("__v"), s * sd, codebooks[s][j])
+                for j in range(k)
+            ])
+            cols.append(
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int").alias(f"__c{s}")
+            )
+        return df_in.select("__kid", "__v", *cols)
+
+    for _ in range(iterations):
+        assigned = assign(clean)
+        # one stats pass for ALL subspaces: dim index -> subspace
+        cl = F.element_at(
+            F.array(*[F.col(f"__c{s}") for s in range(m)]),
+            (F.floor(F.col("__d") / F.lit(sd)) + 1).cast("int"),
+        )
+        stats = (
+            assigned.select(
+                *[f"__c{s}" for s in range(m)],
+                F.posexplode("__v").alias("__d", "__x"),
+            )
+            .select(
+                F.floor(F.col("__d") / F.lit(sd)).cast("int").alias("__s"),
+                cl.alias("__cl"),
+                F.col("__d").alias("__d"),
+                F.col("__x"),
+            )
+            .groupBy("__s", "__cl", "__d")
+            .agg(
+                F.sum(
+                    F.floor(F.col("__x").cast("double") * F.lit(_Q))
+                ).alias("__sum"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .collect()
+        )
+        new_cb = [[list(c) for c in codebooks[s]] for s in range(m)]
+        for r in stats:
+            s, j = r["__s"], r["__cl"]
+            new_cb[s][j][r["__d"] - s * sd] = r["__sum"] / (_Q * r["__n"])
+        codebooks = new_cb
+    return codebooks, assign(clean)
+
+
+def _pq_clean(df: DataFrame, id_column: str, column: str, dim: int | None):
+    vec = F.col(column)
+    if dim is None:
+        row = df.filter(vec.isNotNull()).select(F.size(vec)).first()
+        if row is None:
+            raise ConfigError("embedding.pq: no non-null vectors")
+        dim = row[0]
+    dim = int(dim)
+    clean = df.filter(
+        vec.isNotNull() & (F.size(vec) == dim)
+        & ~F.exists(vec, lambda x: x.isNull())
+    ).select(F.col(id_column).alias("__kid"), vec.alias("__v"))
+    return clean, dim
+
+
+@register(
+    "embedding.pq", kind="transform",
+    doc="Product quantization: train per-subspace codebooks + encode",
+    params=[
+        P("id_column", required=True, desc="Vector id column"),
+        P("column", default="embedding", desc="array<float|double> column"),
+        P("m", "integer", default=4, min=1,
+          desc="Subspaces (dim must divide evenly)"),
+        P("k", "integer", default=16, min=1, desc="Codewords per subspace"),
+        P("iterations", "integer", default=3, min=1, desc="Lloyd iterations"),
+        P("dim", "integer", min=1, desc="Dimensionality (default inferred)"),
+        P("output", default="codes", allowed=("codes", "codebooks"),
+          desc="codes: input + pq_code array<int>; codebooks: m*k rows"),
+        P("output_column", default="pq_code", desc="Code column"),
+    ],
+    example={"id_column": "doc_id", "column": "embedding", "m": 4,
+             "k": 4, "iterations": 2},
+    tags=["embedding", "ann", "compression", "datapipe"],
+)
+def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Product quantization (Jégou et al.): split each vector into m
+    subvectors, k-means each subspace, store each vector as m small
+    code indices — a dim x 4 bytes -> m bytes compression that makes
+    billion-vector ANN RAM-feasible; ``knn.pq`` searches the codes
+    via asymmetric distance (ADC).
+
+    Training advances ALL subspaces in one distributed pass per
+    iteration (per-row argmin per subspace is a codegen'd expression
+    over literal codebooks; one (subspace, cluster, dim) aggregate
+    collects m*k*dim rows). Codes are the argmin under the POST-loop
+    codebooks, so train-then-encode replays deterministically —
+    same floor-quantized int64 centroid recipe as embedding.kmeans,
+    oracle-replayable in SQL (q121).
+
+    Scale: per iteration one pass over the data; codebooks are
+    m*k*(dim/m) doubles on the driver (k<=256, m<=64 -> always tiny);
+    the encoded corpus is the durable artifact — write it once, run
+    many knn.pq searches against it."""
+    df = inputs[0]
+    id_column = config.get("id_column")
+    if not id_column:
+        raise ConfigError("embedding.pq requires 'id_column'")
+    column = config.get("column", "embedding")
+    if column not in df.columns:
+        raise ConfigError(f"embedding.pq: no column {column!r}")
+    m = int(config.get("m", 4))
+    k = int(config.get("k", 16))
+    iterations = int(config.get("iterations", 3))
+    if m < 1 or k < 1 or iterations < 1:
+        raise ConfigError("embedding.pq: m, k, iterations must be >= 1")
+    output = config.get("output", "codes")
+    if output not in ("codes", "codebooks"):
+        raise ConfigError("embedding.pq: output must be codes|codebooks")
+    out_col = config.get("output_column", "pq_code")
+
+    clean, dim = _pq_clean(df, id_column, column, config.get("dim"))
+    if dim % m != 0:
+        raise ConfigError(
+            f"embedding.pq: dim {dim} not divisible by m={m}"
+        )
+    codebooks, encoded = _train_pq(clean, dim, m, k, iterations)
+
+    if output == "codebooks":
+        rows = [
+            (s, j, codebooks[s][j])
+            for s in range(m) for j in range(k)
+        ]
+        return ctx.spark.createDataFrame(
+            rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
+        )
+    codes = encoded.select(
+        "__kid",
+        F.array(*[F.col(f"__c{s}") for s in range(m)]).alias(out_col),
+    )
+    return df.join(
+        codes, df[id_column] == codes["__kid"], "left"
+    ).drop("__kid")
+
+
+@register(
+    "knn.pq", kind="transform", min_inputs=2, max_inputs=2,
+    doc="PQ asymmetric-distance (ADC) approximate top-k",
+    params=[
+        P("id_column", required=True, desc="Corpus vector id column"),
+        P("column", default="embedding", desc="Vector column"),
+        P("query_id_column", desc="Query id column (default: id_column)"),
+        P("k", "integer", default=10, min=1, desc="Neighbors per query"),
+        P("m", "integer", default=4, min=1, desc="Subspaces"),
+        P("codewords", "integer", default=16, min=1,
+          desc="Codewords per subspace"),
+        P("iterations", "integer", default=3, min=1, desc="Lloyd iterations"),
+        P("dim", "integer", min=1, desc="Dimensionality (default inferred)"),
+    ],
+    example={"id_column": "doc_id", "column": "embedding", "k": 2,
+             "m": 4, "codewords": 4, "iterations": 2},
+    tags=["embedding", "ann", "similarity", "datapipe"],
+)
+def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """ADC search over a PQ-encoded corpus: train codebooks on the
+    corpus (embedding.pq's recipe), encode it, then for each query
+    build the m x k table of exact subspace distances to every
+    codeword and score each corpus vector as the sum of its m table
+    lookups — approximate L2 ranking at m lookups per vector instead
+    of dim multiplies. Output: (query_id, corpus id, adc_dist, rank)
+    top-k per query, ties to the lower corpus id.
+
+    inputs: [corpus, queries] (queries = raw vectors, same dim).
+
+    Exactness: the distance table entries are the same left-to-right
+    subspace folds as training; the per-pair ADC total folds in
+    subspace order; round 9 before ranking — fully oracle-replayable
+    (q121 runs train + encode + search end-to-end in SQL).
+
+    Scale: the corpus is touched by training passes + ONE encode and
+    then only its (id, m-byte code) pairs move; the distance table is
+    |queries| x m x k rows — benchmark-sized queries broadcast into
+    the code join. The brute-force baseline (knn.brute) ships full
+    vectors to every comparison; ADC ships codes."""
+    corpus, queries = inputs
+    id_column = config.get("id_column")
+    if not id_column:
+        raise ConfigError("knn.pq requires 'id_column'")
+    column = config.get("column", "embedding")
+    qid_col = config.get("query_id_column", id_column)
+    for dfx, c, side in ((corpus, column, "corpus"), (queries, qid_col, "queries")):
+        if c not in dfx.columns:
+            raise ConfigError(f"knn.pq: {side} has no column {c!r}")
+    k = int(config.get("k", 10))
+    m = int(config.get("m", 4))
+    kw = int(config.get("codewords", 16))
+    iterations = int(config.get("iterations", 3))
+
+    clean, dim = _pq_clean(corpus, id_column, column, config.get("dim"))
+    if dim % m != 0:
+        raise ConfigError(f"knn.pq: dim {dim} not divisible by m={m}")
+    sd = dim // m
+    codebooks, encoded = _train_pq(clean, dim, m, kw, iterations)
+
+    # corpus side: skinny (id, subspace, code) triples
+    codes = encoded.select(
+        "__kid",
+        F.posexplode(
+            F.array(*[F.col(f"__c{s}") for s in range(m)])
+        ).alias("__s", "__code"),
+    )
+
+    # query side: exact distance to every codeword of every subspace
+    qclean = queries.filter(
+        F.col(column).isNotNull() & (F.size(column) == dim)
+        & ~F.exists(column, lambda x: x.isNull())
+    ).select(F.col(qid_col).alias("__qid"), F.col(column).alias("__v"))
+    table_entries = F.array(*[
+        F.struct(
+            F.lit(s).alias("__s"), F.lit(j).alias("__code"),
+            _sub_dist_expr(F.col("__v"), s * sd, codebooks[s][j]).alias("__d"),
+        )
+        for s in range(m) for j in range(kw)
+    ])
+    dtable = qclean.select(
+        "__qid", F.explode(table_entries).alias("__e")
+    ).select("__qid", "__e.__s", "__e.__code", "__e.__d")
+
+    pair_sub = codes.join(F.broadcast(dtable), ["__s", "__code"])
+    scored = (
+        pair_sub.groupBy("__qid", "__kid")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("__s").alias("k"), F.col("__d").alias("v"))
+            ).alias("__ds")
+        )
+        .select(
+            F.col("__qid").alias(qid_col if qid_col != id_column
+                                 else f"query_{id_column}"),
+            F.col("__kid").alias(id_column),
+            F.round(
+                F.aggregate(
+                    F.array_sort(F.col("__ds")), F.lit(0.0),
+                    lambda acc, x: acc + x["v"],
+                ), 9,
+            ).alias("adc_dist"),
+        )
+    )
+    qout = qid_col if qid_col != id_column else f"query_{id_column}"
+    w = Window.partitionBy(qout).orderBy(
+        F.col("adc_dist"), F.col(id_column)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+

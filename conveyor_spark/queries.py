@@ -4268,6 +4268,99 @@ def q120_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("select.apply", ctx, [out], columns=["vec_id", "cluster"])
 
 
+def _pq_oracle(m: int, kw: int, iterations: int, dim: int,
+               nq: int, topk: int) -> str:
+    """Replay knn.pq end-to-end in DuckDB: subspace split, per-
+    subspace Lloyd training (clustering.py's floor-quantized int64
+    recipe), post-loop encode, ADC distance tables, top-k. Generic
+    over (vec_id, subspace) rows, so the SQL stays compact for any
+    m/k."""
+    sd = dim // m
+    fold_dist = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {sd + 1}), "
+        "i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+    blocks = [
+        f"""sub AS (SELECT vec_id, sp.s,
+               list_slice(v, sp.s * {sd} + 1, (sp.s + 1) * {sd}) AS sv
+        FROM e CROSS JOIN (SELECT unnest(range(0, {m}))::INT AS s) sp)""",
+        f"""c0 AS (SELECT s,
+               (row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1)::INT AS j,
+               list_transform(sv, x -> x::DOUBLE) AS cv
+        FROM sub WHERE vec_id IN
+             (SELECT vec_id FROM e ORDER BY vec_id LIMIT {kw}))""",
+    ]
+    for t in range(1, iterations + 2):  # last pass = encode only
+        prev = f"c{t - 1}"
+        blocks.append(f"""d{t} AS (
+        SELECT sub.vec_id, sub.s, sub.sv, c.j,
+               {fold_dist.format(a='sub.sv', b='c.cv')} AS dist
+        FROM sub JOIN {prev} c ON sub.s = c.s)""")
+        blocks.append(f"""a{t} AS (
+        SELECT vec_id, s, sv, j FROM (
+            SELECT vec_id, s, sv, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, j) AS rn
+            FROM d{t}) WHERE rn = 1)""")
+        if t <= iterations:
+            blocks.append(f"""s{t} AS (
+        SELECT a.s, a.j, dims.i,
+               SUM(floor(a.sv[dims.i]::DOUBLE * 1048576.0)::BIGINT) AS sm,
+               COUNT(*)::BIGINT AS n
+        FROM a{t} a CROSS JOIN
+             (SELECT unnest(range(1, {sd + 1})) AS i) dims
+        GROUP BY a.s, a.j, dims.i)""")
+            blocks.append(f"""c{t} AS (
+        SELECT c0.s, c0.j,
+               COALESCE(u.cv, (SELECT cv FROM {prev} p
+                               WHERE p.s = c0.s AND p.j = c0.j)) AS cv
+        FROM c0 LEFT JOIN (
+            SELECT s, j, list(sm::DOUBLE / (1048576.0 * n) ORDER BY i) AS cv
+            FROM s{t} GROUP BY s, j) u
+        ON c0.s = u.s AND c0.j = u.j)""")
+    enc = f"a{iterations + 1}"
+    blocks.append(f"""dt AS (
+        SELECT q.vec_id AS qid, c.s, c.j,
+               {fold_dist.format(a='q.sv', b='c.cv')} AS d
+        FROM (SELECT * FROM sub WHERE vec_id < {nq}) q
+        JOIN c{iterations} c ON q.s = c.s)""")
+    blocks.append(f"""sc AS (
+        SELECT dt.qid, a.vec_id,
+               round(list_reduce(list_prepend(0.0::DOUBLE,
+                   list(dt.d ORDER BY dt.s)), (x, y) -> x + y), 9) AS adc_dist
+        FROM {enc} a JOIN dt ON a.s = dt.s AND a.j = dt.j
+        GROUP BY dt.qid, a.vec_id)""")
+    return (
+        "WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),\n"
+        + ",\n".join(blocks)
+        + f"""
+    SELECT qid AS query_vec_id, vec_id, adc_dist, rank FROM (
+        SELECT qid, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, vec_id)::INT AS rank
+        FROM sc) WHERE rank <= {topk}"""
+    )
+
+
+@query("q121_knn_pq",
+       _pq_oracle(m=4, kw=4, iterations=2, dim=64, nq=5, topk=3))
+def q121_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn.pq: product-quantization ANN end-to-end — per-subspace
+    Lloyd training, post-loop encoding, asymmetric-distance (ADC)
+    top-3 for 5 query vectors. The oracle replays the ENTIRE
+    train/encode/search pipeline in SQL; a hash match certifies the
+    whole PQ stack is partition-order-independent and engine-exact
+    (the compression that makes billion-vector ANN RAM-feasible —
+    corpus vectors move as m-byte codes, not dim floats)."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = _op("filter.apply", ctx, [e], expr="vec_id < 5")
+    return _op("knn.pq", ctx, [e, q], id_column="vec_id",
+               column="embedding", k=3, m=4, codewords=4, iterations=2)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

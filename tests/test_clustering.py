@@ -118,6 +118,119 @@ def test_kmeans_config_errors(ctx, vdf, spark):
         run_op(ctx, "embedding.kmeans", [empty], id_column="vec_id", k=1)
 
 
+def py_pq(vecs: dict[int, list[float]], m: int, kw: int, iterations: int):
+    """Plain-Python PQ trainer+encoder mirroring clustering.py."""
+    dim = len(next(iter(vecs.values())))
+    sd = dim // m
+    ids = sorted(vecs)
+    cbs = [
+        [[float(x) for x in vecs[i][s * sd:(s + 1) * sd]] for i in ids[:kw]]
+        for s in range(m)
+    ]
+
+    def assign():
+        out = {}
+        for i in ids:
+            code = []
+            for s in range(m):
+                sv = vecs[i][s * sd:(s + 1) * sd]
+                dists = [
+                    sum((x - c) * (x - c) for x, c in zip(sv, cb))
+                    for cb in cbs[s]
+                ]
+                code.append(dists.index(min(dists)))
+            out[i] = code
+        return out
+
+    for _ in range(iterations):
+        codes = assign()
+        new = [[list(c) for c in cbs[s]] for s in range(m)]
+        for s in range(m):
+            for j in range(kw):
+                members = [i for i in ids if codes[i][s] == j]
+                if not members:
+                    continue
+                for d in range(sd):
+                    tot = sum(
+                        math.floor(vecs[i][s * sd + d] * Q) for i in members
+                    )
+                    new[s][j][d] = tot / (Q * len(members))
+        cbs = new
+    return cbs, assign()
+
+
+@pytest.fixture(scope="module")
+def pqdf(spark):
+    import numpy as np
+
+    rows = [
+        (i, [float(np.float32(math.sin(i * 7 + d) / 2)) for d in range(8)])
+        for i in range(20)
+    ]
+    return (
+        spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>"),
+        {i: v for i, v in rows},
+    )
+
+
+def test_pq_codes_match_python(ctx, pqdf):
+    df, vecs = pqdf
+    exp_cbs, exp_codes = py_pq(vecs, m=2, kw=3, iterations=2)
+    out = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                 m=2, k=3, iterations=2)
+    got = {r["vec_id"]: list(r["pq_code"]) for r in out.collect()}
+    assert got == exp_codes
+
+    cb = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                m=2, k=3, iterations=2, output="codebooks")
+    got_cb = {(r["subspace"], r["code"]): r["centroid"] for r in cb.collect()}
+    assert len(got_cb) == 6
+    for s in range(2):
+        for j in range(3):
+            for a, b in zip(got_cb[(s, j)], exp_cbs[s][j]):
+                assert a == pytest.approx(b, abs=1e-12), (s, j)
+
+
+def test_knn_pq_adc_matches_python(ctx, pqdf):
+    df, vecs = pqdf
+    cbs, codes = py_pq(vecs, m=2, kw=3, iterations=2)
+    sd = 4
+
+    def adc(qv, code):
+        return round(sum(
+            sum((x - c) * (x - c)
+                for x, c in zip(qv[s * sd:(s + 1) * sd], cbs[s][code[s]]))
+            for s in range(2)
+        ), 9)
+
+    q = df.filter("vec_id < 2")
+    out = run_op(ctx, "knn.pq", [df, q], id_column="vec_id",
+                 k=4, m=2, codewords=3, iterations=2)
+    rows = out.collect()
+    assert {r["query_vec_id"] for r in rows} == {0, 1}
+    for r in rows:
+        exp = adc(vecs[r["query_vec_id"]], codes[r["vec_id"]])
+        assert r["adc_dist"] == pytest.approx(exp, abs=1e-9)
+    # rank 1 = the globally smallest ADC distance for that query
+    for qid in (0, 1):
+        all_d = sorted(
+            (adc(vecs[qid], codes[i]), i) for i in vecs
+        )
+        top = [r for r in rows if r["query_vec_id"] == qid and r["rank"] == 1]
+        assert (top[0]["adc_dist"], top[0]["vec_id"]) == \
+            (pytest.approx(all_d[0][0], abs=1e-9), all_d[0][1])
+
+
+def test_pq_config_errors(ctx, pqdf):
+    df, _ = pqdf
+    with pytest.raises(ConfigError, match="divisible"):
+        run_op(ctx, "embedding.pq", [df], id_column="vec_id", m=3)
+    with pytest.raises(ConfigError, match="only"):
+        run_op(ctx, "embedding.pq", [df], id_column="vec_id", m=2, k=99)
+    with pytest.raises(ConfigError, match="no column"):
+        run_op(ctx, "embedding.pq", [df], id_column="vec_id", column="x")
+
+
 def test_kmeans_feeds_knn_ivf(ctx, vdf):
     """The op's stated purpose: assignments become knn.ivf's bucket
     column."""

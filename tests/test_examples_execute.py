@@ -79,6 +79,8 @@ INPUT_BUILDERS = {
             [(1, "quick fox"), (2, "lazy dog")],
             "query_id INT, query STRING"),
     ],
+    # corpus + query vectors (same schema works)
+    "knn.pq": lambda df: [df, df],
     # flatten=True collides with the kitchen sink's own 'id' column —
     # that refusal is correct behavior; parse into a clean frame
     "json.parse": lambda df: [df.select("payload")],

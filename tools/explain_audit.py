@@ -312,6 +312,17 @@ CHECKS = [
         and "array_position" in p,
     ),
     (
+        "q121_knn_pq",
+        "PQ search: corpus moves as (id, subspace, code) triples — "
+        "distance table broadcast, per-query window, zero Python",
+        lambda p, o: "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "CartesianProduct" not in p
+        and "BroadcastHashJoin" in p
+        and all("__qid" in ln or "query_vec_id" in ln
+                for ln in p.splitlines() if "Window [" in ln)
+        and any("Window [" in ln for ln in p.splitlines()),
+    ),
+    (
         "q115_sample_mixture",
         "mixture: union of filtered scans — zero shuffle, zero Python",
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
