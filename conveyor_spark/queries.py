@@ -4361,6 +4361,75 @@ def q121_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                column="embedding", k=3, m=4, codewords=4, iterations=2)
 
 
+def _lm_nll_sql(prefix: str, ref_where: str) -> str:
+    """CTE chunk computing per-doc bigram-LM nll (the q117 pipeline)
+    with the reference corpus restricted by ``ref_where``; CTE names
+    prefixed so two LMs can coexist in one query (q122's DSIR)."""
+    p = prefix
+    return f"""{p}ref AS (SELECT tk FROM tkall WHERE {ref_where}),
+    {p}uni AS (SELECT t AS w, COUNT(*)::BIGINT AS cw
+            FROM (SELECT unnest(tk) AS t FROM {p}ref) GROUP BY t),
+    {p}v AS (SELECT COUNT(*)::BIGINT AS v FROM {p}uni),
+    {p}rpos AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM {p}ref),
+    {p}big AS (SELECT g, COUNT(*)::BIGINT AS cg
+            FROM (SELECT tk[i] || ' ' || tk[i + 1] AS g FROM {p}rpos)
+            GROUP BY g),
+    {p}sc AS (SELECT c.doc_id, c.i,
+                  ln((COALESCE(b.cg, 0) + 1.0)
+                     / (COALESCE(u.cw, 0) + 1.0 * v.v)) AS lp
+           FROM cgrall c
+           LEFT JOIN {p}big b ON c.g = b.g
+           LEFT JOIN {p}uni u ON c.ctx = u.w
+           CROSS JOIN {p}v v),
+    {p}nll AS (SELECT doc_id,
+                   round(-list_reduce(list_prepend(0.0::DOUBLE,
+                             list(lp ORDER BY i)), (a, b) -> a + b)
+                         / COUNT(*), 9) AS nll
+            FROM {p}sc GROUP BY doc_id)"""
+
+
+@query(
+    "q122_dsir_select",
+    f"""
+    WITH tkall AS (SELECT doc_id, lang, {_SQL_TOKENS} AS tk FROM documents),
+    cposall AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tkall),
+    cgrall AS (SELECT doc_id, i, tk[i] || ' ' || tk[i + 1] AS g, tk[i] AS ctx
+               FROM cposall),
+    {_lm_nll_sql('t', "lang = 'en'")},
+    {_lm_nll_sql('b', 'TRUE')}
+    SELECT t.doc_id, t.nll AS nll_target, b.nll AS nll_base,
+           b.nll - t.nll AS weight
+    FROM tnll t JOIN bnll b ON t.doc_id = b.doc_id
+    ORDER BY weight DESC, t.doc_id
+    LIMIT 50
+    """,
+)
+def q122_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style targeted selection (Xie et al.), composed from the
+    scoring ops: importance weight = nll under the BASE LM (whole
+    corpus) minus nll under the TARGET LM ('en' reference) — docs the
+    target model likes more than the generic model score high — then
+    take the top 50 (ties: doc id). Pure composition (two
+    text.perplexity passes + map + TakeOrderedAndProject); the
+    oracle replays both LMs and the log-ratio ranking."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    ref = _op("filter.apply", ctx, [d], expr="lang = 'en'")
+    t = _op("text.perplexity", ctx, [d, ref], column="text",
+            id_column="doc_id", order=2, output_column="nll_target")
+    t = _op("select.apply", ctx, [t],
+            columns=["doc_id", "text", "nll_target"])
+    b = _op("text.perplexity", ctx, [t, d], column="text",
+            id_column="doc_id", order=2, output_column="nll_base")
+    b = _op("filter.apply", ctx, [b], expr="nll_target IS NOT NULL")
+    w = _op("map.apply", ctx, [b], expression="nll_base - nll_target",
+            output_column="weight")
+    w = _op("select.apply", ctx, [w],
+            columns=["doc_id", "nll_target", "nll_base", "weight"])
+    return _op("sort.apply", ctx, [w], columns=["weight", "doc_id"],
+               descending=[True, False], limit=50)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

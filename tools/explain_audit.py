@@ -323,6 +323,14 @@ CHECKS = [
         and any("Window [" in ln for ln in p.splitlines()),
     ),
     (
+        "q122_dsir_select",
+        "DSIR selection: global top-50 fused to TakeOrderedAndProject "
+        "(no full sort), zero Python",
+        lambda p, o: "TakeOrderedAndProject" in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "CartesianProduct" not in p,
+    ),
+    (
         "q115_sample_mixture",
         "mixture: union of filtered scans — zero shuffle, zero Python",
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
