@@ -231,6 +231,31 @@ def test_pq_config_errors(ctx, pqdf):
         run_op(ctx, "embedding.pq", [df], id_column="vec_id", column="x")
 
 
+def test_kmeans_partitioning_invariance(ctx, vdf):
+    """The module's core claim: floor-quantized int64 centroid sums
+    make results independent of partitioning — MLlib's double sums
+    are not. Same assignments from 1 partition and 7."""
+    base = {r["vec_id"]: r["cluster"] for r in run_op(
+        ctx, "embedding.kmeans", [vdf.repartition(1)],
+        id_column="vec_id", k=3, iterations=4).collect()}
+    for n in (3, 7):
+        got = {r["vec_id"]: r["cluster"] for r in run_op(
+            ctx, "embedding.kmeans", [vdf.repartition(n)],
+            id_column="vec_id", k=3, iterations=4).collect()}
+        assert got == base, n
+
+
+def test_pq_partitioning_invariance(ctx, pqdf):
+    df, _ = pqdf
+    base = {r["vec_id"]: list(r["pq_code"]) for r in run_op(
+        ctx, "embedding.pq", [df.repartition(1)], id_column="vec_id",
+        m=2, k=3, iterations=3).collect()}
+    got = {r["vec_id"]: list(r["pq_code"]) for r in run_op(
+        ctx, "embedding.pq", [df.repartition(5)], id_column="vec_id",
+        m=2, k=3, iterations=3).collect()}
+    assert got == base
+
+
 def test_kmeans_feeds_knn_ivf(ctx, vdf):
     """The op's stated purpose: assignments become knn.ivf's bucket
     column."""

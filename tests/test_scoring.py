@@ -193,6 +193,26 @@ def test_bm25_scores_match_python(ctx, spark, docs):
     assert got[(2, 3)] == pytest.approx(exp2[3], abs=1e-9)
 
 
+def test_scoring_partitioning_invariance(ctx, spark, docs, weights):
+    """The fixed-order fold claim: per-doc double totals must not
+    move with partitioning (a partition-order SUM would)."""
+    exp_nll = {r["doc_id"]: r["nll"] for r in run_op(
+        ctx, "text.perplexity", [docs.repartition(1)],
+        column="text", id_column="doc_id").collect()}
+    got_nll = {r["doc_id"]: r["nll"] for r in run_op(
+        ctx, "text.perplexity", [docs.repartition(5)],
+        column="text", id_column="doc_id").collect()}
+    assert got_nll == exp_nll
+
+    exp_lg = {r["doc_id"]: r["logit"] for r in run_op(
+        ctx, "classify.linear", [docs.repartition(1), weights],
+        column="text", id_column="doc_id").collect()}
+    got_lg = {r["doc_id"]: r["logit"] for r in run_op(
+        ctx, "classify.linear", [docs.repartition(5), weights],
+        column="text", id_column="doc_id").collect()}
+    assert got_lg == exp_lg
+
+
 def test_bm25_top_k_and_max_df(ctx, spark, docs):
     q = spark.createDataFrame([(1, "the cat")], "query_id LONG, query STRING")
     out = run_op(ctx, "rank.bm25", [docs, q],

@@ -50,6 +50,9 @@ HEAVY_SET = [
     "q80_decontam_bloom",
     "q83_pack_sequences",
     "q113_dedup_substring",
+    "q117_text_perplexity",
+    "q121_knn_pq",
+    "q122_dsir_select",
 ]
 
 # Quadratic-BY-DATA paths: under adversarial duplication (Zipf
