@@ -42,6 +42,23 @@ from conveyor_spark.registry import OpContext, P, register
 _Q = 1048576.0  # 2^20: component quantization for exact int64 sums
 
 
+def _infer_dim(df: DataFrame, id_column: str, column: str, op: str) -> int:
+    """Dimensionality = size of the vector with the SMALLEST id — an
+    unordered first() would be partition-order dependent, and on a
+    mixed-length corpus (exactly what the size==dim filter guards)
+    that would flip which rows survive cleaning between runs."""
+    row = (
+        df.filter(F.col(column).isNotNull())
+        .select(F.min(F.struct(
+            F.col(id_column).alias("i"), F.size(column).alias("s")
+        )).alias("m"))
+        .first()
+    )
+    if row is None or row["m"] is None:
+        raise ConfigError(f"{op}: no non-null vectors")
+    return int(row["m"]["s"])
+
+
 def _dist_expr(vec, centroid: list[float]):
     """Squared L2 distance, folded left-to-right over dims — the
     deterministic order the oracle replays."""
@@ -113,10 +130,7 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     vec = F.col(column)
     dim = config.get("dim")
     if dim is None:
-        row = df.filter(vec.isNotNull()).select(F.size(vec)).first()
-        if row is None:
-            raise ConfigError("embedding.kmeans: no non-null vectors")
-        dim = row[0]
+        dim = _infer_dim(df, id_column, column, "embedding.kmeans")
     dim = int(dim)
 
     clean = df.filter(
@@ -133,11 +147,15 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     sizes: list[int] = [0] * k
 
     assigned = None
-    for _ in range(iterations):
+    for it in range(iterations):
         dists = F.array(*[_dist_expr(F.col("__v"), c) for c in centroids])
         # first index of the min — ties break to the lowest cluster
         cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
         assigned = clean.select("__kid", "__v", cluster.alias("__c"))
+        if it == iterations - 1 and output != "centroids":
+            # assign-mode output is THIS assignment; the last update
+            # would feed only discarded centroids — skip a full pass
+            break
         stats = (
             assigned.select("__c", F.posexplode("__v").alias("__d", "__x"))
             .groupBy("__c", "__d")
@@ -182,7 +200,8 @@ def _sub_dist_expr(vec, start: int, codeword: list[float]):
     )
 
 
-def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int):
+def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int,
+              op: str = "embedding.pq"):
     """Shared PQ trainer: per-subspace Lloyd's with the module's
     determinism recipe, ALL subspaces advanced in one distributed
     pass per iteration. Returns (codebooks[m][k][sd], final assigned
@@ -192,7 +211,8 @@ def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int):
     init = clean.orderBy("__kid").limit(k).select("__v").collect()
     if len(init) < k:
         raise ConfigError(
-            f"embedding.pq: k={k} but only {len(init)} usable vectors"
+            f"{op}: {k} codewords per subspace but only "
+            f"{len(init)} usable vectors"
         )
     codebooks = [
         [[float(x) for x in r[0][s * sd:(s + 1) * sd]] for r in init]
@@ -247,13 +267,11 @@ def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int):
     return codebooks, assign(clean)
 
 
-def _pq_clean(df: DataFrame, id_column: str, column: str, dim: int | None):
+def _pq_clean(df: DataFrame, id_column: str, column: str, dim: int | None,
+              op: str = "embedding.pq"):
     vec = F.col(column)
     if dim is None:
-        row = df.filter(vec.isNotNull()).select(F.size(vec)).first()
-        if row is None:
-            raise ConfigError("embedding.pq: no non-null vectors")
-        dim = row[0]
+        dim = _infer_dim(df, id_column, column, op)
     dim = int(dim)
     clean = df.filter(
         vec.isNotNull() & (F.size(vec) == dim)
@@ -386,19 +404,28 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
         raise ConfigError("knn.pq requires 'id_column'")
     column = config.get("column", "embedding")
     qid_col = config.get("query_id_column", id_column)
-    for dfx, c, side in ((corpus, column, "corpus"), (queries, qid_col, "queries")):
-        if c not in dfx.columns:
-            raise ConfigError(f"knn.pq: {side} has no column {c!r}")
+    for dfx, cols, side in (
+        (corpus, (id_column, column), "corpus"),
+        (queries, (qid_col, column), "queries"),
+    ):
+        for c in cols:
+            if c not in dfx.columns:
+                raise ConfigError(f"knn.pq: {side} has no column {c!r}")
     k = int(config.get("k", 10))
     m = int(config.get("m", 4))
     kw = int(config.get("codewords", 16))
     iterations = int(config.get("iterations", 3))
+    if min(k, m, kw, iterations) < 1:
+        raise ConfigError(
+            "knn.pq: k, m, codewords, iterations must all be >= 1"
+        )
 
-    clean, dim = _pq_clean(corpus, id_column, column, config.get("dim"))
+    clean, dim = _pq_clean(corpus, id_column, column, config.get("dim"),
+                           op="knn.pq")
     if dim % m != 0:
         raise ConfigError(f"knn.pq: dim {dim} not divisible by m={m}")
     sd = dim // m
-    codebooks, encoded = _train_pq(clean, dim, m, kw, iterations)
+    codebooks, encoded = _train_pq(clean, dim, m, kw, iterations, op="knn.pq")
 
     # corpus side: skinny (id, subspace, code) triples
     codes = encoded.select(

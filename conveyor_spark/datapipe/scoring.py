@@ -143,10 +143,17 @@ def text_perplexity(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         raise ConfigError("text.perplexity: smoothing 'k' must be > 0")
     out = config.get("output_column", "nll")
 
-    grams = ref.select(F.explode(ngrams_expr(column, n)).alias("__g")) \
-        .groupBy("__g").agg(F.count(F.lit(1)).alias("__cg"))
     uni = ref.select(F.explode(tokens_expr(column, distinct=False)).alias("__w")) \
         .groupBy("__w").agg(F.count(F.lit(1)).alias("__cw"))
+    if n == 1:
+        # 1-grams ARE the unigram table — reusing it (rather than an
+        # identical second explode+groupBy) lets the exchange be
+        # shared instead of scanning the reference twice
+        grams = uni.select(F.col("__w").alias("__g"),
+                           F.col("__cw").alias("__cg"))
+    else:
+        grams = ref.select(F.explode(ngrams_expr(column, n)).alias("__g")) \
+            .groupBy("__g").agg(F.count(F.lit(1)).alias("__cg"))
     if n == 1:
         # context count = total token count, one scalar
         scalars = uni.agg(

@@ -136,10 +136,15 @@ def stats_correlation(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
     quantized to 3 decimals and |x| must be < 10^15; values outside
     that range try_cast to NULL and are pairwise-deleted in ANSI and
     non-ANSI mode alike (n counts the cast values, so the count and
-    the moments always agree). For
-    data with sub-millesimal variation or astronomical magnitudes,
-    rescale the column first (map.apply) — exactness is per the
-    stated grid, by design.
+    the moments always agree). The SUM of squares/products must also
+    stay inside 38 digits (DECIMAL(38,6)): sum(x^2) < 10^32, i.e. at
+    n rows keep |x| below ~10^16/sqrt(n) — past that the aggregate
+    overflows (ANSI: error; non-ANSI: the NULL moment propagates
+    through the guard to a NULL corr — never a silently shifted
+    value). For data with
+    sub-millesimal variation or magnitudes near these bounds, rescale
+    the column first (map.apply) — exactness is per the stated grid,
+    by design.
 
     Determinism: the anomaly.zscore pattern — all five moments
     (n, sx, sy, sxy, sxx, syy) accumulate at DECIMAL(18,3), whose

@@ -136,6 +136,34 @@ def checkpoint_tmpdir(prefix: str) -> tempfile.TemporaryDirectory:
     return tempfile.TemporaryDirectory(prefix=prefix, dir=base)
 
 
+def _checkpoint_has_commits(spark: SparkSession, checkpoint: str) -> bool:
+    """True if the checkpoint's commits/ log has at least one batch.
+    Goes through Hadoop's FileSystem so every checkpoint scheme a
+    stream can actually use (file:, hdfs://, s3a://, plain paths)
+    answers correctly — os.listdir would silently say 'no' for
+    anything but a bare posix path, disarming the resumed-complete-
+    mode guard exactly where production checkpoints live."""
+    try:
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(checkpoint, "commits")
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(path):
+            return False
+        return any(
+            not st.getPath().getName().startswith(".")
+            for st in fs.listStatus(path)
+        )
+    except Exception:
+        # Spark Connect (no _jvm) or an unreadable FS: fall back to a
+        # local check so plain paths still get the guard
+        import os
+
+        commits = os.path.join(checkpoint, "commits")
+        return os.path.isdir(commits) and any(
+            not n.startswith(".") for n in os.listdir(commits)
+        )
+
+
 def run_available_now(
     sdf: DataFrame, query_name: str, output_mode: str = "complete",
     state_partitions: int | None = None, checkpoint: str | None = None,
@@ -221,13 +249,7 @@ def run_available_now(
         # result here would be indistinguishable from "no results".
         # Detect that case (prior commits in the checkpoint + no new
         # batches) and fail loudly instead of returning wrong data.
-        import os
-
-        had_commits = bool(
-            os.path.isdir(os.path.join(checkpoint, "commits"))
-            and any(not n.startswith(".")
-                    for n in os.listdir(os.path.join(checkpoint, "commits")))
-        )
+        had_commits = _checkpoint_has_commits(spark, checkpoint)
         start(checkpoint).awaitTermination()
         # mirror the memory sink's semantics over collected batches:
         # complete mode = the last batch IS the result; update/append

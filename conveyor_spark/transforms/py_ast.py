@@ -595,6 +595,21 @@ class Interpreter:
             if all(self._eval(c, scoped) for c in gen.ifs):
                 self._comp(gens, i + 1, scoped, emit)
 
+    # methods that consume arbitrary iterable ARGUMENTS at C speed —
+    # the method-shaped siblings of _CONSUMERS: x.extend(range(1e12))
+    # or set().union(zip(...)) burn zero ticks without this routing
+    _TICKED_METHODS = {
+        (list, "extend"),
+        (set, "union"), (set, "intersection"), (set, "difference"),
+        (set, "symmetric_difference"),
+        (set, "issubset"), (set, "issuperset"),
+        (dict, "update"),
+    }
+    # already-materialized containers were built under the budget —
+    # re-ticking them is wasted work, and ticked(dict) would iterate
+    # keys and corrupt dict.update(mapping) semantics
+    _SIZED = (str, bytes, list, tuple, set, frozenset, dict)
+
     def _method(self, node: ast.Attribute, env):
         obj = self._eval(node.value, env)
         for base, names in _METHODS.items():
@@ -612,6 +627,15 @@ class Interpreter:
                         return _b(width, *rest)
 
                     return padded
+                if (base, node.attr) in self._TICKED_METHODS:
+                    def consuming(*args, _b=bound):
+                        return _b(*[
+                            a if isinstance(a, self._SIZED)
+                            else self._ticked(a)
+                            for a in args
+                        ])
+
+                    return consuming
                 return bound
         raise SandboxViolation(
             f"attribute access on {type(obj).__name__} is not allowed"

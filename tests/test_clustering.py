@@ -229,6 +229,30 @@ def test_pq_config_errors(ctx, pqdf):
         run_op(ctx, "embedding.pq", [df], id_column="vec_id", m=2, k=99)
     with pytest.raises(ConfigError, match="no column"):
         run_op(ctx, "embedding.pq", [df], id_column="vec_id", column="x")
+    # review findings: knn.pq must ConfigError (not ZeroDivisionError /
+    # AnalysisException) on m=0 and on missing columns either side
+    with pytest.raises(ConfigError, match=">= 1"):
+        run_op(ctx, "knn.pq", [df, df], id_column="vec_id", m=0)
+    with pytest.raises(ConfigError, match="corpus has no column"):
+        run_op(ctx, "knn.pq", [df.drop("embedding"), df],
+               id_column="vec_id")
+    with pytest.raises(ConfigError, match="queries has no column"):
+        run_op(ctx, "knn.pq", [df, df.drop("embedding")],
+               id_column="vec_id")
+
+
+def test_dim_inference_is_deterministic(ctx, spark):
+    """Review finding: dim inference must come from the SMALLEST id's
+    vector, not an unordered first() — on mixed-length corpora the
+    inferred dim decides which rows survive cleaning."""
+    rows = [(1, [0.0, 0.0]), (2, [1.0, 1.0, 1.0]), (3, [2.0, 2.0])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    for n in (1, 3):
+        out = run_op(ctx, "embedding.kmeans", [df.repartition(n)],
+                     id_column="vec_id", k=2, iterations=1)
+        got = {r["vec_id"]: r["cluster"] for r in out.collect()}
+        # dim = 2 (vector of id 1): id 2's 3-vector is cleaned out
+        assert got[2] is None and got[1] is not None and got[3] is not None
 
 
 def test_kmeans_partitioning_invariance(ctx, vdf):

@@ -167,6 +167,43 @@ def test_c_speed_iterator_consumers_burn_budget():
             )({})
 
 
+def test_method_consumers_burn_budget():
+    """Review finding: METHOD-shaped consumers (list.extend,
+    set.union/issubset, dict.update) consumed lazy iterables at C
+    speed with zero ticks, bypassing the budget exactly like the
+    builtin consumers did."""
+    bombs = [
+        "x = []\n    x.extend(range(10**12))",
+        "x = {1}\n    y = x.union(range(10**12))",
+        "x = {1}\n    y = x.intersection(zip(range(10**12), range(10**12)))",
+        "x = {1}\n    y = x.issubset(range(10**12))",
+        "x = {}\n    x.update(zip(range(10**12), range(10**12)))",
+    ]
+    for body in bombs:
+        with pytest.raises(StepBudgetExceeded):
+            make_transform(
+                f"def transform(row):\n    {body}\n    return row",
+                step_budget=10_000,
+            )({})
+    # normal method use unaffected (incl. dict.update(mapping))
+    s = """
+def transform(row):
+    x = [1]
+    x.extend([2, 3])
+    x.extend(range(3))
+    d = {'a': 1}
+    d.update({'b': 2})
+    d.update(zip(['c'], [3]))
+    u = {1, 2}.union([3], {4})
+    ok = {1}.issubset([1, 2])
+    return {'x': x, 'd': d, 'u': sorted(u), 'ok': ok}
+"""
+    out = make_transform(s, step_budget=5_000)({})
+    assert out == {"x": [1, 2, 3, 0, 1, 2],
+                   "d": {"a": 1, "b": 2, "c": 3},
+                   "u": [1, 2, 3, 4], "ok": True}
+
+
 def test_chained_pow_bounded_by_base_size():
     """Chained ** evaded the exponent-only guard: (x**4096)**4096
     builds a multi-GB int in one op. The guard now bounds the

@@ -162,6 +162,12 @@ def test_complete_mode_no_new_data_resume_raises(spark, tmp_path):
         run_available_now(agg(), "t_noop_2", output_mode="complete",
                           state_partitions=2, checkpoint=ckpt)
 
+    # ...including when the checkpoint is a file: URI (review finding:
+    # an os.listdir-based check silently disarmed for URI schemes)
+    with pytest.raises(ConveyorError, match="no new input"):
+        run_available_now(agg(), "t_noop_3", output_mode="complete",
+                          state_partitions=2, checkpoint=f"file:{ckpt}")
+
     # ...while an update-mode resume legitimately returns zero rows
     ckpt_u = str(tmp_path / "ckpt_u")
     from conveyor_spark.streaming.ops import stream_dedup
