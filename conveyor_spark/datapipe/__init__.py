@@ -32,5 +32,6 @@ from conveyor_spark.datapipe import (  # noqa: F401
     selection,
     split,
     stats,
+    structure,
     substring,
 )

@@ -1,0 +1,149 @@
+"""Document structure + corpus audit: segmentation and manifests.
+
+- ``text.split``: sentence / paragraph / line segmentation — the
+  preprocessing in front of RAG chunking, per-sentence dedup, and
+  sentence-level quality filters. Pure codegen string expressions
+  (RE2-compatible patterns, no lookbehind), zero shuffle.
+- ``corpus.manifest``: the training-freeze audit artifact (the Dolma/
+  Pile release-notes table) — per-group row/token/char counts plus an
+  ORDER-INSENSITIVE content hash (bit_xor of the portable 60-bit doc
+  hash), so re-running the pipeline proves byte-identical corpus
+  content with one tiny table diff, in any engine, under any
+  partitioning.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, P, register
+from conveyor_spark.datapipe.dedup import tokens_expr
+from conveyor_spark.datapipe.hashing import md5_int
+
+# sentence boundary: punctuation followed by whitespace. A sentinel
+# insertion + plain split instead of a lookbehind split, because the
+# oracle engine (RE2) has no lookbehind — the two-step form runs
+# identically on Java regex and RE2.
+_SENTINEL = "\x1e"
+_RULES = {
+    "sentence": (r"([.!?])\s+", _SENTINEL),
+    "paragraph": (r"\n\s*\n", None),  # blank line IS the separator
+    "line": (r"\n", None),
+}
+
+
+@register(
+    "text.split", kind="transform",
+    doc="Split documents into sentences / paragraphs / lines",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id"),
+        P("granularity", default="sentence",
+          allowed=("sentence", "paragraph", "line"), desc="Split unit"),
+        P("min_chars", "integer", default=1, min=1,
+          desc="Drop parts shorter than this after trimming"),
+        P("output_column", default="part", desc="Part text column"),
+    ],
+    example={"column": "text", "id_column": "doc_id",
+             "granularity": "sentence"},
+    tags=["text", "structure", "chunking", "curation"],
+)
+def text_split(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """One row per part: (id, part_id, part) with ``part_id`` counting
+    the KEPT parts 0..n-1 (empties and sub-``min_chars`` parts drop
+    before numbering). Sentences split after [.!?]+whitespace;
+    paragraphs on blank lines; lines on newlines. Parts are trimmed.
+
+    Scale: chained regexp_replace/split/filter/posexplode — whole-
+    stage codegen, zero shuffle, linear; the patterns are RE2-safe so
+    the oracle replays them exactly (q123)."""
+    df = inputs[0]
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("text.split requires 'column' and 'id_column'")
+    gran = config.get("granularity", "sentence")
+    if gran not in _RULES:
+        raise ConfigError(
+            f"text.split: granularity must be one of {sorted(_RULES)}"
+        )
+    min_chars = int(config.get("min_chars", 1))
+    out = config.get("output_column", "part")
+
+    text = F.col(column).cast("string")
+    pattern, sentinel = _RULES[gran]
+    if sentinel is not None:
+        pieces = F.split(
+            F.regexp_replace(text, pattern, "$1" + sentinel), sentinel
+        )
+    else:
+        pieces = F.split(text, pattern)
+    # NOTES rule 6: never hand transform() a 2-arg-capable callable —
+    # F.trim(col, trimstr) would receive the ARRAY INDEX as trimstr
+    kept = F.filter(
+        F.transform(pieces, lambda p: F.trim(p)),
+        lambda p: F.length(p) >= min_chars,
+    )
+    return df.select(
+        F.col(id_column),
+        F.posexplode(kept).alias("part_id", out),
+    ).select(
+        id_column, F.col("part_id").cast("int").alias("part_id"), out
+    )
+
+
+@register(
+    "corpus.manifest", kind="transform",
+    doc="Per-group corpus manifest: counts + order-insensitive hash",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("by", "array", desc="Group columns (default: whole corpus)"),
+        P("id_column", desc="If set, the content hash covers id||text "
+                            "(detects id remapping, not just text)"),
+    ],
+    example={"column": "text", "by": ["language"]},
+    tags=["audit", "reproducibility", "curation"],
+)
+def corpus_manifest(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """The training-freeze audit table: one row per group with
+    ``n_docs``, ``n_tokens``, ``n_chars`` and ``content_hash`` — the
+    bit_xor of each doc's portable 60-bit hash, which is invariant to
+    row order and partitioning, so two pipeline runs produced the
+    same corpus iff their manifests are equal (xor cancels nothing on
+    real data: collisions need identical duplicate multisets).
+
+    Publish it with the dataset (the Dolma/Pile release-notes table)
+    and diff it on every re-run; at 100 TB the manifest is a few KB
+    while a row-level diff is another 100 TB job.
+
+    Scale: one aggregate pass, shuffle bounded by group count; every
+    expression is codegen (md5/conv/xor)."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("corpus.manifest requires 'column'")
+    by = config.get("by") or []
+    if isinstance(by, str):
+        by = [by]
+    id_column = config.get("id_column")
+
+    text = F.col(column).cast("string")
+    subject = (
+        F.concat_ws("\x1f", F.col(id_column).cast("string"), text)
+        if id_column else text
+    )
+    h = md5_int(subject)
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens_expr(column, distinct=False))).alias("n_tokens"),
+        F.sum(F.length(text)).alias("n_chars"),
+        F.expr(f"bit_xor({'__h'})").alias("content_hash"),
+    ]
+    staged = df.withColumn("__h", h)
+    grouped = staged.groupBy(*[F.col(c) for c in by]) if by \
+        else staged.groupBy()
+    return grouped.agg(*aggs)

@@ -4430,6 +4430,73 @@ def q122_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                descending=[True, False], limit=50)
 
 
+@query(
+    "q123_text_split",
+    """
+    WITH enriched AS (
+      SELECT doc_id,
+             replace(replace(text, ' sort ', '. Sort! '),
+                     ' join ', '? Join. ') AS t
+      FROM documents),
+    parts AS (
+      SELECT doc_id,
+             list_filter(
+                 list_transform(
+                     string_split(
+                         regexp_replace(t, '([.!?])\\s+',
+                                        '\\1' || chr(30), 'g'),
+                         chr(30)),
+                     p -> trim(p)),
+                 p -> len(p) >= 2) AS ps
+      FROM enriched)
+    SELECT doc_id, (i - 1)::INT AS part_id, ps[i] AS part
+    FROM (SELECT doc_id, ps, unnest(range(1, len(ps) + 1)) AS i FROM parts)
+    """,
+)
+def q123_text_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.split: sentence segmentation (the step in front of RAG
+    chunking and sentence-level dedup). The corpus text has no
+    punctuation, so the query plants sentence boundaries first
+    (replace chains, engine-portable), then splits; the oracle
+    replays the sentinel-insertion rule (RE2 has no lookbehind —
+    the two-step form is why the op is oracle-checkable at all)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    d = _op("map.apply", ctx, [d],
+            expression="replace(replace(text, ' sort ', '. Sort! '), "
+                       "' join ', '? Join. ')",
+            output_column="t")
+    out = _op("text.split", ctx, [d], column="t", id_column="doc_id",
+              granularity="sentence", min_chars=2)
+    return _op("select.apply", ctx, [out],
+               columns=["doc_id", "part_id", "part"])
+
+
+@query(
+    "q124_corpus_manifest",
+    f"""
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(len({_SQL_TOKENS}))::BIGINT AS n_tokens,
+           SUM(len(text))::BIGINT AS n_chars,
+           bit_xor({_sql_hash("concat_ws(chr(31), doc_id::VARCHAR, text)")})
+               AS content_hash
+    FROM documents GROUP BY lang
+    """,
+)
+def q124_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus.manifest: the training-freeze audit table — per-language
+    doc/token/char counts and an order-insensitive content hash
+    (bit_xor of portable doc hashes). Re-running the pipeline must
+    reproduce this table bit-for-bit; the oracle computes it
+    independently, so a match also certifies the hash is partition-
+    and engine-invariant."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("corpus.manifest", ctx, [d], column="text",
+               by=["lang"], id_column="doc_id")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -56,6 +56,9 @@ def test_oracle_slice_through_connect():
         slice_ = [
             "q01_pricing_summary", "q28_dedup_minhash",
             "q80_decontam_bloom", "q36_dedup_embedding",
+            # r8 families: LM scoring + driver-iterated clustering/PQ
+            "q117_text_perplexity", "q120_embedding_kmeans",
+            "q121_knn_pq",
         ]
         for name in slice_:
             df = QUERIES[name](remote, "/root/testdata/sf0.001")

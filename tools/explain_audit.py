@@ -331,6 +331,21 @@ CHECKS = [
         and "CartesianProduct" not in p,
     ),
     (
+        "q123_text_split",
+        "sentence split: pure codegen regex chain — zero shuffle, "
+        "zero Python",
+        lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
+        and "MapInPandas" not in p,
+    ),
+    (
+        "q124_corpus_manifest",
+        "manifest: one aggregate pass (partial agg), codegen hashes, "
+        "zero Python",
+        lambda p, o: p.count("Scan parquet") == 1
+        and "partial_" in p.lower() and "BatchEvalPython" not in p
+        and "MapInPandas" not in p,
+    ),
+    (
         "q115_sample_mixture",
         "mixture: union of filtered scans — zero shuffle, zero Python",
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
