@@ -4203,11 +4203,13 @@ def q119_rank_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
                column="text", id_column="doc_id", top_k=10)
 
 
-def _kmeans_oracle(k: int, iterations: int, dim: int = 64) -> str:
-    """Unroll Lloyd's algorithm in DuckDB SQL, replaying clustering.py
+def _kmeans_cte(k: int, iterations: int, dim: int = 64) -> tuple[str, str]:
+    """Unroll Lloyd's algorithm as DuckDB CTEs, replaying clustering.py
     bit-for-bit: same first-k-by-id init, same left-to-right squared-
     distance fold, same lowest-index tie break, same floor-quantized
-    int64 centroid sums (see clustering.py's determinism contract)."""
+    int64 centroid sums (see clustering.py's determinism contract).
+    Returns (cte_block, final_assignment_cte) so composition queries
+    (q125 trained-IVF) can build on the assignments."""
     blocks = [
         # init centroids: first k vectors by id, promoted to double
         f"""c0 AS (SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS c,
@@ -4247,10 +4249,15 @@ def _kmeans_oracle(k: int, iterations: int, dim: int = 64) -> str:
             SELECT c, list(s::DOUBLE / (1048576.0 * n) ORDER BY i) AS cv
             FROM s{t} GROUP BY c) m ON c0.c = m.c)""")
     return (
-        "WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),\n"
-        + ",\n".join(blocks)
-        + f"\nSELECT vec_id, c AS cluster FROM a{iterations}"
+        "e AS (SELECT vec_id, embedding AS v FROM embeddings),\n"
+        + ",\n".join(blocks),
+        f"a{iterations}",
     )
+
+
+def _kmeans_oracle(k: int, iterations: int, dim: int = 64) -> str:
+    ctes, final = _kmeans_cte(k, iterations, dim)
+    return f"WITH {ctes}\nSELECT vec_id, c AS cluster FROM {final}"
 
 
 @query("q120_embedding_kmeans", _kmeans_oracle(k=4, iterations=3))
@@ -4495,6 +4502,48 @@ def q124_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return _op("corpus.manifest", ctx, [d], column="text",
                by=["lang"], id_column="doc_id")
+
+
+def _trained_ivf_oracle() -> str:
+    ctes, final = _kmeans_cte(k=4, iterations=3)
+    ids = ", ".join(map(str, _KNN_IDS))
+    return f"""
+    WITH {ctes},
+    ev AS (SELECT e.vec_id, a.c AS label,
+                  list_transform(e.v, x -> x::DOUBLE) AS dv
+           FROM e JOIN {final} a ON e.vec_id = a.vec_id),
+    q AS (SELECT vec_id AS query_id, label AS ql, dv AS qv
+          FROM ev WHERE vec_id IN ({ids})),
+    sims AS (
+      SELECT q.query_id, ev.vec_id AS neighbor_id,
+             round(list_dot_product(q.qv, ev.dv) /
+                   (sqrt(list_dot_product(q.qv, q.qv))
+                    * sqrt(list_dot_product(ev.dv, ev.dv))), 6) AS cosine
+      FROM ev JOIN q ON ev.label = q.ql WHERE ev.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM sims) WHERE rank <= 5
+    """
+
+
+@query("q125_trained_ivf", _trained_ivf_oracle())
+def q125_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The textbook IVF, end-to-end: embedding.kmeans trains the
+    coarse quantizer (3 Lloyd iterations, k=4) and its assignments
+    become knn.ivf's bucket column — queries probe only their own
+    cell (~1/k of the corpus scanned). q35 proves ivf against GIVEN
+    buckets; this proves the TRAINED path: the oracle re-derives the
+    cells via the unrolled Lloyd SQL and brute-forces within them."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    cl = _op("embedding.kmeans", ctx, [e], id_column="vec_id",
+             column="embedding", k=4, iterations=3,
+             output_column="ivf_cell")
+    return _op("knn.ivf", ctx, [cl], id_column="vec_id",
+               column="embedding", bucket_column="ivf_cell", k=5,
+               query_ids=_KNN_IDS)
 
 
 def entry_query(spark: SparkSession) -> DataFrame:
