@@ -72,13 +72,19 @@ def text_split(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
             f"text.split: granularity must be one of {sorted(_RULES)}"
         )
     min_chars = int(config.get("min_chars", 1))
+    if min_chars < 1:
+        raise ConfigError("text.split: min_chars must be >= 1")
     out = config.get("output_column", "part")
 
     text = F.col(column).cast("string")
     pattern, sentinel = _RULES[gran]
     if sentinel is not None:
+        # web-scraped/OCR text can already contain the U+001E record
+        # separator — strip it first or pre-existing bytes would read
+        # as sentence boundaries
+        cleaned = F.replace(text, F.lit(sentinel), F.lit(""))
         pieces = F.split(
-            F.regexp_replace(text, pattern, "$1" + sentinel), sentinel
+            F.regexp_replace(cleaned, pattern, "$1" + sentinel), sentinel
         )
     else:
         pieces = F.split(text, pattern)
@@ -137,11 +143,18 @@ def corpus_manifest(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         if id_column else text
     )
     h = md5_int(subject)
+    # size(NULL) is -1 under non-ANSI (legacy sizeOfNull) — without
+    # the isNotNull guard each NULL-text doc would SUBTRACT one token
+    # and the manifest would vary with the ANSI config, breaking its
+    # entire invariance contract (and the DuckDB oracle, whose SUM
+    # skips NULLs)
     aggs = [
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(tokens_expr(column, distinct=False))).alias("n_tokens"),
+        F.sum(F.when(
+            text.isNotNull(), F.size(tokens_expr(column, distinct=False))
+        )).alias("n_tokens"),
         F.sum(F.length(text)).alias("n_chars"),
-        F.expr(f"bit_xor({'__h'})").alias("content_hash"),
+        F.expr("bit_xor(__h)").alias("content_hash"),
     ]
     staged = df.withColumn("__h", h)
     grouped = staged.groupBy(*[F.col(c) for c in by]) if by \

@@ -4450,7 +4450,8 @@ def q122_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(
                  list_transform(
                      string_split(
-                         regexp_replace(t, '([.!?])\\s+',
+                         regexp_replace(replace(t, chr(30), ''),
+                                        '([.!?])\\s+',
                                         '\\1' || chr(30), 'g'),
                          chr(30)),
                      p -> trim(p)),

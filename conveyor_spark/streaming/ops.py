@@ -155,10 +155,18 @@ def _checkpoint_has_commits(spark: SparkSession, checkpoint: str) -> bool:
         )
     except Exception:
         # Spark Connect (no _jvm) or an unreadable FS: fall back to a
-        # local check so plain paths still get the guard
+        # local check so plain paths and file: URIs still get the
+        # guard. Remote schemes (hdfs://, s3a://) CANNOT be verified
+        # without the JVM FS — there the guard is best-effort only
+        # (documented in run_available_now).
         import os
 
-        commits = os.path.join(checkpoint, "commits")
+        local = checkpoint
+        if local.startswith("file://"):
+            local = local[len("file://"):]
+        elif local.startswith("file:"):
+            local = local[len("file:"):]
+        commits = os.path.join(local, "commits")
         return os.path.isdir(commits) and any(
             not n.startswith(".") for n in os.listdir(commits)
         )
@@ -196,7 +204,11 @@ def run_available_now(
     micro-batches ran, so nothing re-emitted the (still live)
     aggregate state, and silence would be indistinguishable from "no
     results". Update/append resumes with no new input legitimately
-    return zero NEW rows and stay silent."""
+    return zero NEW rows and stay silent. The prior-commits probe
+    goes through Hadoop's FileSystem (any scheme); on a session with
+    no JVM handle (Spark Connect) only plain paths and file: URIs
+    can be probed — remote-scheme checkpoints there get best-effort
+    detection only."""
     spark = sdf.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     batches: dict[int, list] = {}

@@ -618,22 +618,28 @@ class Interpreter:
                     raise SandboxViolation(
                         f"method {type(obj).__name__}.{node.attr} is not allowed"
                     )
+                # NB: wrappers capture `bound` by CLOSURE, never as a
+                # default parameter — a default (`_b=bound`) is
+                # hijackable from the script via a keyword argument
+                # (`d.update(_b=evil)` would replace the method)
                 bound = getattr(obj, node.attr)
                 if node.attr in ("zfill", "ljust", "rjust"):
                     # width-pad methods materialize their argument
-                    def padded(width, *rest, _b=bound):
+                    def padded(width, *rest):
                         if isinstance(width, int) and width > _MAX_LEN:
                             raise StepBudgetExceeded("pad width too large")
-                        return _b(width, *rest)
+                        return bound(width, *rest)
 
                     return padded
                 if (base, node.attr) in self._TICKED_METHODS:
-                    def consuming(*args, _b=bound):
-                        return _b(*[
+                    # kwargs pass through untouched: dict.update(a=1)
+                    # is a bounded literal call, nothing to tick
+                    def consuming(*args, **kwargs):
+                        return bound(*[
                             a if isinstance(a, self._SIZED)
                             else self._ticked(a)
                             for a in args
-                        ])
+                        ], **kwargs)
 
                     return consuming
                 return bound

@@ -204,6 +204,34 @@ def transform(row):
                    "u": [1, 2, 3, 4], "ok": True}
 
 
+def test_method_wrapper_kwargs_and_hijack(ctx=None):
+    """Review cycle 2: the consumer wrapper must pass kwargs through
+    (dict.update(a=1) is valid) and must NOT expose its captured
+    method as a hijackable default parameter."""
+    out = make_transform(
+        "def transform(row):\n"
+        "    d = {'x': 0}\n"
+        "    d.update(a=1, b=2)\n"
+        "    return d"
+    )({})
+    assert out == {"x": 0, "a": 1, "b": 2}
+    # a '_b'/'_bound' keyword must land in the dict like any other
+    # key, not replace the bound method
+    out2 = make_transform(
+        "def transform(row):\n"
+        "    d = {}\n"
+        "    d.update(_b=1, _bound=2)\n"
+        "    return d"
+    )({})
+    assert out2 == {"_b": 1, "_bound": 2}
+    # ...and the zfill guard takes no keywords at all now
+    with pytest.raises(TypeError):
+        make_transform(
+            "def transform(row):\n"
+            "    return {'x': '5'.zfill(3, _b=1)}"
+        )({})
+
+
 def test_chained_pow_bounded_by_base_size():
     """Chained ** evaded the exponent-only guard: (x**4096)**4096
     builds a multi-GB int in one op. The guard now bounds the

@@ -58,6 +58,40 @@ def test_split_errors(ctx, docs):
                id_column="doc_id", granularity="word")
     with pytest.raises(ConfigError, match="requires"):
         run_op(ctx, "text.split", [docs], column="text")
+    with pytest.raises(ConfigError, match="min_chars"):
+        run_op(ctx, "text.split", [docs], column="text",
+               id_column="doc_id", min_chars=0)
+
+
+def test_split_preexisting_sentinel_stripped(ctx, spark):
+    """A doc already containing U+001E (OCR/web noise) must not grow
+    phantom sentence boundaries from it."""
+    df = spark.createDataFrame([(1, "abc\x1edef. end")],
+                               "doc_id LONG, text STRING")
+    out = run_op(ctx, "text.split", [df], column="text",
+                 id_column="doc_id", granularity="sentence")
+    got = [r["part"] for r in out.orderBy("part_id").collect()]
+    assert got == ["abcdef.", "end"]
+
+
+def test_manifest_null_text_invariant_under_ansi(ctx, spark):
+    """size(NULL) = -1 under non-ANSI would make each NULL-text doc
+    SUBTRACT a token from the manifest — the artifact must not vary
+    with the ANSI config."""
+    df = spark.createDataFrame([(1, "a b"), (2, None)],
+                               "doc_id LONG, text STRING")
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        results = {}
+        for mode in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", mode)
+            results[mode] = tuple(run_op(
+                ctx, "corpus.manifest", [df], column="text",
+                id_column="doc_id").collect()[0])
+        assert results["true"] == results["false"]
+        assert results["true"][1] == 2  # n_tokens from doc 1 only
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
 
 
 def test_manifest_order_insensitive_and_sensitive_to_content(ctx, spark, docs):
