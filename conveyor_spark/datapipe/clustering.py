@@ -360,7 +360,7 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
 
 
 @register(
-    "knn.pq", kind="transform", min_inputs=2, max_inputs=2,
+    "knn.pq", kind="transform", min_inputs=2, max_inputs=3,
     doc="PQ asymmetric-distance (ADC) approximate top-k",
     params=[
         P("id_column", required=True, desc="Corpus vector id column"),
@@ -372,40 +372,60 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
           desc="Codewords per subspace"),
         P("iterations", "integer", default=3, min=1, desc="Lloyd iterations"),
         P("dim", "integer", min=1, desc="Dimensionality (default inferred)"),
+        P("code_column",
+          desc="Corpus is PRE-ENCODED: this array<int> column holds "
+               "the pq codes; requires the codebooks third input"),
     ],
     example={"id_column": "doc_id", "column": "embedding", "k": 2,
              "m": 4, "codewords": 4, "iterations": 2},
     tags=["embedding", "ann", "similarity", "datapipe"],
 )
 def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
-    """ADC search over a PQ-encoded corpus: train codebooks on the
-    corpus (embedding.pq's recipe), encode it, then for each query
-    build the m x k table of exact subspace distances to every
-    codeword and score each corpus vector as the sum of its m table
-    lookups — approximate L2 ranking at m lookups per vector instead
-    of dim multiplies. Output: (query_id, corpus id, adc_dist, rank)
-    top-k per query, ties to the lower corpus id.
+    """ADC search over a PQ-encoded corpus: for each query build the
+    m x k table of exact subspace distances to every codeword and
+    score each corpus vector as the sum of its m table lookups —
+    approximate L2 ranking at m lookups per vector instead of dim
+    multiplies. Output: (query_id, corpus id, adc_dist, rank) top-k
+    per query, ties to the lower corpus id.
 
-    inputs: [corpus, queries] (queries = raw vectors, same dim).
+    inputs: [corpus, queries] — trains codebooks on the corpus
+    (embedding.pq's recipe) and encodes inline — or
+    [corpus, queries, codebooks] with ``code_column`` set: the
+    train-once-search-many deployment, where embedding.pq already
+    wrote the encoded corpus (output="codes") and the codebook table
+    (output="codebooks"), and each search touches ONLY (id, m-byte
+    code) pairs — the corpus vectors never load at all. The two
+    paths return identical results (q126 proves it against q121's
+    oracle).
 
     Exactness: the distance table entries are the same left-to-right
     subspace folds as training; the per-pair ADC total folds in
     subspace order; round 9 before ranking — fully oracle-replayable
     (q121 runs train + encode + search end-to-end in SQL).
 
-    Scale: the corpus is touched by training passes + ONE encode and
-    then only its (id, m-byte code) pairs move; the distance table is
-    |queries| x m x k rows — benchmark-sized queries broadcast into
-    the code join. The brute-force baseline (knn.brute) ships full
-    vectors to every comparison; ADC ships codes."""
-    corpus, queries = inputs
+    Scale: inline mode touches the corpus for training passes + ONE
+    encode; pretrained mode only moves code triples. The distance
+    table is |queries| x m x k rows — benchmark-sized queries
+    broadcast into the code join. The brute-force baseline
+    (knn.brute) ships full vectors to every comparison; ADC ships
+    codes."""
+    corpus, queries = inputs[0], inputs[1]
+    codebook_df = inputs[2] if len(inputs) > 2 else None
     id_column = config.get("id_column")
     if not id_column:
         raise ConfigError("knn.pq requires 'id_column'")
     column = config.get("column", "embedding")
     qid_col = config.get("query_id_column", id_column)
+    code_column = config.get("code_column")
+    if (code_column is None) != (codebook_df is None):
+        raise ConfigError(
+            "knn.pq: pretrained mode needs BOTH the codebooks third "
+            "input and 'code_column' (got one without the other)"
+        )
+    corpus_cols = (id_column, code_column) if code_column \
+        else (id_column, column)
     for dfx, cols, side in (
-        (corpus, (id_column, column), "corpus"),
+        (corpus, corpus_cols, "corpus"),
         (queries, (qid_col, column), "queries"),
     ):
         for c in cols:
@@ -420,20 +440,50 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
             "knn.pq: k, m, codewords, iterations must all be >= 1"
         )
 
-    clean, dim = _pq_clean(corpus, id_column, column, config.get("dim"),
-                           op="knn.pq")
-    if dim % m != 0:
-        raise ConfigError(f"knn.pq: dim {dim} not divisible by m={m}")
-    sd = dim // m
-    codebooks, encoded = _train_pq(clean, dim, m, kw, iterations, op="knn.pq")
-
-    # corpus side: skinny (id, subspace, code) triples
-    codes = encoded.select(
-        "__kid",
-        F.posexplode(
-            F.array(*[F.col(f"__c{s}") for s in range(m)])
-        ).alias("__s", "__code"),
-    )
+    if code_column is not None:
+        for c in ("subspace", "code", "centroid"):
+            if c not in codebook_df.columns:
+                raise ConfigError(
+                    f"knn.pq: codebooks input has no column {c!r} "
+                    "(expect embedding.pq output='codebooks')"
+                )
+        rows = codebook_df.select("subspace", "code", "centroid").collect()
+        if not rows:
+            raise ConfigError("knn.pq: codebooks input is empty")
+        m = max(r["subspace"] for r in rows) + 1
+        kw = max(r["code"] for r in rows) + 1
+        sd = len(rows[0]["centroid"])
+        dim = m * sd
+        codebooks = [[None] * kw for _ in range(m)]
+        for r in rows:
+            codebooks[r["subspace"]][r["code"]] = [float(x) for x in r["centroid"]]
+        missing = [(s, j) for s in range(m) for j in range(kw)
+                   if codebooks[s][j] is None]
+        if missing:
+            raise ConfigError(
+                f"knn.pq: codebooks input is missing entries {missing[:4]}"
+            )
+        codes = corpus.filter(
+            F.col(code_column).isNotNull() & (F.size(code_column) == m)
+        ).select(
+            F.col(id_column).alias("__kid"),
+            F.posexplode(code_column).alias("__s", "__code"),
+        )
+    else:
+        clean, dim = _pq_clean(corpus, id_column, column,
+                               config.get("dim"), op="knn.pq")
+        if dim % m != 0:
+            raise ConfigError(f"knn.pq: dim {dim} not divisible by m={m}")
+        sd = dim // m
+        codebooks, encoded = _train_pq(clean, dim, m, kw, iterations,
+                                       op="knn.pq")
+        # corpus side: skinny (id, subspace, code) triples
+        codes = encoded.select(
+            "__kid",
+            F.posexplode(
+                F.array(*[F.col(f"__c{s}") for s in range(m)])
+            ).alias("__s", "__code"),
+        )
 
     # query side: exact distance to every codeword of every subspace
     qclean = queries.filter(

@@ -4547,6 +4547,26 @@ def q125_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                query_ids=_KNN_IDS)
 
 
+@query("q126_knn_pq_pretrained",
+       _pq_oracle(m=4, kw=4, iterations=2, dim=64, nq=5, topk=3))
+def q126_knn_pq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn.pq pretrained mode — the train-once-search-many
+    deployment: embedding.pq writes the encoded corpus and the
+    codebook table, then knn.pq searches touching ONLY (id, code)
+    pairs (the corpus vectors never load). Same oracle as q121: the
+    pretrained path must return bit-identical results to the
+    integrated train+search path."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    pq_cfg = dict(id_column="vec_id", column="embedding",
+                  m=4, k=4, iterations=2)
+    encoded = _op("embedding.pq", ctx, [e], **pq_cfg)
+    books = _op("embedding.pq", ctx, [e], output="codebooks", **pq_cfg)
+    q = _op("filter.apply", ctx, [e], expr="vec_id < 5")
+    return _op("knn.pq", ctx, [encoded, q, books], id_column="vec_id",
+               column="embedding", code_column="pq_code", k=3)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -241,6 +241,36 @@ def test_pq_config_errors(ctx, pqdf):
                id_column="vec_id")
 
 
+def test_knn_pq_pretrained_equals_integrated(ctx, pqdf):
+    """Train-once-search-many: embedding.pq's codes + codebooks fed
+    to knn.pq must reproduce the integrated train+search path
+    exactly."""
+    df, _ = pqdf
+    q = df.filter("vec_id < 2")
+    cfg = dict(m=2, codewords=3, iterations=2)
+    integrated = run_op(ctx, "knn.pq", [df, q], id_column="vec_id",
+                        k=4, **cfg)
+    encoded = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                     m=2, k=3, iterations=2)
+    books = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                   m=2, k=3, iterations=2, output="codebooks")
+    pretrained = run_op(ctx, "knn.pq", [encoded, q, books],
+                        id_column="vec_id", code_column="pq_code", k=4)
+    key = lambda r: (r["query_vec_id"], r["rank"])
+    a = sorted(map(tuple, integrated.collect()), key=lambda t: (t[0], t[3]))
+    b = sorted(map(tuple, pretrained.collect()), key=lambda t: (t[0], t[3]))
+    assert a == b and a
+    # config errors: code_column without codebooks, and vice versa
+    with pytest.raises(ConfigError, match="BOTH"):
+        run_op(ctx, "knn.pq", [encoded, q], id_column="vec_id",
+               code_column="pq_code")
+    with pytest.raises(ConfigError, match="BOTH"):
+        run_op(ctx, "knn.pq", [df, q, books], id_column="vec_id")
+    with pytest.raises(ConfigError, match="codebooks input"):
+        run_op(ctx, "knn.pq", [encoded, q, q], id_column="vec_id",
+               code_column="pq_code")
+
+
 def test_dim_inference_is_deterministic(ctx, spark):
     """Review finding: dim inference must come from the SMALLEST id's
     vector, not an unordered first() — on mixed-length corpora the

@@ -64,8 +64,15 @@ HEAVY_SET = [
 # documented scale path for the same job (minhash -> candidates,
 # q52) must and does stay zero-spill. The probe therefore asserts
 # zero spill for every scale-path query and only RECORDS spill for
-# these two, failing them solely on error/timeout.
-SPILL_EXPECTED = {"q51_jaccard_pruned", "q64_fuzzy_join"}
+# these, failing them solely on error/timeout.
+# q113 joined the set at 16x: exact-substring span detection is
+# pair-emitting by definition (every near-dup pair in a capped Zipf
+# cluster yields gram-match rows — ~2M output SPANS at 16x), so its
+# island sort legitimately spills while completing in ~20 s; its
+# scale mitigation is the same as jaccard's — run minhash/star first
+# and feed dedup.substring only candidate pairs' docs.
+SPILL_EXPECTED = {"q51_jaccard_pruned", "q64_fuzzy_join",
+                  "q113_dedup_substring"}
 
 # tables the heavy set reads -> (id column, perturbation kind)
 REPLICATED = {
