@@ -4548,18 +4548,19 @@ def q125_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("q126_knn_pq_pretrained",
-       _pq_oracle(m=4, kw=4, iterations=2, dim=64, nq=5, topk=3))
+       _pq_oracle(m=4, kw=4, iterations=1, dim=64, nq=5, topk=3))
 def q126_knn_pq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn.pq pretrained mode — the train-once-search-many
     deployment: embedding.pq writes the encoded corpus and the
     codebook table, then knn.pq searches touching ONLY (id, code)
-    pairs (the corpus vectors never load). Same oracle as q121: the
-    pretrained path must return bit-identical results to the
-    integrated train+search path."""
+    pairs (the corpus vectors never load). Same oracle family as
+    q121 (1 Lloyd iteration here — q121 already proves training
+    depth; this query proves the pretrained SEARCH plumbing, which
+    must return bit-identical results to the integrated path)."""
     ctx = _ctx(spark)
     e = load_table(spark, sf_dir, "embeddings")
     pq_cfg = dict(id_column="vec_id", column="embedding",
-                  m=4, k=4, iterations=2)
+                  m=4, k=4, iterations=1)
     encoded = _op("embedding.pq", ctx, [e], **pq_cfg)
     books = _op("embedding.pq", ctx, [e], output="codebooks", **pq_cfg)
     q = _op("filter.apply", ctx, [e], expr="vec_id < 5")
