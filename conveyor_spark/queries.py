@@ -4271,7 +4271,7 @@ def q120_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = _ctx(spark)
     e = load_table(spark, sf_dir, "embeddings")
     out = _op("embedding.kmeans", ctx, [e], id_column="vec_id",
-              column="embedding", k=4, iterations=3)
+              column="embedding", k=4, iterations=3, dim=64)
     return _op("select.apply", ctx, [out], columns=["vec_id", "cluster"])
 
 
@@ -4365,7 +4365,7 @@ def q121_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = _op("filter.apply", ctx, [e], expr="vec_id < 5")
     return _op("knn.pq", ctx, [e, q], id_column="vec_id",
-               column="embedding", k=3, m=4, codewords=4, iterations=2)
+               column="embedding", k=3, m=4, codewords=4, iterations=2, dim=64)
 
 
 def _lm_nll_sql(prefix: str, ref_where: str) -> str:
@@ -4540,7 +4540,7 @@ def q125_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = _ctx(spark)
     e = load_table(spark, sf_dir, "embeddings")
     cl = _op("embedding.kmeans", ctx, [e], id_column="vec_id",
-             column="embedding", k=4, iterations=3,
+             column="embedding", k=4, iterations=3, dim=64,
              output_column="ivf_cell")
     return _op("knn.ivf", ctx, [cl], id_column="vec_id",
                column="embedding", bucket_column="ivf_cell", k=5,
@@ -4560,7 +4560,7 @@ def q126_knn_pq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = _ctx(spark)
     e = load_table(spark, sf_dir, "embeddings")
     pq_cfg = dict(id_column="vec_id", column="embedding",
-                  m=4, k=4, iterations=1)
+                  m=4, k=4, iterations=1, dim=64)
     encoded = _op("embedding.pq", ctx, [e], **pq_cfg)
     books = _op("embedding.pq", ctx, [e], output="codebooks", **pq_cfg)
     q = _op("filter.apply", ctx, [e], expr="vec_id < 5")
