@@ -26,6 +26,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     text,
     multimodal,
     packing,
+    pca,
     quality,
     resample,
     scoring,

@@ -4568,6 +4568,96 @@ def q126_knn_pq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
                column="embedding", code_column="pq_code", k=3)
 
 
+def _pca_oracle(components: int, iterations: int, dim: int = 64) -> str:
+    """Replay embedding.pca end-to-end in DuckDB: quantized exact
+    moments, the one covariance formula, fixed-count power iteration
+    with deflation (every fold in ascending index order, sqrt for
+    norms), and the centered projection — pca.py bit-for-bit."""
+    d1 = dim + 1
+    fold = "(a, b) -> a + b"
+    blocks = [
+        f"""q AS MATERIALIZED (SELECT vec_id,
+               list_transform(v, x -> floor(x::DOUBLE * 1048576.0)::BIGINT)
+                   AS qv FROM e)""",
+        f"""el AS MATERIALIZED (SELECT vec_id, i, qv[i] AS qi
+        FROM (SELECT vec_id, qv, unnest(range(1, {d1})) AS i FROM q))""",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS n FROM q)",
+        "sm AS MATERIALIZED (SELECT i, SUM(qi)::BIGINT AS s FROM el GROUP BY i)",
+        """pr AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+               SUM(a.qi::DECIMAL(19,0) * b.qi)::DECIMAL(38,0) AS p
+        FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY a.i, b.i)""",
+        """cov0 AS MATERIALIZED (SELECT p.i, p.j,
+               (p.p::DOUBLE - sa.s::DOUBLE * sb.s::DOUBLE / nn.n)
+                   / (nn.n * 1099511627776.0) AS c
+        FROM pr p JOIN sm sa ON sa.i = p.i JOIN sm sb ON sb.i = p.j
+        CROSS JOIN nn)""",
+    ]
+    for comp in range(1, components + 1):
+        prev_cov = f"cov{comp - 1}"
+        blocks.append(
+            f"v{comp}_0 AS MATERIALIZED (SELECT unnest(range(1, {d1}))::INT AS i, "
+            "1.0::DOUBLE AS val)"
+        )
+        for t in range(1, iterations + 1):
+            blocks.append(f"""w{comp}_{t} AS MATERIALIZED (
+        SELECT cv.i, list_reduce(list_prepend(0.0::DOUBLE,
+                   list(cv.c * vv.val ORDER BY cv.j)), {fold}) AS val
+        FROM {prev_cov} cv JOIN v{comp}_{t - 1} vv ON cv.j = vv.i
+        GROUP BY cv.i)""")
+            blocks.append(f"""n{comp}_{t} AS MATERIALIZED (
+        SELECT sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                   list(val * val ORDER BY i)), {fold})) AS nm
+        FROM w{comp}_{t})""")
+            blocks.append(f"""v{comp}_{t} AS MATERIALIZED (
+        SELECT i, val / nm AS val FROM w{comp}_{t} CROSS JOIN n{comp}_{t})""")
+        last = f"{comp}_{iterations}"
+        if comp < components:
+            blocks.append(f"""cov{comp} AS MATERIALIZED (
+        SELECT cv.i, cv.j, cv.c - n{last}.nm * va.val * vb.val AS c
+        FROM {prev_cov} cv
+        JOIN v{last} va ON va.i = cv.i
+        JOIN v{last} vb ON vb.i = cv.j
+        CROSS JOIN n{last})""")
+        blocks.append(
+            f"vl{comp} AS MATERIALIZED (SELECT list(val ORDER BY i) AS vlist FROM v{last})"
+        )
+    blocks.append(
+        "ml AS MATERIALIZED (SELECT list(s::DOUBLE / (nn.n * 1048576.0) ORDER BY i) AS m "
+        "FROM sm CROSS JOIN nn GROUP BY nn.n)"
+    )
+    score_cols = ", ".join(
+        f"""round(list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, {d1}),
+                k -> (e.v[k]::DOUBLE - ml.m[k]) * vl{c}.vlist[k])),
+            {fold}), 9) AS pc{c}"""
+        for c in range(1, components + 1)
+    )
+    crosses = " ".join(f"CROSS JOIN vl{c}" for c in range(1, components + 1))
+    return (
+        "WITH e AS MATERIALIZED (SELECT vec_id, embedding AS v FROM embeddings),\n"
+        + ",\n".join(blocks)
+        + f"\nSELECT e.vec_id, {score_cols} FROM e CROSS JOIN ml {crosses}"
+    )
+
+
+@query("q127_embedding_pca", _pca_oracle(components=2, iterations=8))
+def q127_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding.pca: exact-replay PCA — quantized-int64 moments in
+    ONE wide aggregate pass, driver-side fixed-count power iteration
+    with deflation, codegen projection. The oracle re-derives the
+    moments (via a self-join — exactness bridges the two
+    formulations), replays every power iteration and the deflation
+    in SQL, and projects: a hash match proves the WHOLE eigenpipeline
+    is partition-order-independent and engine-exact — the property
+    MLlib's double-summed Gram + LAPACK path cannot offer."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    out = _op("embedding.pca", ctx, [e], id_column="vec_id",
+              column="embedding", components=2, iterations=8, dim=64)
+    return _op("select.apply", ctx, [out],
+               columns=["vec_id", "pc1", "pc2"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

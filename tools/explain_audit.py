@@ -346,6 +346,13 @@ CHECKS = [
         and "MapInPandas" not in p,
     ),
     (
+        "q127_embedding_pca",
+        "PCA: moments via skinny-entry explode + partial agg (small "
+        "plan, map-side combine), projection codegen, zero Python",
+        lambda p, o: "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "CartesianProduct" not in p,
+    ),
+    (
         "q115_sample_mixture",
         "mixture: union of filtered scans — zero shuffle, zero Python",
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
