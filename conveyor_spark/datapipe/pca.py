@@ -89,6 +89,8 @@ def power_iteration(cov: list[list[float]], iterations: int):
         P("output", default="project", allowed=("project", "components"),
           desc="project: input + score columns; components: r rows"),
         P("prefix", default="pc", desc="Score column prefix (pc1, pc2...)"),
+        P("whiten", "boolean", default=False,
+          desc="Scale each score by 1/sqrt(eigenvalue) (unit variance)"),
     ],
     example={"id_column": "doc_id", "column": "embedding",
              "components": 2, "iterations": 4},
@@ -222,18 +224,27 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
             "mean ARRAY<DOUBLE>",
         )
 
+    whiten = bool(config.get("whiten", False))
     mean_arr = F.array(*[F.lit(m) for m in mean])
     centered = F.zip_with(
         vec, mean_arr, lambda x, mc: x.cast("double") - mc
     )
     proj_cols = []
-    for k, (_, v) in enumerate(comps):
+    for k, (lam, v) in enumerate(comps):
         v_arr = F.array(*[F.lit(x) for x in v])
         score = F.aggregate(
             F.zip_with(centered, v_arr, lambda c, vv: c * vv),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
+        if whiten:
+            if lam <= 0:
+                raise ConfigError(
+                    f"embedding.pca: whiten=true but component "
+                    f"{k + 1} has eigenvalue {lam} <= 0 (no variance "
+                    "to normalize away)"
+                )
+            score = score / F.lit(math.sqrt(lam))
         ok = (
             vec.isNotNull() & (F.size(vec) == dim)
             & ~F.exists(vec, lambda x: x.isNull())

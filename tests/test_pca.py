@@ -102,6 +102,24 @@ def test_pca_agrees_with_numpy_eigendecomposition(ctx, pcadf):
     assert got[1] == pytest.approx(w[-2], rel=1e-3)
 
 
+def test_pca_whiten(ctx, pcadf):
+    df, vecs = pcadf
+    comps, _, exp_scores = py_pca(vecs, r=2, iterations=6)
+    out = run_op(ctx, "embedding.pca", [df], id_column="vec_id",
+                 components=2, iterations=6, whiten=True)
+    got = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in out.collect()}
+    for i, (e1, e2) in exp_scores.items():
+        # python reference rounds pre-whitening; compare loosely
+        assert got[i][0] == pytest.approx(
+            e1 / math.sqrt(comps[0][0]), abs=1e-6), i
+        assert got[i][1] == pytest.approx(
+            e2 / math.sqrt(comps[1][0]), abs=1e-6), i
+    # whitened scores have ~unit variance
+    import statistics
+    assert statistics.pvariance([v[0] for v in got.values()]) == \
+        pytest.approx(1.0, rel=0.05)
+
+
 def test_pca_partitioning_invariance(ctx, pcadf):
     df, _ = pcadf
     base = {r["vec_id"]: (r["pc1"], r["pc2"]) for r in run_op(
