@@ -113,8 +113,9 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     if not id_column:
         raise ConfigError("embedding.kmeans requires 'id_column'")
     column = config.get("column", "embedding")
-    if column not in df.columns:
-        raise ConfigError(f"embedding.kmeans: no column {column!r}")
+    for c in (id_column, column):
+        if c not in df.columns:
+            raise ConfigError(f"embedding.kmeans: no column {c!r}")
     k = config.get("k")
     if not k or int(k) < 1:
         raise ConfigError("embedding.kmeans requires 'k' >= 1")
@@ -267,6 +268,53 @@ def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int,
     return codebooks, assign(clean)
 
 
+def _parse_codebooks(codebook_df: DataFrame, op: str, config: dict):
+    """Load + validate an embedding.pq output='codebooks' table into
+    the in-memory [m][k][sd] structure. Derived m/codewords/dim WIN —
+    but an explicitly-configured conflicting value is an error, not a
+    silent override (a codebook table missing a trailing subspace
+    would otherwise shrink m silently and the size==m filter would
+    drop every corpus row)."""
+    for c in ("subspace", "code", "centroid"):
+        if c not in codebook_df.columns:
+            raise ConfigError(
+                f"{op}: codebooks input has no column {c!r} "
+                "(expect embedding.pq output='codebooks')"
+            )
+    rows = codebook_df.select("subspace", "code", "centroid").collect()
+    if not rows:
+        raise ConfigError(f"{op}: codebooks input is empty")
+    if any(r["centroid"] is None for r in rows):
+        raise ConfigError(f"{op}: codebooks input has NULL centroids")
+    lens = {len(r["centroid"]) for r in rows}
+    if len(lens) != 1:
+        raise ConfigError(
+            f"{op}: codebook centroids have mixed lengths {sorted(lens)}"
+        )
+    m = max(r["subspace"] for r in rows) + 1
+    kw = max(r["code"] for r in rows) + 1
+    sd = lens.pop()
+    dim = m * sd
+    for key, derived in (("m", m), ("codewords", kw), ("dim", dim)):
+        if key in config and int(config[key]) != derived:
+            raise ConfigError(
+                f"{op}: config {key}={config[key]} conflicts with the "
+                f"codebooks input ({key}={derived})"
+            )
+    codebooks: list[list] = [[None] * kw for _ in range(m)]
+    for r in rows:
+        codebooks[r["subspace"]][r["code"]] = [
+            float(x) for x in r["centroid"]
+        ]
+    missing = [(s, j) for s in range(m) for j in range(kw)
+               if codebooks[s][j] is None]
+    if missing:
+        raise ConfigError(
+            f"{op}: codebooks input is missing entries {missing[:4]}"
+        )
+    return codebooks, m, kw, sd, dim
+
+
 def _pq_clean(df: DataFrame, id_column: str, column: str, dim: int | None,
               op: str = "embedding.pq"):
     vec = F.col(column)
@@ -323,8 +371,9 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     if not id_column:
         raise ConfigError("embedding.pq requires 'id_column'")
     column = config.get("column", "embedding")
-    if column not in df.columns:
-        raise ConfigError(f"embedding.pq: no column {column!r}")
+    for c in (id_column, column):
+        if c not in df.columns:
+            raise ConfigError(f"embedding.pq: no column {c!r}")
     m = int(config.get("m", 4))
     k = int(config.get("k", 16))
     iterations = int(config.get("iterations", 3))
@@ -357,6 +406,60 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     return df.join(
         codes, df[id_column] == codes["__kid"], "left"
     ).drop("__kid")
+
+
+@register(
+    "embedding.pq_encode", kind="transform", min_inputs=2, max_inputs=2,
+    doc="Encode vectors against pretrained PQ codebooks (no training)",
+    params=[
+        P("id_column", required=True, desc="Vector id column"),
+        P("column", default="embedding", desc="array<float|double> column"),
+        P("output_column", default="pq_code", desc="Code column"),
+        P("m", "integer", min=1,
+          desc="Optional cross-check: error if the codebooks disagree"),
+        P("codewords", "integer", min=1,
+          desc="Optional cross-check against the codebooks"),
+        P("dim", "integer", min=1,
+          desc="Optional cross-check against the codebooks"),
+    ],
+    example={"id_column": "doc_id", "column": "embedding"},
+    tags=["embedding", "ann", "compression", "datapipe"],
+)
+def embedding_pq_encode(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """The deployment half of PQ: encode any vector set against a
+    codebook table trained ONCE (embedding.pq output="codebooks",
+    typically on a sample) — one codegen argmin pass, zero training
+    jobs. Train on a 1% sample, pq_encode the 100 TB corpus, search
+    forever with knn.pq's pretrained mode. Same argmin/tie rules as
+    training, so encode(train_corpus) reproduces embedding.pq's own
+    codes exactly (tested)."""
+    df, codebook_df = inputs
+    id_column = config.get("id_column")
+    if not id_column:
+        raise ConfigError("embedding.pq_encode requires 'id_column'")
+    column = config.get("column", "embedding")
+    for c in (id_column, column):
+        if c not in df.columns:
+            raise ConfigError(f"embedding.pq_encode: no column {c!r}")
+    out_col = config.get("output_column", "pq_code")
+    codebooks, m, kw, sd, dim = _parse_codebooks(
+        codebook_df, "embedding.pq_encode", config
+    )
+
+    vec = F.col(column)
+    ok = (
+        vec.isNotNull() & (F.size(vec) == dim)
+        & ~F.exists(vec, lambda x: x.isNull())
+    )
+    cols = []
+    for s in range(m):
+        dists = F.array(*[
+            _sub_dist_expr(vec, s * sd, codebooks[s][j]) for j in range(kw)
+        ])
+        cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.withColumn(out_col, F.when(ok, F.array(*cols)))
 
 
 @register(
@@ -441,30 +544,18 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
         )
 
     if code_column is not None:
-        for c in ("subspace", "code", "centroid"):
-            if c not in codebook_df.columns:
-                raise ConfigError(
-                    f"knn.pq: codebooks input has no column {c!r} "
-                    "(expect embedding.pq output='codebooks')"
-                )
-        rows = codebook_df.select("subspace", "code", "centroid").collect()
-        if not rows:
-            raise ConfigError("knn.pq: codebooks input is empty")
-        m = max(r["subspace"] for r in rows) + 1
-        kw = max(r["code"] for r in rows) + 1
-        sd = len(rows[0]["centroid"])
-        dim = m * sd
-        codebooks = [[None] * kw for _ in range(m)]
-        for r in rows:
-            codebooks[r["subspace"]][r["code"]] = [float(x) for x in r["centroid"]]
-        missing = [(s, j) for s in range(m) for j in range(kw)
-                   if codebooks[s][j] is None]
-        if missing:
-            raise ConfigError(
-                f"knn.pq: codebooks input is missing entries {missing[:4]}"
-            )
+        codebooks, m, kw, sd, dim = _parse_codebooks(
+            codebook_df, "knn.pq", config
+        )
+        # invalid codes (NULL / out-of-range elements) would silently
+        # drop out of the distance-table join, leaving a PARTIAL ADC
+        # sum that outranks genuine neighbors — exclude those rows
         codes = corpus.filter(
             F.col(code_column).isNotNull() & (F.size(code_column) == m)
+            & ~F.exists(
+                code_column,
+                lambda x: x.isNull() | (x < 0) | (x >= kw),
+            )
         ).select(
             F.col(id_column).alias("__kid"),
             F.posexplode(code_column).alias("__s", "__code"),

@@ -117,8 +117,9 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     if not id_column:
         raise ConfigError("embedding.pca requires 'id_column'")
     column = config.get("column", "embedding")
-    if column not in df.columns:
-        raise ConfigError(f"embedding.pca: no column {column!r}")
+    for c in (id_column, column):
+        if c not in df.columns:
+            raise ConfigError(f"embedding.pca: no column {c!r}")
     r = int(config.get("components", 2))
     iterations = int(config.get("iterations", 12))
     if r < 1 or iterations < 1:
@@ -138,10 +139,14 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     if r > dim:
         raise ConfigError(f"embedding.pca: components={r} > dim={dim}")
 
-    clean = df.filter(
+    # ONE validity predicate, shared by the moments pass and the
+    # projection guard — two copies could silently disagree about
+    # which rows are usable
+    ok = (
         vec.isNotNull() & (F.size(vec) == dim)
         & ~F.exists(vec, lambda x: x.isNull())
     )
+    clean = df.filter(ok)
 
     # ONE pass for every moment: each row emits 2145 skinny
     # (i, j, val) entries — upper-triangle quantized pair products
@@ -245,10 +250,6 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
                     "to normalize away)"
                 )
             score = score / F.lit(math.sqrt(lam))
-        ok = (
-            vec.isNotNull() & (F.size(vec) == dim)
-            & ~F.exists(vec, lambda x: x.isNull())
-        )
         proj_cols.append(
             F.when(ok, F.round(score, 9)).alias(f"{prefix}{k + 1}")
         )

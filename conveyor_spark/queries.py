@@ -4551,18 +4551,20 @@ def q125_trained_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
        _pq_oracle(m=4, kw=4, iterations=1, dim=64, nq=5, topk=3))
 def q126_knn_pq_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn.pq pretrained mode — the train-once-search-many
-    deployment: embedding.pq writes the encoded corpus and the
-    codebook table, then knn.pq searches touching ONLY (id, code)
-    pairs (the corpus vectors never load). Same oracle family as
-    q121 (1 Lloyd iteration here — q121 already proves training
-    depth; this query proves the pretrained SEARCH plumbing, which
-    must return bit-identical results to the integrated path)."""
+    deployment: embedding.pq trains the codebooks ONCE,
+    embedding.pq_encode stamps the corpus with codes (zero training
+    jobs), and knn.pq searches touching ONLY (id, code) pairs (the
+    corpus vectors never load). Same oracle family as q121 (1 Lloyd
+    iteration here — q121 already proves training depth; this query
+    proves the pretrained ENCODE+SEARCH plumbing, which must return
+    bit-identical results to the integrated path)."""
     ctx = _ctx(spark)
     e = load_table(spark, sf_dir, "embeddings")
-    pq_cfg = dict(id_column="vec_id", column="embedding",
-                  m=4, k=4, iterations=1, dim=64)
-    encoded = _op("embedding.pq", ctx, [e], **pq_cfg)
-    books = _op("embedding.pq", ctx, [e], output="codebooks", **pq_cfg)
+    books = _op("embedding.pq", ctx, [e], id_column="vec_id",
+                column="embedding", m=4, k=4, iterations=1, dim=64,
+                output="codebooks")
+    encoded = _op("embedding.pq_encode", ctx, [e, books],
+                  id_column="vec_id", column="embedding")
     q = _op("filter.apply", ctx, [e], expr="vec_id < 5")
     return _op("knn.pq", ctx, [encoded, q, books], id_column="vec_id",
                column="embedding", code_column="pq_code", k=3)

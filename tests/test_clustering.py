@@ -256,7 +256,6 @@ def test_knn_pq_pretrained_equals_integrated(ctx, pqdf):
                    m=2, k=3, iterations=2, output="codebooks")
     pretrained = run_op(ctx, "knn.pq", [encoded, q, books],
                         id_column="vec_id", code_column="pq_code", k=4)
-    key = lambda r: (r["query_vec_id"], r["rank"])
     a = sorted(map(tuple, integrated.collect()), key=lambda t: (t[0], t[3]))
     b = sorted(map(tuple, pretrained.collect()), key=lambda t: (t[0], t[3]))
     assert a == b and a
@@ -269,6 +268,59 @@ def test_knn_pq_pretrained_equals_integrated(ctx, pqdf):
     with pytest.raises(ConfigError, match="codebooks input"):
         run_op(ctx, "knn.pq", [encoded, q, q], id_column="vec_id",
                code_column="pq_code")
+
+
+def test_pq_encode_reproduces_training_codes(ctx, pqdf, spark):
+    """embedding.pq_encode against the trained codebooks must stamp
+    the training corpus with embedding.pq's own codes — and reject
+    invalid codebooks / conflicting config loudly."""
+    df, _ = pqdf
+    books = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                   m=2, k=3, iterations=2, output="codebooks")
+    direct = {r["vec_id"]: list(r["pq_code"]) for r in run_op(
+        ctx, "embedding.pq", [df], id_column="vec_id",
+        m=2, k=3, iterations=2).collect()}
+    encoded = {r["vec_id"]: list(r["pq_code"]) for r in run_op(
+        ctx, "embedding.pq_encode", [df, books],
+        id_column="vec_id").collect()}
+    assert encoded == direct
+
+    with pytest.raises(ConfigError, match="conflicts"):
+        run_op(ctx, "embedding.pq_encode", [df, books],
+               id_column="vec_id", m=4)
+    bad = spark.createDataFrame(
+        [(0, 0, None), (1, 0, [0.0] * 4)],
+        "subspace INT, code INT, centroid ARRAY<DOUBLE>")
+    with pytest.raises(ConfigError, match="NULL centroids"):
+        run_op(ctx, "embedding.pq_encode", [df, bad], id_column="vec_id")
+    ragged = spark.createDataFrame(
+        [(0, 0, [0.0] * 4), (1, 0, [0.0] * 3)],
+        "subspace INT, code INT, centroid ARRAY<DOUBLE>")
+    with pytest.raises(ConfigError, match="mixed lengths"):
+        run_op(ctx, "embedding.pq_encode", [df, ragged],
+               id_column="vec_id")
+
+
+def test_knn_pq_rejects_corrupt_codes(ctx, pqdf, spark):
+    """Review finding: NULL / out-of-range code elements dropped out
+    of the distance-table join and the PARTIAL ADC sum outranked
+    genuine neighbors — such rows must be excluded entirely."""
+    df, _ = pqdf
+    books = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                   m=2, k=3, iterations=2, output="codebooks")
+    encoded = run_op(ctx, "embedding.pq_encode", [df, books],
+                     id_column="vec_id")
+    corrupt = encoded.selectExpr(
+        "vec_id", "embedding",
+        "CASE WHEN vec_id = 5 THEN array(0, CAST(NULL AS INT)) "
+        "     WHEN vec_id = 6 THEN array(0, 99) "
+        "     ELSE pq_code END AS pq_code")
+    q = df.filter("vec_id < 1")
+    out = run_op(ctx, "knn.pq", [corrupt, q, books], id_column="vec_id",
+                 code_column="pq_code", k=100)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert 5 not in ids and 6 not in ids
+    assert len(ids) == 18  # the other 18 of 20 rows all scored
 
 
 def test_dim_inference_is_deterministic(ctx, spark):

@@ -81,6 +81,13 @@ INPUT_BUILDERS = {
     ],
     # corpus + query vectors (same schema works)
     "knn.pq": lambda df: [df, df],
+    # second input is an embedding.pq codebooks table (dim 64 = 2x32)
+    "embedding.pq_encode": lambda df: [
+        df,
+        df.sparkSession.createDataFrame(
+            [(s, 0, [0.1 * s] * 32) for s in range(2)],
+            "subspace INT, code INT, centroid ARRAY<DOUBLE>"),
+    ],
     # flatten=True collides with the kitchen sink's own 'id' column —
     # that refusal is correct behavior; parse into a clean frame
     "json.parse": lambda df: [df.select("payload")],
