@@ -58,7 +58,7 @@ def test_oracle_slice_through_connect():
             "q80_decontam_bloom", "q36_dedup_embedding",
             # r8 families: LM scoring + driver-iterated clustering/PQ
             "q117_text_perplexity", "q120_embedding_kmeans",
-            "q121_knn_pq",
+            "q121_knn_pq", "q127_embedding_pca",
         ]
         for name in slice_:
             df = QUERIES[name](remote, "/root/testdata/sf0.001")

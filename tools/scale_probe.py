@@ -53,6 +53,7 @@ HEAVY_SET = [
     "q117_text_perplexity",
     "q121_knn_pq",
     "q122_dsir_select",
+    "q127_embedding_pca",
 ]
 
 # Quadratic-BY-DATA paths: under adversarial duplication (Zipf
