@@ -22,6 +22,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     funnel,
     fuzzy,
     graph,
+    mining,
     similarity,
     text,
     multimodal,

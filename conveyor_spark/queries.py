@@ -4660,6 +4660,70 @@ def q127_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                columns=["vec_id", "pc1", "pc2"])
 
 
+@query(
+    "q128_mine_bitext",
+    """
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> x::DOUBLE) AS v
+               FROM embeddings),
+    s AS (SELECT vec_id AS sid, label, v,
+                 sqrt(list_dot_product(v, v)) AS n
+          FROM e WHERE vec_id % 2 = 0),
+    t AS (SELECT vec_id AS tid, label, v,
+                 sqrt(list_dot_product(v, v)) AS n
+          FROM e WHERE vec_id % 2 = 1),
+    p AS (SELECT s.sid, t.tid,
+                 round(list_dot_product(s.v, t.v) / (s.n * t.n), 6) AS cos
+          FROM s JOIN t ON s.label = t.label),
+    rs AS (SELECT sid, tid, cos,
+                  row_number() OVER (PARTITION BY sid
+                                     ORDER BY cos DESC, tid) AS r FROM p),
+    sa AS (SELECT sid,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                      list(cos ORDER BY r)), (a, b) -> a + b)
+                  / COUNT(*) AS sa
+           FROM rs WHERE r <= 3 GROUP BY sid),
+    rt AS (SELECT sid, tid, cos,
+                  row_number() OVER (PARTITION BY tid
+                                     ORDER BY cos DESC, sid) AS r FROM p),
+    ta AS (SELECT tid,
+                  list_reduce(list_prepend(0.0::DOUBLE,
+                      list(cos ORDER BY r)), (a, b) -> a + b)
+                  / COUNT(*) AS ta
+           FROM rt WHERE r <= 3 GROUP BY tid),
+    m AS (SELECT p.sid, p.tid, p.cos,
+                 round(p.cos / ((sa.sa + ta.ta) * 0.5), 9) AS mg
+          FROM p JOIN sa ON p.sid = sa.sid JOIN ta ON p.tid = ta.tid),
+    bs AS (SELECT sid, tid, cos, mg,
+                  row_number() OVER (PARTITION BY sid
+                                     ORDER BY mg DESC, tid) AS rb FROM m),
+    bt AS (SELECT sid, tid FROM (
+               SELECT sid, tid,
+                      row_number() OVER (PARTITION BY tid
+                                         ORDER BY mg DESC, sid) AS rb
+               FROM m) WHERE rb = 1)
+    SELECT b.sid AS src_vec_id, b.tid AS tgt_vec_id,
+           b.cos AS cosine, b.mg AS margin
+    FROM bs b JOIN bt ON b.sid = bt.sid AND b.tid = bt.tid
+    WHERE b.rb = 1 AND b.mg >= 1.0
+    """,
+)
+def q128_mine_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mine.bitext: margin-based parallel-pair mining (the CCMatrix /
+    LASER ratio margin) — even vec_ids as the source corpus, odd as
+    the target, candidates bounded by the label buckets, mutual best
+    matches with margin >= 1.0. The oracle replays cosine (round 6),
+    the rank-ordered top-3 neighborhood means, the margin formula,
+    and both argmax directions."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    src = _op("filter.apply", ctx, [e], expr="vec_id % 2 = 0")
+    tgt = _op("filter.apply", ctx, [e], expr="vec_id % 2 = 1")
+    return _op("mine.bitext", ctx, [src, tgt], id_column="vec_id",
+               column="embedding", bucket_column="label", k=3,
+               threshold=1.0, mutual=True)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -81,6 +81,8 @@ INPUT_BUILDERS = {
     ],
     # corpus + query vectors (same schema works)
     "knn.pq": lambda df: [df, df],
+    # source + target corpora (same schema works)
+    "mine.bitext": lambda df: [df, df],
     # second input is an embedding.pq codebooks table (dim 64 = 2x32)
     "embedding.pq_encode": lambda df: [
         df,

@@ -353,6 +353,15 @@ CHECKS = [
         and "CartesianProduct" not in p,
     ),
     (
+        "q128_mine_bitext",
+        "bitext mining: bucketed candidate equi-join (no cartesian), "
+        "per-key windows, zero Python",
+        lambda p, o: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and any("Window [" in ln for ln in p.splitlines()),
+    ),
+    (
         "q115_sample_mixture",
         "mixture: union of filtered scans — zero shuffle, zero Python",
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
