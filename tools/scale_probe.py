@@ -54,6 +54,7 @@ HEAVY_SET = [
     "q121_knn_pq",
     "q122_dsir_select",
     "q127_embedding_pca",
+    "q128_mine_bitext",
 ]
 
 # Quadratic-BY-DATA paths: under adversarial duplication (Zipf
