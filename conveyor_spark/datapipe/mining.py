@@ -54,6 +54,11 @@ from conveyor_spark.datapipe.similarity import (
           desc="Keep pairs with margin >= this"),
         P("mutual", "boolean", default=True,
           desc="Keep only mutual best matches (both directions)"),
+        P("dedup_pairs", "boolean", default=False,
+          desc="Drop duplicate (src,tgt) candidates first — required "
+               "when bucket_column rows are exploded bands (one id in "
+               "several buckets), else duplicates inflate the "
+               "neighborhood means"),
     ],
     example={"id_column": "doc_id", "column": "embedding", "k": 2,
              "mutual": False},
@@ -114,6 +119,11 @@ def mine_bitext(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     scored = pairs.select(
         "__sid", "__tid", cos.alias("__cos")
     )
+    if bool(config.get("dedup_pairs", False)):
+        # exploded-band buckets emit one row per shared bucket; the
+        # cosine is identical on every copy, so any-row dedup is
+        # deterministic. Costs one extra shuffle — opt-in.
+        scored = scored.dropDuplicates(["__sid", "__tid"])
 
     def topk_mean(part_col: str, other_col: str, out: str) -> DataFrame:
         w = Window.partitionBy(part_col).orderBy(
@@ -141,8 +151,14 @@ def mine_bitext(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
 
     sa = topk_mean("__sid", "__tid", "__sa")
     ta = topk_mean("__tid", "__sid", "__ta")
-    margin = F.round(
-        F.col("__cos") / ((F.col("__sa") + F.col("__ta")) * F.lit(0.5)), 9
+    # A non-positive denominator means the pair has no meaningful
+    # neighborhood (all-orthogonal / negative buckets) — margin is
+    # NULL, which fails the threshold filter and sorts last in the
+    # argmax, instead of an ANSI DIVIDE_BY_ZERO crash or a
+    # sign-flipped score outranking real matches.
+    denom = (F.col("__sa") + F.col("__ta")) * F.lit(0.5)
+    margin = F.when(
+        denom > F.lit(0.0), F.round(F.col("__cos") / denom, 9)
     )
     with_margin = (
         scored.join(sa, "__sid").join(ta, "__tid")

@@ -100,3 +100,40 @@ def test_bitext_threshold_and_errors(ctx, corpora, spark):
     out = run_op(ctx, "mine.bitext", [sdf.union(z), tdf],
                  id_column="vec_id", mutual=False, threshold=-99.0)
     assert 99 not in {r["src_vec_id"] for r in out.collect()}
+
+
+def test_bitext_zero_denominator_is_null_not_crash(ctx, spark):
+    """Every cross-side cosine exactly 0 -> both neighborhood means 0
+    -> the margin denominator is 0. Must yield NULL margins (pairs
+    dropped by any threshold), not an ANSI DIVIDE_BY_ZERO."""
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [2.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    tgt = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (3, [0.0, 2.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = run_op(ctx, "mine.bitext", [src, tgt], id_column="vec_id",
+                 k=2, mutual=False, threshold=-99.0)
+    assert out.collect() == []
+
+
+def test_bitext_dedup_pairs_band_exploded(ctx, spark):
+    """One id in several buckets (exploded LSH bands): without
+    dedup_pairs the duplicate candidate rows inflate the top-k
+    neighborhood means; with it the result matches the single-bucket
+    run exactly."""
+    vecs = {0: [1.0, 0.1], 2: [0.2, 1.0], 1: [1.0, 0.2], 3: [0.1, 1.0]}
+    one = lambda ids: spark.createDataFrame(
+        [(i, vecs[i], "b0") for i in ids],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, band STRING")
+    two = lambda ids: spark.createDataFrame(
+        [(i, vecs[i], b) for i in ids for b in ("b0", "b1")],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, band STRING")
+    base = run_op(ctx, "mine.bitext", [one([0, 2]), one([1, 3])],
+                  id_column="vec_id", bucket_column="band", k=2,
+                  mutual=False, threshold=-99.0)
+    deduped = run_op(ctx, "mine.bitext", [two([0, 2]), two([1, 3])],
+                     id_column="vec_id", bucket_column="band", k=2,
+                     mutual=False, threshold=-99.0, dedup_pairs=True)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(deduped) == key(base)
