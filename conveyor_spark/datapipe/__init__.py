@@ -36,4 +36,5 @@ from conveyor_spark.datapipe import (  # noqa: F401
     stats,
     structure,
     substring,
+    webtext,
 )

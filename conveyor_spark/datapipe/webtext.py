@@ -1,0 +1,262 @@
+"""Web-corpus curation recipes: the Gopher quality rules and the C4
+line/page cleaning pass.
+
+``quality.gopher`` — the document-level heuristic filter from Rae et
+al. 2021 (Gopher, Appendix A1.1), reused verbatim by MassiveText /
+Dolma / RefinedWeb-class pipelines: word-count bounds, mean word
+length bounds, symbol-to-word ratio, bullet-start / ellipsis-end line
+ratios, alphabetic-word ratio, and a required-stopword count. Unlike
+``text.quality`` (a single blended score), this op emits the exact
+named rule set as per-rule measurements + a pass flag, so downstream
+audits can see WHICH rule rejected a document.
+
+``text.c4_filter`` — the C4 cleaning pass from Raffel et al. 2020:
+keep only lines that end in terminal punctuation, have at least
+``min_line_words`` words, and don't mention javascript; drop pages
+containing "lorem ipsum" or a curly brace, or with fewer than
+``min_sentences`` sentences after line filtering.
+
+Scale design: both ops are pure per-row JVM expressions (split /
+filter / transform higher-order functions + regexp counts) — no
+shuffle, no Python, linear in corpus bytes; ``widen`` spreads narrow
+single-file test scans. All ratios are int/int divisions (bit-exact
+across engines, no rounding — see text.quality's NOTE).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from conveyor_spark.errors import ConfigError
+from conveyor_spark.registry import OpContext, P, register
+from conveyor_spark.datapipe.dedup import tokens_expr, widen
+
+# The 8 required stopwords from Gopher A1.1 (a document must contain
+# at least `min_stopword_hits` distinct ones). Shared verbatim with
+# the oracle SQL.
+GOPHER_STOPWORDS: list[str] = [
+    "the", "be", "to", "of", "and", "that", "have", "with",
+]
+
+BULLET_PREFIXES: list[str] = ["•", "‣", "-", "*"]
+
+
+def _nonempty_lines(c: Column) -> Column:
+    """Trimmed, non-empty lines of a text column."""
+    # NOTES rule 6: never pass F.trim bare to transform — the array
+    # index would arrive as trim's second argument.
+    return F.filter(
+        F.transform(F.split(c, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+
+
+def _count_matches(c: Column, pattern: str) -> Column:
+    """Occurrences of a regex in a string (split-count, non-overlap)."""
+    return F.size(F.split(c, pattern, -1)) - F.lit(1)
+
+
+@register(
+    "quality.gopher", kind="transform",
+    doc="Gopher (Rae et al.) document quality rules, per-rule flags",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("mode", default="annotate", allowed=("annotate", "filter"),
+          desc="annotate = add rule measurements + gopher_pass; "
+               "filter = keep passing rows, original columns only"),
+        P("min_words", "integer", default=50, min=0,
+          desc="Minimum whitespace word count"),
+        P("max_words", "integer", default=100000, min=1,
+          desc="Maximum whitespace word count"),
+        P("min_avg_word_len", "float", default=3.0,
+          desc="Minimum mean word length (chars)"),
+        P("max_avg_word_len", "float", default=10.0,
+          desc="Maximum mean word length (chars)"),
+        P("max_symbol_ratio", "float", default=0.1,
+          desc="Max (# + ellipsis) occurrences per word"),
+        P("max_bullet_ratio", "float", default=0.9,
+          desc="Max fraction of lines starting with a bullet"),
+        P("max_ellipsis_ratio", "float", default=0.3,
+          desc="Max fraction of lines ending with an ellipsis"),
+        P("min_alpha_ratio", "float", default=0.8,
+          desc="Min fraction of words containing a letter"),
+        P("min_stopword_hits", "integer", default=2, min=0,
+          desc="Required count of distinct Gopher stopwords"),
+        P("widen", "any", default="auto",
+          desc="Repartition narrow scans (False/int/auto)"),
+    ],
+    example={"column": "text", "mode": "annotate", "min_words": 5},
+    tags=["text", "quality", "curation", "datapipe"],
+)
+def quality_gopher(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Output (annotate): the input plus gopher_words,
+    gopher_avg_word_len, gopher_symbol_ratio, gopher_bullet_ratio,
+    gopher_ellipsis_ratio, gopher_alpha_ratio, gopher_stop_hits and
+    gopher_pass. NULL text fails (all measurements NULL, pass false).
+
+    Rule set (defaults = the published thresholds): 50 <= words <=
+    100k; 3 <= mean word length <= 10; (''#'' + ellipsis)/words <=
+    0.1; <= 90% of lines bullet-started; <= 30% ellipsis-ended;
+    >= 80% of words contain a letter; >= 2 of the 8 required
+    stopwords present."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("quality.gopher requires 'column'")
+    if column not in df.columns:
+        raise ConfigError(f"quality.gopher: no column {column!r}")
+    mode = config.get("mode", "annotate")
+    if mode not in ("annotate", "filter"):
+        raise ConfigError(f"quality.gopher: mode must be annotate|filter, got {mode!r}")
+    min_words = int(config.get("min_words", 50))
+    max_words = int(config.get("max_words", 100000))
+    min_awl = float(config.get("min_avg_word_len", 3.0))
+    max_awl = float(config.get("max_avg_word_len", 10.0))
+    max_sym = float(config.get("max_symbol_ratio", 0.1))
+    max_bullet = float(config.get("max_bullet_ratio", 0.9))
+    max_ell = float(config.get("max_ellipsis_ratio", 0.3))
+    min_alpha = float(config.get("min_alpha_ratio", 0.8))
+    min_stops = int(config.get("min_stopword_hits", 2))
+
+    df = widen(ctx, df, config)
+    c = F.col(column).cast("string")
+    toks = tokens_expr(column, distinct=False, lowercase=False)
+    words = F.size(toks).cast("bigint")
+    wordsf = F.greatest(words, F.lit(1)).cast("double")
+    # total token chars via one join — no per-token fold needed
+    avg_len = F.length(F.array_join(toks, "")).cast("double") / wordsf
+    symbols = (
+        _count_matches(c, r"#") + _count_matches(c, "…")
+        + _count_matches(c, r"\.{3}")
+    )
+    symbol_ratio = symbols.cast("double") / wordsf
+    lines = _nonempty_lines(c)
+    n_lines = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_lines = F.size(F.filter(
+        lines,
+        lambda ln: F.substring(ln, 1, 1).isin(*BULLET_PREFIXES),
+    ))
+    bullet_ratio = bullet_lines.cast("double") / n_lines
+    ell_lines = F.size(F.filter(
+        lines,
+        lambda ln: ln.endswith("…") | ln.endswith("..."),
+    ))
+    ellipsis_ratio = ell_lines.cast("double") / n_lines
+    alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]")))
+    alpha_ratio = alpha_words.cast("double") / wordsf
+    stop_hits = F.size(F.array_intersect(
+        tokens_expr(column, distinct=True, lowercase=True),
+        F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+    ))
+    gopher_pass = F.coalesce(
+        (words >= min_words) & (words <= max_words)
+        & (avg_len >= min_awl) & (avg_len <= max_awl)
+        & (symbol_ratio <= max_sym)
+        & (bullet_ratio <= max_bullet)
+        & (ellipsis_ratio <= max_ell)
+        & (alpha_ratio >= min_alpha)
+        & (stop_hits >= min_stops),
+        F.lit(False),
+    )
+    out = (
+        df.withColumn("gopher_words", words)
+        .withColumn("gopher_avg_word_len", avg_len)
+        .withColumn("gopher_symbol_ratio", symbol_ratio)
+        .withColumn("gopher_bullet_ratio", bullet_ratio)
+        .withColumn("gopher_ellipsis_ratio", ellipsis_ratio)
+        .withColumn("gopher_alpha_ratio", alpha_ratio)
+        .withColumn("gopher_stop_hits", stop_hits)
+        .withColumn("gopher_pass", gopher_pass)
+    )
+    if mode == "filter":
+        return out.filter(F.col("gopher_pass")).select(*df.columns)
+    return out
+
+
+TERMINAL_PUNCT: list[str] = [".", "!", "?", '"']
+
+
+@register(
+    "text.c4_filter", kind="transform",
+    doc="C4 (Raffel et al.) line + page cleaning pass",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("mode", default="clean", allowed=("annotate", "clean", "filter"),
+          desc="annotate = flags only; clean = rewrite column to the "
+               "kept lines + c4_page_ok; filter = also drop bad pages"),
+        P("min_line_words", "integer", default=5, min=1,
+          desc="Minimum words for a line to be kept"),
+        P("min_sentences", "integer", default=3, min=0,
+          desc="Minimum sentences (terminal punct) after line filtering"),
+        P("widen", "any", default="auto",
+          desc="Repartition narrow scans (False/int/auto)"),
+    ],
+    example={"column": "text", "mode": "annotate", "min_line_words": 2,
+             "min_sentences": 1},
+    tags=["text", "curation", "datapipe"],
+)
+def c4_filter(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """The C4 recipe: a line survives iff it ends with terminal
+    punctuation ('.', '!', '?', '\"'), has >= min_line_words
+    whitespace words, and doesn't contain 'javascript' (any case). A
+    page is ok iff it contains no 'lorem ipsum', no '{', and the kept
+    lines hold >= min_sentences sentences (terminal-punct count).
+
+    Output: annotate = input + c4_kept_lines, c4_total_lines,
+    c4_sentences, c4_page_ok; clean = those flags with the text
+    column REWRITTEN to the kept lines (empty string when none — the
+    engines' array_join([]) semantics differ, we pin '');
+    filter = clean + keep only c4_page_ok rows, flags dropped.
+    NULL text: flags NULL / page_ok false; clean keeps the NULL."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.c4_filter requires 'column'")
+    if column not in df.columns:
+        raise ConfigError(f"text.c4_filter: no column {column!r}")
+    mode = config.get("mode", "clean")
+    if mode not in ("annotate", "clean", "filter"):
+        raise ConfigError(
+            f"text.c4_filter: mode must be annotate|clean|filter, got {mode!r}")
+    min_line_words = int(config.get("min_line_words", 5))
+    min_sentences = int(config.get("min_sentences", 3))
+
+    df = widen(ctx, df, config)
+    c = F.col(column).cast("string")
+    lines = _nonempty_lines(c)
+
+    def line_ok(ln: Column) -> Column:
+        last = F.substring(ln, -1, 1)
+        n_words = F.size(F.filter(F.split(ln, r"\s+"), lambda t: t != ""))
+        return (
+            last.isin(*TERMINAL_PUNCT)
+            & (n_words >= min_line_words)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept = F.filter(lines, line_ok)
+    cleaned = F.array_join(kept, "\n")
+    sentences = _count_matches(cleaned, r"[.!?]")
+    page_ok = F.coalesce(
+        ~F.lower(c).contains("lorem ipsum")
+        & ~c.contains("{")
+        & (sentences >= min_sentences),
+        F.lit(False),
+    )
+    out = (
+        df.withColumn("c4_kept_lines", F.size(kept))
+        .withColumn("c4_total_lines", F.size(lines))
+        .withColumn("c4_sentences", sentences)
+        .withColumn("c4_page_ok", page_ok)
+    )
+    if mode == "annotate":
+        return out
+    out = out.withColumn(
+        column, F.when(c.isNull(), F.lit(None)).otherwise(cleaned)
+    )
+    if mode == "filter":
+        return out.filter(F.col("c4_page_ok")).select(*df.columns)
+    return out

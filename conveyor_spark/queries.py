@@ -4724,6 +4724,154 @@ def q128_mine_bitext(spark: SparkSession, sf_dir: str) -> DataFrame:
                threshold=1.0, mutual=True)
 
 
+# Synthetic multi-line "web page" built from (doc_id, text) — the
+# documents corpus is single-line token soup, so q129/q130 derive a
+# page with punctuation, bullets, ellipses and page-level poison
+# deterministically. One SQL expression string, parsed by BOTH
+# engines (concat/substr/CASE/chr are identical), so the inputs to
+# the rules match bit-for-bit.
+_PAGE_SQL = (
+    "concat("
+    "substr(text, 1, 40 + doc_id % 60), '.', chr(10), "
+    "CASE WHEN doc_id % 3 = 0 THEN '• bullet item' "
+    "ELSE concat('The data we have to work with is ', "
+    "substr(text, 1, 20 + doc_id % 20), '.') END, chr(10), "
+    "CASE WHEN doc_id % 5 = 0 THEN 'short line' "
+    "ELSE concat(substr(text, 10, 50), '!') END, "
+    "CASE WHEN doc_id % 7 = 0 THEN concat(chr(10), "
+    "'this trailing line just goes on and on', '...') ELSE '' END, "
+    "CASE WHEN doc_id % 11 = 0 THEN ' lorem ipsum' "
+    "WHEN doc_id % 13 = 0 THEN ' {' ELSE '' END"
+    ")"
+)
+
+_GOPHER_STOP_SQL = "['the','be','to','of','and','that','have','with']"
+
+_Q129_ORACLE = """
+    WITH page AS (SELECT doc_id, __PAGE__ AS p FROM documents),
+    tk AS (SELECT doc_id, p,
+                  list_filter(string_split_regex(p, '\\s+'),
+                              x -> x <> '') AS toks
+           FROM page),
+    m AS (SELECT doc_id,
+            len(toks)::BIGINT AS words,
+            greatest(len(toks), 1)::DOUBLE AS wf,
+            length(array_to_string(toks, ''))::DOUBLE AS chars,
+            (len(string_split(p, '#')) - 1
+             + len(string_split(p, '…')) - 1
+             + len(string_split_regex(p, '\\.{3}')) - 1) AS syms,
+            list_filter(list_transform(string_split(p, chr(10)),
+                                       x -> trim(x)),
+                        x -> x <> '') AS lines,
+            len(list_filter(toks,
+                t -> regexp_matches(t, '[a-zA-Z]'))) AS alpha,
+            len(list_intersect(
+                list_distinct(list_filter(
+                    string_split_regex(lower(p), '\\s+'),
+                    x -> x <> '')),
+                __STOPS__)) AS hits
+          FROM tk),
+    m2 AS (SELECT doc_id, words, chars / wf AS awl,
+             syms::DOUBLE / wf AS sym_ratio,
+             len(list_filter(lines,
+                 l -> list_contains(['•','‣','-','*'],
+                                    left(l, 1))))::DOUBLE
+               / greatest(len(lines), 1) AS bullet_ratio,
+             len(list_filter(lines,
+                 l -> ends_with(l, '…')
+                      OR ends_with(l, '...')))::DOUBLE
+               / greatest(len(lines), 1) AS ell_ratio,
+             alpha::DOUBLE / wf AS alpha_ratio, hits
+           FROM m)
+    SELECT doc_id, words AS gopher_words, awl AS gopher_avg_word_len,
+           sym_ratio AS gopher_symbol_ratio,
+           bullet_ratio AS gopher_bullet_ratio,
+           ell_ratio AS gopher_ellipsis_ratio,
+           alpha_ratio AS gopher_alpha_ratio,
+           hits::INT AS gopher_stop_hits,
+           (words >= 15 AND words <= 100000
+            AND awl >= 3.0 AND awl <= 10.0
+            AND sym_ratio <= 0.02 AND bullet_ratio <= 0.3
+            AND ell_ratio <= 0.2 AND alpha_ratio >= 0.8
+            AND hits >= 2) AS gopher_pass
+    FROM m2
+""".replace("__PAGE__", _PAGE_SQL).replace("__STOPS__", _GOPHER_STOP_SQL)
+
+
+@query("q129_quality_gopher", _Q129_ORACLE)
+def q129_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.gopher: the Rae-et-al document quality rule set with
+    per-rule measurements, over a synthetic multi-line page derived
+    from each document (the corpus itself is single-line token soup).
+    Thresholds are tightened (min_words=15, max_symbol_ratio=0.02,
+    max_bullet_ratio=0.3, max_ellipsis_ratio=0.2) so the rules reject a mix of documents; the
+    oracle replays the page construction and all seven rules. All
+    ratios are int/int doubles — bit-exact, no rounding."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    paged = _op("map.apply", ctx, [d], expression=_PAGE_SQL, output_column="page")
+    g = _op("quality.gopher", ctx, [paged], column="page",
+            min_words=15, max_symbol_ratio=0.02, max_bullet_ratio=0.3,
+            max_ellipsis_ratio=0.2)
+    return _op("select.apply", ctx, [g], columns=[
+        "doc_id", "gopher_words", "gopher_avg_word_len",
+        "gopher_symbol_ratio", "gopher_bullet_ratio",
+        "gopher_ellipsis_ratio", "gopher_alpha_ratio",
+        "gopher_stop_hits", "gopher_pass"])
+
+
+_Q130_ORACLE = """
+    WITH page AS (SELECT doc_id, __PAGE__ AS p FROM documents),
+    l AS (SELECT doc_id, p,
+                 list_filter(list_transform(string_split(p, chr(10)),
+                                            x -> trim(x)),
+                             x -> x <> '') AS lines
+          FROM page),
+    k AS (SELECT doc_id, p, lines,
+                 list_filter(lines,
+                     x -> list_contains(['.', '!', '?', '"'],
+                                        right(x, 1))
+                          AND len(list_filter(
+                                string_split_regex(x, '\\s+'),
+                                w -> w <> '')) >= 5
+                          AND NOT contains(lower(x), 'javascript')
+                 ) AS kept
+          FROM l),
+    c AS (SELECT doc_id, p, len(kept)::INT AS c4_kept_lines,
+                 len(lines)::INT AS c4_total_lines,
+                 COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+          FROM k),
+    s AS (SELECT doc_id, p, c4_kept_lines, c4_total_lines, cleaned,
+                 (len(string_split_regex(cleaned, '[.!?]')) - 1)::INT
+                   AS c4_sentences
+          FROM c)
+    SELECT doc_id, cleaned AS page,
+           c4_kept_lines, c4_total_lines, c4_sentences,
+           COALESCE(NOT contains(lower(p), 'lorem ipsum')
+                    AND NOT contains(p, '{')
+                    AND c4_sentences >= 2, false) AS c4_page_ok
+    FROM s
+""".replace("__PAGE__", _PAGE_SQL)
+
+
+@query("q130_c4_filter", _Q130_ORACLE)
+def q130_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.c4_filter: the Raffel-et-al C4 cleaning pass in clean
+    mode — line filter (terminal punctuation, >= 5 words, no
+    'javascript'), page poison ('lorem ipsum', curly brace), and the
+    min-sentence gate — over the same synthetic page as q129. The
+    oracle replays the line filter and the rewrite; the '' vs NULL
+    array_join divergence between engines is pinned to ''."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    paged = _op("map.apply", ctx, [d], expression=_PAGE_SQL, output_column="page")
+    c = _op("text.c4_filter", ctx, [paged], column="page", mode="clean",
+            min_line_words=5, min_sentences=2)
+    return _op("select.apply", ctx, [c], columns=[
+        "doc_id", "page", "c4_kept_lines", "c4_total_lines",
+        "c4_sentences", "c4_page_ok"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -362,6 +362,22 @@ CHECKS = [
         and any("Window [" in ln for ln in p.splitlines()),
     ),
     (
+        "q129_quality_gopher",
+        "Gopher rules: per-row JVM exprs — widen exchange only, no "
+        "agg/join shuffle, zero Python",
+        lambda p, o: p.count("Exchange") <= 1 and "Join" not in p
+        and "HashAggregate" not in p and "BatchEvalPython" not in p
+        and "MapInPandas" not in p,
+    ),
+    (
+        "q130_c4_filter",
+        "C4 clean: per-row JVM line filter + rewrite — widen exchange "
+        "only, no agg/join shuffle, zero Python",
+        lambda p, o: p.count("Exchange") <= 1 and "Join" not in p
+        and "HashAggregate" not in p and "BatchEvalPython" not in p
+        and "MapInPandas" not in p,
+    ),
+    (
         "q115_sample_mixture",
         "mixture: union of filtered scans — zero shuffle, zero Python",
         lambda p, o: "Exchange" not in p and "BatchEvalPython" not in p
