@@ -19,6 +19,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     curation,
     dedup,
     embedding,
+    features,
     funnel,
     fuzzy,
     graph,

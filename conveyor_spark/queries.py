@@ -4872,6 +4872,43 @@ def q130_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c4_sentences", "c4_page_ok"])
 
 
+_Q131_ORACLE = """
+    WITH tk AS (SELECT doc_id,
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> '') AS tk
+                FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+    h AS (SELECT doc_id,
+                 ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+          FROM tok),
+    b AS (SELECT doc_id, (h % 32)::INT AS idx,
+                 CASE WHEN ((h >> 40) & 1) = 1 THEN 1 ELSE -1 END AS s
+          FROM h),
+    g AS (SELECT doc_id, idx, SUM(s)::BIGINT AS v
+          FROM b GROUP BY doc_id, idx)
+    SELECT doc_id, idx, v::DOUBLE AS val FROM g WHERE v <> 0
+"""
+
+
+@query("q131_feature_hashing", _Q131_ORACLE)
+def q131_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """feature.hashing: the hashing-trick vectorizer (Weinberger et
+    al. / HashingVectorizer) — signed token counts in 32 buckets,
+    sparse output exploded to (doc_id, idx, val) rows for the hash
+    gate. The op folds per-row with ZERO shuffle; the oracle replays
+    the same buckets/signs relationally (explode + groupBy), proving
+    the per-row fold equals the shuffle formulation it avoids."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    fh = _op("feature.hashing", ctx, [d], column="text", dim=32,
+             output="sparse")
+    return _op("sql.query", ctx, [fh], views=["q131_fh"], sql="""
+        SELECT doc_id, e.indices AS idx, e.`values` AS val
+        FROM q131_fh
+        LATERAL VIEW explode(arrays_zip(indices, `values`)) AS e
+    """)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -362,6 +362,14 @@ CHECKS = [
         and any("Window [" in ln for ln in p.splitlines()),
     ),
     (
+        "q131_feature_hashing",
+        "hashing trick: per-row signed-count folds, zero shuffle "
+        "before the explode (no agg, no join, no Python)",
+        lambda p, o: "HashAggregate" not in p and "Join" not in p
+        and p.count("Exchange") <= 1 and "BatchEvalPython" not in p
+        and "MapInPandas" not in p and "Generate" in p,
+    ),
+    (
         "q129_quality_gopher",
         "Gopher rules: per-row JVM exprs — widen exchange only, no "
         "agg/join shuffle, zero Python",
