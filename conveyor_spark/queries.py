@@ -4909,6 +4909,53 @@ def q131_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _semdedup_oracle(k: int, iterations: int, threshold: float) -> str:
+    ctes, final = _kmeans_cte(k, iterations)
+    return f"""
+    WITH {ctes},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+      FROM {final} a JOIN {final} b
+        ON a.c = b.c AND a.vec_id < b.vec_id),
+    drops AS (SELECT DISTINCT id_b FROM pairs
+              WHERE cosine >= {threshold})
+    SELECT d.vec_id, d.c AS cell,
+           (drops.id_b IS NULL) AS kept
+    FROM {final} d LEFT JOIN drops ON d.vec_id = drops.id_b
+    """
+
+
+@query("q132_semdedup", _semdedup_oracle(k=4, iterations=2, threshold=0.3))
+def q132_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al.): semantic deduplication as a pure
+    composition of the engine's primitives — embedding.kmeans trains
+    the cluster space (2 Lloyd iterations, k=4), dedup.embedding
+    emits within-cluster cosine duplicate pairs (per-bucket GEMM),
+    and the keep-first policy retains the lowest id of every
+    duplicate pair (a row is dropped iff it is the larger id of any
+    pair — same policy as dedup.exact keep=first). The oracle replays
+    the trained cells via the unrolled Lloyd SQL, the exact pair
+    cosines, and the drop rule."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    cl = _op("embedding.kmeans", ctx, [e], id_column="vec_id",
+             column="embedding", k=4, iterations=2, dim=64)
+    pairs = _op("dedup.embedding", ctx, [cl], id_column="vec_id",
+                column="embedding", bucket_column="cluster",
+                threshold=0.3)
+    return _op("sql.query", ctx, [cl, pairs],
+               views=["q132_docs", "q132_pairs"], sql="""
+        SELECT d.vec_id, d.cluster AS cell,
+               (p.id_b IS NULL) AS kept
+        FROM q132_docs d
+        LEFT JOIN (SELECT DISTINCT id_b FROM q132_pairs) p
+          ON d.vec_id = p.id_b
+    """)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

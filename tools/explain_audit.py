@@ -362,6 +362,14 @@ CHECKS = [
         and any("Window [" in ln for ln in p.splitlines()),
     ),
     (
+        "q132_semdedup",
+        "SemDeDup: trained cells bound the pair space — bucketed "
+        "equi-joins only, no cartesian/BNLJ, pairs GEMM via Arrow",
+        lambda p, o: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "BatchEvalPython" not in p,
+    ),
+    (
         "q131_feature_hashing",
         "hashing trick: per-row signed-count folds, zero shuffle "
         "before the explode (no agg, no join, no Python)",
