@@ -92,6 +92,12 @@ def feature_hashing(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     idx_col = config.get("indices_column", "indices")
     val_col = config.get("values_column", "values")
     feat_col = config.get("features_column", "features")
+    out_cols = [idx_col, val_col] if output == "sparse" else [feat_col]
+    clash = sorted(set(out_cols) & set(df.columns))
+    if clash:
+        raise ConfigError(
+            f"feature.hashing would overwrite existing columns {clash}; "
+            "set indices_column/values_column/features_column")
 
     df = widen(ctx, df, config)
     toks = tokens_expr(column, distinct=False, lowercase=True)

@@ -59,6 +59,15 @@ def _count_matches(c: Column, pattern: str) -> Column:
     return F.size(F.split(c, pattern, -1)) - F.lit(1)
 
 
+_GOPHER_OUT = [
+    "gopher_words", "gopher_avg_word_len", "gopher_symbol_ratio",
+    "gopher_bullet_ratio", "gopher_ellipsis_ratio", "gopher_alpha_ratio",
+    "gopher_stop_hits", "gopher_pass",
+]
+
+_C4_OUT = ["c4_kept_lines", "c4_total_lines", "c4_sentences", "c4_page_ok"]
+
+
 @register(
     "quality.gopher", kind="transform",
     doc="Gopher (Rae et al.) document quality rules, per-rule flags",
@@ -120,6 +129,11 @@ def quality_gopher(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     max_ell = float(config.get("max_ellipsis_ratio", 0.3))
     min_alpha = float(config.get("min_alpha_ratio", 0.8))
     min_stops = int(config.get("min_stopword_hits", 2))
+    clash = sorted(set(_GOPHER_OUT) & set(df.columns))
+    if clash:
+        raise ConfigError(
+            f"quality.gopher would overwrite existing columns {clash}; "
+            "rename them upstream")
 
     df = widen(ctx, df, config)
     c = F.col(column).cast("string")
@@ -223,6 +237,11 @@ def c4_filter(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
             f"text.c4_filter: mode must be annotate|clean|filter, got {mode!r}")
     min_line_words = int(config.get("min_line_words", 5))
     min_sentences = int(config.get("min_sentences", 3))
+    clash = sorted(set(_C4_OUT) & set(df.columns))
+    if clash:
+        raise ConfigError(
+            f"text.c4_filter would overwrite existing columns {clash}; "
+            "rename them upstream")
 
     df = widen(ctx, df, config)
     c = F.col(column).cast("string")

@@ -102,3 +102,14 @@ def test_errors(ctx, docs):
     with pytest.raises(ConfigError, match="sparse|dense"):
         run_op(ctx, "feature.hashing", [docs], column="text",
                output="banana")
+
+
+def test_output_column_clash_raises(ctx, spark):
+    df = spark.createDataFrame([(1, "t", [0])],
+                               "doc_id LONG, text STRING, indices ARRAY<INT>")
+    with pytest.raises(ConfigError, match="would overwrite"):
+        run_op(ctx, "feature.hashing", [df], column="text")
+    # renaming resolves it
+    out = run_op(ctx, "feature.hashing", [df], column="text",
+                 indices_column="fh_idx", values_column="fh_val")
+    assert "fh_idx" in out.columns

@@ -152,3 +152,14 @@ def test_c4_modes(ctx, pages_df):
     with pytest.raises(ConfigError, match="mode"):
         run_op(ctx, "text.c4_filter", [pages_df], column="text",
                mode="banana")
+
+
+def test_output_column_clash_raises(ctx, spark):
+    df = spark.createDataFrame([(1, "t", True)],
+                               "doc_id LONG, text STRING, gopher_pass BOOLEAN")
+    with pytest.raises(ConfigError, match="would overwrite"):
+        run_op(ctx, "quality.gopher", [df], column="text")
+    df2 = spark.createDataFrame([(1, "t", 0)],
+                                "doc_id LONG, text STRING, c4_sentences INT")
+    with pytest.raises(ConfigError, match="would overwrite"):
+        run_op(ctx, "text.c4_filter", [df2], column="text")
