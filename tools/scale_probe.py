@@ -55,6 +55,7 @@ HEAVY_SET = [
     "q122_dsir_select",
     "q127_embedding_pca",
     "q128_mine_bitext",
+    "q132_semdedup",
 ]
 
 # Quadratic-BY-DATA paths: under adversarial duplication (Zipf
