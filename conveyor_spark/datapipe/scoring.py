@@ -439,3 +439,96 @@ def rank_bm25(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
             .filter(F.col("rank") <= int(top_k))
         )
     return scored
+
+
+@register(
+    "rank.tfidf", kind="transform",
+    doc="Per-document top-k TF-IDF terms (keyword extraction)",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id column"),
+        P("top_k", "integer", default=10, min=1,
+          desc="Keywords kept per document"),
+        P("max_df", "float", default=1.0,
+          desc="Drop terms with df/N above this (boilerplate prune)"),
+        P("min_df", "integer", default=1, min=1,
+          desc="Drop terms seen in fewer documents"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "top_k": 3},
+    tags=["text", "scoring", "ranking", "datapipe"],
+)
+def rank_tfidf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Smooth-idf TF-IDF (the scikit-learn formula): score =
+    tf * (ln((N+1)/(df+1)) + 1), top_k terms per document by
+    (score DESC, term ASC). Output: (id, term, tf, df, tfidf round 9,
+    rank).
+
+    Determinism: tf/df/N are exact int64 aggregates; the score is ONE
+    double expression over them — bit-identical in any engine (the
+    q117/q92 ln-of-int-ratio class) — so the rank order replays
+    exactly; round 9 on output only (log-noise policy).
+
+    Scale: postings shuffle once on (id, term); df is a vocabulary-
+    sized partial aggregate; N rides a broadcast 1-row frame; the
+    top-k window partitions by document over skinny rows. ``max_df``
+    prunes stop-word posting skew before the join (same knob as
+    rank.bm25 / dedup.ngram_jaccard)."""
+    docs = inputs[0]
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("rank.tfidf requires 'column' and 'id_column'")
+    for c in (column, id_column):
+        if c not in docs.columns:
+            raise ConfigError(f"rank.tfidf: no column {c!r}")
+    top_k = int(config.get("top_k", 10))
+    if top_k < 1:
+        raise ConfigError("rank.tfidf: top_k must be >= 1")
+    max_df = float(config.get("max_df", 1.0))
+    if not 0 < max_df <= 1.0:
+        raise ConfigError("rank.tfidf: max_df must be in (0, 1]")
+    min_df = int(config.get("min_df", 1))
+
+    postings = (
+        docs.select(
+            F.col(id_column).alias("__id"),
+            F.explode(tokens_expr(column, distinct=False)).alias("__t"),
+        )
+        .groupBy("__id", "__t")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    df_t = postings.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = postings.select("__id").distinct().agg(
+        F.count(F.lit(1)).alias("__N")
+    )
+    cand = postings.join(df_t, "__t").join(F.broadcast(n_docs))
+    if min_df > 1:
+        cand = cand.filter(F.col("__df") >= min_df)
+    if max_df < 1.0:
+        cand = cand.filter(
+            F.col("__df").cast("double") / F.col("__N") <= max_df
+        )
+    score = F.col("__tf") * (
+        F.log((F.col("__N") + 1).cast("double") / (F.col("__df") + 1))
+        + F.lit(1.0)
+    )
+    scored = cand.select(
+        "__id", "__t", "__tf", "__df", score.alias("__s")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__s").desc(), F.col("__t")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select(
+            F.col("__id").alias(id_column),
+            F.col("__t").alias("term"),
+            F.col("__tf").alias("tf"),
+            F.col("__df").alias("df"),
+            F.round(F.col("__s"), 9).alias("tfidf"),
+            "rank",
+        )
+    )

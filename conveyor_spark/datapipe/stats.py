@@ -233,3 +233,145 @@ def stats_correlation(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
                        F.explode(rows).alias("__pair"))
         .select(*by, "__pair.col_a", "__pair.col_b", "__pair.corr")
     )
+
+
+@register(
+    "stats.ks_test", kind="transform", min_inputs=2, max_inputs=2,
+    doc="Exact two-sample Kolmogorov-Smirnov drift statistic",
+    params=[
+        P("column", required=True, desc="Value column (reference side)"),
+        P("column_b", desc="Current-side column (default: same name)"),
+        P("buckets", "integer", default=64, min=1,
+          desc="Range buckets for the distributed cumulative sums"),
+    ],
+    example={"column": "score"},
+    tags=["stats", "drift", "datapipe"],
+)
+def stats_ks_test(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """inputs: [reference, current]. Output: ONE row — d_stat (the
+    exact KS statistic max|F_ref - F_cur|), at_value (where the max
+    is attained; lowest value on ties), n_ref, n_cur, n_values
+    (distinct), n_null_ref, n_null_cur. NULLs are excluded from the
+    CDFs and reported. Complements drift.psi: PSI needs binning
+    choices, KS is binning-free and exactly replayable.
+
+    Determinism: counts are exact int64; each CDF point is one
+    int/int double division; D and its argmax order on those exact
+    doubles — bit-identical in any engine (q134/q129 ratio class).
+
+    Scale: counts reduce each side to its distinct-value spine (one
+    shuffle each); the global cumulative sums are TWO-PHASE — range
+    buckets via width_bucket, per-bucket windows, plus an
+    n_buckets-row offset frame — so NO window ever sees the whole
+    spine in one partition (the q13 bucket-offset pattern; a naive
+    unpartitioned window dies at high cardinality). The argmax is a
+    distributed top-1 (TakeOrdered), not a window."""
+    ref, cur = inputs
+    column = config.get("column")
+    if not column:
+        raise ConfigError("stats.ks_test requires 'column'")
+    col_b = config.get("column_b") or column
+    if column not in ref.columns:
+        raise ConfigError(f"stats.ks_test: reference has no column {column!r}")
+    if col_b not in cur.columns:
+        raise ConfigError(f"stats.ks_test: current has no column {col_b!r}")
+    n_buckets = int(config.get("buckets", 64))
+    if n_buckets < 1:
+        raise ConfigError("stats.ks_test: buckets must be >= 1")
+
+    a = ref.select(F.col(column).cast("double").alias("__v"))
+    b = cur.select(F.col(col_b).cast("double").alias("__v"))
+    # F.count(col) skips NULLs — count rows with count(1) so the
+    # null subtraction isn't applied twice
+    null_a = a.agg(
+        F.sum(F.col("__v").isNull().cast("bigint")).alias("__nn_a"),
+        F.count(F.lit(1)).alias("__n_a"),
+    )
+    null_b = b.agg(
+        F.sum(F.col("__v").isNull().cast("bigint")).alias("__nn_b"),
+        F.count(F.lit(1)).alias("__n_b"),
+    )
+    ca = a.filter(F.col("__v").isNotNull()).groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__ca"))
+    cb = b.filter(F.col("__v").isNotNull()).groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__cb"))
+    spine = (
+        ca.join(cb, "__v", "full_outer")
+        .select(
+            "__v",
+            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+        )
+    )
+    # phase 1: range-bucket the spine (width_bucket is monotonic in
+    # __v, so bucket order == value order); min/max ride a broadcast
+    # 1-row frame
+    rng = spine.agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+    spine = spine.join(F.broadcast(rng)).withColumn(
+        "__bk",
+        F.when(F.col("__lo") == F.col("__hi"), F.lit(1)).otherwise(
+            F.least(
+                F.width_bucket(F.col("__v"), F.col("__lo"),
+                               F.col("__hi"), F.lit(n_buckets)),
+                F.lit(n_buckets),
+            )
+        ),
+    ).drop("__lo", "__hi")
+    w_in = Window.partitionBy("__bk").orderBy("__v") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine = spine.withColumn("__pa", F.sum("__ca").over(w_in)) \
+        .withColumn("__pb", F.sum("__cb").over(w_in))
+    # phase 2: per-bucket totals -> exclusive running offsets (an
+    # n_buckets-row frame; the single-partition window here is over
+    # <= n_buckets rows, not the spine)
+    w_off = Window.orderBy("__bk") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    offsets = (
+        spine.groupBy("__bk").agg(
+            F.sum("__ca").alias("__ta"), F.sum("__cb").alias("__tb"))
+        .withColumn("__oa", F.sum("__ta").over(w_off) - F.col("__ta"))
+        .withColumn("__ob", F.sum("__tb").over(w_off) - F.col("__tb"))
+        .select("__bk", "__oa", "__ob")
+    )
+    spine = spine.join(F.broadcast(offsets), "__bk")
+    # an empty / all-NULL side has no CDF: n = 0 would be an ANSI
+    # divide-by-zero deep in the score expr — fail loudly instead
+    # (the drift.psi empty-reference pattern)
+    def _nonzero(n, side):
+        return F.when(
+            n == 0,
+            F.raise_error(F.lit(
+                f"stats.ks_test: {side} side has no non-null values"
+            )).cast("bigint"),
+        ).otherwise(n)
+
+    totals = F.broadcast(
+        null_a.join(null_b)
+        .select(
+            _nonzero(F.col("__n_a") - F.col("__nn_a"), "reference")
+            .alias("__na"),
+            _nonzero(F.col("__n_b") - F.col("__nn_b"), "current")
+            .alias("__nb"),
+            "__nn_a", "__nn_b",
+        )
+    )
+    scored = spine.join(totals).select(
+        "__v", "__na", "__nb", "__nn_a", "__nn_b",
+        F.abs(
+            (F.col("__pa") + F.col("__oa")).cast("double") / F.col("__na")
+            - (F.col("__pb") + F.col("__ob")).cast("double") / F.col("__nb")
+        ).alias("__d"),
+    )
+    top = scored.orderBy(F.col("__d").desc(), F.col("__v")).limit(1)
+    n_vals = F.broadcast(
+        spine.agg(F.count(F.lit(1)).alias("__nv")))
+    return top.join(n_vals).select(
+        F.col("__d").alias("d_stat"),
+        F.col("__v").alias("at_value"),
+        F.col("__na").alias("n_ref"),
+        F.col("__nb").alias("n_cur"),
+        F.col("__nv").alias("n_values"),
+        F.col("__nn_a").alias("n_null_ref"),
+        F.col("__nn_b").alias("n_null_cur"),
+    )

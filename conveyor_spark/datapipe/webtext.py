@@ -279,3 +279,77 @@ def c4_filter(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     if mode == "filter":
         return out.filter(F.col("c4_page_ok")).select(*df.columns)
     return out
+
+
+_READ_OUT = ["rd_words", "rd_sentences", "rd_syllables",
+             "flesch_ease", "fk_grade"]
+
+
+@register(
+    "text.readability", kind="transform",
+    doc="Flesch reading ease + Flesch-Kincaid grade per document",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("widen", "any", default="auto",
+          desc="Repartition narrow scans (False/int/auto)"),
+    ],
+    example={"column": "text"},
+    tags=["text", "quality", "readability", "datapipe"],
+)
+def text_readability(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Adds rd_words, rd_sentences, rd_syllables, flesch_ease,
+    fk_grade. Syllables per word use the standard vowel-group
+    heuristic: count of [aeiouy]+ runs in the lowercased word, minus
+    one for a silent trailing 'e' when more than one run, floored at
+    1. Sentences = [.!?]+ runs, floored at 1. NULL text -> NULLs.
+
+    Determinism: words/sentences/syllables are exact ints; both
+    scores are one fixed double expression over them (int/int
+    divisions then literal multiplies — same IEEE tree in any
+    engine, the q129 ratio class). Scale: pure per-row JVM
+    expressions, zero shuffle."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.readability requires 'column'")
+    if column not in df.columns:
+        raise ConfigError(f"text.readability: no column {column!r}")
+    clash = sorted(set(_READ_OUT) & set(df.columns))
+    if clash:
+        raise ConfigError(
+            f"text.readability would overwrite existing columns {clash}; "
+            "rename them upstream")
+
+    df = widen(ctx, df, config)
+    c = F.col(column).cast("string")
+    toks = tokens_expr(column, distinct=False, lowercase=True)
+
+    def syllables(w):
+        groups = F.size(F.split(w, "[aeiouy]+", -1)) - 1
+        silent_e = (w.endswith("e") & (groups > 1)).cast("int")
+        return F.greatest(groups - silent_e, F.lit(1))
+
+    n_syl = F.aggregate(
+        toks, F.lit(0).cast("bigint"),
+        lambda acc, w: acc + syllables(w).cast("bigint"),
+    )
+    n_words = F.size(toks).cast("bigint")
+    # greatest() skips NULLs, so a NULL text would read as 1 sentence
+    # — keep the documented NULL -> NULL contract explicit
+    n_sent = F.when(
+        c.isNotNull(),
+        F.greatest(F.size(F.split(c, "[.!?]+", -1)) - 1, F.lit(1)),
+    ).cast("bigint")
+    wf = F.greatest(n_words, F.lit(1)).cast("double")
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syl.cast("double") / wf
+    flesch = (F.lit(206.835) - F.lit(1.015) * wps
+              - F.lit(84.6) * spw)
+    fk = (F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59))
+    return (
+        df.withColumn("rd_words", n_words)
+        .withColumn("rd_sentences", n_sent)
+        .withColumn("rd_syllables", n_syl)
+        .withColumn("flesch_ease", flesch)
+        .withColumn("fk_grade", fk)
+    )

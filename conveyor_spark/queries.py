@@ -4956,6 +4956,132 @@ def q132_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+_Q133_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+    tf AS (SELECT doc_id, t, COUNT(*)::BIGINT AS tf
+           FROM tok GROUP BY doc_id, t),
+    dfq AS (SELECT t, COUNT(*)::BIGINT AS df FROM tf GROUP BY t),
+    n AS (SELECT COUNT(DISTINCT doc_id)::BIGINT AS n FROM tf),
+    sc AS (SELECT tf.doc_id, tf.t, tf.tf, dfq.df,
+                  tf.tf * (ln((n.n + 1)::DOUBLE / (dfq.df + 1)) + 1.0) AS s
+           FROM tf JOIN dfq ON tf.t = dfq.t CROSS JOIN n
+           WHERE dfq.df::DOUBLE / n.n <= 0.785),
+    r AS (SELECT doc_id, t, tf, df, s,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, t) AS rnk
+          FROM sc)
+    SELECT doc_id, t AS term, tf, df, round(s, 9) AS tfidf,
+           rnk::INT AS rank
+    FROM r WHERE rnk <= 5
+"""
+
+
+@query("q133_rank_tfidf", _Q133_ORACLE)
+def q133_rank_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank.tfidf: top-5 smooth-idf TF-IDF keywords per document with
+    max_df=0.785 boilerplate pruning (splits the corpus's head/tail vocabulary). The score is one double
+    expression over exact int64 counts (the ln-of-int-ratio class),
+    so the rank order replays bit-for-bit in DuckDB."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("rank.tfidf", ctx, [d], column="text",
+               id_column="doc_id", top_k=5, max_df=0.785)
+
+
+_Q134_ORACLE = """
+    WITH page AS (SELECT doc_id, __PAGE__ AS p FROM documents),
+    tk AS (SELECT doc_id, p,
+                  list_filter(string_split_regex(lower(p), '\\s+'),
+                              x -> x <> '') AS toks
+           FROM page),
+    m AS (SELECT doc_id,
+            len(toks)::BIGINT AS w,
+            greatest(len(string_split_regex(p, '[.!?]+')) - 1,
+                     1)::BIGINT AS s,
+            list_reduce(list_prepend(0::BIGINT, list_transform(toks,
+                t -> greatest(
+                    len(string_split_regex(t, '[aeiouy]+')) - 1
+                    - CASE WHEN ends_with(t, 'e')
+                           AND len(string_split_regex(t, '[aeiouy]+'))
+                               - 1 > 1
+                           THEN 1 ELSE 0 END,
+                    1)::BIGINT)),
+                (a, b) -> a + b) AS syl
+          FROM tk)
+    SELECT doc_id, w AS rd_words, s AS rd_sentences,
+           syl AS rd_syllables,
+           206.835::DOUBLE - 1.015::DOUBLE * (w::DOUBLE / s)
+             - 84.6::DOUBLE * (syl::DOUBLE / greatest(w, 1))
+             AS flesch_ease,
+           0.39::DOUBLE * (w::DOUBLE / s)
+             + 11.8::DOUBLE * (syl::DOUBLE / greatest(w, 1))
+             - 15.59::DOUBLE AS fk_grade
+    FROM m
+""".replace("__PAGE__", _PAGE_SQL)
+
+
+@query("q134_text_readability", _Q134_ORACLE)
+def q134_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.readability: Flesch reading ease + Flesch-Kincaid grade
+    via the vowel-group syllable heuristic, over the synthetic q129
+    page. Words/sentences/syllables are exact ints; both scores are
+    one fixed double expression over them, so the oracle matches
+    bit-for-bit with no rounding."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    paged = _op("map.apply", ctx, [d], expression=_PAGE_SQL,
+                output_column="page")
+    r = _op("text.readability", ctx, [paged], column="page")
+    return _op("select.apply", ctx, [r], columns=[
+        "doc_id", "rd_words", "rd_sentences", "rd_syllables",
+        "flesch_ease", "fk_grade"])
+
+
+_Q135_ORACLE = """
+    WITH a AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+               WHERE l_returnflag = 'R'),
+    b AS (SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+          WHERE l_returnflag = 'N'),
+    ca AS (SELECT v, COUNT(*)::BIGINT AS ca FROM a GROUP BY v),
+    cb AS (SELECT v, COUNT(*)::BIGINT AS cb FROM b GROUP BY v),
+    sp AS (SELECT COALESCE(ca.v, cb.v) AS v,
+                  COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+           FROM ca FULL OUTER JOIN cb ON ca.v = cb.v),
+    t AS (SELECT (SELECT COUNT(*)::BIGINT FROM a) AS na,
+                 (SELECT COUNT(*)::BIGINT FROM b) AS nb,
+                 (SELECT COUNT(*)::BIGINT FROM sp) AS nv),
+    c AS (SELECT sp.v, t.na, t.nb, t.nv,
+                 abs((SUM(sp.ca) OVER w)::DOUBLE / t.na
+                     - (SUM(sp.cb) OVER w)::DOUBLE / t.nb) AS d
+          FROM sp CROSS JOIN t
+          WINDOW w AS (ORDER BY sp.v
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW))
+    SELECT d AS d_stat, v AS at_value, na AS n_ref, nb AS n_cur,
+           nv AS n_values, 0::BIGINT AS n_null_ref,
+           0::BIGINT AS n_null_cur
+    FROM c ORDER BY d DESC, v LIMIT 1
+"""
+
+
+@query("q135_ks_test", _Q135_ORACLE)
+def q135_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats.ks_test: the exact two-sample Kolmogorov-Smirnov drift
+    statistic between returned ('R') and delivered ('N') lineitem
+    price distributions — binning-free, unlike drift.psi. The op's
+    cumulative CDFs are TWO-PHASE (range buckets + offset frame, the
+    q13 pattern) so no window scans the whole distinct-value spine in
+    one partition; the oracle's plain windowed cumsum must agree
+    exactly, proving the two-phase decomposition."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    r = _op("filter.apply", ctx, [li], expr="l_returnflag = 'R'")
+    n = _op("filter.apply", ctx, [li], expr="l_returnflag = 'N'")
+    return _op("stats.ks_test", ctx, [r, n], column="l_extendedprice",
+               buckets=64)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -362,6 +362,30 @@ CHECKS = [
         and any("Window [" in ln for ln in p.splitlines()),
     ),
     (
+        "q133_rank_tfidf",
+        "tfidf: postings shuffle once, N rides a broadcast 1-row "
+        "frame, top-k window partitioned by doc, zero Python",
+        lambda p, o: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and any("Window [" in ln for ln in p.splitlines()),
+    ),
+    (
+        "q134_text_readability",
+        "readability: per-row JVM exprs — widen exchange only, no "
+        "agg/join shuffle, zero Python",
+        lambda p, o: p.count("Exchange") <= 1 and "Join" not in p
+        and "HashAggregate" not in p and "BatchEvalPython" not in p
+        and "MapInPandas" not in p,
+    ),
+    (
+        "q135_ks_test",
+        "KS: two-phase bucketed cumsum (no unpartitioned window over "
+        "the spine), distributed top-1 argmax, zero Python",
+        lambda p, o: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "TakeOrderedAndProject" in p,
+    ),
+    (
         "q132_semdedup",
         "SemDeDup: trained cells bound the pair space — bucketed "
         "equi-joins only, no cartesian/BNLJ, pairs GEMM via Arrow",
