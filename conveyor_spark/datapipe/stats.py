@@ -279,8 +279,16 @@ def stats_ks_test(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     if n_buckets < 1:
         raise ConfigError("stats.ks_test: buckets must be >= 1")
 
-    a = ref.select(F.col(column).cast("double").alias("__v"))
-    b = cur.select(F.col(col_b).cast("double").alias("__v"))
+    # NaNs have no place on a CDF (they'd land in a NULL width_bucket
+    # and corrupt the cumulative sums) — fold them into the NULL
+    # accounting
+    def _clean(df0: DataFrame, c: str) -> DataFrame:
+        v = F.col(c).cast("double")
+        return df0.select(
+            F.nanvl(v, F.lit(None).cast("double")).alias("__v"))
+
+    a = _clean(ref, column)
+    b = _clean(cur, col_b)
     # F.count(col) skips NULLs — count rows with count(1) so the
     # null subtraction isn't applied twice
     null_a = a.agg(

@@ -163,3 +163,12 @@ def test_ks_empty_side_raises(ctx, spark):
                column="v").collect()
     with pytest.raises(ConfigError, match="reference has no column"):
         run_op(ctx, "stats.ks_test", [ref.drop("v"), ref], column="v")
+
+
+def test_ks_nan_counted_as_null(ctx, spark):
+    ref = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),)], "v DOUBLE")
+    cur = spark.createDataFrame([(1.0,), (2.0,)], "v DOUBLE")
+    row = run_op(ctx, "stats.ks_test", [ref, cur], column="v").collect()[0]
+    assert row["n_ref"] == 2 and row["n_null_ref"] == 1
+    assert row["d_stat"] == 0.0
