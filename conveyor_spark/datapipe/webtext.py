@@ -256,28 +256,34 @@ def c4_filter(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
             & ~F.lower(ln).contains("javascript")
         )
 
-    kept = F.filter(lines, line_ok)
-    cleaned = F.array_join(kept, "\n")
-    sentences = _count_matches(cleaned, r"[.!?]")
+    # materialize the filtered lines once — sentences, the flags AND
+    # the rewrite all read them; left inline, CollapseProject would
+    # re-run the per-line filter per reference (NOTES playbook #7)
+    df = df.withColumn("__c4_lines", lines) \
+        .withColumn("__c4_kept", F.filter(F.col("__c4_lines"), line_ok)) \
+        .withColumn("__c4_clean", F.array_join(F.col("__c4_kept"), "\n"))
+    sentences = _count_matches(F.col("__c4_clean"), r"[.!?]")
     page_ok = F.coalesce(
         ~F.lower(c).contains("lorem ipsum")
         & ~c.contains("{")
-        & (sentences >= min_sentences),
+        & (F.col("c4_sentences") >= min_sentences),
         F.lit(False),
     )
     out = (
-        df.withColumn("c4_kept_lines", F.size(kept))
-        .withColumn("c4_total_lines", F.size(lines))
+        df.withColumn("c4_kept_lines", F.size(F.col("__c4_kept")))
+        .withColumn("c4_total_lines", F.size(F.col("__c4_lines")))
         .withColumn("c4_sentences", sentences)
         .withColumn("c4_page_ok", page_ok)
     )
-    if mode == "annotate":
-        return out
-    out = out.withColumn(
-        column, F.when(c.isNull(), F.lit(None)).otherwise(cleaned)
-    )
+    if mode != "annotate":
+        out = out.withColumn(
+            column,
+            F.when(c.isNull(), F.lit(None)).otherwise(F.col("__c4_clean")),
+        )
+    out = out.drop("__c4_lines", "__c4_kept", "__c4_clean")
+    user_cols = [x for x in df.columns if not x.startswith("__c4_")]
     if mode == "filter":
-        return out.filter(F.col("c4_page_ok")).select(*df.columns)
+        return out.filter(F.col("c4_page_ok")).select(*user_cols)
     return out
 
 
