@@ -532,3 +532,144 @@ def rank_tfidf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
             "rank",
         )
     )
+
+
+@register(
+    "classify.multiclass", kind="transform", min_inputs=2, max_inputs=2,
+    doc="Multi-class linear bag-of-words classification (language ID / topic routing)",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id (unique)"),
+        P("mode", default="mean", allowed=("mean", "sum", "binary"),
+          desc="Term aggregation: tf-weighted mean / sum, or distinct-term sum"),
+        P("biases", "object", desc="Optional per-class intercepts {class: bias}"),
+        P("output_column", default="predicted", desc="Winning class column"),
+        P("score_column", default="score", desc="Winning class score column"),
+        P("term_column", default="term", desc="Weights-table term column"),
+        P("class_column", default="class", desc="Weights-table class column"),
+        P("weight_column", default="weight", desc="Weights-table weight column"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "mode": "mean",
+             "score_column": "cls_score"},
+    tags=["text", "classify", "language", "curation"],
+)
+def classify_multiclass(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Argmax inference over a multi-class linear text model — the
+    fasttext-shaped language-ID / domain-router pass (CCNet's LID
+    step, Dolma's domain tagging) generalizing classify.linear from
+    one logit to K. inputs: [docs, weights] where weights is the
+    offline-trained (term, class, weight) table. Per document and
+    class: score = bias_c + agg(tf_t * w_{t,c}); output = the winning
+    class (ties -> lexicographically smallest class) and its score.
+
+    Every class competes for every document — a class with no matched
+    terms scores bias_c (all-OOV docs get the pure-prior argmax), so
+    the candidate set is docs x distinct-classes, NOT just matched
+    pairs (a doc whose only matches are strongly negative must be
+    allowed to fall back to an unmatched class).
+
+    Exactness: per-term contribution = tf (int64) * weight (double),
+    folded in term order per (doc, class); score rounds to 9 with the
+    q118 `+ 0.0` sign normalization; argmax tie-break is total.
+
+    Scale: the weights table is vocabulary-sized and broadcast; the
+    corpus shuffles its (id, term, tf) postings once; the candidate
+    frame is |docs| x K skinny (id, class, double) rows reduced by one
+    groupBy — no window, no cross join of data-sized tables."""
+    docs, weights = inputs
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("classify.multiclass requires 'column' and 'id_column'")
+    for c in (column, id_column):
+        if c not in docs.columns:
+            raise ConfigError(f"classify.multiclass: no column {c!r}")
+    mode = config.get("mode", "mean")
+    if mode not in ("mean", "sum", "binary"):
+        raise ConfigError("classify.multiclass: mode must be mean|sum|binary")
+    biases = config.get("biases") or {}
+    if not isinstance(biases, dict):
+        raise ConfigError("classify.multiclass: biases must be a {class: bias} map")
+    out = config.get("output_column", "predicted")
+    score_col = config.get("score_column", "score")
+    term_col = config.get("term_column", "term")
+    class_col = config.get("class_column", "class")
+    weight_col = config.get("weight_column", "weight")
+    clash = sorted({out, score_col} & set(docs.columns))
+    if clash:
+        raise ConfigError(
+            f"classify.multiclass would overwrite existing columns {clash}; "
+            "set output_column/score_column")
+    for c in (term_col, class_col, weight_col):
+        if c not in weights.columns:
+            raise ConfigError(
+                f"classify.multiclass: weights table has no column {c!r} "
+                f"(has {weights.columns})")
+
+    w = weights.select(
+        F.col(term_col).cast("string").alias("__w"),
+        F.col(class_col).cast("string").alias("__cls"),
+        F.col(weight_col).cast("double").alias("__wt"),
+    )
+    # per-class bias expression (driver-side map lookup at build time;
+    # classes missing from the map default to 0)
+    bias_expr = F.lit(0.0)
+    for cls, b in sorted(biases.items()):
+        bias_expr = F.when(F.col("__cls") == str(cls), F.lit(float(b))).otherwise(bias_expr)
+
+    tf = (
+        docs.select(
+            F.col(id_column).alias("__id"),
+            F.explode(tokens_expr(column, distinct=False)).alias("__w"),
+        )
+        .groupBy("__id", "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    tfw = F.lit(1.0) if mode == "binary" else F.col("__tf").cast("double")
+    contrib = tf.join(F.broadcast(w), "__w").select(
+        "__id", "__cls", (tfw * F.col("__wt")).alias("__c"), "__w"
+    )
+    dots = contrib.groupBy("__id", "__cls").agg(
+        F.collect_list(
+            F.struct(F.col("__w").alias("k"), F.col("__c").alias("v"))
+        ).alias("__cs"),
+    ).select("__id", "__cls", fold_sum(F.col("__cs")).alias("__dot"))
+    if mode == "mean":
+        lens = tf.groupBy("__id").agg(F.sum("__tf").alias("__len"))
+        dots = dots.join(lens, "__id").select(
+            "__id", "__cls",
+            (F.col("__dot") / F.col("__len").cast("double")).alias("__dot"),
+        )
+    # candidate frame: every doc x every class (classes broadcast);
+    # bias-only classes (a prior with no term weights) still compete
+    classes = w.select("__cls").distinct()
+    spark = docs.sparkSession
+    bias_only = sorted(str(c) for c in biases)
+    if bias_only:
+        classes = classes.union(
+            spark.createDataFrame([(c,) for c in bias_only], "__cls STRING")
+        ).distinct()
+    cand = (
+        docs.select(F.col(id_column).alias("__id"))
+        .join(F.broadcast(classes))
+        .join(dots, ["__id", "__cls"], "left")
+        .select(
+            "__id", "__cls",
+            (F.round(F.coalesce(F.col("__dot"), F.lit(0.0)) + bias_expr, 9)
+             + F.lit(0.0)).alias("__s"),
+        )
+    )
+    # argmax(score), tie -> min class: min over struct(-score, class).
+    # -0.0 from negating a zero score is safe: Spark normalizes signed
+    # zeros in comparisons, and the EMITTED score re-negates through
+    # the same struct so both engines hash the `+ 0.0`-normalized form
+    best = cand.groupBy("__id").agg(
+        F.min(F.struct(
+            (-F.col("__s")).alias("ns"), F.col("__cls").alias("c")
+        )).alias("__b")
+    ).select(
+        "__id",
+        F.col("__b.c").alias(out),
+        (-F.col("__b.ns") + F.lit(0.0)).alias(score_col),
+    )
+    return docs.join(best, docs[id_column] == best["__id"], "left").drop("__id")

@@ -5082,6 +5082,73 @@ def q135_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                buckets=64)
 
 
+# q136: a fasttext-export stand-in — three topic classes over the
+# corpus vocabulary plus a bias-only fallback class with a prior
+_Q136_WEIGHTS = [
+    ("join", "db", 1.4), ("hash", "db", 1.1), ("merge", "db", 0.7),
+    ("scan", "db", 0.5), ("slow", "db", -0.6),
+    ("stream", "rt", 1.3), ("window", "rt", 1.0), ("batch", "rt", 0.4),
+    ("join", "rt", -0.2), ("the", "rt", -0.1),
+    ("the", "filler", 0.6), ("a", "filler", 0.5), ("dup", "filler", 0.9),
+    ("slow", "filler", 0.3),
+]
+_Q136_W_SQL = ", ".join(
+    f"('{t}', '{c}', {w})" for t, c, w in _Q136_WEIGHTS
+)
+
+
+@query(
+    "q136_classify_multiclass",
+    f"""
+    WITH w(term, cls, weight) AS (VALUES {_Q136_W_SQL}),
+    classes AS (SELECT DISTINCT cls FROM w
+                UNION SELECT 'other'),
+    tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+    tf AS (SELECT doc_id, t, COUNT(*)::BIGINT AS tf
+           FROM tok GROUP BY doc_id, t),
+    lens AS (SELECT doc_id, SUM(tf)::BIGINT AS len FROM tf GROUP BY doc_id),
+    c AS (SELECT tf.doc_id, w.cls, tf.t, tf.tf * w.weight AS c
+          FROM tf JOIN w ON tf.t = w.term),
+    dot AS (SELECT c.doc_id, c.cls,
+                   list_reduce(list_prepend(0.0::DOUBLE,
+                       list(c.c ORDER BY c.t)), (a, b) -> a + b)
+                   / lens.len AS dot
+            FROM c JOIN lens ON c.doc_id = lens.doc_id
+            GROUP BY c.doc_id, c.cls, lens.len),
+    cand AS (SELECT d.doc_id, cl.cls,
+                    round(COALESCE(dot.dot, 0.0)
+                          + CASE WHEN cl.cls = 'other' THEN -0.25
+                                 ELSE 0.0 END, 9) + 0.0 AS s
+             FROM documents d CROSS JOIN classes cl
+             LEFT JOIN dot ON d.doc_id = dot.doc_id AND cl.cls = dot.cls),
+    r AS (SELECT doc_id, cls, s,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY s DESC, cls) AS rn
+          FROM cand)
+    SELECT doc_id, cls AS predicted, s AS score FROM r WHERE rn = 1
+    """,
+)
+def q136_classify_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """classify.multiclass: fasttext-shaped language-ID / topic
+    routing — argmax over per-class linear scores from an
+    offline-trained (term, class, weight) table, with a bias-only
+    'other' fallback class competing on its prior (docs whose tokens
+    match nothing, or only negatively, fall back to it). Exactness:
+    term-ordered contribution folds per (doc, class), round 9, total
+    (score DESC, class ASC) tie-break."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        _Q136_WEIGHTS, "term STRING, class STRING, weight DOUBLE"
+    )
+    out = _op("classify.multiclass", ctx, [d, w],
+              column="text", id_column="doc_id", mode="mean",
+              biases={"other": -0.25})
+    return _op("select.apply", ctx, [out],
+               columns=["doc_id", "predicted", "score"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

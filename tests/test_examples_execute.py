@@ -72,6 +72,13 @@ INPUT_BUILDERS = {
         df.sparkSession.createDataFrame(
             [("quick", 1.0), ("lazy", -1.0)], "term STRING, weight DOUBLE"),
     ],
+    # second input is the (term, class, weight) table
+    "classify.multiclass": lambda df: [
+        df,
+        df.sparkSession.createDataFrame(
+            [("quick", "a", 1.0), ("lazy", "b", 1.0)],
+            "term STRING, class STRING, weight DOUBLE"),
+    ],
     # second input is the query set
     "rank.bm25": lambda df: [
         df,

@@ -235,3 +235,98 @@ def test_bm25_top_k_and_max_df(ctx, spark, docs):
     with pytest.raises(ConfigError, match="queries table"):
         run_op(ctx, "rank.bm25", [docs, docs.select("doc_id")],
                column="text", id_column="doc_id")
+
+
+MC_WEIGHTS = [
+    ("cat", "animal", 2.0), ("mat", "animal", 0.5),
+    ("cat", "furniture", -1.0), ("mat", "furniture", 3.0),
+    ("zebra", "animal", 4.0), ("the", "filler", 1.0),
+]
+
+
+@pytest.fixture(scope="module")
+def mc_weights(spark):
+    return spark.createDataFrame(
+        MC_WEIGHTS, "term STRING, class STRING, weight DOUBLE")
+
+
+def _py_multiclass(toks, mode, biases):
+    tf = Counter(toks)
+    classes = sorted({c for _, c, _ in MC_WEIGHTS} | set(biases))
+    scores = {}
+    for cls in classes:
+        wmap = {t: w for t, c, w in MC_WEIGHTS if c == cls}
+        dot = sum(
+            (1 if mode == "binary" else n) * wmap[t]
+            for t, n in tf.items() if t in wmap
+        )
+        if mode == "mean":
+            dot = dot / len(toks) if toks else 0.0
+        scores[cls] = round(dot + biases.get(cls, 0.0), 9)
+    # total tie-break: max score, then lexicographically SMALLEST class
+    top = max(scores.values())
+    best = min(c for c in classes if scores[c] == top)
+    return best, top
+
+
+def test_classify_multiclass_modes_and_fallback(ctx, docs, mc_weights):
+    biases = {"other": -0.05}
+    for mode in ("mean", "sum", "binary"):
+        out = run_op(ctx, "classify.multiclass", [docs, mc_weights],
+                     column="text", id_column="doc_id",
+                     mode=mode, biases=biases)
+        got = {r["doc_id"]: (r["predicted"], r["score"])
+               for r in out.collect()}
+        for i, t in TOKS.items():
+            cls, sc = _py_multiclass(t, mode, biases)
+            assert got[i][0] == cls, (mode, i, got[i])
+            assert got[i][1] == pytest.approx(sc, abs=1e-9), (mode, i)
+
+
+def test_classify_multiclass_all_oov_takes_prior(ctx, spark, mc_weights):
+    # tokens matching NO weights: the best bias (here a positive
+    # 'other' prior) must win over every 0-scoring weighted class...
+    d = spark.createDataFrame([(1, "qux flurble")], "doc_id LONG, text STRING")
+    out = run_op(ctx, "classify.multiclass", [d, mc_weights],
+                 column="text", id_column="doc_id",
+                 biases={"other": 0.5})
+    row = out.collect()[0]
+    assert (row["predicted"], row["score"]) == ("other", 0.5)
+    # ...and with no biases, the tie over 0.0 picks the smallest class
+    out2 = run_op(ctx, "classify.multiclass", [d, mc_weights],
+                  column="text", id_column="doc_id")
+    assert out2.collect()[0]["predicted"] == "animal"
+
+
+def test_classify_multiclass_negative_match_falls_back(ctx, spark, mc_weights):
+    # a doc whose ONLY matched class scores negative must lose to an
+    # unmatched zero-scoring class (the docs x classes frame, not just
+    # matched pairs)
+    d = spark.createDataFrame(
+        [(1, "mat mat")], "doc_id LONG, text STRING")
+    w = spark.createDataFrame(
+        [("mat", "bad", -2.0)], "term STRING, class STRING, weight DOUBLE")
+    out = run_op(ctx, "classify.multiclass", [d, w],
+                 column="text", id_column="doc_id",
+                 biases={"neutral": 0.0})
+    assert out.collect()[0]["predicted"] == "neutral"
+
+
+def test_classify_multiclass_errors(ctx, spark, docs, mc_weights):
+    with pytest.raises(ConfigError, match="weights table"):
+        run_op(ctx, "classify.multiclass", [docs, docs.select("doc_id")],
+               column="text", id_column="doc_id")
+    with pytest.raises(ConfigError, match="biases"):
+        run_op(ctx, "classify.multiclass", [docs, mc_weights],
+               column="text", id_column="doc_id", biases=[1, 2])
+    with pytest.raises(ConfigError, match="overwrite"):
+        run_op(ctx, "classify.multiclass", [docs, mc_weights],
+               column="text", id_column="doc_id", output_column="text")
+    # custom weights-table column names work
+    w2 = spark.createDataFrame(
+        [(t, c, w) for t, c, w in MC_WEIGHTS],
+        "tok STRING, lbl STRING, coef DOUBLE")
+    out = run_op(ctx, "classify.multiclass", [docs, w2],
+                 column="text", id_column="doc_id", term_column="tok",
+                 class_column="lbl", weight_column="coef", mode="sum")
+    assert out.filter("doc_id = 3").collect()[0]["predicted"] == "animal"
