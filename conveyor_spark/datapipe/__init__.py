@@ -38,4 +38,5 @@ from conveyor_spark.datapipe import (  # noqa: F401
     structure,
     substring,
     webtext,
+    winnow,
 )

@@ -5149,6 +5149,48 @@ def q136_classify_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
                columns=["doc_id", "predicted", "score"])
 
 
+_Q137_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(tk) < 4 THEN []::VARCHAR[]
+                 ELSE list_transform(range(0, len(tk) - 4 + 1),
+                        i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))
+            END AS grams
+          FROM tk),
+    ks AS (SELECT doc_id,
+             list_transform(range(0, len(grams)),
+               i -> substr(md5(grams[i + 1]), 1, 15) || '#'
+                    || lpad((999999999999 - i)::VARCHAR, 12, '0')) AS keys
+           FROM g),
+    sel AS (SELECT doc_id,
+              CASE WHEN len(keys) = 0 THEN []::VARCHAR[]
+                   ELSE list_distinct(list_transform(
+                          range(0, greatest(len(keys) - 5, 0) + 1),
+                          j -> list_aggregate(keys[j + 1 : j + 5], 'min')))
+              END AS sk
+            FROM ks),
+    x AS (SELECT doc_id, unnest(sk) AS key FROM sel)
+    SELECT doc_id,
+           (999999999999 - substr(key, 17, 12)::BIGINT)::INT AS pos,
+           ('0x' || substr(key, 1, 15))::BIGINT AS fingerprint
+    FROM x
+"""
+
+
+@query("q137_winnow", _Q137_ORACLE)
+def q137_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.winnow: MOSS winnowing fingerprints (k=4-token grams,
+    window=5) — any shared token run of >= 8 tokens between two docs
+    yields an identical selected fingerprint. The selection is pure
+    per-doc array expressions (zero shuffle); the oracle replays the
+    encoded window-min rule (15-hex md5 + reversed-position tie-break)
+    verbatim in DuckDB."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("text.winnow", ctx, [d], column="text",
+               id_column="doc_id", k=4, window=5)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
