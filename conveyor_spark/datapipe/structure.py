@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
-from conveyor_spark.datapipe.dedup import tokens_expr
+from conveyor_spark.datapipe.dedup import tokens_expr, widen
 from conveyor_spark.datapipe.hashing import md5_int
 
 # sentence boundary: punctuation followed by whitespace. A sentinel
@@ -160,3 +160,119 @@ def corpus_manifest(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     grouped = staged.groupBy(*[F.col(c) for c in by]) if by \
         else staged.groupBy()
     return grouped.agg(*aggs)
+
+
+@register(
+    "text.cdc_chunk", kind="transform",
+    doc="Content-defined chunking: insertion-robust chunk boundaries",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("id_column", required=True, desc="Document id column"),
+        P("k", "integer", default=3, min=1,
+          desc="Context tokens hashed for the boundary decision"),
+        P("divisor", "integer", default=64, min=2,
+          desc="Boundary probability 1/divisor (= expected chunk tokens)"),
+        P("output_column", default="chunk", desc="Chunk text column"),
+        P("widen", "any", default="auto",
+          desc="Spread narrow scans: auto / false / partition count"),
+    ],
+    example={"column": "text", "id_column": "doc_id", "k": 2,
+             "divisor": 8},
+    tags=["text", "structure", "chunking", "dedup", "datapipe"],
+)
+def text_cdc_chunk(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS recipe on token
+    streams): cut after token i whenever the 60-bit hash of the
+    k-token window ending at i is ≡ 0 mod ``divisor``. Because the
+    cut decision depends only on LOCAL content, inserting or deleting
+    a paragraph shifts chunk CONTENTS only near the edit — every
+    other chunk re-hashes identically, which is what makes chunk-hash
+    dedup robust to small edits where fixed-size chunking (chunk.apply)
+    resynchronizes nowhere.
+
+    Output: one row per chunk — (id, chunk_index, chunk, chunk_tokens,
+    chunk_hash) with ``chunk_hash`` the portable 60-bit hash of the
+    chunk text (feed it straight to dedup.exact / dedup.incremental).
+    Docs shorter than k tokens form a single chunk; empty docs emit
+    nothing; a boundary on the last token creates no empty trailing
+    chunk. Expected chunk length = ``divisor`` tokens (geometric).
+
+    Scale: the entire chunking is per-document array expressions in
+    whole-stage codegen — zero shuffle, no window, no explode before
+    the final posexplode of kept chunks. ``widen`` spreads narrow
+    single-file scans.
+
+    Determinism: boundary hash and chunk hash are the portable md5
+    forms; q138 replays the whole construction in DuckDB."""
+    df = inputs[0]
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError("text.cdc_chunk requires 'column' and 'id_column'")
+    for c in (column, id_column):
+        if c not in df.columns:
+            raise ConfigError(f"text.cdc_chunk: no column {c!r}")
+    k = int(config.get("k", 3))
+    if k < 1:
+        raise ConfigError("text.cdc_chunk: k must be >= 1")
+    divisor = int(config.get("divisor", 64))
+    if divisor < 2:
+        raise ConfigError("text.cdc_chunk: divisor must be >= 2")
+    out = config.get("output_column", "chunk")
+    reserved = {"chunk_index", "chunk_tokens", "chunk_hash"}
+    if out in reserved or out == id_column:
+        raise ConfigError(
+            f"text.cdc_chunk: output_column {out!r} collides with an "
+            "emitted column")
+
+    df = widen(ctx, df, config)
+    # materialize tokens once (NOTES rule 8: lambdas re-evaluate outer
+    # subtrees per element)
+    stage = df.select(
+        F.col(id_column).alias("__id"),
+        tokens_expr(column, distinct=False).alias("__tk"),
+    )
+    n = F.size("__tk")
+    # boundary positions: 0-based token i in [k-1, n-1] whose k-token
+    # window hash ≡ 0 (mod divisor). Guard n < k — sequence() would
+    # DESCEND for an inverted range (NOTES gotcha)
+    gram_at = lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i - k + 2, k))  # noqa: E731
+    bpos = F.when(n < k, F.array().cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(k - 1), n - 1),
+            lambda i: md5_int(gram_at(i)) % divisor == 0,
+        ).cast("array<int>")
+    )
+    stage = stage.select("__id", "__tk", bpos.alias("__b"))
+    starts = F.concat(
+        F.array(F.lit(0)), F.transform("__b", lambda p: p + 1)
+    )
+    ends = F.concat(F.col("__b"), F.array(n - 1))
+    # (start, end) pairs; start > end happens only for a boundary on
+    # the final token — that empty trailing chunk is dropped
+    pairs = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), F.size("__b")),
+            lambda j: F.struct(
+                F.element_at(starts, j + 1).alias("s"),
+                F.element_at(ends, j + 1).alias("e"),
+            ),
+        ),
+        lambda p: p["s"] <= p["e"],
+    )
+    chunks = F.when(n == 0, F.array().cast("array<array<string>>")).otherwise(
+        F.transform(
+            pairs, lambda p: F.slice(F.col("__tk"), p["s"] + 1, p["e"] - p["s"] + 1)
+        )
+    )
+    exploded = stage.select(
+        "__id", F.posexplode(chunks).alias("__ci", "__c")
+    )
+    text_c = F.concat_ws(" ", F.col("__c"))
+    return exploded.select(
+        F.col("__id").alias(id_column),
+        F.col("__ci").cast("int").alias("chunk_index"),
+        text_c.alias(out),
+        F.size("__c").alias("chunk_tokens"),
+        md5_int(text_c).alias("chunk_hash"),
+    )

@@ -5191,6 +5191,54 @@ def q137_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
                id_column="doc_id", k=4, window=5)
 
 
+_Q138_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    b AS (SELECT doc_id, tk, len(tk) AS n,
+            CASE WHEN len(tk) < 3 THEN []::BIGINT[]
+                 ELSE list_filter(range(2, len(tk)),
+                        i -> ('0x' || substr(md5(array_to_string(
+                               list_slice(tk, i - 1, i + 1), ' ')), 1, 15)
+                             )::BIGINT % 16 = 0)
+            END AS bp
+          FROM tk),
+    c AS (SELECT doc_id, tk,
+            list_concat([0]::BIGINT[], list_transform(bp, p -> p + 1)) AS st,
+            list_concat(bp, [n - 1]) AS en
+          FROM b WHERE n > 0),
+    pr AS (SELECT doc_id, tk,
+             list_filter(list_transform(range(0, len(st)),
+                 j -> {{'s': st[j + 1], 'e': en[j + 1]}}),
+               p -> p.s <= p.e) AS prs
+           FROM c),
+    u AS (SELECT doc_id, tk,
+            unnest(prs) AS x,
+            generate_subscripts(prs, 1) - 1 AS ci
+          FROM pr),
+    ex AS (SELECT doc_id, ci,
+             array_to_string(list_slice(tk, x.s + 1, x.e + 1), ' ') AS chunk,
+             (x.e - x.s + 1) AS ctoks
+           FROM u)
+    SELECT doc_id, ci::INT AS chunk_index, chunk,
+           ctoks::INT AS chunk_tokens,
+           ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS chunk_hash
+    FROM ex
+"""
+
+
+@query("q138_cdc_chunk", _Q138_ORACLE)
+def q138_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.cdc_chunk: content-defined chunking (rsync/LBFS boundary
+    rule on token streams) — cut where the k=3-token window hash ≡ 0
+    mod 16, so edits only perturb chunk hashes near the edit site.
+    The whole chunking is per-doc codegen array exprs (zero shuffle);
+    the oracle replays boundary selection, chunk assembly, and chunk
+    hashing verbatim in DuckDB."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("text.cdc_chunk", ctx, [d], column="text",
+               id_column="doc_id", k=3, divisor=16)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
