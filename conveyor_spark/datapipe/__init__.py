@@ -24,6 +24,7 @@ from conveyor_spark.datapipe import (  # noqa: F401
     fuzzy,
     graph,
     mining,
+    mmr,
     similarity,
     text,
     multimodal,

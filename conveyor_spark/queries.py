@@ -5239,6 +5239,74 @@ def q138_cdc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
                id_column="doc_id", k=3, divisor=16)
 
 
+# q139: MMR selection against a fixed query vector. The literal is
+# generated once and embedded into BOTH engines' SQL texts.
+_Q139_QV = [round((((i * 37) % 13) - 6) / 7.0, 6) for i in range(64)]
+_Q139_K, _Q139_LAM = 4, 0.5
+
+
+def _mmr_oracle(k: int, lam: float) -> str:
+    qv = "[" + ", ".join(repr(x) for x in _Q139_QV) + "]::DOUBLE[]"
+
+    def cos(a: str, b: str) -> str:
+        return (f"round(list_dot_product({a}, {b}) / "
+                f"(sqrt(list_dot_product({a}, {a})) * "
+                f"sqrt(list_dot_product({b}, {b}))), 6)")
+
+    ctes = [
+        "e AS (SELECT vec_id AS id, list_transform(embedding, x -> x::DOUBLE)"
+        " AS v FROM embeddings)",
+        f"c AS MATERIALIZED (SELECT id, v, {cos('v', qv)} AS rel FROM e)",
+        "s1 AS MATERIALIZED (SELECT id, v, rel, round(rel, 9) + 0.0 AS mmr"
+        " FROM c ORDER BY round(rel, 9) DESC, id LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        prevs = [f"s{j}" for j in range(1, r)]
+        sims = ", ".join(cos("c.v", f"{p}.v") for p in prevs)
+        maxsim = sims if len(prevs) == 1 else f"greatest({sims})"
+        notin = " AND ".join(f"c.id <> {p}.id" for p in prevs)
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT c.id, c.v, c.rel, "
+            f"round({lam} * c.rel - {1.0 - lam} * {maxsim}, 9) + 0.0 AS mmr "
+            f"FROM c, {', '.join(prevs)} WHERE {notin} "
+            f"ORDER BY mmr DESC, c.id LIMIT 1)"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT id AS vec_id, {r}::INT AS rank, rel AS relevance, mmr"
+        f" FROM s{r}" for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + finals
+
+
+@query("q139_rank_mmr", _mmr_oracle(_Q139_K, _Q139_LAM))
+def q139_rank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank.mmr: maximal-marginal-relevance selection — relevance =
+    cosine to a fixed query vector (round 6, the knn policy), then 4
+    greedy rounds trading relevance against max similarity to the
+    already-selected set (lam=0.5). Each round is one codegen
+    aggregate with the selected vectors as literals (the kmeans /
+    pagerank iterative-literal family). The oracle unrolls all 4
+    rounds as 1-row materialized CTEs."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = "array(" + ", ".join(f"{x}D" for x in _Q139_QV) + ")"
+    rel = _op("sql.query", ctx, [e], views=["q139_e"], sql=f"""
+        SELECT vec_id, embedding,
+               round(aggregate(zip_with(embedding, {qv},
+                         (x, y) -> CAST(x AS DOUBLE) * y),
+                       CAST(0 AS DOUBLE), (a, v) -> a + v)
+                 / (sqrt(aggregate(transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                       CAST(0 AS DOUBLE), (a, v) -> a + v))
+                  * sqrt(aggregate(transform({qv}, y -> y * y),
+                       CAST(0 AS DOUBLE), (a, v) -> a + v))), 6) AS rel
+        FROM q139_e
+    """)
+    return _op("rank.mmr", ctx, [rel], id_column="vec_id",
+               column="embedding", relevance_column="rel",
+               k=_Q139_K, lam=_Q139_LAM)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
