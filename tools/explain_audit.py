@@ -386,6 +386,32 @@ CHECKS = [
         and "TakeOrderedAndProject" in p,
     ),
     (
+        "q136_classify_multiclass",
+        "multiclass: weights/classes broadcast (the docs x K candidate "
+        "frame is a broadcast cross of a tiny class list — allowed), "
+        "postings shuffle once, zero Python, no data-sized cartesian",
+        lambda p, o: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "BroadcastExchange" in p and "HashAggregate" in p,
+    ),
+    (
+        "q137_winnow",
+        "winnowing: per-doc array exprs — widen exchange only, no "
+        "agg/join/window shuffle, zero Python, explode only at output",
+        lambda p, o: p.count("Exchange") <= 1 and "Join" not in p
+        and "HashAggregate" not in p and "Window [" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "Generate" in p,
+    ),
+    (
+        "q138_cdc_chunk",
+        "CDC chunking: per-doc array exprs — widen exchange only, no "
+        "agg/join shuffle, zero Python, explode only at output",
+        lambda p, o: p.count("Exchange") <= 1 and "Join" not in p
+        and "HashAggregate" not in p and "BatchEvalPython" not in p
+        and "MapInPandas" not in p and "Generate" in p,
+    ),
+    (
         "q132_semdedup",
         "SemDeDup: trained cells bound the pair space — bucketed "
         "equi-joins only, no cartesian/BNLJ, pairs GEMM via Arrow",
