@@ -5307,6 +5307,61 @@ def q139_rank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
                k=_Q139_K, lam=_Q139_LAM)
 
 
+_Q140_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    g AS (SELECT doc_id,
+            CASE WHEN len(tk) < 4 THEN []::VARCHAR[]
+                 ELSE list_transform(range(0, len(tk) - 4 + 1),
+                        i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))
+            END AS grams
+          FROM tk),
+    ks AS (SELECT doc_id,
+             list_transform(range(0, len(grams)),
+               i -> substr(md5(grams[i + 1]), 1, 15) || '#'
+                    || lpad((999999999999 - i)::VARCHAR, 12, '0')) AS keys
+           FROM g),
+    sel AS (SELECT doc_id,
+              CASE WHEN len(keys) = 0 THEN []::VARCHAR[]
+                   ELSE list_distinct(list_transform(
+                          range(0, greatest(len(keys) - 5, 0) + 1),
+                          j -> list_aggregate(keys[j + 1 : j + 5], 'min')))
+              END AS sk
+            FROM ks),
+    fp AS (SELECT DISTINCT doc_id,
+             ('0x' || substr(unnest(sk), 1, 15))::BIGINT AS fingerprint
+           FROM sel)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           COUNT(*)::BIGINT AS shared
+    FROM fp a JOIN fp b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 2
+"""
+
+
+@query("q140_winnow_pairs", _Q140_ORACLE)
+def q140_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS pairing composed from primitives: text.winnow selects the
+    guaranteed-overlap fingerprints, a posting self-join on the
+    fingerprint value emits candidate pairs, and a shared-count >= 2
+    filter keeps documents sharing at least two selected passages.
+    The join moves skinny (fingerprint, id) rows only — the documents
+    never pair directly. Oracle replays selection + pairing in SQL."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    fp = _op("text.winnow", ctx, [d], column="text",
+             id_column="doc_id", k=4, window=5)
+    return _op("sql.query", ctx, [fp], views=["q140_fp"], sql="""
+        WITH f AS (SELECT DISTINCT doc_id, fingerprint FROM q140_fp)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*) AS shared
+        FROM f a JOIN f b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+        HAVING COUNT(*) >= 2
+    """)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
