@@ -174,3 +174,98 @@ def fingerprint(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
         F.regexp_replace(F.regexp_replace(F.lower(F.col(column)), r"[^a-z0-9\s]", ""), r"\s+", " ")
     )
     return df.withColumn(output_column, F.md5(norm))
+
+
+@register(
+    "text.entropy", kind="transform",
+    doc="Shannon entropy of the symbol distribution (gibberish signal)",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("unit", default="char", allowed=("char", "token"),
+          desc="Symbol unit: characters or whitespace tokens"),
+        P("output_column", default="entropy", desc="Entropy column (nats)"),
+        P("widen", "any", default="auto",
+          desc="Spread narrow scans: auto / false / partition count"),
+    ],
+    example={"column": "text", "unit": "char"},
+    tags=["text", "quality", "curation", "datapipe"],
+)
+def text_entropy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Per-row Shannon entropy (nats) of the character or token
+    distribution — the cheap compression-ratio proxy: binary-ish noise
+    and base64 blobs score high, keyboard mashing and repeated
+    boilerplate score low, natural language sits in a stable band
+    (~2.2-3.2 nats/char for English). Pairs with text.repetition
+    (which catches STRUCTURED repetition; entropy catches skewed
+    symbol histograms in general).
+
+    Computed as ln(n) - (1/n) * sum c_i * ln(c_i) over run lengths of
+    the SORTED symbol array — exact int counts, one double expr per
+    distinct symbol, folded in sorted-symbol order (deterministic in
+    any engine; q141 replays it). NULL for empty/NULL text.
+
+    Scale: pure per-row array exprs in codegen — zero shuffle; the
+    sort is per-document O(n log n) on the row's own symbols."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.entropy requires 'column'")
+    if column not in df.columns:
+        raise ConfigError(f"text.entropy: no column {column!r}")
+    unit = config.get("unit", "char")
+    if unit not in ("char", "token"):
+        raise ConfigError("text.entropy: unit must be char|token")
+    out = config.get("output_column", "entropy")
+    if out in df.columns:
+        raise ConfigError(
+            f"text.entropy would overwrite existing column {out!r}; "
+            "set output_column")
+
+    from conveyor_spark.datapipe.dedup import widen
+
+    df = widen(ctx, df, config)
+    text = F.col(column).cast("string")
+    if unit == "char":
+        syms = F.when(F.length(text) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(1), F.length(text)),
+                lambda i: F.substring(text, i, F.lit(1)),
+            ))
+    else:
+        syms = tokens_expr(column, distinct=False)
+    # run lengths over the sorted symbol array: boundary positions,
+    # then consecutive differences = per-symbol counts (exact ints)
+    stage = df.withColumn("__syms", F.array_sort(syms))
+    n = F.size("__syms")
+    # when() (not |) keeps element_at(syms, i-1) unevaluated at i=1 —
+    # index 0 is an INVALID_ARRAY_INDEX error under ANSI
+    bounds = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(F.col("__syms"), i)
+            != F.element_at(F.col("__syms"), i - 1)
+        ),
+    )
+    stage = stage.withColumn("__b", F.when(n == 0, F.array().cast("array<int>"))
+                             .otherwise(bounds.cast("array<int>")))
+    counts = F.transform(
+        F.sequence(F.lit(0), F.size("__b") - 1),
+        lambda j: F.when(
+            j + 1 < F.size("__b"),
+            F.element_at(F.col("__b"), j + 2),
+        ).otherwise(n + 1) - F.element_at(F.col("__b"), j + 1),
+    )
+    ent = F.when(
+        n > 0,
+        F.round(
+            F.log(n.cast("double"))
+            - F.aggregate(
+                counts,
+                F.lit(0.0),
+                lambda acc, c: acc
+                + c.cast("double") * F.log(c.cast("double")),
+            ) / n.cast("double"),
+            9,
+        ) + F.lit(0.0),
+    )
+    return stage.withColumn(out, ent).drop("__syms", "__b")

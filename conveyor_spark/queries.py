@@ -5362,6 +5362,57 @@ def q140_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def _entropy_sql(syms: str) -> str:
+    """Run-length Shannon entropy over a DuckDB list expression —
+    mirrors text.entropy's sorted-run construction exactly."""
+    return f"""(
+      SELECT CASE WHEN n > 0 THEN
+               round(ln(n::DOUBLE) - list_reduce(
+                 list_prepend(0.0::DOUBLE, list_transform(cnts,
+                   c -> (c::DOUBLE) * ln(c::DOUBLE))),
+                 (a, x) -> a + x) / n::DOUBLE, 9) + 0.0
+             END
+      FROM (SELECT len(ss) AS n,
+              list_transform(range(0, len(bs)),
+                j -> (CASE WHEN j + 1 < len(bs) THEN bs[j + 2]
+                           ELSE len(ss) + 1 END) - bs[j + 1]) AS cnts
+            FROM (SELECT ss,
+                    list_filter(range(1, len(ss) + 1),
+                      i -> i = 1 OR ss[i] <> ss[i - 1]) AS bs
+                  FROM (SELECT list_sort({syms}) AS ss)))
+    )"""
+
+
+_Q141_ORACLE = f"""
+    SELECT doc_id,
+      {_entropy_sql("CASE WHEN text IS NULL OR len(text) = 0 "
+                    "THEN []::VARCHAR[] ELSE list_transform("
+                    "range(1, len(text) + 1), i -> text[i]) END")}
+        AS entropy,
+      {_entropy_sql("CASE WHEN text IS NULL THEN []::VARCHAR[] "
+                    "ELSE " + _SQL_TOKENS + " END")}
+        AS token_entropy
+    FROM documents
+"""
+
+
+@query("q141_text_entropy", _Q141_ORACLE)
+def q141_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.entropy: exact Shannon entropy (nats) of the character
+    and token distributions — run lengths over the sorted symbol
+    array give exact int counts; one double expr per distinct symbol
+    folded in sorted order, round 9. Pure per-row codegen array
+    exprs, zero shuffle. The oracle replays the identical run-length
+    construction in DuckDB for both units."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    ch = _op("text.entropy", ctx, [d], column="text", unit="char")
+    both = _op("text.entropy", ctx, [ch], column="text", unit="token",
+               output_column="token_entropy")
+    return _op("select.apply", ctx, [both],
+               columns=["doc_id", "entropy", "token_entropy"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

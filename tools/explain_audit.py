@@ -386,6 +386,14 @@ CHECKS = [
         and "TakeOrderedAndProject" in p,
     ),
     (
+        "q141_text_entropy",
+        "entropy: per-row sorted-run array exprs — widen exchange "
+        "only, no agg/join shuffle, zero Python",
+        lambda p, o: p.count("Exchange") <= 1 and "Join" not in p
+        and "HashAggregate" not in p and "BatchEvalPython" not in p
+        and "MapInPandas" not in p,
+    ),
+    (
         "q136_classify_multiclass",
         "multiclass: weights/classes broadcast (the docs x K candidate "
         "frame is a broadcast cross of a tiny class list — allowed), "
