@@ -5407,8 +5407,9 @@ def q141_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ctx = _ctx(spark)
     d = load_table(spark, sf_dir, "documents")
     ch = _op("text.entropy", ctx, [d], column="text", unit="char")
+    # the char pass already widened the scan — don't repartition twice
     both = _op("text.entropy", ctx, [ch], column="text", unit="token",
-               output_column="token_entropy")
+               output_column="token_entropy", widen=False)
     return _op("select.apply", ctx, [both],
                columns=["doc_id", "entropy", "token_entropy"])
 
