@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
+from conveyor_spark.datapipe.clustering import _infer_dim
 from conveyor_spark.datapipe.similarity import dot_expr, norm_expr, valid_norm
 
 _MAX_K = 64  # each selection is a full candidate pass — keep k a selection
@@ -54,6 +55,8 @@ _MAX_K = 64  # each selection is a full candidate pass — keep k a selection
           desc="Items to select (each costs one pass over candidates)"),
         P("lam", "float", default=0.5,
           desc="Relevance weight: 1 = plain top-k, 0 = pure diversity"),
+        P("dim", "integer", min=1,
+          desc="Vector dimensionality (default: inferred from data)"),
     ],
     example={"id_column": "id", "column": "embedding",
              "relevance_column": "score", "k": 2},
@@ -83,9 +86,22 @@ def rank_mmr(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) ->
         raise ConfigError("rank.mmr: lam must be in [0, 1]")
 
     spark = df.sparkSession
+    # mixed-dimension pools: a cosine between different-length arrays
+    # is NULL (zip_with pads), and a NULL score would win the
+    # min(struct) argmax — pin a dim (param or inferred) and keep
+    # only matching vectors, like the knn/kmeans ops
+    pool = df.filter(F.col(id_column).isNotNull())
+    dim = config.get("dim")
+    if dim is None:
+        try:
+            dim = _infer_dim(pool, id_column, column, "rank.mmr")
+        except ConfigError:
+            dim = 0  # no non-null vectors: empty selection below
+    dim = int(dim)
     vec = F.transform(F.col(column), lambda x: x.cast("double"))
     cleaned = (
-        df.select(
+        pool.filter(F.size(column) == dim)
+        .select(
             F.col(id_column).alias("__id"),
             F.col(rel_column).cast("double").alias("__rel"),
             vec.alias("__v"),
@@ -96,8 +112,10 @@ def rank_mmr(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) ->
         .persist()
     )
     try:
-        selected: list[tuple] = []  # (id, rank, rel, mmr, vector)
+        selected: list[tuple] = []  # (id, rank, rel, mmr, vector, norm)
         for r in range(1, k + 1):
+            if dim == 0:
+                break
             cand = cleaned
             if selected:
                 cand = cand.filter(
@@ -106,8 +124,7 @@ def rank_mmr(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) ->
                 sims = [
                     F.round(
                         dot_expr(F.col("__v"), F.array(*[F.lit(float(x)) for x in s[4]]))
-                        / (F.col("__n") * norm_expr(
-                            F.array(*[F.lit(float(x)) for x in s[4]]))),
+                        / (F.col("__n") * F.lit(s[5])),
                         6,
                     )
                     for s in selected
@@ -122,12 +139,15 @@ def rank_mmr(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) ->
                 F.min(F.struct(
                     (-score).alias("ns"), F.col("__id").alias("i"),
                     F.col("__rel").alias("rel"), F.col("__v").alias("v"),
+                    F.col("__n").alias("n"),
                 )).alias("b")
             ).first()
             if row is None or row["b"] is None or row["b"]["i"] is None:
                 break  # pool exhausted before k
             b = row["b"]
-            selected.append((b["i"], r, b["rel"], -b["ns"] + 0.0, b["v"]))
+            selected.append(
+                (b["i"], r, b["rel"], -b["ns"] + 0.0, b["v"], b["n"])
+            )
     finally:
         cleaned.unpersist()
 

@@ -595,6 +595,10 @@ def classify_multiclass(ctx: OpContext, inputs: list[DataFrame], config: dict[st
     term_col = config.get("term_column", "term")
     class_col = config.get("class_column", "class")
     weight_col = config.get("weight_column", "weight")
+    if out == score_col:
+        raise ConfigError(
+            "classify.multiclass: output_column and score_column must "
+            "differ (a duplicate column name breaks downstream selects)")
     clash = sorted({out, score_col} & set(docs.columns))
     if clash:
         raise ConfigError(

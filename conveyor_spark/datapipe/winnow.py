@@ -99,15 +99,25 @@ def text_winnow(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
             "set pos_column/fingerprint_column")
 
     df = widen(ctx, df, config)
-    toks = tokens_expr(column, distinct=False)
-    # non-distinct k-grams; empty when the doc has fewer than k tokens
-    grams = F.when(F.size(toks) < k, F.array().cast("array<string>")).otherwise(
+    # materialize the token array once — NOTES rule 8: an outer
+    # subtree referenced inside a transform() lambda re-evaluates PER
+    # ELEMENT, so slicing the raw tokens_expr would re-tokenize the
+    # document once per gram (O(n^2)/row)
+    stage = df.select(
+        F.col(id_column).alias("__id"),
+        tokens_expr(column, distinct=False).alias("__tk"),
+    )
+    # non-distinct k-grams; EMPTY for NULL text and sub-k docs — the
+    # coalesce matters: under ANSI size(NULL)=NULL, the < k test would
+    # fall through and every NULL doc would emit md5('') at pos 0
+    n_tok = F.coalesce(F.size("__tk"), F.lit(-1))
+    grams = F.when(n_tok < k, F.array().cast("array<string>")).otherwise(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+            F.sequence(F.lit(0), n_tok - k),
+            lambda i: F.concat_ws(" ", F.slice(F.col("__tk"), i + 1, k)),
         )
     )
-    stage = df.select(F.col(id_column).alias("__id"), grams.alias("__grams"))
+    stage = stage.select("__id", grams.alias("__grams"))
     # encoded sort key: 15-hex hash + '#' + reversed 12-digit position
     keys = F.transform(
         F.col("__grams"),

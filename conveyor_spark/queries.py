@@ -5149,12 +5149,17 @@ def q136_classify_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
                columns=["doc_id", "predicted", "score"])
 
 
-_Q137_ORACLE = f"""
-    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+def _winnow_sel_cte(k: int, w: int) -> str:
+    """Shared q137/q140 CTE chain: winnowing's encoded window-min
+    selection (15-hex md5 + reversed-position tie-break) — ends in
+    ``sel(doc_id, sk)`` with sk the selected key strings."""
+    return f"""
+    tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
     g AS (SELECT doc_id,
-            CASE WHEN len(tk) < 4 THEN []::VARCHAR[]
-                 ELSE list_transform(range(0, len(tk) - 4 + 1),
-                        i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))
+            CASE WHEN len(tk) < {k} THEN []::VARCHAR[]
+                 ELSE list_transform(range(0, len(tk) - {k} + 1),
+                        i -> array_to_string(
+                               list_slice(tk, i + 1, i + {k}), ' '))
             END AS grams
           FROM tk),
     ks AS (SELECT doc_id,
@@ -5165,10 +5170,14 @@ _Q137_ORACLE = f"""
     sel AS (SELECT doc_id,
               CASE WHEN len(keys) = 0 THEN []::VARCHAR[]
                    ELSE list_distinct(list_transform(
-                          range(0, greatest(len(keys) - 5, 0) + 1),
-                          j -> list_aggregate(keys[j + 1 : j + 5], 'min')))
+                          range(0, greatest(len(keys) - {w}, 0) + 1),
+                          j -> list_aggregate(keys[j + 1 : j + {w}], 'min')))
               END AS sk
-            FROM ks),
+            FROM ks)"""
+
+
+_Q137_ORACLE = f"""
+    WITH {_winnow_sel_cte(4, 5)},
     x AS (SELECT doc_id, unnest(sk) AS key FROM sel)
     SELECT doc_id,
            (999999999999 - substr(key, 17, 12)::BIGINT)::INT AS pos,
@@ -5308,25 +5317,7 @@ def q139_rank_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q140_ORACLE = f"""
-    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
-    g AS (SELECT doc_id,
-            CASE WHEN len(tk) < 4 THEN []::VARCHAR[]
-                 ELSE list_transform(range(0, len(tk) - 4 + 1),
-                        i -> array_to_string(list_slice(tk, i + 1, i + 4), ' '))
-            END AS grams
-          FROM tk),
-    ks AS (SELECT doc_id,
-             list_transform(range(0, len(grams)),
-               i -> substr(md5(grams[i + 1]), 1, 15) || '#'
-                    || lpad((999999999999 - i)::VARCHAR, 12, '0')) AS keys
-           FROM g),
-    sel AS (SELECT doc_id,
-              CASE WHEN len(keys) = 0 THEN []::VARCHAR[]
-                   ELSE list_distinct(list_transform(
-                          range(0, greatest(len(keys) - 5, 0) + 1),
-                          j -> list_aggregate(keys[j + 1 : j + 5], 'min')))
-              END AS sk
-            FROM ks),
+    WITH {_winnow_sel_cte(4, 5)},
     fp AS (SELECT DISTINCT doc_id,
              ('0x' || substr(unnest(sk), 1, 15))::BIGINT AS fingerprint
            FROM sel)

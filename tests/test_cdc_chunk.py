@@ -96,3 +96,12 @@ def test_cdc_errors(ctx, docs):
     with pytest.raises(ConfigError, match="collides"):
         run_op(ctx, "text.cdc_chunk", [docs], column="text",
                id_column="doc_id", output_column="chunk_hash")
+
+
+def test_cdc_null_text_emits_nothing(ctx, spark):
+    d = spark.createDataFrame(
+        [(1, None), (2, "some real tokens here")],
+        "doc_id LONG, text STRING")
+    out = run_op(ctx, "text.cdc_chunk", [d], column="text",
+                 id_column="doc_id", k=2, divisor=4)
+    assert {r["doc_id"] for r in out.collect()} == {2}

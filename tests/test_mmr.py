@@ -100,3 +100,32 @@ def test_mmr_errors(ctx, pool):
     with pytest.raises(ConfigError, match="k must"):
         run_op(ctx, "rank.mmr", [pool], id_column="vec_id",
                relevance_column="rel", k=0)
+
+
+def test_mmr_ragged_and_null_id_pool(ctx, spark):
+    # review findings: mixed-dim vectors used to win the argmax with a
+    # NULL score (TypeError), and a NULL id conflated with exhaustion
+    rows = [
+        (None, [9.0, 0.0], 2.0),       # NULL id: excluded, not a stop
+        (1, [1.0, 0.0], 0.9),
+        (2, [1.0, 0.0, 0.0], 0.95),    # ragged vs inferred dim 2
+        (3, [0.0, 1.0], 0.8),
+    ]
+    d = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, rel DOUBLE")
+    out = run_op(ctx, "rank.mmr", [d], id_column="vec_id",
+                 column="embedding", relevance_column="rel", k=5)
+    got = sorted((r["rank"], r["vec_id"]) for r in out.collect())
+    assert got == [(1, 1), (2, 3)]
+    # explicit dim keeps the 3-dim vector instead
+    out3 = run_op(ctx, "rank.mmr", [d], id_column="vec_id",
+                  column="embedding", relevance_column="rel", k=5, dim=3)
+    assert [r["vec_id"] for r in out3.collect()] == [2]
+
+
+def test_mmr_empty_pool(ctx, spark):
+    d = spark.createDataFrame(
+        [], "vec_id LONG, embedding ARRAY<DOUBLE>, rel DOUBLE")
+    out = run_op(ctx, "rank.mmr", [d], id_column="vec_id",
+                 column="embedding", relevance_column="rel", k=3)
+    assert out.collect() == []

@@ -330,3 +330,10 @@ def test_classify_multiclass_errors(ctx, spark, docs, mc_weights):
                  column="text", id_column="doc_id", term_column="tok",
                  class_column="lbl", weight_column="coef", mode="sum")
     assert out.filter("doc_id = 3").collect()[0]["predicted"] == "animal"
+
+
+def test_classify_multiclass_same_output_names_refused(ctx, docs, mc_weights):
+    with pytest.raises(ConfigError, match="must\n.*differ|differ"):
+        run_op(ctx, "classify.multiclass", [docs, mc_weights],
+               column="text", id_column="doc_id",
+               output_column="p", score_column="p")

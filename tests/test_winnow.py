@@ -90,3 +90,15 @@ def test_winnow_short_docs_and_errors(ctx, docs, spark):
     with pytest.raises(ConfigError, match="distinct"):
         run_op(ctx, "text.winnow", [docs], column="text",
                id_column="doc_id", pos_column="doc_id")
+
+
+def test_winnow_null_text_emits_nothing(ctx, spark):
+    # review finding: under ANSI, size(NULL tokens)=NULL fell through
+    # the < k guard and every NULL-text doc emitted md5('') at pos 0 —
+    # collapsing all NULL docs into one bogus duplicate cluster
+    d = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real words here okay")],
+        "doc_id LONG, text STRING")
+    out = run_op(ctx, "text.winnow", [d], column="text",
+                 id_column="doc_id", k=3, window=4)
+    assert {r["doc_id"] for r in out.collect()} == {3}
