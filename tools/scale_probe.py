@@ -56,6 +56,11 @@ HEAVY_SET = [
     "q127_embedding_pca",
     "q128_mine_bitext",
     "q132_semdedup",
+    # round-8 second wave: winnow pairing is the posting-join class
+    # (pair counts track planted duplicate density); cdc chunking is
+    # per-row zero-shuffle and must stay that way under skew
+    "q138_cdc_chunk",
+    "q140_winnow_pairs",
 ]
 
 # Quadratic-BY-DATA paths: under adversarial duplication (Zipf
