@@ -5097,10 +5097,10 @@ _Q136_W_SQL = ", ".join(
 )
 
 
-@query(
-    "q136_classify_multiclass",
-    f"""
-    WITH w(term, cls, weight) AS (VALUES {_Q136_W_SQL}),
+# shared q136/q142 CTE chain: per-doc argmax class — ends in
+# ``r(doc_id, cls, s, rn)`` with rn = 1 the winning class
+_Q136_CTE = f"""
+    w(term, cls, weight) AS (VALUES {_Q136_W_SQL}),
     classes AS (SELECT DISTINCT cls FROM w
                 UNION SELECT 'other'),
     tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
@@ -5125,7 +5125,13 @@ _Q136_W_SQL = ", ".join(
     r AS (SELECT doc_id, cls, s,
                  row_number() OVER (PARTITION BY doc_id
                                     ORDER BY s DESC, cls) AS rn
-          FROM cand)
+          FROM cand)"""
+
+
+@query(
+    "q136_classify_multiclass",
+    f"""
+    WITH {_Q136_CTE}
     SELECT doc_id, cls AS predicted, s AS score FROM r WHERE rn = 1
     """,
 )
@@ -5403,6 +5409,40 @@ def q141_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                output_column="token_entropy", widen=False)
     return _op("select.apply", ctx, [both],
                columns=["doc_id", "entropy", "token_entropy"])
+
+
+_Q142_ORACLE = f"""
+    WITH {_Q136_CTE},
+    routed AS (SELECT d.doc_id, d.text, r.cls AS predicted
+               FROM documents d JOIN r ON d.doc_id = r.doc_id AND r.rn = 1)
+    SELECT predicted,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(len({_SQL_TOKENS}))::BIGINT AS n_tokens,
+           SUM(len(text))::BIGINT AS n_chars,
+           bit_xor({_sql_hash("concat_ws(chr(31), doc_id::VARCHAR, text)")})
+               AS content_hash
+    FROM routed GROUP BY predicted
+"""
+
+
+@query("q142_routed_manifest", _Q142_ORACLE)
+def q142_routed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain routing audit composed from primitives: classify
+    .multiclass tags every document with its argmax class, then
+    corpus.manifest freezes per-class doc/token/char counts and the
+    order-insensitive content hash — the release-notes table of a
+    router-split corpus. The oracle replays the argmax chain (shared
+    with q136) plus the manifest aggregates."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    w = spark.createDataFrame(
+        _Q136_WEIGHTS, "term STRING, class STRING, weight DOUBLE"
+    )
+    routed = _op("classify.multiclass", ctx, [d, w],
+                 column="text", id_column="doc_id", mode="mean",
+                 biases={"other": -0.25})
+    return _op("corpus.manifest", ctx, [routed], column="text",
+               by=["predicted"], id_column="doc_id")
 
 
 def entry_query(spark: SparkSession) -> DataFrame:
