@@ -383,3 +383,104 @@ def stats_ks_test(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
         F.col("__nn_a").alias("n_null_ref"),
         F.col("__nn_b").alias("n_null_cur"),
     )
+
+
+_JSD_Q = float(1 << 30)  # contribution quantization: exact any-order sums
+
+
+@register(
+    "stats.jensen_shannon", kind="transform", min_inputs=2, max_inputs=2,
+    doc="Jensen-Shannon divergence between two corpora's term distributions",
+    params=[
+        P("column", required=True, desc="Text column (both inputs)"),
+        P("output_column", default="jsd", desc="Divergence column (nats)"),
+    ],
+    example={"column": "text"},
+    tags=["stats", "drift", "text", "curation", "datapipe"],
+)
+def stats_jensen_shannon(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Symmetric, bounded (<= ln 2) distribution drift between two
+    corpora over their word distributions — the text counterpart of
+    drift.psi (numeric bins) and stats.ks_test (numeric CDFs): use it
+    to compare a new crawl snapshot, a filtered subset, or a routed
+    split against a reference corpus.
+
+    One output row: (jsd, terms_a, terms_b, terms_union, tokens_a,
+    tokens_b). NULL jsd when either corpus has zero tokens.
+
+    Determinism: per-term contribution
+        0.5 * (ca/na) * ln(2*ca*nb / (ca*nb + cb*na))
+      + 0.5 * (cb/nb) * ln(2*cb*na / (ca*nb + cb*na))
+    is one double expression over exact int64 counts (the ln-of-int-
+    ratio class) whose log arguments are RATIOS OF INT PRODUCTS — no
+    intermediate float distribution. Contributions are floor-quantized
+    at 2^-30 and summed as int64 (the kmeans trick): exact in any
+    partition/merge order, so the op replays bit-for-bit (q143) with
+    ~1e-9/term quantization, far below any drift threshold. Int64
+    domain: counts * tokens must stay under 2^63 (~10^9 x 10^9).
+
+    Scale: each corpus shuffles once into its vocabulary-sized count
+    table; one full-outer equi-join on term; token totals ride
+    broadcast 1-row frames; the final aggregate is a map-side partial
+    sum to ONE row. No windows, no collect of the vocabulary."""
+    a, b = inputs
+    column = config.get("column")
+    if not column:
+        raise ConfigError("stats.jensen_shannon requires 'column'")
+    for d, side in ((a, "first"), (b, "second")):
+        if column not in d.columns:
+            raise ConfigError(
+                f"stats.jensen_shannon: {side} input has no column {column!r}")
+    out = config.get("output_column", "jsd")
+    from conveyor_spark.datapipe.dedup import tokens_expr
+
+    def counts(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.select(F.explode(tokens_expr(column, distinct=False)).alias("__t"))
+            .groupBy("__t")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    ca = counts(a, "__ca")
+    cb = counts(b, "__cb")
+    joined = ca.join(cb, "__t", "full_outer").select(
+        "__t",
+        F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
+        F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
+    )
+    na_f = F.broadcast(ca.agg(F.sum("__ca").alias("__na")))
+    nb_f = F.broadcast(cb.agg(F.sum("__cb").alias("__nb")))
+    joined = joined.join(na_f).join(nb_f)
+
+    cab, cba = F.col("__ca") * F.col("__nb"), F.col("__cb") * F.col("__na")
+    den = (cab + cba).cast("double")
+    term_a = F.when(
+        F.col("__ca") > 0,
+        (F.col("__ca").cast("double") / F.col("__na"))
+        * F.log(F.lit(2.0) * cab.cast("double") / den),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("__cb") > 0,
+        (F.col("__cb").cast("double") / F.col("__nb"))
+        * F.log(F.lit(2.0) * cba.cast("double") / den),
+    ).otherwise(F.lit(0.0))
+    qc = F.floor((F.lit(0.5) * (term_a + term_b)) * _JSD_Q).cast("bigint")
+
+    agg = joined.agg(
+        F.sum(qc).alias("__q"),
+        F.sum((F.col("__ca") > 0).cast("long")).alias("terms_a"),
+        F.sum((F.col("__cb") > 0).cast("long")).alias("terms_b"),
+        F.count(F.lit(1)).alias("terms_union"),
+        F.min("__na").alias("tokens_a"),
+        F.min("__nb").alias("tokens_b"),
+    )
+    return agg.select(
+        F.when(
+            F.col("tokens_a").isNotNull() & F.col("tokens_b").isNotNull()
+            & (F.col("tokens_a") > 0) & (F.col("tokens_b") > 0),
+            F.col("__q").cast("double") / F.lit(_JSD_Q),
+        ).alias(out),
+        "terms_a", "terms_b", "terms_union",
+        F.coalesce(F.col("tokens_a"), F.lit(0)).alias("tokens_a"),
+        F.coalesce(F.col("tokens_b"), F.lit(0)).alias("tokens_b"),
+    )

@@ -5445,6 +5445,53 @@ def q142_routed_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                by=["predicted"], id_column="doc_id")
 
 
+_Q143_ORACLE = f"""
+    WITH ta AS (SELECT unnest({_SQL_TOKENS}) AS t FROM documents
+                WHERE lang = 'en'),
+    ca AS (SELECT t, COUNT(*)::BIGINT AS ca FROM ta GROUP BY t),
+    tb AS (SELECT unnest({_SQL_TOKENS}) AS t FROM documents
+           WHERE lang <> 'en'),
+    cb AS (SELECT t, COUNT(*)::BIGINT AS cb FROM tb GROUP BY t),
+    j AS (SELECT COALESCE(ca.ca, 0) AS ca, COALESCE(cb.cb, 0) AS cb
+          FROM ca FULL OUTER JOIN cb ON ca.t = cb.t),
+    n AS (SELECT (SELECT SUM(ca) FROM ca) AS na,
+                 (SELECT SUM(cb) FROM cb) AS nb),
+    c AS (SELECT
+            floor((0.5 * (
+              (CASE WHEN ca > 0 THEN (ca::DOUBLE / na)
+                 * ln(2.0 * (ca * nb)::DOUBLE
+                      / ((ca * nb + cb * na)::DOUBLE))
+               ELSE 0.0 END)
+            + (CASE WHEN cb > 0 THEN (cb::DOUBLE / nb)
+                 * ln(2.0 * (cb * na)::DOUBLE
+                      / ((ca * nb + cb * na)::DOUBLE))
+               ELSE 0.0 END))) * 1073741824.0)::BIGINT AS q,
+            ca > 0 AS ia, cb > 0 AS ib
+          FROM j CROSS JOIN n)
+    SELECT SUM(q)::DOUBLE / 1073741824.0 AS jsd,
+           SUM(CASE WHEN ia THEN 1 ELSE 0 END)::BIGINT AS terms_a,
+           SUM(CASE WHEN ib THEN 1 ELSE 0 END)::BIGINT AS terms_b,
+           COUNT(*)::BIGINT AS terms_union,
+           (SELECT na FROM n)::BIGINT AS tokens_a,
+           (SELECT nb FROM n)::BIGINT AS tokens_b
+    FROM c
+"""
+
+
+@query("q143_jensen_shannon", _Q143_ORACLE)
+def q143_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats.jensen_shannon: corpus drift between the English and
+    non-English document splits — per-term contributions are
+    ln-of-int-product-ratios (no intermediate float distribution),
+    floor-quantized at 2^-30 and summed as int64, so the divergence
+    is exact in any partition order and replays bit-for-bit."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    en = _op("filter.apply", ctx, [d], expr="lang = 'en'")
+    rest = _op("filter.apply", ctx, [d], expr="lang <> 'en'")
+    return _op("stats.jensen_shannon", ctx, [en, rest], column="text")
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -88,6 +88,8 @@ INPUT_BUILDERS = {
     ],
     # corpus + query vectors (same schema works)
     "knn.pq": lambda df: [df, df],
+    # two text corpora (same schema works)
+    "stats.jensen_shannon": lambda df: [df, df],
     # source + target corpora (same schema works)
     "mine.bitext": lambda df: [df, df],
     # second input is an embedding.pq codebooks table (dim 64 = 2x32)
