@@ -259,3 +259,132 @@ def sample_mixture(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "sample.temperature", kind="transform",
+    doc="Temperature-scaled source rebalancing (the mT5/XLM-R mixing recipe)",
+    params=[
+        P("by", required=True, desc="Source label column"),
+        P("id_column", required=True,
+          desc="Stable row id (selection is a pure function of it)"),
+        P("alpha", "float", default=0.5,
+          desc="Exponent 1/T in (0, 1]: 1 = natural proportions, "
+               "smaller flattens toward uniform"),
+        P("budget", "integer", min=1,
+          desc="Target total rows (default: the input row count)"),
+        P("max_epochs", "float", default=10.0,
+          desc="Upsampling cap per source (rate clamp)"),
+        P("seed", default="temp", desc="Hash seed"),
+        P("epoch_column", default="mix_epoch",
+          desc="Emitted repetition index column"),
+    ],
+    example={"by": "language", "id_column": "doc_id", "alpha": 0.5},
+    tags=["sampling", "training", "multilingual", "datapipe"],
+)
+def sample_temperature(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Rebalance a multi-source corpus by temperature sampling:
+    source s gets probability p_s = n_s^alpha / sum_t n_t^alpha, so
+    its per-row rate is budget * p_s / n_s — the mT5/XLM-R recipe
+    that UPSAMPLES low-resource sources (rate > 1 emits repeated
+    epochs, like sample.mixture) and downsamples dominant ones.
+    Where sample.mixture takes hand-picked weights per input frame,
+    this derives them from the data's own source counts in-engine.
+
+    Selection is a pure function of (id, seed, source, epoch): full
+    epochs below floor(rate) always emit; the partial epoch keeps a
+    row iff pmod(hash, 1e6) < floor(frac * 1e6). Rows with a NULL
+    source or NULL id are excluded (hash/join semantics would
+    otherwise silently collapse them; give rows real keys). Rates
+    clamp at ``max_epochs``. Output = input + ``mix_epoch``.
+
+    Determinism: the only float steps are n^alpha (pow over exact
+    int64 counts — with alpha = 0.5 this is IEEE sqrt, correctly
+    rounded in every engine) and the source-ordered fold of the
+    denominator; thresholds floor to integers before any comparison.
+    q144 replays the whole construction in DuckDB.
+
+    Scale: one tiny groupBy(source) count, rates broadcast back, the
+    corpus itself never shuffles — epoch replication is a per-row
+    Generate; zero windows, zero Python."""
+    df = inputs[0]
+    by = config.get("by")
+    id_column = config.get("id_column")
+    if not by or not id_column:
+        raise ConfigError("sample.temperature requires 'by' and 'id_column'")
+    for c in (by, id_column):
+        if c not in df.columns:
+            raise ConfigError(f"sample.temperature: no column {c!r}")
+    alpha = float(config.get("alpha", 0.5))
+    if not 0.0 < alpha <= 1.0:
+        raise ConfigError("sample.temperature: alpha must be in (0, 1]")
+    budget = config.get("budget")
+    if budget is not None and int(budget) < 1:
+        raise ConfigError("sample.temperature: budget must be >= 1")
+    max_epochs = float(config.get("max_epochs", 10.0))
+    if max_epochs < 1.0:
+        raise ConfigError("sample.temperature: max_epochs must be >= 1")
+    seed = str(config.get("seed", "temp"))
+    ep_col = config.get("epoch_column", "mix_epoch")
+    if ep_col in df.columns:
+        raise ConfigError(
+            f"sample.temperature would overwrite existing column {ep_col!r}; "
+            "set epoch_column")
+
+    pool = df.filter(F.col(by).isNotNull() & F.col(id_column).isNotNull())
+    src = F.col(by).cast("string")
+
+    # alpha = 0.5 / 1.0 use IEEE-exact forms (sqrt is correctly
+    # rounded in every engine; pow(x, 0.5) is only 1-ulp-accurate and
+    # need not equal sqrt bit-for-bit — the q144 oracle relies on this)
+    def powa(col):
+        if alpha == 1.0:
+            return col
+        if alpha == 0.5:
+            return F.sqrt(col)
+        return F.pow(col, F.lit(alpha))
+
+    counts = pool.groupBy(src.alias("__src")).agg(
+        F.count(F.lit(1)).alias("__n"))
+    # denominator folded in source order (few sources, fixed order)
+    denom = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("__src").alias("k"),
+                powa(F.col("__n").cast("double")).alias("v"),
+            ))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["v"],
+        ).alias("__den"),
+        F.sum("__n").alias("__tot"),
+    )
+    b_expr = F.lit(float(int(budget))) if budget is not None \
+        else F.col("__tot").cast("double")
+    rates = counts.join(F.broadcast(denom)).select(
+        "__src",
+        F.least(
+            b_expr * powa(F.col("__n").cast("double"))
+            / F.col("__den") / F.col("__n").cast("double"),
+            F.lit(max_epochs),
+        ).alias("__rate"),
+    )
+    joined = pool.withColumn("__src", src).join(F.broadcast(rates), "__src")
+    full = F.floor(F.col("__rate")).cast("int")
+    frac_thresh = F.floor((F.col("__rate") - full.cast("double"))
+                          * F.lit(1_000_000.0)).cast("bigint")
+    exploded = joined.withColumn(
+        "__e", F.explode(F.sequence(F.lit(0), full))
+    )
+    key = F.concat(
+        F.col(id_column).cast("string"),
+        F.lit(f"#{seed}#"), F.col("__src"),
+        F.lit("#"), F.col("__e").cast("string"),
+    )
+    keep = (F.col("__e") < full) | (
+        F.pmod(md5_int(key), F.lit(1_000_000)) < frac_thresh
+    )
+    return (
+        exploded.where(keep)
+        .withColumn(ep_col, F.col("__e"))
+        .drop("__src", "__rate", "__e")
+    )

@@ -5492,6 +5492,49 @@ def q143_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("stats.jensen_shannon", ctx, [en, rest], column="text")
 
 
+_Q144_ORACLE = """
+    WITH pool AS (SELECT doc_id, lang FROM documents
+                  WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+    c AS (SELECT lang, COUNT(*)::BIGINT AS n FROM pool GROUP BY lang),
+    d AS (SELECT list_reduce(list_prepend(0.0::DOUBLE,
+              list(sqrt(n::DOUBLE) ORDER BY lang)), (a, b) -> a + b) AS den,
+            SUM(n)::BIGINT AS tot
+          FROM c),
+    r AS (SELECT c.lang,
+            least(tot::DOUBLE * sqrt(n::DOUBLE) / den / n::DOUBLE,
+                  10.0) AS rate
+          FROM c CROSS JOIN d),
+    j AS (SELECT p.doc_id, p.lang,
+            floor(r.rate)::BIGINT AS f,
+            floor((r.rate - floor(r.rate)) * 1000000.0)::BIGINT AS th
+          FROM pool p JOIN r ON p.lang = r.lang),
+    e AS (SELECT doc_id, lang, f, th, unnest(range(0, f + 1)) AS ep
+          FROM j)
+    SELECT doc_id, lang, ep::INT AS mix_epoch
+    FROM e
+    WHERE ep < f OR
+          (('0x' || substr(md5(doc_id::VARCHAR || '#temp#' || lang
+                               || '#' || ep::VARCHAR), 1, 15))::BIGINT
+           % 1000000) < th
+"""
+
+
+@query("q144_sample_temperature", _Q144_ORACLE)
+def q144_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample.temperature: the mT5/XLM-R multilingual rebalancing
+    recipe — per-language rate = N * n^0.5 / sum(n^0.5) / n derived
+    in-engine (alpha=0.5 is IEEE sqrt, correctly rounded in every
+    engine), realized as full epochs + a hash-thresholded partial
+    epoch. Low-resource languages upsample past their natural counts;
+    selection is a pure function of (id, seed, lang, epoch)."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("sample.temperature", ctx, [d], by="lang",
+              id_column="doc_id", alpha=0.5)
+    return _op("select.apply", ctx, [out],
+               columns=["doc_id", "lang", "mix_epoch"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -386,6 +386,16 @@ CHECKS = [
         and "TakeOrderedAndProject" in p,
     ),
     (
+        "q144_sample_temperature",
+        "temperature mixing: tiny source-count agg + broadcast rates "
+        "(1-row denom BNLJ allowed), per-row epoch Generate, no "
+        "window, zero Python, corpus never sort-merge-joins",
+        lambda p, o: "CartesianProduct" not in p
+        and "SortMergeJoin" not in p and "Window [" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "Generate" in p and "BroadcastExchange" in p,
+    ),
+    (
         "q141_text_entropy",
         "entropy: per-row sorted-run array exprs — widen exchange "
         "only, no agg/join shuffle, zero Python",
