@@ -46,9 +46,14 @@ def _infer_dim(df: DataFrame, id_column: str, column: str, op: str) -> int:
     """Dimensionality = size of the vector with the SMALLEST id — an
     unordered first() would be partition-order dependent, and on a
     mixed-length corpus (exactly what the size==dim filter guards)
-    that would flip which rows survive cleaning between runs."""
+    that would flip which rows survive cleaning between runs.
+
+    Zero-length vectors are ignored: a single empty array (a failed
+    encode) holding the minimum id would otherwise infer dim=0 and
+    silently empty the consumer's whole candidate set (review-caught
+    in rank.mmr; the same hazard existed for kmeans/pq)."""
     row = (
-        df.filter(F.col(column).isNotNull())
+        df.filter(F.col(column).isNotNull() & (F.size(column) > 0))
         .select(F.min(F.struct(
             F.col(id_column).alias("i"), F.size(column).alias("s")
         )).alias("m"))

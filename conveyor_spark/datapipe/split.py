@@ -322,8 +322,12 @@ def sample_temperature(ctx: OpContext, inputs: list[DataFrame], config: dict[str
     if budget is not None and int(budget) < 1:
         raise ConfigError("sample.temperature: budget must be >= 1")
     max_epochs = float(config.get("max_epochs", 10.0))
-    if max_epochs < 1.0:
-        raise ConfigError("sample.temperature: max_epochs must be >= 1")
+    if not 1.0 <= max_epochs <= 100.0:
+        # same foot-gun guard as sample.mixture's weight bound: a
+        # pasted row budget here would build billion-element epoch
+        # sequences per row and kill executors with no useful error
+        raise ConfigError(
+            "sample.temperature: max_epochs must be in [1, 100]")
     seed = str(config.get("seed", "temp"))
     ep_col = config.get("epoch_column", "mix_epoch")
     if ep_col in df.columns:

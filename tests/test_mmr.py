@@ -129,3 +129,14 @@ def test_mmr_empty_pool(ctx, spark):
     out = run_op(ctx, "rank.mmr", [d], id_column="vec_id",
                  column="embedding", relevance_column="rel", k=3)
     assert out.collect() == []
+
+
+def test_mmr_empty_vector_at_min_id_does_not_zero_dim(ctx, spark):
+    # review finding: an empty array holding the minimum id made
+    # _infer_dim return 0 and the whole selection came back empty
+    rows = [(0, [], 1.0), (1, [1.0, 0.0], 0.9), (2, [0.0, 1.0], 0.8)]
+    d = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<DOUBLE>, rel DOUBLE")
+    out = run_op(ctx, "rank.mmr", [d], id_column="vec_id",
+                 column="embedding", relevance_column="rel", k=2)
+    assert sorted(r["vec_id"] for r in out.collect()) == [1, 2]

@@ -91,3 +91,9 @@ def test_temperature_errors(ctx, docs):
         run_op(ctx, "sample.temperature", [docs.selectExpr(
             "doc_id", "lang", "1 AS mix_epoch")],
             by="lang", id_column="doc_id")
+
+
+def test_temperature_max_epochs_bounded(ctx, docs):
+    with pytest.raises(ConfigError, match="max_epochs"):
+        run_op(ctx, "sample.temperature", [docs], by="lang",
+               id_column="doc_id", max_epochs=1e9)
