@@ -386,6 +386,23 @@ CHECKS = [
         and "TakeOrderedAndProject" in p,
     ),
     (
+        "q143_jensen_shannon",
+        "JSD: vocabulary-sized count tables full-outer equi-join, "
+        "token totals ride 1-row broadcasts, map-side partial sum to "
+        "one row, zero Python, no window",
+        lambda p, o: "CartesianProduct" not in p
+        and "Window [" not in p and "BatchEvalPython" not in p
+        and "MapInPandas" not in p and "HashAggregate" in p,
+    ),
+    (
+        "q142_routed_manifest",
+        "routed manifest: weights/classes broadcast, one manifest "
+        "aggregate, zero Python, no data-sized cartesian",
+        lambda p, o: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "BroadcastExchange" in p,
+    ),
+    (
         "q144_sample_temperature",
         "temperature mixing: tiny source-count agg + broadcast rates "
         "(1-row denom BNLJ allowed), per-row epoch Generate, no "
