@@ -139,3 +139,106 @@ def dedup_components(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
         F.col("label").alias("component"),
         (F.col("id") == F.col("label")).alias("is_canonical"),
     )
+
+
+@register(
+    "dedup.resolve", kind="transform", min_inputs=1, max_inputs=2,
+    doc="Duplicate-cluster resolution: connected components + keep policy",
+    params=[
+        P("pair_a", default="id_a", desc="Edge column A"),
+        P("pair_b", default="id_b", desc="Edge column B"),
+        P("policy", default="min_id",
+          allowed=("min_id", "max_score", "min_score"),
+          desc="Which member of each duplicate cluster survives"),
+        P("id_column", desc="Docs-table id column (required with a "
+                            "docs input)"),
+        P("score_column", desc="Docs-table score column (required for "
+                               "score policies)"),
+        P("max_iterations", "integer", default=20, min=1,
+          desc="Component convergence bound (graph diameter)"),
+    ],
+    example={"pair_a": "id_a", "pair_b": "id_b", "policy": "min_id"},
+    tags=["dedup", "graph", "curation", "datapipe"],
+)
+def dedup_resolve(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Turn a duplicate-PAIR table into per-document keep decisions
+    that respect TRANSITIVE duplication: pairs (a,b),(b,c) are ONE
+    cluster keeping one survivor — the naive "drop id_b of any pair"
+    rule (fine for q132-style near-clique buckets) over-drops chains:
+    it would drop both b and c and can drop every member of a cycle.
+
+    inputs: [pairs] or [pairs, docs]. Policies: ``min_id`` keeps the
+    smallest id (no docs table needed); ``max_score``/``min_score``
+    keep the best/worst-scoring member (docs input with ``id_column``
+    + ``score_column`` — the realistic curation choice: keep the
+    longest / highest-quality duplicate). Ties break on lowest id;
+    NULL scores never win unless the whole cluster is NULL-scored.
+
+    Output: (id, component, kept). With a docs input, docs absent
+    from any pair are included as their own kept singleons.
+
+    Scale: components via the iterative min-label propagation of
+    dedup.components (skinny (id, label) rows, localCheckpoint per
+    batch); the policy pass is ONE groupBy(component) argmin over
+    skinny (component, score, id) triples plus one broadcast-size
+    join back. Nothing pairs quadratically here — feed it pair tables
+    from minhash/winnow/embedding dedup."""
+    pairs = inputs[0]
+    policy = config.get("policy", "min_id")
+    if policy not in ("min_id", "max_score", "min_score"):
+        raise ConfigError("dedup.resolve: policy must be min_id|max_score|min_score")
+    docs = inputs[1] if len(inputs) > 1 else None
+    id_column = config.get("id_column")
+    score_column = config.get("score_column")
+    if policy != "min_id":
+        if docs is None or not id_column or not score_column:
+            raise ConfigError(
+                "dedup.resolve: score policies need a docs input plus "
+                "'id_column' and 'score_column'")
+        for c in (id_column, score_column):
+            if c not in docs.columns:
+                raise ConfigError(f"dedup.resolve: docs table has no column {c!r}")
+    elif docs is not None and not id_column:
+        raise ConfigError(
+            "dedup.resolve: a docs input needs 'id_column' to emit singletons")
+
+    comps = dedup_components(ctx, [pairs], {
+        "pair_a": config.get("pair_a", "id_a"),
+        "pair_b": config.get("pair_b", "id_b"),
+        "max_iterations": config.get("max_iterations", 20),
+    })
+
+    if policy == "min_id":
+        # min-label propagation already makes the min id the label
+        resolved = comps.select(
+            "id", "component", F.col("is_canonical").alias("kept"))
+    else:
+        scored = comps.join(
+            docs.select(
+                F.col(id_column).alias("id"),
+                F.col(score_column).cast("double").alias("__s"),
+            ),
+            "id",
+        )
+        sign = -1.0 if policy == "max_score" else 1.0
+        # NULL scores sort LAST in the min-struct (never win unless
+        # the whole cluster is NULL): encode as (is_null, signed s)
+        key = F.struct(
+            F.col("__s").isNull().alias("n"),
+            (F.lit(sign) * F.coalesce(F.col("__s"), F.lit(0.0))).alias("s"),
+            F.col("id").alias("i"),
+        )
+        winners = scored.groupBy("component").agg(
+            F.min(key).alias("__w")
+        ).select("component", F.col("__w.i").alias("__win"))
+        resolved = scored.join(winners, "component").select(
+            "id", "component", (F.col("id") == F.col("__win")).alias("kept"))
+
+    if docs is None:
+        return resolved
+    singletons = (
+        docs.select(F.col(id_column).alias("id"))
+        .join(resolved.select("id"), "id", "left_anti")
+        .select("id", F.col("id").alias("component"), F.lit(True).alias("kept"))
+    )
+    return resolved.unionByName(singletons)

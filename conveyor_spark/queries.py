@@ -1477,10 +1477,9 @@ _Q52_PAIRS_SQL = f"""
 """
 
 
-@query(
-    "q53_dedup_components",
-    f"""
-    WITH RECURSIVE pairs AS ({_Q52_PAIRS_SQL}),
+# shared q53/q145 CTE chain: true connected components over the
+# verified near-dup pairs — ends in ``comp(id, component)``
+_COMPONENTS_CTE = f"""pairs AS ({_Q52_PAIRS_SQL}),
     und AS (SELECT id_a AS a, id_b AS b FROM pairs
             UNION ALL SELECT id_b, id_a FROM pairs),
     verts AS (SELECT DISTINCT a AS v FROM und),
@@ -1488,9 +1487,15 @@ _Q52_PAIRS_SQL = f"""
       SELECT v, v FROM verts
       UNION
       SELECT u.b, w.l FROM walk w JOIN und u ON u.a = w.v
-    )
-    SELECT v AS id, MIN(l) AS component, (v = MIN(l)) AS is_canonical
-    FROM walk GROUP BY v
+    ),
+    comp AS (SELECT v AS id, MIN(l) AS component FROM walk GROUP BY v)"""
+
+
+@query(
+    "q53_dedup_components",
+    f"""
+    WITH RECURSIVE {_COMPONENTS_CTE}
+    SELECT id, component, (id = component) AS is_canonical FROM comp
     """,
 )
 def q53_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5533,6 +5538,45 @@ def q144_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
               id_column="doc_id", alpha=0.5)
     return _op("select.apply", ctx, [out],
                columns=["doc_id", "lang", "mix_epoch"])
+
+
+_Q145_ORACLE = f"""
+    WITH RECURSIVE {_COMPONENTS_CTE},
+    scored AS (SELECT c.id, c.component, len(d.text)::DOUBLE AS s
+               FROM comp c JOIN documents d ON d.doc_id = c.id),
+    r AS (SELECT id, component,
+                 row_number() OVER (PARTITION BY component
+                                    ORDER BY (s IS NULL), s DESC, id)
+                 AS rn
+          FROM scored)
+    SELECT id, component, (rn = 1) AS kept FROM r
+    UNION ALL
+    SELECT doc_id AS id, doc_id AS component, TRUE AS kept
+    FROM documents WHERE doc_id NOT IN (SELECT id FROM comp)
+"""
+
+
+@query("q145_dedup_resolve", _Q145_ORACLE)
+def q145_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup.resolve: the FULL near-dup endgame — minhash candidates
+    -> jaccard verify -> connected components -> keep the LONGEST
+    member of every duplicate cluster (max_score policy over
+    len(text), the realistic curation choice) with unpaired docs kept
+    as singletons. Transitive-safe where the naive drop-id_b rule
+    over-drops chains. Oracle: recursive-CTE true components (shared
+    with q53) + a per-component score argmax + the singleton union."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    cands = _op("dedup.minhash", ctx, [d], column="text", id_column="doc_id",
+                num_hashes=16, bands=4, shingle="word", ngram=3)
+    verified = _op("dedup.ngram_jaccard", ctx, [d, cands], column="text",
+                   id_column="doc_id", shingle="word", ngram=3, threshold=0.5)
+    scored = _op("map.apply", ctx, [d],
+                 expression="cast(length(text) as double)",
+                 output_column="quality")
+    return _op("dedup.resolve", ctx, [verified, scored],
+               policy="max_score", id_column="doc_id",
+               score_column="quality")
 
 
 def entry_query(spark: SparkSession) -> DataFrame:

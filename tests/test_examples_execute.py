@@ -50,6 +50,9 @@ INPUT_BUILDERS = {
     "dedup.components": lambda df: [
         df.selectExpr("id AS id_a", "id + 1 AS id_b")
     ],
+    "dedup.resolve": lambda df: [
+        df.selectExpr("id AS id_a", "id + 1 AS id_b")
+    ],
     # the example's two weights need two (schema-identical) sources
     "sample.mixture": lambda df: [df, df],
     # second input is a dedup.substring span table
