@@ -359,3 +359,92 @@ def text_readability(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
         .withColumn("flesch_ease", flesch)
         .withColumn("fk_grade", fk)
     )
+
+
+@register(
+    "text.dedup_lines", kind="transform",
+    doc="Remove repeated lines within each document (RefinedWeb recipe)",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("key", default="trim", allowed=("exact", "trim", "trim_lower"),
+          desc="Line identity: raw, whitespace-trimmed, or case-folded"),
+        P("mode", default="clean", allowed=("clean", "annotate"),
+          desc="clean: rewrite the column; annotate: add columns only"),
+        P("output_column", desc="Cleaned text column (default: in place)"),
+        P("widen", "any", default="auto",
+          desc="Spread narrow scans: auto / false / partition count"),
+    ],
+    example={"column": "text", "key": "trim"},
+    tags=["text", "dedup", "cleaning", "web", "curation"],
+)
+def text_dedup_lines(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Keep only the FIRST occurrence of each repeated line inside a
+    document — the within-page dedup step of RefinedWeb/Dolma-style
+    cleaning (nav menus, cookie banners, and footers repeat VERBATIM
+    inside a page; cross-document boilerplate is text.boilerplate's
+    job). Line identity is configurable (``key``); blank lines are
+    never deduplicated (they are structure, not content).
+
+    Adds ``lines_removed`` (int); ``mode=clean`` also rewrites the
+    text with survivors joined by newline.
+
+    Scale: pure per-row array expressions — split, first-occurrence
+    filter (array_position over the key array), join — zero shuffle,
+    whole-stage codegen. Worst case O(lines^2) string compares per
+    document, fine at page-sized line counts (the q146 oracle replays
+    list_position identically)."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.dedup_lines requires 'column'")
+    if column not in df.columns:
+        raise ConfigError(f"text.dedup_lines: no column {column!r}")
+    key_kind = config.get("key", "trim")
+    if key_kind not in ("exact", "trim", "trim_lower"):
+        raise ConfigError("text.dedup_lines: key must be exact|trim|trim_lower")
+    mode = config.get("mode", "clean")
+    if mode not in ("clean", "annotate"):
+        raise ConfigError("text.dedup_lines: mode must be clean|annotate")
+    out = config.get("output_column") or column
+    if "lines_removed" in df.columns or (
+        out != column and out in df.columns
+    ):
+        raise ConfigError(
+            "text.dedup_lines would overwrite existing columns; set "
+            "output_column (and drop any 'lines_removed')")
+
+    df = widen(ctx, df, config)
+
+    def keyed(line):
+        if key_kind == "exact":
+            return line
+        if key_kind == "trim":
+            return F.trim(line)
+        return F.lower(F.trim(line))
+
+    lines = F.split(F.col(column).cast("string"), "\n")
+    stage = df.withColumn("__lines", lines) \
+              .withColumn("__keys", F.transform(lines, lambda l: keyed(l)))
+    # survivor positions: blank keys always survive; others survive
+    # iff theirs is the FIRST occurrence of the key
+    surv = F.filter(
+        F.sequence(F.lit(1), F.size("__lines")),
+        lambda i: (F.element_at(F.col("__keys"), i) == "") | (
+            F.array_position(
+                F.col("__keys"), F.element_at(F.col("__keys"), i)
+            ) == i.cast("bigint")
+        ),
+    )
+    stage = stage.withColumn("__surv", surv)
+    removed = (F.size("__lines") - F.size("__surv")).cast("int")
+    cleaned = F.array_join(
+        F.transform(F.col("__surv"),
+                    lambda i: F.element_at(F.col("__lines"), i)),
+        "\n",
+    )
+    stage = stage.withColumn("lines_removed", removed)
+    if mode == "clean":
+        # NULL text stays NULL (split(NULL) is NULL -> surv NULL ->
+        # array_join(NULL) is NULL in Spark; the oracle mirrors)
+        stage = stage.withColumn(out, cleaned)
+    return stage.drop("__lines", "__keys", "__surv")

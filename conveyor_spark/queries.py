@@ -5579,6 +5579,59 @@ def q145_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
                score_column="quality")
 
 
+# a page with VERBATIM repeated lines (nav/banner shape) plus a
+# whitespace-variant repeat — one SQL string both engines parse
+_Q146_PAGE = (
+    "concat("
+    "substr(text, 1, 30 + doc_id % 20), chr(10), "
+    "'Accept cookies to continue', chr(10), "
+    "substr(text, 5, 25), chr(10), "
+    "CASE WHEN doc_id % 2 = 0 THEN "
+    "concat('  Accept cookies to continue ', chr(10)) ELSE '' END, "
+    "'Accept cookies to continue', chr(10), "
+    "CASE WHEN doc_id % 3 = 0 THEN concat(substr(text, 5, 25), chr(10)) "
+    "ELSE '' END, "
+    "chr(10), "
+    "substr(text, 1, 12)"
+    ")"
+)
+
+
+_Q146_ORACLE = f"""
+    WITH page AS (SELECT doc_id, {_Q146_PAGE} AS p FROM documents),
+    st AS (SELECT doc_id,
+             string_split(p, chr(10)) AS lines,
+             list_transform(string_split(p, chr(10)), l -> trim(l)) AS keys
+           FROM page),
+    sv AS (SELECT doc_id, lines,
+             list_filter(range(1, len(lines) + 1),
+               i -> keys[i] = '' OR list_position(keys, keys[i]) = i) AS surv
+           FROM st)
+    SELECT doc_id,
+           array_to_string(list_transform(surv, i -> lines[i]), chr(10))
+             AS page,
+           (len(lines) - len(surv))::INT AS lines_removed
+    FROM sv
+"""
+
+
+@query("q146_dedup_lines", _Q146_ORACLE)
+def q146_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.dedup_lines: within-document repeated-line removal (the
+    RefinedWeb cookie-banner/nav cleanup) over a synthetic page with
+    verbatim and whitespace-variant repeats — first occurrence
+    survives, blank lines are structure and never dedup. Pure
+    per-row array exprs; the oracle replays the first-occurrence
+    list_position filter identically."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    paged = _op("map.apply", ctx, [d], expression=_Q146_PAGE,
+                output_column="page")
+    out = _op("text.dedup_lines", ctx, [paged], column="page", key="trim")
+    return _op("select.apply", ctx, [out],
+               columns=["doc_id", "page", "lines_removed"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

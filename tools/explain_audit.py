@@ -386,6 +386,14 @@ CHECKS = [
         and "TakeOrderedAndProject" in p,
     ),
     (
+        "q146_dedup_lines",
+        "line dedup: per-row first-occurrence array exprs — widen "
+        "exchange only, no agg/join shuffle, zero Python",
+        lambda p, o: p.count("Exchange") <= 1 and "Join" not in p
+        and "HashAggregate" not in p and "BatchEvalPython" not in p
+        and "MapInPandas" not in p,
+    ),
+    (
         "q143_jensen_shannon",
         "JSD: vocabulary-sized count tables full-outer equi-join, "
         "token totals ride 1-row broadcasts, map-side partial sum to "
