@@ -198,9 +198,14 @@ def dedup_resolve(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
         for c in (id_column, score_column):
             if c not in docs.columns:
                 raise ConfigError(f"dedup.resolve: docs table has no column {c!r}")
-    elif docs is not None and not id_column:
-        raise ConfigError(
-            "dedup.resolve: a docs input needs 'id_column' to emit singletons")
+    elif docs is not None:
+        if not id_column:
+            raise ConfigError(
+                "dedup.resolve: a docs input needs 'id_column' to emit "
+                "singletons")
+        if id_column not in docs.columns:
+            raise ConfigError(
+                f"dedup.resolve: docs table has no column {id_column!r}")
 
     comps = dedup_components(ctx, [pairs], {
         "pair_a": config.get("pair_a", "id_a"),
@@ -213,13 +218,22 @@ def dedup_resolve(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
         resolved = comps.select(
             "id", "component", F.col("is_canonical").alias("kept"))
     else:
-        scored = comps.join(
-            docs.select(
-                F.col(id_column).alias("id"),
-                F.col(score_column).cast("double").alias("__s"),
-            ),
-            "id",
+        # per-id score projection: NaN folds into the NULL bucket
+        # (Spark sorts NaN LARGEST — an unfolded NaN would outrank
+        # real scores under max_score and diverge from SQL engines;
+        # the ks_test precedent), and duplicate doc rows collapse to
+        # the policy's best score so they can't multiply output rows
+        raw = F.col(score_column).cast("double")
+        s_clean = F.when(F.isnan(raw), F.lit(None)).otherwise(raw)
+        per_id = (F.max if policy == "max_score" else F.min)
+        scores = (
+            docs.select(F.col(id_column).alias("id"), s_clean.alias("__s"))
+            .groupBy("id").agg(per_id("__s").alias("__s"))
         )
+        # LEFT join: cluster members missing from the docs table stay
+        # in the output as NULL-scored losers (an inner join would
+        # silently re-keep them downstream), matching min_id's cover
+        scored = comps.join(scores, "id", "left")
         sign = -1.0 if policy == "max_score" else 1.0
         # NULL scores sort LAST in the min-struct (never win unless
         # the whole cluster is NULL): encode as (is_null, signed s)
@@ -237,7 +251,7 @@ def dedup_resolve(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     if docs is None:
         return resolved
     singletons = (
-        docs.select(F.col(id_column).alias("id"))
+        docs.select(F.col(id_column).alias("id")).distinct()
         .join(resolved.select("id"), "id", "left_anti")
         .select("id", F.col("id").alias("component"), F.lit(True).alias("kept"))
     )

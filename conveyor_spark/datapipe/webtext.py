@@ -406,8 +406,12 @@ def text_dedup_lines(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     if mode not in ("clean", "annotate"):
         raise ConfigError("text.dedup_lines: mode must be clean|annotate")
     out = config.get("output_column") or column
+    if mode == "annotate" and config.get("output_column"):
+        raise ConfigError(
+            "text.dedup_lines: output_column has no effect in annotate "
+            "mode (nothing is rewritten) — drop it or use mode=clean")
     if "lines_removed" in df.columns or (
-        out != column and out in df.columns
+        mode == "clean" and out != column and out in df.columns
     ):
         raise ConfigError(
             "text.dedup_lines would overwrite existing columns; set "
@@ -422,9 +426,11 @@ def text_dedup_lines(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
             return F.trim(line)
         return F.lower(F.trim(line))
 
+    # materialize the split once, derive keys from the COLUMN (a
+    # second `lines` reference would re-split per row — rule 7)
     lines = F.split(F.col(column).cast("string"), "\n")
-    stage = df.withColumn("__lines", lines) \
-              .withColumn("__keys", F.transform(lines, lambda l: keyed(l)))
+    stage = df.withColumn("__lines", lines).withColumn(
+        "__keys", F.transform(F.col("__lines"), lambda l: keyed(l)))
     # survivor positions: blank keys always survive; others survive
     # iff theirs is the FIRST occurrence of the key
     surv = F.filter(

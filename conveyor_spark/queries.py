@@ -5582,17 +5582,20 @@ def q145_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a page with VERBATIM repeated lines (nav/banner shape) plus a
 # whitespace-variant repeat — one SQL string both engines parse
 _Q146_PAGE = (
+    # coalesce keeps the shared expression engine-agnostic on NULL
+    # text: Spark concat is NULL-propagating, DuckDB's treats NULL
+    # as '' — a future fixture with a NULL text row would hash-differ
     "concat("
-    "substr(text, 1, 30 + doc_id % 20), chr(10), "
+    "substr(coalesce(text, ''), 1, 30 + doc_id % 20), chr(10), "
     "'Accept cookies to continue', chr(10), "
-    "substr(text, 5, 25), chr(10), "
+    "substr(coalesce(text, ''), 5, 25), chr(10), "
     "CASE WHEN doc_id % 2 = 0 THEN "
     "concat('  Accept cookies to continue ', chr(10)) ELSE '' END, "
     "'Accept cookies to continue', chr(10), "
-    "CASE WHEN doc_id % 3 = 0 THEN concat(substr(text, 5, 25), chr(10)) "
+    "CASE WHEN doc_id % 3 = 0 THEN concat(substr(coalesce(text, ''), 5, 25), chr(10)) "
     "ELSE '' END, "
     "chr(10), "
-    "substr(text, 1, 12)"
+    "substr(coalesce(text, ''), 1, 12)"
     ")"
 )
 

@@ -77,3 +77,11 @@ def test_dedup_lines_errors(ctx, docs):
     with pytest.raises(ConfigError, match="overwrite"):
         run_op(ctx, "text.dedup_lines", [docs.selectExpr(
             "doc_id", "text", "1 AS lines_removed")], column="text")
+
+
+def test_dedup_lines_annotate_rejects_output_column(ctx, docs):
+    # review finding: output_column was silently ignored in annotate
+    # mode (the user believes they got a cleaned copy)
+    with pytest.raises(ConfigError, match="annotate"):
+        run_op(ctx, "text.dedup_lines", [docs], column="text",
+               mode="annotate", output_column="clean_text")

@@ -85,3 +85,49 @@ def test_resolve_errors(ctx, pairs, docs):
                id_column="doc_id", score_column="quality")
     with pytest.raises(ConfigError, match="singletons"):
         run_op(ctx, "dedup.resolve", [pairs, docs])
+
+
+def test_resolve_member_missing_from_docs_stays(ctx, spark, pairs):
+    # review finding: the score path inner-joined docs, silently
+    # dropping paired ids absent from the docs table — a downstream
+    # keep-where-kept consumer would re-keep them
+    partial = spark.createDataFrame(
+        [(1, 5.0), (3, 9.0), (5, 1.0), (6, 2.0), (8, 7.0)],
+        "doc_id LONG, score DOUBLE")  # id 2 missing
+    out = {r["id"]: r["kept"]
+           for r in run_op(ctx, "dedup.resolve", [pairs, partial],
+                           policy="max_score", id_column="doc_id",
+                           score_column="score").collect()}
+    assert 2 in out and out[2] is False  # present, NULL-scored loser
+    assert [i for i in (1, 2, 3, 8) if out[i]] == [3]
+
+
+def test_resolve_nan_never_outranks_real_scores(ctx, spark, pairs):
+    d = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, 1.0), (5, 1.0), (6, 2.0),
+         (8, 0.5), (9, 9.9)],
+        "doc_id LONG, score DOUBLE")
+    out = {r["id"]: r["kept"]
+           for r in run_op(ctx, "dedup.resolve", [pairs, d],
+                           policy="max_score", id_column="doc_id",
+                           score_column="score").collect()}
+    # NaN folds into the NULL bucket: 2 (score 5.0) wins, not 1
+    assert [i for i in (1, 2, 3, 8) if out[i]] == [2]
+
+
+def test_resolve_duplicate_doc_rows_do_not_inflate(ctx, spark, pairs):
+    d = spark.createDataFrame(
+        [(1, 1.0), (2, 9.0), (2, 3.0), (3, 2.0), (5, 1.0), (6, 2.0),
+         (8, 0.0), (9, 1.0), (9, 1.0)],
+        "doc_id LONG, score DOUBLE")
+    rows = run_op(ctx, "dedup.resolve", [pairs, d], policy="max_score",
+                  id_column="doc_id", score_column="score").collect()
+    ids = [r["id"] for r in rows]
+    assert sorted(ids) == sorted(set(ids))  # one row per id
+    out = {r["id"]: r["kept"] for r in rows}
+    assert out[2] is True  # max of the duplicate scores (9.0) wins
+
+
+def test_resolve_min_id_docs_column_validated(ctx, pairs, docs):
+    with pytest.raises(ConfigError, match="no column"):
+        run_op(ctx, "dedup.resolve", [pairs, docs], id_column="docid")
