@@ -677,3 +677,97 @@ def classify_multiclass(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         (-F.col("__b.ns") + F.lit(0.0)).alias(score_col),
     )
     return docs.join(best, docs[id_column] == best["__id"], "left").drop("__id")
+
+
+@register(
+    "rank.rrf", kind="transform", min_inputs=2, max_inputs=None,
+    doc="Reciprocal rank fusion of multiple rankings",
+    params=[
+        P("id_column", required=True, desc="Item id column (all inputs)"),
+        P("rank_column", default="rank",
+          desc="1-based rank column (all inputs)"),
+        P("query_id_column",
+          desc="Optional per-query column: fuse within each query"),
+        P("k", "integer", default=60, min=0,
+          desc="RRF damping constant (the classic 60)"),
+        P("weights", "array",
+          desc="Per-input weights, aligned with the stage's inputs "
+               "(default: all 1.0)"),
+        P("top_k", "integer", min=1, desc="Keep only the k best fused"),
+    ],
+    example={"id_column": "doc_id", "rank_column": "rank", "k": 60},
+    tags=["ranking", "retrieval", "fusion", "datapipe"],
+)
+def rank_rrf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Cormack-Clarke-Buettcher reciprocal rank fusion: fused score =
+    sum_i w_i / (k + rank_i) over every input ranking the item
+    appears in (absent = contributes 0) — the standard way to merge
+    BM25 + dense-ANN + TF-IDF candidate lists without score
+    calibration. Output: (query_id?, id, rrf_score, rrf_rank) with
+    rrf_rank 1-based by (score DESC, id ASC).
+
+    Exactness: each contribution is ONE double expression over exact
+    ints (w / (k + rank)); per-item totals fold in input order
+    (module docstring policy); score rounds to 9. q147 replays it.
+
+    Scale: one unionByName of skinny (query, id, src, rank) rows, one
+    groupBy fold, one per-query window — rankings are top-k-sized by
+    construction, so this is a small-data op even at corpus scale."""
+    id_column = config.get("id_column")
+    if not id_column:
+        raise ConfigError("rank.rrf requires 'id_column'")
+    rank_column = config.get("rank_column", "rank")
+    qid = config.get("query_id_column")
+    k = int(config.get("k", 60))
+    if k < 0:
+        raise ConfigError("rank.rrf: k must be >= 0")
+    weights = config.get("weights")
+    if weights is not None:
+        if len(weights) != len(inputs):
+            raise ConfigError(
+                f"rank.rrf: {len(weights)} weights for {len(inputs)} inputs")
+        weights = [float(w) for w in weights]
+    else:
+        weights = [1.0] * len(inputs)
+    top_k = config.get("top_k")
+    for i, df in enumerate(inputs):
+        for c in filter(None, (id_column, rank_column, qid)):
+            if c not in df.columns:
+                raise ConfigError(
+                    f"rank.rrf: input {i} has no column {c!r}")
+
+    parts = []
+    for i, (df, w) in enumerate(zip(inputs, weights)):
+        cols = [
+            F.col(id_column).alias("__id"),
+            F.lit(i).alias("__src"),
+            (F.lit(w) / (F.lit(float(k))
+                         + F.col(rank_column).cast("double"))).alias("__c"),
+        ]
+        if qid:
+            cols.insert(0, F.col(qid).alias("__qid"))
+        parts.append(df.select(*cols))
+    allc = parts[0]
+    for p in parts[1:]:
+        allc = allc.unionByName(p)
+    keys = (["__qid"] if qid else []) + ["__id"]
+    fused = allc.groupBy(*keys).agg(
+        F.collect_list(
+            F.struct(F.col("__src").alias("k"), F.col("__c").alias("v"))
+        ).alias("__cs")
+    ).select(
+        *keys, (F.round(fold_sum(F.col("__cs")), 9) + F.lit(0.0))
+        .alias("rrf_score"),
+    )
+    from pyspark.sql import Window
+
+    w_spec = (Window.partitionBy("__qid") if qid else
+              Window.partitionBy(F.lit(1)))
+    w_spec = w_spec.orderBy(F.col("rrf_score").desc(), F.col("__id"))
+    out = fused.withColumn("rrf_rank", F.row_number().over(w_spec))
+    if top_k is not None:
+        out = out.filter(F.col("rrf_rank") <= int(top_k))
+    renames = [F.col("__id").alias(id_column), "rrf_score", "rrf_rank"]
+    if qid:
+        renames.insert(0, F.col("__qid").alias(qid))
+    return out.select(*renames)

@@ -5635,6 +5635,57 @@ def q146_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
                columns=["doc_id", "page", "lines_removed"])
 
 
+_Q147_ORACLE = f"""
+    WITH ra AS (SELECT doc_id,
+                  row_number() OVER (ORDER BY len(text) DESC, doc_id)
+                    AS r
+                FROM documents QUALIFY r <= 20),
+    rb AS (SELECT doc_id,
+             row_number() OVER (
+               ORDER BY len(list_distinct({_SQL_TOKENS})) DESC, doc_id)
+               AS r
+           FROM documents QUALIFY r <= 20),
+    f AS (SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+            round(CASE
+              WHEN ra.r IS NOT NULL AND rb.r IS NOT NULL
+                THEN (0.0 + 1.0 / (60.0 + ra.r)) + 1.0 / (60.0 + rb.r)
+              WHEN ra.r IS NOT NULL THEN 0.0 + 1.0 / (60.0 + ra.r)
+              ELSE 0.0 + 1.0 / (60.0 + rb.r) END, 9) + 0.0 AS rrf_score
+          FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id)
+    SELECT doc_id, rrf_score,
+           row_number() OVER (ORDER BY rrf_score DESC, doc_id)::INT
+             AS rrf_rank
+    FROM f
+"""
+
+
+@query("q147_rank_rrf", _Q147_ORACLE)
+def q147_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank.rrf: reciprocal rank fusion of two candidate lists (by
+    char length and by distinct-token count, top-20 each) — the
+    calibration-free way to merge BM25 + dense-ANN + heuristic
+    rankings. Contributions are one double expr over exact int ranks,
+    folded in input order; the oracle replays the fold's exact
+    addition grouping."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    ra = _op("sql.query", ctx, [d], views=["q147_a"], sql="""
+        SELECT doc_id, rank FROM (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY length(text) DESC, doc_id) AS rank
+          FROM q147_a) WHERE rank <= 20
+    """)
+    rb = _op("sql.query", ctx, [d], views=["q147_b"], sql="""
+        SELECT doc_id, rank FROM (
+          SELECT doc_id, row_number() OVER (
+            ORDER BY size(array_distinct(filter(
+              split(lower(text), '\\\\s+'), x -> x != ''))) DESC,
+            doc_id) AS rank
+          FROM q147_b) WHERE rank <= 20
+    """)
+    return _op("rank.rrf", ctx, [ra, rb], id_column="doc_id", k=60)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -93,6 +93,11 @@ INPUT_BUILDERS = {
     "knn.pq": lambda df: [df, df],
     # two text corpora (same schema works)
     "stats.jensen_shannon": lambda df: [df, df],
+    # two ranked lists
+    "rank.rrf": lambda df: [
+        df.selectExpr("doc_id", "id AS rank"),
+        df.selectExpr("doc_id", "9 - id AS rank"),
+    ],
     # source + target corpora (same schema works)
     "mine.bitext": lambda df: [df, df],
     # second input is an embedding.pq codebooks table (dim 64 = 2x32)
