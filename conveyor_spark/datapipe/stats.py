@@ -484,3 +484,98 @@ def stats_jensen_shannon(ctx: OpContext, inputs: list[DataFrame], config: dict[s
         F.coalesce(F.col("tokens_a"), F.lit(0)).alias("tokens_a"),
         F.coalesce(F.col("tokens_b"), F.lit(0)).alias("tokens_b"),
     )
+
+
+@register(
+    "stats.mutual_information", kind="transform",
+    doc="Term-class mutual information (discriminative vocabulary)",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("class_column", required=True, desc="Class/label column"),
+        P("min_count", "integer", default=1, min=1,
+          desc="Drop terms with fewer total occurrences"),
+        P("top_k", "integer", min=1,
+          desc="Keep only the k highest-MI terms (ties: term ASC)"),
+    ],
+    example={"column": "text", "class_column": "language"},
+    tags=["stats", "text", "features", "curation", "datapipe"],
+)
+def stats_mutual_information(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Pointwise-MI aggregate per TERM against a class/label column:
+    mi(t) = sum_c p(t,c) * ln(N * c_tc / (c_t * c_c)) over token
+    occurrences — the classic discriminative-vocabulary ranking
+    (which words identify a language / domain / source; feature
+    selection for classify.linear weights). Output: one row per term
+    (term, mi, count, classes) ranked by (mi DESC, term ASC).
+
+    Determinism: counts are exact int64; each (term, class)
+    contribution's log argument is a RATIO OF INT PRODUCTS
+    (N * c_tc / (c_t * c_c)) — one double expression; contributions
+    floor-quantize at 2^-30 and sum as int64 per term (the
+    q143/kmeans recipe: exact in any order, ~1e-9 quantization).
+    Int64 domain: N * c_tc < 2^63.
+
+    Scale: one (term, class) count aggregate, vocabulary-sized term
+    and class marginals (class marginal broadcast), one groupBy(term)
+    int sum. NULL class or NULL text rows are excluded (a label-less
+    row has no class cell)."""
+    df = inputs[0]
+    column = config.get("column")
+    class_column = config.get("class_column")
+    if not column or not class_column:
+        raise ConfigError(
+            "stats.mutual_information requires 'column' and 'class_column'")
+    for c in (column, class_column):
+        if c not in df.columns:
+            raise ConfigError(f"stats.mutual_information: no column {c!r}")
+    min_count = int(config.get("min_count", 1))
+    top_k = config.get("top_k")
+    from conveyor_spark.datapipe.dedup import tokens_expr
+
+    tok = (
+        df.filter(F.col(class_column).isNotNull())
+        .select(
+            F.col(class_column).cast("string").alias("__cls"),
+            F.explode(tokens_expr(column, distinct=False)).alias("__t"),
+        )
+    )
+    tc = tok.groupBy("__t", "__cls").agg(F.count(F.lit(1)).alias("__ctc"))
+    t_marg = tc.groupBy("__t").agg(F.sum("__ctc").alias("__ct"))
+    c_marg = tc.groupBy("__cls").agg(F.sum("__ctc").alias("__cc"))
+    n_tot = c_marg.agg(F.sum("__cc").alias("__n"))
+
+    joined = (
+        tc.join(t_marg, "__t")
+        .join(F.broadcast(c_marg), "__cls")
+        .join(F.broadcast(n_tot))
+    )
+    # p(t,c) * ln(N * c_tc / (c_t * c_c)), quantized at 2^-30
+    contrib = (
+        (F.col("__ctc").cast("double") / F.col("__n"))
+        * F.log(
+            (F.col("__n") * F.col("__ctc")).cast("double")
+            / (F.col("__ct") * F.col("__cc")).cast("double")
+        )
+    )
+    qc = F.floor(contrib * F.lit(float(1 << 30))).cast("bigint")
+    out = (
+        joined.groupBy("__t")
+        .agg(
+            F.sum(qc).alias("__q"),
+            F.min("__ct").alias("count"),
+            F.count(F.lit(1)).alias("classes"),
+        )
+        .filter(F.col("count") >= min_count)
+        .select(
+            F.col("__t").alias("term"),
+            (F.col("__q").cast("double") / F.lit(float(1 << 30))).alias("mi"),
+            "count",
+            F.col("classes").cast("int").alias("classes"),
+        )
+    )
+    if top_k is not None:
+        w = Window.partitionBy(F.lit(1)).orderBy(
+            F.col("mi").desc(), F.col("term"))
+        out = out.withColumn("mi_rank", F.row_number().over(w)) \
+                 .filter(F.col("mi_rank") <= int(top_k))
+    return out

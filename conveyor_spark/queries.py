@@ -5686,6 +5686,44 @@ def q147_rank_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("rank.rrf", ctx, [ra, rb], id_column="doc_id", k=60)
 
 
+_Q148_ORACLE = f"""
+    WITH tok AS (SELECT lang AS cls, unnest({_SQL_TOKENS}) AS t
+                 FROM documents WHERE lang IS NOT NULL),
+    tc AS (SELECT t, cls, COUNT(*)::BIGINT AS ctc FROM tok GROUP BY t, cls),
+    tm AS (SELECT t, SUM(ctc)::BIGINT AS ct FROM tc GROUP BY t),
+    cm AS (SELECT cls, SUM(ctc)::BIGINT AS cc FROM tc GROUP BY cls),
+    n AS (SELECT SUM(cc)::BIGINT AS n FROM cm),
+    q AS (SELECT tc.t,
+            floor(((ctc::DOUBLE / n)
+                   * ln((n * ctc)::DOUBLE / (ct * cc)::DOUBLE))
+                  * 1073741824.0)::BIGINT AS qq,
+            ct
+          FROM tc JOIN tm ON tc.t = tm.t JOIN cm ON tc.cls = cm.cls
+          CROSS JOIN n),
+    agg AS (SELECT t AS term,
+              SUM(qq)::DOUBLE / 1073741824.0 AS mi,
+              MIN(ct)::BIGINT AS count,
+              COUNT(*)::INT AS classes
+            FROM q GROUP BY t)
+    SELECT term, mi, count, classes,
+           row_number() OVER (ORDER BY mi DESC, term)::INT AS mi_rank
+    FROM agg QUALIFY mi_rank <= 30
+"""
+
+
+@query("q148_mutual_information", _Q148_ORACLE)
+def q148_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats.mutual_information: the 30 most language-discriminative
+    terms of the corpus — per-(term, class) contributions are
+    ln-of-int-product ratios floor-quantized at 2^-30 and summed as
+    int64 per term (the q143 recipe), so the ranking replays
+    bit-for-bit."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("stats.mutual_information", ctx, [d], column="text",
+               class_column="lang", top_k=30)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

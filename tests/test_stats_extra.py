@@ -98,3 +98,66 @@ def test_jsd_errors(ctx, corpora):
     with pytest.raises(ConfigError, match="second input"):
         run_op(ctx, "stats.jensen_shannon", [a, b.select("doc_id")],
                column="text")
+
+
+def _py_mi(rows, min_count=1):
+    from collections import Counter
+    tc: Counter = Counter()
+    for cls, text in rows:
+        if cls is None or text is None:
+            continue
+        for t in text.lower().split():
+            if t:
+                tc[(t, cls)] += 1
+    ct: Counter = Counter()
+    cc: Counter = Counter()
+    for (t, c), n in tc.items():
+        ct[t] += n
+        cc[c] += n
+    n_tot = sum(tc.values())
+    q: dict[str, int] = {}
+    cls_n: dict[str, int] = {}
+    for (t, c), n in tc.items():
+        contrib = (n / n_tot) * math.log((n_tot * n) / (ct[t] * cc[c]))
+        q[t] = q.get(t, 0) + math.floor(contrib * (1 << 30))
+        cls_n[t] = cls_n.get(t, 0) + 1
+    return {t: (qq / (1 << 30), ct[t], cls_n[t])
+            for t, qq in q.items() if ct[t] >= min_count}
+
+
+MI_ROWS = [
+    ("en", "the cat sat shared"),
+    ("en", "the dog ran shared"),
+    ("fr", "le chat shared"),
+    ("fr", "le chien le shared"),
+    (None, "ignored row"),
+    ("en", None),
+]
+
+
+def test_mutual_information_matches_reference(ctx, spark):
+    d = spark.createDataFrame(MI_ROWS, "lang STRING, text STRING")
+    out = run_op(ctx, "stats.mutual_information", [d],
+                 column="text", class_column="lang")
+    got = {r["term"]: (r["mi"], r["count"], r["classes"])
+           for r in out.collect()}
+    exp = _py_mi(MI_ROWS)
+    assert set(got) == set(exp)
+    for t, (mi, cnt, ncls) in exp.items():
+        assert got[t][1] == cnt and got[t][2] == ncls, t
+        assert got[t][0] == pytest.approx(mi, abs=5e-9), t
+    # class-exclusive terms rank above the perfectly shared one
+    assert got["le"][0] > got["shared"][0]
+    # near-zero but not exactly zero: class marginals are unequal
+    # (7 vs 8 tokens), so the evenly-split term carries a sliver of MI
+    assert 0 <= got["shared"][0] < 0.01
+
+
+def test_mutual_information_topk_and_errors(ctx, spark):
+    d = spark.createDataFrame(MI_ROWS, "lang STRING, text STRING")
+    out = run_op(ctx, "stats.mutual_information", [d], column="text",
+                 class_column="lang", top_k=3)
+    ranks = [r["mi_rank"] for r in out.collect()]
+    assert sorted(ranks) == [1, 2, 3]
+    with pytest.raises(ConfigError, match="class_column"):
+        run_op(ctx, "stats.mutual_information", [d], column="text")
