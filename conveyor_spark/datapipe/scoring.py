@@ -81,6 +81,101 @@ def fold_sum(pairs_col):
     )
 
 
+
+
+def _stupid_backoff_nll(docs, ref, column, id_column, n, alpha, out):
+    """Brants-et-al stupid backoff (the web-scale LM scoring rule):
+    S(w | w_{1..n-1}) = c(gram_n)/c(ctx_{n-1}) when the n-gram was
+    seen, else alpha * S(w | shorter context), down to the unigram
+    c(w)/N; a fully-OOV word scores alpha^(n-1) / V (uniform floor).
+    Unlike add-k, an unseen n-gram never flattens the whole estimate
+    — it falls back to the strongest seen suffix, which is why the
+    original used it at trillion-token scale (no normalization pass).
+
+    Exactness: every branch is <literal constant> + ln(int64/int64) —
+    the constant (#backoffs * ln(alpha)) is computed ONCE on the
+    driver and embedded as the SAME double literal the oracle embeds;
+    per-doc means fold in position order (module docstring).
+
+    Scale: one m-gram count table per order (vocabulary-sized) and
+    2n-1 left equi-joins against the candidate posting rows — the
+    n-gram tables dominate; hot short-suffix keys skew the low-order
+    joins and AQE skew-split covers them. The text shuffles once."""
+    import math
+
+    uni = ref.select(
+        F.explode(tokens_expr(column, distinct=False)).alias("__w")
+    ).groupBy("__w").agg(F.count(F.lit(1)).alias("__c1"))
+    tables = {1: uni}
+    for m in range(2, n + 1):
+        tables[m] = ref.select(
+            F.explode(ngrams_expr(column, m)).alias("__w")
+        ).groupBy("__w").agg(F.count(F.lit(1)).alias(f"__c{m}"))
+    scalars = uni.agg(
+        F.count(F.lit(1)).alias("__v"), F.sum("__c1").alias("__nn")
+    )
+
+    cand = docs.select(
+        F.col(id_column).alias("__id"),
+        F.posexplode(ngrams_expr(column, n)).alias("__pos", "__g"),
+    )
+    # suffixes ENDING AT n (the backed-off grams), longest first
+    for m in range(n, 0, -1):
+        key = F.col("__g") if m == n else \
+            F.substring_index("__g", " ", -m)
+        cand = cand.withColumn(f"__sg{m}", key).join(
+            tables[m].select(F.col("__w").alias(f"__sg{m}"),
+                             F.col(f"__c{m}").alias(f"__cg{m}")),
+            f"__sg{m}", "left",
+        )
+    # suffixes ENDING AT n-1 (the contexts), longest first
+    if n > 1:
+        ctx_full = F.substring_index("__g", " ", n - 1)
+        for m in range(n - 1, 0, -1):
+            key = ctx_full if m == n - 1 else \
+                F.substring_index(ctx_full, " ", -m)
+            cand = cand.withColumn(f"__sx{m}", key).join(
+                tables[m].select(F.col("__w").alias(f"__sx{m}"),
+                                 F.col(f"__c{m}").alias(f"__cx{m}")),
+                f"__sx{m}", "left",
+            )
+    cand = cand.join(F.broadcast(scalars))
+
+    ln_a = math.log(alpha)
+    lp = F.lit(float((n - 1) * ln_a)) - F.log(F.col("__v").cast("double"))
+    for m in range(1, n + 1):  # build the CASE inside-out
+        num = F.col(f"__cg{m}").cast("double")
+        if m == 1:
+            den = F.col("__nn").cast("double")
+        else:
+            den = F.col(f"__cx{m - 1}").cast("double")
+        branch = F.lit(float((n - m) * ln_a)) + F.log(num / den)
+        lp = F.when(F.col(f"__cg{m}").isNotNull(), branch).otherwise(lp)
+
+    per_doc = (
+        cand.select("__id", "__pos", lp.alias("__lp"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.collect_list(
+                F.struct(F.col("__pos").alias("k"), F.col("__lp").alias("v"))
+            ).alias("__lps"),
+        )
+        .select(
+            "__id", "__n",
+            F.round(
+                -fold_sum(F.col("__lps")) / F.col("__n").cast("double"), 9
+            ).alias(out),
+        )
+    )
+    return (
+        docs.join(per_doc, docs[id_column] == per_doc["__id"], "left")
+        .drop("__id")
+        .withColumn("lm_ngrams", F.coalesce(F.col("__n"), F.lit(0)).cast("int"))
+        .drop("__n")
+    )
+
+
 @register(
     "text.perplexity", kind="transform", min_inputs=1, max_inputs=2,
     doc="n-gram LM negative log-likelihood (CCNet-style quality score)",
@@ -90,6 +185,12 @@ def fold_sum(pairs_col):
         P("order", "integer", default=2, min=1, max=4,
           desc="LM order n (1 = unigram, 2 = bigram, ...)"),
         P("k", "float", default=1.0, desc="Add-k smoothing constant"),
+        P("backoff", default="none", allowed=("none", "stupid"),
+          desc="none: add-k smoothing; stupid: Brants-et-al stupid "
+               "backoff (unseen n-gram backs off to the (n-1)-gram "
+               "scaled by alpha)"),
+        P("alpha", "float", default=0.4,
+          desc="Stupid-backoff discount per backoff step"),
         P("output_column", default="nll", desc="Score column"),
     ],
     example={"column": "text", "id_column": "doc_id", "order": 2},
@@ -142,6 +243,15 @@ def text_perplexity(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     if k <= 0:
         raise ConfigError("text.perplexity: smoothing 'k' must be > 0")
     out = config.get("output_column", "nll")
+    backoff = config.get("backoff", "none")
+    if backoff not in ("none", "stupid"):
+        raise ConfigError("text.perplexity: backoff must be none|stupid")
+    if backoff == "stupid":
+        alpha = float(config.get("alpha", 0.4))
+        if not 0.0 < alpha <= 1.0:
+            raise ConfigError("text.perplexity: alpha must be in (0, 1]")
+        return _stupid_backoff_nll(
+            docs, ref, column, id_column, n, alpha, out)
 
     uni = ref.select(F.explode(tokens_expr(column, distinct=False)).alias("__w")) \
         .groupBy("__w").agg(F.count(F.lit(1)).alias("__cw"))

@@ -5724,6 +5724,61 @@ def q148_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
                class_column="lang", top_k=30)
 
 
+_Q149_LNA = __import__("math").log(0.4)
+_Q149_ORACLE = f"""
+    WITH tkall AS (SELECT doc_id, lang, {_SQL_TOKENS} AS tk FROM documents),
+    cpos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tkall),
+    cgr AS (SELECT doc_id, i, tk[i] || ' ' || tk[i + 1] AS g,
+                   tk[i] AS w1, tk[i + 1] AS w2
+            FROM cpos),
+    ref AS (SELECT tk FROM tkall WHERE lang = 'en'),
+    uni AS (SELECT t AS w, COUNT(*)::BIGINT AS cw
+            FROM (SELECT unnest(tk) AS t FROM ref) GROUP BY t),
+    sc0 AS (SELECT COUNT(*)::BIGINT AS v, SUM(cw)::BIGINT AS nn FROM uni),
+    rpos AS (SELECT tk, unnest(range(1, len(tk))) AS i FROM ref),
+    big AS (SELECT g, COUNT(*)::BIGINT AS cg
+            FROM (SELECT tk[i] || ' ' || tk[i + 1] AS g FROM rpos)
+            GROUP BY g),
+    lpc AS (SELECT c.doc_id, c.i,
+              CASE WHEN b.cg IS NOT NULL
+                     THEN 0.0 + ln(b.cg::DOUBLE / u1.cw::DOUBLE)
+                   WHEN u2.cw IS NOT NULL
+                     THEN {_Q149_LNA!r} + ln(u2.cw::DOUBLE / s.nn::DOUBLE)
+                   ELSE {_Q149_LNA!r} - ln(s.v::DOUBLE) END AS lp
+            FROM cgr c
+            LEFT JOIN big b ON c.g = b.g
+            LEFT JOIN uni u1 ON c.w1 = u1.w
+            LEFT JOIN uni u2 ON c.w2 = u2.w
+            CROSS JOIN sc0 s),
+    nll AS (SELECT doc_id, COUNT(*)::INT AS lm_ngrams,
+              round(-list_reduce(list_prepend(0.0::DOUBLE,
+                        list(lp ORDER BY i)), (a, b) -> a + b)
+                    / COUNT(*), 9) AS nll
+            FROM lpc GROUP BY doc_id)
+    SELECT d.doc_id, n.nll AS nll,
+           COALESCE(n.lm_ngrams, 0) AS lm_ngrams
+    FROM documents d LEFT JOIN nll n ON d.doc_id = n.doc_id
+"""
+
+
+@query("q149_perplexity_backoff", _Q149_ORACLE)
+def q149_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.perplexity backoff='stupid': the Brants-et-al web-scale
+    LM scoring rule — an unseen bigram backs off to alpha * the
+    unigram estimate, fully-OOV words hit the alpha/V-class uniform
+    floor (no +kV flattening of seen estimates). Every branch is a
+    driver-embedded constant plus ln(int/int), folded per doc in
+    position order; the oracle embeds the SAME ln(alpha) literal and
+    replays the CASE chain."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    ref = _op("filter.apply", ctx, [d], expr="lang = 'en'")
+    out = _op("text.perplexity", ctx, [d, ref], column="text",
+              id_column="doc_id", order=2, backoff="stupid", alpha=0.4)
+    return _op("select.apply", ctx, [out],
+               columns=["doc_id", "nll", "lm_ngrams"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -337,3 +337,69 @@ def test_classify_multiclass_same_output_names_refused(ctx, docs, mc_weights):
         run_op(ctx, "classify.multiclass", [docs, mc_weights],
                column="text", id_column="doc_id",
                output_column="p", score_column="p")
+
+
+def _py_stupid_backoff(cand_toks, ref_toks, n=2, alpha=0.4):
+    grams: dict[int, Counter] = {}
+    for m in range(1, n + 1):
+        grams[m] = Counter(
+            " ".join(t[i:i + m])
+            for t in ref_toks for i in range(len(t) - m + 1))
+    big_n = sum(grams[1].values())
+    v = len(grams[1])
+    lps = []
+    for i in range(len(cand_toks) - n + 1):
+        w = cand_toks[i:i + n]
+        lp = None
+        for m in range(n, 0, -1):
+            g = " ".join(w[n - m:])
+            if grams[m][g] > 0:
+                den = big_n if m == 1 else grams[m - 1][" ".join(w[n - m:-1])]
+                lp = (n - m) * math.log(alpha) + math.log(grams[m][g] / den)
+                break
+        if lp is None:
+            lp = (n - 1) * math.log(alpha) - math.log(v)
+        lps.append(lp)
+    if not lps:
+        return None, 0
+    return round(-sum(lps) / len(lps), 9), len(lps)
+
+
+@pytest.mark.parametrize("order", [1, 2, 3])
+def test_perplexity_stupid_backoff_matches_python(ctx, spark, docs, order):
+    # LM trained on docs 1-2 only so docs 3/5 exercise every backoff
+    # depth incl. the OOV uniform floor
+    ref = docs.filter("doc_id <= 2")
+    out = run_op(ctx, "text.perplexity", [docs, ref],
+                 column="text", id_column="doc_id", order=order,
+                 backoff="stupid", alpha=0.4)
+    got = {r["doc_id"]: (r["nll"], r["lm_ngrams"]) for r in out.collect()}
+    ref_toks = [TOKS[1], TOKS[2]]
+    for i, t in TOKS.items():
+        exp, cnt = _py_stupid_backoff(t, ref_toks, n=order)
+        assert got[i][1] == cnt, (order, i)
+        if exp is None:
+            assert got[i][0] is None, (order, i)
+        else:
+            assert got[i][0] == pytest.approx(exp, abs=1e-9), (order, i)
+
+
+def test_perplexity_backoff_beats_addk_on_seen_text(ctx, docs):
+    # self-scored fluent text: backoff assigns it much higher
+    # probability (no +kV flattening), i.e. lower nll
+    addk = {r["doc_id"]: r["nll"] for r in run_op(
+        ctx, "text.perplexity", [docs], column="text",
+        id_column="doc_id", order=2).collect()}
+    bo = {r["doc_id"]: r["nll"] for r in run_op(
+        ctx, "text.perplexity", [docs], column="text",
+        id_column="doc_id", order=2, backoff="stupid").collect()}
+    assert bo[1] < addk[1]
+
+
+def test_perplexity_backoff_errors(ctx, docs):
+    with pytest.raises(ConfigError, match="alpha"):
+        run_op(ctx, "text.perplexity", [docs], column="text",
+               id_column="doc_id", backoff="stupid", alpha=0.0)
+    with pytest.raises(ConfigError, match="backoff"):
+        run_op(ctx, "text.perplexity", [docs], column="text",
+               id_column="doc_id", backoff="katz")
