@@ -83,6 +83,33 @@ def fold_sum(pairs_col):
 
 
 
+def _nll_finish(docs, cand, lp, id_column, out):
+    """Shared tail of both LM paths: position-ordered per-doc fold of
+    the logprobs, round 9, join back, lm_ngrams coalesce."""
+    per_doc = (
+        cand.select("__id", "__pos", lp.alias("__lp"))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.collect_list(
+                F.struct(F.col("__pos").alias("k"), F.col("__lp").alias("v"))
+            ).alias("__lps"),
+        )
+        .select(
+            "__id", "__n",
+            F.round(
+                -fold_sum(F.col("__lps")) / F.col("__n").cast("double"), 9
+            ).alias(out),
+        )
+    )
+    return (
+        docs.join(per_doc, docs[id_column] == per_doc["__id"], "left")
+        .drop("__id")
+        .withColumn("lm_ngrams", F.coalesce(F.col("__n"), F.lit(0)).cast("int"))
+        .drop("__n")
+    )
+
+
 def _stupid_backoff_nll(docs, ref, column, id_column, n, alpha, out):
     """Brants-et-al stupid backoff (the web-scale LM scoring rule):
     S(w | w_{1..n-1}) = c(gram_n)/c(ctx_{n-1}) when the n-gram was
@@ -114,19 +141,29 @@ def _stupid_backoff_nll(docs, ref, column, id_column, n, alpha, out):
     scalars = uni.agg(
         F.count(F.lit(1)).alias("__v"), F.sum("__c1").alias("__nn")
     )
+    # an empty reference would NULL every branch (ln of V=0) and emit
+    # NULL nll corpus-wide with no signal — raise like drift.psi does
+    row = scalars.first()
+    if row is None or not row["__v"]:
+        raise ConfigError(
+            "text.perplexity backoff='stupid': the reference corpus "
+            "has no tokens — every score would be NULL")
 
     cand = docs.select(
         F.col(id_column).alias("__id"),
         F.posexplode(ngrams_expr(column, n)).alias("__pos", "__g"),
     )
-    # suffixes ENDING AT n (the backed-off grams), longest first
+    # suffixes ENDING AT n (the backed-off grams), longest first;
+    # m = n joins on __g itself (no duplicate key column)
     for m in range(n, 0, -1):
-        key = F.col("__g") if m == n else \
-            F.substring_index("__g", " ", -m)
-        cand = cand.withColumn(f"__sg{m}", key).join(
-            tables[m].select(F.col("__w").alias(f"__sg{m}"),
+        gkey = "__g" if m == n else f"__sg{m}"
+        if m < n:
+            cand = cand.withColumn(
+                gkey, F.substring_index("__g", " ", -m))
+        cand = cand.join(
+            tables[m].select(F.col("__w").alias(gkey),
                              F.col(f"__c{m}").alias(f"__cg{m}")),
-            f"__sg{m}", "left",
+            gkey, "left",
         )
     # suffixes ENDING AT n-1 (the contexts), longest first
     if n > 1:
@@ -152,28 +189,7 @@ def _stupid_backoff_nll(docs, ref, column, id_column, n, alpha, out):
         branch = F.lit(float((n - m) * ln_a)) + F.log(num / den)
         lp = F.when(F.col(f"__cg{m}").isNotNull(), branch).otherwise(lp)
 
-    per_doc = (
-        cand.select("__id", "__pos", lp.alias("__lp"))
-        .groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.collect_list(
-                F.struct(F.col("__pos").alias("k"), F.col("__lp").alias("v"))
-            ).alias("__lps"),
-        )
-        .select(
-            "__id", "__n",
-            F.round(
-                -fold_sum(F.col("__lps")) / F.col("__n").cast("double"), 9
-            ).alias(out),
-        )
-    )
-    return (
-        docs.join(per_doc, docs[id_column] == per_doc["__id"], "left")
-        .drop("__id")
-        .withColumn("lm_ngrams", F.coalesce(F.col("__n"), F.lit(0)).cast("int"))
-        .drop("__n")
-    )
+    return _nll_finish(docs, cand, lp, id_column, out)
 
 
 @register(
@@ -290,29 +306,7 @@ def text_perplexity(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         (F.coalesce(F.col("__cg"), F.lit(0)).cast("double") + F.lit(k))
         / (cc + F.lit(k) * F.col("__v").cast("double"))
     )
-    per_doc = (
-        cand.select("__id", "__pos", lp.alias("__lp"))
-        .groupBy("__id")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.collect_list(
-                F.struct(F.col("__pos").alias("k"), F.col("__lp").alias("v"))
-            ).alias("__lps"),
-        )
-        .select(
-            "__id",
-            "__n",
-            F.round(
-                -fold_sum(F.col("__lps")) / F.col("__n").cast("double"), 9
-            ).alias(out),
-        )
-    )
-    return (
-        docs.join(per_doc, docs[id_column] == per_doc["__id"], "left")
-        .drop("__id")
-        .withColumn("lm_ngrams", F.coalesce(F.col("__n"), F.lit(0)).cast("int"))
-        .drop("__n")
-    )
+    return _nll_finish(docs, cand, lp, id_column, out)
 
 
 @register(

@@ -20,6 +20,7 @@ Cross-engine determinism rules used throughout (hard-won):
 """
 
 from __future__ import annotations
+import math
 
 from typing import Any, Callable
 
@@ -5724,7 +5725,7 @@ def q148_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
                class_column="lang", top_k=30)
 
 
-_Q149_LNA = __import__("math").log(0.4)
+_Q149_LNA = math.log(0.4)
 _Q149_ORACLE = f"""
     WITH tkall AS (SELECT doc_id, lang, {_SQL_TOKENS} AS tk FROM documents),
     cpos AS (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i FROM tkall),

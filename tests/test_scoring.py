@@ -403,3 +403,10 @@ def test_perplexity_backoff_errors(ctx, docs):
     with pytest.raises(ConfigError, match="backoff"):
         run_op(ctx, "text.perplexity", [docs], column="text",
                id_column="doc_id", backoff="katz")
+
+
+def test_perplexity_backoff_empty_reference_raises(ctx, spark, docs):
+    ref = spark.createDataFrame([], "doc_id LONG, text STRING")
+    with pytest.raises(ConfigError, match="no tokens"):
+        run_op(ctx, "text.perplexity", [docs, ref], column="text",
+               id_column="doc_id", backoff="stupid")
