@@ -386,6 +386,23 @@ CHECKS = [
         and "TakeOrderedAndProject" in p,
     ),
     (
+        "q148_mutual_information",
+        "MI: one (term,class) aggregate, class marginals broadcast, "
+        "quantized int64 sum, zero Python, no cartesian",
+        lambda p, o: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "BroadcastExchange" in p and "HashAggregate" in p,
+    ),
+    (
+        "q149_perplexity_backoff",
+        "stupid backoff: skinny posting equi-joins against the m-gram "
+        "tables, position-ordered fold, zero Python, no cartesian "
+        "(the 1-row scalars BNLJ broadcast excepted)",
+        lambda p, o: "CartesianProduct" not in p
+        and "BatchEvalPython" not in p and "MapInPandas" not in p
+        and "HashAggregate" in p,
+    ),
+    (
         "q146_dedup_lines",
         "line dedup: per-row first-occurrence array exprs — widen "
         "exchange only, no agg/join shuffle, zero Python",
