@@ -176,6 +176,46 @@ def fingerprint(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     return df.withColumn(output_column, F.md5(norm))
 
 
+def _symbol_run_lengths(df: DataFrame, column: str, unit: str):
+    """Per-row symbol histogram machinery shared by text.entropy and
+    text.gini: sort the char/token array, find run boundaries, and
+    derive per-distinct-symbol counts (exact ints). Returns
+    (staged df with __syms/__b, n symbols expr, counts array expr)."""
+    text = F.col(column).cast("string")
+    if unit == "char":
+        syms = F.when(F.length(text) == 0, F.array().cast("array<string>")) \
+            .otherwise(F.transform(
+                F.sequence(F.lit(1), F.length(text)),
+                lambda i: F.substring(text, i, F.lit(1)),
+            ))
+    else:
+        syms = tokens_expr(column, distinct=False)
+    stage = df.withColumn("__syms", F.array_sort(syms))
+    n = F.size("__syms")
+    # when() (not |) keeps element_at(syms, i-1) unevaluated at i=1 —
+    # index 0 is an INVALID_ARRAY_INDEX error under ANSI
+    bounds = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.when(i == 1, F.lit(True)).otherwise(
+            F.element_at(F.col("__syms"), i)
+            != F.element_at(F.col("__syms"), i - 1)
+        ),
+    )
+    stage = stage.withColumn(
+        "__b",
+        F.when(n == 0, F.array().cast("array<int>"))
+        .otherwise(bounds.cast("array<int>")),
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.size("__b") - 1),
+        lambda j: F.when(
+            j + 1 < F.size("__b"),
+            F.element_at(F.col("__b"), j + 2),
+        ).otherwise(n + 1) - F.element_at(F.col("__b"), j + 1),
+    )
+    return stage, n, counts
+
+
 @register(
     "text.entropy", kind="transform",
     doc="Shannon entropy of the symbol distribution (gibberish signal)",
@@ -224,37 +264,7 @@ def text_entropy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     from conveyor_spark.datapipe.dedup import widen
 
     df = widen(ctx, df, config)
-    text = F.col(column).cast("string")
-    if unit == "char":
-        syms = F.when(F.length(text) == 0, F.array().cast("array<string>")) \
-            .otherwise(F.transform(
-                F.sequence(F.lit(1), F.length(text)),
-                lambda i: F.substring(text, i, F.lit(1)),
-            ))
-    else:
-        syms = tokens_expr(column, distinct=False)
-    # run lengths over the sorted symbol array: boundary positions,
-    # then consecutive differences = per-symbol counts (exact ints)
-    stage = df.withColumn("__syms", F.array_sort(syms))
-    n = F.size("__syms")
-    # when() (not |) keeps element_at(syms, i-1) unevaluated at i=1 —
-    # index 0 is an INVALID_ARRAY_INDEX error under ANSI
-    bounds = F.filter(
-        F.sequence(F.lit(1), n),
-        lambda i: F.when(i == 1, F.lit(True)).otherwise(
-            F.element_at(F.col("__syms"), i)
-            != F.element_at(F.col("__syms"), i - 1)
-        ),
-    )
-    stage = stage.withColumn("__b", F.when(n == 0, F.array().cast("array<int>"))
-                             .otherwise(bounds.cast("array<int>")))
-    counts = F.transform(
-        F.sequence(F.lit(0), F.size("__b") - 1),
-        lambda j: F.when(
-            j + 1 < F.size("__b"),
-            F.element_at(F.col("__b"), j + 2),
-        ).otherwise(n + 1) - F.element_at(F.col("__b"), j + 1),
-    )
+    stage, n, counts = _symbol_run_lengths(df, column, unit)
     ent = F.when(
         n > 0,
         F.round(
@@ -269,3 +279,72 @@ def text_entropy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         ) + F.lit(0.0),
     )
     return stage.withColumn(out, ent).drop("__syms", "__b")
+
+
+@register(
+    "text.gini", kind="transform",
+    doc="Gini concentration of the symbol distribution (repetition signal)",
+    params=[
+        P("column", required=True, desc="Text column"),
+        P("unit", default="token", allowed=("char", "token"),
+          desc="Symbol unit: characters or whitespace tokens"),
+        P("output_column", default="gini", desc="Gini column [0, 1)"),
+        P("widen", "any", default="auto",
+          desc="Spread narrow scans: auto / false / partition count"),
+    ],
+    example={"column": "text", "unit": "token"},
+    tags=["text", "quality", "curation", "datapipe"],
+)
+def text_gini(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """Per-row Gini coefficient of the symbol histogram — 0 for a
+    perfectly uniform vocabulary, approaching 1 when a few symbols
+    dominate. The concentration complement of text.entropy: entropy
+    falls with FEWER distinct symbols, Gini rises with SKEW among
+    whatever symbols exist — together they separate "small clean
+    vocabulary" from "one token repeated 500 times" (SEO stuffing,
+    log spam).
+
+    Formula over the ASCENDING-sorted counts c_1..c_m (total T):
+    G = 2 * (sum i*c_i) / (m*T) - (m+1)/m. Every aggregate is an
+    exact int64; the final expression is two int-ratio divisions and
+    a subtract — bit-identical in any engine with NO rounding needed
+    (q150 replays it). NULL for empty/NULL text.
+
+    Scale: pure per-row array exprs in codegen (the text.entropy
+    run-length machinery + one integer fold) — zero shuffle."""
+    df = inputs[0]
+    column = config.get("column")
+    if not column:
+        raise ConfigError("text.gini requires 'column'")
+    if column not in df.columns:
+        raise ConfigError(f"text.gini: no column {column!r}")
+    unit = config.get("unit", "token")
+    if unit not in ("char", "token"):
+        raise ConfigError("text.gini: unit must be char|token")
+    out = config.get("output_column", "gini")
+    if out in df.columns:
+        raise ConfigError(
+            f"text.gini would overwrite existing column {out!r}; "
+            "set output_column")
+
+    from conveyor_spark.datapipe.dedup import widen
+
+    df = widen(ctx, df, config)
+    stage, n, counts = _symbol_run_lengths(df, column, unit)
+    asc = F.array_sort(counts)
+    m = F.size(asc)
+    s_weighted = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), m), asc,
+            lambda i, c: i.cast("bigint") * c.cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    gini = F.when(
+        n > 0,
+        F.lit(2.0) * s_weighted.cast("double")
+        / (m.cast("bigint") * n.cast("bigint")).cast("double")
+        - (m + 1).cast("double") / m.cast("double"),
+    )
+    return stage.withColumn(out, gini).drop("__syms", "__b")

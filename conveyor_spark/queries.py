@@ -5780,6 +5780,39 @@ def q149_perplexity_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
                columns=["doc_id", "nll", "lm_ngrams"])
 
 
+_Q150_ORACLE = f"""
+    WITH tk AS (SELECT doc_id, {_SQL_TOKENS} AS tk FROM documents),
+    tok AS (SELECT doc_id, unnest(tk) AS t FROM tk),
+    cnts AS (SELECT doc_id, t, COUNT(*)::BIGINT AS c
+             FROM tok GROUP BY doc_id, t),
+    g AS (SELECT doc_id, list_sort(list(c)) AS ac, SUM(c)::BIGINT AS n
+          FROM cnts GROUP BY doc_id),
+    calc AS (SELECT doc_id,
+               2.0 * (list_reduce(list_prepend(0::BIGINT,
+                        list_transform(range(1, len(ac) + 1),
+                                       i -> i * ac[i])),
+                        (a, b) -> a + b))::DOUBLE
+                 / ((len(ac)::BIGINT * n))::DOUBLE
+               - (len(ac) + 1)::DOUBLE / len(ac)::DOUBLE AS gini
+             FROM g)
+    SELECT d.doc_id, calc.gini
+    FROM documents d LEFT JOIN calc USING (doc_id)
+"""
+
+
+@query("q150_text_gini", _Q150_ORACLE)
+def q150_text_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.gini: Gini concentration of each document's token
+    histogram (the SEO-stuffing / log-spam skew signal, entropy's
+    concentration complement). Every aggregate is an exact int64;
+    the final value is two int-ratio divisions and a subtract — no
+    rounding anywhere, bit-identical in both engines."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    out = _op("text.gini", ctx, [d], column="text", unit="token")
+    return _op("select.apply", ctx, [out], columns=["doc_id", "gini"])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -78,3 +78,49 @@ def test_entropy_errors(ctx, docs):
     with pytest.raises(ConfigError, match="overwrite"):
         run_op(ctx, "text.entropy", [docs], column="text",
                output_column="text")
+
+
+def _py_gini(symbols) -> float | None:
+    n = len(symbols)
+    if n == 0:
+        return None
+    cnt = sorted(Counter(symbols).values())
+    m = len(cnt)
+    s = sum((i + 1) * c for i, c in enumerate(cnt))
+    return 2.0 * s / (m * n) - (m + 1) / m
+
+
+def test_gini_matches_reference(ctx, docs):
+    for unit in ("char", "token"):
+        out = run_op(ctx, "text.gini", [docs], column="text", unit=unit)
+        got = {r["doc_id"]: r["gini"] for r in out.collect()}
+        for i, t in ROWS:
+            if t is None:
+                syms = []
+            else:
+                syms = list(t) if unit == "char" else \
+                    [x for x in t.lower().split() if x]
+            exp = _py_gini(syms)
+            if exp is None:
+                assert got[i] is None, (unit, i)
+            else:
+                assert got[i] == pytest.approx(exp, abs=1e-12), (unit, i)
+
+
+def test_gini_uniform_vs_skewed(ctx, spark):
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g h"),            # uniform: G = 0
+         (2, "spam " * 50 + "a b c")],       # one dominant token
+        "doc_id LONG, text STRING")
+    out = run_op(ctx, "text.gini", [d], column="text", unit="token")
+    got = {r["doc_id"]: r["gini"] for r in out.collect()}
+    assert got[1] == 0.0
+    assert got[2] > 0.5
+
+
+def test_gini_errors(ctx, docs):
+    with pytest.raises(ConfigError, match="unit"):
+        run_op(ctx, "text.gini", [docs], column="text", unit="byte")
+    with pytest.raises(ConfigError, match="overwrite"):
+        run_op(ctx, "text.gini", [docs], column="text",
+               output_column="text")

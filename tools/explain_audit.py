@@ -386,6 +386,14 @@ CHECKS = [
         and "TakeOrderedAndProject" in p,
     ),
     (
+        "q150_text_gini",
+        "gini: per-row sorted-run array exprs — widen exchange only, "
+        "no agg/join shuffle, zero Python",
+        lambda p, o: p.count("Exchange") <= 1 and "Join" not in p
+        and "HashAggregate" not in p and "BatchEvalPython" not in p
+        and "MapInPandas" not in p,
+    ),
+    (
         "q148_mutual_information",
         "MI: one (term,class) aggregate, class marginals broadcast, "
         "quantized int64 sum, zero Python, no cartesian",
