@@ -850,7 +850,13 @@ def rank_rrf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) ->
         ]
         if qid:
             cols.insert(0, F.col(qid).alias("__qid"))
-        parts.append(df.select(*cols))
+        # an absent/invalid rank contributes 0, i.e. the row is
+        # dropped — NULL or non-positive ranks must not NULL the
+        # item's whole fused score (and rank<=0 with k=0 would
+        # divide by zero)
+        rank_ok = (F.col(rank_column).isNotNull()
+                   & (F.col(rank_column).cast("double") > 0))
+        parts.append(df.filter(rank_ok).select(*cols))
     allc = parts[0]
     for p in parts[1:]:
         allc = allc.unionByName(p)

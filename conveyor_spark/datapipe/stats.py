@@ -495,7 +495,8 @@ def stats_jensen_shannon(ctx: OpContext, inputs: list[DataFrame], config: dict[s
         P("min_count", "integer", default=1, min=1,
           desc="Drop terms with fewer total occurrences"),
         P("top_k", "integer", min=1,
-          desc="Keep only the k highest-MI terms (ties: term ASC)"),
+          desc="Keep only the k highest-MI terms (ties: term ASC); "
+               "adds an mi_rank column (1-based)"),
     ],
     example={"column": "text", "class_column": "language"},
     tags=["stats", "text", "features", "curation", "datapipe"],
@@ -506,7 +507,9 @@ def stats_mutual_information(ctx: OpContext, inputs: list[DataFrame], config: di
     occurrences — the classic discriminative-vocabulary ranking
     (which words identify a language / domain / source; feature
     selection for classify.linear weights). Output: one row per term
-    (term, mi, count, classes) ranked by (mi DESC, term ASC).
+    (term, mi, count, classes) ranked by (mi DESC, term ASC); with
+    top_k set, an extra mi_rank column (1-based dense position in
+    that order) is appended and rows with mi_rank > top_k drop.
 
     Determinism: counts are exact int64; each (term, class)
     contribution's log argument is a RATIO OF INT PRODUCTS

@@ -432,17 +432,27 @@ def text_dedup_lines(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     stage = df.withColumn("__lines", lines).withColumn(
         "__keys", F.transform(F.col("__lines"), lambda l: keyed(l)))
     # survivor positions: blank keys always survive; others survive
-    # iff theirs is the FIRST occurrence of the key
-    surv = F.filter(
-        F.sequence(F.lit(1), F.size("__lines")),
-        lambda i: (F.element_at(F.col("__keys"), i) == "") | (
-            F.array_position(
-                F.col("__keys"), F.element_at(F.col("__keys"), i)
-            ) == i.cast("bigint")
-        ),
+    # iff theirs is the FIRST occurrence of the key. NULL text must
+    # be guarded EXPLICITLY: under ANSI-off size(NULL) is -1, so
+    # sequence(1, size) would DESCEND ([1,0,-1]) and rewrite NULL
+    # text to '' with lines_removed=-1 — the when() keeps NULL in
+    # -> NULL out in both ANSI modes (same guard family as
+    # text.winnow's coalesce and corpus.manifest's).
+    is_null = F.col(column).isNull()
+    surv = F.when(is_null, F.lit(None).cast("array<int>")).otherwise(
+        F.filter(
+            F.sequence(F.lit(1), F.size("__lines")),
+            lambda i: (F.element_at(F.col("__keys"), i) == "") | (
+                F.array_position(
+                    F.col("__keys"), F.element_at(F.col("__keys"), i)
+                ) == i.cast("bigint")
+            ),
+        )
     )
     stage = stage.withColumn("__surv", surv)
-    removed = (F.size("__lines") - F.size("__surv")).cast("int")
+    removed = F.when(
+        is_null, F.lit(None)
+    ).otherwise(F.size("__lines") - F.size("__surv")).cast("int")
     cleaned = F.array_join(
         F.transform(F.col("__surv"),
                     lambda i: F.element_at(F.col("__lines"), i)),
@@ -450,7 +460,6 @@ def text_dedup_lines(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     )
     stage = stage.withColumn("lines_removed", removed)
     if mode == "clean":
-        # NULL text stays NULL (split(NULL) is NULL -> surv NULL ->
-        # array_join(NULL) is NULL in Spark; the oracle mirrors)
+        # NULL surv -> transform NULL -> array_join NULL: stays NULL
         stage = stage.withColumn(out, cleaned)
     return stage.drop("__lines", "__keys", "__surv")

@@ -85,3 +85,24 @@ def test_dedup_lines_annotate_rejects_output_column(ctx, docs):
     with pytest.raises(ConfigError, match="annotate"):
         run_op(ctx, "text.dedup_lines", [docs], column="text",
                mode="annotate", output_column="clean_text")
+
+
+def test_dedup_lines_null_text_invariant_under_ansi(ctx, spark):
+    """review finding: under non-ANSI, size(NULL)=-1 made
+    sequence(1,-1) DESCEND, rewriting NULL text to '' with
+    lines_removed=-1. NULL in -> (NULL, NULL) in BOTH ANSI modes."""
+    df = spark.createDataFrame([(1, "a\na"), (2, None)],
+                               "doc_id LONG, text STRING")
+    old = spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        results = {}
+        for ansi in ("true", "false"):
+            spark.conf.set("spark.sql.ansi.enabled", ansi)
+            out = run_op(ctx, "text.dedup_lines", [df], column="text")
+            results[ansi] = {r["doc_id"]: (r["text"], r["lines_removed"])
+                             for r in out.collect()}
+        assert results["true"] == results["false"]
+        assert results["true"][2] == (None, None)
+        assert results["true"][1] == ("a", 1)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", old)
