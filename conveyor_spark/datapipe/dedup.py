@@ -459,6 +459,10 @@ def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
                "(the scale guard against O(n²) hot shingles)"),
         P("exact", "boolean",
           desc="Opt out of max_df pruning (exact but quadratic on hot shingles)"),
+        P("verify", "boolean", default=False,
+          desc="Recompute jaccard on the gram STRINGS for threshold-"
+               "passing pairs (string-exact; O(pairs x set size) extra "
+               "cost). Default counts on a 128-bit gram key"),
         P("pair_a", default="id_a", desc="Output pair column A"),
         P("pair_b", default="id_b", desc="Output pair column B"),
         P("widen", "any", default="auto",
@@ -472,17 +476,29 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
 
     Output: id_a, id_b, jaccard (>= threshold). Three modes:
 
-    - default: posting-list self-join with document-frequency pruning
-      ON (`max_df` = 0.05). Shingles appearing in more than
-      max(floor(max_df * n_docs), 1) documents are dropped from the
-      posting lists — a hot shingle at 100 TB otherwise turns one
-      reduce task into an O(df^2) pair explosion. The hot-shingle
-      list (not the keep-list — hot tokens are bounded by
-      n_postings/cap, keep-lists grow with the corpus) is built
-      lazily and anti-joined broadcast-side; no driver action at plan
-      build. Pruning is conservative: denominators keep the FULL set
-      sizes, so reported jaccard <= true jaccard (near-dups whose
-      overlap is hot-shingle-only may be missed; no false positives).
+    - default: candidates-then-verify posting self-join with
+      document-frequency pruning ON (`max_df` = 0.05). Shingles
+      appearing in more than max(floor(max_df * n_docs), 1) documents
+      are dropped from the posting lists — a hot shingle at 100 TB
+      otherwise turns one reduce task into an O(df^2) pair explosion.
+      The hot-shingle list (not the keep-list — hot tokens are
+      bounded by n_postings/cap, keep-lists grow with the corpus) is
+      detected by a two-phase skinny aggregate (hash-df first, string
+      resolve on the survivors) and anti-joined broadcast-side; no
+      driver action at plan build. Intersections are counted over
+      (128-bit gram key, id, size) rows — two independently seeded
+      xxhash64 halves; the pair join never shuffles gram strings or
+      shingle arrays, and a 128-bit collision among distinct grams
+      (P < 2^-90 for any feasible corpus) is the only way a count
+      can differ from string counting. `verify=true` additionally
+      recomputes jaccard on the gram strings for threshold-passing
+      pairs (string-exact output; worth it only when output pairs <<
+      the posting pair-stream — on dense near-dup clusters the
+      candidate set is output-sized and the array join dominates).
+      Pruning is
+      conservative: denominators keep the FULL set sizes, so reported
+      jaccard <= true jaccard (near-dups whose overlap is
+      hot-shingle-only may be missed; no false positives).
     - `exact=true` (or max_df >= 1): the unpruned exact join —
       opt-in, quadratic in hot-shingle document frequency.
     - candidate verification: a second input of (id_a, id_b) pairs
@@ -523,26 +539,69 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
             .filter(F.col("jaccard") >= threshold)
         )
 
+    # ------------------------------------------------------------------
+    # self-join mode. The naive posting self-join shuffles every
+    # posting row with its full shingle STRING (~30+ bytes) through a
+    # sort-merge join — at 16x-Zipf sf0.1 that spilled 18 GB. Instead:
+    #   1. hot-set detection as a TWO-PHASE skinny aggregate: group
+    #      by xxhash64(gram) first (8-byte shuffle keys; hash-df >=
+    #      string-df, so hash-hot is a superset of string-hot), then
+    #      resolve the few survivors by string — the exact oracle
+    #      hot set, without ever shuffling the full gram strings.
+    #   2. intersection counting over (h1, h2, id, size) rows — a
+    #      128-bit gram key from two independently seeded xxhash64
+    #      halves; the broadcast anti-join on the hot STRINGS runs
+    #      map-side before the exchange, so the pair join shuffles
+    #      ~28-byte fixed-width rows instead of strings.
+    #   3. optional verify=true: re-attach pruned shingle arrays
+    #      (array_except against the broadcast hot list) for the
+    #      O(candidates) ids only — a broadcast semi on the candidate
+    #      id list keeps the arrays from ever shuffling — and
+    #      recompute jaccard on the strings (pruned numerator /
+    #      FULL-size denominator).
+    # ------------------------------------------------------------------
     postings = base.select("__id", "__size", F.explode("__sh").alias("__tok"))
     max_df = float(config.get("max_df", 0.05))
-    if not config.get("exact") and max_df < 1.0:
+    pruned = not config.get("exact") and max_df < 1.0
+    if pruned:
         if max_df <= 0:
             raise ConfigError("dedup.ngram_jaccard: max_df must be in (0, 1]")
         # cap = max(floor(max_df * n_docs), 1), computed lazily: the
         # doc total rides along as a broadcast 1-row aggregate.
         totals = base.agg(F.count(F.lit(1)).alias("__total"))
         cap = F.greatest(F.floor(F.lit(max_df) * F.col("__total")), F.lit(1))
+        hcand = (
+            postings.groupBy(F.xxhash64("__tok").alias("__h"))
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .join(F.broadcast(totals))
+            .filter(F.col("__df") > cap)
+            .select("__h")
+        )
         hot = (
-            postings.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+            postings.withColumn("__h", F.xxhash64("__tok"))
+            .join(F.broadcast(hcand), on="__h")
+            .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
             .join(F.broadcast(totals))
             .filter(F.col("__df") > cap)
             .select("__tok")
         )
         postings = postings.join(F.broadcast(hot), on="__tok", how="anti")
-    a, b = postings.alias("a"), postings.alias("b")
-    inter = (
-        a.join(b, on="__tok")
-        .filter(F.col("a.__id") < F.col("b.__id"))
+    skinny = postings.select(
+        "__id", "__size",
+        F.xxhash64("__tok").alias("__h1"),
+        F.xxhash64("__tok", F.lit(0x9E3779B9)).alias("__h2"),
+    )
+    a, b = skinny.alias("a"), skinny.alias("b")
+    # size-ratio filter (PPJoin): jaccard >= t is impossible unless
+    # min(|A|,|B|) >= t * max(|A|,|B|) — prunes size-mismatched pair
+    # rows inside the join stage, BEFORE they hit the aggregate
+    size_ok = (
+        (F.col("a.__size") * F.lit(threshold) <= F.col("b.__size"))
+        & (F.col("b.__size") * F.lit(threshold) <= F.col("a.__size"))
+    )
+    pairs = (
+        a.join(b, on=["__h1", "__h2"])
+        .filter((F.col("a.__id") < F.col("b.__id")) & size_ok)
         .groupBy(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
@@ -550,12 +609,51 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
             F.col("b.__size").alias("size_b"),
         )
         .agg(F.count(F.lit(1)).alias("__inter"))
+        .filter(
+            F.col("__inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("__inter"))
+            >= threshold
+        )
     )
-    jac = F.col("__inter") / (F.col("size_a") + F.col("size_b") - F.col("__inter"))
+    if not config.get("verify"):
+        jac = (F.col("__inter")
+               / (F.col("size_a") + F.col("size_b") - F.col("__inter")))
+        return pairs.select("id_a", "id_b", jac.alias("jaccard"))
+    # verify=true: re-attach pruned shingle ARRAYS for the candidate
+    # ids only and recompute jaccard on the strings themselves —
+    # string-exact output at O(candidates * |shingle set|) extra
+    # cost. Worth it only when output pairs << corpus pair-stream
+    # (sparse duplication); on dense near-dup clusters the candidate
+    # set IS output-sized and the array join dominates.
+    cand = pairs.select("id_a", "id_b")
+    if pruned:
+        hot_arr = hot.agg(F.collect_list("__tok").alias("__hot"))
+        sets = base.crossJoin(F.broadcast(hot_arr)).select(
+            "__id", "__size",
+            F.array_except("__sh", F.coalesce(
+                F.col("__hot"), F.array().cast("array<string>")
+            )).alias("__shp"),
+        )
+    else:
+        sets = base.select("__id", "__size", F.col("__sh").alias("__shp"))
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__id"))
+        .union(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sets_c = sets.join(F.broadcast(cand_ids), on="__id")
+    va = sets_c.select(F.col("__id").alias("id_a"),
+                       F.col("__shp").alias("__shp_a"),
+                       F.col("__size").alias("__size_a"))
+    vb = sets_c.select(F.col("__id").alias("id_b"),
+                       F.col("__shp").alias("__shp_b"),
+                       F.col("__size").alias("__size_b"))
+    inter = F.size(F.array_intersect("__shp_a", "__shp_b"))
+    jac = inter / (F.col("__size_a") + F.col("__size_b") - inter)
     return (
-        inter.withColumn("jaccard", jac)
+        cand.join(va, on="id_a").join(vb, on="id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
     )
 
 

@@ -231,6 +231,46 @@ class Interpreter:
                 "exhausted — runaway loop or recursion in the script"
             )
 
+    def _charge(self, n: int):
+        """Bulk budget charge for operations whose C-side cost scales
+        with operand size. Per-element ticking (round 8) bounded
+        ITERATOR consumption; this bounds PER-TICK AMPLIFICATION —
+        without it a loop of "one-tick" calls on 10 MB strings
+        (s.replace / s.split / big-int multiply at the 2^20-bit
+        guard ceiling) pins a core for minutes inside the budget."""
+        if n > 0:
+            self.steps += n
+            if self.steps > self.step_budget:
+                raise StepBudgetExceeded(
+                    f"py.eval engine='ast': step budget "
+                    f"({self.step_budget}) exhausted — operand-size "
+                    "charges from large-value operations"
+                )
+
+    @staticmethod
+    def _cost(v) -> int:
+        """Budget cost of touching a value, ~1 step per 64 elements /
+        1024 int bits — small enough that honest row-scale data is
+        near-free, large enough that _MAX_LEN-scale values cannot be
+        churned more than ~budget/156k times."""
+        if isinstance(v, (str, bytes, list, tuple, set, frozenset, dict)):
+            return len(v) >> 6
+        if isinstance(v, int) and not isinstance(v, bool):
+            return v.bit_length() >> 10
+        return 0
+
+    def _audit_result(self, out):
+        """Ceiling + charge for a freshly produced value: methods
+        like str.replace / str.join grow their result without going
+        through the +/* guards, so the MEMORY ceiling must apply at
+        every produce site, and the budget must be charged for the
+        C-side work that built it."""
+        if isinstance(out, (str, bytes, list, tuple, set, frozenset,
+                            dict)) and len(out) > _MAX_LEN:
+            raise StepBudgetExceeded("produced value too large")
+        self._charge(self._cost(out))
+        return out
+
     def _ticked(self, iterable):
         """Re-expose an iterable with one budget tick per element, so
         C-speed consumers (sum/list/sorted/`in`/starred args) burn
@@ -267,6 +307,19 @@ class Interpreter:
         if hasattr(container, "__next__"):
             # a lazy iterator (zip/enumerate/reversed): membership
             # consumes it at C speed — tick per element instead
+            for candidate in self._ticked(container):
+                if item is candidate or item == candidate:
+                    return True
+            return False
+        # substring / list membership scans the container at C speed
+        # (dict/set/frozenset probe in O(1) — exempt)
+        if isinstance(container, (str, bytes, list, tuple)):
+            self._charge(self._cost(container))
+        if isinstance(container, range) and not isinstance(item, int):
+            # range.__contains__ is O(1) for ints only; any other
+            # item type falls back to C-speed ITERATION — found by
+            # the adversarial fuzz: (99, 99) in range(10**18) pinned
+            # a core forever. Tick per element like any consumer.
             for candidate in self._ticked(container):
                 if item is candidate or item == candidate:
                     return True
@@ -452,7 +505,11 @@ class Interpreter:
             if isinstance(left, int) and isinstance(right, int) \
                     and left.bit_length() + right.bit_length() > 1 << 20:
                 raise StepBudgetExceeded("integer product too large")
-        return fn(left, right)
+        # size guards above cap single-op RESULTS; this charges the
+        # C-side WORK — a loop of 2^20-bit multiplies or 10 MB
+        # concatenations is each "one tick" without it
+        self._charge(self._cost(left) + self._cost(right))
+        return self._audit_result(fn(left, right))
 
     def _eval(self, node, env):
         self._tick()
@@ -499,6 +556,8 @@ class Interpreter:
             left = self._eval(node.left, env)
             for op, rhs in zip(node.ops, node.comparators):
                 right = self._eval(rhs, env)
+                # big-value comparisons are O(min size) C work per op
+                self._charge(min(self._cost(left), self._cost(right)))
                 if not table[type(op)](left, right):
                     return False
                 left = right
@@ -521,7 +580,10 @@ class Interpreter:
                 for k, v in zip(node.keys, node.values)
             }
         if isinstance(node, ast.Subscript):
-            return self._eval(node.value, env)[self._eval(node.slice, env)]
+            # slices copy: s[::-1] on a 10 MB string is O(N) C work
+            # and a fresh 10 MB value — charge what it produced
+            return self._audit_result(
+                self._eval(node.value, env)[self._eval(node.slice, env)])
         if isinstance(node, ast.Slice):
             return slice(
                 self._eval(node.lower, env) if node.lower else None,
@@ -542,7 +604,7 @@ class Interpreter:
                 kw.arg: self._eval(kw.value, env)
                 for kw in node.keywords if kw.arg is not None
             }
-            return fn(*args, **kwargs)
+            return self._audit_result(fn(*args, **kwargs))
         if isinstance(node, ast.JoinedStr):
             parts = []
             for v in node.values:
@@ -560,7 +622,7 @@ class Interpreter:
                         parts.append(format(val, spec))
                     else:
                         parts.append(str(val))
-            return "".join(parts)
+            return self._audit_result("".join(parts))
         if isinstance(node, ast.Lambda):
             return _Function(
                 "<lambda>", [a.arg for a in node.args.args],
@@ -610,6 +672,20 @@ class Interpreter:
     # keys and corrupt dict.update(mapping) semantics
     _SIZED = (str, bytes, list, tuple, set, frozenset, dict)
 
+    # methods whose C-side cost scans the RECEIVER — every str/bytes
+    # method scans (replace/split/upper/count/...), plus the O(n)
+    # container methods. O(1) methods (append/pop/get/add/...) are
+    # exempt so budget-bounded container building stays linear.
+    _LINEAR_METHODS = frozenset(
+        [(str, m) for m in _METHODS[str]]
+        + [(bytes, m) for m in _METHODS[bytes]]
+        + [(list, m) for m in ("index", "count", "remove", "sort",
+                               "reverse", "copy", "clear")]
+        + [(dict, m) for m in ("copy", "clear")]
+        + [(set, m) for m in ("copy", "clear")]
+        + [(tuple, m) for m in ("index", "count")]
+    )
+
     def _method(self, node: ast.Attribute, env):
         obj = self._eval(node.value, env)
         for base, names in _METHODS.items():
@@ -623,23 +699,51 @@ class Interpreter:
                 # hijackable from the script via a keyword argument
                 # (`d.update(_b=evil)` would replace the method)
                 bound = getattr(obj, node.attr)
-                if node.attr in ("zfill", "ljust", "rjust"):
-                    # width-pad methods materialize their argument
-                    def padded(width, *rest):
-                        if isinstance(width, int) and width > _MAX_LEN:
-                            raise StepBudgetExceeded("pad width too large")
-                        return bound(width, *rest)
+                if (base, node.attr) in self._LINEAR_METHODS:
+                    # receiver-scanning methods (every str method,
+                    # list.sort/count/..., set algebra): charge the
+                    # receiver's size per CALL, so a loop of one-tick
+                    # calls on _MAX_LEN-scale values cannot pin a
+                    # core inside the budget. Results are audited
+                    # (ceiling + charge) at the Call site.
+                    recv_cost = self._cost(obj)
 
-                    return padded
+                    def linear(*args, **kwargs):
+                        self._charge(recv_cost)
+                        for a in args:
+                            self._charge(self._cost(a))
+                        return bound(*args, **kwargs)
+
+                    if node.attr in ("zfill", "ljust", "rjust"):
+                        inner_linear = linear
+
+                        def padded(width, *rest):
+                            # width-pad methods materialize their arg
+                            if isinstance(width, int) and width > _MAX_LEN:
+                                raise StepBudgetExceeded(
+                                    "pad width too large")
+                            return inner_linear(width, *rest)
+
+                        return padded
+                    return linear
                 if (base, node.attr) in self._TICKED_METHODS:
                     # kwargs pass through untouched: dict.update(a=1)
                     # is a bounded literal call, nothing to tick
+                    recv_cost = self._cost(obj)
+
                     def consuming(*args, **kwargs):
-                        return bound(*[
-                            a if isinstance(a, self._SIZED)
-                            else self._ticked(a)
-                            for a in args
-                        ], **kwargs)
+                        # set algebra / extend / update copy the
+                        # receiver and any SIZED args at C speed —
+                        # charge them; lazy args tick per element
+                        self._charge(recv_cost)
+                        wrapped_args = []
+                        for a in args:
+                            if isinstance(a, self._SIZED):
+                                self._charge(self._cost(a))
+                                wrapped_args.append(a)
+                            else:
+                                wrapped_args.append(self._ticked(a))
+                        return bound(*wrapped_args, **kwargs)
 
                     return consuming
                 return bound

@@ -1,0 +1,117 @@
+"""The C4 and RefinedWeb recipe pipelines, end to end, with DuckDB
+oracle checks over the parquet they write.
+
+test_examples.py proves every shipped TOML validates and runs; this
+file proves the two PUBLIC-RECIPE compositions produce output with
+the properties each recipe promises — the rules survive composition,
+not just per-op oracles (each individual op is already hash-checked
+against DuckDB by the q-suite).
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import duckdb
+import pytest
+
+from conveyor_spark.compiler import run_pipeline
+from conveyor_spark.config.spec import load_spec
+
+_EXAMPLES = pathlib.Path(__file__).resolve().parents[1] / "examples"
+
+
+@pytest.fixture(scope="module")
+def c4_out(spark):
+    spec = load_spec(str(_EXAMPLES / "c4_recipe_pipeline.toml"))
+    result = run_pipeline(spark, spec)
+    assert not result.errors
+    return "/tmp/conveyor-examples/c4_recipe/*.parquet"
+
+
+@pytest.fixture(scope="module")
+def rw_out(spark):
+    spec = load_spec(str(_EXAMPLES / "refinedweb_recipe_pipeline.toml"))
+    result = run_pipeline(spark, spec)
+    assert not result.errors
+    return "/tmp/conveyor-examples/refinedweb_recipe/*.parquet"
+
+
+def test_c4_recipe_properties(c4_out):
+    con = duckdb.connect()
+    n, n_pages = con.execute(
+        f"SELECT count(*), count(DISTINCT page) FROM '{c4_out}'"
+    ).fetchone()
+    # 500 docs -> 1 exact dup -> 10 benchmark-contaminated = 489 - 1
+    # - (10 minus overlap); pinned from the deterministic run
+    assert n == 486
+    # dedup.exact: one row per distinct cleaned page
+    assert n_pages == n
+    # C4 line rule survives composition: every kept line has >= 5
+    # words and ends in terminal punctuation
+    bad_lines = con.execute(
+        f"""
+        SELECT count(*) FROM (
+          SELECT unnest(string_split(page, chr(10))) AS line
+          FROM '{c4_out}')
+        WHERE NOT regexp_matches(line, '[.!?"]$')
+           OR len(string_split(trim(line), ' ')) < 5
+        """
+    ).fetchone()[0]
+    assert bad_lines == 0
+    # text.dedup_lines: no repeated non-blank line within a page
+    repeats = con.execute(
+        f"""
+        SELECT count(*) FROM (
+          SELECT doc_id, trim(unnest(string_split(page, chr(10)))) AS k
+          FROM '{c4_out}')
+        WHERE k <> ''
+        GROUP BY doc_id, k HAVING count(*) > 1
+        """
+    ).fetchall()
+    assert repeats == []
+    # split.assign fractions land near 0.9/0.05/0.05
+    splits = dict(con.execute(
+        f"SELECT split, count(*) FROM '{c4_out}' GROUP BY split"
+    ).fetchall())
+    assert set(splits) == {"train", "val", "test"}
+    assert splits["train"] / n > 0.8
+
+
+def test_refinedweb_recipe_properties(rw_out):
+    con = duckdb.connect()
+    n, n_urls = con.execute(
+        f"SELECT count(*), count(DISTINCT url) FROM '{rw_out}'"
+    ).fetchone()
+    assert n == 193  # pinned from the deterministic run
+    # URL-level dedup: one row per canonical URL, and canonical form
+    # (lowercase host, no port/tracking/fragment) throughout
+    assert n_urls == n
+    bad_urls = con.execute(
+        f"""SELECT count(*) FROM '{rw_out}'
+            WHERE url LIKE '%:80%' OR url LIKE '%utm_%'
+               OR url LIKE '%#%' OR url <> lower(url)"""
+    ).fetchone()[0]
+    assert bad_urls == 0
+    # html_strip: no markup or undecoded entities survive
+    assert con.execute(
+        f"""SELECT count(*) FROM '{rw_out}'
+            WHERE page LIKE '%<%' OR page LIKE '%&amp;%'
+               OR page LIKE '%track();%'"""
+    ).fetchone()[0] == 0
+    # gopher min_words survives composition
+    assert con.execute(
+        f"""SELECT count(*) FROM '{rw_out}'
+            WHERE len(string_split(trim(page), ' ')) < 10"""
+    ).fetchone()[0] == 0
+    # dedup_lines: no repeated non-blank trimmed line within a page
+    repeats = con.execute(
+        f"""
+        SELECT count(*) FROM (
+          SELECT doc_id, trim(unnest(string_split(page, chr(10)))) AS k
+          FROM '{rw_out}')
+        WHERE k <> ''
+        GROUP BY doc_id, k HAVING count(*) > 1
+        """
+    ).fetchall()
+    assert repeats == []
