@@ -204,3 +204,182 @@ def test_dedup_state_survives_restart(spark, tmp_path, state_provider):
         stream_dedup(_read(spark, src), ["user_id"]), "t_rec_dd2",
         output_mode="append", state_partitions=4, checkpoint=ckpt)
     assert {r["user_id"] for r in out2.collect()} == {"c"}
+
+
+# ---------------------------------------------------------------------------
+# Crash consistency: the query dies UNCLEANLY (a poisoned micro-batch
+# throws mid-flight — no q.stop(), no graceful shutdown), then a
+# restart from the same checkpoint must be exactly-once vs the batch
+# oracle. The graceful tests above prove offsets/state round-trip
+# through a clean stop; these prove the same through a failure, which
+# is the recovery path a 1000-executor deployment actually exercises.
+# ---------------------------------------------------------------------------
+
+_POISON_SEQ = 666
+
+
+def _poisoned(sdf, flag_path):
+    """Inject a task failure: raise while flag_path exists and the
+    poison row is processed. Deleting the flag 'fixes' the cluster so
+    the restarted query can reprocess the same data successfully."""
+    from pyspark.sql import types as T
+
+    def maybe_crash(seq):
+        import os
+        if seq == _POISON_SEQ and os.path.exists(flag_path):
+            raise RuntimeError("injected task failure")
+        return seq
+
+    crash = F.udf(maybe_crash, T.LongType())
+    return sdf.withColumn("seq", crash("seq"))
+
+
+def _staged_files(src, rows_by_file):
+    """Write one jsonl per batch with strictly increasing mtimes so
+    the file source (which orders by modification time) processes
+    them in index order under maxFilesPerTrigger=1."""
+    import os
+    base = time.time() - 1000
+    for i, rows in enumerate(rows_by_file):
+        p = src / f"f{i}.jsonl"
+        _jsonl(p, rows)
+        os.utime(p, (base + i, base + i))
+
+
+def _crash_then_drain(spark, tmp_path, build_stream, name):
+    """Run build_stream() with the poison armed until the query dies
+    uncleanly, then disarm and drain from the same checkpoint.
+    Returns (rows_before_crash, rows_after_restart)."""
+    import os
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    ckpt = str(tmp_path / "ckpt")
+    flag = str(tmp_path / "poison.flag")
+    open(flag, "w").close()
+
+    q = (
+        build_stream().writeStream.format("memory")
+        .queryName(f"{name}_crash").outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(120)
+        raise AssertionError("poisoned query terminated cleanly")
+    before = spark.table(f"{name}_crash").collect()
+
+    os.remove(flag)
+    after = run_available_now(build_stream(), f"{name}_resume",
+                              output_mode="update", state_partitions=4,
+                              checkpoint=ckpt)
+    return before, after.collect()
+
+
+def test_crash_consistency_count_window(spark, tmp_path, state_provider):
+    src = tmp_path / "src"
+    src.mkdir()
+    flag = str(tmp_path / "poison.flag")
+    _staged_files(src, [
+        [{"user_id": f"u{j % 2}", "seq": j} for j in range(5)],          # f0
+        [{"user_id": "u0", "seq": _POISON_SEQ},
+         {"user_id": "u1", "seq": 101}],                                  # f1
+        [{"user_id": f"u{j % 2}", "seq": 200 + j} for j in range(3)],    # f2
+    ])
+
+    def build():
+        sdf = (
+            spark.readStream.schema("user_id STRING, seq LONG")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        return count_tumbling(_poisoned(sdf, flag), ["user_id"],
+                              size=2, order_by="seq")
+
+    before, after = _crash_then_drain(spark, tmp_path, build, "t_cc_cw")
+    # batch 0 committed before the poison batch died
+    assert before, "no batch committed before the injected failure"
+
+    # last update wins per (key, window): max n_rows is monotone
+    final: dict = {}
+    for r in before + after:
+        k = (r["user_id"], r["window_id"])
+        final[k] = max(final.get(k, 0), r["n_rows"])
+
+    # batch oracle: all rows per key in seq order, chunked by 2
+    rows = sorted(
+        [("u0", 0), ("u0", 2), ("u0", 4), ("u1", 1), ("u1", 3),
+         ("u0", _POISON_SEQ), ("u1", 101),
+         ("u0", 200), ("u1", 201), ("u0", 202)])
+    expect: dict = {}
+    from collections import defaultdict
+    per_key = defaultdict(list)
+    for k, s in rows:
+        per_key[k].append(s)
+    for k, seqs in per_key.items():
+        for i in range(len(seqs)):
+            expect[(k, i // 2)] = max(expect.get((k, i // 2), 0),
+                                      i % 2 + 1)
+    assert final == expect, (final, expect)
+
+
+def test_crash_consistency_stream_dedup(spark, tmp_path, state_provider):
+    from conveyor_spark.streaming.ops import stream_dedup
+
+    src = tmp_path / "src"
+    src.mkdir()
+    flag = str(tmp_path / "poison.flag")
+    _staged_files(src, [
+        [{"user_id": "a", "seq": 1}, {"user_id": "b", "seq": 2}],        # f0
+        [{"user_id": "a", "seq": _POISON_SEQ}, {"user_id": "c", "seq": 4}],
+        [{"user_id": "b", "seq": 5}, {"user_id": "d", "seq": 6}],        # f2
+    ])
+
+    def build():
+        sdf = (
+            spark.readStream.schema("user_id STRING, seq LONG")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        return stream_dedup(_poisoned(sdf, flag), ["user_id"])
+
+    before, after = _crash_then_drain(spark, tmp_path, build, "t_cc_dd")
+    assert before
+    emitted = [r["user_id"] for r in before + after]
+    # exactly-once: every distinct key once, none double-emitted
+    # across the crash boundary
+    assert sorted(emitted) == ["a", "b", "c", "d"], emitted
+
+
+def test_crash_consistency_session_window(spark, tmp_path, state_provider):
+    from conveyor_spark.streaming.session_window import session_assign
+
+    src = tmp_path / "src"
+    src.mkdir()
+    flag = str(tmp_path / "poison.flag")
+    # sessions (gap 10s): u0 [0,5,666...no — seqs become timestamps;
+    # keep u0's times clustered so the poison row EXTENDS a session
+    # that opened before the crash: state must survive the failure
+    _staged_files(src, [
+        [{"user_id": "u0", "seq": 100}, {"user_id": "u0", "seq": 105},
+         {"user_id": "u1", "seq": 100}],                                  # f0
+        [{"user_id": "u0", "seq": _POISON_SEQ}],                          # f1
+        [{"user_id": "u0", "seq": 670}, {"user_id": "u1", "seq": 300}],  # f2
+    ])
+
+    def build():
+        sdf = (
+            spark.readStream.schema("user_id STRING, seq LONG")
+            .option("maxFilesPerTrigger", 1).json(str(src))
+        )
+        sdf = _poisoned(sdf, flag).withColumn(
+            "ts", F.timestamp_seconds(F.col("seq")))
+        return session_assign(sdf, ["user_id"], "ts", gap_seconds=10.0)
+
+    before, after = _crash_then_drain(spark, tmp_path, build, "t_cc_sw")
+    assert before
+    final: dict = {}
+    for r in before + after:
+        k = (r["user_id"], r["session_id"])
+        final[k] = max(final.get(k, 0), r["n_rows"])
+
+    # batch oracle (gap 10): u0 {100,105} | {666,670}; u1 {100} | {300}
+    assert final == {("u0", 0): 2, ("u0", 1): 2,
+                     ("u1", 0): 1, ("u1", 1): 1}, final
