@@ -463,8 +463,12 @@ def dedup_simhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
           desc="Recompute jaccard on the gram STRINGS for threshold-"
                "passing pairs (string-exact; O(pairs x set size) extra "
                "cost). Default counts on a 128-bit gram key"),
-        P("pair_a", default="id_a", desc="Output pair column A"),
-        P("pair_b", default="id_b", desc="Output pair column B"),
+        P("pair_a", default="id_a",
+          desc="Pair column A: the output name (all modes) and the "
+               "candidate-input column name (candidate-verify mode)"),
+        P("pair_b", default="id_b",
+          desc="Pair column B: the output name (all modes) and the "
+               "candidate-input column name (candidate-verify mode)"),
         P("widen", "any", default="auto",
           desc="Spread narrow scans: auto, false, or a partition count"),
     ],
@@ -532,10 +536,11 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         # DIVIDE_BY_ZERO, not NaN; jaccard over empty sets is
         # undefined, so the pair is dropped via a NULL
         jac = F.when(denom > 0, inter / denom)
+        # output keeps the configured pair column names (review
+        # finding: these were silently renamed to hardcoded id_a/id_b)
         return (
             cands.join(sets_a, on=id_a).join(sets_b, on=id_b)
-            .select(F.col(id_a).alias("id_a"), F.col(id_b).alias("id_b"),
-                    jac.alias("jaccard"))
+            .select(id_a, id_b, jac.alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
 
@@ -586,10 +591,16 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
             .select("__tok")
         )
         postings = postings.join(F.broadcast(hot), on="__tok", how="anti")
+    # salt FIRST: Spark's multi-arg xxhash64 folds left-to-right with
+    # the running hash as the next seed, so xxhash64(tok, salt) would
+    # be a pure function of xxhash64(tok) — a 64-bit collision would
+    # collide the full key. xxhash64(salt, tok) hashes the gram under
+    # the DERIVED seed XXH64(salt, 42) != 42: an independent family
+    # member, giving the pair a true 128-bit collision bound.
     skinny = postings.select(
         "__id", "__size",
         F.xxhash64("__tok").alias("__h1"),
-        F.xxhash64("__tok", F.lit(0x9E3779B9)).alias("__h2"),
+        F.xxhash64(F.lit(0x9E3779B9), "__tok").alias("__h2"),
     )
     a, b = skinny.alias("a"), skinny.alias("b")
     # size-ratio filter (PPJoin): jaccard >= t is impossible unless
@@ -615,17 +626,25 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
             >= threshold
         )
     )
+    out_a = config.get("pair_a", "id_a")
+    out_b = config.get("pair_b", "id_b")
     if not config.get("verify"):
         jac = (F.col("__inter")
                / (F.col("size_a") + F.col("size_b") - F.col("__inter")))
-        return pairs.select("id_a", "id_b", jac.alias("jaccard"))
+        return pairs.select(F.col("id_a").alias(out_a),
+                            F.col("id_b").alias(out_b),
+                            jac.alias("jaccard"))
     # verify=true: re-attach pruned shingle ARRAYS for the candidate
     # ids only and recompute jaccard on the strings themselves —
     # string-exact output at O(candidates * |shingle set|) extra
     # cost. Worth it only when output pairs << corpus pair-stream
     # (sparse duplication); on dense near-dup clusters the candidate
     # set IS output-sized and the array join dominates.
-    cand = pairs.select("id_a", "id_b")
+    # the pair join + aggregation is the op's dominant stage and cand
+    # feeds THREE consumers below (the final join and both branches of
+    # cand_ids' union) — without lineage truncation Spark's best-effort
+    # exchange reuse can re-execute it per consumer
+    cand = pairs.select("id_a", "id_b").localCheckpoint(eager=False)
     if pruned:
         hot_arr = hot.agg(F.collect_list("__tok").alias("__hot"))
         sets = base.crossJoin(F.broadcast(hot_arr)).select(
@@ -652,7 +671,8 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
     jac = inter / (F.col("__size_a") + F.col("__size_b") - inter)
     return (
         cand.join(va, on="id_a").join(vb, on="id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
+        .select(F.col("id_a").alias(out_a), F.col("id_b").alias(out_b),
+                jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -209,6 +209,12 @@ class Interpreter:
         self._builtins = dict(_BUILTINS)
         for name, fn in _CONSUMERS.items():
             self._builtins[name] = self._wrap_consumer(name, fn)
+        for name in ("str", "repr"):
+            # stringifiers CONSTRUCT: str(list-of-10^6-ints) is a
+            # ~7 MB fresh string in one call — charge the argument
+            # and ceiling+charge the result
+            self._builtins[name] = self._wrap_stringifier(
+                name, _BUILTINS[name])
         for stmt in tree.body:
             if isinstance(stmt, ast.FunctionDef):
                 self.globals[stmt.name] = _Function(
@@ -260,14 +266,24 @@ class Interpreter:
         return 0
 
     def _audit_result(self, out):
-        """Ceiling + charge for a freshly produced value: methods
+        """Ceiling + charge for a freshly CONSTRUCTED value: methods
         like str.replace / str.join grow their result without going
-        through the +/* guards, so the MEMORY ceiling must apply at
-        every produce site, and the budget must be charged for the
-        C-side work that built it."""
+        through the +/* guards, so the memory ceiling must apply at
+        every CONSTRUCTION site (linear/consuming method wrappers,
+        binops, slices, f-strings, str/repr). It must NOT apply to
+        values merely read — row['text'] on a large input document
+        already exists in memory; see _charge_value."""
         if isinstance(out, (str, bytes, list, tuple, set, frozenset,
                             dict)) and len(out) > _MAX_LEN:
             raise StepBudgetExceeded("produced value too large")
+        self._charge(self._cost(out))
+        return out
+
+    def _charge_value(self, out):
+        """Charge (time-bound) for handling a possibly-large value
+        WITHOUT the construction ceiling — for read/return sites
+        (subscript element access, generic call results) where the
+        value may legitimately be a large input field."""
         self._charge(self._cost(out))
         return out
 
@@ -284,6 +300,15 @@ class Interpreter:
                     f"iteration over more than {_MAX_LEN} elements"
                 )
             yield item
+
+    def _wrap_stringifier(self, name: str, fn):
+        def wrapped(*args, **kwargs):
+            for a in args:
+                self._charge(self._cost(a))
+            return self._audit_result(fn(*args, **kwargs))
+
+        wrapped.__name__ = name
+        return wrapped
 
     def _wrap_consumer(self, name: str, fn):
         """Route an iterator-consuming builtin's single-iterable form
@@ -580,10 +605,15 @@ class Interpreter:
                 for k, v in zip(node.keys, node.values)
             }
         if isinstance(node, ast.Subscript):
-            # slices copy: s[::-1] on a 10 MB string is O(N) C work
-            # and a fresh 10 MB value — charge what it produced
-            return self._audit_result(
-                self._eval(node.value, env)[self._eval(node.slice, env)])
+            # slices COPY (s[::-1] on a 10 MB string is O(N) C work
+            # and a fresh value -> full audit incl. ceiling); element
+            # access READS an existing value — charge only, no
+            # ceiling (review finding: the ceiling on row['text']
+            # killed jobs whose input documents exceed _MAX_LEN)
+            got = self._eval(node.value, env)[self._eval(node.slice, env)]
+            if isinstance(node.slice, ast.Slice):
+                return self._audit_result(got)
+            return self._charge_value(got)
         if isinstance(node, ast.Slice):
             return slice(
                 self._eval(node.lower, env) if node.lower else None,
@@ -604,7 +634,10 @@ class Interpreter:
                 kw.arg: self._eval(kw.value, env)
                 for kw in node.keywords if kw.arg is not None
             }
-            return self._audit_result(fn(*args, **kwargs))
+            # charge-only: method CONSTRUCTION ceilings live in the
+            # linear/consuming wrappers; a generic call result may be
+            # an existing large value (dict.get on an input field)
+            return self._charge_value(fn(*args, **kwargs))
         if isinstance(node, ast.JoinedStr):
             parts = []
             for v in node.values:
@@ -702,17 +735,19 @@ class Interpreter:
                 if (base, node.attr) in self._LINEAR_METHODS:
                     # receiver-scanning methods (every str method,
                     # list.sort/count/..., set algebra): charge the
-                    # receiver's size per CALL, so a loop of one-tick
-                    # calls on _MAX_LEN-scale values cannot pin a
-                    # core inside the budget. Results are audited
-                    # (ceiling + charge) at the Call site.
-                    recv_cost = self._cost(obj)
-
+                    # receiver's size per CALL — computed INSIDE the
+                    # wrapper, at call time, never captured at bind
+                    # time (review finding: `f = xs.count` while xs is
+                    # tiny, grow xs, loop f(..) scanned millions of
+                    # elements against a stale cost of 0). Results
+                    # these methods CONSTRUCT also get the memory
+                    # ceiling here (str.replace growth), which must
+                    # NOT apply to values merely read from the row.
                     def linear(*args, **kwargs):
-                        self._charge(recv_cost)
+                        self._charge(self._cost(obj))
                         for a in args:
                             self._charge(self._cost(a))
-                        return bound(*args, **kwargs)
+                        return self._audit_result(bound(*args, **kwargs))
 
                     if node.attr in ("zfill", "ljust", "rjust"):
                         inner_linear = linear
@@ -729,13 +764,12 @@ class Interpreter:
                 if (base, node.attr) in self._TICKED_METHODS:
                     # kwargs pass through untouched: dict.update(a=1)
                     # is a bounded literal call, nothing to tick
-                    recv_cost = self._cost(obj)
-
                     def consuming(*args, **kwargs):
                         # set algebra / extend / update copy the
                         # receiver and any SIZED args at C speed —
-                        # charge them; lazy args tick per element
-                        self._charge(recv_cost)
+                        # charge them (receiver cost at CALL time,
+                        # not bind time); lazy args tick per element
+                        self._charge(self._cost(obj))
                         wrapped_args = []
                         for a in args:
                             if isinstance(a, self._SIZED):
@@ -743,7 +777,8 @@ class Interpreter:
                                 wrapped_args.append(a)
                             else:
                                 wrapped_args.append(self._ticked(a))
-                        return bound(*wrapped_args, **kwargs)
+                        return self._audit_result(
+                            bound(*wrapped_args, **kwargs))
 
                     return consuming
                 return bound

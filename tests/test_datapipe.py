@@ -726,3 +726,29 @@ def test_substring_verify_repairs_hash_collisions(ctx, spark, monkeypatch):
                            id_column="doc_id", min_length=6,
                            max_df=1.0).collect()}
     assert got == truth, (got, truth)
+
+
+def test_dedup_ngram_jaccard_verify_and_pair_names(ctx, docs, spark):
+    # verify=true (string-exact recount) must agree with the default
+    # 128-bit-hash counting on the same corpus...
+    base = run_op(ctx, "dedup.ngram_jaccard", [docs], column="text",
+                  id_column="doc_id", shingle="token", threshold=0.7,
+                  max_df=0.9)
+    ver = run_op(ctx, "dedup.ngram_jaccard", [docs], column="text",
+                 id_column="doc_id", shingle="token", threshold=0.7,
+                 max_df=0.9, verify=True)
+    as_map = lambda df: {(r[0], r[1]): round(r[2], 12) for r in df.collect()}
+    assert as_map(base) == as_map(ver)
+
+    # ...and pair_a/pair_b name the OUTPUT columns in every mode
+    # (review finding: self-join mode silently ignored them)
+    named = run_op(ctx, "dedup.ngram_jaccard", [docs], column="text",
+                   id_column="doc_id", shingle="token", threshold=0.7,
+                   max_df=0.9, pair_a="left_id", pair_b="right_id")
+    assert named.columns == ["left_id", "right_id", "jaccard"]
+    cands = spark.createDataFrame([(1, 2)], "left_id INT, right_id INT")
+    out = run_op(ctx, "dedup.ngram_jaccard", [docs, cands], column="text",
+                 id_column="doc_id", shingle="token", threshold=0.7,
+                 pair_a="left_id", pair_b="right_id")
+    assert out.columns == ["left_id", "right_id", "jaccard"]
+    assert out.count() == 1

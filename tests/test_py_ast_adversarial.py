@@ -211,3 +211,77 @@ def test_amplifier_smoke_each_template_terminates_fast():
             pass
         wall = time.monotonic() - t0
         assert wall < WALL_SEC, f"amplifier evades budget ({wall:.1f}s): {amp}"
+
+
+def test_bound_method_alias_charged_at_call_time():
+    """review finding: `f = xs.count` captured the receiver's cost at
+    BIND time (0 for a tiny list); growing xs afterwards let each
+    f(..) call scan millions of elements against the stale cost.
+    Receiver cost must be computed per call."""
+    src = (
+        "def transform(row):\n"
+        "    xs = [1]\n"
+        "    f = xs.count\n"
+        "    k = 0\n"
+        "    while k < 22:\n"           # doubles to ~4M elements
+        "        k = k + 1\n"
+        "        xs.extend(xs)\n"
+        "    n = 0\n"
+        "    k = 0\n"
+        "    while k < 100000:\n"
+        "        k = k + 1\n"
+        "        n = n + f(1)\n"
+        "    return n\n"
+    )
+    tree = validate_script(src)
+    interp = Interpreter(tree, step_budget=1_000_000)
+    t0 = time.monotonic()
+    with pytest.raises(StepBudgetExceeded):
+        interp.run_transform({})
+    assert time.monotonic() - t0 < WALL_SEC
+
+
+def test_alias_set_union_charged_at_call_time():
+    """same class through the consuming wrapper: g = st.union bound
+    while st is tiny, then st grows."""
+    src = (
+        "def transform(row):\n"
+        "    st = {0}\n"
+        "    g = st.union\n"
+        "    for i in range(100000):\n"
+        "        st.add(i)\n"
+        "    n = 0\n"
+        "    k = 0\n"
+        "    while k < 100000:\n"
+        "        k = k + 1\n"
+        "        n = n + len(g([1]))\n"
+        "    return n\n"
+    )
+    tree = validate_script(src)
+    interp = Interpreter(tree, step_budget=1_000_000)
+    t0 = time.monotonic()
+    with pytest.raises(StepBudgetExceeded):
+        interp.run_transform({})
+    assert time.monotonic() - t0 < WALL_SEC
+
+
+def test_large_input_field_readable():
+    """review finding: the construction ceiling fired on row['text']
+    merely READ from the input — a >10M-char document must stay
+    processable (round-8 behavior), while constructing past the
+    ceiling still raises."""
+    big = "x" * 10_000_100
+    src = (
+        "def transform(row):\n"
+        "    t = row['text']\n"
+        "    return {'n': len(t), 'head': t[0:4]}\n"
+    )
+    tree = validate_script(src)
+    out = Interpreter(tree).run_transform({"text": big})
+    assert out == {"n": 10_000_100, "head": "xxxx"}
+
+    # constructing a fresh over-ceiling value still refuses: the
+    # full-width slice COPIES
+    src2 = "def transform(row):\n    return len(row['text'][::-1])\n"
+    with pytest.raises(StepBudgetExceeded):
+        Interpreter(validate_script(src2)).run_transform({"text": big})

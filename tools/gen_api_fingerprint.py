@@ -47,5 +47,6 @@ def fingerprint() -> dict:
 
 if __name__ == "__main__":
     path = pathlib.Path(__file__).resolve().parents[1] / "tests" / "api_fingerprint.json"
-    path.write_text(json.dumps(fingerprint(), indent=1, sort_keys=True) + "\n")
-    print(f"wrote {path} ({len(fingerprint())} ops)")
+    fp = fingerprint()
+    path.write_text(json.dumps(fp, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {path} ({len(fp)} ops)")
