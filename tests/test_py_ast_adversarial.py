@@ -117,6 +117,25 @@ PAD = [
 ]
 
 
+# bound-method aliasing: bind while the receiver is SMALL, grow the
+# receiver, then call the alias in a loop — receiver costs captured
+# at bind time instead of call time evade charging (the class the
+# first review of this suite found by hand; now in the grammar)
+ALIAS = [
+    ("f = xs.count", "acc = acc + f(0)"),
+    ("f = xs.index", "acc = acc + (f(0) if 0 in xs else 0)"),
+    ("f = s.count", "acc = acc + f('a')"),
+    ("f = st.union", "acc = acc + len(f([1]))"),
+    ("f = st.issubset", "acc = acc + f(st)"),
+]
+GROW = [
+    "xs.extend(xs)",
+    "xs = xs + xs",
+    "s = s + s",
+    "st = st.union(range(len(st), 2 * len(st) + 1))",
+]
+
+
 def gen_script(rng: random.Random) -> str:
     body = [
         "    acc = row['a'] + 1000003",
@@ -128,7 +147,19 @@ def gen_script(rng: random.Random) -> str:
     n_stmt = rng.randint(1, 6)
     for _ in range(n_stmt):
         kind = rng.random()
-        if kind < 0.30:
+        if kind < 0.12:
+            bind, use = rng.choice(ALIAS)
+            grow = rng.choice(GROW)
+            body.append(f"    {bind}")
+            body.append("    k = 0")
+            body.append(f"    while k < {rng.choice([8, 16, 24])}:")
+            body.append("        k = k + 1")
+            body.append(f"        {grow}")
+            body.append("    k = 0")
+            body.append(f"    while k < {rng.choice([1024, 16384])}:")
+            body.append("        k = k + 1")
+            body.append(f"        {use}")
+        elif kind < 0.30:
             c = rng.choice(CONSUMER)
             p = rng.choice(PRODUCER).format(B=rng.choice(BIG))
             body.append(f"    acc = acc + len(str({c.format(P=p)}))")
