@@ -137,17 +137,23 @@ def test_garbage_scripts_fail_cleanly(source):
     """Token soup either fails validation with SandboxViolation or,
     if it happens to parse clean, interprets each row to a value or
     a plain Python/Conveyor error — no interpreter internals leak."""
+    ok_errors = (SandboxViolation, StepBudgetExceeded, ArithmeticError,
+                 LookupError, TypeError, ValueError, NameError,
+                 AttributeError)
     try:
         tree = validate_script(source)
     except SandboxViolation:
         return
-    interp = Interpreter(tree)
+    try:
+        # construction EXECUTES module-level statements (a bare
+        # `row['a']` line is a NameError here, not in run_transform)
+        interp = Interpreter(tree)
+    except ok_errors:
+        return
     for row in ROWS:
         try:
             interp.run_transform(dict(row))
-        except (SandboxViolation, StepBudgetExceeded, ArithmeticError,
-                LookupError, TypeError, ValueError, NameError,
-                AttributeError):
+        except ok_errors:
             pass
 
 
