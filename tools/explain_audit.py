@@ -154,8 +154,15 @@ CHECKS = [
     ),
     (
         "q64_fuzzy_join",
-        "fuzzy join never cross-joins (gram equi-join + verify, no CartesianProduct/BNLJ)",
-        lambda p, o: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+        "fuzzy join never cross-joins (gram equi-join + verify; only BNLJ is the "
+        "1-row max_df totals cap)",
+        lambda p, o: "CartesianProduct" not in p
+        and all(
+            "__total" in ln
+            for ln in p.splitlines()
+            if "BroadcastNestedLoopJoin" in ln
+        )
+        and "__total" in p,  # the guard IS armed (cap condition present)
     ),
     (
         "q68_knn_lsh",

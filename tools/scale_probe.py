@@ -73,6 +73,11 @@ HEAVY_SET = [
 # q52) must and does stay zero-spill. The probe therefore asserts
 # zero spill for every scale-path query and only RECORDS spill for
 # these, failing them solely on error/timeout.
+# q64 armed its max_df=0.05 hot-gram guard in round 10 (64x: 236 s /
+# 7.2 GB shuffle / 18.5 GB spill -> 57 s / 1.24 GB / 2.6 GB), but its
+# OUTPUT is still ~49M pairs at 64x (the 64-name part vocabulary
+# makes same-name pairs quadratic in replication), so the residual
+# spill is the pair stream itself — it stays in the class.
 # q113 joined the set at 16x: exact-substring span detection is
 # pair-emitting by definition (every near-dup pair in a capped Zipf
 # cluster yields gram-match rows — ~2M output SPANS at 16x), so its
