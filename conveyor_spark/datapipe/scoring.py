@@ -789,7 +789,10 @@ def classify_multiclass(ctx: OpContext, inputs: list[DataFrame], config: dict[st
     params=[
         P("id_column", required=True, desc="Item id column (all inputs)"),
         P("rank_column", default="rank",
-          desc="1-based rank column (all inputs)"),
+          desc="1-based rank column (all inputs). Rank 0 raises at "
+               "execution (0-based rankings must shift by +1 — the "
+               "top item would otherwise silently vanish); NULL or "
+               "negative ranks contribute 0"),
         P("query_id_column",
           desc="Optional per-query column: fuse within each query"),
         P("k", "integer", default=60, min=0,
@@ -842,20 +845,28 @@ def rank_rrf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) ->
 
     parts = []
     for i, (df, w) in enumerate(zip(inputs, weights)):
+        rank_d = F.col(rank_column).cast("double")
+        # ranks are 1-based. NULL/negative ranks contribute 0 (the
+        # row drops — junk must not NULL the item's whole fused
+        # score), but rank EXACTLY 0 is the 0-based-ranking footgun:
+        # dropping it would silently erase each list's TOP item, so
+        # it raises a named error at execution instead (lazy-safe —
+        # no driver action at plan build).
+        contrib = F.when(
+            rank_d == 0,
+            F.raise_error(F.lit(
+                f"rank.rrf: rank 0 in input {i} — ranks are 1-based; "
+                "shift a 0-based ranking by +1 (its top item would "
+                "otherwise silently vanish from the fusion)")),
+        ).otherwise(F.lit(w) / (F.lit(float(k)) + rank_d))
         cols = [
             F.col(id_column).alias("__id"),
             F.lit(i).alias("__src"),
-            (F.lit(w) / (F.lit(float(k))
-                         + F.col(rank_column).cast("double"))).alias("__c"),
+            contrib.alias("__c"),
         ]
         if qid:
             cols.insert(0, F.col(qid).alias("__qid"))
-        # an absent/invalid rank contributes 0, i.e. the row is
-        # dropped — NULL or non-positive ranks must not NULL the
-        # item's whole fused score (and rank<=0 with k=0 would
-        # divide by zero)
-        rank_ok = (F.col(rank_column).isNotNull()
-                   & (F.col(rank_column).cast("double") > 0))
+        rank_ok = F.col(rank_column).isNotNull() & (rank_d >= 0)
         parts.append(df.filter(rank_ok).select(*cols))
     allc = parts[0]
     for p in parts[1:]:

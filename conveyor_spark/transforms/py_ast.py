@@ -745,7 +745,10 @@ class Interpreter:
                     # NOT apply to values merely read from the row.
                     def linear(*args, **kwargs):
                         self._charge(self._cost(obj))
-                        for a in args:
+                        # kwarg VALUES charge like positionals —
+                        # s.split(sep=big) must cost what
+                        # s.split(big) costs (ADVICE r9)
+                        for a in (*args, *kwargs.values()):
                             self._charge(self._cost(a))
                         return self._audit_result(bound(*args, **kwargs))
 
@@ -762,13 +765,15 @@ class Interpreter:
                         return padded
                     return linear
                 if (base, node.attr) in self._TICKED_METHODS:
-                    # kwargs pass through untouched: dict.update(a=1)
-                    # is a bounded literal call, nothing to tick
                     def consuming(*args, **kwargs):
                         # set algebra / extend / update copy the
                         # receiver and any SIZED args at C speed —
                         # charge them (receiver cost at CALL time,
-                        # not bind time); lazy args tick per element
+                        # not bind time); lazy args tick per element.
+                        # SIZED kwarg values charge too (ADVICE r9:
+                        # dict.update(k=big) stores a reference, but
+                        # charging is uniform and closes the class);
+                        # they are NOT iterated by update, so no tick.
                         self._charge(self._cost(obj))
                         wrapped_args = []
                         for a in args:
@@ -777,6 +782,9 @@ class Interpreter:
                                 wrapped_args.append(a)
                             else:
                                 wrapped_args.append(self._ticked(a))
+                        for v in kwargs.values():
+                            if isinstance(v, self._SIZED):
+                                self._charge(self._cost(v))
                         return self._audit_result(
                             bound(*wrapped_args, **kwargs))
 

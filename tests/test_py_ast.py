@@ -232,6 +232,34 @@ def test_method_wrapper_kwargs_and_hijack(ctx=None):
         )({})
 
 
+def test_kwarg_values_charge_operand_size():
+    """ADVICE r9: linear/consuming wrappers charged only positional
+    args — s.split(sep=big) scanned a large separator value per call
+    with zero operand charge. Kwarg values now charge like
+    positionals."""
+    # keyword form must cost what the positional form costs: a TINY
+    # receiver with a big keyword separator isolates the kwarg charge
+    # (cost = len >> 6: sep alone is ~1000 steps/call, receiver ~0)
+    bomb = """
+def transform(row):
+    s = 'a,b'
+    sep = 'x' * 64000
+    n = 0
+    for i in range(500):
+        n = n + len(s.split(sep=sep))
+    return {'n': n}
+"""
+    with pytest.raises(StepBudgetExceeded):
+        make_transform(bomb, step_budget=100_000)({})
+    # normal keyword use unaffected
+    ok = make_transform(
+        "def transform(row):\n"
+        "    return {'parts': 'a,b,c'.split(sep=','),\n"
+        "            'one': 'a,b,c'.split(sep=',', maxsplit=1)}"
+    )({})
+    assert ok == {"parts": ["a", "b", "c"], "one": ["a", "b,c"]}
+
+
 def test_chained_pow_bounded_by_base_size():
     """Chained ** evaded the exponent-only guard: (x**4096)**4096
     builds a multi-GB int in one op. The guard now bounds the

@@ -71,17 +71,28 @@ def test_rrf_errors(ctx, rankings):
         run_op(ctx, "rank.rrf", [a, b.drop("rank")], id_column="doc_id")
 
 
-def test_rrf_null_and_nonpositive_ranks_contribute_zero(ctx, spark):
+def test_rrf_null_and_negative_ranks_contribute_zero(ctx, spark):
     # review finding: a NULL rank NULLed the item's ENTIRE fused
-    # score through fold_sum instead of contributing 0; rank <= 0
-    # with k=0 would divide by zero. Both now drop pre-union.
+    # score through fold_sum instead of contributing 0; negative
+    # ranks are junk and drop pre-union the same way.
     a = spark.createDataFrame(
-        [(1, 1), (2, None), (3, 0)], "doc_id LONG, rank INT")
+        [(1, 1), (2, None), (3, -2)], "doc_id LONG, rank INT")
     b = spark.createDataFrame(R2, "doc_id LONG, rank INT")
     out = run_op(ctx, "rank.rrf", [a, b], id_column="doc_id")
     got = {r["doc_id"]: r["rrf_score"] for r in out.collect()}
-    # doc 2's NULL rank in A contributes nothing; doc 3's rank-0 ditto
+    # doc 2's NULL rank in A contributes nothing; doc 3's rank -2 ditto
     exp = _rrf([[(1, 1)], R2])
     assert set(got) == {d for d, _, _ in exp}
     for d, s, _ in exp:
         assert got[d] == pytest.approx(s, abs=1e-9)
+
+
+def test_rrf_rank_zero_raises(ctx, spark):
+    # ADVICE r9: silently dropping rank 0 erased a 0-based ranking's
+    # TOP item with no diagnostic — now a named execution-time error
+    a = spark.createDataFrame(
+        [(1, 1), (3, 0)], "doc_id LONG, rank INT")
+    b = spark.createDataFrame(R2, "doc_id LONG, rank INT")
+    out = run_op(ctx, "rank.rrf", [a, b], id_column="doc_id")
+    with pytest.raises(Exception, match="ranks are 1-based"):
+        out.collect()

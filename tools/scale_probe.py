@@ -87,6 +87,163 @@ HEAVY_SET = [
 SPILL_EXPECTED = {"q51_jaccard_pruned", "q64_fuzzy_join",
                   "q113_dedup_substring"}
 
+# ---------------------------------------------------------------------
+# Semantic-class shuffle caps. Scan-path queries keep the fixed
+# --max-shuffle-mb tripwire: their shuffle is bounded by aggregation
+# state / candidate buckets, so ANY growth past the cap is a plan
+# anomaly. The PAIR_EMITTING queries' dominant shuffle is the
+# candidate/pair stream itself, sum over kept grams of df_a*df_b —
+# quadratic in the data BY SEMANTICS (a capped-Zipf duplicate cluster
+# of c docs MUST yield ~C(c,2) pairs), so a fixed cap is expected to
+# fail at high scale and stops being a tripwire (the round-9 x64
+# artifact recorded exactly that). For these, the probe computes the
+# EXACT pair-stream row count from the probe data (1-2 s in DuckDB)
+# and asserts:
+#
+#   measured shuffle bytes  <=  pair_rows * row_width  +  fixed cap
+#
+# row_width is the op's documented skinny-row size (ids/hashes/
+# positions only). The invariant is meaningful because the measured
+# side is lz4-COMPRESSED while the floor is RAW: any plan that ships
+# only the skinny pair stream lands well under it (measured ratios at
+# 64x: q51 0.22, q64 0.22, q113 0.57), while a regression that lets
+# strings/arrays/vectors ride the pair shuffle (100-1000 B/row) blows
+# past immediately. The additive fixed cap covers the linear stages
+# (posting df-counts, name join-backs) that dominate at small scales.
+# ---------------------------------------------------------------------
+
+_FLOOR_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+
+def _floor_q51(con) -> int:
+    # dedup.ngram_jaccard self-join: word 3-shingle postings,
+    # max_df=0.05 hot-shingle pruning, pair stream = sum C(df, 2)
+    return con.execute(f"""
+    WITH t AS (SELECT doc_id, {_FLOOR_TOKS} AS tk FROM documents),
+    s AS (SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(tk)-2,0)+1),
+            i -> array_to_string(tk[i:i+2], ' '))) AS sh FROM t),
+    p AS (SELECT doc_id, unnest(sh) AS tok FROM s),
+    tot AS (SELECT count(*) AS n FROM s),
+    dfs AS (SELECT tok, count(*) AS df FROM p GROUP BY tok)
+    SELECT sum(df*(df-1)/2)::BIGINT FROM dfs, tot
+    WHERE df <= greatest(CAST(floor(0.05*n) AS BIGINT), 1)
+    """).fetchone()[0]
+
+
+def _floor_q64(con) -> int:
+    # join.fuzzy probes x catalog: 4-gram postings, max_df=0.05
+    # keep-list, pair stream = sum over kept grams of df_L * df_R
+    return con.execute("""
+    WITH cg AS (SELECT p_partkey AS id, unnest(list_distinct(list_transform(
+             range(1, greatest(len(lower(p_name))-3,1)+1),
+             i -> substring(lower(p_name), i, 4)))) AS g FROM part),
+    tot AS (SELECT count(*) AS n FROM part),
+    dfs AS (SELECT g, count(DISTINCT id) AS df,
+                   count(DISTINCT id) FILTER (WHERE id % 101 = 0) AS dfl
+            FROM cg GROUP BY g)
+    SELECT sum(df*dfl)::BIGINT FROM dfs, tot
+    WHERE df <= greatest(CAST(floor(0.05*n) AS BIGINT), 1)
+    """).fetchone()[0]
+
+
+def _floor_q113(con) -> int:
+    # dedup.substring: 15-token window postings, max_df=0.05 on doc
+    # frequency; cross-id gram matches = (T^2 - sum_id cnt^2) / 2
+    return con.execute(f"""
+    WITH toks AS (SELECT doc_id, {_FLOOR_TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, t FROM toks WHERE len(t) >= 15),
+    posts AS (SELECT doc_id AS id, array_to_string(t[pos+1:pos+15], ' ') AS g
+              FROM base, LATERAL (SELECT unnest(range(len(t)-14)) AS pos) p),
+    tot AS (SELECT count(*) AS n FROM base),
+    per AS (SELECT g, id, count(*) AS c FROM posts GROUP BY g, id),
+    st AS (SELECT g, count(*) AS df, sum(c) AS tt, sum(c*c) AS ss
+           FROM per GROUP BY g)
+    SELECT sum((tt*tt - ss)/2)::BIGINT FROM st, tot
+    WHERE df <= greatest(CAST(floor(0.05*n) AS BIGINT), 1)
+    """).fetchone()[0]
+
+
+# query -> (skinny pair-row width in bytes, floor fn). Widths are the
+# ops' documented shuffle-row shapes: q51 fixed-width 28 B pair rows
+# (two ids + 128-bit gram key halves ride as 8 B each, r9 restructure);
+# q64 groupBy input (id_a,h_a,n_a,l_a,id_b,h_b,n_b,l_b) = 48 B;
+# q113 (id_a,id_b,pos_a,pos_b) = 24 B.
+PAIR_EMITTING = {
+    "q51_jaccard_pruned": (28, _floor_q51),
+    "q64_fuzzy_join": (48, _floor_q64),
+    "q113_dedup_substring": (24, _floor_q113),
+}
+
+
+def pair_floor_mb(name: str, probe_dir: str) -> tuple[int, float]:
+    """(pair_rows, floor_mb) for a PAIR_EMITTING query on this probe
+    data — exact combinatorics over the probe parquet via DuckDB."""
+    import duckdb
+
+    width, fn = PAIR_EMITTING[name]
+    con = duckdb.connect()
+    con.execute("SET threads TO 16")
+    for t in ("documents", "part"):
+        path = os.path.join(probe_dir, f"{t}.parquet")
+        glob = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{glob}')")
+    rows = int(fn(con))
+    con.close()
+    return rows, round(rows * width / 2**20, 2)
+
+
+# ---------------------------------------------------------------------
+# Probe-only SCALE-PATH variants of demo queries whose pinned
+# parameters are gate-scale choices (the demo queries can't change —
+# their DuckDB oracles replay those parameters bit-for-bit):
+# - q68_knn_lsh pins bits=24/bands=4 = 6-bit buckets, the documented
+#   recall/cost knob tuned for <= ~10k vectors; at 57.7k vectors
+#   (64x) the bucket space itself is past envelope (1.27 GB residual
+#   spill in SCALE_PROBE_r09_x64_emb even with max_bucket armed).
+#   The op's contract says bucket OCCUPANCY n / 2^(bits/bands) is the
+#   governing quantity: target ~tens of rows per bucket, so at 57.7k
+#   vectors bits/bands >= 11 — bits=48/bands=4 = 12-bit buckets
+#   (~14 rows mean). Measured on the way here: bits=32 (8-bit
+#   buckets, ~225 rows mean) still spilled 1.39 GB — an occupancy of
+#   hundreds is NOT "scaled with the corpus"; the knob works only
+#   when it keeps occupancy flat.
+# The variant runs the SAME op + guard, only the scale knob moves —
+# exactly how q151 exercises q128's blocking knob.
+# ---------------------------------------------------------------------
+
+def _q68_bits48(spark, sf_dir: str):
+    from conveyor_spark.queries import _ctx, _op, load_table
+
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op("knn.lsh", ctx, [e], id_column="vec_id", k=3, dim=64,
+               bits=48, bands=4, max_bucket=1024, signature_method="gemm")
+
+
+PROBE_VARIANTS = {"q68_knn_lsh_bits48": _q68_bits48}
+
+# Embedding-family heavy set (the x64_emb artifact). Two entries are
+# the SCALE-PATH configurations of ops whose demo queries are pinned
+# at gate-scale parameters by their oracles:
+# - q68_knn_lsh_bits32 (see PROBE_VARIANTS above);
+# - q151_bitext_lsh_blocked IS q128_mine_bitext's documented scale
+#   configuration (embedding.lsh composite blocking): the same miner
+#   recovering 99.9% of q128's pairs, zero-spill at 64x where q128's
+#   coarse 10-label blocking spills 3.8 GB (both measured in
+#   SCALE_PROBE_r09_x64_emb — the anti-case stays on record there).
+EMB_SET = [
+    "q68_knn_lsh_bits48",
+    "q121_knn_pq",
+    "q126_knn_pq_pretrained",
+    "q127_embedding_pca",
+    "q151_bitext_lsh_blocked",
+    "q132_semdedup",
+    "q80_decontam_bloom",
+    "q83_pack_sequences",
+]
+
 # tables the heavy set reads -> (id column, perturbation kind)
 REPLICATED = {
     "documents": ("doc_id", "text"),
@@ -216,7 +373,9 @@ def main() -> int:
     from conveyor_spark.queries import QUERIES
     from conveyor_spark.session import get_spark
 
-    unknown = sorted(set(args.queries) - set(QUERIES))
+    if args.queries == ["emb"]:
+        args.queries = EMB_SET
+    unknown = sorted(set(args.queries) - set(QUERIES) - set(PROBE_VARIANTS))
     if unknown:
         print(f"scale_probe: unknown queries {unknown}", file=sys.stderr)
         return 2
@@ -242,9 +401,10 @@ def main() -> int:
         metrics.snapshot()  # absorb generator stages
 
         for name in args.queries:
+            fn = PROBE_VARIANTS.get(name) or QUERIES[name]
             t0 = time.time()
             try:
-                df = QUERIES[name](spark, probe_dir)
+                df = fn(spark, probe_dir)
                 n_rows = df.count()
                 err = None
             except Exception as exc:  # noqa: BLE001
@@ -261,15 +421,26 @@ def main() -> int:
                 else:
                     violations.append(
                         f"{name}: spilled {q['spilled_disk_mb']} MB to disk")
-            if q["shuffle_write_mb"] > args.max_shuffle_mb:
+            cap_mb = args.max_shuffle_mb
+            if name in PAIR_EMITTING and not err:
+                pair_rows, floor_mb = pair_floor_mb(name, probe_dir)
+                q["pair_stream_rows"] = pair_rows
+                q["pair_floor_mb"] = floor_mb
+                cap_mb = floor_mb + args.max_shuffle_mb
+                q["shuffle_cap_mb"] = round(cap_mb, 2)
+            if q["shuffle_write_mb"] > cap_mb:
                 violations.append(
                     f"{name}: shuffle write {q['shuffle_write_mb']} MB "
-                    f"> cap {args.max_shuffle_mb}")
+                    f"> cap {round(cap_mb, 2)}"
+                    + (" (semantic pair-stream cap)"
+                       if name in PAIR_EMITTING else ""))
             if args.max_sec and sec > args.max_sec:
                 violations.append(f"{name}: {sec}s > cap {args.max_sec}s")
             print(f"  {name}: {sec}s rows={n_rows} "
                   f"shuffleW={q['shuffle_write_mb']}MB "
                   f"spillD={q['spilled_disk_mb']}MB"
+                  + (f" floor={q['pair_floor_mb']}MB"
+                     if "pair_floor_mb" in q else "")
                   + (f" ERROR {err}" if err else ""))
     finally:
         if args.keep:
