@@ -115,6 +115,19 @@ PAD = [
     "s = str(acc).zfill({B} if {B} < 10**6 else 10**6)",
     "s = s.ljust(len(s) + 64, 'x')",
 ]
+# space-amplification shapes (round 10): ACCUMULATE many medium
+# values, each individually under _MAX_LEN and under the per-op
+# charge, into long-lived containers — the evasion class the RSS
+# assertion exists for (a construction site that forgot to charge
+# would balloon memory while every op stays "cheap")
+SPACE = [
+    "xs.append(s * 4)",
+    "xs = xs + [s, s]",
+    "d[k] = s * 3",
+    "st = st.union([str(k) * 200])",
+    "xs.append(list(range(min(k + 1, 500))))",
+    "d[k] = [acc] * 300",
+]
 
 
 # bound-method aliasing: bind while the receiver is SMALL, grow the
@@ -168,7 +181,7 @@ def gen_script(rng: random.Random) -> str:
             p = rng.choice(PRODUCER).format(B=rng.choice(BIG))
             body.append(f"    for i in {p}:")
             body.append("        acc = acc + i if isinstance(i, int) else acc")
-        elif kind < 0.85:
+        elif kind < 0.80:
             # amplifier loop: bounded trip count, unbounded operand
             # growth — the canonical per-tick amplification shape
             trips = rng.choice([8, 32, 128, 1024, 16384])
@@ -177,6 +190,15 @@ def gen_script(rng: random.Random) -> str:
             body.append(f"    while k < {trips}:")
             body.append("        k = k + 1")
             body.append(f"        {amp}")
+        elif kind < 0.92:
+            # space-amplifier loop: accumulate medium values into
+            # long-lived containers (RSS assertion's target class)
+            trips = rng.choice([128, 1024, 16384])
+            sp = rng.choice(SPACE)
+            body.append("    k = 0")
+            body.append(f"    while k < {trips}:")
+            body.append("        k = k + 1")
+            body.append(f"        {sp}")
         else:
             body.append("    " + rng.choice(PAD).format(B=rng.choice(BIG)))
     body.append("    return acc")
@@ -191,15 +213,38 @@ ALLOWED_ERRORS = (
 )
 
 
+# RSS ceilings (round 10): the wall-clock bound alone lets a SPACE
+# amplification hide — many medium allocations, each under _MAX_LEN
+# and each individually cheap, accumulated into live containers. At
+# BUDGET=5k the charge math bounds honest total construction to
+# ~5000*64 = 320k elements (a few MB), so these bounds are ~30x /
+# ~100x slack over the contract, tight against a forgotten charge
+# site (which materializes hundreds of MB in one script).
+# ru_maxrss is a process HIGH-WATER mark: per-script deltas only
+# register growth, so the suite also bounds TOTAL growth across the
+# run (catches slow creep no single script trips).
+SCRIPT_RSS_MB = 128
+TOTAL_RSS_MB = 512
+
+
+def _rss_mb() -> float:
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
 @pytest.mark.slow
 def test_no_budget_evasion_across_10k_adversarial_scripts():
     rng = random.Random(0xC0FFEE)
     evasions = []
+    space_evasions = []
+    rss_start = _rss_mb()
     for i in range(N_SCRIPTS):
         src = gen_script(rng)
         tree = validate_script(src)
         interp = Interpreter(tree, step_budget=BUDGET)
         t0 = time.monotonic()
+        rss0 = _rss_mb()
         try:
             interp.run_transform(dict(ROW))
         except ALLOWED_ERRORS:
@@ -209,9 +254,24 @@ def test_no_budget_evasion_across_10k_adversarial_scripts():
             evasions.append((wall, src))
             if len(evasions) >= 3:
                 break
+        drss = _rss_mb() - rss0
+        if drss > SCRIPT_RSS_MB:
+            space_evasions.append((drss, src))
+            if len(space_evasions) >= 3:
+                break
     assert not evasions, (
         f"{len(evasions)} budget evasion(s); worst {evasions[0][0]:.1f}s:\n"
         + evasions[0][1]
+    )
+    assert not space_evasions, (
+        f"{len(space_evasions)} space evasion(s); worst "
+        f"{space_evasions[0][0]:.0f} MB RSS in one script:\n"
+        + space_evasions[0][1]
+    )
+    total_growth = _rss_mb() - rss_start
+    assert total_growth < TOTAL_RSS_MB, (
+        f"RSS grew {total_growth:.0f} MB across the fuzz run "
+        f"(cap {TOTAL_RSS_MB}) — space amplification creep"
     )
 
 
