@@ -191,19 +191,41 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     ).drop("__kid")
 
 
-def _sub_dist_expr(vec, start: int, codeword: list[float]):
-    """Squared L2 between vec[start:start+len(codeword)] (0-based
-    start) and a codeword, folded left-to-right."""
-    c = F.array(*[F.lit(float(x)) for x in codeword])
-    sub = F.slice(vec, start + 1, len(codeword))
-    return F.aggregate(
-        F.zip_with(
-            sub, c,
-            lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
-        ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
+def _sub_dist_sql(vec_sql: str, start: int, codeword: list[float]) -> str:
+    """SQL for the squared L2 between vec[start:start+len(codeword)]
+    (0-based start) and a codeword, folded left-to-right — the same
+    arithmetic as the original Column-builder form (slice + zip_with
+    + aggregate, identical fold order and casts), but built as ONE
+    parsed string: the Column form made ~len(codeword) F.lit py4j
+    round-trips per codeword, and the PQ ops compose m*k of these —
+    measured 3.3 s of pure DRIVER time to build knn.pq's distance
+    table and 1.6 s per training assign() at m=4/kw=4/sd=16 (the
+    round-6 signature_expr lesson, NOTES playbook: count py4j
+    round-trips in expression builders). CAST('<repr>' AS DOUBLE)
+    round-trips every float literal exactly."""
+    lits = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in codeword)
+    return (
+        f"aggregate(zip_with(slice({vec_sql}, {start + 1}, "
+        f"{len(codeword)}), array({lits}), "
+        "(x, cc) -> (CAST(x AS DOUBLE) - cc) * (CAST(x AS DOUBLE) - cc)), "
+        "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
     )
+
+
+def _sub_dist_expr(vec_sql: str, start: int, codeword: list[float]):
+    """Column form of _sub_dist_sql (one parsed expression)."""
+    return F.expr(_sub_dist_sql(vec_sql, start, codeword))
+
+
+def _argmin_code_sql(vec_sql: str, s: int, sd: int,
+                     codewords: list[list[float]]) -> str:
+    """SQL for the 0-based argmin codeword index of subspace s —
+    array_position(dists, array_min(dists)) - 1, ties to the first
+    (lowest) index, exactly as the Column form folded it."""
+    dists = "array(" + ", ".join(
+        _sub_dist_sql(vec_sql, s * sd, cw) for cw in codewords
+    ) + ")"
+    return f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
 
 
 def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int,
@@ -226,17 +248,11 @@ def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int,
     ]
 
     def assign(df_in: DataFrame) -> DataFrame:
-        cols = []
-        for s in range(m):
-            dists = F.array(*[
-                _sub_dist_expr(F.col("__v"), s * sd, codebooks[s][j])
-                for j in range(k)
-            ])
-            cols.append(
-                (F.array_position(dists, F.array_min(dists)) - 1)
-                .cast("int").alias(f"__c{s}")
-            )
-        return df_in.select("__kid", "__v", *cols)
+        return df_in.selectExpr(
+            "__kid", "__v",
+            *[f"{_argmin_code_sql('__v', s, sd, codebooks[s])} AS __c{s}"
+              for s in range(m)],
+        )
 
     for _ in range(iterations):
         assigned = assign(clean)
@@ -456,15 +472,11 @@ def embedding_pq_encode(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         vec.isNotNull() & (F.size(vec) == dim)
         & ~F.exists(vec, lambda x: x.isNull())
     )
-    cols = []
-    for s in range(m):
-        dists = F.array(*[
-            _sub_dist_expr(vec, s * sd, codebooks[s][j]) for j in range(kw)
-        ])
-        cols.append(
-            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        )
-    return df.withColumn(out_col, F.when(ok, F.array(*cols)))
+    vec_sql = f"`{column.replace('`', '``')}`"
+    codes = F.expr("array(" + ", ".join(
+        _argmin_code_sql(vec_sql, s, sd, codebooks[s]) for s in range(m)
+    ) + ")")
+    return df.withColumn(out_col, F.when(ok, codes))
 
 
 @register(
@@ -586,13 +598,11 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
         F.col(column).isNotNull() & (F.size(column) == dim)
         & ~F.exists(column, lambda x: x.isNull())
     ).select(F.col(qid_col).alias("__qid"), F.col(column).alias("__v"))
-    table_entries = F.array(*[
-        F.struct(
-            F.lit(s).alias("__s"), F.lit(j).alias("__code"),
-            _sub_dist_expr(F.col("__v"), s * sd, codebooks[s][j]).alias("__d"),
-        )
+    table_entries = F.expr("array(" + ", ".join(
+        f"named_struct('__s', {s}, '__code', {j}, "
+        f"'__d', {_sub_dist_sql('__v', s * sd, codebooks[s][j])})"
         for s in range(m) for j in range(kw)
-    ])
+    ) + ")")
     dtable = qclean.select(
         "__qid", F.explode(table_entries).alias("__e")
     ).select("__qid", "__e.__s", "__e.__code", "__e.__d")
