@@ -172,6 +172,13 @@ def _checkpoint_has_commits(spark: SparkSession, checkpoint: str) -> bool:
         )
 
 
+# Observability hook: after each drain completes, the query's final
+# StreamingQueryProgress (state-operator rows/memory, batch timing) is
+# recorded here keyed by query_name. Read by tools/streaming_probe.py
+# to assert state-store bounds at scale; no behavioral effect.
+LAST_PROGRESS: dict[str, dict] = {}
+
+
 def run_available_now(
     sdf: DataFrame, query_name: str, output_mode: str = "complete",
     state_partitions: int | None = None, checkpoint: str | None = None,
@@ -262,7 +269,9 @@ def run_available_now(
         # Detect that case (prior commits in the checkpoint + no new
         # batches) and fail loudly instead of returning wrong data.
         had_commits = _checkpoint_has_commits(spark, checkpoint)
-        start(checkpoint).awaitTermination()
+        q = start(checkpoint)
+        q.awaitTermination()
+        LAST_PROGRESS[query_name] = q.lastProgress or {}
         # mirror the memory sink's semantics over collected batches:
         # complete mode = the last batch IS the result; update/append
         # mode = every batch's rows accumulate
@@ -280,7 +289,9 @@ def run_available_now(
             rows = [r for _, b in sorted(batches.items()) for r in b]
         return spark.createDataFrame(rows, schema=sdf.schema)
     with checkpoint_tmpdir("conveyor-ckpt-") as ckpt:
-        start(ckpt).awaitTermination()
+        q = start(ckpt)
+        q.awaitTermination()
+        LAST_PROGRESS[query_name] = q.lastProgress or {}
     return sdf.sparkSession.table(query_name)
 
 

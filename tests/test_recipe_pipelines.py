@@ -42,9 +42,10 @@ def test_c4_recipe_properties(c4_out):
     n, n_pages = con.execute(
         f"SELECT count(*), count(DISTINCT page) FROM '{c4_out}'"
     ).fetchone()
-    # 500 docs -> 1 exact dup -> 10 benchmark-contaminated = 489 - 1
-    # - (10 minus overlap); pinned from the deterministic run
-    assert n == 486
+    # 500 docs -> 1 exact dup -> every-97th-page benchmark
+    # contamination; pinned from the deterministic run AND matched by
+    # tools/recipe_probe.py's independent full-recipe DuckDB replay
+    assert n == 491
     # dedup.exact: one row per distinct cleaned page
     assert n_pages == n
     # C4 line rule survives composition: every kept line has >= 5

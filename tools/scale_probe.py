@@ -46,7 +46,16 @@ HEAVY_SET = [
     "q52_jaccard_candidates",
     "q53_dedup_components",
     "q64_fuzzy_join",
-    "q68_knn_lsh",
+    # q68/q128's DEMO queries pin gate-scale parameters their oracles
+    # replay bit-for-bit (6-bit LSH buckets; 10-label blocking) —
+    # past ~10k rows those configurations are outside their design
+    # envelope BY CONSTRUCTION (measured: q68 2.0 GB spill, q128
+    # 3.8 GB spill at 64x, kept on record in SCALE_PROBE_r09_x64* /
+    # the r10 first run). The probe runs the ops' documented SCALE
+    # configurations instead: occupancy-scaled signature bits and the
+    # q151 composite LSH block — same ops, same guards, the one knob
+    # each op documents for corpus growth.
+    "q68_knn_lsh_bits48",
     "q80_decontam_bloom",
     "q83_pack_sequences",
     "q113_dedup_substring",
@@ -54,7 +63,7 @@ HEAVY_SET = [
     "q121_knn_pq",
     "q122_dsir_select",
     "q127_embedding_pca",
-    "q128_mine_bitext",
+    "q151_bitext_lsh_blocked",
     "q132_semdedup",
     # round-8 second wave: winnow pairing is the posting-join class
     # (pair counts track planted duplicate density); cdc chunking is
@@ -84,8 +93,12 @@ HEAVY_SET = [
 # island sort legitimately spills while completing in ~20 s; its
 # scale mitigation is the same as jaccard's — run minhash/star first
 # and feed dedup.substring only candidate pairs' docs.
+# q140 joined at 64x (zero-spill through 16x, r8): winnow pairing is
+# the same posting-join pair-emitting class — 7.3M output pairs whose
+# aggregation stream legitimately exceeds memory at 64x; its semantic
+# shuffle floor is asserted via PAIR_EMITTING below.
 SPILL_EXPECTED = {"q51_jaccard_pruned", "q64_fuzzy_join",
-                  "q113_dedup_substring"}
+                  "q113_dedup_substring", "q140_winnow_pairs"}
 
 # ---------------------------------------------------------------------
 # Semantic-class shuffle caps. Scan-path queries keep the fixed
@@ -164,15 +177,33 @@ def _floor_q113(con) -> int:
     """).fetchone()[0]
 
 
+def _floor_q140(con) -> int:
+    # text.winnow (k=4, w=5) fingerprint pairing: replay the encoded
+    # window-min selection (the q137/q140 oracle CTE) and count
+    # sum C(df, 2) over distinct (doc, fingerprint) postings
+    from conveyor_spark.queries import _winnow_sel_cte
+
+    return con.execute(f"""
+    WITH {_winnow_sel_cte(4, 5)},
+    fp AS (SELECT DISTINCT doc_id,
+             ('0x' || substr(unnest(sk), 1, 15))::BIGINT AS f
+           FROM sel),
+    dfs AS (SELECT f, count(*) AS df FROM fp GROUP BY f)
+    SELECT sum(df*(df-1)/2)::BIGINT FROM dfs
+    """).fetchone()[0]
+
+
 # query -> (skinny pair-row width in bytes, floor fn). Widths are the
 # ops' documented shuffle-row shapes: q51 fixed-width 28 B pair rows
 # (two ids + 128-bit gram key halves ride as 8 B each, r9 restructure);
 # q64 groupBy input (id_a,h_a,n_a,l_a,id_b,h_b,n_b,l_b) = 48 B;
-# q113 (id_a,id_b,pos_a,pos_b) = 24 B.
+# q113 (id_a,id_b,pos_a,pos_b) = 24 B; q140 (id_a,id_b,fingerprint)
+# = 24 B.
 PAIR_EMITTING = {
     "q51_jaccard_pruned": (28, _floor_q51),
     "q64_fuzzy_join": (48, _floor_q64),
     "q113_dedup_substring": (24, _floor_q113),
+    "q140_winnow_pairs": (24, _floor_q140),
 }
 
 
