@@ -64,13 +64,22 @@ def _infer_dim(df: DataFrame, id_column: str, column: str, op: str) -> int:
     return int(row["m"]["s"])
 
 
+def _lit_double_array(values: list[float]):
+    """A literal array<double> as ONE parsed SQL expression —
+    CAST('<repr>' AS DOUBLE) round-trips each float exactly. The
+    per-element F.lit form costs one py4j round-trip per element;
+    centroid/codebook/component builders compose k*dim of these
+    (measured seconds of pure driver time — the q126 lesson)."""
+    return F.expr("array(" + ", ".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)" for x in values) + ")")
+
+
 def _dist_expr(vec, centroid: list[float]):
     """Squared L2 distance, folded left-to-right over dims — the
     deterministic order the oracle replays."""
-    c = F.array(*[F.lit(float(x)) for x in centroid])
     return F.aggregate(
         F.zip_with(
-            vec, c,
+            vec, _lit_double_array(centroid),
             lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
         ),
         F.lit(0.0),

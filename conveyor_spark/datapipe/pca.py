@@ -229,14 +229,15 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
             "mean ARRAY<DOUBLE>",
         )
 
+    from conveyor_spark.datapipe.clustering import _lit_double_array
+
     whiten = bool(config.get("whiten", False))
-    mean_arr = F.array(*[F.lit(m) for m in mean])
     centered = F.zip_with(
-        vec, mean_arr, lambda x, mc: x.cast("double") - mc
+        vec, _lit_double_array(mean), lambda x, mc: x.cast("double") - mc
     )
     proj_cols = []
     for k, (lam, v) in enumerate(comps):
-        v_arr = F.array(*[F.lit(x) for x in v])
+        v_arr = _lit_double_array(v)
         score = F.aggregate(
             F.zip_with(centered, v_arr, lambda c, vv: c * vv),
             F.lit(0.0),
