@@ -221,11 +221,6 @@ def _sub_dist_sql(vec_sql: str, start: int, codeword: list[float]) -> str:
     )
 
 
-def _sub_dist_expr(vec_sql: str, start: int, codeword: list[float]):
-    """Column form of _sub_dist_sql (one parsed expression)."""
-    return F.expr(_sub_dist_sql(vec_sql, start, codeword))
-
-
 def _argmin_code_sql(vec_sql: str, s: int, sd: int,
                      codewords: list[list[float]]) -> str:
     """SQL for the 0-based argmin codeword index of subspace s —

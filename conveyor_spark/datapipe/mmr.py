@@ -122,15 +122,16 @@ def rank_mmr(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) ->
                     ~F.col("__id").isin([s[0] for s in selected])
                 )
                 # each selected vector embeds as ONE parsed SQL array
-                # (CAST('<repr>' AS DOUBLE) round-trips exactly) — the
-                # per-element F.lit form cost ~dim py4j round-trips per
-                # selected vector per round (the q126 builder lesson)
+                # — the per-element F.lit form cost ~dim py4j
+                # round-trips per selected vector per round (the q126
+                # builder lesson)
+                from conveyor_spark.datapipe.clustering import (
+                    _lit_double_array,
+                )
+
                 sims = [
                     F.round(
-                        dot_expr(F.col("__v"), F.expr(
-                            "array(" + ", ".join(
-                                f"CAST('{float(x)!r}' AS DOUBLE)"
-                                for x in s[4]) + ")"))
+                        dot_expr(F.col("__v"), _lit_double_array(s[4]))
                         / (F.col("__n") * F.lit(s[5])),
                         6,
                     )

@@ -2113,6 +2113,26 @@ def _knn_lsh_oracle(bits: int = 16, bands: int = 4, k: int = 3, dim: int = 64,
     """
 
 
+@query("q152_knn_lsh_scaled", _knn_lsh_oracle(bits=48, max_bucket=1024))
+def q152_knn_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn.lsh at the OCCUPANCY-SCALED configuration — the q151
+    pattern applied to q68: the demo query pins bits=24/bands=4
+    (6-bit buckets, the envelope for <= ~10k vectors, where its
+    oracle replays the planes bit-for-bit); this query executes the
+    op's documented corpus-growth knob — bucket occupancy
+    n / 2^(bits/bands) is the governing quantity, so 12-bit buckets
+    (bits=48) hold it at ~tens of rows per bucket up to ~10^5
+    vectors. The oracle replays the SAME 48 deterministic planes,
+    4x12-bit bands, hot-bucket QUALIFY and candidate cosine in SQL —
+    so the scale configuration the 64x probe runs zero-spill
+    (SCALE_PROBE_r10_x64: 22 s / 243 MB vs the demo envelope's
+    124 s / 2.0 GB spill) is hash-exact, not just bounded."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op("knn.lsh", ctx, [e], id_column="vec_id", k=3, dim=64,
+               bits=48, bands=4, max_bucket=1024, signature_method="gemm")
+
+
 @query("q68_knn_lsh", _knn_lsh_oracle(bits=24, max_bucket=1024))
 def q68_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn.lsh: the both-sides-large ANN join — hyperplane band

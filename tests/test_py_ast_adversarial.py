@@ -229,8 +229,12 @@ TOTAL_RSS_MB = 512
 
 def _rss_mb() -> float:
     import resource
+    import sys as _sys
 
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    # ru_maxrss is KiB on Linux but BYTES on macOS — an unguarded
+    # /1024 would inflate darwin readings 1024x and trip every bound
+    return rss / (1024.0 * 1024.0 if _sys.platform == "darwin" else 1024.0)
 
 
 @pytest.mark.slow

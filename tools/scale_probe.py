@@ -55,7 +55,7 @@ HEAVY_SET = [
     # configurations instead: occupancy-scaled signature bits and the
     # q151 composite LSH block — same ops, same guards, the one knob
     # each op documents for corpus growth.
-    "q68_knn_lsh_bits48",
+    "q152_knn_lsh_scaled",
     "q80_decontam_bloom",
     "q83_pack_sequences",
     "q113_dedup_substring",
@@ -226,46 +226,33 @@ def pair_floor_mb(name: str, probe_dir: str) -> tuple[int, float]:
 
 
 # ---------------------------------------------------------------------
-# Probe-only SCALE-PATH variants of demo queries whose pinned
-# parameters are gate-scale choices (the demo queries can't change —
-# their DuckDB oracles replay those parameters bit-for-bit):
-# - q68_knn_lsh pins bits=24/bands=4 = 6-bit buckets, the documented
-#   recall/cost knob tuned for <= ~10k vectors; at 57.7k vectors
-#   (64x) the bucket space itself is past envelope (1.27 GB residual
-#   spill in SCALE_PROBE_r09_x64_emb even with max_bucket armed).
-#   The op's contract says bucket OCCUPANCY n / 2^(bits/bands) is the
-#   governing quantity: target ~tens of rows per bucket, so at 57.7k
-#   vectors bits/bands >= 11 — bits=48/bands=4 = 12-bit buckets
-#   (~14 rows mean). Measured on the way here: bits=32 (8-bit
-#   buckets, ~225 rows mean) still spilled 1.39 GB — an occupancy of
-#   hundreds is NOT "scaled with the corpus"; the knob works only
-#   when it keeps occupancy flat.
-# The variant runs the SAME op + guard, only the scale knob moves —
-# exactly how q151 exercises q128's blocking knob.
+# Scale-path configurations of demo queries whose pinned parameters
+# are gate-scale choices: q68 pins bits=24/bands=4 = 6-bit buckets,
+# the envelope for <= ~10k vectors; the op's corpus-growth knob is
+# bucket OCCUPANCY n / 2^(bits/bands) (target ~tens of rows/bucket,
+# so 57.7k vectors need bits/bands >= 11). Measured on the way here:
+# bits=32 (8-bit buckets, ~225 rows mean) still spilled 1.39 GB — an
+# occupancy of hundreds is NOT "scaled with the corpus". The scaled
+# configuration is now its own ORACLE-BACKED query
+# (q152_knn_lsh_scaled, hash-exact at sf0.001/0.01/0.1), exactly how
+# q151 exercises q128's blocking knob. PROBE_VARIANTS stays as the
+# hook for future probe-only parameterizations.
 # ---------------------------------------------------------------------
 
-def _q68_bits48(spark, sf_dir: str):
-    from conveyor_spark.queries import _ctx, _op, load_table
-
-    ctx = _ctx(spark)
-    e = load_table(spark, sf_dir, "embeddings")
-    return _op("knn.lsh", ctx, [e], id_column="vec_id", k=3, dim=64,
-               bits=48, bands=4, max_bucket=1024, signature_method="gemm")
-
-
-PROBE_VARIANTS = {"q68_knn_lsh_bits48": _q68_bits48}
+PROBE_VARIANTS: dict = {}
 
 # Embedding-family heavy set (the x64_emb artifact). Two entries are
 # the SCALE-PATH configurations of ops whose demo queries are pinned
 # at gate-scale parameters by their oracles:
-# - q68_knn_lsh_bits32 (see PROBE_VARIANTS above);
+# - q152_knn_lsh_scaled is q68's occupancy-scaled configuration
+#   (oracle-backed, see the HEAVY_SET comment);
 # - q151_bitext_lsh_blocked IS q128_mine_bitext's documented scale
 #   configuration (embedding.lsh composite blocking): the same miner
 #   recovering 99.9% of q128's pairs, zero-spill at 64x where q128's
 #   coarse 10-label blocking spills 3.8 GB (both measured in
 #   SCALE_PROBE_r09_x64_emb — the anti-case stays on record there).
 EMB_SET = [
-    "q68_knn_lsh_bits48",
+    "q152_knn_lsh_scaled",
     "q121_knn_pq",
     "q126_knn_pq_pretrained",
     "q127_embedding_pca",

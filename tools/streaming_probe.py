@@ -184,6 +184,10 @@ def main() -> int:
                     spark.conf.set(
                         "spark.sql.streaming.stateStore.rocksdb."
                         "changelogCheckpointing.enabled", "true")
+                # clear the hook first: a failed run must not inherit
+                # the PREVIOUS provider's progress (stale metrics in
+                # the artifact would look like a real measurement)
+                LAST_PROGRESS.pop(DRAIN_NAMES[name], None)
                 t0 = time.time()
                 try:
                     df = QUERIES[name](spark, probe_dir)
@@ -194,13 +198,22 @@ def main() -> int:
                     rows, cols = [], []
                     err = f"{type(exc).__name__}: {str(exc)[:200]}"
                 sec = round(time.time() - t0, 2)
-                sm = state_metrics(LAST_PROGRESS.get(
-                    DRAIN_NAMES[name], {}))
-                prec = {"sec": sec, "rows": len(rows), "error": err, **sm}
+                prec = {"sec": sec, "rows": len(rows), "error": err}
                 qrec[prov] = prec
                 if err:
                     violations.append(f"{name}[{prov}]: ERROR {err}")
                     continue
+                prog = LAST_PROGRESS.get(DRAIN_NAMES[name])
+                if prog is None:
+                    # drain-name drift would otherwise silently void
+                    # the state assertions (state_operators==0
+                    # short-circuits the zero-rows check)
+                    violations.append(
+                        f"{name}[{prov}]: no progress recorded under "
+                        f"drain name {DRAIN_NAMES[name]!r}")
+                    prog = {}
+                sm = state_metrics(prog)
+                prec.update(sm)
                 h = frame_hash(cols, rows)
                 hashes[prov] = h
                 prec["hash_match_oracle"] = (
