@@ -170,6 +170,11 @@ CHECKS = [
         lambda p, o: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     ),
     (
+        "q152_knn_lsh_scaled",
+        "occupancy-scaled LSH kNN keeps the same equi-join shape (no BNLJ/cartesian)",
+        lambda p, o: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
+    ),
+    (
         "q77_topk_per_group",
         "salted top-k: every WindowExec carries a partition spec (no global-order window)",
         lambda p, o: sum(1 for ln in p.splitlines() if "Window [" in ln) == 2
