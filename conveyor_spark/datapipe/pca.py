@@ -91,6 +91,11 @@ def power_iteration(cov: list[list[float]], iterations: int):
         P("prefix", default="pc", desc="Score column prefix (pc1, pc2...)"),
         P("whiten", "boolean", default=False,
           desc="Scale each score by 1/sqrt(eigenvalue) (unit variance)"),
+        P("moments", default="gemm", allowed=("gemm", "entries"),
+          desc="Moment-pass engine: one int64 Q^T Q matmul per Arrow "
+               "batch (gemm, default) or per-row skinny decimal "
+               "entries (entries) — identical exact sums, parity-"
+               "tested"),
     ],
     example={"id_column": "doc_id", "column": "embedding",
              "components": 2, "iterations": 4},
@@ -191,12 +196,72 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
 
     from conveyor_spark.datapipe.dedup import let_expr
 
-    moments = (
-        clean.select(F.explode(let_expr(qarr, entries)).alias("__e"))
-        .groupBy("__e.i", "__e.j")
-        .agg(F.sum("__e.val").alias("v"))
-        .collect()
-    )
+    engine = config.get("moments", "gemm")
+    if engine not in ("gemm", "entries"):
+        raise ConfigError("embedding.pca: moments must be gemm|entries")
+    if engine == "gemm":
+        # The SAME exact integer sums via one int64 Q^T Q per Arrow
+        # batch: quantization replays F.floor(cast(double) * 2^20)
+        # bit-for-bit in numpy (identical IEEE multiply + floor), the
+        # per-batch products/sums are exact int64 (chunked so
+        # rows_per_chunk * max|q|^2 stays under 2^62 — no silent
+        # wraparound), and cross-batch totals still sum as
+        # decimal(38,0) in the same groupBy. The skinny-entry path
+        # builds 2145 interpreted-HOF structs per row (measured ~5 s
+        # of the q127 bench at sf0.1); the matmul is ~30 ms per batch.
+        import decimal as _dec
+
+        _qf = float(_Q)
+        _dimf = dim
+
+        def batch_moments(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                q = np.floor(
+                    np.stack(pdf.iloc[:, 0].to_numpy())
+                    .astype(np.float64) * _qf
+                )
+                qi = q.astype(np.int64)
+                mx = max(1, int(np.abs(qi).max()))
+                step = max(1, min(len(qi), (2**62) // (mx * mx)))
+                gram = np.zeros((_dimf, _dimf), dtype=object)
+                firsts = np.zeros(_dimf, dtype=object)
+                for lo in range(0, len(qi), step):
+                    ch = qi[lo:lo + step]
+                    gram += ch.T @ ch
+                    firsts += ch.sum(axis=0, dtype=np.int64)
+                iu, ju = np.triu_indices(_dimf)
+                rows = {
+                    "i": [int(x) for x in iu]
+                    + list(range(_dimf)) + [-1],
+                    "j": [int(x) for x in ju]
+                    + [-1] * _dimf + [-1],
+                    "val": [_dec.Decimal(int(gram[a][b]))
+                            for a, b in zip(iu, ju)]
+                    + [_dec.Decimal(int(x)) for x in firsts]
+                    + [_dec.Decimal(len(qi))],
+                }
+                yield pd.DataFrame(rows)
+
+        entry_df = clean.select(vec.alias("__v")).mapInPandas(
+            batch_moments, "i int, j int, val decimal(38,0)"
+        )
+        moments = (
+            entry_df.groupBy("i", "j")
+            .agg(F.sum("val").alias("v"))
+            .collect()
+        )
+    else:
+        moments = (
+            clean.select(F.explode(let_expr(qarr, entries)).alias("__e"))
+            .groupBy("__e.i", "__e.j")
+            .agg(F.sum("__e.val").alias("v"))
+            .collect()
+        )
     by_key = {(r["i"], r["j"]): r["v"] for r in moments}
     if not by_key:
         raise ConfigError("embedding.pca: no usable vectors")

@@ -148,3 +148,41 @@ def test_pca_dirty_vectors_and_errors(ctx, spark, pcadf):
         empty = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
         run_op(ctx, "embedding.pca", [empty], id_column="vec_id",
                components=1, dim=4)
+
+
+def test_pca_moments_gemm_entries_parity(ctx, spark):
+    # the two moment engines must produce IDENTICAL exact sums and
+    # therefore identical components/projections — adversarial data:
+    # negatives, magnitudes spanning 1e-6..1e3, a constant column,
+    # and enough rows that per-batch int64 partials accumulate
+    import math as m
+
+    rows = [
+        (i, [
+            float((-1) ** i * m.sin(i * 7 + d) * (10.0 ** ((i + d) % 7 - 3))),
+            float(i - 500.5),
+            1.25,
+            float(m.cos(d + i)) * 1e-6,
+        ])
+        for i in range(1000)
+        for d in (0,)
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    a = run_op(ctx, "embedding.pca", [df], id_column="vec_id",
+               components=2, iterations=8, output="components",
+               moments="gemm").collect()
+    b = run_op(ctx, "embedding.pca", [df], id_column="vec_id",
+               components=2, iterations=8, output="components",
+               moments="entries").collect()
+    sa = sorted((r["component"], r["eigenvalue"], tuple(r["vector"]),
+                 tuple(r["mean"])) for r in a)
+    sb = sorted((r["component"], r["eigenvalue"], tuple(r["vector"]),
+                 tuple(r["mean"])) for r in b)
+    assert sa == sb  # bit-identical, not approx
+
+
+def test_pca_moments_rejects_unknown_engine(ctx, pcadf):
+    df, _ = pcadf
+    with pytest.raises(Exception, match="moments"):
+        run_op(ctx, "embedding.pca", [df], id_column="vec_id",
+               moments="fast")
