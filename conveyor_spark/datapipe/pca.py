@@ -225,6 +225,16 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
                     np.stack(pdf.iloc[:, 0].to_numpy())
                     .astype(np.float64) * _qf
                 )
+                # int64 safety: quantized values past 2^31 would make
+                # a SINGLE product overflow int64 and wrap silently —
+                # refuse loudly (the entries path's decimal(19,0)
+                # handles such magnitudes)
+                if float(np.abs(q).max()) >= 2.0**31:
+                    raise ValueError(
+                        "embedding.pca moments='gemm': |value| too "
+                        "large for the int64 fast path (quantized "
+                        ">= 2^31); use moments='entries'"
+                    )
                 qi = q.astype(np.int64)
                 mx = max(1, int(np.abs(qi).max()))
                 step = max(1, min(len(qi), (2**62) // (mx * mx)))

@@ -186,3 +186,21 @@ def test_pca_moments_rejects_unknown_engine(ctx, pcadf):
     with pytest.raises(Exception, match="moments"):
         run_op(ctx, "embedding.pca", [df], id_column="vec_id",
                moments="fast")
+
+
+def test_pca_gemm_refuses_int64_overflow_magnitudes(ctx, spark):
+    # quantized |value| >= 2^31 would wrap a single int64 product —
+    # the fast path must fail loudly, and the entries path must still
+    # handle the same data exactly
+    big = 5000.0  # * 2^20 quantization = ~2^32.3
+    df = spark.createDataFrame(
+        [(i, [big + i, 1.0]) for i in range(8)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(Exception, match="entries"):
+        run_op(ctx, "embedding.pca", [df], id_column="vec_id",
+               components=1, iterations=4, output="components",
+               moments="gemm").collect()
+    out = run_op(ctx, "embedding.pca", [df], id_column="vec_id",
+                 components=1, iterations=4, output="components",
+                 moments="entries").collect()
+    assert len(out) == 1
