@@ -245,6 +245,12 @@ def rw_count_sql(path: str) -> str:
     """
 
 
+def pq_path(path: str) -> str:
+    """read_parquet target for a single file OR a Spark-written
+    directory (the Zipf probe generator writes directories)."""
+    return f"{path}/*.parquet" if os.path.isdir(path) else path
+
+
 def duck(sql: str):
     import duckdb
 
@@ -299,6 +305,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
+    ap.add_argument("--recipes", nargs="*",
+                    default=["c4", "refinedweb"],
+                    help="subset (the RefinedWeb recipe's synthetic "
+                         "URL classes collapse Zipf-replicated ids to "
+                         "200 rows, so Zipf runs are c4-only)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(
@@ -313,7 +324,7 @@ def main() -> int:
                       shuffle_partitions=32,
                       extra_conf={"spark.ui.enabled": "true"})
     metrics = StageMetrics(spark)
-    docs = os.path.join(args.sf_dir, "documents.parquet")
+    docs = pq_path(os.path.join(args.sf_dir, "documents.parquet"))
     examples = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "examples")
     result: dict = {"sf_dir": args.sf_dir, "recipes": {}}
@@ -350,6 +361,8 @@ def main() -> int:
                FROM '{out}/*.parquet'""", 0),
         ]),
     ):
+        if name not in args.recipes:
+            continue
         out_dir = tempfile.mkdtemp(prefix=f"recipe_probe_{name}_")
         shutil.rmtree(out_dir, ignore_errors=True)  # parquet.write mkdirs
         try:
