@@ -108,15 +108,15 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     returns r rows (component, eigenvalue, vector array<double>,
     mean array<double>).
 
-    Scale: ONE pass computes all dim*(dim+1)/2 + dim + 1 moments —
-    each row explodes to skinny (i, j, exact-decimal) entries that
-    map-side partial aggregation collapses to <= ~dim^2/2 rows per
-    partition, so the shuffle is partitions x dim^2 regardless of
-    corpus size; the dim x dim eigenproblem is driver-side
-    arithmetic; projection is a per-row codegen fold. (A dim^2-wide
-    single aggregate computes the same sums but its 2k-expression
-    plan costs ~45 s of driver analysis at dim 64 — measured — while
-    this plan is a handful of nodes at any dim.)"""
+    Scale: ONE pass computes all dim*(dim+1)/2 + dim + 1 moments.
+    Default (``moments="gemm"``): one exact int64 Q^T Q matmul per
+    Arrow batch via mapInPandas — ~dim^2 partial rows per batch
+    shuffle, numpy on executors required. ``moments="entries"``:
+    pure-JVM skinny (i, j, exact-decimal) entry explode + map-side
+    partial aggregation — the path for Python-worker-free executors.
+    Both produce BIT-IDENTICAL sums (parity-tested); the dim x dim
+    eigenproblem is driver-side arithmetic; projection is a per-row
+    codegen fold regardless of engine."""
     df = inputs[0]
     id_column = config.get("id_column")
     if not id_column:
@@ -146,26 +146,19 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
 
     # ONE validity predicate, shared by the moments pass and the
     # projection guard — two copies could silently disagree about
-    # which rows are usable
+    # which rows are usable. NaN elements are INVALID like NULLs
+    # (review r10): the old entries path silently quantized NaN to 0
+    # (Java (long)NaN) while numpy's int64 cast yields platform
+    # garbage — excluding the row is the only answer both engines
+    # (and any reader of the output) can agree on, and it matches the
+    # knn/kmeans valid_norm convention.
     ok = (
         vec.isNotNull() & (F.size(vec) == dim)
-        & ~F.exists(vec, lambda x: x.isNull())
+        & ~F.exists(
+            vec, lambda x: x.isNull() | F.isnan(x.cast("double")))
     )
     clean = df.filter(ok)
 
-    # ONE pass for every moment: each row emits 2145 skinny
-    # (i, j, val) entries — upper-triangle quantized pair products
-    # (decimal promotion BEFORE multiplying), first moments as
-    # (i, -1), the row count as (-1, -1) — and the groupBy's map-side
-    # partial aggregation collapses them to <= dim^2/2 rows per
-    # partition before the (tiny) shuffle. A dim^2-column wide
-    # aggregate computes the same exact sums with fewer allocations
-    # per row, but its plan has 2k+ expressions and costs ~45 s of
-    # DRIVER analysis/codegen at dim 64 — the skinny-entry plan is a
-    # handful of nodes at any dim.
-    qarr = F.transform(
-        vec, lambda x: F.floor(x.cast("double") * F.lit(_Q))
-    )
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
 
     def entries(qa):
@@ -228,12 +221,18 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
                 # int64 safety: quantized values past 2^31 would make
                 # a SINGLE product overflow int64 and wrap silently —
                 # refuse loudly (the entries path's decimal(19,0)
-                # handles such magnitudes)
-                if float(np.abs(q).max()) >= 2.0**31:
+                # handles such magnitudes). Non-finite values cannot
+                # reach here (the shared `ok` predicate excludes
+                # NULL/NaN elements, and inf trips the >= compare) —
+                # the isfinite check is a belt-and-suspenders trap
+                # because np.int64(NaN) is PLATFORM GARBAGE, the
+                # silent-corruption class this guard exists for.
+                if (not np.isfinite(q).all()
+                        or float(np.abs(q).max()) >= 2.0**31):
                     raise ValueError(
-                        "embedding.pca moments='gemm': |value| too "
-                        "large for the int64 fast path (quantized "
-                        ">= 2^31); use moments='entries'"
+                        "embedding.pca moments='gemm': non-finite or "
+                        "too-large value for the int64 fast path "
+                        "(quantized >= 2^31); use moments='entries'"
                     )
                 qi = q.astype(np.int64)
                 mx = max(1, int(np.abs(qi).max()))
@@ -266,6 +265,18 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
             .collect()
         )
     else:
+        # per-row skinny entries: 2145 (i, j, exact-decimal) structs
+        # per row — upper-triangle quantized pair products (decimal
+        # promotion BEFORE multiplying), first moments as (i, -1),
+        # the row count as (-1, -1); map-side partial aggregation
+        # collapses them to <= dim^2/2 rows per partition. Pure-JVM:
+        # the path for executors without Python workers. (A
+        # dim^2-wide single aggregate computes the same sums but its
+        # 2k-expression plan costs ~45 s of driver analysis at
+        # dim 64 — measured.)
+        qarr = F.transform(
+            vec, lambda x: F.floor(x.cast("double") * F.lit(_Q))
+        )
         moments = (
             clean.select(F.explode(let_expr(qarr, entries)).alias("__e"))
             .groupBy("__e.i", "__e.j")

@@ -159,13 +159,12 @@ def test_pca_moments_gemm_entries_parity(ctx, spark):
 
     rows = [
         (i, [
-            float((-1) ** i * m.sin(i * 7 + d) * (10.0 ** ((i + d) % 7 - 3))),
+            float((-1) ** i * m.sin(i * 7) * (10.0 ** (i % 7 - 3))),
             float(i - 500.5),
             1.25,
-            float(m.cos(d + i)) * 1e-6,
+            float(m.cos(i)) * 1e-6,
         ])
         for i in range(1000)
-        for d in (0,)
     ]
     df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
     a = run_op(ctx, "embedding.pca", [df], id_column="vec_id",
@@ -204,3 +203,22 @@ def test_pca_gemm_refuses_int64_overflow_magnitudes(ctx, spark):
                  components=1, iterations=4, output="components",
                  moments="entries").collect()
     assert len(out) == 1
+
+
+def test_pca_nan_vectors_are_invalid_in_both_engines(ctx, spark):
+    # review r10: NaN passed the validity filter — the entries path
+    # silently quantized NaN to 0 while numpy's int64 cast yields
+    # platform garbage. NaN-bearing vectors are now INVALID like
+    # NULL-holding ones: excluded from moments, NULL projections,
+    # identical in BOTH engines.
+    rows = [(i, [float(i + d) for d in range(3)]) for i in range(10)]
+    rows.append((99, [1.0, float("nan"), 2.0]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    outs = {}
+    for eng in ("gemm", "entries"):
+        out = run_op(ctx, "embedding.pca", [df], id_column="vec_id",
+                     components=1, iterations=4, moments=eng)
+        got = {r["vec_id"]: r["pc1"] for r in out.collect()}
+        assert got[99] is None  # NaN vector projects NULL
+        outs[eng] = got
+    assert outs["gemm"] == outs["entries"]

@@ -306,6 +306,7 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
     ap.add_argument("--recipes", nargs="*",
+                    choices=("c4", "refinedweb"),
                     default=["c4", "refinedweb"],
                     help="subset (the RefinedWeb recipe's synthetic "
                          "URL classes collapse Zipf-replicated ids to "
