@@ -64,6 +64,21 @@ def _infer_dim(df: DataFrame, id_column: str, column: str, op: str) -> int:
     return int(row["m"]["s"])
 
 
+def vec_ok(vec, dim: int):
+    """The vector-validity predicate shared by every centroid/
+    codebook op: non-NULL, exactly ``dim`` elements, and no NULL OR
+    NaN element. NaN is invalid like NULL (review r10): a NaN
+    coordinate makes every distance NaN — under Spark's NaN-is-
+    largest ordering the row still lands in SOME cluster and its
+    non-NaN dims silently bias the centroid/codeword stats, and
+    engines disagree on NaN semantics so no oracle can replay it."""
+    return (
+        vec.isNotNull() & (F.size(vec) == dim)
+        & ~F.exists(
+            vec, lambda x: x.isNull() | F.isnan(x.cast("double")))
+    )
+
+
 def _lit_double_array(values: list[float]):
     """A literal array<double> as ONE parsed SQL expression —
     CAST('<repr>' AS DOUBLE) round-trips each float exactly. The
@@ -148,10 +163,8 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
         dim = _infer_dim(df, id_column, column, "embedding.kmeans")
     dim = int(dim)
 
-    clean = df.filter(
-        vec.isNotNull() & (F.size(vec) == dim)
-        & ~F.exists(vec, lambda x: x.isNull())
-    ).select(F.col(id_column).alias("__kid"), vec.alias("__v"))
+    clean = df.filter(vec_ok(vec, dim)).select(
+        F.col(id_column).alias("__kid"), vec.alias("__v"))
 
     init = clean.orderBy("__kid").limit(k).select("__v").collect()
     if len(init) < k:
@@ -346,10 +359,8 @@ def _pq_clean(df: DataFrame, id_column: str, column: str, dim: int | None,
     if dim is None:
         dim = _infer_dim(df, id_column, column, op)
     dim = int(dim)
-    clean = df.filter(
-        vec.isNotNull() & (F.size(vec) == dim)
-        & ~F.exists(vec, lambda x: x.isNull())
-    ).select(F.col(id_column).alias("__kid"), vec.alias("__v"))
+    clean = df.filter(vec_ok(vec, dim)).select(
+        F.col(id_column).alias("__kid"), vec.alias("__v"))
     return clean, dim
 
 
@@ -472,10 +483,7 @@ def embedding_pq_encode(ctx: OpContext, inputs: list[DataFrame], config: dict[st
     )
 
     vec = F.col(column)
-    ok = (
-        vec.isNotNull() & (F.size(vec) == dim)
-        & ~F.exists(vec, lambda x: x.isNull())
-    )
+    ok = vec_ok(vec, dim)
     vec_sql = f"`{column.replace('`', '``')}`"
     codes = F.expr("array(" + ", ".join(
         _argmin_code_sql(vec_sql, s, sd, codebooks[s]) for s in range(m)
@@ -598,10 +606,8 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
         )
 
     # query side: exact distance to every codeword of every subspace
-    qclean = queries.filter(
-        F.col(column).isNotNull() & (F.size(column) == dim)
-        & ~F.exists(column, lambda x: x.isNull())
-    ).select(F.col(qid_col).alias("__qid"), F.col(column).alias("__v"))
+    qclean = queries.filter(vec_ok(F.col(column), dim)).select(
+        F.col(qid_col).alias("__qid"), F.col(column).alias("__v"))
     table_entries = F.expr("array(" + ", ".join(
         f"named_struct('__s', {s}, '__code', {j}, "
         f"'__d', {_sub_dist_sql('__v', s * sd, codebooks[s][j])})"

@@ -372,3 +372,35 @@ def test_kmeans_feeds_knn_ivf(ctx, vdf):
                  id_column="vec_id", column="embedding",
                  bucket_column="ivf_cell", k=1)
     assert out.count() > 0
+
+
+def test_nan_vectors_invalid_across_centroid_family(ctx, spark):
+    # review r10 (pca precedent): a NaN coordinate silently biased
+    # centroid/codeword stats (NaN distances + sum-skips-NULL after
+    # quantization). NaN-bearing vectors are now invalid like
+    # NULL-holding ones in kmeans, pq train/encode and knn.pq.
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(12)]
+    rows.append((99, [1.0, float("nan"), 2.0, 3.0]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+
+    km = run_op(ctx, "embedding.kmeans", [df], id_column="vec_id",
+                k=2, iterations=2)
+    got = {r["vec_id"]: r["cluster"] for r in km.collect()}
+    assert got[99] is None and got[0] is not None
+
+    books = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                   m=2, k=2, iterations=1, output="codebooks")
+    import math
+    for r in books.collect():
+        assert all(not math.isnan(x) for x in r["centroid"])
+    enc = run_op(ctx, "embedding.pq_encode", [df, books],
+                 id_column="vec_id")
+    codes = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    assert codes[99] is None and codes[0] is not None
+
+    q = df.filter("vec_id IN (99, 1)")
+    out = run_op(ctx, "knn.pq", [df, q], id_column="vec_id",
+                 m=2, k=2, codewords=2, iterations=1)
+    qcol = [c for c in out.columns if c.startswith("query")][0]
+    qids = {r[qcol] for r in out.collect()}
+    assert 99 not in qids and 1 in qids
