@@ -10,10 +10,11 @@ deterministic metadata from the bytes themselves (size, md5-derived
 pseudo-dimensions) — making the Spark-side plumbing (schema,
 batching, partitioning) fully testable. ``codec='real'`` now decodes
 for real via the pure-Python format parsers in
-``conveyor_spark.datapipe.codecs`` / ``datapipe.jpeg`` (full PNG
-pixel inflate, baseline JPEG Huffman+IDCT decode, GIF LZW frame
-decode, WAV RIFF parse); formats
-those can't express (video codecs needing av/ffmpeg) still raise
+``conveyor_spark.datapipe.codecs`` / ``datapipe.jpeg`` /
+``datapipe.avi`` (full PNG pixel inflate, baseline JPEG Huffman+IDCT
+decode, GIF LZW frame decode, WAV RIFF parse, MJPEG-AVI container
+walk + per-frame JPEG decode via ``video.frame_stats``); codecs those
+can't express (non-MJPEG video needing av/ffmpeg) still raise
 NotImplementedError at the seam.
 """
 
@@ -116,20 +117,21 @@ def media_decode(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         P("id_column", required=True, desc="Media row id"),
         P("n_frames", "integer", default=4, min=1, desc="Frames per item"),
         P("codec", default="fake", allowed=("fake", "real"),
-          desc="real = GIF frame walk (true frame boundaries, no LZW "
-               "decode); video codecs still need av (NotImplementedError)"),
+          desc="real = GIF/AVI frame walk (true frame boundaries); "
+               "other containers still need av (NotImplementedError)"),
     ],
     example={"column": "content", "id_column": "path", "n_frames": 8},
     tags=["multimodal", "datapipe"],
 )
 def frame_sample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """Explode each binary 'video' into n frame rows (frame_idx,
-    frame_hash). codec='real': animated GIFs are parsed for true
-    frame boundaries (datapipe.codecs.gif_frames) and n_frames are
-    sampled evenly across the actual frames — frame_idx is the REAL
-    frame index, frame_hash the md5 of that frame's byte span;
-    non-GIF formats raise NotImplementedError (video needs av).
-    codec='fake' keeps the deterministic pseudo-frame stub."""
+    frame_hash). codec='real': animated GIFs and AVI videos are
+    parsed for true frame boundaries (codecs.gif_frames /
+    avi.avi_frames) and n_frames are sampled evenly across the
+    actual frames — frame_idx is the REAL frame index, frame_hash
+    the md5 of that frame's byte span; other containers raise
+    NotImplementedError (need av). codec='fake' keeps the
+    deterministic pseudo-frame stub."""
     df = inputs[0]
     column = config.get("column")
     id_column = config.get("id_column")
@@ -158,13 +160,19 @@ def frame_sample(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
 
         def sample_real(data: bytes) -> list[tuple[int, str]]:
             fmt = sniff_format(data)
-            if fmt != "gif":
+            if fmt == "avi":
+                from conveyor_spark.datapipe.avi import avi_frames
+
+                walk = avi_frames
+            elif fmt == "gif":
+                walk = gif_frames
+            else:
                 raise NotImplementedError(
                     f"real frame sampling for {fmt!r} requires av/ffmpeg; "
-                    "only GIF has a pure-Python frame walk"
+                    "GIF and AVI have pure-Python frame walks"
                 )
             try:
-                spans = gif_frames(data)
+                spans = walk(data)
             except MediaDecodeError:
                 return []  # corrupt container: no frames, not a crash
             if not spans:
@@ -639,5 +647,120 @@ def media_phash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
             pdf = pdf.copy()
             pdf[output_column] = [hash_one(v) for v in pdf[column]]
             yield pd.DataFrame(pdf, columns=in_columns + [output_column])
+
+    return df.mapInPandas(run, out_schema)
+
+
+@register(
+    "video.frame_stats", kind="transform",
+    doc="REAL MJPEG-AVI decode -> per-sampled-frame pixel stats",
+    params=[
+        P("column", required=True, desc="Binary AVI column"),
+        P("id_column", required=True, desc="Video row id"),
+        P("n_frames", "integer", default=4, min=1,
+          desc="Frames sampled evenly across the real frame list"),
+        P("on_error", default="null", allowed=("null", "fail"),
+          desc="Undecodable container/frame -> skip row or raise"),
+    ],
+    example={"column": "content", "id_column": "path", "n_frames": 3},
+    tags=["multimodal", "video", "datapipe"],
+)
+def video_frame_stats(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """REAL video decode, closing the engine's last stubbed media
+    seam: walk the AVI container (datapipe/avi.py), sample n_frames
+    evenly across the true frame list (media.frame_sample's picking
+    rule), FULLY decode each sampled Motion-JPEG frame through the
+    pure-Python baseline JPEG decoder (datapipe/jpeg.py: Huffman +
+    dequant + IDCT + color), and emit one row per sampled frame:
+    (id, frame_idx, n_frames_total, fps, width, height, mean
+    array<double> per channel, luminance double — the same BT.601
+    formula as media.pixel_stats). Non-MJPEG video codecs raise
+    NotImplementedError (need av/ffmpeg); corrupt bytes follow
+    ``on_error``.
+
+    Scale: mapInPandas over Arrow batches, one Python worker per
+    partition, zero shuffle; cost is linear in sampled-frame pixel
+    bytes (sampling means a 10k-frame video decodes n_frames, not
+    10k)."""
+    df = inputs[0]
+    column = config.get("column")
+    id_column = config.get("id_column")
+    if not column or not id_column:
+        raise ConfigError(
+            "video.frame_stats requires 'column' and 'id_column'")
+    n_frames = int(config.get("n_frames", 4))
+    on_error = config.get("on_error", "null")
+    from conveyor_spark.datapipe.dedup import widen
+
+    df = widen(ctx, df, config)
+    out_schema = T.StructType([
+        df.schema[id_column],
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("n_frames_total", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean", T.ArrayType(T.DoubleType())),
+        T.StructField("luminance", T.DoubleType()),
+    ])
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from conveyor_spark.datapipe.avi import (
+            avi_frame_pixels, avi_frames, avi_meta,
+        )
+        from conveyor_spark.datapipe.codecs import MediaDecodeError
+
+        def frames_of(data: bytes) -> list[dict]:
+            meta = avi_meta(data)
+            spans = avi_frames(data)
+            if not spans:
+                return []
+            step = max(1, len(spans) // n_frames)
+            picked = sorted(set(range(0, len(spans), step)))[:n_frames]
+            rows = []
+            for i in picked:
+                px = avi_frame_pixels(data, spans[i])
+                h, w, ch = px.shape
+                mean = px.reshape(-1, ch).astype("float64").mean(axis=0)
+                if ch >= 3:
+                    lum = float(0.299 * mean[0] + 0.587 * mean[1]
+                                + 0.114 * mean[2])
+                else:
+                    lum = float(mean[0])
+                rows.append({
+                    "frame_idx": i,
+                    "n_frames_total": len(spans),
+                    "fps": int(meta.get("fps", 0)),
+                    "width": w, "height": h,
+                    "mean": [float(x) for x in mean],
+                    "luminance": lum,
+                })
+            return rows
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                id_column, "frame_idx", "n_frames_total", "fps",
+                "width", "height", "mean", "luminance")}
+            for rid, data in zip(pdf[id_column], pdf[column]):
+                if data is None:
+                    continue
+                try:
+                    rows = frames_of(bytes(data))
+                except (MediaDecodeError, NotImplementedError) as exc:
+                    if on_error == "fail":
+                        raise ValueError(
+                            f"video.frame_stats: {exc}") from None
+                    continue
+                for r in rows:
+                    out[id_column].append(rid)
+                    for k, v in r.items():
+                        out[k].append(v)
+            pdf_out = pd.DataFrame(out)
+            # an all-skipped batch leaves 'mean' as an empty float64
+            # column, which Arrow cannot convert to list<double>
+            pdf_out["mean"] = pdf_out["mean"].astype(object)
+            yield pdf_out
 
     return df.mapInPandas(run, out_schema)

