@@ -339,6 +339,10 @@ def real_image_meta(data: bytes) -> dict | None:
             # audio has no raster dims; format + size still real
             wav_meta(data)
             m = {"width": None, "height": None}
+        elif fmt == "avi":
+            from conveyor_spark.datapipe.avi import avi_meta
+
+            m = avi_meta(data)  # real container walk: width/height
         else:
             return None
     except MediaDecodeError:

@@ -116,6 +116,16 @@ def test_video_frame_stats_op(ctx, spark):
                id_column="vid", on_error="fail").collect()
 
 
+def test_media_decode_real_reports_avi(ctx, spark):
+    blob = _avi([42], size=24)
+    df = spark.createDataFrame([(1, blob)], "vid LONG, content BINARY")
+    out = run_op(ctx, "media.decode", [df], column="content",
+                 codec="real")
+    m = out.collect()[0]["media_meta"]
+    assert (m["width"], m["height"], m["format"]) == (24, 24, "avi")
+    assert m["n_bytes"] == len(blob)
+
+
 def test_frame_sample_real_walks_avi(ctx, spark):
     import hashlib
 
