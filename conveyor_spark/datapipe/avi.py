@@ -135,21 +135,33 @@ def avi_frames(data: bytes) -> list[tuple[int, int]]:
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise MediaDecodeError("not an AVI/RIFF file")
     spans: list[tuple[int, int]] = []
-    for cid, start, clen in _riff_chunks(data, 12, len(data)):
-        if cid != b"LIST" or data[start:start + 4] != b"movi":
-            continue
-        for c2, s2, l2 in _riff_chunks(data, start + 4, start + clen):
+
+    def walk(pos: int, end: int) -> None:
+        for c2, s2, l2 in _riff_chunks(data, pos, end):
             # 'NNdc'/'NNdb' = compressed/uncompressed video chunk
             if c2[2:4] in (b"dc", b"db"):
                 if s2 + l2 > len(data):
                     raise MediaDecodeError("AVI frame chunk truncated")
                 spans.append((s2, s2 + l2))
+            elif c2 == b"LIST" and data[s2:s2 + 4] == b"rec ":
+                # interleaved muxers group a frame set per 'rec '
+                # LIST (AVI spec) — recurse or real files read as
+                # frameless
+                walk(s2 + 4, s2 + l2)
+
+    for cid, start, clen in _riff_chunks(data, 12, len(data)):
+        if cid == b"LIST" and data[start:start + 4] == b"movi":
+            walk(start + 4, start + clen)
     return spans
 
 
-def avi_frame_pixels(data: bytes, span: tuple[int, int]):
-    """Decode one MJPEG frame span -> (h, w, ch) uint8."""
-    meta = avi_meta(data)
+def avi_frame_pixels(data: bytes, span: tuple[int, int],
+                     meta: dict | None = None):
+    """Decode one MJPEG frame span -> (h, w, ch) uint8. Pass the
+    already-walked ``meta`` when decoding many frames of one file —
+    otherwise every frame pays a redundant header walk."""
+    if meta is None:
+        meta = avi_meta(data)
     if meta["codec"] != "MJPG":
         raise NotImplementedError(
             f"AVI codec {meta['codec']!r} needs av/ffmpeg; only MJPG "

@@ -66,16 +66,22 @@ def _infer_dim(df: DataFrame, id_column: str, column: str, op: str) -> int:
 
 def vec_ok(vec, dim: int):
     """The vector-validity predicate shared by every centroid/
-    codebook op: non-NULL, exactly ``dim`` elements, and no NULL OR
-    NaN element. NaN is invalid like NULL (review r10): a NaN
-    coordinate makes every distance NaN — under Spark's NaN-is-
-    largest ordering the row still lands in SOME cluster and its
-    non-NaN dims silently bias the centroid/codeword stats, and
-    engines disagree on NaN semantics so no oracle can replay it."""
+    codebook op (and embedding.pca): non-NULL, exactly ``dim``
+    elements, and no NULL / NaN / +-Inf element. Non-finite values
+    are invalid like NULL (review r10, two rounds of findings): a
+    NaN coordinate makes every distance NaN yet the row still lands
+    in SOME cluster under Spark's NaN-is-largest ordering, and an
+    Inf coordinate turns centroid means/covariance moments infinite
+    — both silently bias the statistics, and engines disagree on
+    non-finite semantics so no oracle can replay them."""
+    inf = F.lit(float("inf"))
     return (
         vec.isNotNull() & (F.size(vec) == dim)
         & ~F.exists(
-            vec, lambda x: x.isNull() | F.isnan(x.cast("double")))
+            vec,
+            lambda x: x.isNull() | F.isnan(x.cast("double"))
+            | (F.abs(x.cast("double")) == inf),
+        )
     )
 
 

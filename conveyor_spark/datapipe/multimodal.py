@@ -690,6 +690,15 @@ def video_frame_stats(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
             "video.frame_stats requires 'column' and 'id_column'")
     n_frames = int(config.get("n_frames", 4))
     on_error = config.get("on_error", "null")
+    _STAT_COLS = ("frame_idx", "n_frames_total", "fps", "width",
+                  "height", "mean", "luminance")
+    if id_column in _STAT_COLS:
+        # the output batches are keyed dicts: a colliding id name
+        # would silently merge two columns (json.parse precedent:
+        # refuse collisions, don't guess)
+        raise ConfigError(
+            f"video.frame_stats: id_column {id_column!r} collides "
+            f"with an output stat column; rename it upstream")
     from conveyor_spark.datapipe.dedup import widen
 
     df = widen(ctx, df, config)
@@ -721,7 +730,7 @@ def video_frame_stats(ctx: OpContext, inputs: list[DataFrame], config: dict[str,
             picked = sorted(set(range(0, len(spans), step)))[:n_frames]
             rows = []
             for i in picked:
-                px = avi_frame_pixels(data, spans[i])
+                px = avi_frame_pixels(data, spans[i], meta)
                 h, w, ch = px.shape
                 mean = px.reshape(-1, ch).astype("float64").mean(axis=0)
                 if ch >= 3:

@@ -144,19 +144,15 @@ def embedding_pca(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     if r > dim:
         raise ConfigError(f"embedding.pca: components={r} > dim={dim}")
 
-    # ONE validity predicate, shared by the moments pass and the
-    # projection guard — two copies could silently disagree about
-    # which rows are usable. NaN elements are INVALID like NULLs
-    # (review r10): the old entries path silently quantized NaN to 0
-    # (Java (long)NaN) while numpy's int64 cast yields platform
-    # garbage — excluding the row is the only answer both engines
-    # (and any reader of the output) can agree on, and it matches the
-    # knn/kmeans valid_norm convention.
-    ok = (
-        vec.isNotNull() & (F.size(vec) == dim)
-        & ~F.exists(
-            vec, lambda x: x.isNull() | F.isnan(x.cast("double")))
-    )
+    # ONE validity predicate — the SAME vec_ok the whole centroid
+    # family uses (review r10: an inline copy here had already
+    # drifted once, missing Inf while clustering gained the NaN
+    # check). Non-finite elements are invalid like NULLs: the old
+    # entries path silently quantized NaN to 0 / Inf to Long.MAX,
+    # poisoning every covariance moment.
+    from conveyor_spark.datapipe.clustering import vec_ok
+
+    ok = vec_ok(vec, dim)
     clean = df.filter(ok)
 
     idx = F.sequence(F.lit(0), F.lit(dim - 1))

@@ -49,21 +49,61 @@ def test_roundtrip_meta_frames_decode():
 def test_solid_gray_roundtrip_exact_all_values():
     """quality=85's DC quantization round-trips EVERY solid gray
     exactly — the property q153's analytic oracle stands on (q=50
-    does NOT: e.g. 7 -> 8), so pin it."""
-    for g in range(0, 256, 17):
-        px = jpeg_pixels(_solid(g))
+    does NOT: e.g. 7 -> 8). q153 encodes arbitrary values in 0..255,
+    so pin ALL of them, not a sample."""
+    for g in range(256):
+        px = jpeg_pixels(_solid(g, size=8))
         assert np.unique(px).tolist() == [g], g
 
 
 def test_word_alignment_with_odd_frame_sizes():
-    # JPEG frames are frequently odd-length; chunks must pad to even
-    # and the walk must still find exact spans
-    frames = [_solid(g) for g in (3, 9, 27)]
-    assert any(len(f) & 1 for f in frames) or True
+    # chunks must pad to even and the walk must still find exact
+    # spans; force one guaranteed-odd and one guaranteed-even frame
+    # (a trailing byte after EOI is legal — decoders stop at EOI)
+    f_even = _solid(3)
+    if len(f_even) & 1:
+        f_even += b"\x00"
+    f_odd = _solid(9)
+    if not (len(f_odd) & 1):
+        f_odd += b"\x00"
+    frames = [f_odd, f_even, f_odd]
+    assert any(len(f) & 1 for f in frames)
+    assert any(not (len(f) & 1) for f in frames)
     blob = avi_encode(frames, 16, 16, fps=1)
     spans = avi_frames(blob)
+    assert len(spans) == 3
     for f, sp in zip(frames, spans):
         assert blob[sp[0]:sp[1]] == f
+
+
+def test_rec_list_grouped_frames():
+    """Interleaved muxers wrap frame sets in LIST 'rec ' chunks (AVI
+    spec); the walk must recurse or real files read as frameless."""
+    import struct as _s
+
+    frames = [_solid(g) for g in (11, 22)]
+    blob = avi_encode(frames, 16, 16, fps=2)
+    # rebuild the movi body with both 00dc chunks inside one 'rec '
+    spans = avi_frames(blob)
+    chunks = b""
+    for sp in spans:
+        body = blob[sp[0]:sp[1]]
+        chunks += b"00dc" + _s.pack("<I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    rec = b"LIST" + _s.pack("<I", 4 + len(chunks)) + b"rec " + chunks
+    movi = b"LIST" + _s.pack("<I", 4 + len(rec)) + b"movi" + rec
+    # splice: everything before the old movi LIST + new movi
+    movi_at = blob.find(b"LIST", 12)
+    while blob[movi_at + 8:movi_at + 12] != b"movi":
+        clen = _s.unpack("<I", blob[movi_at + 4:movi_at + 8])[0]
+        movi_at += 8 + clen + (clen & 1)
+    old_len = _s.unpack("<I", blob[movi_at + 4:movi_at + 8])[0]
+    tail = blob[movi_at + 8 + old_len + (old_len & 1):]
+    body = blob[12:movi_at] + movi + tail
+    blob2 = b"RIFF" + _s.pack("<I", len(body) + 4) + b"AVI " + body
+    spans2 = avi_frames(blob2)
+    assert [blob2[a:b] for a, b in spans2] == frames
 
 
 def test_encode_errors():
@@ -139,3 +179,10 @@ def test_frame_sample_real_walks_avi(ctx, spark):
         i: hashlib.md5(blob[spans[i][0]:spans[i][1]]).hexdigest()
         for i in (0, 2)
     }
+
+
+def test_video_frame_stats_rejects_colliding_id(ctx, spark):
+    df = spark.createDataFrame([(1, b"")], "width LONG, content BINARY")
+    with pytest.raises(Exception, match="collides"):
+        run_op(ctx, "video.frame_stats", [df], column="content",
+               id_column="width")

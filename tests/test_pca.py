@@ -222,3 +222,22 @@ def test_pca_nan_vectors_are_invalid_in_both_engines(ctx, spark):
         assert got[99] is None  # NaN vector projects NULL
         outs[eng] = got
     assert outs["gemm"] == outs["entries"]
+
+
+def test_pca_inf_vectors_invalid_in_both_engines(ctx, spark):
+    # review r10 second pass: Inf passed the NaN-only check — the
+    # entries path quantized Inf to Long.MAX (silent moment poison),
+    # the gemm path aborted the whole query. Non-finite = invalid.
+    rows = [(i, [float(i + d) for d in range(3)]) for i in range(10)]
+    rows.append((99, [1.0, float("inf"), 2.0]))
+    rows.append((98, [float("-inf"), 1.0, 2.0]))
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    outs = {}
+    for eng in ("gemm", "entries"):
+        out = run_op(ctx, "embedding.pca", [df], id_column="vec_id",
+                     components=1, iterations=4, moments=eng)
+        got = {r["vec_id"]: r["pc1"] for r in out.collect()}
+        assert got[99] is None and got[98] is None
+        assert got[0] is not None
+        outs[eng] = got
+    assert outs["gemm"] == outs["entries"]
