@@ -6034,6 +6034,213 @@ def q151_bitext_lsh_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
                threshold=1.0, mutual=True)
 
 
+@query(
+    "q154_stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def q154_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream.dedup: watermark-bounded streaming deduplication
+    (dropDuplicatesWithinWatermark — state for keys older than the
+    watermark horizon is evicted, the property that makes dedup
+    runnable on an unbounded stream). An availableNow drain of one
+    file is a single micro-batch, so no row is late and the emitted
+    first-seen rows projected to their key columns are exactly the
+    distinct key set — which is what the oracle replays (WHICH row
+    of a key is first-seen is partition-order-dependent, so the
+    query's contract surface is the keys, not the carried values)."""
+    from conveyor_spark.streaming.ops import (
+        read_file_stream, run_available_now,
+    )
+
+    ctx = _ctx(spark)
+    schema = raw_schema(spark, sf_dir, "events")
+    sdf = read_file_stream(
+        spark, sf_dir, schema, "parquet",
+        options={"pathGlobFilter": "events.parquet"},
+    )
+    if dict(sdf.dtypes).get("ts") == "bigint":
+        sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ded = _op("stream.dedup", ctx, [sdf],
+              columns=["user_id", "event_type"],
+              time_column="ts", watermark="1 hour")
+    ded = ded.select("user_id", "event_type")
+    return run_available_now(
+        ded, "q154_dedup", output_mode="append", state_partitions=8
+    )
+
+
+@query(
+    "q155_py_group_eval",
+    """
+    SELECT o_custkey,
+           COUNT(*)::BIGINT AS n_orders,
+           MIN(o_orderkey) AS first_orderkey,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q155_py_group_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """py.group_eval: the grouped-map scripted UDF (applyInPandas —
+    the reference's js.eval surface extended to whole-group scope,
+    plugins-wasm lib.rs:61-72). The script sees each customer's full
+    order frame and emits one summary row; every output is an
+    order-invariant exact value (count / min int64 / max double), so
+    the pandas fold and the SQL aggregate agree bit-for-bit. One
+    shuffle on the group key — the op's documented cost model."""
+    ctx = _ctx(spark)
+    o = load_table(spark, sf_dir, "orders")
+    o = _op("select.apply", ctx, [o],
+            columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    script = (
+        "import pandas as pd\n"
+        "def transform(key, pdf):\n"
+        "    return pd.DataFrame({\n"
+        "        'o_custkey': [key[0]],\n"
+        "        'n_orders': [len(pdf)],\n"
+        "        'first_orderkey': [pdf['o_orderkey'].min()],\n"
+        "        'max_price': [pdf['o_totalprice'].max()],\n"
+        "    })\n"
+    )
+    return _op(
+        "py.group_eval", ctx, [o], script=script, group_by=["o_custkey"],
+        output_schema="o_custkey BIGINT, n_orders BIGINT, "
+                      "first_orderkey BIGINT, max_price DOUBLE",
+    )
+
+
+@query(
+    "q156_media_resize",
+    """
+    WITH px AS (
+      SELECT d.doc_id,
+             ((d.doc_id * 7 + 13 * (2 * g.y) + 2 * g.x) % 256)::DOUBLE AS p
+      FROM documents d,
+           (SELECT x.x, y.y
+            FROM (SELECT unnest(range(8)) AS x) x,
+                 (SELECT unnest(range(8)) AS y) y) g
+    )
+    SELECT doc_id,
+           8 AS width, 8 AS height, 1 AS channels,
+           SUM(p) / 64 AS mean_v,
+           sqrt(SUM(p * p) / 64 - (SUM(p) / 64) * (SUM(p) / 64)) AS std_v
+    FROM px GROUP BY doc_id
+    """,
+)
+def q156_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media.resize, hash-exact end-to-end: each doc_id becomes a
+    16x16 gray PNG with pixel (doc_id*7 + 13y + x) % 256, media.resize
+    halves it to 8x8 (nearest-neighbor grid floor(i*16/8) = even
+    rows/cols), and media.pixel_stats decodes the RE-ENCODED bytes.
+    The oracle computes the same statistics analytically from the
+    pixel formula AT THE SAMPLED POSITIONS (2y, 2x) — a value match
+    proves decode -> NN index sampling -> re-encode -> decode -> stats
+    bit-exactly (dyadic rationals < 2^53 throughout, q104's argument).
+
+    Scale: two mapInPandas passes, zero shuffle; resize SHRINKS bytes
+    4x before anything downstream — the thumbnail-normalization shape
+    for a 100 TB image corpus."""
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from conveyor_spark.datapipe.codecs import png_encode
+
+        grid = 13 * np.arange(16)[:, None] + np.arange(16)[None, :]
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "data": [
+                    png_encode(((int(i) * 7 + grid) % 256).astype("uint8"))
+                    for i in pdf["doc_id"]
+                ],
+            })
+
+    imgs = d.mapInPandas(synth, "doc_id LONG, data BINARY")
+    small = _op("media.resize", ctx, [imgs], column="data",
+                width=8, height=8, format="png", on_error="fail")
+    out = _op("media.pixel_stats", ctx, [small], column="data",
+              on_error="fail")
+    for name, expr in [
+        ("width", "pixel_stats.width"), ("height", "pixel_stats.height"),
+        ("channels", "pixel_stats.channels"),
+        ("mean_v", "pixel_stats.mean[0]"), ("std_v", "pixel_stats.std[0]"),
+    ]:
+        out = _op("map.apply", ctx, [out], expression=expr,
+                  output_column=name)
+    return _op("select.apply", ctx, [out], columns=[
+        "doc_id", "width", "height", "channels", "mean_v", "std_v",
+    ])
+
+
+@query(
+    "q157_validate_expectations",
+    """
+    WITH t AS (
+      SELECT COUNT(*)::BIGINT AS rows_,
+             COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END)::BIGINT AS nulls_,
+             COUNT(DISTINCT l_orderkey)::BIGINT AS dist_,
+             COUNT(l_orderkey)::BIGINT AS nonnull_,
+             COUNT(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                        THEN 1 END)::BIGINT AS oob_,
+             COUNT(CASE WHEN regexp_matches(l_returnflag, '^A')
+                        THEN 1 END)::BIGINT AS match_,
+             COUNT(l_returnflag)::BIGINT AS rf_nonnull_,
+             COUNT(CASE WHEN l_linestatus NOT IN ('O', 'F')
+                        THEN 1 END)::BIGINT AS bad_
+      FROM lineitem)
+    SELECT * FROM (
+      SELECT 'row_count' AS expectation, rows_ >= 1 AS passed,
+             'rows=' || rows_ AS detail FROM t
+      UNION ALL
+      SELECT 'not_null(l_orderkey)', nulls_::DOUBLE / rows_::DOUBLE <= 0.0,
+             'null_fraction=' || printf('%.6f', nulls_::DOUBLE / rows_::DOUBLE)
+      FROM t
+      UNION ALL
+      SELECT 'unique(l_orderkey)', dist_ = nonnull_,
+             'distinct=' || dist_ || ' nonnull=' || nonnull_ FROM t
+      UNION ALL
+      SELECT 'in_range(l_quantity)', oob_ = 0, 'out_of_range=' || oob_ FROM t
+      UNION ALL
+      SELECT 'matches(l_returnflag)',
+             match_::DOUBLE / rf_nonnull_::DOUBLE >= 0.1,
+             'match_fraction=' ||
+               printf('%.6f', match_::DOUBLE / rf_nonnull_::DOUBLE) FROM t
+      UNION ALL
+      SELECT 'accepted_values(l_linestatus)', bad_ = 0, 'bad=' || bad_ FROM t
+    )
+    """,
+)
+def q157_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """validate.expectations mode=report: six dataset-level quality
+    gates (row count, null fraction, uniqueness, range, regex
+    fraction, accepted values) computed in ONE global aggregate over
+    lineitem, returned as a metrics frame. The oracle recomputes every
+    observed value and the formatted detail strings — including the
+    %.6f fractions, which are correctly-rounded decimal renderings of
+    the same IEEE double in Python and DuckDB's printf. unique is
+    expected to FAIL (orders have multiple lines); the failing row's
+    exact counts are part of the contract."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return _op("validate.expectations", ctx, [li], mode="report",
+               expectations=[
+                   {"kind": "row_count", "min": 1},
+                   {"kind": "not_null", "column": "l_orderkey"},
+                   {"kind": "unique", "column": "l_orderkey"},
+                   {"kind": "in_range", "column": "l_quantity",
+                    "min": 1, "max": 50},
+                   {"kind": "matches", "column": "l_returnflag",
+                    "pattern": "^A", "min_fraction": 0.1},
+                   {"kind": "accepted_values", "column": "l_linestatus",
+                    "values": ["O", "F"]},
+               ])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

@@ -176,6 +176,26 @@ def test_py_group_eval_schema_defaults_to_input(ctx, spark):
     assert out.schema == df.schema and out.count() == 2
 
 
+def test_py_group_eval_pins_shuffle_width(ctx, spark):
+    # AQE's byte-based coalescing would merge a tiny many-group
+    # shuffle to 1-2 tasks, serializing the per-group Python calls;
+    # the op pins the width (parallelism param, default = cluster
+    # parallelism) and applyInPandas reuses that partitioning
+    df = spark.createDataFrame(
+        [(i % 50, i) for i in range(500)], "k INT, v INT"
+    )
+    out = run_op(ctx, "py.group_eval", [df],
+                 script="def transform(k, p):\n    return p.head(1)",
+                 group_by="k", parallelism=7)
+    assert out.rdd.getNumPartitions() == 7
+    assert out.count() == 50
+    # parallelism=0 opts back into AQE; results identical
+    out0 = run_op(ctx, "py.group_eval", [df],
+                  script="def transform(k, p):\n    return p.head(1)",
+                  group_by="k", parallelism=0)
+    assert out0.count() == 50
+
+
 def test_window_rollup_levels_single_pass(ctx, spark):
     import pytest as _pytest
 
