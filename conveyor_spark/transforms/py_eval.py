@@ -34,8 +34,14 @@ reference's WASM sandbox: the script is INTERPRETED by the embedded
 micro-interpreter in py_ast.py rather than executed by CPython, so
 host access is impossible by construction (no import/exec/getattr
 nodes exist, dunder attributes are rejected at parse time, loops burn
-a per-row step budget). It runs in-process — no subprocess hop, no
-JSON boundary — at the cost of a restricted language surface.
+a per-row step budget). With ``trusted = true`` (default) it runs
+in-process — no subprocess hop, no JSON boundary — at the cost of a
+restricted language surface. Combine ``engine = 'ast'`` with
+``trusted = false`` for DEFENSE IN DEPTH: the interpreter itself runs
+inside the rlimited subprocess, so even a hypothetical interpreter
+escape lands in a process with no fork/exec, no file descriptors, and
+CPU/memory ceilings — two independent containment layers, the
+strongest mode this engine offers.
 """
 
 from __future__ import annotations
@@ -98,6 +104,8 @@ def _sandbox_partition(batches, script, out_columns, cfg, pd):
         send({
             "script": script,
             "columns": out_columns,
+            "engine": cfg.get("engine", "exec"),
+            "step_budget": cfg.get("step_budget"),
             "cpu_seconds": cfg["cpu_seconds"],
             "memory_mb": cfg["memory_mb"],
             "modules": cfg["modules"],
@@ -130,7 +138,9 @@ def _sandbox_partition(batches, script, out_columns, cfg, pd):
         P("engine", default="auto", allowed=("auto", "exec", "subprocess", "ast"),
           desc="auto = exec when trusted, subprocess when not; 'ast' runs "
                "the embedded micro-interpreter (py_ast.py) — sandboxed by "
-               "construction like the reference's WASM engine, in-process"),
+               "construction like the reference's WASM engine; with "
+               "trusted=false the interpreter itself runs inside the "
+               "rlimited subprocess (defense in depth)"),
         P("step_budget", "integer", default=1000000, min=1000,
           desc="engine='ast': interpreter steps allowed per row"),
         P("widen", "any", default="auto",
@@ -199,6 +209,32 @@ def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
                 keep = df.columns[:1]  # constant-only script: row count
             if len(keep) < len(df.columns):
                 df = df.select(*keep)
+
+        if not trusted:
+            # DEFENSE IN DEPTH: interpret the AST *inside* the
+            # rlimited subprocess. Two independent layers — the
+            # micro-interpreter has no import/exec/getattr by
+            # construction, and even an interpreter bug lands in a
+            # process with NPROC=0/NOFILE=0 and CPU+memory ceilings.
+            # The closest this engine gets to the reference's
+            # WASM-in-a-host boundary; rows cross the sandbox's JSON
+            # boundary like engine='subprocess'.
+            sandbox_cfg = {
+                "engine": "ast",
+                "step_budget": step_budget,
+                "cpu_seconds": int(config.get("sandbox_cpu_seconds", 30)),
+                "memory_mb": int(config.get("sandbox_memory_mb", 512)),
+                "modules": None,
+            }
+
+            def run_ast_sandboxed(batches: Iterator) -> Iterator:
+                import pandas as pd
+
+                yield from _sandbox_partition(
+                    batches, script, out_columns, sandbox_cfg, pd
+                )
+
+            return df.mapInPandas(run_ast_sandboxed, out_schema)
 
         def run_ast(batches: Iterator) -> Iterator:
             import pandas as pd

@@ -88,40 +88,60 @@ def main() -> int:
     header = json.loads(proto_in.readline())
     script = header["script"]
     columns = header["columns"]
+    engine = header.get("engine") or "exec"
     cpu_s = int(header.get("cpu_seconds") or 30)
     mem_b = int(header.get("memory_mb") or 512) * 1024 * 1024
 
-    # pre-import the whitelist while we can still open files
-    allowed: dict = {}
-    for mod in header.get("modules") or DEFAULT_MODULES:
+    def reply(obj: dict) -> None:
+        proto_out.write(json.dumps(obj) + "\n")
+        proto_out.flush()
+
+    transform = None
+    if engine == "ast":
+        # defense in depth (engine='ast' + trusted=false): the script
+        # is INTERPRETED by the py_ast micro-interpreter — no CPython
+        # exec anywhere — and even an interpreter escape lands in this
+        # rlimited process: no fork/exec, no fds, CPU+memory capped.
+        # Import and parse BEFORE the fd limit drops (imports open
+        # files); parse/validation errors surface over the protocol.
         try:
-            allowed[mod] = __import__(mod)
-        except ImportError:
-            pass
-    code = compile(script, "<py.eval:sandbox>", "exec")
+            from conveyor_spark.transforms.py_ast import make_transform
+
+            transform = make_transform(
+                script, step_budget=int(header.get("step_budget") or 1_000_000)
+            )
+        except Exception as exc:  # noqa: BLE001 — report, don't crash
+            reply({"error": f"{type(exc).__name__}: {exc}"})
+            return 1
+    else:
+        # pre-import the whitelist while we can still open files
+        allowed: dict = {}
+        for mod in header.get("modules") or DEFAULT_MODULES:
+            try:
+                allowed[mod] = __import__(mod)
+            except ImportError:
+                pass
+        code = compile(script, "<py.eval:sandbox>", "exec")
 
     resource.setrlimit(resource.RLIMIT_NPROC, (0, 0))
     resource.setrlimit(resource.RLIMIT_NOFILE, (0, 0))
     resource.setrlimit(resource.RLIMIT_AS, (mem_b, mem_b))
     resource.setrlimit(resource.RLIMIT_CPU, (cpu_s, cpu_s))
 
-    def reply(obj: dict) -> None:
-        proto_out.write(json.dumps(obj) + "\n")
-        proto_out.flush()
-
-    # __name__ present: class creation reads it for __module__
-    ns: dict = {"__builtins__": _restricted_builtins(allowed),
-                "__name__": "__sandbox__"}
-    try:
-        exec(code, ns)  # noqa: S102 — the point of the sandbox
-    except Exception as exc:  # noqa: BLE001 — a KeyError here is the
-        # USER script's error, not a missing transform
-        reply({"error": f"{type(exc).__name__}: {exc}"})
-        return 1
-    transform = ns.get("transform")
-    if not callable(transform):
-        reply({"error": "py.eval script must define transform(row)"})
-        return 1
+    if transform is None:
+        # __name__ present: class creation reads it for __module__
+        ns: dict = {"__builtins__": _restricted_builtins(allowed),
+                    "__name__": "__sandbox__"}
+        try:
+            exec(code, ns)  # noqa: S102 — the point of the sandbox
+        except Exception as exc:  # noqa: BLE001 — a KeyError here is the
+            # USER script's error, not a missing transform
+            reply({"error": f"{type(exc).__name__}: {exc}"})
+            return 1
+        transform = ns.get("transform")
+        if not callable(transform):
+            reply({"error": "py.eval script must define transform(row)"})
+            return 1
     reply({"ready": True})
 
     for line in proto_in:

@@ -154,3 +154,70 @@ def test_trusted_default_unchanged(ctx, df):
     from conveyor_spark.errors import ConfigError
     with pytest.raises(ConfigError):
         run_op(ctx, "py.eval", [df], script="x = 1")
+
+
+AST_SCRIPT = """
+def transform(row):
+    total = 0
+    for i in range(row['val'] + 1):
+        total = total + i
+    row['tri'] = total
+    return row
+"""
+
+
+def test_ast_in_subprocess_matches_in_process(ctx, df):
+    """engine='ast' + trusted=false runs the micro-interpreter INSIDE
+    the rlimited subprocess (defense in depth); results must equal
+    the in-process ast path bit for bit."""
+    kw = dict(script=AST_SCRIPT, engine="ast",
+              output_schema="id BIGINT, val BIGINT, tri BIGINT")
+    in_proc = run_op(ctx, "py.eval", [df], **kw)
+    sandboxed = run_op(ctx, "py.eval", [df], trusted=False, **kw)
+    assert sorted(map(tuple, in_proc.collect())) == \
+        sorted(map(tuple, sandboxed.collect()))
+
+
+def test_ast_in_subprocess_row_drop(ctx, df):
+    script = "def transform(row):\n    if row['id'] % 2 == 0:\n        return row\n    return None"
+    out = run_op(ctx, "py.eval", [df], script=script, engine="ast",
+                 trusted=False)
+    assert sorted(r["id"] for r in out.collect()) == list(range(0, 20, 2))
+
+
+def test_ast_in_subprocess_rejects_hostile_script(ctx, df):
+    """Layer 1 (the interpreter) still validates: import nodes are
+    rejected at parse time, surfaced over the sandbox protocol."""
+    script = "import os\ndef transform(row):\n    return row"
+    with pytest.raises(Exception, match="(?i)import|sandbox|not allowed"):
+        run_op(ctx, "py.eval", [df], script=script, engine="ast",
+               trusted=False).collect()
+
+
+def test_ast_in_subprocess_os_layer_backstops_interpreter(ctx, df):
+    """Layer 2 (the rlimits) backstops layer 1: with the step budget
+    effectively disabled, a spin loop is still killed by the OS CPU
+    ceiling — proof the subprocess containment is active under the
+    ast engine, not just the interpreter's own budget."""
+    script = ("def transform(row):\n"
+              "    x = 0\n"
+              "    while True:\n"
+              "        x = x + 1\n")
+    with pytest.raises(Exception, match="sandbox"):
+        run_op(ctx, "py.eval", [df], script=script, engine="ast",
+               trusted=False, step_budget=10**18,
+               sandbox_cpu_seconds=1).collect()
+
+
+def test_ast_in_subprocess_prunes_columns(ctx, spark):
+    """The driver-side static column pruning applies before the
+    sandbox barrier in the untrusted ast mode too."""
+    wide = spark.createDataFrame(
+        [(i, i * 10, "pad", 1.5) for i in range(10)],
+        ["id", "val", "junk", "extra"],
+    )
+    out = run_op(ctx, "py.eval", [wide],
+                 script="def transform(row):\n    return {'doubled': row['val'] * 2}",
+                 engine="ast", trusted=False, output_schema="doubled BIGINT")
+    assert sorted(r["doubled"] for r in out.collect()) == \
+        [i * 20 for i in range(10)]
