@@ -6138,9 +6138,11 @@ def q156_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves decode -> NN index sampling -> re-encode -> decode -> stats
     bit-exactly (dyadic rationals < 2^53 throughout, q104's argument).
 
-    Scale: two mapInPandas passes, zero shuffle; resize SHRINKS bytes
-    4x before anything downstream — the thumbnail-normalization shape
-    for a 100 TB image corpus."""
+    Scale: three mapInPandas passes with NO keyed shuffle (the only
+    exchanges are the round-robin widens that spread the toy-scale
+    single-file scan; on a real multi-file corpus widen() no-ops);
+    resize SHRINKS bytes 4x before anything downstream — the
+    thumbnail-normalization shape for a 100 TB image corpus."""
     ctx = _ctx(spark)
     d = load_table(spark, sf_dir, "documents").select("doc_id")
 

@@ -175,6 +175,22 @@ CHECKS = [
         lambda p, o: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     ),
     (
+        "q155_py_group_eval",
+        "grouped-apply: ONE pinned-width exchange (REPARTITION_BY_NUM) reused by "
+        "FlatMapGroupsInPandas (no second hash shuffle), scan pruned to 3 columns",
+        lambda p, o: "FlatMapGroupsInPandas" in p
+        and p.count("Exchange") == 1 and "REPARTITION_BY_NUM" in p
+        and "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint,o_totalprice:double>" in p,
+    ),
+    (
+        "q156_media_resize",
+        "image pipeline: 3 Arrow passes (synth/resize/stats), NO keyed shuffle "
+        "(round-robin widens only), scan reads doc_id alone",
+        lambda p, o: p.count("MapInPandas") == 3
+        and "Exchange hashpartitioning" not in p
+        and "ReadSchema: struct<doc_id:bigint>" in p,
+    ),
+    (
         "q77_topk_per_group",
         "salted top-k: every WindowExec carries a partition spec (no global-order window)",
         lambda p, o: sum(1 for ln in p.splitlines() if "Window [" in ln) == 2
