@@ -22,7 +22,8 @@ state-store providers, asserting:
 
 Queries: q63 session windows (applyInPandasWithState), q66
 stream-stream interval join, q95 streaming funnel, q103 sliding
-count windows.
+count windows, q154 watermark-bounded streaming dedup — every
+stateful streaming op in the registry.
 
 Usage: python tools/streaming_probe.py [--scale 16] [--out JSON]
 Exit 0 = all assertions hold; 1 = violation (named on stderr).
@@ -40,7 +41,8 @@ import time
 
 STREAMING_SET = ["q63_stream_session_window", "q66_stream_join",
                  "q95_stream_funnel",
-                 "q103_stream_sliding_count_window"]
+                 "q103_stream_sliding_count_window",
+                 "q154_stream_dedup"]
 
 # query name -> the run_available_now drain name it uses (the key
 # LAST_PROGRESS records under)
@@ -49,7 +51,17 @@ DRAIN_NAMES = {
     "q66_stream_join": "q66_stream_join",
     "q95_stream_funnel": "q95_stream_funnel",
     "q103_stream_sliding_count_window": "q103_sliding_windows",
+    "q154_stream_dedup": "q154_dedup",
 }
+
+# Ops whose state is EVICTED by the watermark as it advances:
+# dropDuplicatesWithinWatermark drops a key's entry once the
+# watermark passes its event time, so after a full drain the final
+# progress legitimately reports few or ZERO retained rows — that is
+# the bounded-state property working, not a missing state store.
+# Correctness for these is carried by the oracle hash + provider
+# equivalence; the positive-state-rows check does not apply.
+WATERMARK_EVICTING = {"q154_stream_dedup"}
 
 PROVIDERS = {
     "hdfs": "org.apache.spark.sql.execution.streaming.state."
@@ -223,7 +235,8 @@ def main() -> int:
                     violations.append(
                         f"{name}[{prov}]: hash/rows mismatch vs oracle "
                         f"(rows {len(rows)} vs {len(orows)})")
-                if sm["state_operators"] > 0 and sm["state_rows"] <= 0:
+                if (sm["state_operators"] > 0 and sm["state_rows"] <= 0
+                        and name not in WATERMARK_EVICTING):
                     violations.append(
                         f"{name}[{prov}]: stateful plan reported zero "
                         "state rows")
