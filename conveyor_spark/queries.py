@@ -6243,6 +6243,51 @@ def q157_validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
                ])
 
 
+@query(
+    "q158_stage_pipeline",
+    """
+    SELECT l_returnflag,
+           COUNT(*)::BIGINT AS n_lines,
+           MAX(l_quantity) AS max_qty
+    FROM lineitem WHERE l_quantity > 45
+    GROUP BY l_returnflag
+    """,
+)
+def q158_stage_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stage.pipeline: sub-pipeline composition as ONE stage
+    (reference pipeline.rs:51-194) — the parent's DataFrame is
+    spliced into the child spec via inputs=["__parent__"], the child
+    (filter -> groupby) compiles into the SAME lazy Catalyst plan
+    (no materialization at the composition boundary), and the
+    terminal stage's output is returned. The oracle replays the
+    composed semantics directly; order-invariant exact aggregates
+    keep the hash comparison bit-exact."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    inline = """
+[[stages]]
+id = "hot"
+function = "filter.apply"
+inputs = ["__parent__"]
+[stages.config]
+column = "l_quantity"
+operator = ">"
+value = 45
+
+[[stages]]
+id = "agg"
+function = "groupby.apply"
+inputs = ["hot"]
+[stages.config]
+by = "l_returnflag"
+aggregations = [
+  {column = "l_returnflag", operation = "count", output_column = "n_lines"},
+  {column = "l_quantity", operation = "max", output_column = "max_qty"},
+]
+"""
+    return _op("stage.pipeline", ctx, [li], inline=inline)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
