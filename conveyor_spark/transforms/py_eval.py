@@ -126,6 +126,25 @@ def _sandbox_partition(batches, script, out_columns, cfg, pd):
         proc.wait()
 
 
+def _sandboxed_map(df, script, out_columns, out_schema, config, extra=None):
+    """mapInPandas through the rlimited sandbox subprocess — shared by
+    engine='subprocess' and the untrusted-ast mode (``extra`` adds the
+    ast header fields; the child ignores ``modules`` for ast)."""
+    sandbox_cfg = {
+        "cpu_seconds": int(config.get("sandbox_cpu_seconds", 30)),
+        "memory_mb": int(config.get("sandbox_memory_mb", 512)),
+        "modules": config.get("sandbox_modules"),
+        **(extra or {}),
+    }
+
+    def run_sandboxed(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        yield from _sandbox_partition(batches, script, out_columns, sandbox_cfg, pd)
+
+    return df.mapInPandas(run_sandboxed, out_schema)
+
+
 @register(
     "py.eval", kind="transform", doc="Per-row scripted transform(row) UDF",
     params=[
@@ -219,22 +238,10 @@ def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
             # The closest this engine gets to the reference's
             # WASM-in-a-host boundary; rows cross the sandbox's JSON
             # boundary like engine='subprocess'.
-            sandbox_cfg = {
-                "engine": "ast",
-                "step_budget": step_budget,
-                "cpu_seconds": int(config.get("sandbox_cpu_seconds", 30)),
-                "memory_mb": int(config.get("sandbox_memory_mb", 512)),
-                "modules": None,
-            }
-
-            def run_ast_sandboxed(batches: Iterator) -> Iterator:
-                import pandas as pd
-
-                yield from _sandbox_partition(
-                    batches, script, out_columns, sandbox_cfg, pd
-                )
-
-            return df.mapInPandas(run_ast_sandboxed, out_schema)
+            return _sandboxed_map(
+                df, script, out_columns, out_schema, config,
+                extra={"engine": "ast", "step_budget": step_budget},
+            )
 
         def run_ast(batches: Iterator) -> Iterator:
             import pandas as pd
@@ -260,18 +267,7 @@ def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         if not callable(probe.get("transform")):
             raise ConfigError("py.eval script must define transform(row)")
     else:
-        sandbox_cfg = {
-            "cpu_seconds": int(config.get("sandbox_cpu_seconds", 30)),
-            "memory_mb": int(config.get("sandbox_memory_mb", 512)),
-            "modules": config.get("sandbox_modules"),
-        }
-
-        def run_sandboxed(batches: Iterator) -> Iterator:
-            import pandas as pd
-
-            yield from _sandbox_partition(batches, script, out_columns, sandbox_cfg, pd)
-
-        return df.mapInPandas(run_sandboxed, out_schema)
+        return _sandboxed_map(df, script, out_columns, out_schema, config)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -299,8 +295,9 @@ def py_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         P("group_by", "array", required=True, desc="Grouping column(s)"),
         P("output_schema", desc="DDL schema of the result (default: input schema)"),
         P("parallelism", "integer", min=0,
-          desc="Shuffle width for the grouped apply (default: the "
-               "cluster's default parallelism; 0 = leave it to AQE)"),
+          desc="Shuffle width for the grouped apply (default: "
+               "max(cluster default parallelism, "
+               "spark.sql.shuffle.partitions); 0 = leave it to AQE)"),
     ],
     example={"script": "def transform(key, pdf):\n    return pdf.head(1)",
              "group_by": ["user_id"]},
@@ -341,27 +338,41 @@ def py_group_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     # AQE for byte-heavy groups.
     n_parts = config.get("parallelism")
     if n_parts is None:
+        # default to max(cluster parallelism, shuffle.partitions):
+        # never NARROWER than what the user's shuffle config would
+        # have given a byte-heavy shuffle (a small-core cluster's
+        # defaultParallelism alone could shrink a 500 GB grouped
+        # apply into a handful of spilling partitions), and never
+        # coalesced below the core count for tiny-bytes inputs
         try:
             n_parts = ctx.spark.sparkContext.defaultParallelism
         except Exception:  # Spark Connect: no SparkContext handle
             n_parts = 0
+        try:
+            n_parts = max(
+                int(n_parts),
+                int(ctx.spark.conf.get("spark.sql.shuffle.partitions")),
+            )
+        except (TypeError, ValueError):  # e.g. "auto"
+            pass
     if int(n_parts) > 0:
         df = df.repartition(int(n_parts), *keys)
 
-    # compile/exec ONCE per Python worker, not per group: a corpus
-    # with many small groups (the common per-customer/per-doc shape)
-    # otherwise pays a full script compile + module imports for every
-    # group — measured 20 s vs 1.3 s on 15k groups. The lazy cell
-    # (not the driver-side `probe` namespace) keeps the closure
-    # picklable whatever the script defines.
+    # compile ONCE per task, but exec the code object into a FRESH
+    # namespace per group: a corpus with many small groups otherwise
+    # pays a full script compile for every group (the dominant cost —
+    # exec of a compiled module body is microseconds, imports hit
+    # sys.modules), while a shared namespace would leak mutable
+    # module-level state across groups (partitioning-dependent
+    # results for stateful scripts — semantics must not change).
     cell: dict[str, Any] = {}
 
     def run(key, pdf):
-        transform = cell.get("t")
-        if transform is None:
-            ns: dict[str, Any] = {}
-            exec(compile(script, "<py.group_eval>", "exec"), ns)  # noqa: S102
-            transform = cell["t"] = ns["transform"]
-        return transform(key, pdf)
+        code = cell.get("code")
+        if code is None:
+            code = cell["code"] = compile(script, "<py.group_eval>", "exec")
+        ns: dict[str, Any] = {}
+        exec(code, ns)  # noqa: S102 — fresh namespace per group
+        return ns["transform"](key, pdf)
 
     return df.groupBy(*keys).applyInPandas(run, out_schema)

@@ -102,17 +102,13 @@ def main() -> int:
         # is INTERPRETED by the py_ast micro-interpreter — no CPython
         # exec anywhere — and even an interpreter escape lands in this
         # rlimited process: no fork/exec, no fds, CPU+memory capped.
-        # Import and parse BEFORE the fd limit drops (imports open
-        # files); parse/validation errors surface over the protocol.
-        try:
-            from conveyor_spark.transforms.py_ast import make_transform
-
-            transform = make_transform(
-                script, step_budget=int(header.get("step_budget") or 1_000_000)
-            )
-        except Exception as exc:  # noqa: BLE001 — report, don't crash
-            reply({"error": f"{type(exc).__name__}: {exc}"})
-            return 1
+        # ONLY the module import happens before the limits drop
+        # (imports open files); parsing AND the interpreter's
+        # execution of the script's module body run BELOW the
+        # setrlimit block — module-level user code (loops, big
+        # allocations before `def transform`) must already be inside
+        # the OS containment, not just the step budget.
+        from conveyor_spark.transforms.py_ast import make_transform
     else:
         # pre-import the whitelist while we can still open files
         allowed: dict = {}
@@ -127,6 +123,15 @@ def main() -> int:
     resource.setrlimit(resource.RLIMIT_NOFILE, (0, 0))
     resource.setrlimit(resource.RLIMIT_AS, (mem_b, mem_b))
     resource.setrlimit(resource.RLIMIT_CPU, (cpu_s, cpu_s))
+
+    if engine == "ast":
+        try:
+            transform = make_transform(
+                script, step_budget=int(header.get("step_budget") or 1_000_000)
+            )
+        except Exception as exc:  # noqa: BLE001 — report, don't crash
+            reply({"error": f"{type(exc).__name__}: {exc}"})
+            return 1
 
     if transform is None:
         # __name__ present: class creation reads it for __module__

@@ -221,3 +221,39 @@ def test_ast_in_subprocess_prunes_columns(ctx, spark):
                  engine="ast", trusted=False, output_schema="doubled BIGINT")
     assert sorted(r["doubled"] for r in out.collect()) == \
         [i * 20 for i in range(10)]
+
+
+def test_ast_in_subprocess_module_body_is_rlimited(ctx, df):
+    """Module-level user code (before `def transform`) must already
+    run under the OS containment: a top-level spin loop with the step
+    budget effectively disabled dies on the CPU rlimit instead of
+    hanging the executor. Regression: make_transform used to run the
+    module body BEFORE the setrlimit block."""
+    script = ("x = 0\n"
+              "while True:\n"
+              "    x = x + 1\n"
+              "def transform(row):\n"
+              "    return row\n")
+    with pytest.raises(Exception, match="sandbox"):
+        run_op(ctx, "py.eval", [df], script=script, engine="ast",
+               trusted=False, step_budget=10**18,
+               sandbox_cpu_seconds=1).collect()
+
+
+def test_group_eval_namespace_fresh_per_group(ctx, spark):
+    """Mutable module-level script state must stay group-scoped: the
+    compile-once optimization must not share the exec'd namespace
+    across groups (partitioning-dependent results otherwise)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4)], "k STRING, v INT"
+    )
+    script = (
+        "seen = []\n"
+        "def transform(key, pdf):\n"
+        "    seen.append(key)\n"
+        "    return pdf.assign(rank=len(seen))\n"
+    )
+    out = run_op(ctx, "py.group_eval", [df], script=script, group_by="k",
+                 output_schema="k STRING, v INT, rank BIGINT",
+                 parallelism=1)  # force every group into ONE task
+    assert {r["rank"] for r in out.collect()} == {1}
