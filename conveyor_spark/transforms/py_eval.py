@@ -126,6 +126,56 @@ def _sandbox_partition(batches, script, out_columns, cfg, pd):
         proc.wait()
 
 
+def _stateless_module_body(script: str) -> bool:
+    """True when re-executing the script's module body per group can
+    never change results — the condition for safely sharing one
+    exec'd namespace across a task's groups. Conservative: the body
+    must be only imports and plain ``def``s, with no ``global``
+    statements anywhere (a function can create module state through
+    one) and no non-constant parameter defaults (a mutable default is
+    per-exec state shared across calls). Anything else — assignments,
+    classes, decorators, conditional defs — falls back to
+    fresh-namespace-per-group."""
+    import ast as _ast
+
+    try:
+        tree = _ast.parse(script)
+    except SyntaxError:
+        return False  # compile() will raise the real diagnostic
+    for node in tree.body:
+        if isinstance(node, (_ast.Import, _ast.ImportFrom)):
+            continue
+        if isinstance(node, _ast.FunctionDef) and not node.decorator_list:
+            args = node.args
+            defaults = list(args.defaults) + [
+                d for d in args.kw_defaults if d is not None
+            ]
+            if all(isinstance(d, _ast.Constant) for d in defaults):
+                continue
+        return False
+    def_names = {b.name for b in tree.body if isinstance(b, _ast.FunctionDef)}
+    # reflection builtins reach the namespace/function internals past
+    # any syntactic analysis
+    reflective = {"setattr", "delattr", "getattr", "vars", "globals",
+                  "locals", "eval", "exec"}
+    for n in _ast.walk(tree):
+        if isinstance(n, (_ast.Global, _ast.Nonlocal)):
+            return False
+        # any attribute STORE/DEL could be mutating a shared function
+        # object through an alias (t = transform; t.x = 1 makes t a
+        # local, so name-based analysis can't see it) — disqualify
+        if isinstance(n, _ast.Attribute) and not isinstance(n.ctx, _ast.Load):
+            return False
+        # attribute access ON a module-level def reaches its mutable
+        # __dict__ even in Load position (transform.__dict__[...])
+        if (isinstance(n, _ast.Attribute) and isinstance(n.value, _ast.Name)
+                and n.value.id in def_names):
+            return False
+        if isinstance(n, _ast.Name) and n.id in reflective:
+            return False
+    return True
+
+
 def _sandboxed_map(df, script, out_columns, out_schema, config, extra=None):
     """mapInPandas through the rlimited sandbox subprocess — shared by
     engine='subprocess' and the untrusted-ast mode (``extra`` adds the
@@ -353,24 +403,32 @@ def py_group_eval(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
                 int(n_parts),
                 int(ctx.spark.conf.get("spark.sql.shuffle.partitions")),
             )
-        except (TypeError, ValueError):  # e.g. "auto"
-            pass
+        except Exception:  # "auto", or backend conf lookup failure —
+            pass           # the defaultParallelism value stands
     if int(n_parts) > 0:
         df = df.repartition(int(n_parts), *keys)
 
     # compile ONCE per task, but exec the code object into a FRESH
-    # namespace per group: a corpus with many small groups otherwise
-    # pays a full script compile for every group (the dominant cost —
-    # exec of a compiled module body is microseconds, imports hit
-    # sys.modules), while a shared namespace would leak mutable
-    # module-level state across groups (partitioning-dependent
-    # results for stateful scripts — semantics must not change).
+    # namespace per group by default: a shared namespace would leak
+    # mutable module-level state across groups (partitioning-
+    # dependent results for stateful scripts — semantics must not
+    # change). When the module body is PROVABLY stateless, the exec'd
+    # namespace is cached too, so expensive module-level setup
+    # (compiled regex tables, lookup dicts) runs once per task
+    # instead of once per group.
+    share_ns = _stateless_module_body(script)
     cell: dict[str, Any] = {}
 
     def run(key, pdf):
         code = cell.get("code")
         if code is None:
             code = cell["code"] = compile(script, "<py.group_eval>", "exec")
+        if share_ns:
+            ns = cell.get("ns")
+            if ns is None:
+                ns = cell["ns"] = {}
+                exec(code, ns)  # noqa: S102 — once per task, stateless body
+            return ns["transform"](key, pdf)
         ns: dict[str, Any] = {}
         exec(code, ns)  # noqa: S102 — fresh namespace per group
         return ns["transform"](key, pdf)

@@ -107,8 +107,15 @@ def main() -> int:
         # execution of the script's module body run BELOW the
         # setrlimit block — module-level user code (loops, big
         # allocations before `def transform`) must already be inside
-        # the OS containment, not just the step budget.
-        from conveyor_spark.transforms.py_ast import make_transform
+        # the OS containment, not just the step budget. A failed
+        # import must surface over the protocol: stderr is DEVNULL in
+        # the parent, so a bare crash here would be misreported as an
+        # rlimit kill.
+        try:
+            from conveyor_spark.transforms.py_ast import make_transform
+        except Exception as exc:  # noqa: BLE001 — broken deployment
+            reply({"error": f"{type(exc).__name__}: {exc}"})
+            return 1
     else:
         # pre-import the whitelist while we can still open files
         allowed: dict = {}

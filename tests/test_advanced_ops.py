@@ -229,3 +229,40 @@ def test_window_rollup_levels_single_pass(ctx, spark):
         run_op(ctx, "window.rollup", [df], time_column="ts",
                granularities=["fortnight"],
                aggregations=[{"column": "v", "operation": "sum"}])
+
+
+def test_stateless_module_body_analysis():
+    """The namespace-sharing gate must be conservative: only scripts
+    whose re-execution per group is provably a no-op may share."""
+    from conveyor_spark.transforms.py_eval import _stateless_module_body as ok
+
+    assert ok("import pandas as pd\ndef transform(k, p):\n    return p")
+    assert ok("def transform(k, p, n=3):\n    return p.head(n)")
+    # mutable module state / aliases / reflection all disqualify
+    assert not ok("seen = []\ndef transform(k, p):\n    seen.append(k)\n    return p")
+    assert not ok("def transform(k, p, c=[]):\n    c.append(k)\n    return p")
+    assert not ok("def transform(k, p):\n    global n\n    n = 1\n    return p")
+    assert not ok("def transform(k, p):\n    transform.n = 1\n    return p")
+    assert not ok("def transform(k, p):\n    t = transform\n    t.n = 1\n    return p")
+    assert not ok("def transform(k, p):\n    transform.__dict__['n'] = 1\n    return p")
+    assert not ok("def transform(k, p):\n    globals()['n'] = 1\n    return p")
+    assert not ok("class C:\n    n = 0\ndef transform(k, p):\n    return p")
+    assert not ok("not python (")
+
+
+def test_group_eval_stateless_script_shares_setup(ctx, spark):
+    """A provably-stateless script still produces per-group-correct
+    results when its namespace is shared across a whole task."""
+    df = spark.createDataFrame(
+        [(i % 10, f"x{i}") for i in range(100)], "k INT, s STRING"
+    )
+    script = (
+        "import re\n"
+        "def transform(key, pdf):\n"
+        "    import pandas as pd\n"
+        "    n = int(pdf['s'].str.match(r'x\\d+').sum())\n"
+        "    return pd.DataFrame({'k': [key[0]], 'n': [n]})\n"
+    )
+    out = run_op(ctx, "py.group_eval", [df], script=script, group_by="k",
+                 output_schema="k INT, n BIGINT", parallelism=1)
+    assert {(r["k"], r["n"]) for r in out.collect()} == {(i, 10) for i in range(10)}
