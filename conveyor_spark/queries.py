@@ -6288,6 +6288,51 @@ aggregations = [
     return _op("stage.pipeline", ctx, [li], inline=inline)
 
 
+@query(
+    "q159_approx_sketches",
+    """
+    SELECT l_linestatus,
+           COUNT(DISTINCT l_returnflag)::BIGINT AS rf_distinct,
+           quantile_disc(l_quantity, 0.33) AS q33,
+           quantile_disc(l_quantity, 0.51) AS q51,
+           quantile_disc(l_quantity, 0.87) AS q87
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q159_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx.count_distinct + approx.quantiles, oracle-gated in their
+    PROVABLY-EXACT regimes: HLL++ stays in its sparse (exact)
+    representation below ~thousands of distinct values (3 here), and
+    the GK quantile sketch's rank error n/accuracy (= 60 ranks at
+    sf0.1) cannot cross a value boundary when every value's run is
+    ~2% of the rows and the probed probabilities (0.33/0.51/0.87)
+    sit mid-run. percentile_approx's rank definition (smallest value
+    with cumulative fraction >= p) coincides with DuckDB's
+    quantile_disc — verified including the empirical-wobble boundary
+    at sf0.001 where both engines pick 16. At true scale the same
+    sketches answer these questions with constant memory where the
+    exact forms would shuffle; the exactness regime is the
+    CORRECTNESS gate, not the use case."""
+    ctx = _ctx(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    a = _op("approx.count_distinct", ctx, [li], column="l_returnflag",
+            rsd=0.05, by="l_linestatus")
+    q = _op("approx.quantiles", ctx, [li], column="l_quantity",
+            probabilities=[0.33, 0.51, 0.87], accuracy=10000,
+            by="l_linestatus")
+    j = _op("join.apply", ctx, [a, q], on="l_linestatus")
+    for name, expr in [
+        ("rf_distinct", "l_returnflag_approx_distinct"),
+        ("q33", "l_quantity_quantiles[0]"),
+        ("q51", "l_quantity_quantiles[1]"),
+        ("q87", "l_quantity_quantiles[2]"),
+    ]:
+        j = _op("map.apply", ctx, [j], expression=expr, output_column=name)
+    return _op("select.apply", ctx, [j], columns=[
+        "l_linestatus", "rf_distinct", "q33", "q51", "q87",
+    ])
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
