@@ -191,6 +191,14 @@ CHECKS = [
         and "ReadSchema: struct<doc_id:bigint>" in p,
     ),
     (
+        "q159_approx_sketches",
+        "sketch aggregates: map-side partial HLL/GK merge (partial_approx_* before "
+        "the exchange), tiny aggregate frames broadcast-joined (no SMJ)",
+        lambda p, o: "partial_approx_count_distinct" in p
+        and "partial_percentile_approx" in p
+        and "BroadcastHashJoin" in p and "SortMergeJoin" not in p,
+    ),
+    (
         "q77_topk_per_group",
         "salted top-k: every WindowExec carries a partition spec (no global-order window)",
         lambda p, o: sum(1 for ln in p.splitlines() if "Window [" in ln) == 2
