@@ -2179,15 +2179,21 @@ def q153_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         from conveyor_spark.datapipe.avi import avi_encode
         from conveyor_spark.datapipe.jpeg import jpeg_encode
 
-        def one(i: int) -> bytes:
-            frames = [
-                jpeg_encode(
-                    np.full((16, 16, 3), (i * 31 + 57 * f) % 256,
-                            dtype=np.uint8),
-                    quality=85,
+        # only 256 distinct solid frames exist — memoize per worker
+        # (30k encodes -> <=256; the bytes are identical, the AVI
+        # assembly stays per row)
+        cache: dict[int, bytes] = {}
+
+        def enc(g: int) -> bytes:
+            b = cache.get(g)
+            if b is None:
+                b = cache[g] = jpeg_encode(
+                    np.full((16, 16, 3), g, dtype=np.uint8), quality=85
                 )
-                for f in range(6)
-            ]
+            return b
+
+        def one(i: int) -> bytes:
+            frames = [enc((i * 31 + 57 * f) % 256) for f in range(6)]
             return avi_encode(frames, 16, 16, fps=5)
 
         for pdf in batches:
