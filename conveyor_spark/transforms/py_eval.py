@@ -161,16 +161,28 @@ def _stateless_module_body(script: str) -> bool:
     for n in _ast.walk(tree):
         if isinstance(n, (_ast.Global, _ast.Nonlocal)):
             return False
-        # any attribute STORE/DEL could be mutating a shared function
-        # object through an alias (t = transform; t.x = 1 makes t a
-        # local, so name-based analysis can't see it) — disqualify
-        if isinstance(n, _ast.Attribute) and not isinstance(n.ctx, _ast.Load):
-            return False
-        # attribute access ON a module-level def reaches its mutable
-        # __dict__ even in Load position (transform.__dict__[...])
-        if (isinstance(n, _ast.Attribute) and isinstance(n.value, _ast.Name)
-                and n.value.id in def_names):
-            return False
+        if isinstance(n, _ast.Attribute):
+            # any attribute STORE/DEL could be mutating a shared
+            # function object through an alias (t = transform; t.x = 1
+            # makes t a local, so name-based analysis can't see it)
+            if not isinstance(n.ctx, _ast.Load):
+                return False
+            # attribute access ON a module-level def reaches its
+            # mutable __dict__ even in Load position
+            # (transform.__dict__[...])
+            if isinstance(n.value, _ast.Name) and n.value.id in def_names:
+                return False
+            # dunder attributes reach shared mutable internals through
+            # ANY value expression — (lambda: 0).__globals__ is the
+            # exec namespace itself, an alias's t.__globals__ likewise,
+            # and the value node can be arbitrarily indirect. Reject
+            # every dunder regardless of what it hangs off.
+            if n.attr.startswith("__"):
+                return False
+            # reflective builtins reached as attributes slip the
+            # Name check (import builtins; builtins.getattr(...))
+            if n.attr in reflective:
+                return False
         if isinstance(n, _ast.Name) and n.id in reflective:
             return False
     return True

@@ -248,6 +248,27 @@ def test_stateless_module_body_analysis():
     assert not ok("def transform(k, p):\n    globals()['n'] = 1\n    return p")
     assert not ok("class C:\n    n = 0\ndef transform(k, p):\n    return p")
     assert not ok("not python (")
+    # dunder-attribute escapes: the exec namespace is reachable
+    # through __globals__ on ANY function value, not just a def name
+    assert not ok(
+        "def transform(k, p):\n"
+        "    (lambda: 0).__globals__['n'] = 1\n"
+        "    return p"
+    )
+    assert not ok(
+        "def transform(k, p):\n"
+        "    t = transform\n"
+        "    t.__globals__['n'] = 1\n"
+        "    return p"
+    )
+    # reflective builtins reached as module attributes slip a
+    # bare-Name check
+    assert not ok(
+        "import builtins\n"
+        "def transform(k, p):\n"
+        "    builtins.getattr(transform, '__globals__')['n'] = 1\n"
+        "    return p"
+    )
 
 
 def test_group_eval_stateless_script_shares_setup(ctx, spark):

@@ -186,12 +186,44 @@ def test_ast_in_subprocess_row_drop(ctx, df):
 
 
 def test_ast_in_subprocess_rejects_hostile_script(ctx, df):
-    """Layer 1 (the interpreter) still validates: import nodes are
-    rejected at parse time, surfaced over the sandbox protocol."""
+    """Layer 1 fires on the DRIVER: py_eval calls validate_script
+    before the untrusted branch, so a hostile import is a ConfigError-
+    class failure at op construction — the subprocess never spawns.
+    (Child-side rejection of the same script is covered separately by
+    test_sandbox_child_rejects_hostile_ast_script.)"""
     script = "import os\ndef transform(row):\n    return row"
     with pytest.raises(Exception, match="(?i)import|sandbox|not allowed"):
         run_op(ctx, "py.eval", [df], script=script, engine="ast",
                trusted=False).collect()
+
+
+def test_sandbox_child_rejects_hostile_ast_script():
+    """Layer 1 also runs INSIDE the child: drive the sandbox
+    subprocess directly (bypassing py_eval's driver-side
+    validate_script) with a hostile ast-engine header and assert the
+    rejection arrives over the protocol, after the rlimits drop."""
+    import json
+    import subprocess
+    import sys
+
+    header = {
+        "script": "import os\ndef transform(row):\n    return row",
+        "columns": ["id"],
+        "engine": "ast",
+        "step_budget": 1000000,
+        "cpu_seconds": 10,
+        "memory_mb": 512,
+        "modules": None,
+    }
+    proc = subprocess.run(
+        [sys.executable, "-m", "conveyor_spark.transforms.py_sandbox"],
+        input=json.dumps(header) + "\n",
+        capture_output=True, text=True, timeout=60,
+    )
+    reply = json.loads(proc.stdout.splitlines()[0])
+    assert "error" in reply
+    assert "import" in reply["error"].lower() or "Import" in reply["error"]
+    assert proc.returncode == 1
 
 
 def test_ast_in_subprocess_os_layer_backstops_interpreter(ctx, df):
