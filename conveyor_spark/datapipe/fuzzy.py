@@ -33,7 +33,7 @@ from conveyor_spark.datapipe.dedup import char_ngrams_expr
     "join.fuzzy",
     kind="transform",
     min_inputs=2,
-    max_inputs=2,
+    max_inputs=3,
     doc="Edit-distance pairs via q-gram blocking + Levenshtein verify",
     params=[
         P("on", required=True, desc="Left string column"),
@@ -44,6 +44,10 @@ from conveyor_spark.datapipe.dedup import char_ngrams_expr
         P("ngram", "integer", default=3, min=1, desc="Blocking q-gram size"),
         P("max_df", "float", min=0.0, max=1.0,
           desc="Prune q-grams above this doc frequency (hot-gram guard)"),
+        P("pair_a", default="id_a",
+          desc="Candidates mode: left-id column of the 3rd input"),
+        P("pair_b", default="id_b",
+          desc="Candidates mode: right-id column of the 3rd input"),
     ],
     example={"on": "name", "id_column": "id", "max_distance": 2},
     tags=["join", "fuzzy", "datapipe"],
@@ -57,10 +61,23 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     Output: (id_a, id_b, s_a, s_b, distance) — one row per candidate
     pair within distance; self-join callers should filter
     ``id_a < id_b`` downstream. Matching is case-insensitive (grams
-    and distance both computed on lowercased strings)."""
-    if len(inputs) != 2:
-        raise ConfigError("join.fuzzy needs [left, right] inputs")
-    left, right = inputs
+    and distance both computed on lowercased strings).
+
+    CANDIDATES MODE (the 100 TB path — dedup.ngram_jaccard's shape):
+    inputs = [left, right, pairs] verifies a PRE-BLOCKED pair stream
+    (``pair_a``/``pair_b`` columns, e.g. dedup.minhash over char
+    q-grams) instead of building candidates from the q-gram posting
+    join. The posting join's pair stream is quadratic in gram doc
+    frequency BY SEMANTICS — even with the max_df guard armed it is
+    the one family member still spilling GBs at 64x Zipf — while
+    MinHash-LSH blocking shuffles only (id, band, sig) fixed-width
+    rows and its candidate volume is tunable by band occupancy.
+    Levenshtein runs once per candidate pair; recall follows the LSH
+    curve (1-(1-j^r)^b over gram-set jaccard), the documented trade.
+    """
+    if len(inputs) not in (2, 3):
+        raise ConfigError("join.fuzzy needs [left, right(, pairs)] inputs")
+    left, right = inputs[0], inputs[1]
     on = config.get("on")
     id_column = config.get("id_column")
     if not on or not id_column:
@@ -72,6 +89,34 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         raise ConfigError("join.fuzzy: max_distance must be >= 0")
     q = int(config.get("ngram", 3))
     max_df = config.get("max_df")
+
+    def names(df: DataFrame, idc: str, sc: str, ids: str, ss: str,
+              hs: str) -> DataFrame:
+        # one row per distinct (id, string): the join-back must not
+        # multiply survivors when the input carries duplicate rows
+        return df.select(
+            F.col(idc).alias(ids), F.lower(F.col(sc).cast("string")).alias(ss)
+        ).withColumn(hs, F.xxhash64(ss)).dropDuplicates([ids, hs])
+
+    if len(inputs) == 3:
+        # candidates mode: thresholded verify on the given pairs only
+        pa = config.get("pair_a", "id_a")
+        pb = config.get("pair_b", "id_b")
+        cand = inputs[2].select(
+            F.col(pa).alias("id_a"), F.col(pb).alias("id_b")
+        )
+        na = names(left, id_column, on, "id_a", "s_a", "h_a").drop("h_a")
+        nb = names(right, right_id, right_on, "id_b", "s_b", "h_b").drop("h_b")
+        dist = F.levenshtein(F.col("s_a"), F.col("s_b"), k)
+        return (
+            cand.join(na, "id_a").join(nb, "id_b")
+            # same cheap prefilter as blocking mode: a length gap > k
+            # can never verify, and it skips the DP entirely
+            .filter(F.abs(F.length("s_a") - F.length("s_b")) <= k)
+            .withColumn("distance", dist)
+            .filter(F.col("distance") >= 0)
+            .select("id_a", "id_b", "s_a", "s_b", "distance")
+        )
 
     def grams(df: DataFrame, idc: str, sc: str, ids: str, ss: str,
               ns: str, ls: str, hs: str) -> DataFrame:
@@ -95,14 +140,6 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
             F.length(ss).alias(ls),
             F.explode("__gs").alias("__gram"),
         )
-
-    def names(df: DataFrame, idc: str, sc: str, ids: str, ss: str,
-              hs: str) -> DataFrame:
-        # one row per distinct (id, string): the join-back must not
-        # multiply survivors when the input carries duplicate rows
-        return df.select(
-            F.col(idc).alias(ids), F.lower(F.col(sc).cast("string")).alias(ss)
-        ).withColumn(hs, F.xxhash64(ss)).dropDuplicates([ids, hs])
 
     lg = grams(left, id_column, on, "id_a", "s_a", "n_a", "l_a", "h_a")
     rg = grams(right, right_id, right_on, "id_b", "s_b", "n_b", "l_b", "h_b")

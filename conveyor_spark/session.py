@@ -32,9 +32,14 @@ def get_spark(
     else is a considered default for large-scale batch + streaming.
     """
     cpus = _DEFAULT_LOCAL_CPUS
+    # SPARK_GRAFT_MASTER lets the whole harness (oracle checker,
+    # probes, bench) run unchanged under a different execution
+    # topology — e.g. local-cluster[2,16,4096] for multi-JVM
+    # serialization coverage that local[N]'s shared JVM can't give.
+    env_master = os.environ.get("SPARK_GRAFT_MASTER")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or env_master or f"local[{cpus}]")
         # --- query execution ---
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -76,6 +81,22 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    if exec_mem := os.environ.get("SPARK_GRAFT_EXECUTOR_MEM"):
+        # local-cluster / standalone: worker memory comes from the
+        # master string, but each EXECUTOR still defaults to 1g —
+        # size it explicitly or the workers run nearly empty.
+        builder = builder.config("spark.executor.memory", exec_mem)
+    if (master or env_master or "").startswith(("local-cluster", "spark://")):
+        # separate executor JVMs spawn their own Python workers; the
+        # package is run from a source checkout (not pip-installed),
+        # so those workers need the repo root on PYTHONPATH — local[N]
+        # masks this because its workers inherit the driver's cwd.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH",
+            f"{repo_root}:{existing}" if existing else repo_root,
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

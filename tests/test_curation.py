@@ -197,6 +197,50 @@ def test_fuzzy_join_validates(ctx, spark):
         run_op(ctx, "join.fuzzy", [df, df], id_column="id")
 
 
+def test_fuzzy_join_candidates_mode_verifies_given_pairs(ctx, spark):
+    """3rd input = pre-blocked pairs: only those pairs are verified
+    (no posting-join candidates), distance is thresholded."""
+    left = spark.createDataFrame(
+        [(1, "acme corporation"), (2, "globex incorporated")], ["id", "name"]
+    )
+    right = spark.createDataFrame(
+        [(10, "acme corporatio"), (11, "initech llc"),
+         (12, "globex incorporate")],
+        ["id", "name"],
+    )
+    # pair (2, 12) is within distance but NOT in the candidate list —
+    # candidates mode must not invent it; (1, 11) is a candidate but
+    # fails the verify
+    pairs = spark.createDataFrame([(1, 10), (1, 11)], ["id_a", "id_b"])
+    out = run_op(ctx, "join.fuzzy", [left, right, pairs], on="name",
+                 id_column="id", max_distance=2)
+    got = {(r["id_a"], r["id_b"], r["distance"]) for r in out.collect()}
+    assert got == {(1, 10, 1)}
+
+
+def test_fuzzy_join_candidates_mode_custom_pair_columns(ctx, spark):
+    left = spark.createDataFrame([(1, "alpha beta")], ["id", "name"])
+    right = spark.createDataFrame([(9, "alpha betta")], ["id", "name"])
+    pairs = spark.createDataFrame([(1, 9)], ["src", "dst"])
+    out = run_op(ctx, "join.fuzzy", [left, right, pairs], on="name",
+                 id_column="id", max_distance=2, pair_a="src", pair_b="dst")
+    rows = out.collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in rows] == [(1, 9, 1)]
+
+
+def test_fuzzy_join_candidates_mode_is_case_insensitive(ctx, spark):
+    """Candidates mode lowercases like blocking mode — the verify
+    semantics must not depend on which path produced the pair."""
+    left = spark.createDataFrame([(1, "ACME Corp")], ["id", "name"])
+    right = spark.createDataFrame([(10, "acme corp")], ["id", "name"])
+    pairs = spark.createDataFrame([(1, 10)], ["id_a", "id_b"])
+    out = run_op(ctx, "join.fuzzy", [left, right, pairs], on="name",
+                 id_column="id", max_distance=0)
+    rows = out.collect()
+    assert [(r["s_a"], r["s_b"], r["distance"]) for r in rows] == \
+        [("acme corp", "acme corp", 0)]
+
+
 # -- text.boilerplate -------------------------------------------------------
 
 @pytest.fixture(scope="module")

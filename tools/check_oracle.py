@@ -142,7 +142,10 @@ def main() -> int:
     extra = f", {n_rows_only} rows-only (unverified)" if n_rows_only else ""
     print(f"\n{n_pass} pass, {n_fail} fail{extra}")
     if not only:
-        out = "/root/repo/CORRECTNESS_full.json"
+        import os
+        out = os.environ.get(
+            "SPARK_GRAFT_ORACLE_OUT", "/root/repo/CORRECTNESS_full.json"
+        )
         with open(out, "w") as f:
             json.dump({"sf_dir": sf_dir, "queries": report}, f, indent=2)
         print(f"wrote {out} ({len(report)} rows)")

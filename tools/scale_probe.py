@@ -70,6 +70,13 @@ HEAVY_SET = [
     # per-row zero-shuffle and must stay that way under skew
     "q138_cdc_chunk",
     "q140_winnow_pairs",
+    # round-11: the fuzzy family's zero-spill path (VERDICT r10 item
+    # 2) — distinct-name collapse first, then MinHash-LSH blocking +
+    # Levenshtein verify over DISTINCT strings only. Unlike q64,
+    # every stage's volume is bounded by the distinct-name count at
+    # any replication (Zipf copies collapse in the first groupBy), so
+    # this one is asserted ZERO-SPILL, not pair-class.
+    "q160_fuzzy_join_candidates",
 ]
 
 # Quadratic-BY-DATA paths: under adversarial duplication (Zipf
