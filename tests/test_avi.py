@@ -56,6 +56,67 @@ def test_solid_gray_roundtrip_exact_all_values():
         assert np.unique(px).tolist() == [g], g
 
 
+def test_dc_exactness_quality_envelope():
+    """q153's oracle premise as a PREDICATE over the whole quality
+    axis, not a point sample at 85 (VERDICT r10 item 6): a solid
+    gray's only nonzero coefficient is the DC, whose quantization
+    error is at most qdc/2 in DC space = qdc/16 in pixel space, so
+    the round-trip is exact for every gray iff the SCALED luma DC
+    quantizer stays <= 8 (error <= 0.5 rounds back; qdc=9 already
+    misses 28 grays — measured). The sweep crosses the boundary in
+    both directions and asserts the EMPIRICAL exactness equals the
+    table-derived predicate, so a future change to the base tables
+    or the quality scaling shifts both sides together or fails
+    loudly — the oracle premise can no longer rot silently.
+    (Boundary location with the T.81 Annex K tables: quality >= 74
+    exact, 73 not.)"""
+    from conveyor_spark.datapipe.jpeg import QUANT_LUMA, _scaled_quant
+
+    swept_qdc = set()
+    for quality in (50, 60, 70, 72, 73, 74, 75, 76, 77, 80, 85, 90, 95, 100):
+        qdc = _scaled_quant(QUANT_LUMA, quality)[0]
+        swept_qdc.add(qdc)
+        predicted = qdc <= 8
+        bad = [
+            g for g in range(256)
+            if np.unique(jpeg_pixels(jpeg_encode(
+                np.full((8, 8, 3), g, dtype=np.uint8), quality=quality
+            ))).tolist() != [g]
+        ]
+        assert (not bad) == predicted, (quality, qdc, bad[:5])
+    # the sweep must actually straddle the boundary or it proves
+    # nothing about it
+    assert any(q <= 8 for q in swept_qdc)
+    assert any(q > 8 for q in swept_qdc)
+    assert 8 in swept_qdc and 9 in swept_qdc
+
+
+def test_exactness_regime_covers_block_constant_frames():
+    """The DC-only argument extends to any PER-BLOCK-constant image:
+    a two-color frame split on the 8x8 block grid has zero AC energy
+    and round-trips exactly at quality 85 — q153 could legally
+    synthesize these."""
+    px = np.zeros((16, 16, 3), dtype=np.uint8)
+    px[:, :8] = 40
+    px[:, 8:] = 200
+    out = jpeg_pixels(jpeg_encode(px, quality=85))
+    assert np.array_equal(out, px)
+
+
+def test_exactness_regime_ends_within_block():
+    """...and STOPS at the block boundary: a two-color split INSIDE
+    one 8x8 block has AC energy that quality 85 quantizes lossily.
+    This pins the regime's edge — if a jpeg.py change ever made this
+    exact (or the block-constant case inexact), the analytic-oracle
+    playbook's premise has moved and q153/q104-style oracles must be
+    revisited."""
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    px[:, :4] = 40
+    px[:, 4:] = 200
+    out = jpeg_pixels(jpeg_encode(px, quality=85))
+    assert not np.array_equal(out, px)
+
+
 def test_word_alignment_with_odd_frame_sizes():
     # chunks must pad to even and the walk must still find exact
     # spans; force one guaranteed-odd and one guaranteed-even frame

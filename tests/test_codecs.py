@@ -290,6 +290,32 @@ def test_media_resize_real(ctx, spark):
     assert png_pixels(bytes(up.first()["content"])).shape == (16, 16, 3)
 
 
+def test_media_resize_nn_grid_is_floor_exact(ctx, spark):
+    """q156's oracle premise as a predicate (VERDICT r10 item 6):
+    media.resize's sampling grid is EXACTLY floor(i * in / out) on
+    both axes. The dyadic halving q156 uses cannot tell floor from
+    round/center grids (they coincide there), so this sweeps
+    NON-dyadic down- and up-scales where the grids diverge (16->5:
+    floor picks col 9 where a centered grid picks 10) and asserts
+    bit-equality against the analytic index map on a
+    coordinate-encoded PNG. If the grid definition ever changes,
+    this fails instead of silently invalidating q156's analytic
+    oracle."""
+    from conveyor_spark.datapipe.codecs import png_encode, png_pixels
+
+    h_in, w_in = 16, 10
+    px = ((13 * np.arange(h_in)[:, None] + np.arange(w_in)[None, :]) % 256
+          ).astype(np.uint8)[:, :, None].repeat(3, axis=2)
+    df = _media_df(spark, [("a", png_encode(px))])
+    for out_h, out_w in [(5, 7), (7, 3), (16, 10), (32, 24), (3, 10)]:
+        out = run_op(ctx, "media.resize", [df], column="content",
+                     width=out_w, height=out_h, output_column="thumb")
+        thumb = png_pixels(bytes(out.first()["thumb"]))
+        ys = (np.arange(out_h) * h_in) // out_h
+        xs = (np.arange(out_w) * w_in) // out_w
+        assert np.array_equal(thumb, px[ys][:, xs]), (out_h, out_w)
+
+
 def test_phash_plus_hamming_finds_image_near_dups(ctx, spark):
     """The image near-dup pipeline end to end: real PNG decode ->
     pHash fingerprints -> pigeonhole-banded Hamming pairing. A

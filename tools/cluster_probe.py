@@ -74,12 +74,8 @@ def preflight(master: str, executor_mem: str) -> dict:
         # getExecutorMemoryStatus lists the driver too; executors
         # are the rest (PySpark's StatusTracker has no executor list)
         mem_status = sc._jsc.sc().getExecutorMemoryStatus()
-        hosts = [
-            str(k) for k in
-            sc._jvm.scala.collection.JavaConverters
-            .asJavaCollection(mem_status.keys())
-        ]
-        n_exec = max(0, len(hosts) - 1)
+        hosts = str(mem_status.keys().mkString(","))
+        n_exec = max(0, int(mem_status.size()) - 1)
         # exercise broadcast + shuffle + Python worker in one plan:
         # a broadcast-joined agg through mapInPandas
         from pyspark.sql import functions as F
@@ -96,7 +92,7 @@ def preflight(master: str, executor_mem: str) -> dict:
         topo = {
             "master": master,
             "executors": n_exec,
-            "executor_endpoints": sorted(hosts),
+            "executor_endpoints": hosts,
             "roundtrip_rows": got,
         }
         spark.stop()
