@@ -20,6 +20,31 @@ from pyspark.sql import SparkSession
 _DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _topology_conf(master: str) -> dict[str, str]:
+    """Confs that depend on the execution topology.
+
+    Multi-JVM masters (local-cluster / standalone spark://) launch
+    executors whose Python workers run from the executor WORK DIR,
+    not the repo checkout — found by the round-11 cluster probe:
+    local[N] masks the missing import path because its in-process
+    workers inherit the driver's cwd. The package is run from a
+    source checkout (not pip-installed), so executor workers need the
+    repo root on PYTHONPATH explicitly. Executor memory likewise only
+    matters off-local: the master string sizes the WORKER, but each
+    executor still defaults to 1g unless spark.executor.memory says
+    otherwise."""
+    conf: dict[str, str] = {}
+    if exec_mem := os.environ.get("SPARK_GRAFT_EXECUTOR_MEM"):
+        conf["spark.executor.memory"] = exec_mem
+    if master.startswith(("local-cluster", "spark://")):
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        existing = os.environ.get("PYTHONPATH", "")
+        conf["spark.executorEnv.PYTHONPATH"] = (
+            f"{repo_root}:{existing}" if existing else repo_root
+        )
+    return conf
+
+
 def get_spark(
     app_name: str = "conveyor-spark",
     master: str | None = None,
@@ -81,22 +106,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
-    if exec_mem := os.environ.get("SPARK_GRAFT_EXECUTOR_MEM"):
-        # local-cluster / standalone: worker memory comes from the
-        # master string, but each EXECUTOR still defaults to 1g —
-        # size it explicitly or the workers run nearly empty.
-        builder = builder.config("spark.executor.memory", exec_mem)
-    if (master or env_master or "").startswith(("local-cluster", "spark://")):
-        # separate executor JVMs spawn their own Python workers; the
-        # package is run from a source checkout (not pip-installed),
-        # so those workers need the repo root on PYTHONPATH — local[N]
-        # masks this because its workers inherit the driver's cwd.
-        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        existing = os.environ.get("PYTHONPATH", "")
-        builder = builder.config(
-            "spark.executorEnv.PYTHONPATH",
-            f"{repo_root}:{existing}" if existing else repo_root,
-        )
+    for k, v in _topology_conf(master or env_master or "").items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

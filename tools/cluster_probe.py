@@ -71,13 +71,10 @@ def preflight(master: str, executor_mem: str) -> dict:
 
         spark = get_spark(app_name="cluster-preflight")
         sc = spark.sparkContext
-        # getExecutorMemoryStatus lists the driver too; executors
-        # are the rest (PySpark's StatusTracker has no executor list)
-        mem_status = sc._jsc.sc().getExecutorMemoryStatus()
-        hosts = str(mem_status.keys().mkString(","))
-        n_exec = max(0, int(mem_status.size()) - 1)
         # exercise broadcast + shuffle + Python worker in one plan:
-        # a broadcast-joined agg through mapInPandas
+        # a broadcast-joined agg through mapInPandas (this also
+        # forces executor registration — counting before the first
+        # job sees only the driver)
         from pyspark.sql import functions as F
 
         dim = spark.range(10).withColumnRenamed("id", "k")
@@ -89,6 +86,17 @@ def preflight(master: str, executor_mem: str) -> dict:
                 yield pdf
 
         got = joined.mapInPandas(ident, joined.schema).count()
+        # getExecutorMemoryStatus lists the driver too; executors
+        # are the rest (PySpark's StatusTracker has no executor
+        # list). Poll briefly: registration can trail the first job.
+        n_exec, hosts = 0, ""
+        for _ in range(30):
+            mem_status = sc._jsc.sc().getExecutorMemoryStatus()
+            hosts = str(mem_status.keys().mkString(","))
+            n_exec = max(0, int(mem_status.size()) - 1)
+            if n_exec >= 2:
+                break
+            time.sleep(1)
         topo = {
             "master": master,
             "executors": n_exec,

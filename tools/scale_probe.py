@@ -358,7 +358,7 @@ class StageMetrics:
         """Metrics of stages not yet attributed to a prior call."""
         tot = {"shuffle_write_mb": 0.0, "shuffle_read_mb": 0.0,
                "spilled_disk_mb": 0.0, "spilled_mem_mb": 0.0,
-               "stages": 0}
+               "peak_exec_mem_mb": 0.0, "stages": 0}
         for s in self._stages():
             key = (s["stageId"], s["attemptId"])
             if key in self._seen or s["status"] == "SKIPPED":
@@ -368,6 +368,12 @@ class StageMetrics:
             tot["shuffle_read_mb"] += s.get("shuffleReadBytes", 0) / 2**20
             tot["spilled_disk_mb"] += s.get("diskBytesSpilled", 0) / 2**20
             tot["spilled_mem_mb"] += s.get("memoryBytesSpilled", 0) / 2**20
+            # max over stages: unified-memory pressure of the
+            # heaviest stage, the number a per-executor budget must
+            # cover (summing stages would double-count freed memory)
+            tot["peak_exec_mem_mb"] = max(
+                tot["peak_exec_mem_mb"], s.get("peakExecutionMemory", 0) / 2**20
+            )
             tot["stages"] += 1
         return {k: round(v, 2) for k, v in tot.items()}
 
@@ -414,7 +420,17 @@ def main() -> int:
     result: dict = {
         "sf_dir": args.sf_dir, "scale": args.scale, "alpha": args.alpha,
         "max_cluster": args.max_cluster,
-        "shuffle_partitions": n_shuffle, "queries": {},
+        "shuffle_partitions": n_shuffle,
+        # the actual JVM heap this run executed under — "zero spill"
+        # is only meaningful relative to the memory it had (VERDICT
+        # r10 item 4: per-executor budgets at 100 TB are 4-16 GB,
+        # not the machine's RAM)
+        "jvm_max_heap_mb": round(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+            .maxMemory() / 2**20
+        ),
+        "driver_memory_conf": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "queries": {},
     }
     try:
         t0 = time.time()
