@@ -246,7 +246,79 @@ def pair_floor_mb(name: str, probe_dir: str) -> tuple[int, float]:
 # hook for future probe-only parameterizations.
 # ---------------------------------------------------------------------
 
-PROBE_VARIANTS: dict = {}
+def _v_minhash_star(spark, sf_dir):
+    """q28's config with pairs='star' — the documented clustering-
+    scale mode. At 256x the all-pairs stream is 35.5M rows (output-
+    bound: capped Zipf clusters MUST emit ~C(256,2) pairs each) and
+    spills 1.6 GB through the pair agg; star emits one edge per
+    bucket member to the hub (identical connected components), so
+    the edge stream grows linearly with docs."""
+    from conveyor_spark.queries import _ctx, _op, load_table
+
+    ctx = _ctx(spark)
+    d = load_table(spark, sf_dir, "documents")
+    return _op("dedup.minhash", ctx, [d], column="text", id_column="doc_id",
+               num_hashes=16, bands=4, shingle="word", ngram=3,
+               pairs="star")
+
+
+def _v_lsh_occupancy256(spark, sf_dir):
+    """q152's config with BOTH scale knobs turned for 256x.
+
+    Occupancy: 14-bit buckets (bits=56/bands=4) hold 156k vectors at
+    ~10 rows/bucket where q152's pinned 12-bit buckets (right for
+    <= ~10^5 vectors) have drifted to ~38 mean and spill 3.2 GB.
+    Hot-bucket cap: occupancy alone still spilled 1.0 GB (measured
+    on the way here) because Zipf DUPLICATE clusters share every
+    signature bit — more bits cannot separate near-identical
+    vectors, so their buckets saturate max_bucket=1024 and each
+    contributes up to 1024^2 candidate pairs. Duplicate-heavy
+    corpora need the CAP tightened (128 here); the recall cost is
+    confined to inside near-dup clusters, which the q160/q52
+    doctrine says to collapse with exact/minhash dedup BEFORE ANN
+    anyway."""
+    from conveyor_spark.queries import _ctx, _op, load_table
+
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op("knn.lsh", ctx, [e], id_column="vec_id", k=3, dim=64,
+               bits=56, bands=4, max_bucket=128, signature_method="gemm")
+
+
+def _v_bitext_finer_block(spark, sf_dir):
+    """q151's composite block refined from 4 LSH bits to 6: at 256x
+    the label x 16-bucket composite holds ~975 rows/block and the
+    per-block GEMM pair stream spills 652 MB; 64 refinement buckets
+    bound blocks at ~244 rows. Recall inside near-dup clusters is
+    the documented trade of finer blocking."""
+    from conveyor_spark.queries import _ctx, _op, load_table
+
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = _op("embedding.lsh", ctx, [e], column="embedding", bits=8, dim=64)
+    blk = _op("map.apply", ctx, [sig],
+              expression="concat(CAST(label AS STRING), '|', "
+                         "CAST(lsh_sig % 64 AS STRING))",
+              output_column="block")
+    src = _op("filter.apply", ctx, [blk], expr="vec_id % 2 = 0")
+    tgt = _op("filter.apply", ctx, [blk], expr="vec_id % 2 = 1")
+    return _op("mine.bitext", ctx, [src, tgt], id_column="vec_id",
+               column="embedding", bucket_column="block", k=3,
+               threshold=1.0, mutual=True)
+
+
+# Probe-only parameterizations: the KNOB-RESTORED configurations for
+# the 256x envelope boundary (SCALE_PROBE_r11_x256 records the
+# onset; the x256_knobs artifact records these running green). Not
+# oracle queries — each changes a guard/blocking knob, so output
+# differs from its gate-pinned sibling by the documented recall
+# trade; the probe checks resource envelopes, the siblings' oracles
+# pin correctness of the op itself.
+PROBE_VARIANTS: dict = {
+    "q28x_minhash_star": _v_minhash_star,
+    "q152x_lsh_occupancy256": _v_lsh_occupancy256,
+    "q151x_bitext_finer_block": _v_bitext_finer_block,
+}
 
 # Embedding-family heavy set (the x64_emb artifact). Two entries are
 # the SCALE-PATH configurations of ops whose demo queries are pinned
@@ -398,6 +470,10 @@ def main() -> int:
                          "THAT")
     ap.add_argument("--keep", action="store_true",
                     help="keep the probe directory")
+    ap.add_argument("--note", default=None,
+                    help="purpose annotation recorded in the artifact "
+                         "(e.g. 'envelope-boundary run: violations are "
+                         "the measured spill onset, see x256_knobs')")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -430,6 +506,7 @@ def main() -> int:
             .maxMemory() / 2**20
         ),
         "driver_memory_conf": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        **({"note": args.note} if args.note else {}),
         "queries": {},
     }
     try:
