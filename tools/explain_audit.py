@@ -191,6 +191,15 @@ CHECKS = [
         and "ReadSchema: struct<doc_id:bigint>" in p,
     ),
     (
+        "q160_fuzzy_join_candidates",
+        "candidates-route fuzzy join: equi-joins only (no BNLJ/cartesian), "
+        "zero Python nodes, scans pruned to (p_partkey, p_name)",
+        lambda p, o: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "MapInPandas" not in p and "BatchEvalPython" not in p
+        and "ReadSchema: struct<p_partkey:bigint,p_name:string>" in p,
+    ),
+    (
         "q159_approx_sketches",
         "sketch aggregates: map-side partial HLL/GK merge (partial_approx_* before "
         "the exchange), tiny aggregate frames broadcast-joined (no SMJ)",
