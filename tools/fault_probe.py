@@ -46,9 +46,22 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# one shuffle-heavy batch query + one stateful streaming query
-BATCH_QUERY = "q64_fuzzy_join"
-STREAM_QUERY = "q66_stream_join"
+# one representative per execution class whose recovery differs:
+# - shuffle-heavy batch (lost map outputs -> FetchFailed -> stage
+#   re-run on survivors)
+# - stateful streaming drain (state-store partitions reload from the
+#   checkpoint onto the replacement executor)
+# - grouped PYTHON apply (the killed executor takes its Python
+#   workers with it; retried tasks must respawn workers and re-exec
+#   the script namespace)
+# - Arrow mapInPandas codec decode (pure-Python heavy compute in the
+#   workers, no shuffle — task retry only)
+KILL_QUERIES = [
+    "q64_fuzzy_join",
+    "q66_stream_join",
+    "q155_py_group_eval",
+    "q153_video_frame_stats",
+]
 
 
 def executor_pids(app_id: str) -> list[int]:
@@ -133,7 +146,7 @@ def main() -> int:
                     "app_id": app_id, "kills": {}}
     violations: list[str] = []
 
-    for qname in (BATCH_QUERY, STREAM_QUERY):
+    for qname in KILL_QUERIES:
         fn = qs[qname]
         # warm + time the query (also proves it passes pre-kill)
         t0 = time.time()
