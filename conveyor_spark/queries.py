@@ -6429,7 +6429,21 @@ def q160_fuzzy_join_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero-spill by construction, the q52 pattern taken one level
     deeper. Recall follows the LSH curve over gram-set jaccard (the
     documented trade vs q64's completeness bound); the oracle
-    replays the blocking, so the comparison stays exact."""
+    replays the blocking, so the comparison stays exact.
+
+    The collapsed names table feeds SIX downstream consumers
+    (blocking, both verify sides, self rows, both multiplicity
+    joins); without help each recomputes the full corpus scan +
+    collapse (measured: 11 FileScans, zero ReusedExchange — the
+    consumers' projections differ, so canonical plans never match).
+    names is vocabulary-bounded (KBs), so it is .cache()d: the
+    scan+collapse runs ONCE and every consumer reads the
+    InMemoryTableScan (audit-asserted). Kept lineage means executor
+    loss just recomputes (fault-tolerant, unlike localCheckpoint).
+    NOTE: the projection is DataFrame-API on purpose — routing it
+    through sql.query would dropTempView afterwards, and
+    Catalog.dropTempView cascade-UNCACHES any cache whose plan
+    matches the view (it silently evicted this one)."""
     ctx = _ctx(spark)
     p = load_table(spark, sf_dir, "part")
     low = _op("map.apply", ctx, [p], expression="lower(p_name)",
@@ -6441,25 +6455,33 @@ def q160_fuzzy_join_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"column": "p_partkey", "operation": "min", "alias": "rep"},
         {"column": "is_probe", "operation": "sum", "alias": "probe_rows"},
         {"column": "p_partkey", "operation": "count", "alias": "catalog_rows"},
-    ])
+    ]).cache()
     cand = _op("dedup.minhash", ctx, [names], column="s", id_column="rep",
                num_hashes=16, bands=8, shingle="char", ngram=4)
     fz = _op("join.fuzzy", ctx, [names, names, cand], on="s",
              id_column="rep", max_distance=3)
-    return _op("sql.query", ctx, [fz, names], views=["fz", "names"], sql="""
-      WITH sym AS (
-        SELECT id_a AS rep_p, id_b AS rep_c, s_a AS s_probe,
-               s_b AS s_catalog, distance FROM fz
-        UNION ALL
-        SELECT id_b, id_a, s_b, s_a, distance FROM fz
-        UNION ALL
-        SELECT rep, rep, s, s, 0 FROM names)
-      SELECT y.s_probe, y.s_catalog, y.distance,
-             np.probe_rows AS probe_rows, nc.catalog_rows AS catalog_rows
-      FROM sym y JOIN names np ON y.rep_p = np.rep
-                 JOIN names nc ON y.rep_c = nc.rep
-      WHERE np.probe_rows > 0
-    """)
+    sym = (
+        fz.select(F.col("id_a").alias("rep_p"), F.col("id_b").alias("rep_c"),
+                  F.col("s_a").alias("s_probe"),
+                  F.col("s_b").alias("s_catalog"), "distance")
+        .unionByName(fz.select(
+            F.col("id_b").alias("rep_p"), F.col("id_a").alias("rep_c"),
+            F.col("s_b").alias("s_probe"), F.col("s_a").alias("s_catalog"),
+            "distance"))
+        .unionByName(names.select(
+            F.col("rep").alias("rep_p"), F.col("rep").alias("rep_c"),
+            F.col("s").alias("s_probe"), F.col("s").alias("s_catalog"),
+            F.lit(0).alias("distance")))
+    )
+    return (
+        sym.join(names.select(F.col("rep").alias("rep_p"), "probe_rows"),
+                 "rep_p")
+        .join(names.select(F.col("rep").alias("rep_c"), "catalog_rows"),
+              "rep_c")
+        .filter(F.col("probe_rows") > 0)
+        .select("s_probe", "s_catalog", "distance",
+                "probe_rows", "catalog_rows")
+    )
 
 
 def entry_query(spark: SparkSession) -> DataFrame:

@@ -193,11 +193,15 @@ CHECKS = [
     (
         "q160_fuzzy_join_candidates",
         "candidates-route fuzzy join: equi-joins only (no BNLJ/cartesian), "
-        "zero Python nodes, scans pruned to (p_partkey, p_name)",
+        "zero Python nodes, scans pruned to (p_partkey, p_name), and the "
+        "vocabulary-bounded names collapse cached — every downstream "
+        "consumer reads the InMemoryTableScan instead of re-running the "
+        "corpus scan + aggregate",
         lambda p, o: "CartesianProduct" not in p
         and "BroadcastNestedLoopJoin" not in p
         and "MapInPandas" not in p and "BatchEvalPython" not in p
-        and "ReadSchema: struct<p_partkey:bigint,p_name:string>" in p,
+        and "ReadSchema: struct<p_partkey:bigint,p_name:string>" in p
+        and "InMemoryTableScan" in p,
     ),
     (
         "q159_approx_sketches",
