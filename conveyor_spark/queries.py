@@ -6440,10 +6440,12 @@ def q160_fuzzy_join_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan+collapse runs ONCE and every consumer reads the
     InMemoryTableScan (audit-asserted). Kept lineage means executor
     loss just recomputes (fault-tolerant, unlike localCheckpoint).
-    NOTE: the projection is DataFrame-API on purpose — routing it
-    through sql.query would dropTempView afterwards, and
+    Finding from building this (now fixed in sql_query.py):
     Catalog.dropTempView cascade-UNCACHES any cache whose plan
-    matches the view (it silently evicted this one)."""
+    matches the dropped view — sql.query's view cleanup silently
+    evicted this cache until the op switched to the SessionCatalog
+    name-only drop. The projection stays DataFrame-API regardless
+    (no view round-trip needed)."""
     ctx = _ctx(spark)
     p = load_table(spark, sf_dir, "part")
     low = _op("map.apply", ctx, [p], expression="lower(p_name)",

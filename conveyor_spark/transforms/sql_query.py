@@ -65,4 +65,23 @@ def sql_query(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
         return ctx.spark.sql(str(sql))
     finally:
         for name in registered:
-            ctx.spark.catalog.dropTempView(name)
+            _drop_view_keep_caches(ctx.spark, name)
+
+
+def _drop_view_keep_caches(spark, name: str) -> None:
+    """Drop a temp view WITHOUT evicting caches.
+
+    ``Catalog.dropTempView`` cascade-UNCACHES every cache whose plan
+    matches the view's plan — and the view's plan IS the input
+    DataFrame's plan, so a caller that cached an input (e.g. a
+    vocabulary-bounded collapse feeding several consumers, q160's
+    shape) had its cache silently destroyed by this op's view
+    cleanup. The SessionCatalog drop removes only the name binding;
+    the analyzed plan sql.query returned never needs the name again,
+    and the caller's cache keeps serving its other consumers. Falls
+    back to the public API when the JVM handle is unavailable
+    (Spark Connect), where the trade is eviction vs a leaked name."""
+    try:
+        spark._jsparkSession.sessionState().catalog().dropTempView(name)
+    except Exception:  # noqa: BLE001 — Connect client or API drift
+        spark.catalog.dropTempView(name)

@@ -166,3 +166,24 @@ def test_sql_query_drops_views_after_resolve(ctx, spark):
                   sql="SELECT COUNT(*) AS c FROM named_v")
     assert not spark.catalog.tableExists("named_v")
     assert out2.first()["c"] == 1
+
+
+def test_sql_query_view_cleanup_keeps_input_caches(ctx, spark):
+    """Catalog.dropTempView cascade-uncaches any cache whose plan
+    matches the dropped view — which is exactly the INPUT DataFrame's
+    plan, so the old cleanup silently evicted caches a caller had
+    built for reuse across several consumers (q160's collapsed-names
+    shape). The SessionCatalog drop removes only the name binding."""
+    from tests.conftest import run_op
+
+    df = (spark.createDataFrame([(i, i % 3) for i in range(30)], "id INT, k INT")
+          .groupBy("k").count().cache())
+    df.count()  # materialize
+    assert df.storageLevel.useMemory
+    out = run_op(ctx, "sql.query", [df], views=["cached_in"],
+                 sql="SELECT SUM(count) AS s FROM cached_in")
+    assert out.first()["s"] == 30
+    assert not spark.catalog.tableExists("cached_in")
+    # the cache must have survived the view cleanup
+    assert df.storageLevel.useMemory, "sql.query evicted its input's cache"
+    df.unpersist()
