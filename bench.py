@@ -75,6 +75,15 @@ def main() -> int:
                 file=sys.stderr,
             )
             return -1.0
+        finally:
+            # release query-internal caches (q160's collapsed names):
+            # CacheManager dedupes identical plans, so without this a
+            # best-of-N repeat would time run 2 against run 1's warm
+            # cache, and the 160-query loop would accumulate entries
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001
+                pass
         return round(time.time() - t0, 3)
 
     # fixed-yardstick run: same plan every round, so the ratio of this

@@ -99,7 +99,17 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         ).withColumn(hs, F.xxhash64(ss)).dropDuplicates([ids, hs])
 
     if len(inputs) == 3:
-        # candidates mode: thresholded verify on the given pairs only
+        # candidates mode: thresholded verify on the given pairs only.
+        # The blocking knobs have NO effect here — fail loudly rather
+        # than let a caller migrate a q64-style config and believe
+        # the hot-gram guard is still armed when it is dead config.
+        for dead in ("max_df", "ngram"):
+            if dead in config:
+                raise ConfigError(
+                    f"join.fuzzy: {dead!r} configures the q-gram blocking "
+                    "and has no effect in candidates mode (3rd input given) "
+                    "— blocking already happened upstream; remove the key"
+                )
         pa = config.get("pair_a", "id_a")
         pb = config.get("pair_b", "id_b")
         cand = inputs[2].select(

@@ -157,10 +157,20 @@ def _stateless_module_body(script: str) -> bool:
     # reflection builtins reach the namespace/function internals past
     # any syntactic analysis
     reflective = {"setattr", "delattr", "getattr", "vars", "globals",
-                  "locals", "eval", "exec"}
+                  "locals", "eval", "exec", "attrgetter", "import_module",
+                  "__import__"}
     for n in _ast.walk(tree):
         if isinstance(n, (_ast.Global, _ast.Nonlocal)):
             return False
+        # from-imports can REBIND a reflective callable to any local
+        # name ('from builtins import getattr as g'), after which
+        # name-based detection is blind — disqualify importing any
+        # reflective name (whatever the alias), and star-imports
+        # (which bind everything invisibly)
+        if isinstance(n, _ast.ImportFrom):
+            for alias in n.names:
+                if alias.name == "*" or alias.name in reflective:
+                    return False
         if isinstance(n, _ast.Attribute):
             # any attribute STORE/DEL could be mutating a shared
             # function object through an alias (t = transform; t.x = 1
@@ -180,11 +190,21 @@ def _stateless_module_body(script: str) -> bool:
             if n.attr.startswith("__"):
                 return False
             # reflective builtins reached as attributes slip the
-            # Name check (import builtins; builtins.getattr(...))
+            # Name check (import builtins; builtins.getattr(...);
+            # operator.attrgetter)
             if n.attr in reflective:
                 return False
         if isinstance(n, _ast.Name) and n.id in reflective:
             return False
+        # reflection by STRING: operator.attrgetter('__globals__'),
+        # getattr-like helpers taking the attribute as data — any
+        # dunder or reflective-name string constant disqualifies
+        # (legitimately stateless scripts processing such strings as
+        # data just fall back to fresh-namespace-per-group)
+        if isinstance(n, _ast.Constant) and isinstance(n.value, str):
+            v = n.value
+            if (v.startswith("__") and v.endswith("__")) or v in reflective:
+                return False
     return True
 
 

@@ -64,8 +64,18 @@ def sql_query(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
         # (or keep clobbering) session temp views of the same name
         return ctx.spark.sql(str(sql))
     finally:
+        # a statement that CACHEs a registered view creates a cache
+        # BOUND to the view name; for those, the cascade drop is the
+        # only thing that can ever release it (a name-only drop would
+        # orphan the entry with nothing left to uncache it through)
+        import re
+
+        caches_views = bool(re.search(r"(?i)\bcache\b", str(sql or "")))
         for name in registered:
-            _drop_view_keep_caches(ctx.spark, name)
+            if caches_views:
+                ctx.spark.catalog.dropTempView(name)
+            else:
+                _drop_view_keep_caches(ctx.spark, name)
 
 
 def _drop_view_keep_caches(spark, name: str) -> None:

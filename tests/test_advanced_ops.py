@@ -269,6 +269,29 @@ def test_stateless_module_body_analysis():
         "    builtins.getattr(transform, '__globals__')['n'] = 1\n"
         "    return p"
     )
+    # from-import ALIASING rebinds a reflective callable past any
+    # name-based detection
+    assert not ok(
+        "from builtins import getattr as g\n"
+        "def transform(k, p):\n"
+        "    g(transform, '__globals__')['n'] = 1\n"
+        "    return p"
+    )
+    assert not ok("from builtins import *\ndef transform(k, p):\n    return p")
+    # reflection by STRING: the attribute name travels as data
+    assert not ok(
+        "import operator\n"
+        "def transform(k, p):\n"
+        "    operator.attrgetter('__globals__')(transform)['n'] = 1\n"
+        "    return p"
+    )
+    # a dunder string constant anywhere disqualifies (conservative)
+    assert not ok(
+        "def transform(k, p):\n"
+        "    return p[p['c'] == '__init__']"
+    )
+    # ...but ordinary stateless scripts still share
+    assert ok("import re\ndef transform(k, p):\n    return p")
 
 
 def test_group_eval_stateless_script_shares_setup(ctx, spark):

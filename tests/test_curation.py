@@ -228,6 +228,18 @@ def test_fuzzy_join_candidates_mode_custom_pair_columns(ctx, spark):
     assert [(r["id_a"], r["id_b"], r["distance"]) for r in rows] == [(1, 9, 1)]
 
 
+def test_fuzzy_join_candidates_mode_rejects_dead_blocking_knobs(ctx, spark):
+    """max_df/ngram configure the q-gram blocking that candidates
+    mode skips entirely — accepting them silently would let a caller
+    believe the hot-gram guard is armed when it is dead config."""
+    left = spark.createDataFrame([(1, "alpha")], ["id", "name"])
+    pairs = spark.createDataFrame([(1, 1)], ["id_a", "id_b"])
+    for dead in ({"max_df": 0.05}, {"ngram": 4}):
+        with pytest.raises(ConfigError, match="candidates mode"):
+            run_op(ctx, "join.fuzzy", [left, left, pairs], on="name",
+                   id_column="id", max_distance=2, **dead)
+
+
 def test_fuzzy_join_candidates_mode_is_case_insensitive(ctx, spark):
     """Candidates mode lowercases like blocking mode — the verify
     semantics must not depend on which path produced the pair."""

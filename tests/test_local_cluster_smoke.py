@@ -40,10 +40,18 @@ print("LCSMOKE:" + json.dumps(out))
 
 
 def test_oracle_query_and_python_worker_under_local_cluster():
+    # sanitize topology knobs a probe run may have exported: an
+    # inherited SPARK_GRAFT_EXECUTOR_MEM=3g against this master's
+    # 1024 MB workers would starve the app (no executors ever
+    # allocated) and the test would die at the subprocess timeout
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "8"}
+    for k in ("SPARK_GRAFT_MASTER", "SPARK_GRAFT_EXECUTOR_MEM",
+              "SPARK_GRAFT_DRIVER_MEM"):
+        env.pop(k, None)
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT % {"repo": REPO}],
         capture_output=True, text=True, timeout=420, cwd=REPO,
-        env={**os.environ, "SPARK_GRAFT_CPUS": "8"},
+        env=env,
     )
     lines = [l for l in proc.stdout.splitlines() if l.startswith("LCSMOKE:")]
     assert lines, (

@@ -187,3 +187,18 @@ def test_sql_query_view_cleanup_keeps_input_caches(ctx, spark):
     # the cache must have survived the view cleanup
     assert df.storageLevel.useMemory, "sql.query evicted its input's cache"
     df.unpersist()
+
+
+def test_sql_query_cache_statement_still_released_on_cleanup(ctx, spark):
+    """The one statement class where the cascade drop is REQUIRED: a
+    CACHE TABLE over the registered view creates a view-bound cache
+    entry that only the cascade can ever release once the name is
+    gone — a name-only drop would orphan it for the session."""
+    from tests.conftest import run_op
+
+    df = spark.createDataFrame([(1,)], "x INT")
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    spark.catalog.clearCache()  # isolate from other tests' caches
+    run_op(ctx, "sql.query", [df], views=["cv"], sql="CACHE TABLE cv")
+    assert not spark.catalog.tableExists("cv")
+    assert jcm.isEmpty(), "CACHE TABLE view cache orphaned after cleanup"

@@ -96,6 +96,15 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(exc).__name__}: {str(exc)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # release query-internal caches (e.g. q160's collapsed
+            # names): each builder invocation registers a fresh
+            # entry the caller never sees, and a 160-query loop
+            # would otherwise accumulate them for the session
+            try:
+                spark.catalog.clearCache()
+            except Exception:  # noqa: BLE001 — Connect w/o catalog
+                pass
         rec["spark_rows"] = len(srows)
         if name not in oracles:
             # no oracle => UNVERIFIED, not "rows matched": record None

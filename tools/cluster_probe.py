@@ -203,80 +203,56 @@ def main() -> int:
             os.unlink(oracle_out)
         result["phases"]["oracle"] = rec
 
-    if "streaming" not in args.skip:
-        print("== phase: streaming probe under cluster master", flush=True)
+    def pass_violations_phase(phase: str, title: str, cmd_fn, env: dict,
+                              timeout_s: int = 3600,
+                              extra_keys: tuple = ()) -> None:
+        """Run one child probe whose artifact carries pass/violations:
+        tempfile -> subprocess -> load -> record -> unlink. Shared so
+        the artifact-read/except/unlink handling cannot drift between
+        phases (it already had, before this helper)."""
+        if phase in args.skip:
+            return
+        print(f"== phase: {title}", flush=True)
         with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
-            stream_out = f.name
-        rec = run_phase(
-            [sys.executable, "tools/streaming_probe.py",
-             "--sf-dir", args.sf_dir, "--scale", str(args.stream_scale),
-             "--out", stream_out],
-            env_cluster, timeout_s=3600,
-        )
+            out_path = f.name
+        rec = run_phase(cmd_fn(out_path), env, timeout_s=timeout_s)
         try:
-            with open(stream_out) as f:
-                sp = json.load(f)
-            rec["pass"] = sp.get("pass")
-            rec["violations"] = sp.get("violations")
-            if not sp.get("pass"):
+            with open(out_path) as f:
+                art = json.load(f)
+            rec["pass"] = art.get("pass")
+            rec["violations"] = art.get("violations")
+            for k in extra_keys:
+                rec[k] = art.get(k)
+            if not art.get("pass"):
                 violations.append(
-                    f"streaming: probe violations {sp.get('violations')}"
+                    f"{phase}: probe violations {art.get('violations')}"
                 )
         except Exception as exc:  # noqa: BLE001
-            violations.append(f"streaming: no artifact ({exc})")
+            violations.append(f"{phase}: no artifact ({exc})")
         finally:
-            os.unlink(stream_out)
-        result["phases"]["streaming"] = rec
+            os.unlink(out_path)
+        result["phases"][phase] = rec
 
-    if "recipes" not in args.skip:
-        print("== phase: recipe probe under cluster master", flush=True)
-        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
-            recipe_out = f.name
-        rec = run_phase(
-            [sys.executable, "tools/recipe_probe.py",
-             "--sf-dir", args.sf_dir, "--out", recipe_out],
-            env_cluster, timeout_s=3600,
-        )
-        try:
-            with open(recipe_out) as f:
-                rp = json.load(f)
-            rec["pass"] = rp.get("pass")
-            rec["violations"] = rp.get("violations")
-            if not rp.get("pass"):
-                violations.append(
-                    f"recipes: probe violations {rp.get('violations')}"
-                )
-        except Exception as exc:  # noqa: BLE001
-            violations.append(f"recipes: no artifact ({exc})")
-        finally:
-            os.unlink(recipe_out)
-        result["phases"]["recipes"] = rec
-
-    if "faults" not in args.skip:
-        print("== phase: executor fault injection", flush=True)
-        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
-            fault_out = f.name
-        rec = run_phase(
-            [sys.executable, "tools/fault_probe.py",
-             "--sf-dir", args.sf_dir, "--master", args.master,
-             "--executor-mem", args.executor_mem, "--out", fault_out],
-            {}, timeout_s=1800,
-        )
-        try:
-            with open(fault_out) as f:
-                fp = json.load(f)
-            rec["pass"] = fp.get("pass")
-            rec["violations"] = fp.get("violations")
-            rec["kills"] = fp.get("kills")
-            if not fp.get("pass"):
-                violations.append(
-                    f"faults: probe violations {fp.get('violations')}"
-                )
-        except Exception as exc:  # noqa: BLE001
-            violations.append(f"faults: no artifact ({exc})")
-        finally:
-            os.unlink(fault_out)
-        result["phases"]["faults"] = rec
+    pass_violations_phase(
+        "streaming", "streaming probe under cluster master",
+        lambda out: [sys.executable, "tools/streaming_probe.py",
+                     "--sf-dir", args.sf_dir,
+                     "--scale", str(args.stream_scale), "--out", out],
+        env_cluster,
+    )
+    pass_violations_phase(
+        "recipes", "recipe probe under cluster master",
+        lambda out: [sys.executable, "tools/recipe_probe.py",
+                     "--sf-dir", args.sf_dir, "--out", out],
+        env_cluster,
+    )
+    pass_violations_phase(
+        "faults", "executor fault injection",
+        lambda out: [sys.executable, "tools/fault_probe.py",
+                     "--sf-dir", args.sf_dir, "--master", args.master,
+                     "--executor-mem", args.executor_mem, "--out", out],
+        {}, timeout_s=1800, extra_keys=("kills",),
+    )
 
     result["violations"] = violations
     result["pass"] = not violations

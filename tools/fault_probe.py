@@ -187,19 +187,25 @@ def main() -> int:
             }
             rec["attempts"].append(attempt)
             last_s = kill["query_seconds"]
+            # a landed kill counts as exercised recovery even when
+            # the recomputed result is WRONG — the mismatch is its
+            # own violation, and reporting 'no kill landed' on top
+            # of it would misdescribe the failure mode
+            if kill["landed_mid_flight"] and kill["killed_pid"]:
+                landed = True
             if not attempt["hash_match"]:
                 violations.append(
                     f"{qname}: result hash mismatch after executor kill "
-                    f"(attempt at {kill_after:.2f}s)"
+                    f"(attempt at {kill_after:.2f}s, "
+                    f"landed={attempt['landed_mid_flight']})"
                 )
                 break
-            if kill["landed_mid_flight"] and kill["killed_pid"]:
-                landed = True
+            if landed:
                 break
             # give the cluster a moment to re-register a replacement
             time.sleep(5)
         rec["kill_landed"] = landed
-        if not landed and qname in result["kills"]:
+        if not landed:
             violations.append(
                 f"{qname}: no kill landed mid-flight in "
                 f"{len(rec['attempts'])} attempts — recovery unexercised"

@@ -497,15 +497,24 @@ def main() -> int:
         "sf_dir": args.sf_dir, "scale": args.scale, "alpha": args.alpha,
         "max_cluster": args.max_cluster,
         "shuffle_partitions": n_shuffle,
-        # the actual JVM heap this run executed under — "zero spill"
-        # is only meaningful relative to the memory it had (VERDICT
-        # r10 item 4: per-executor budgets at 100 TB are 4-16 GB,
-        # not the machine's RAM)
+        # the JVM heap this run executed under — "zero spill" is only
+        # meaningful relative to the memory it had (VERDICT r10 item
+        # 4: per-executor budgets at 100 TB are 4-16 GB, not the
+        # machine's RAM). Runtime.maxMemory is the DRIVER JVM's heap,
+        # which IS the task heap under local[N]; under a multi-JVM
+        # master (SPARK_GRAFT_MASTER=local-cluster/...) tasks run
+        # against spark.executor.memory instead — both recorded, plus
+        # the master, so the artifact cannot overstate the budget.
+        "master": spark.sparkContext.master,
         "jvm_max_heap_mb": round(
             spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
             .maxMemory() / 2**20
         ),
         "driver_memory_conf": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "executor_memory_conf": (
+            None if spark.sparkContext.master.startswith("local[")
+            else spark.conf.get("spark.executor.memory", "1g")
+        ),
         **({"note": args.note} if args.note else {}),
         "queries": {},
     }
