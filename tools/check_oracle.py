@@ -57,6 +57,21 @@ def frame_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
+    # Pin the COMPARISON BASIS to UTC. Timestamps are instants and the
+    # engines agree on them, but this harness hashes their NAIVE string
+    # forms: PySpark's collect() renders TimestampType through the
+    # Python process timezone (datetime.fromtimestamp), while DuckDB
+    # returns naive UTC values — on a TZ=Asia/Tokyo host the identical
+    # instant hashes differently (measured: 14 time-window queries
+    # "fail" purely by rendering). tzset() before either engine starts
+    # makes the harness host-TZ-independent; the engine itself is
+    # unaffected (session tz is already UTC).
+    import os
+    import time as _time
+
+    os.environ["TZ"] = "UTC"
+    _time.tzset()
+
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 

@@ -113,6 +113,11 @@ def run_with_kill(spark, fn, sf_dir, kill_after_s, app_id):
 
 
 def main() -> int:
+    # pin the hash-comparison basis to UTC (see check_oracle.py:
+    # PySpark collect() renders timestamps through the PROCESS tz)
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--master", default="local-cluster[2,16,4096]")

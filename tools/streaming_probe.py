@@ -123,6 +123,11 @@ def state_metrics(progress: dict) -> dict:
 
 
 def main() -> int:
+    # pin the hash-comparison basis to UTC (see check_oracle.py:
+    # PySpark collect() renders timestamps through the PROCESS tz)
+    os.environ["TZ"] = "UTC"
+    time.tzset()
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--scale", type=int, default=16)
