@@ -114,6 +114,15 @@ def get_spark(
     )
     for k, v in _topology_conf(master or env_master or "").items():
         builder = builder.config(k, v)
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2": invariance probes toggle
+    # execution strategies (codegen off, broadcast off, ...) across a
+    # whole harness run without threading a parameter through every
+    # tool. Explicit extra_conf still wins (applied after).
+    if env_extra := os.environ.get("SPARK_GRAFT_EXTRA_CONF"):
+        for pair in env_extra.split(";"):
+            if "=" in pair:
+                k, _, v = pair.partition("=")
+                builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
