@@ -21,6 +21,7 @@ Cross-engine determinism rules used throughout (hard-won):
 
 from __future__ import annotations
 import math
+import os
 
 from typing import Any, Callable
 
@@ -33,6 +34,28 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+
+
+def _read_events_stream(spark, sf_dir: str, schema):
+    """File-stream source for the events table, layout-agnostic.
+
+    A single-file table streams from sf_dir with a leaf glob filter
+    (the file source needs a directory to watch); a DIRECTORY-shaped
+    table — the multi-file layout every real corpus has — streams
+    from the table directory itself. The two cannot share one idiom:
+    pathGlobFilter matches LEAF file names, so pointing the
+    single-file filter at a directory-shaped table silently streams
+    ZERO rows (found by the round-11 multi-file layout invariance
+    run, where all seven streaming queries returned empty)."""
+    from conveyor_spark.streaming.ops import read_file_stream
+
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        return read_file_stream(spark, path, schema, "parquet")
+    return read_file_stream(
+        spark, sf_dir, schema, "parquet",
+        options={"pathGlobFilter": "events.parquet"},
+    )
 
 
 def query(name: str, oracle: str | None = None):
@@ -1136,10 +1159,7 @@ def q40_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ctx(spark)
     schema = raw_schema(spark, sf_dir, "events")
     # The file-stream source needs a directory; glob-filter the file.
-    sdf = read_file_stream(
-        spark, sf_dir, schema, "parquet",
-        options={"pathGlobFilter": "events.parquet"},
-    )
+    sdf = _read_events_stream(spark, sf_dir, schema)
     if dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     sdf = sdf.withColumn("vdec", F.col("value").cast("decimal(18,2)"))
@@ -1369,10 +1389,7 @@ def q49_stream_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ctx = _ctx(spark)
     schema = raw_schema(spark, sf_dir, "events")
-    sdf = read_file_stream(
-        spark, sf_dir, schema, "parquet",
-        options={"pathGlobFilter": "events.parquet"},
-    )
+    sdf = _read_events_stream(spark, sf_dir, schema)
     win = get_function("stream.count_window").fn(
         ctx, [sdf], {"size": 500, "key_columns": "event_type", "order_by": "event_id"}
     )
@@ -1856,10 +1873,7 @@ def q63_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ctx = _ctx(spark)
     schema = raw_schema(spark, sf_dir, "events")
-    sdf = read_file_stream(
-        spark, sf_dir, schema, "parquet",
-        options={"pathGlobFilter": "events.parquet"},
-    )
+    sdf = _read_events_stream(spark, sf_dir, schema)
     if dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     win = get_function("stream.session_window").fn(
@@ -1992,10 +2006,7 @@ def q66_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = raw_schema(spark, sf_dir, "events")
 
     def stream() -> DataFrame:
-        sdf = read_file_stream(
-            spark, sf_dir, schema, "parquet",
-            options={"pathGlobFilter": "events.parquet"},
-        )
+        sdf = _read_events_stream(spark, sf_dir, schema)
         if dict(sdf.dtypes).get("ts") == "bigint":
             sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         return sdf
@@ -3080,10 +3091,7 @@ def q95_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ctx = _ctx(spark)
     schema = raw_schema(spark, sf_dir, "events")
-    sdf = read_file_stream(
-        spark, sf_dir, schema, "parquet",
-        options={"pathGlobFilter": "events.parquet"},
-    )
+    sdf = _read_events_stream(spark, sf_dir, schema)
     if dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     fun = get_function("stream.funnel").fn(
@@ -3396,10 +3404,7 @@ def q103_stream_sliding_count_window(spark: SparkSession, sf_dir: str) -> DataFr
 
     ctx = _ctx(spark)
     schema = raw_schema(spark, sf_dir, "events")
-    sdf = read_file_stream(
-        spark, sf_dir, schema, "parquet",
-        options={"pathGlobFilter": "events.parquet"},
-    )
+    sdf = _read_events_stream(spark, sf_dir, schema)
     win = get_function("stream.count_window").fn(
         ctx, [sdf], {"size": 1000, "slide": 500, "key_columns": "event_type"}
     )
@@ -6062,10 +6067,7 @@ def q154_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ctx = _ctx(spark)
     schema = raw_schema(spark, sf_dir, "events")
-    sdf = read_file_stream(
-        spark, sf_dir, schema, "parquet",
-        options={"pathGlobFilter": "events.parquet"},
-    )
+    sdf = _read_events_stream(spark, sf_dir, schema)
     if dict(sdf.dtypes).get("ts") == "bigint":
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     ded = _op("stream.dedup", ctx, [sdf],

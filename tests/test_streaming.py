@@ -330,3 +330,33 @@ def test_funnel_and_sessions_order_across_arrow_chunks(ctx, spark, tmp_path):
         assert r["start_ts"].second == 1 and r["start_ts"].minute == 0
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_streaming_queries_read_directory_shaped_tables(spark, tmp_path):
+    """A multi-file (directory-shaped) events table must stream: the
+    old idiom pointed pathGlobFilter='events.parquet' at sf_dir, and
+    since the filter matches LEAF file names, a directory-shaped
+    table silently streamed ZERO rows — all seven streaming queries
+    returned empty on the round-11 multi-file layout run. The
+    layout-agnostic loader streams the table directory itself."""
+    import pyarrow.parquet as pq
+
+    from conveyor_spark.queries import QUERIES
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    tbl = pq.read_table(src)
+    out_dir = tmp_path / "events.parquet"
+    out_dir.mkdir()
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), str(out_dir / "part-00.parquet"))
+    pq.write_table(tbl.slice(half), str(out_dir / "part-01.parquet"))
+
+    rows = QUERIES["q103_stream_sliding_count_window"](
+        spark, str(tmp_path)
+    ).collect()
+    assert len(rows) > 0
+    # same result as the single-file layout (order-insensitive)
+    single = QUERIES["q103_stream_sliding_count_window"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, single))

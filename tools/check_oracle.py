@@ -82,8 +82,13 @@ def main() -> int:
     spark = get_spark(app_name="oracle-check")
     con = duckdb.connect()
     for t in TABLES:
+        # a table may be one file OR a directory of files (the
+        # multi-file layout every real corpus has); Spark's reader
+        # handles both transparently, DuckDB needs the glob
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     qs, oracles = e.queries(), e.oracle_sql()
