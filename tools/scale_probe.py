@@ -314,10 +314,49 @@ def _v_bitext_finer_block(spark, sf_dir):
 # differs from its gate-pinned sibling by the documented recall
 # trade; the probe checks resource envelopes, the siblings' oracles
 # pin correctness of the op itself.
+def _v_lsh_occupancy1024(spark, sf_dir):
+    """The 1024x notch of the same occupancy knob: 15-bit buckets
+    (bits=60/bands=4) hold 359k vectors at ~11 rows/bucket where the
+    256x setting (14-bit) drifts back to ~38 and trips the shuffle
+    cap. Together with the 256x run this MEASURES the design rule:
+    signature bits grow with log2(n) — each 4x corpus growth costs 2
+    bits per band, nothing else changes."""
+    from conveyor_spark.queries import _ctx, _op, load_table
+
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op("knn.lsh", ctx, [e], id_column="vec_id", k=3, dim=64,
+               bits=60, bands=4, max_bucket=128, signature_method="gemm")
+
+
+def _v_bitext_block1024(spark, sf_dir):
+    """q151's composite block at the 1024x notch: 8-bit LSH
+    refinement (256 buckets x labels) bounds blocks at ~140 rows
+    where the 256x setting (6-bit) drifts back to ~560/block and
+    spills 4.7 GB through the per-block GEMM. Same log-scaling rule
+    as the LSH occupancy knob."""
+    from conveyor_spark.queries import _ctx, _op, load_table
+
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    sig = _op("embedding.lsh", ctx, [e], column="embedding", bits=8, dim=64)
+    blk = _op("map.apply", ctx, [sig],
+              expression="concat(CAST(label AS STRING), '|', "
+                         "CAST(lsh_sig AS STRING))",
+              output_column="block")
+    src = _op("filter.apply", ctx, [blk], expr="vec_id % 2 = 0")
+    tgt = _op("filter.apply", ctx, [blk], expr="vec_id % 2 = 1")
+    return _op("mine.bitext", ctx, [src, tgt], id_column="vec_id",
+               column="embedding", bucket_column="block", k=3,
+               threshold=1.0, mutual=True)
+
+
 PROBE_VARIANTS: dict = {
     "q28x_minhash_star": _v_minhash_star,
     "q152x_lsh_occupancy256": _v_lsh_occupancy256,
     "q151x_bitext_finer_block": _v_bitext_finer_block,
+    "q152x_lsh_occupancy1024": _v_lsh_occupancy1024,
+    "q151x_bitext_block1024": _v_bitext_block1024,
 }
 
 # Embedding-family heavy set (the x64_emb artifact). Two entries are
