@@ -69,12 +69,15 @@ def main() -> int:
         try:
             df = QUERIES[name](spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
+            # stop the clock before cache cleanup: clearCache is bench
+            # bookkeeping, not query work, and must not inflate timings
+            elapsed = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             print(
                 f"bench: {name} failed: {type(exc).__name__}: {str(exc)[:200]}",
                 file=sys.stderr,
             )
-            return -1.0
+            elapsed = -1.0
         finally:
             # release query-internal caches (q160's collapsed names):
             # CacheManager dedupes identical plans, so without this a
@@ -84,7 +87,7 @@ def main() -> int:
                 spark.catalog.clearCache()
             except Exception:  # noqa: BLE001
                 pass
-        return round(time.time() - t0, 3)
+        return elapsed
 
     # fixed-yardstick run: same plan every round, so the ratio of this
     # number across two BENCH artifacts ~= the host-speed ratio

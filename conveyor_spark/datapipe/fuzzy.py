@@ -114,7 +114,10 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         pb = config.get("pair_b", "id_b")
         cand = inputs[2].select(
             F.col(pa).alias("id_a"), F.col(pb).alias("id_b")
-        )
+        # blocking mode's pair groupBy guarantees one row per (a, b);
+        # match that contract for arbitrary pre-blocked streams — a
+        # duplicated candidate row must not duplicate the output pair
+        ).dropDuplicates(["id_a", "id_b"])
         na = names(left, id_column, on, "id_a", "s_a", "h_a").drop("h_a")
         nb = names(right, right_id, right_on, "id_b", "s_b", "h_b").drop("h_b")
         dist = F.levenshtein(F.col("s_a"), F.col("s_b"), k)

@@ -158,7 +158,19 @@ def _stateless_module_body(script: str) -> bool:
     # any syntactic analysis
     reflective = {"setattr", "delattr", "getattr", "vars", "globals",
                   "locals", "eval", "exec", "attrgetter", "import_module",
-                  "__import__"}
+                  "__import__",
+                  # frame introspection reaches the exec namespace with
+                  # no dunder and no reflective builtin:
+                  # sys._getframe().f_globals, inspect.currentframe(),
+                  # sys.exc_info()[2].tb_frame, generator .gi_frame /
+                  # coroutine .cr_frame / async-gen .ag_frame. Treat
+                  # the accessor names AND the frame-object attributes
+                  # as disqualifying wherever they appear (attr, name,
+                  # import alias, or string constant) — a false reject
+                  # only costs the share-namespace optimization.
+                  "_getframe", "currentframe", "exc_info",
+                  "f_globals", "f_locals", "f_back", "tb_frame",
+                  "gi_frame", "cr_frame", "ag_frame"}
     for n in _ast.walk(tree):
         if isinstance(n, (_ast.Global, _ast.Nonlocal)):
             return False

@@ -290,6 +290,49 @@ def test_stateless_module_body_analysis():
         "def transform(k, p):\n"
         "    return p[p['c'] == '__init__']"
     )
+    # frame introspection reaches the exec namespace with no dunder
+    # and no classic reflective builtin: each accessor and each
+    # frame-object attribute must disqualify on its own
+    assert not ok(
+        "import sys\n"
+        "def transform(k, p):\n"
+        "    sys._getframe().f_globals['n'] = 1\n"
+        "    return p"
+    )
+    assert not ok(
+        "import inspect\n"
+        "def transform(k, p):\n"
+        "    inspect.currentframe().f_globals['n'] = 1\n"
+        "    return p"
+    )
+    assert not ok(
+        "from sys import _getframe as f\n"
+        "def transform(k, p):\n"
+        "    return p"
+    )
+    assert not ok(
+        "import sys\n"
+        "def transform(k, p):\n"
+        "    try:\n"
+        "        raise ValueError\n"
+        "    except ValueError:\n"
+        "        fr = sys.exc_info()[2].tb_frame\n"
+        "    return p"
+    )
+    # generator frames expose f_globals through gi_frame
+    assert not ok(
+        "def transform(k, p):\n"
+        "    g = (x for x in [1])\n"
+        "    g.gi_frame\n"
+        "    return p"
+    )
+    # the accessor name as a STRING constant (getattr-like helpers
+    # taking it as data) disqualifies too
+    assert not ok(
+        "def transform(k, p):\n"
+        "    s = 'f_globals'\n"
+        "    return p"
+    )
     # ...but ordinary stateless scripts still share
     assert ok("import re\ndef transform(k, p):\n    return p")
 

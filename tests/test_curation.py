@@ -240,6 +240,21 @@ def test_fuzzy_join_candidates_mode_rejects_dead_blocking_knobs(ctx, spark):
                    id_column="id", max_distance=2, **dead)
 
 
+def test_fuzzy_join_candidates_mode_dedups_pair_rows(ctx, spark):
+    """Blocking mode's pair groupBy guarantees one output row per
+    (a, b); candidates mode must honour the same contract when the
+    pre-blocked stream carries duplicate pair rows."""
+    left = spark.createDataFrame([(1, "alpha beta")], ["id", "name"])
+    right = spark.createDataFrame([(9, "alpha betta")], ["id", "name"])
+    pairs = spark.createDataFrame(
+        [(1, 9), (1, 9), (1, 9)], ["id_a", "id_b"]
+    )
+    out = run_op(ctx, "join.fuzzy", [left, right, pairs], on="name",
+                 id_column="id", max_distance=2)
+    rows = out.collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in rows] == [(1, 9, 1)]
+
+
 def test_fuzzy_join_candidates_mode_is_case_insensitive(ctx, spark):
     """Candidates mode lowercases like blocking mode — the verify
     semantics must not depend on which path produced the pair."""
