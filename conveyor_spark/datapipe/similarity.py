@@ -305,8 +305,185 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
     )
 
 
+def _sdc_tables(codebooks: list[list[list[float]]]) -> list[list[list[float]]]:
+    """Symmetric-distance dot tables, driver-side: tbl[s][i][j] =
+    0.0 + sum_d cb[s][i][d] * cb[s][j][d], folded left-to-right —
+    the exact IEEE sequence the DuckDB oracle replays with
+    list_reduce(list_prepend(0.0, products)). Size is m*k*k doubles
+    (m=4, k=16 -> 1 KB): codebook-bounded, never data-bounded."""
+    tables = []
+    for cb in codebooks:
+        t = []
+        for row_i in cb:
+            row = []
+            for row_j in cb:
+                acc = 0.0
+                for x, y in zip(row_i, row_j):
+                    acc += float(x) * float(y)
+                row.append(acc)
+            t.append(row)
+        tables.append(t)
+    return tables
+
+
+def _sdc_table_sql(table: list[list[float]]) -> str:
+    """One subspace's k x k dot table as a literal SQL
+    array<array<double>> — CAST('<repr>' AS DOUBLE) round-trips each
+    float exactly, one parsed expression (the py4j-round-trip lesson
+    from _sub_dist_sql)."""
+    return "array(" + ", ".join(
+        "array(" + ", ".join(
+            f"CAST('{float(x)!r}' AS DOUBLE)" for x in row
+        ) + ")"
+        for row in table
+    ) + ")"
+
+
+def _sdc_sum_sql(tables_sql: list[str], a_code: str, b_code: str) -> str:
+    """0.0 + sum over subspaces of tbl[s][a_code[s]][b_code[s]],
+    left-to-right — approximate dot(a, b) from codes alone. The
+    leading CAST(0.0) pins the fold init so Spark and the oracle's
+    list_reduce(list_prepend(0.0, ...)) execute the same adds."""
+    terms = " + ".join(
+        f"element_at(element_at({tables_sql[s]}, "
+        f"element_at({a_code}, {s + 1}) + 1), "
+        f"element_at({b_code}, {s + 1}) + 1)"
+        for s in range(len(tables_sql))
+    )
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
+               queries_df: DataFrame, self_knn: bool,
+               codebook_df, id_column: str, column: str,
+               config: dict[str, Any], k: int) -> DataFrame:
+    """The compressed-verify stage: score LSH candidate pairs from
+    PQ codes only (SDC — both sides quantized, a broadcast-free
+    m-lookup sum per pair) and keep the top ``rerank`` per query for
+    the exact cosine re-rank. The candidate shuffle then carries
+    (id, m small ints, 1 double) per side instead of the raw vector
+    — at 768-dim float embeddings that is ~3 KB -> ~40 B per row —
+    and the vector-carrying exact stage shrinks from |candidates| to
+    |queries| * rerank rows. Returns the surviving skinny pairs."""
+    from conveyor_spark.datapipe.clustering import (
+        _argmin_code_sql, _parse_codebooks, _pq_clean, _train_pq, vec_ok,
+    )
+
+    m = int(config.get("m", 4))
+    kw = int(config.get("codewords", 16))
+    iterations = int(config.get("iterations", 1))
+    rerank = int(config.get("rerank", 4 * k))
+    if min(m, kw, iterations) < 1:
+        raise ConfigError("knn.lsh: m, codewords, iterations must be >= 1")
+    if rerank < k:
+        raise ConfigError(
+            f"knn.lsh: rerank={rerank} < k={k} — the exact re-rank could "
+            "never fill the top-k it is asked for"
+        )
+    dim = int(config["dim"])
+
+    if codebook_df is not None:
+        codebooks, m, kw, sd, cb_dim = _parse_codebooks(
+            codebook_df, "knn.lsh", config
+        )
+        if cb_dim != dim:
+            raise ConfigError(
+                f"knn.lsh: codebooks are for dim {cb_dim}, config says {dim}"
+            )
+        code_col = config["code_column"]
+        if code_col not in corpus.columns:
+            raise ConfigError(f"knn.lsh: corpus has no column {code_col!r}")
+        # invalid codes (NULL / wrong arity / out-of-range) would read
+        # garbage table cells — exclude, same contract as knn.pq
+        ccodes = corpus.filter(
+            F.col(code_col).isNotNull() & (F.size(code_col) == m)
+            & ~F.exists(
+                code_col, lambda x: x.isNull() | (x < 0) | (x >= kw)
+            )
+        ).select(
+            F.col(id_column).alias("neighbor_id"),
+            F.col(code_col).cast("array<int>").alias("__cc"),
+        )
+    else:
+        if dim % m != 0:
+            raise ConfigError(f"knn.lsh: dim {dim} not divisible by m={m}")
+        sd = dim // m
+        clean, _ = _pq_clean(corpus, id_column, column, dim, op="knn.lsh")
+        codebooks, encoded = _train_pq(clean, dim, m, kw, iterations,
+                                       op="knn.lsh")
+        ccodes = encoded.select(
+            F.col("__kid").alias("neighbor_id"),
+            F.array(*[F.col(f"__c{s}") for s in range(m)]).alias("__cc"),
+        )
+    if m * kw * kw > 65536:
+        raise ConfigError(
+            f"knn.lsh: SDC table m*codewords^2 = {m * kw * kw} exceeds the "
+            "65536-literal budget — use fewer codewords for the screen "
+            "(screen quality buys recall, not correctness; survivors are "
+            "re-ranked exactly)"
+        )
+
+    tables_sql = [_sdc_table_sql(t) for t in _sdc_tables(codebooks)]
+    norm_sql = _sdc_sum_sql(tables_sql, "{c}", "{c}")
+
+    def with_norm(df: DataFrame, ids: str, code: str, nrm: str) -> DataFrame:
+        # code-derived norm, one sqrt per ROW (not per pair); zero /
+        # NaN approximate norms are undefined cosines, filtered like
+        # valid_norm on the exact path
+        out = df.selectExpr(
+            ids, code,
+            f"sqrt({norm_sql.format(c=code)}) AS {nrm}",
+        )
+        return out.filter(
+            F.col(nrm).isNotNull() & ~F.isnan(nrm) & (F.col(nrm) > 0)
+        )
+
+    ccodes = with_norm(ccodes, "neighbor_id", "__cc", "__ccn")
+    if self_knn:
+        qcodes = ccodes.select(
+            F.col("neighbor_id").alias("query_id"),
+            F.col("__cc").alias("__qc"),
+            F.col("__ccn").alias("__qcn"),
+        )
+    else:
+        # encode the query side against the same codebooks (argmin
+        # expression, same tie rules as training — encode(train set)
+        # reproduces training codes exactly)
+        qclean = queries_df.filter(
+            vec_ok(F.col(column), dim)
+        ).select(F.col(id_column).alias("query_id"), F.col(column).alias("__v"))
+        qcodes = with_norm(
+            qclean.selectExpr(
+                "query_id",
+                "array(" + ", ".join(
+                    _argmin_code_sql("__v", s, sd, codebooks[s])
+                    for s in range(m)
+                ) + ") AS __qc",
+            ),
+            "query_id", "__qc", "__qcn",
+        )
+
+    scored = (
+        pairs.join(qcodes, "query_id")
+        .join(ccodes, "neighbor_id")
+        .selectExpr(
+            "query_id", "neighbor_id",
+            f"round({_sdc_sum_sql(tables_sql, '__qc', '__cc')}"
+            " / (__qcn * __ccn), 9) AS __approx",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+
+
 @register(
-    "knn.lsh", kind="transform", min_inputs=1, max_inputs=2,
+    "knn.lsh", kind="transform", min_inputs=1, max_inputs=3,
     doc="Approximate k-NN join via hyperplane-LSH band buckets",
     params=[
         P("id_column", required=True, desc="Row id"),
@@ -325,6 +502,25 @@ def knn_ivf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
                "per-batch BLAS, ~100x less CPU/row — the 100 TB choice"),
         P("widen", "any", default="auto",
           desc="signature_method=gemm: spread narrow scans before BLAS"),
+        P("verify", default="exact", allowed=("exact", "pq"),
+          desc="exact: cosine every candidate (vectors ride the "
+               "candidate shuffle); pq: SDC-score candidates from PQ "
+               "codes, exact re-rank only the top 'rerank' per query "
+               "— the 100 TB candidate-stream-width cut"),
+        P("rerank", "integer", min=1,
+          desc="verify=pq: survivors per query for the exact re-rank "
+               "(default 4*k; recall knob)"),
+        P("m", "integer", min=1, desc="verify=pq: PQ subspaces (default 4)"),
+        P("codewords", "integer", min=1,
+          desc="verify=pq: codewords per subspace (default 16)"),
+        P("iterations", "integer", min=1,
+          desc="verify=pq inline training: Lloyd iterations (default 1 "
+               "— the screen orders candidates, survivors are exact)"),
+        P("code_column",
+          desc="verify=pq: corpus is PRE-ENCODED (embedding.pq "
+               "output='codes'); requires the codebooks LAST input — "
+               "the train-once deployment where corpus vectors load "
+               "only for survivors"),
     ],
     example={"id_column": "id", "dim": 64, "k": 10},
     tags=["similarity", "knn", "lsh", "datapipe"],
@@ -346,6 +542,17 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
 
     Output: (query_id, neighbor_id, cosine, rank) — cosine rounded
     to 6 (accumulated-float noise; NOTES.md determinism rules).
+
+    verify="pq" inserts a compressed screen between the candidate
+    join and the exact cosine: candidates are scored from PQ codes
+    (SDC: a per-pair sum of m codeword-dot table lookups; the table
+    is m*k*k doubles built driver-side) and only the top ``rerank``
+    per query join the raw vectors. Inline mode trains the codebooks
+    on the corpus (embedding.pq's recipe, default 1 Lloyd iteration
+    — the screen only ORDERS candidates; exactness comes from the
+    re-rank); code_column + a codebooks last input is the pretrained
+    deployment where the corpus vector column loads only for
+    survivors. Fully oracle-replayable (q161).
     """
     corpus = inputs[0]
     id_column = config.get("id_column")
@@ -353,6 +560,36 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         raise ConfigError("knn.lsh requires 'id_column'")
     column = config.get("column", "embedding")
     k = int(config.get("k", 10))
+    verify = config.get("verify", "exact")
+    codebook_df = None
+    data_inputs = list(inputs)
+    if verify == "pq":
+        if config.get("code_column") is not None:
+            if len(inputs) < 2:
+                raise ConfigError(
+                    "knn.lsh: code_column requires the codebooks table as "
+                    "the last input (embedding.pq output='codebooks')"
+                )
+            codebook_df = inputs[-1]
+            data_inputs = list(inputs[:-1])
+    else:
+        # the PQ knobs configure the screen that verify='exact' skips
+        # entirely — fail loudly rather than let a caller believe a
+        # rerank cap or pretrained codes are in effect (the join.fuzzy
+        # dead-knob precedent)
+        for dead in ("rerank", "m", "codewords", "iterations",
+                     "code_column"):
+            if dead in config:
+                raise ConfigError(
+                    f"knn.lsh: {dead!r} configures the verify='pq' screen "
+                    "and has no effect with verify='exact'; remove the key "
+                    "or set verify='pq'"
+                )
+        if len(inputs) > 2:
+            raise ConfigError(
+                "knn.lsh: a third (codebooks) input needs verify='pq' "
+                "with code_column"
+            )
     dim = config.get("dim")
     if dim is None:
         raise ConfigError("knn.lsh requires 'dim' (embedding length)")
@@ -390,7 +627,8 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         ])
         return sig.select(ids, F.explode(bandvals).alias(bcol))
 
-    queries_df = inputs[1] if len(inputs) > 1 else corpus
+    queries_df = data_inputs[1] if len(data_inputs) > 1 else corpus
+    self_knn = len(data_inputs) == 1
     c = banded(corpus, "neighbor_id", "__cb")
     if (max_bucket := config.get("max_bucket")) is not None:
         # Hot-bucket guard (same role as dedup.ngram_jaccard's max_df):
@@ -408,7 +646,7 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
             .drop("__bn")
         )
     q = (
-        banded(queries_df, "query_id", "__qb") if len(inputs) > 1
+        banded(queries_df, "query_id", "__qb") if not self_knn
         else c.select(F.col("neighbor_id").alias("query_id"), F.col("__cb").alias("__qb"))
     )
     pairs = (
@@ -418,6 +656,12 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         .dropDuplicates(["query_id", "neighbor_id"])
         .select("query_id", "neighbor_id")
     )
+    if verify == "pq":
+        # compressed screen: the full candidate set is scored from
+        # m-byte codes; only |queries| * rerank pairs reach the
+        # vector joins below
+        pairs = _pq_screen(ctx, pairs, corpus, queries_df, self_knn,
+                           codebook_df, id_column, column, config, k)
     qvec = queries_df.select(
         F.col(id_column).alias("query_id"),
         F.col(column).alias("__qv"),

@@ -6488,6 +6488,164 @@ def q160_fuzzy_join_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_pq_oracle(bits: int, bands: int, k: int, dim: int,
+                   max_bucket: int, m: int, kw: int, iterations: int,
+                   rerank: int) -> str:
+    """Replay knn.lsh verify='pq' END-TO-END in DuckDB: the 48
+    deterministic hyperplanes + banding + hot-bucket guard (q152's
+    oracle), per-subspace PQ training (q121's floor-quantized int64
+    recipe), the SDC codeword-dot tables, the code-only approximate
+    cosine + per-query rerank cut, and the exact cosine re-rank of
+    the survivors. A hash match certifies the whole compressed-verify
+    path — screen ordering included — is partition-order-independent
+    and engine-exact."""
+    from conveyor_spark.datapipe.emb_lsh import sign_matrix
+
+    planes = sign_matrix(bits, dim)
+    terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{signs}]) > 0 THEN {p} ELSE 0 END)".format(
+            signs=", ".join(f"{s:.1f}" for s in planes[j]), p=2**j
+        )
+        for j in range(bits)
+    )
+    width = bits // bands
+    js = ", ".join(f"({j})" for j in range(bands))
+    sd = dim // m
+    fold_dist = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {sd + 1}), "
+        "i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+    fold_dot = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {sd + 1}), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE)), "
+        "(x, y) -> x + y)"
+    )
+    blocks = [
+        # --- LSH candidates (the q152 oracle, verbatim recipe) ---
+        f"""s AS (SELECT vec_id, v, ({terms})::BIGINT AS sig,
+                 sqrt(list_dot_product(v, v)) AS nrm FROM e)""",
+        f"""b AS (SELECT vec_id, t.j, (sig >> (t.j * {width})) & {2**width - 1} AS val
+          FROM s, (VALUES {js}) t(j)
+          QUALIFY count(*) OVER (PARTITION BY t.j,
+              (sig >> (t.j * {width})) & {2**width - 1}) <= {max_bucket})""",
+        """cand AS (SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id
+             FROM b a JOIN b c ON a.j = c.j AND a.val = c.val
+                      AND a.vec_id <> c.vec_id)""",
+        # --- PQ training + encode (the q121 oracle recipe) ---
+        f"""sub AS (SELECT vec_id, sp.s,
+               list_slice(v, sp.s * {sd} + 1, (sp.s + 1) * {sd}) AS sv
+        FROM e CROSS JOIN (SELECT unnest(range(0, {m}))::INT AS s) sp)""",
+        f"""c0 AS (SELECT s,
+               (row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1)::INT AS j,
+               list_transform(sv, x -> x::DOUBLE) AS cv
+        FROM sub WHERE vec_id IN
+             (SELECT vec_id FROM e ORDER BY vec_id LIMIT {kw}))""",
+    ]
+    for t in range(1, iterations + 2):  # last pass = encode only
+        prev = f"c{t - 1}"
+        blocks.append(f"""d{t} AS (
+        SELECT sub.vec_id, sub.s, sub.sv, c.j,
+               {fold_dist.format(a='sub.sv', b='c.cv')} AS dist
+        FROM sub JOIN {prev} c ON sub.s = c.s)""")
+        blocks.append(f"""a{t} AS (
+        SELECT vec_id, s, sv, j FROM (
+            SELECT vec_id, s, sv, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dist, j) AS rn
+            FROM d{t}) WHERE rn = 1)""")
+        if t <= iterations:
+            blocks.append(f"""s{t} AS (
+        SELECT a.s, a.j, dims.i,
+               SUM(floor(a.sv[dims.i]::DOUBLE * 1048576.0)::BIGINT) AS sm,
+               COUNT(*)::BIGINT AS n
+        FROM a{t} a CROSS JOIN
+             (SELECT unnest(range(1, {sd + 1})) AS i) dims
+        GROUP BY a.s, a.j, dims.i)""")
+            blocks.append(f"""c{t} AS (
+        SELECT c0.s, c0.j,
+               COALESCE(u.cv, (SELECT cv FROM {prev} p
+                               WHERE p.s = c0.s AND p.j = c0.j)) AS cv
+        FROM c0 LEFT JOIN (
+            SELECT s, j, list(sm::DOUBLE / (1048576.0 * n) ORDER BY i) AS cv
+            FROM s{t} GROUP BY s, j) u
+        ON c0.s = u.s AND c0.j = u.j)""")
+    enc = f"a{iterations + 1}"
+    cb = f"c{iterations}"
+    blocks += [
+        # --- SDC screen: codeword-dot tables, code norms, approximate
+        # cosine, per-query rerank cut ---
+        f"""tb AS (SELECT ca.s, ca.j AS i, cb2.j AS j2,
+               {fold_dot.format(a='ca.cv', b='cb2.cv')} AS d
+        FROM {cb} ca JOIN {cb} cb2 ON ca.s = cb2.s)""",
+        f"""n2 AS (SELECT a.vec_id,
+               sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                   list(tb.d ORDER BY a.s)), (x, y) -> x + y)) AS cn
+        FROM {enc} a JOIN tb ON tb.s = a.s AND tb.i = a.j AND tb.j2 = a.j
+        GROUP BY a.vec_id)""",
+        """n2f AS (SELECT * FROM n2 WHERE cn > 0 AND NOT isnan(cn))""",
+        f"""psub AS (SELECT cd.query_id, cd.neighbor_id, aa.s, tb.d
+        FROM cand cd
+        JOIN {enc} aa ON aa.vec_id = cd.query_id
+        JOIN {enc} ab ON ab.vec_id = cd.neighbor_id AND ab.s = aa.s
+        JOIN tb ON tb.s = aa.s AND tb.i = aa.j AND tb.j2 = ab.j)""",
+        """ap AS (SELECT p.query_id, p.neighbor_id,
+               round(list_reduce(list_prepend(0.0::DOUBLE,
+                   list(p.d ORDER BY p.s)), (x, y) -> x + y)
+                   / (qn.cn * cn2.cn), 9) AS approx
+        FROM psub p
+        JOIN n2f qn ON qn.vec_id = p.query_id
+        JOIN n2f cn2 ON cn2.vec_id = p.neighbor_id
+        GROUP BY p.query_id, p.neighbor_id, qn.cn, cn2.cn)""",
+        f"""rr AS (SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx DESC, neighbor_id) AS rn
+        FROM ap) WHERE rn <= {rerank})""",
+        # --- exact re-rank of the survivors (q152's exact tail) ---
+        """sc AS (SELECT r.query_id, r.neighbor_id,
+               round(list_dot_product(sa.v, sb.v) / (sa.nrm * sb.nrm), 6) AS cosine
+        FROM rr r JOIN s sa ON sa.vec_id = r.query_id
+                  JOIN s sb ON sb.vec_id = r.neighbor_id)""",
+    ]
+    return (
+        "WITH e AS (SELECT vec_id, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),\n"
+        + ",\n".join(blocks)
+        + f"""
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id)::INT AS rank
+      FROM sc)
+    WHERE rank <= {k}"""
+    )
+
+
+@query("q161_knn_lsh_pq_verify",
+       _lsh_pq_oracle(bits=48, bands=4, k=3, dim=64, max_bucket=1024,
+                      m=4, kw=16, iterations=1, rerank=6))
+def q161_knn_lsh_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn.lsh verify='pq' at the q152 scale configuration — the
+    1024x ANN residual's fix: SCALE_PROBE_r11_x1024_knobs decomposed
+    the remaining cost into the n-linear candidate x VECTOR-WIDTH
+    stream, so this path cuts the width — candidates are scored from
+    m-byte PQ codes (SDC table lookups; the vectors do NOT ride the
+    candidate shuffle) and only the top ``rerank`` per query join the
+    raw vectors for the exact cosine. The oracle replays planes,
+    banding, hot-bucket guard, PQ training, SDC tables, the screen's
+    rank cut AND the exact re-rank in SQL — hash-exact, the q160
+    standard: the scale path is certified, not just bounded. At the
+    probe's measured defaults (m=4, codewords=16, rerank=2k) the
+    screen keeps recall 1.0 at sf0.01 vs verify='exact'."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op("knn.lsh", ctx, [e], id_column="vec_id", k=3, dim=64,
+               bits=48, bands=4, max_bucket=1024, signature_method="gemm",
+               verify="pq", m=4, codewords=16, iterations=1, rerank=6)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

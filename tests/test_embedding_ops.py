@@ -7,6 +7,7 @@ import math
 
 import pytest
 
+from conveyor_spark.errors import ConfigError
 from tests.conftest import run_op
 
 
@@ -79,6 +80,57 @@ def test_knn_lsh_gemm_signature_parity(ctx, spark):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_knn_lsh_pq_verify_unbounded_rerank_equals_exact(ctx, spark):
+    """verify='pq' with a rerank cap above the candidate count keeps
+    EVERY candidate through the screen — the exact re-rank must then
+    reproduce verify='exact' row-for-row (the screen may reorder, it
+    must never rescore)."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(id_column="vec_id", k=3, dim=64, bits=24, bands=4)
+    a = run_op(ctx, "knn.lsh", [e], **kw)
+    b = run_op(ctx, "knn.lsh", [e], verify="pq", m=4, codewords=4,
+               iterations=1, rerank=10**6, **kw)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_knn_lsh_pq_verify_pretrained_matches_inline(ctx, spark):
+    """code_column + codebooks last input (the train-once deployment)
+    must reproduce inline training exactly: embedding.pq's encode is
+    the same argmin as _train_pq's final assign."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(id_column="vec_id", k=3, dim=64, bits=24, bands=4,
+              verify="pq", m=4, codewords=4, rerank=6)
+    inline = run_op(ctx, "knn.lsh", [e], iterations=1, **kw)
+    books = run_op(ctx, "embedding.pq", [e], id_column="vec_id", m=4, k=4,
+                   iterations=1, output="codebooks")
+    coded = run_op(ctx, "embedding.pq", [e], id_column="vec_id", m=4, k=4,
+                   iterations=1, output="codes")
+    pre = run_op(ctx, "knn.lsh", [coded, books], code_column="pq_code", **kw)
+    assert sorted(map(tuple, inline.collect())) == \
+        sorted(map(tuple, pre.collect()))
+
+
+def test_knn_lsh_pq_verify_validates(ctx, spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(id_column="vec_id", k=3, dim=64, bits=24, bands=4)
+    # PQ knobs are dead config under verify='exact' — loud failure
+    for dead in ({"rerank": 6}, {"m": 8}, {"codewords": 8},
+                 {"iterations": 2}, {"code_column": "pq_code"}):
+        with pytest.raises(ConfigError, match="verify='pq'"):
+            run_op(ctx, "knn.lsh", [e], **kw, **dead)
+    # a rerank below k could never fill the requested top-k
+    with pytest.raises(ConfigError, match="rerank"):
+        run_op(ctx, "knn.lsh", [e], verify="pq", rerank=2, **kw)
+    # code_column without the codebooks input
+    with pytest.raises(ConfigError, match="codebooks"):
+        run_op(ctx, "knn.lsh", [e], verify="pq", code_column="pq_code", **kw)
+    # SDC literal-table budget
+    with pytest.raises(ConfigError, match="65536"):
+        run_op(ctx, "knn.lsh", [e], verify="pq", m=16, codewords=256, **kw)
 
 
 def test_signature_frame_gemm_matches_fold_on_adversarial_vectors(ctx, spark):

@@ -175,6 +175,16 @@ CHECKS = [
         lambda p, o: "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p,
     ),
     (
+        "q161_knn_lsh_pq_verify",
+        "PQ-verified LSH kNN: equi-joins only (no BNLJ/cartesian), the "
+        "SDC screen is in the plan (__approx ranked over code columns "
+        "__cc/__qc) — candidates are scored from codes, vectors join "
+        "only after the rerank cut",
+        lambda p, o: "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "__approx" in p and "__cc" in p and "__qc" in p,
+    ),
+    (
         "q155_py_group_eval",
         "grouped-apply: ONE pinned-width exchange (REPARTITION_BY_NUM) reused by "
         "FlatMapGroupsInPandas (no second hash shuffle), scan pruned to 3 columns",
