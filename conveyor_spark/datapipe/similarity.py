@@ -414,7 +414,16 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
         ccodes = encoded.select(
             F.col("__kid").alias("neighbor_id"),
             F.array(*[F.col(f"__c{s}") for s in range(m)]).alias("__cc"),
-        )
+        # materialization FENCE: each argmin is ~32 KB of literal
+        # folds, and CollapseProject would inline all m of them into
+        # EVERY __cc reference in the norm/score expressions — a
+        # multi-MB expression tree whose 32-way codegen OOMed an 8 GB
+        # heap at 1024x (measured; task binaries hit 33 MB). The
+        # repartition blocks the logical merge, so downstream
+        # expressions see a plain 40 B/row attribute — and it
+        # pre-partitions codes by the join key, so the pair join's
+        # exchange is this one
+        ).repartition(F.col("neighbor_id"))
     if m * kw * kw > 65536:
         raise ConfigError(
             f"knn.lsh: SDC table m*codewords^2 = {m * kw * kw} exceeds the "
@@ -459,7 +468,8 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
                     _argmin_code_sql("__v", s, sd, codebooks[s])
                     for s in range(m)
                 ) + ") AS __qc",
-            ),
+            # same CollapseProject fence as the corpus codes
+            ).repartition(F.col("query_id")),
             "query_id", "__qc", "__qcn",
         )
 

@@ -329,6 +329,27 @@ def _v_lsh_occupancy1024(spark, sf_dir):
                bits=60, bands=4, max_bucket=128, signature_method="gemm")
 
 
+def _v_lsh_pq1024(spark, sf_dir):
+    """The 1024x occupancy config (bits=60/bands=4, max_bucket=128)
+    through verify='pq' — the round-12 answer to the x1024 residual:
+    SCALE_PROBE_r11_x1024_knobs decomposed the remaining 2.6 GB
+    shuffle into the n-linear candidate x VECTOR-WIDTH stream, so
+    this path cuts the width: candidates are scored from 4-byte-code
+    SDC lookups (vectors do not ride the candidate shuffle) and only
+    rerank=2k survivors per query join the raw vectors. Inline PQ
+    training (1 Lloyd pass over the corpus) is part of the measured
+    cost. The exact sibling (q152x_lsh_occupancy1024) stays in the
+    run so the artifact records the width cut AND the recall trade
+    side-by-side."""
+    from conveyor_spark.queries import _ctx, _op, load_table
+
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    return _op("knn.lsh", ctx, [e], id_column="vec_id", k=3, dim=64,
+               bits=60, bands=4, max_bucket=128, signature_method="gemm",
+               verify="pq", m=4, codewords=16, iterations=1, rerank=6)
+
+
 def _v_bitext_block1024(spark, sf_dir):
     """q151's composite block at the 1024x notch: 8-bit LSH
     refinement (256 buckets x labels) bounds blocks at ~140 rows
@@ -356,6 +377,7 @@ PROBE_VARIANTS: dict = {
     "q152x_lsh_occupancy256": _v_lsh_occupancy256,
     "q151x_bitext_finer_block": _v_bitext_finer_block,
     "q152x_lsh_occupancy1024": _v_lsh_occupancy1024,
+    "q152x_lsh_pq1024": _v_lsh_pq1024,
     "q151x_bitext_block1024": _v_bitext_block1024,
 }
 
