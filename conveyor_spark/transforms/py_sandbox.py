@@ -21,12 +21,23 @@ BEFORE executing the user script:
   replaced with a whitelist of pre-imported pure-computation modules
   (imports happen before the fd limit drops; nothing else can load).
 
+- seccomp-BPF syscall allowlist (py_seccomp.py, engaged after the
+  rlimits): denied syscalls return EPERM at the KERNEL boundary, so
+  even an object-graph escape that digs a real ``open``/``os.stat``
+  out of the interpreter cannot read filesystem metadata, open,
+  socket, or exec — operations the rlimits alone do not stop (stat
+  and readlink need no new fd). Engagement status rides the ready
+  reply; platforms that cannot engage record the reason (visible
+  negative) and keep the two rlimit layers.
+
 This is OS-level containment, not a bytecode verifier: a hostile
 script can still crash its own subprocess or burn its CPU quota, and
 CPython object-graph escapes can reach unexported objects — but the
-rlimits make those objects inert (no processes, no fds, no network).
-The reference's WASM sandbox is stronger in-principle; this one is
-the strongest available without shipping an interpreter.
+rlimits make those objects inert (no processes, no fds, no network)
+and the syscall filter denies the kernel surface behind them. The
+reference's WASM sandbox remains stronger in-principle (no syscall
+layer exists AT ALL inside wasm); this is the strongest containment
+available without shipping an interpreter.
 
 Protocol (one JSON object per line):
   parent -> child:  {"script", "columns", "cpu_seconds", "memory_mb",
@@ -126,10 +137,30 @@ def main() -> int:
                 pass
         code = compile(script, "<py.eval:sandbox>", "exec")
 
+    # the seccomp module (and its ctypes/libc handles) must load while
+    # files can still open — NOFILE drops to 0 below
+    try:
+        from conveyor_spark.transforms.py_seccomp import engage
+    except Exception as exc:  # noqa: BLE001 — never block the eval path
+        engage = None  # type: ignore[assignment]
+        seccomp_status = f"import failed: {type(exc).__name__}: {exc}"
+
     resource.setrlimit(resource.RLIMIT_NPROC, (0, 0))
     resource.setrlimit(resource.RLIMIT_NOFILE, (0, 0))
     resource.setrlimit(resource.RLIMIT_AS, (mem_b, mem_b))
     resource.setrlimit(resource.RLIMIT_CPU, (cpu_s, cpu_s))
+
+    # layer 3 (after the rlimits, before any user code): drop to a
+    # read-only-compute syscall allowlist — denied syscalls return
+    # EPERM, so an escape that digs past the stripped builtins still
+    # cannot open/socket/exec at the kernel boundary. Unavailable
+    # platforms degrade to the two rlimit layers with the reason
+    # RECORDED in the ready reply — a visible negative, never silent.
+    if engage is not None:
+        try:
+            seccomp_status = engage() or "engaged"
+        except Exception as exc:  # noqa: BLE001
+            seccomp_status = f"{type(exc).__name__}: {exc}"
 
     if engine == "ast":
         try:
@@ -154,7 +185,7 @@ def main() -> int:
         if not callable(transform):
             reply({"error": "py.eval script must define transform(row)"})
             return 1
-    reply({"ready": True})
+    reply({"ready": True, "seccomp": seccomp_status})
 
     for line in proto_in:
         batch = json.loads(line)

@@ -226,6 +226,74 @@ def test_sandbox_child_rejects_hostile_ast_script():
     assert proc.returncode == 1
 
 
+def _drive_child(script, modules, rows):
+    import json
+    import subprocess
+    import sys
+
+    header = {"script": script, "columns": ["x"], "cpu_seconds": 10,
+              "memory_mb": 512, "modules": modules}
+    lines = json.dumps(header) + "\n" + json.dumps({"rows": rows}) + "\n"
+    proc = subprocess.run(
+        [sys.executable, "-m", "conveyor_spark.transforms.py_sandbox"],
+        input=lines, capture_output=True, text=True, timeout=60,
+    )
+    return [json.loads(l) for l in proc.stdout.splitlines() if l.strip()]
+
+
+def test_sandbox_child_engages_seccomp():
+    """Layer 3: on this platform the child must report the syscall
+    filter ENGAGED in its ready reply (a platform that cannot engage
+    reports the reason — but this container can, so a downgrade here
+    is a regression)."""
+    out = _drive_child("def transform(row):\n    return row", None,
+                       [{"x": 1}])
+    assert out[0].get("ready") is True
+    assert out[0].get("seccomp") == "engaged"
+
+
+def test_sandbox_seccomp_denies_fs_metadata_syscalls():
+    """The kernel layer catches what the rlimits CANNOT: stat /
+    readlink / getcwd make no new fd and no new process, so NOFILE=0
+    and NPROC=0 would allow them — the allowlist returns EPERM. Driven
+    with 'os' deliberately whitelisted: even a caller who hands the
+    script os cannot read filesystem metadata."""
+    script = (
+        "import os\n"
+        "def transform(row):\n"
+        "    got = {}\n"
+        "    for name, fn in (('stat', lambda: os.stat('/etc/passwd')),\n"
+        "                     ('readlink', lambda: os.readlink('/proc/self/exe')),\n"
+        "                     ('getcwd', lambda: os.getcwd())):\n"
+        "        try:\n"
+        "            fn(); got[name] = 'ALLOWED'\n"
+        "        except PermissionError: got[name] = 'EPERM'\n"
+        "        except OSError as e: got[name] = 'OSError'\n"
+        "    return {'x': got['stat'] + ',' + got['readlink'] + ',' + got['getcwd']}\n"
+    )
+    out = _drive_child(script, ["os"], [{"x": 1}])
+    assert out[0].get("seccomp") == "engaged"
+    assert out[1]["rows"][0]["x"] == "EPERM,EPERM,EPERM"
+
+
+def test_sandbox_seccomp_normal_compute_unaffected():
+    """The allowlist must not break real computation: allocation
+    (mmap/brk), hashing, datetime, and regex all work under the
+    filter."""
+    script = (
+        "import hashlib, re, datetime\n"
+        "def transform(row):\n"
+        "    big = list(range(20000))  # enough to exercise the allocator\n"
+        "    h = hashlib.sha256(str(sum(big)).encode()).hexdigest()[:8]\n"
+        "    m = re.match(r'(\\d+)', '123abc').group(1)\n"
+        "    d = datetime.date(2020, 1, 2).isoformat()\n"
+        "    return {'x': f'{h}:{m}:{d}'}\n"
+    )
+    out = _drive_child(script, None, [{"x": 1}])
+    assert out[0].get("seccomp") == "engaged"
+    assert out[1]["rows"][0]["x"].endswith(":123:2020-01-02")
+
+
 def test_ast_in_subprocess_os_layer_backstops_interpreter(ctx, df):
     """Layer 2 (the rlimits) backstops layer 1: with the step budget
     effectively disabled, a spin loop is still killed by the OS CPU
