@@ -271,9 +271,27 @@ def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int,
     ]
 
     def assign(df_in: DataFrame) -> DataFrame:
-        return df_in.selectExpr(
+        # two-step: distances land in their own projection, argmin
+        # reads the ATTRIBUTE. One-step argmin inlines the m*k*sd
+        # literal fold twice (array_position + array_min each embed
+        # the dists array) — ~150 KB of expression text per assign
+        # that Catalyst re-analyzes per job and interpreted mode
+        # evaluates twice per row. CollapseProject will NOT merge the
+        # two selects (the dists attr is referenced twice and is
+        # non-cheap), so the literals stay single-copy. Arithmetic is
+        # _argmin_code_sql's exactly: same folds, same tie rule —
+        # the q120/q121/q126/q161 oracles pin it.
+        dists = df_in.selectExpr(
             "__kid", "__v",
-            *[f"{_argmin_code_sql('__v', s, sd, codebooks[s])} AS __c{s}"
+            *["array(" + ", ".join(
+                _sub_dist_sql("__v", s * sd, cw) for cw in codebooks[s]
+              ) + f") AS __d{s}"
+              for s in range(m)],
+        )
+        return dists.selectExpr(
+            "__kid", "__v",
+            *[f"CAST(array_position(__d{s}, array_min(__d{s})) - 1 "
+              f"AS INT) AS __c{s}"
               for s in range(m)],
         )
 
