@@ -10,6 +10,7 @@ deterministically.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from typing import Any
 
@@ -194,6 +195,16 @@ def run_available_now(
     instead. Results are partitioning-independent; only the conf at
     stream start matters, so it is set and restored around start.
 
+    ``SPARK_GRAFT_STATE_PARTITIONS`` (env) overrides the caller's
+    value — the SCALE knob for the per-query gate-scale pins: at
+    1024x Zipf events, q66's pinned 4 partitions mean ~3M state rows
+    per store draining single-threaded per partition (measured: the
+    r12 streaming probe's rocksdb drain ran 10x past its 256x-linear
+    ETA on 4 cores of 32). Same doctrine as LSH's occupancy knob:
+    partitions grow with state cardinality, results are identical
+    (state partitioning never changes values — the r11 part7
+    invariance axis).
+
     ``checkpoint``: a DURABLE checkpoint location. The default (None)
     is a throwaway temp dir — right for one-shot drains. Pass a real
     path to make the drain restartable: a later call with the same
@@ -218,6 +229,9 @@ def run_available_now(
     detection only."""
     spark = sdf.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
+    env_sp = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if env_sp:
+        state_partitions = int(env_sp)
     batches: dict[int, list] = {}
 
     # Bounded drains run 1-3 micro-batches; the default checkpoint

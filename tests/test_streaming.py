@@ -39,6 +39,40 @@ def test_stream_matches_batch_tumbling(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_state_partitions_env_override_is_value_neutral(spark, sf_dir,
+                                                        monkeypatch):
+    """SPARK_GRAFT_STATE_PARTITIONS is the scale knob for the
+    per-query gate-scale pins: it must change ONLY the store layout,
+    never the values (the r11 part7 invariance axis, now as the
+    knob's own contract)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def result(env: str | None):
+        if env is None:
+            monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS",
+                               raising=False)
+        else:
+            monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", env)
+        sdf = read_file_stream(
+            spark, sf_dir, batch.schema, "parquet",
+            options={"pathGlobFilter": "events.parquet"},
+        )
+        if dict(sdf.dtypes).get("ts") == "bigint":
+            sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        agg = windowed_aggregate(
+            sdf, "ts", "1 hour",
+            aggs=[("event_id", "count", "n_events")], watermark="2 hours",
+        )
+        out = run_available_now(agg, f"t_state_knob_{env or 'pin'}",
+                                state_partitions=4)
+        return {(r["window_start"], r["n_events"])
+                for r in out.select("window_start", "n_events").collect()}
+
+    pinned = result(None)       # the caller's pin (4)
+    overridden = result("17")   # env wins, prime partition count
+    assert pinned == overridden and len(pinned) > 0
+
+
 def test_stream_session_window(spark, sf_dir):
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     sdf = read_file_stream(
