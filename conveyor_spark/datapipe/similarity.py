@@ -383,6 +383,12 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
     dim = int(config["dim"])
 
     if codebook_df is not None:
+        if "encode_method" in config:
+            raise ConfigError(
+                "knn.lsh: encode_method configures the INLINE encode and "
+                "has no effect in pretrained mode (code_column given) — "
+                "the corpus is already encoded; remove the key"
+            )
         codebooks, m, kw, sd, cb_dim = _parse_codebooks(
             codebook_df, "knn.lsh", config
         )
@@ -411,19 +417,34 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
         clean, _ = _pq_clean(corpus, id_column, column, dim, op="knn.lsh")
         codebooks, encoded = _train_pq(clean, dim, m, kw, iterations,
                                        op="knn.lsh")
-        ccodes = encoded.select(
-            F.col("__kid").alias("neighbor_id"),
-            F.array(*[F.col(f"__c{s}") for s in range(m)]).alias("__cc"),
-        # materialization FENCE: each argmin is ~32 KB of literal
-        # folds, and CollapseProject would inline all m of them into
-        # EVERY __cc reference in the norm/score expressions — a
-        # multi-MB expression tree whose 32-way codegen OOMed an 8 GB
-        # heap at 1024x (measured; task binaries hit 33 MB). The
-        # repartition blocks the logical merge, so downstream
-        # expressions see a plain 40 B/row attribute — and it
-        # pre-partitions codes by the join key, so the pair join's
-        # exchange is this one
-        ).repartition(F.col("neighbor_id"))
+        if config.get("encode_method", "fold") == "gemm":
+            # the scale encode: Arrow-batched numpy argmin, bit-exact
+            # vs the fold (per-dim sequential accumulation — see
+            # gemm_encode_codes; q161's oracle proves the parity
+            # end-to-end). The JVM fold is an interpreted HOF at
+            # ~ms/row — at 358k corpus rows that is minutes of
+            # executor CPU the gemm path does in a GEMM-shaped pass.
+            from conveyor_spark.datapipe.clustering import (
+                gemm_encode_codes,
+            )
+            ccodes = gemm_encode_codes(
+                clean, "__kid", "__v", "neighbor_id", "__cc",
+                codebooks, m, sd,
+            )
+        else:
+            ccodes = encoded.select(
+                F.col("__kid").alias("neighbor_id"),
+                F.array(*[F.col(f"__c{s}") for s in range(m)]).alias("__cc"),
+            # materialization FENCE: each argmin is ~32 KB of literal
+            # folds, and CollapseProject would inline all m of them
+            # into EVERY __cc reference in the norm/score expressions
+            # — a multi-MB expression tree whose 32-way codegen OOMed
+            # an 8 GB heap at 1024x (measured; task binaries hit
+            # 33 MB). The repartition blocks the logical merge, so
+            # downstream expressions see a plain 40 B/row attribute —
+            # and it pre-partitions codes by the join key, so the
+            # pair join's exchange is this one
+            ).repartition(F.col("neighbor_id"))
     if m * kw * kw > 65536:
         raise ConfigError(
             f"knn.lsh: SDC table m*codewords^2 = {m * kw * kw} exceeds the "
@@ -461,17 +482,21 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
         qclean = queries_df.filter(
             vec_ok(F.col(column), dim)
         ).select(F.col(id_column).alias("query_id"), F.col(column).alias("__v"))
-        qcodes = with_norm(
-            qclean.selectExpr(
+        if config.get("encode_method", "fold") == "gemm" \
+                and codebook_df is None:
+            from conveyor_spark.datapipe.clustering import gemm_encode_codes
+            qenc = gemm_encode_codes(qclean, "query_id", "__v",
+                                     "query_id", "__qc", codebooks, m, sd)
+        else:
+            qenc = qclean.selectExpr(
                 "query_id",
                 "array(" + ", ".join(
                     _argmin_code_sql("__v", s, sd, codebooks[s])
                     for s in range(m)
                 ) + ") AS __qc",
             # same CollapseProject fence as the corpus codes
-            ).repartition(F.col("query_id")),
-            "query_id", "__qc", "__qcn",
-        )
+            ).repartition(F.col("query_id"))
+        qcodes = with_norm(qenc, "query_id", "__qc", "__qcn")
 
     scored = (
         pairs.join(qcodes, "query_id")
@@ -526,6 +551,11 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
         P("iterations", "integer", min=1,
           desc="verify=pq inline training: Lloyd iterations (default 1 "
                "— the screen orders candidates, survivors are exact)"),
+        P("encode_method", default="fold", allowed=("fold", "gemm"),
+          desc="verify=pq inline encode: fold = JVM expression; gemm = "
+               "Arrow-batched numpy argmin, BIT-exact parity (per-dim "
+               "sequential sums) at ~1000x less CPU/row — the 100 TB "
+               "choice (q161 oracles it)"),
         P("code_column",
           desc="verify=pq: corpus is PRE-ENCODED (embedding.pq "
                "output='codes'); requires the codebooks LAST input — "
@@ -588,7 +618,7 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         # rerank cap or pretrained codes are in effect (the join.fuzzy
         # dead-knob precedent)
         for dead in ("rerank", "m", "codewords", "iterations",
-                     "code_column"):
+                     "code_column", "encode_method"):
             if dead in config:
                 raise ConfigError(
                     f"knn.lsh: {dead!r} configures the verify='pq' screen "

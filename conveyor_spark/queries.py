@@ -6643,7 +6643,8 @@ def q161_knn_lsh_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return _op("knn.lsh", ctx, [e], id_column="vec_id", k=3, dim=64,
                bits=48, bands=4, max_bucket=1024, signature_method="gemm",
-               verify="pq", m=4, codewords=16, iterations=1, rerank=6)
+               verify="pq", m=4, codewords=16, iterations=1, rerank=6,
+               encode_method="gemm")
 
 
 def entry_query(spark: SparkSession) -> DataFrame:

@@ -114,6 +114,46 @@ def test_knn_lsh_pq_verify_pretrained_matches_inline(ctx, spark):
         sorted(map(tuple, pre.collect()))
 
 
+def test_gemm_encode_codes_bit_matches_fold(ctx, spark):
+    """gemm_encode_codes (Arrow numpy argmin) must reproduce the JVM
+    fold's codes EXACTLY — per-dim sequential accumulation makes
+    every distance double identical, and np.argmin's first-occurrence
+    tie matches array_position's ties-to-lowest. Checked code-by-code
+    on the full table."""
+    from conveyor_spark.datapipe.clustering import (
+        _pq_clean, _train_pq, gemm_encode_codes,
+    )
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    clean, dim = _pq_clean(e, "vec_id", "embedding", 64)
+    codebooks, encoded = _train_pq(clean, 64, 4, 16, 1)
+    fold = {
+        r["__kid"]: tuple(r["c"])
+        for r in encoded.select(
+            "__kid", F.array(*[f"__c{s}" for s in range(4)]).alias("c")
+        ).collect()
+    }
+    gemm = {
+        r["vec_id"]: tuple(r["code"])
+        for r in gemm_encode_codes(
+            clean, "__kid", "__v", "vec_id", "code", codebooks, 4, 16
+        ).collect()
+    }
+    assert fold == gemm and len(fold) == 500
+
+
+def test_knn_lsh_pq_verify_gemm_encode_matches_fold(ctx, spark):
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(id_column="vec_id", k=3, dim=64, bits=24, bands=4,
+              verify="pq", m=4, codewords=4, iterations=1, rerank=6)
+    a = run_op(ctx, "knn.lsh", [e], encode_method="fold", **kw)
+    b = run_op(ctx, "knn.lsh", [e], encode_method="gemm", **kw)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b and len(rows_a) > 0
+
+
 def test_knn_lsh_pq_verify_validates(ctx, spark):
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     kw = dict(id_column="vec_id", k=3, dim=64, bits=24, bands=4)
@@ -128,6 +168,15 @@ def test_knn_lsh_pq_verify_validates(ctx, spark):
     # code_column without the codebooks input
     with pytest.raises(ConfigError, match="codebooks"):
         run_op(ctx, "knn.lsh", [e], verify="pq", code_column="pq_code", **kw)
+    # encode_method is dead config in pretrained mode (corpus already
+    # encoded) — loud failure, same doctrine as the blocking knobs
+    books = run_op(ctx, "embedding.pq", [e], id_column="vec_id", m=4, k=4,
+                   iterations=1, output="codebooks")
+    coded = run_op(ctx, "embedding.pq", [e], id_column="vec_id", m=4, k=4,
+                   iterations=1, output="codes")
+    with pytest.raises(ConfigError, match="pretrained"):
+        run_op(ctx, "knn.lsh", [coded, books], verify="pq",
+               code_column="pq_code", encode_method="gemm", **kw)
     # SDC literal-table budget
     with pytest.raises(ConfigError, match="65536"):
         run_op(ctx, "knn.lsh", [e], verify="pq", m=16, codewords=256, **kw)
