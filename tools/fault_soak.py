@@ -68,8 +68,32 @@ def main() -> int:
     from fault_probe import executor_pids
     from streaming_probe import build_events_probe
 
-    spark = get_spark(app_name="conveyor-fault-soak")
+    spark = get_spark(app_name="conveyor-fault-soak",
+                      extra_conf={"spark.ui.enabled": "true"})
     app_id = spark.sparkContext.applicationId
+    ui = spark.sparkContext.uiWebUrl
+
+    def stage_state() -> tuple[int, int]:
+        """(completed-stage count, max attemptId among ACTIVE stages).
+        The attempt number is the kill gate: a stage we have already
+        killed once is on attempt >= 1, and letting our kills push any
+        stage to spark.stage.maxConsecutiveAttempts (4) aborts the job
+        by design."""
+        import urllib.request
+        try:
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app_id}/stages",
+                timeout=5,
+            ) as r:
+                stages = json.load(r)
+            done = sum(1 for s in stages if s["status"] == "COMPLETE")
+            retrying = max(
+                (s["attemptId"] for s in stages if s["status"] == "ACTIVE"),
+                default=0,
+            )
+            return done, retrying
+        except Exception:  # noqa: BLE001
+            return -1, 0
     probe_dir = tempfile.mkdtemp(prefix="fault_soak_")
     result: dict = {"query": QUERY, "master": args.master,
                     "scale": args.scale, "interval_s": args.interval,
@@ -108,11 +132,30 @@ def main() -> int:
 
             def killer():
                 # first kill after ONE interval so batch 0 commits a
-                # checkpoint to recover from
+                # checkpoint to recover from. Each kill is PROGRESS-
+                # GATED: the next one fires only after the app has
+                # COMPLETED at least one new stage since the last kill
+                # — a fixed cadence can hit the same recovering stage
+                # spark.stage.maxConsecutiveAttempts (4) times in a
+                # row and abort the job by design (measured at 3 s and
+                # intermittently at 6 s intervals; kept as the
+                # interval3 negative artifact). Gating on progress is
+                # the honest semantics: kills spread across the drain,
+                # never a denial-of-recovery loop.
+                last_stages, _ = stage_state()
                 while not state["done"]:
                     time.sleep(args.interval)
                     if state["done"]:
                         return
+                    cur, retrying = stage_state()
+                    if cur != -1 and cur <= last_stages:
+                        continue  # no forward progress yet: hold fire
+                    if retrying >= 1:
+                        # an active stage is already on a retry
+                        # attempt (our previous kill, or collateral
+                        # FetchFailed) — killing now walks it toward
+                        # the 4-attempt abort; let it land first
+                        continue
                     pids = executor_pids(app_id)
                     if not pids:
                         kills.append({"t": round(time.time() - q0, 2),
@@ -123,8 +166,10 @@ def main() -> int:
                         os.kill(pids[0], signal.SIGKILL)
                     except ProcessLookupError:
                         continue
+                    last_stages = cur
                     kills.append({"t": round(time.time() - q0, 2),
                                   "pid": pids[0],
+                                  "stages_completed_at_kill": cur,
                                   "landed_mid_drain": not state["done"]})
 
             q0 = time.time()

@@ -134,6 +134,8 @@ def main() -> int:
     ap.add_argument("--alpha", type=float, default=1.1)
     ap.add_argument("--max-cluster", type=int, default=256)
     ap.add_argument("--max-state-mb", type=float, default=2048.0)
+    ap.add_argument("--queries", nargs="*", default=STREAMING_SET,
+                    help="subset of the streaming set (knob reruns)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -180,7 +182,7 @@ def main() -> int:
             "CREATE VIEW events AS SELECT * FROM read_parquet("
             f"'{probe_dir}/events.parquet')")
 
-        for name in STREAMING_SET:
+        for name in args.queries:
             qrec: dict = {}
             result["queries"][name] = qrec
             # oracle once per query (provider-independent)
