@@ -373,6 +373,75 @@ def gemm_encode_codes(df: DataFrame, id_col: str, vec_col: str,
         encode, schema=f"{out_id} {idt}, {out_code} array<int>")
 
 
+def gemm_encode_column(df: DataFrame, column: str, out_col: str,
+                       codebooks: list, m: int, sd: int) -> DataFrame:
+    """Whole-row variant of gemm_encode_codes: append ``out_col``
+    (array<int> PQ code, NULL where the row fails vec_ok) to EVERY
+    input row in one Arrow pass — no id join-back, so encoding a
+    100 TB corpus stays a single shuffle-free scan exactly like the
+    fold path it replaces. Validity is vec_ok's predicate replicated
+    in numpy (None element -> NaN under float64 coercion, so one
+    isfinite sweep covers NULL/NaN/Inf alike); codes are bit-exact
+    vs _argmin_code_sql (sequential per-dim accumulation preserves
+    the JVM fold's IEEE order, first-occurrence argmin = the
+    ties-to-lowest array_position rule). Cost note: all columns ride
+    the Arrow batches (same class as the fold path streaming all
+    columns through the projection — neither shuffles)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    dim = m * sd
+    cb = [np.asarray([[float(x) for x in cw] for cw in codebooks[s]],
+                     dtype=np.float64) for s in range(m)]
+    code_field = T.StructField(out_col, T.ArrayType(T.IntegerType()))
+    if out_col in df.columns:
+        # withColumn-replace parity: same name keeps its position
+        fields = [code_field if f.name == out_col else f
+                  for f in df.schema.fields]
+    else:
+        fields = list(df.schema.fields) + [code_field]
+    out_schema = T.StructType(fields)
+    names = [f.name for f in fields]
+
+    def encode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            codes_out: list = [None] * n
+            valid_idx, mats = [], []
+            for i, v in enumerate(pdf[column]):
+                if v is None:
+                    continue
+                try:
+                    a = np.asarray(v, dtype=np.float64)
+                except (TypeError, ValueError):
+                    continue
+                if a.shape != (dim,) or not np.isfinite(a).all():
+                    continue
+                valid_idx.append(i)
+                mats.append(a)
+            if mats:
+                V = np.stack(mats)
+                codes = np.empty((len(mats), m), dtype=np.int32)
+                for s in range(m):
+                    sub = V[:, s * sd:(s + 1) * sd]
+                    d = np.zeros((len(mats), cb[s].shape[0]),
+                                 dtype=np.float64)
+                    for j in range(sd):  # sequential over dims = the fold
+                        t = sub[:, j, None] - cb[s][None, :, j]
+                        d += t * t
+                    codes[:, s] = d.argmin(axis=1)
+                for row_i, c in zip(valid_idx, codes):
+                    codes_out[row_i] = [int(x) for x in c]
+            pdf = pdf.copy()
+            pdf[out_col] = codes_out
+            yield pdf[names]
+
+    return df.mapInPandas(encode, schema=out_schema)
+
+
 def _parse_codebooks(codebook_df: DataFrame, op: str, config: dict):
     """Load + validate an embedding.pq output='codebooks' table into
     the in-memory [m][k][sd] structure. Derived m/codewords/dim WIN —
@@ -445,6 +514,10 @@ def _pq_clean(df: DataFrame, id_column: str, column: str, dim: int | None,
         P("output", default="codes", allowed=("codes", "codebooks"),
           desc="codes: input + pq_code array<int>; codebooks: m*k rows"),
         P("output_column", default="pq_code", desc="Code column"),
+        P("encode_method", default="fold", allowed=("fold", "gemm"),
+          desc="Engine for the final encode pass (output='codes'): "
+               "fold = JVM two-step argmin; gemm = Arrow numpy, "
+               "bit-exact (training itself always runs the fold)"),
     ],
     example={"id_column": "doc_id", "column": "embedding", "m": 4,
              "k": 4, "iterations": 2},
@@ -486,6 +559,13 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     if output not in ("codes", "codebooks"):
         raise ConfigError("embedding.pq: output must be codes|codebooks")
     out_col = config.get("output_column", "pq_code")
+    encode_method = config.get("encode_method", "fold")
+    if output == "codebooks" and "encode_method" in config:
+        raise ConfigError(
+            "embedding.pq: encode_method configures the ENCODE pass and "
+            "has no effect with output='codebooks' (no codes are "
+            "emitted); remove the key or set output='codes'"
+        )
 
     clean, dim = _pq_clean(df, id_column, column, config.get("dim"))
     if dim % m != 0:
@@ -502,10 +582,21 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         return ctx.spark.createDataFrame(
             rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
         )
-    codes = encoded.select(
-        "__kid",
-        F.array(*[F.col(f"__c{s}") for s in range(m)]).alias(out_col),
-    )
+    if encode_method == "gemm":
+        # the final encode pass under the POST-loop codebooks, as an
+        # Arrow numpy argmin instead of the interpreted JVM fold —
+        # bit-exact (gemm_encode_codes' parity contract); training
+        # iterations above always ran the fold, so the codebooks are
+        # identical either way
+        codes = gemm_encode_codes(
+            clean, "__kid", "__v", "__kid", out_col, codebooks, m,
+            dim // m,
+        )
+    else:
+        codes = encoded.select(
+            "__kid",
+            F.array(*[F.col(f"__c{s}") for s in range(m)]).alias(out_col),
+        )
     return df.join(
         codes, df[id_column] == codes["__kid"], "left"
     ).drop("__kid")
@@ -524,6 +615,10 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
           desc="Optional cross-check against the codebooks"),
         P("dim", "integer", min=1,
           desc="Optional cross-check against the codebooks"),
+        P("encode_method", default="fold", allowed=("fold", "gemm"),
+          desc="fold: JVM two-step argmin projection; gemm: "
+               "Arrow-batched numpy (bit-exact, ~100x less CPU/row "
+               "— the 100 TB deployment encode)"),
     ],
     example={"id_column": "doc_id", "column": "embedding"},
     tags=["embedding", "ann", "compression", "datapipe"],
@@ -531,11 +626,23 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
 def embedding_pq_encode(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     """The deployment half of PQ: encode any vector set against a
     codebook table trained ONCE (embedding.pq output="codebooks",
-    typically on a sample) — one codegen argmin pass, zero training
-    jobs. Train on a 1% sample, pq_encode the 100 TB corpus, search
+    typically on a sample) — one argmin pass, zero training jobs.
+    Train on a 1% sample, pq_encode the 100 TB corpus, search
     forever with knn.pq's pretrained mode. Same argmin/tie rules as
     training, so encode(train_corpus) reproduces embedding.pq's own
-    codes exactly (tested)."""
+    codes exactly (tested).
+
+    encode_method picks the argmin engine, results identical (tested
+    row-for-row, NULLs included): 'fold' evaluates the codebook
+    distances as JVM SQL — TWO-step (distances projected once, argmin
+    reads the attribute), because the one-step form double-inlined
+    the m*k literal distance array into array_position AND array_min
+    (the expression-bloat _train_pq's assign escaped in r12) and the
+    aggregate/zip_with HOFs are CodegenFallback (interpreted,
+    ~ms/row); 'gemm' runs the same distances as Arrow-batched numpy
+    with the fold's sequential per-dim accumulation (bit-exact, the
+    q161 parity contract) — the right engine for the corpus-scale
+    encode this op exists for. Both are one shuffle-free scan."""
     df, codebook_df = inputs
     id_column = config.get("id_column")
     if not id_column:
@@ -549,13 +656,42 @@ def embedding_pq_encode(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         codebook_df, "embedding.pq_encode", config
     )
 
+    if config.get("encode_method", "fold") == "gemm":
+        return gemm_encode_column(df, column, out_col, codebooks, m, sd)
+
     vec = F.col(column)
     ok = vec_ok(vec, dim)
     vec_sql = f"`{column.replace('`', '``')}`"
-    codes = F.expr("array(" + ", ".join(
-        _argmin_code_sql(vec_sql, s, sd, codebooks[s]) for s in range(m)
-    ) + ")")
-    return df.withColumn(out_col, F.when(ok, codes))
+    # two-step: distance arrays land in their own projection so the
+    # argmin reads ATTRIBUTES — CollapseProject keeps the m*k literal
+    # arrays single-copy (each __pqd is referenced twice and is
+    # non-cheap), vs the one-step form that embedded them twice per
+    # subspace (~150 KB of expression text Catalyst re-analyzed per
+    # job). Same folds, same ties-to-lowest rule as _argmin_code_sql.
+    tmp = [f"__pqd{s}" for s in range(m)]
+    clash = [t for t in tmp if t in df.columns]
+    if clash:
+        raise ConfigError(
+            f"embedding.pq_encode: input columns {clash} collide with "
+            "the internal distance projection; rename them"
+        )
+    dists = df.select(
+        "*",
+        *[F.expr("array(" + ", ".join(
+            _sub_dist_sql(vec_sql, s * sd, cw) for cw in codebooks[s]
+          ) + ")").alias(tmp[s]) for s in range(m)],
+    )
+    codes = F.array(*[
+        F.expr(f"CAST(array_position({tmp[s]}, array_min({tmp[s]})) - 1 "
+               "AS INT)")
+        for s in range(m)
+    ])
+    keep = [c for c in df.columns if c != out_col]
+    if out_col in df.columns:  # withColumn-replace parity: keep position
+        cols = [F.when(ok, codes).alias(out_col) if c == out_col
+                else F.col(c) for c in df.columns]
+        return dists.select(*cols)
+    return dists.select(*keep, F.when(ok, codes).alias(out_col))
 
 
 @register(

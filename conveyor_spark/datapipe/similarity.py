@@ -383,12 +383,14 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
     dim = int(config["dim"])
 
     if codebook_df is not None:
-        if "encode_method" in config:
-            raise ConfigError(
-                "knn.lsh: encode_method configures the INLINE encode and "
-                "has no effect in pretrained mode (code_column given) — "
-                "the corpus is already encoded; remove the key"
-            )
+        for dead in ("encode_method", "iterations"):
+            if dead in config:
+                raise ConfigError(
+                    f"knn.lsh: {dead!r} configures the INLINE training/"
+                    "encode and has no effect in pretrained mode "
+                    "(code_column given) — the corpus is already encoded; "
+                    "remove the key"
+                )
         codebooks, m, kw, sd, cb_dim = _parse_codebooks(
             codebook_df, "knn.lsh", config
         )
@@ -612,6 +614,18 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
                 )
             codebook_df = inputs[-1]
             data_inputs = list(inputs[:-1])
+        elif len(inputs) > 2:
+            # a third input is only meaningful as the codebooks table,
+            # and codebooks are only consumed with code_column set —
+            # silently ignoring it would inline-train different
+            # codebooks and return different neighbors with no error
+            # (the dead-knob loud-failure contract below)
+            raise ConfigError(
+                "knn.lsh: a third (codebooks) input under verify='pq' "
+                "requires 'code_column' (pretrained mode); without it the "
+                "codebooks table would be silently ignored and codebooks "
+                "inline-trained instead"
+            )
     else:
         # the PQ knobs configure the screen that verify='exact' skips
         # entirely — fail loudly rather than let a caller believe a

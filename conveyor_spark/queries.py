@@ -6647,6 +6647,32 @@ def q161_knn_lsh_pq_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
                encode_method="gemm")
 
 
+@query("q162_pq_encode_gemm",
+       _pq_oracle(m=4, kw=4, iterations=1, dim=64, nq=5, topk=3))
+def q162_pq_encode_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB deployment encode on its scale engine: q126's
+    train-once pipeline with embedding.pq_encode running
+    encode_method='gemm' (Arrow-batched numpy argmin) instead of the
+    JVM fold. Shares q126's oracle VERBATIM — the gemm engine's
+    contract is bit-exactness (sequential per-dim accumulation
+    preserves the fold's IEEE order, first-occurrence argmin = the
+    ties-to-lowest rule), so the same SQL must hash-match. This is
+    the operator-mode certification for VERDICT r12's #1: the op
+    whose docstring says "pq_encode the 100 TB corpus" no longer has
+    to ride an interpreted HOF to be oracle-green."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    books = _op("embedding.pq", ctx, [e], id_column="vec_id",
+                column="embedding", m=4, k=4, iterations=1, dim=64,
+                output="codebooks")
+    encoded = _op("embedding.pq_encode", ctx, [e, books],
+                  id_column="vec_id", column="embedding",
+                  encode_method="gemm")
+    q = _op("filter.apply", ctx, [e], expr="vec_id < 5")
+    return _op("knn.pq", ctx, [encoded, q, books], id_column="vec_id",
+               column="embedding", code_column="pq_code", k=3)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

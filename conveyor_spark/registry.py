@@ -39,6 +39,11 @@ class OpContext:
     # set by the compiler before each op call (ops that need to know
     # their own stage id, e.g. observe.apply's lineage tracking)
     stage_id: Optional[str] = None
+    # stateful streaming ops stash drain-time requests here (e.g.
+    # state_partitions — spark.sql.shuffle.partitions at stream START
+    # sizes the state stores); the streaming drain (stdout_stream
+    # sink / run_available_now) applies them, env knobs still override
+    stream_conf: dict[str, Any] = field(default_factory=dict)
 
 
 OpFn = Callable[[OpContext, list[DataFrame], dict[str, Any]], Optional[DataFrame]]

@@ -48,15 +48,35 @@ def stdout_stream_write(ctx: OpContext, inputs: list[DataFrame], config: dict[st
     pretty = bool(config.get("pretty", False))
     out = config.get("_out", sys.stdout)  # test hook
     if df.isStreaming:
-        query = (
-            df.writeStream.format("console")
-            .outputMode(config.get("output_mode", "append"))
-            .option("truncate", False)
-            .trigger(availableNow=True)
-            .start()
-        )
+        from conveyor_spark.streaming.ops import resolve_state_partitions
+
+        # a stateful upstream op may have requested its state-store
+        # count (state_partitions param); stores are sized by
+        # spark.sql.shuffle.partitions at stream START, so apply the
+        # request (env knob wins) around .start() and restore after
+        sp = resolve_state_partitions(ctx.stream_conf.get("state_partitions"))
+        spark = df.sparkSession
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            if sp is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+            query = (
+                df.writeStream.format("console")
+                .outputMode(config.get("output_mode", "append"))
+                .option("truncate", False)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         if config.get("await_termination", True):
             query.awaitTermination()
+            from conveyor_spark.streaming.ops import LAST_PROGRESS
+
+            # same observability hook run_available_now keeps: the
+            # final progress carries stateOperators (rows/memory/
+            # numShufflePartitions) for probes and tests
+            LAST_PROGRESS["stdout_stream.write"] = query.lastProgress or {}
         return None
     for row in df.toLocalIterator():
         out.write(_fmt_row(row.asDict(recursive=True), fmt, pretty) + "\n")

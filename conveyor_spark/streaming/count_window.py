@@ -166,11 +166,18 @@ def count_sliding(
         P("order_by", "array",
           desc="Accepted for interface parity; the emitted per-window "
                "counts are row-order invariant, so no sort runs"),
+        P("state_partitions", "integer", min=1,
+          desc="State stores for this stream (spark.sql.shuffle."
+               "partitions at stream start); env SPARK_GRAFT_STATE_"
+               "PARTITIONS overrides"),
     ],
     example={"size": 500, "group_by": ["event_type"], "order_by": ["ts"]},
     tags=["streaming", "window", "stateful"],
 )
 def stream_count_window(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    from conveyor_spark.streaming.ops import request_state_partitions
+
+    request_state_partitions(ctx, config, "stream.count_window")
     sdf = inputs[0]
     if not sdf.isStreaming:
         raise ConfigError(

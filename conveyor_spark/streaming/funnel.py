@@ -39,6 +39,10 @@ from conveyor_spark.registry import OpContext, P, register
         P("ts_column", default="ts", desc="Event-time column"),
         P("within_seconds", "float", min=0,
           desc="Max seconds from first step to completion"),
+        P("state_partitions", "integer", min=1,
+          desc="State stores for this stream (spark.sql.shuffle."
+               "partitions at stream start); env SPARK_GRAFT_STATE_"
+               "PARTITIONS overrides"),
     ],
     example={"steps": ["view", "click", "purchase"], "by": ["user_id"]},
     tags=["streaming", "funnel", "stateful"],
@@ -47,6 +51,9 @@ def stream_funnel(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     """Config mirrors event.funnel: ``steps`` (>=2), ``by``,
     ``type_column`` (default "event_type"), ``ts_column`` (default
     "ts"), ``within_seconds`` (optional first-touch window)."""
+    from conveyor_spark.streaming.ops import request_state_partitions
+
+    request_state_partitions(ctx, config, "stream.funnel")
     sdf = inputs[0]
     steps = config.get("steps")
     by = config.get("by")

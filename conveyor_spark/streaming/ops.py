@@ -107,11 +107,16 @@ from conveyor_spark.registry import OpContext, P, register
         P("keys", "array", desc="Alias for columns"),
         P("time_column", desc="Event-time column for watermarking"),
         P("watermark", default="1 hour", desc="State retention bound"),
+        P("state_partitions", "integer", min=1,
+          desc="State stores for this stream (spark.sql.shuffle."
+               "partitions at stream start); env SPARK_GRAFT_STATE_"
+               "PARTITIONS overrides"),
     ],
     example={"columns": ["event_id"], "time_column": "ts", "watermark": "1 hour"},
     tags=["streaming", "dedup"],
 )
 def stream_dedup_op(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    request_state_partitions(ctx, config, "stream.dedup")
     keys = config.get("columns") or config.get("keys")
     if not keys:
         raise ConfigError("stream.dedup requires 'columns'")
@@ -119,6 +124,66 @@ def stream_dedup_op(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     return stream_dedup(
         inputs[0], keys, config.get("time_column"), config.get("watermark", "1 hour")
     )
+
+
+def request_state_partitions(ctx: OpContext, config: dict[str, Any], op: str) -> None:
+    """Honor a stateful streaming op's ``state_partitions`` param.
+
+    The value sizes the stream's state stores (one per shuffle
+    partition at FIRST start) — a drain-time property, so the op can
+    only REQUEST it: the value rides ``ctx.stream_conf`` and the
+    drain (stdout_stream sink, run_available_now) sets
+    ``spark.sql.shuffle.partitions`` around stream start. Results are
+    value-neutral (state partitioning never changes values — the
+    part7 invariance axis); this is purely the throughput knob for
+    state cardinality (RUNBOOK: q66 at 1024x, 4 -> 32 stores =
+    3270 -> 580 s). ``SPARK_GRAFT_STATE_PARTITIONS`` (env) still
+    overrides, so an operator can retune a pinned pipeline without
+    editing it."""
+    sp = config.get("state_partitions")
+    if sp is None:
+        return
+    try:
+        sp = int(sp)
+    except (TypeError, ValueError):
+        sp = 0
+    if sp < 1:
+        raise ConfigError(
+            f"{op}: state_partitions={config.get('state_partitions')!r} "
+            "must be an integer >= 1 (state stores per stream)"
+        )
+    ctx.stream_conf["state_partitions"] = sp
+
+
+def resolve_state_partitions(explicit: int | None) -> int | None:
+    """Final drain-time value: env override wins, else the explicit
+    request (caller arg or ctx.stream_conf). Validates the env var
+    loudly — a malformed value failing deep inside the drain with a
+    bare ValueError cost a debugging session once."""
+    env_sp = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
+    if env_sp:
+        try:
+            env_val = int(env_sp)
+        except ValueError:
+            env_val = -1
+        if env_val < 1:
+            raise ConfigError(
+                f"SPARK_GRAFT_STATE_PARTITIONS={env_sp!r} is not a "
+                "positive integer — it sizes the stream's state stores "
+                "(spark.sql.shuffle.partitions at stream start) and must "
+                "be >= 1; unset it to use the pipeline's value"
+            )
+        return env_val
+    return explicit
+
+
+# the shared param metadata — every stateful streaming op offers it
+STATE_PARTITIONS_PARAM = P(
+    "state_partitions", "integer", min=1,
+    desc="State stores for this stream (spark.sql.shuffle.partitions "
+         "at stream start); size to steady-state key cardinality. "
+         "Env SPARK_GRAFT_STATE_PARTITIONS overrides.",
+)
 
 
 def checkpoint_tmpdir(prefix: str) -> tempfile.TemporaryDirectory:
@@ -229,9 +294,7 @@ def run_available_now(
     detection only."""
     spark = sdf.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    env_sp = os.environ.get("SPARK_GRAFT_STATE_PARTITIONS")
-    if env_sp:
-        state_partitions = int(env_sp)
+    state_partitions = resolve_state_partitions(state_partitions)
     batches: dict[int, list] = {}
 
     # Bounded drains run 1-3 micro-batches; the default checkpoint
@@ -323,6 +386,7 @@ def run_available_now(
         P("how", default="inner", allowed=("inner", "left", "right"), desc="Join type"),
         P("right_time_column", desc="Right stream's time column (default: time_column)"),
         P("right_prefix", default="r_", desc="Prefix for right-side columns"),
+        STATE_PARTITIONS_PARAM,
     ],
     example={"on": ["user_id"], "time_column": "ts", "max_delta": "10 minutes"},
     tags=["streaming", "join"],
@@ -348,6 +412,7 @@ def stream_join(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     surface expressed as a pipeline op — state cleanup, late-data
     handling, and outer-null emission all follow the watermark.
     """
+    request_state_partitions(ctx, config, "stream.join")
     left, right = inputs
     keys = config.get("on")
     if not keys:

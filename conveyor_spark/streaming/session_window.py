@@ -154,11 +154,18 @@ def session_assign(
         P("max_duration", "any", desc="Force-close after this session length"),
         P("key_columns", "array",
           desc="Alias for group_by (the state/grouping key)"),
+        P("state_partitions", "integer", min=1,
+          desc="State stores for this stream (spark.sql.shuffle."
+               "partitions at stream start); env SPARK_GRAFT_STATE_"
+               "PARTITIONS overrides"),
     ],
     example={"gap": 1800, "group_by": ["user_id"]},
     tags=["streaming", "session", "stateful"],
 )
 def stream_session_window(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    from conveyor_spark.streaming.ops import request_state_partitions
+
+    request_state_partitions(ctx, config, "stream.session_window")
     sdf = inputs[0]
     if not sdf.isStreaming:
         raise ConfigError(

@@ -36,11 +36,18 @@ _OPS = {"count", "sum", "avg", "mean", "min", "max"}
         P("column", desc="Reference-spec alias for value_column"),
         P("group_by", "array", desc="Grouping column(s); global when omitted"),
         P("output_column", desc="Result column (default: the operation name)"),
+        P("state_partitions", "integer", min=1,
+          desc="Streaming only: state stores for this stream (spark.sql."
+               "shuffle.partitions at stream start); env SPARK_GRAFT_"
+               "STATE_PARTITIONS overrides"),
     ],
     example={"operation": "sum", "value_column": "amount", "group_by": ["region"]},
     tags=["aggregate", "streaming"],
 )
 def aggregate_stream(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    from conveyor_spark.streaming.ops import request_state_partitions
+
+    request_state_partitions(ctx, config, "aggregate.stream")
     df = inputs[0]
     operation = str(config.get("operation", "")).lower()
     if operation not in _OPS:

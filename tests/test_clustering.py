@@ -404,3 +404,80 @@ def test_nan_vectors_invalid_across_centroid_family(ctx, spark):
     qcol = [c for c in out.columns if c.startswith("query")][0]
     qids = {r[qcol] for r in out.collect()}
     assert 99 not in qids and 1 in qids
+
+
+def test_pq_encode_gemm_matches_fold_with_invalid_rows(ctx, pqdf, spark):
+    """encode_method='gemm' must reproduce the fold path row-for-row
+    — including the NULL codes vec_ok stamps on invalid vectors
+    (NULL vector, wrong length, NaN/Inf element), which the numpy
+    validity sweep must classify identically."""
+    df, _ = pqdf
+    books = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                   m=2, k=3, iterations=2, output="codebooks")
+    adversarial = spark.createDataFrame(
+        [
+            (100, None),
+            (101, [0.1] * 7),                      # wrong length
+            (102, [float("nan")] + [0.1] * 7),     # NaN element
+            (103, [float("inf")] + [0.1] * 7),     # Inf element
+            (104, [None] + [0.1] * 7),             # NULL element
+            (105, [0.0] * 8),                      # valid all-zero
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    full = df.unionByName(adversarial)
+    fold = {r["vec_id"]: (None if r["pq_code"] is None
+                          else tuple(r["pq_code"]))
+            for r in run_op(ctx, "embedding.pq_encode", [full, books],
+                            id_column="vec_id").collect()}
+    gemm = {r["vec_id"]: (None if r["pq_code"] is None
+                          else tuple(r["pq_code"]))
+            for r in run_op(ctx, "embedding.pq_encode", [full, books],
+                            id_column="vec_id",
+                            encode_method="gemm").collect()}
+    assert gemm == fold and len(fold) == 26
+    assert fold[100] is None and fold[101] is None and fold[102] is None
+    assert fold[103] is None and fold[104] is None
+    assert fold[105] is not None
+    # non-vector columns must ride the gemm pass unchanged, and the
+    # output column order must match the fold path's
+    extra = df.selectExpr("vec_id", "embedding",
+                          "concat('tag', vec_id) AS tag")
+    a = run_op(ctx, "embedding.pq_encode", [extra, books],
+               id_column="vec_id")
+    b = run_op(ctx, "embedding.pq_encode", [extra, books],
+               id_column="vec_id", encode_method="gemm")
+    assert a.columns == b.columns
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_embedding_pq_codes_gemm_matches_fold(ctx, pqdf):
+    """embedding.pq output='codes' with encode_method='gemm' must be
+    bit-identical to the fold encode (training always runs the fold,
+    so the codebooks are shared — only the final encode engine
+    differs). encode_method is dead config under output='codebooks'."""
+    df, _ = pqdf
+    fold = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                  m=2, k=3, iterations=2)
+    gemm = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                  m=2, k=3, iterations=2, encode_method="gemm")
+    assert fold.columns == gemm.columns
+    fa = sorted((r["vec_id"], tuple(r["pq_code"])) for r in fold.collect())
+    ga = sorted((r["vec_id"], tuple(r["pq_code"])) for r in gemm.collect())
+    assert fa == ga and len(fa) == 20
+    with pytest.raises(ConfigError, match="output='codes'"):
+        run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+               m=2, k=3, output="codebooks", encode_method="gemm")
+
+
+def test_pq_encode_rejects_distance_projection_clash(ctx, pqdf):
+    """The fold path's internal two-step projection uses __pqd{s}
+    scratch names — a user column with that name must fail loudly,
+    not be silently overwritten."""
+    df, _ = pqdf
+    books = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                   m=2, k=3, iterations=2, output="codebooks")
+    clash = df.selectExpr("vec_id", "embedding", "1 AS __pqd0")
+    with pytest.raises(ConfigError, match="__pqd0"):
+        run_op(ctx, "embedding.pq_encode", [clash, books],
+               id_column="vec_id")

@@ -177,6 +177,15 @@ def test_knn_lsh_pq_verify_validates(ctx, spark):
     with pytest.raises(ConfigError, match="pretrained"):
         run_op(ctx, "knn.lsh", [coded, books], verify="pq",
                code_column="pq_code", encode_method="gemm", **kw)
+    # iterations is equally dead in pretrained mode (no training runs)
+    with pytest.raises(ConfigError, match="pretrained"):
+        run_op(ctx, "knn.lsh", [coded, books], verify="pq",
+               code_column="pq_code", iterations=2, **kw)
+    # a third (codebooks) input without code_column would be silently
+    # ignored and codebooks inline-trained — loud failure instead
+    # (two inputs stay legal: [corpus, queries])
+    with pytest.raises(ConfigError, match="code_column"):
+        run_op(ctx, "knn.lsh", [coded, coded, books], verify="pq", **kw)
     # SDC literal-table budget
     with pytest.raises(ConfigError, match="65536"):
         run_op(ctx, "knn.lsh", [e], verify="pq", m=16, codewords=256, **kw)

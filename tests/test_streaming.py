@@ -394,3 +394,98 @@ def test_streaming_queries_read_directory_shaped_tables(spark, tmp_path):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, single))
+
+
+def test_state_partitions_param_stashes_request(spark, tmp_path):
+    """state_partitions is a drain-time property, so the op can only
+    REQUEST it: the validated value must land in ctx.stream_conf for
+    the drain (stdout_stream sink / run_available_now) to apply."""
+    import json as _j
+
+    from conveyor_spark.registry import OpContext
+    from tests.conftest import run_op
+
+    src = tmp_path / "ev_sp"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"k": "u1", "ts": "2024-01-01 00:00:00"}')
+    sdf = (
+        spark.readStream.schema("k string, ts string").json(str(src))
+        .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    fresh = OpContext(spark=spark)
+    run_op(fresh, "stream.dedup", [sdf], columns=["k"], time_column="ts",
+           state_partitions=8)
+    assert fresh.stream_conf == {"state_partitions": 8}
+
+    # every stateful streaming op offers the param
+    fresh2 = OpContext(spark=spark)
+    run_op(fresh2, "stream.session_window", [sdf], gap=60, key_columns="k",
+           state_partitions=6)
+    assert fresh2.stream_conf == {"state_partitions": 6}
+
+
+def test_state_partitions_param_validates(spark, tmp_path):
+    from conveyor_spark.errors import ConfigError
+    from conveyor_spark.registry import OpContext
+    from tests.conftest import run_op
+
+    src = tmp_path / "ev_spv"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"k": "u1", "ts": "2024-01-01 00:00:00"}')
+    sdf = (
+        spark.readStream.schema("k string, ts string").json(str(src))
+        .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    for bad in (0, -4, "nope"):
+        with pytest.raises(ConfigError, match="state_partitions"):
+            run_op(OpContext(spark=spark), "stream.dedup", [sdf],
+                   columns=["k"], time_column="ts", state_partitions=bad)
+
+
+def test_state_partitions_env_malformed_fails_loudly(monkeypatch):
+    """A malformed SPARK_GRAFT_STATE_PARTITIONS must name itself in a
+    ConfigError, not surface as a bare ValueError deep in the drain."""
+    from conveyor_spark.errors import ConfigError
+    from conveyor_spark.streaming.ops import resolve_state_partitions
+
+    for bad in ("abc", "0", "-3", "4.5"):
+        monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", bad)
+        with pytest.raises(ConfigError, match="SPARK_GRAFT_STATE_PARTITIONS"):
+            resolve_state_partitions(None)
+    monkeypatch.setenv("SPARK_GRAFT_STATE_PARTITIONS", "17")
+    assert resolve_state_partitions(4) == 17      # env wins
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS")
+    assert resolve_state_partitions(4) == 4       # else the request
+    assert resolve_state_partitions(None) is None
+
+
+def test_state_partitions_applied_at_stdout_stream_drain(spark, tmp_path,
+                                                         monkeypatch):
+    """End-to-end: the op's request sizes the state stores of the
+    stream the sink starts (visible as numShufflePartitions in the
+    final progress), and the session conf is restored afterwards."""
+    import json as _j
+
+    from conveyor_spark.registry import OpContext
+    from conveyor_spark.streaming.ops import LAST_PROGRESS
+    from tests.conftest import run_op
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS", raising=False)
+    src = tmp_path / "ev_drain"
+    src.mkdir()
+    rows = [{"k": f"u{i}", "ts": f"2024-01-01 00:00:{i:02d}"} for i in range(6)]
+    (src / "a.jsonl").write_text("\n".join(_j.dumps(r) for r in rows))
+    sdf = (
+        spark.readStream.schema("k string, ts string").json(str(src))
+        .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    fresh = OpContext(spark=spark)
+    deduped = run_op(fresh, "stream.dedup", [sdf], columns=["k"],
+                     time_column="ts", state_partitions=3)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    run_op(fresh, "stdout_stream.write", [deduped], format="jsonl")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    prog = LAST_PROGRESS.get("stdout_stream.write") or {}
+    ops_ = prog.get("stateOperators") or []
+    assert ops_, f"no stateOperators in final progress: {prog.keys()}"
+    assert int(ops_[0]["numShufflePartitions"]) == 3

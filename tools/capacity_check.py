@@ -127,25 +127,55 @@ def _tag_of(path: str) -> str:
     return ""
 
 
+def _round_calibrations() -> dict[int, float]:
+    """q01 calibration seconds per round from the committed local
+    bench artifacts — the host-speed proxy for probe artifacts that
+    predate the in-artifact calibration (scale_probe records its own
+    from r13 on). Approximate (the bench and the probe of one round
+    ran in different sessions of the same container window); the
+    wall-law error bars carry the residual."""
+    cal = {}
+    for path in glob.glob(os.path.join(REPO, "BENCH_local_r*.json")):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+            sec = (d.get("calibration") or {}).get("sec")
+            if sec:
+                cal[_round_of(path)] = float(sec)
+        except (OSError, ValueError):
+            continue
+    return cal
+
+
 def load_observations(pattern: str = "SCALE_PROBE_*.json") -> list[dict]:
     obs = []
+    round_cal = _round_calibrations()
     for path in sorted(glob.glob(os.path.join(REPO, pattern))):
         with open(path) as f:
             d = json.load(f)
         rows = d.get("rows") or {}
+        rnd = _round_of(path)
+        # prefer the artifact's own calibration (r13+), else the same
+        # round's bench calibration; None = wall not normalizable
+        calib = (d.get("calibration") or {}).get("sec") \
+            or round_cal.get(rnd)
         for q, m in (d.get("queries") or {}).items():
             if not isinstance(m, dict) or m.get("error"):
                 continue
             if m.get("shuffle_write_mb") is None:
                 continue
+            sec = m.get("sec")
             obs.append({
                 "artifact": os.path.basename(path),
-                "round": _round_of(path), "tag": _tag_of(path),
+                "round": rnd, "tag": _tag_of(path),
                 "query": q, "scale": d.get("scale"),
                 "n": rows.get(TABLE_OF.get(q, "documents")),
                 "shuffle_mb": m["shuffle_write_mb"],
                 "spill_mb": m.get("spilled_disk_mb", 0.0) or 0.0,
-                "sec": m.get("sec"),
+                "sec": sec,
+                # wall time in CALIBRATION UNITS (q01 = 1.0): the
+                # host-speed-free quantity the wall laws are fitted in
+                "norm_sec": (sec / calib) if (sec and calib) else None,
             })
     return obs
 
@@ -170,45 +200,91 @@ def fit_points(obs: list[dict]) -> list[dict]:
     ]
 
 
+def _power_fit(pairs: list[tuple[float, float]], floor: float):
+    """log-log least squares over (n, y) pairs -> (a, beta, maxdev)."""
+    xs = [math.log(n) for n, _ in pairs]
+    ys = [math.log(max(y, floor)) for _, y in pairs]
+    cnt = len(xs)
+    mx, my = sum(xs) / cnt, sum(ys) / cnt
+    sxx = sum((x - mx) ** 2 for x in xs)
+    beta = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
+    a = math.exp(my - beta * mx)
+    maxdev = 1.0
+    for n, y in pairs:
+        pred = a * n ** beta
+        maxdev = max(maxdev, max(pred, y) / max(min(pred, y), floor))
+    return a, beta, maxdev
+
+
+def _fit_wall(points: list[dict]) -> dict | None:
+    """wall_sec ~= a * n^beta in CALIBRATION UNITS over the same
+    points — the time dimension of the model (VERDICT r12 task 2).
+    Wall is noisier than shuffle bytes (GC, JIT warmup, scheduler
+    wobble survive the host normalization), so the tolerance floor
+    is higher; fewer than 3 distinct n -> anchors, informational."""
+    pts = [(p["n"], p["norm_sec"]) for p in points if p["norm_sec"]]
+    ns = sorted({n for n, _ in pts})
+    if not pts:
+        return None
+    if len(ns) < 3:
+        vals: dict = {}
+        for n, s in pts:
+            vals.setdefault(n, []).append(s)
+        return {"kind": "anchor",
+                "anchors": {str(n): round(max(v), 3)
+                            for n, v in vals.items()},
+                "n_points": len(pts), "tolerance_factor": 3.0,
+                "unit": "q01-calibration-units"}
+    a, beta, maxdev = _power_fit(pts, 1e-3)
+    return {
+        "kind": "law", "a": a, "beta": round(beta, 4),
+        "n_points": len(pts), "n_range": [ns[0], ns[-1]],
+        "max_dev_factor": round(maxdev, 3),
+        "tolerance_factor": max(2.5, round(maxdev * 1.5, 2)),
+        "unit": "q01-calibration-units",
+    }
+
+
 def fit_group(points: list[dict]) -> dict:
     """Power-law fit (or anchor) for one query's points."""
     ns = sorted({p["n"] for p in points})
+    wall = _fit_wall(points)
     # all-zero shuffle: the strongest claim there is — stays zero
     if all(p["shuffle_mb"] < 1.0 for p in points):
-        return {"kind": "zero", "n_points": len(points),
-                "n_range": [ns[0], ns[-1]],
-                "tolerance_mb": 1.0}
+        out = {"kind": "zero", "n_points": len(points),
+               "n_range": [ns[0], ns[-1]],
+               "tolerance_mb": 1.0}
+        if wall:
+            out["wall"] = wall
+        return out
     if len(ns) < 3:
         vals = {}
         for p in points:
             vals.setdefault(p["n"], []).append(p["shuffle_mb"])
-        return {"kind": "anchor", "n_points": len(points),
-                "anchors": {str(n): round(max(v), 2)
-                            for n, v in vals.items()},
-                "tolerance_factor": 2.0}
-    xs = [math.log(p["n"]) for p in points]
-    ys = [math.log(max(p["shuffle_mb"], 1e-3)) for p in points]
-    n = len(xs)
-    mx, my = sum(xs) / n, sum(ys) / n
-    sxx = sum((x - mx) ** 2 for x in xs)
-    beta = sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sxx
-    log_a = my - beta * mx
-    a = math.exp(log_a)
-    maxdev = 1.0
-    for p in points:
-        pred = a * p["n"] ** beta
-        dev = max(pred, p["shuffle_mb"]) / max(
-            min(pred, p["shuffle_mb"]), 1e-3)
-        maxdev = max(maxdev, dev)
-    tol = max(2.0, round(maxdev * 1.25, 2))
+        out = {"kind": "anchor", "n_points": len(points),
+               "anchors": {str(n): round(max(v), 2)
+                           for n, v in vals.items()},
+               "tolerance_factor": 2.0}
+        if wall:
+            out["wall"] = wall
+        return out
+    a, beta, maxdev = _power_fit(
+        [(p["n"], p["shuffle_mb"]) for p in points], 1e-3)
+    # laws earn their tolerance: the floor is 1.5 when the fit itself
+    # is tight (r12 task 4 asked for sub-2.0 gates on fitted groups),
+    # and only a loose fit keeps the legacy 2.0
+    tol = max(1.5, round(maxdev * 1.25, 2))
     wall_n = (2048.0 / a) ** (1.0 / beta) if beta > 0 else None
-    return {
+    out = {
         "kind": "law", "a": a, "beta": round(beta, 4),
         "n_points": len(points), "n_range": [ns[0], ns[-1]],
         "max_dev_factor": round(maxdev, 3),
         "tolerance_factor": tol,
         "wall_n_2048mb": int(wall_n) if wall_n else None,
     }
+    if wall:
+        out["wall"] = wall
+    return out
 
 
 def predict(model: dict, n: int) -> float | None:
@@ -274,9 +350,23 @@ def check_observation(o: dict, models: dict) -> tuple[bool, str]:
         else " [extrapolated]"
     ok = dev <= m["tolerance_factor"] * tol_scale or (
         one_sided and o["shuffle_mb"] <= pred)
+    wall_msg = ""
+    w = m.get("wall")
+    if ok and w and w.get("kind") == "law" and o.get("norm_sec"):
+        wpred = w["a"] * o["n"] ** w["beta"]
+        wdev = max(wpred, o["norm_sec"]) / max(
+            min(wpred, o["norm_sec"]), 1e-3)
+        wok = wdev <= w["tolerance_factor"] * tol_scale or (
+            one_sided and o["norm_sec"] <= wpred)
+        wall_msg = (f"; wall law {wpred:.2f} cal-units, observed "
+                    f"{o['norm_sec']:.2f} (dev {wdev:.2f}x, "
+                    f"tol {w['tolerance_factor']})")
+        if not wok:
+            return False, (f"WALL deviation{wall_msg} — host-normalized "
+                           "time off the fitted law")
     return ok, (f"law predicts {pred:.1f} MB at n={o['n']}, observed "
                 f"{o['shuffle_mb']} MB (dev {dev:.2f}x, "
-                f"tol {m['tolerance_factor']}){extra}")
+                f"tol {m['tolerance_factor']}){extra}{wall_msg}")
 
 
 def main() -> int:

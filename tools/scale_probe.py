@@ -581,6 +581,19 @@ def main() -> int:
         "queries": {},
     }
     try:
+        # host calibration for the wall-time capacity model: q01 on
+        # the UN-replicated base dir, run first (cold JVM) — the same
+        # fixed yardstick bench.py carries, so capacity_check can
+        # normalize this artifact's per-query seconds against laws
+        # fitted on other host windows (r12's 1.33x driver-host drift
+        # is exactly the confound this controls).
+        t0 = time.time()
+        QUERIES["q01_pricing_summary"](spark, args.sf_dir).count()
+        result["calibration"] = {
+            "query": "q01_pricing_summary",
+            "sec": round(time.time() - t0, 2),
+            "sf_dir": args.sf_dir,
+        }
         t0 = time.time()
         result["rows"] = build_probe(
             spark, args.sf_dir, probe_dir, args.scale, args.alpha,
