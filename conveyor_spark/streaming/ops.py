@@ -29,9 +29,36 @@ def read_file_stream(
 ) -> DataFrame:
     """File-source stream (reference file_watch: poll+re-emit a file;
     Spark's file source tails a directory/glob natively and tracks
-    processed files exactly-once)."""
+    processed files exactly-once).
+
+    ``SPARK_GRAFT_MAX_FILES_PER_TRIGGER`` (env) caps files per
+    micro-batch for every file stream that does not set the option
+    itself — the incremental-arrival knob: a multi-file table drains
+    as one micro-batch per K files instead of one giant batch, which
+    is how the steady-state soak (tools/stream_soak.py) exercises
+    watermark eviction across batches. Windowed aggregates and
+    stream-stream joins are value-identical under any batching
+    (measured: the soak's q66 is hash-exact vs the single-batch
+    oracle); dropDuplicatesWithinWatermark is NOT — its contract
+    guarantees dedup only within the watermark horizon, so a key
+    legitimately re-emits after eviction and output MULTIPLICITY is
+    arrival-batching-defined (the distinct key set stays exact)."""
     reader = spark.readStream.schema(schema)
-    for k, v in (options or {}).items():
+    opts = dict(options or {})
+    env_mft = os.environ.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER")
+    if env_mft and "maxFilesPerTrigger" not in opts:
+        try:
+            mft = int(env_mft)
+        except ValueError:
+            mft = -1
+        if mft < 1:
+            raise ConfigError(
+                f"SPARK_GRAFT_MAX_FILES_PER_TRIGGER={env_mft!r} is not a "
+                "positive integer — it caps files per streaming "
+                "micro-batch; unset it for single-drain batching"
+            )
+        opts["maxFilesPerTrigger"] = str(mft)
+    for k, v in opts.items():
         reader = reader.option(k, v)
     return reader.format(fmt).load(path)
 
@@ -243,6 +270,10 @@ def _checkpoint_has_commits(spark: SparkSession, checkpoint: str) -> bool:
 # recorded here keyed by query_name. Read by tools/streaming_probe.py
 # to assert state-store bounds at scale; no behavioral effect.
 LAST_PROGRESS: dict[str, dict] = {}
+# The PER-BATCH progress list of the same drain (recentProgress) —
+# the state-growth curve tools/stream_soak.py plots to prove state
+# PLATEAUS under watermark eviction rather than growing with batches.
+RECENT_PROGRESS: dict[str, list] = {}
 
 
 def run_available_now(
@@ -349,6 +380,7 @@ def run_available_now(
         q = start(checkpoint)
         q.awaitTermination()
         LAST_PROGRESS[query_name] = q.lastProgress or {}
+        RECENT_PROGRESS[query_name] = list(q.recentProgress or [])
         # mirror the memory sink's semantics over collected batches:
         # complete mode = the last batch IS the result; update/append
         # mode = every batch's rows accumulate
@@ -369,6 +401,7 @@ def run_available_now(
         q = start(ckpt)
         q.awaitTermination()
         LAST_PROGRESS[query_name] = q.lastProgress or {}
+        RECENT_PROGRESS[query_name] = list(q.recentProgress or [])
     return sdf.sparkSession.table(query_name)
 
 

@@ -489,3 +489,58 @@ def test_state_partitions_applied_at_stdout_stream_drain(spark, tmp_path,
     ops_ = prog.get("stateOperators") or []
     assert ops_, f"no stateOperators in final progress: {prog.keys()}"
     assert int(ops_[0]["numShufflePartitions"]) == 3
+
+
+def test_max_files_per_trigger_env_knob(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_MAX_FILES_PER_TRIGGER=1 drains a K-file table as K
+    micro-batches (per-batch curve in RECENT_PROGRESS), with values
+    identical to the single-batch drain; malformed values fail with a
+    named ConfigError."""
+    import json as _j
+
+    from conveyor_spark.errors import ConfigError
+    from conveyor_spark.streaming.ops import (
+        RECENT_PROGRESS, read_file_stream, run_available_now,
+    )
+
+    src = tmp_path / "ev_mft"
+    src.mkdir()
+    for i in range(3):
+        rows = [{"k": f"u{i}_{j}", "ts": f"2024-01-0{i + 1} 00:00:{j:02d}"}
+                for j in range(4)]
+        (src / f"chunk-{i}.jsonl").write_text(
+            "\n".join(_j.dumps(r) for r in rows))
+
+    def drain(tag):
+        sdf = read_file_stream(spark, str(src), "k string, ts string",
+                               "json")
+        out = run_available_now(sdf.select("k"), f"t_mft_{tag}",
+                                output_mode="append")
+        return sorted(r["k"] for r in out.collect())
+
+    monkeypatch.delenv("SPARK_GRAFT_MAX_FILES_PER_TRIGGER",
+                       raising=False)
+    single = drain("single")
+    single_batches = len(RECENT_PROGRESS["t_mft_single"])
+    monkeypatch.setenv("SPARK_GRAFT_MAX_FILES_PER_TRIGGER", "1")
+    chunked = drain("chunked")
+    fed = [p for p in RECENT_PROGRESS["t_mft_chunked"]
+           if p.get("numInputRows")]
+    assert chunked == single and len(single) == 12
+    assert len(fed) == 3 and single_batches <= 2
+
+    for bad in ("0", "-2", "abc"):
+        monkeypatch.setenv("SPARK_GRAFT_MAX_FILES_PER_TRIGGER", bad)
+        with pytest.raises(ConfigError,
+                           match="SPARK_GRAFT_MAX_FILES_PER_TRIGGER"):
+            read_file_stream(spark, str(src), "k string, ts string",
+                             "json")
+    # an explicit option always wins over the env knob
+    monkeypatch.setenv("SPARK_GRAFT_MAX_FILES_PER_TRIGGER", "1")
+    sdf = read_file_stream(spark, str(src), "k string, ts string",
+                           "json", options={"maxFilesPerTrigger": "2"})
+    out = run_available_now(sdf.select("k"), "t_mft_opt",
+                            output_mode="append")
+    fed2 = [p for p in RECENT_PROGRESS["t_mft_opt"]
+            if p.get("numInputRows")]
+    assert len(fed2) == 2 and len(out.collect()) == 12

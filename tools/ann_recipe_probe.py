@@ -88,10 +88,19 @@ def main() -> int:
         "stages": {},
     }
     try:
-        t0 = time.time()
-        QUERIES["q01_pricing_summary"](spark, args.sf_dir).count()
-        result["calibration"] = {"query": "q01_pricing_summary",
-                                 "sec": round(time.time() - t0, 2)}
+        # config-pinned host yardstick (see scale_probe.py: q01 under
+        # this session's 8*scale shuffle partitions would measure the
+        # partition count, not the host)
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            t0 = time.time()
+            QUERIES["q01_pricing_summary"](spark, args.sf_dir).count()
+            result["calibration"] = {"query": "q01_pricing_summary",
+                                     "sec": round(time.time() - t0, 2),
+                                     "shuffle_partitions": 32}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         t0 = time.time()
         result["rows"] = build_probe(spark, args.sf_dir, probe_dir,
                                      args.scale, args.alpha,

@@ -49,6 +49,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Default: documents.
 TABLE_OF = {
     "q121_knn_pq": "embeddings", "q126_knn_pq_pretrained": "embeddings",
+    "q162_pq_encode_gemm": "embeddings",
     "q127_embedding_pca": "embeddings", "q132_semdedup": "embeddings",
     "q151_bitext_lsh_blocked": "embeddings",
     "q152_knn_lsh_scaled": "embeddings", "q68_knn_lsh": "embeddings",
@@ -226,7 +227,12 @@ def _fit_wall(points: list[dict]) -> dict | None:
     ns = sorted({n for n, _ in pts})
     if not pts:
         return None
-    if len(ns) < 3:
+    # wall needs LEVERAGE a shuffle fit does not: shuffle bytes are
+    # deterministic per plan, but normalized wall carries cold-JVM /
+    # page-cache wobble (measured ~25% between consecutive runs on
+    # one host), so a log-log fit over a narrow n-span (< 2x) is
+    # noise amplification — q113's 1.3x-span points fitted beta=-2.
+    if len(ns) < 3 or ns[-1] < 2 * ns[0]:
         vals: dict = {}
         for n, s in pts:
             vals.setdefault(n, []).append(s)

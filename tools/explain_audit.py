@@ -185,6 +185,24 @@ CHECKS = [
         and "__approx" in p and "__cc" in p and "__qc" in p,
     ),
     (
+        "q162_pq_encode_gemm",
+        "gemm deployment encode: the CORPUS codes come from one Arrow "
+        "pass (MapInPandas) with no interpreted HOF argmin on the "
+        "corpus stream — every zip_with line sits under the "
+        "BroadcastExchange (the |queries| x m x k ADC distance table, "
+        "5 rows here); the search joins that table broadcast, no "
+        "cartesian/BNLJ",
+        lambda p, o: "MapInPandas" in p
+        and "BroadcastHashJoin" in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and all(
+            i > next(j for j, bl in enumerate(p.splitlines())
+                     if "BroadcastExchange" in bl)
+            for i, ln in enumerate(p.splitlines()) if "zip_with" in ln
+        ),
+    ),
+    (
         "q155_py_group_eval",
         "grouped-apply: ONE pinned-width exchange (REPARTITION_BY_NUM) reused by "
         "FlatMapGroupsInPandas (no second hash shuffle), scan pruned to 3 columns",

@@ -586,14 +586,24 @@ def main() -> int:
         # fixed yardstick bench.py carries, so capacity_check can
         # normalize this artifact's per-query seconds against laws
         # fitted on other host windows (r12's 1.33x driver-host drift
-        # is exactly the confound this controls).
-        t0 = time.time()
-        QUERIES["q01_pricing_summary"](spark, args.sf_dir).count()
-        result["calibration"] = {
-            "query": "q01_pricing_summary",
-            "sec": round(time.time() - t0, 2),
-            "sf_dir": args.sf_dir,
-        }
+        # is exactly the confound this controls). The yardstick must
+        # be CONFIG-pinned too: this session runs 8*scale shuffle
+        # partitions, and q01 under 8192 partitions measures the
+        # partition count, not the host — pin 32 (bench.py's value)
+        # around the calibration run.
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        try:
+            t0 = time.time()
+            QUERIES["q01_pricing_summary"](spark, args.sf_dir).count()
+            result["calibration"] = {
+                "query": "q01_pricing_summary",
+                "sec": round(time.time() - t0, 2),
+                "sf_dir": args.sf_dir,
+                "shuffle_partitions": 32,
+            }
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         t0 = time.time()
         result["rows"] = build_probe(
             spark, args.sf_dir, probe_dir, args.scale, args.alpha,
