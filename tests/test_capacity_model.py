@@ -98,3 +98,55 @@ def test_model_falsifies_inflated_observation(capacity):
     fake2["shuffle_mb"] = fake["shuffle_mb"] / 3  # the real value
     ok2, _ = capacity.check_observation(fake2, models)
     assert ok2
+
+
+def test_wall_laws_fitted_and_falsify(capacity):
+    """The time dimension (r13): wall laws exist for the wide-span
+    families, carry sane exponents, and actually fail a
+    host-normalized observation off the law."""
+    obs = capacity.load_observations()
+    pts = capacity.fit_points(obs)
+    by_query: dict = {}
+    for p in pts:
+        by_query.setdefault(p["query"], []).append(p)
+    models = {q: capacity.fit_group(ps) for q, ps in by_query.items()}
+
+    laws = {q: m["wall"] for q, m in models.items()
+            if m.get("wall", {}).get("kind") == "law"}
+    assert len(laws) >= 10  # the probe corpus is calibration-rich
+    # linear-scan families walk the data: wall grows with n, but
+    # never faster than ~their shuffle beta + GC headroom
+    for q in ("q121_knn_pq", "q80_decontam_bloom", "q83_pack_sequences"):
+        assert 0 < laws[q]["beta"] < 1.3, (q, laws[q])
+    # the six r12 anchor groups all carry a wall model now (law where
+    # the n-span gives leverage, anchors otherwise — never absent)
+    for q in ("q113_dedup_substring", "q126_knn_pq_pretrained",
+              "q128_mine_bitext", "q140_winnow_pairs",
+              "q151x_bitext_finer_block", "q152x_lsh_occupancy256"):
+        assert models[q]["kind"] == "law", q          # shuffle law
+        assert models[q].get("wall") is not None, q   # time model
+
+    # falsification: a normalized wall 8x off the law fails even
+    # when the shuffle bytes are exactly right
+    base = next(o for o in obs if o["query"] == "q80_decontam_bloom"
+                and o["spill_mb"] == 0 and o["norm_sec"])
+    fake = dict(base)
+    fake["norm_sec"] *= 8
+    ok, msg = capacity.check_observation(fake, models)
+    assert not ok and "WALL" in msg
+    ok2, _ = capacity.check_observation(dict(base), models)
+    assert ok2
+
+
+def test_wall_law_requires_leverage(capacity):
+    """A <2x n-span must yield wall ANCHORS, not a law — cold-JVM
+    wobble over a narrow span once fitted beta=-2 (q113)."""
+    pts = [
+        {"n": 10000, "norm_sec": 2.0, "shuffle_mb": 10.0, "spill_mb": 0},
+        {"n": 12000, "norm_sec": 1.4, "shuffle_mb": 12.0, "spill_mb": 0},
+        {"n": 15000, "norm_sec": 2.6, "shuffle_mb": 15.0, "spill_mb": 0},
+    ]
+    wall = capacity._fit_wall(pts)
+    assert wall["kind"] == "anchor"
+    wide = [dict(p, n=p["n"] * f) for p, f in zip(pts, (1, 4, 16))]
+    assert capacity._fit_wall(wide)["kind"] == "law"

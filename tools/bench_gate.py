@@ -7,16 +7,18 @@ error bars fitted from the committed bench history — automating the
 analysis VERDICT r12 had to do by hand to clear the misleading
 126.9 s vs 101.8 s raw driver numbers (a 1.33x host-factor artifact).
 
-Model ("fit"): every committed BENCH_local_r*.json (and any driver
-BENCH_r*.json whose times are recoverable) is converted to
+Model ("fit"): the committed BENCH_local_r*.json / driver
+BENCH_r*.json artifacts of the last --window rounds (default 3 — an
+older round's plan IMPROVEMENT would otherwise inflate the bar
+forever; q146's full-history envelope was 12.2x) are converted to
 CALIBRATION UNITS — each per-query time divided by that artifact's
 q01 calibration seconds, the fixed yardstick bench.py runs first on
 every host window. Per query, the fitted error bar is the largest
-deviation factor any historical observation shows against the
-history's median, padded 15% and floored at 1.30x (sub-100 ms
+deviation factor any windowed observation shows against the
+window's median, padded 15% and floored at 1.30x (sub-100 ms
 queries wobble more than any plan change): a bound derived from how
-much THIS query has actually moved across five rounds of identical
-plans on wobbling hosts. Written to BENCH_MODEL.json.
+much THIS query's shipping plan actually moves on wobbling hosts.
+Written to BENCH_MODEL.json.
 
 Gate ("check OLD NEW"): both artifacts are normalized by their own
 calibration, then every common query's normalized ratio must sit
@@ -80,13 +82,30 @@ def load_bench(path: str) -> dict | None:
             "path": os.path.basename(path)}
 
 
-def fit(out_path: str) -> int:
-    history = []
+def _round_of(path: str) -> int:
+    m = re.search(r"_r(\d+)", os.path.basename(path))
+    return int(m.group(1)) if m else 0
+
+
+def fit(out_path: str, window: int = 3) -> int:
+    """Fit over the LAST `window` rounds only: a query that a past
+    round made 12x faster would otherwise carry that plan change as
+    its 'error bar' forever (q146's envelope spanned 12.2x over the
+    full history), leaving the gate blind to a real regression of
+    the CURRENT plan. Three rounds of (local + driver) artifacts
+    give up to 6 observations of the plan actually shipping."""
+    candidates = []
     for pat in ("BENCH_local_r*.json", "BENCH_r*.json"):
-        for p in sorted(glob.glob(os.path.join(REPO, pat))):
-            b = load_bench(p)
-            if b:
-                history.append(b)
+        candidates.extend(glob.glob(os.path.join(REPO, pat)))
+    rounds = sorted({_round_of(p) for p in candidates})
+    keep = set(rounds[-window:]) if window else set(rounds)
+    history = []
+    for p in sorted(candidates):
+        if _round_of(p) not in keep:
+            continue
+        b = load_bench(p)
+        if b:
+            history.append(b)
     if len(history) < 2:
         print("bench_gate: need >= 2 loadable artifacts to fit",
               file=sys.stderr)
@@ -177,6 +196,8 @@ def main() -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
     f = sub.add_parser("fit")
     f.add_argument("--out", default=os.path.join(REPO, "BENCH_MODEL.json"))
+    f.add_argument("--window", type=int, default=3,
+                   help="fit over the last N rounds (0 = all history)")
     c = sub.add_parser("check")
     c.add_argument("old")
     c.add_argument("new")
@@ -186,7 +207,7 @@ def main() -> int:
                    help="min normalized regression (cal-units) to fail")
     args = ap.parse_args()
     if args.cmd == "fit":
-        return fit(args.out)
+        return fit(args.out, args.window)
     return check(args.old, args.new, args.model, args.abs_floor)
 
 
