@@ -396,6 +396,9 @@ EMB_SET = [
     "q152_knn_lsh_scaled",
     "q121_knn_pq",
     "q126_knn_pq_pretrained",
+    # the gemm deployment encode (r13) — probed alongside its fold
+    # sibling q126 so the encode-engine delta stays measured
+    "q162_pq_encode_gemm",
     "q127_embedding_pca",
     "q151_bitext_lsh_blocked",
     "q132_semdedup",
