@@ -53,8 +53,10 @@ def stdout_stream_write(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         # a stateful upstream op may have requested its state-store
         # count (state_partitions param); stores are sized by
         # spark.sql.shuffle.partitions at stream START, so apply the
-        # request (env knob wins) around .start() and restore after
-        sp = resolve_state_partitions(ctx.stream_conf.get("state_partitions"))
+        # request (env knob wins) around .start() and restore after.
+        # pop, not get: the request belongs to THIS stream — it must
+        # not leak into a later param-less stream of the same pipeline
+        sp = resolve_state_partitions(ctx.stream_conf.pop("state_partitions", None))
         spark = df.sparkSession
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         try:

@@ -143,7 +143,7 @@ from conveyor_spark.registry import OpContext, P, register
     tags=["streaming", "dedup"],
 )
 def stream_dedup_op(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
-    request_state_partitions(ctx, config, "stream.dedup")
+    request_state_partitions(ctx, config, "stream.dedup", df=inputs[0])
     keys = config.get("columns") or config.get("keys")
     if not keys:
         raise ConfigError("stream.dedup requires 'columns'")
@@ -153,23 +153,37 @@ def stream_dedup_op(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     )
 
 
-def request_state_partitions(ctx: OpContext, config: dict[str, Any], op: str) -> None:
+def request_state_partitions(
+    ctx: OpContext, config: dict[str, Any], op: str,
+    df: DataFrame | None = None,
+) -> None:
     """Honor a stateful streaming op's ``state_partitions`` param.
 
     The value sizes the stream's state stores (one per shuffle
     partition at FIRST start) — a drain-time property, so the op can
     only REQUEST it: the value rides ``ctx.stream_conf`` and the
-    drain (stdout_stream sink, run_available_now) sets
-    ``spark.sql.shuffle.partitions`` around stream start. Results are
-    value-neutral (state partitioning never changes values — the
-    part7 invariance axis); this is purely the throughput knob for
-    state cardinality (RUNBOOK: q66 at 1024x, 4 -> 32 stores =
-    3270 -> 580 s). ``SPARK_GRAFT_STATE_PARTITIONS`` (env) still
-    overrides, so an operator can retune a pinned pipeline without
-    editing it."""
+    drain (stdout_stream sink, run_available_now) consumes it (pop,
+    once — a request must not leak into a LATER param-less stream of
+    the same pipeline) and sets ``spark.sql.shuffle.partitions``
+    around stream start. Results are value-neutral (state
+    partitioning never changes values — the part7 invariance axis);
+    this is purely the throughput knob for state cardinality
+    (RUNBOOK: q66 at 1024x, 4 -> 32 stores = 3270 -> 580 s).
+    ``SPARK_GRAFT_STATE_PARTITIONS`` (env) still overrides, so an
+    operator can retune a pinned pipeline without editing it.
+
+    ``df``: the op's input, when the op ALSO runs in batch mode
+    (stream.dedup, aggregate.stream) — there the param configures
+    nothing and is rejected as dead config (the fuzzy-candidates
+    doctrine); pure-streaming ops already reject batch inputs."""
     sp = config.get("state_partitions")
     if sp is None:
         return
+    if df is not None and not df.isStreaming:
+        raise ConfigError(
+            f"{op}: state_partitions sizes a STREAM's state stores and "
+            "has no effect on a batch input; remove the key"
+        )
     try:
         sp = int(sp)
     except (TypeError, ValueError):

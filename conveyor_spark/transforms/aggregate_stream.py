@@ -47,7 +47,8 @@ _OPS = {"count", "sum", "avg", "mean", "min", "max"}
 def aggregate_stream(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
     from conveyor_spark.streaming.ops import request_state_partitions
 
-    request_state_partitions(ctx, config, "aggregate.stream")
+    request_state_partitions(ctx, config, "aggregate.stream",
+                             df=inputs[0])
     df = inputs[0]
     operation = str(config.get("operation", "")).lower()
     if operation not in _OPS:

@@ -544,3 +544,56 @@ def test_max_files_per_trigger_env_knob(spark, tmp_path, monkeypatch):
     fed2 = [p for p in RECENT_PROGRESS["t_mft_opt"]
             if p.get("numInputRows")]
     assert len(fed2) == 2 and len(out.collect()) == 12
+
+
+def test_state_partitions_dead_on_batch_input(spark, sf_dir):
+    """stream.dedup and aggregate.stream also run in batch mode —
+    there state_partitions configures nothing and must be rejected
+    as dead config, not silently stashed."""
+    from conveyor_spark.errors import ConfigError
+    from conveyor_spark.registry import OpContext
+    from tests.conftest import run_op
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    with pytest.raises(ConfigError, match="batch input"):
+        run_op(OpContext(spark=spark), "stream.dedup", [batch],
+               columns=["user_id"], state_partitions=8)
+    with pytest.raises(ConfigError, match="batch input"):
+        run_op(OpContext(spark=spark), "aggregate.stream", [batch],
+               operation="count", state_partitions=8)
+
+
+def test_state_partitions_request_consumed_once(spark, tmp_path,
+                                                monkeypatch):
+    """A drained request must NOT leak into a later param-less stream
+    of the same pipeline: the sink pops it."""
+    import json as _j
+
+    from conveyor_spark.registry import OpContext
+    from conveyor_spark.streaming.ops import LAST_PROGRESS
+    from tests.conftest import run_op
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS", raising=False)
+    src = tmp_path / "ev_consume"
+    src.mkdir()
+    rows = [{"k": f"u{i}", "ts": f"2024-01-01 00:00:{i:02d}"}
+            for i in range(4)]
+    (src / "a.jsonl").write_text("\n".join(_j.dumps(r) for r in rows))
+
+    def sdf():
+        return (
+            spark.readStream.schema("k string, ts string").json(str(src))
+            .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+        )
+
+    ctx2 = OpContext(spark=spark)
+    first = run_op(ctx2, "stream.dedup", [sdf()], columns=["k"],
+                   time_column="ts", state_partitions=3)
+    run_op(ctx2, "stdout_stream.write", [first], format="jsonl")
+    assert ctx2.stream_conf == {}  # consumed by the drain
+    second = run_op(ctx2, "stream.dedup", [sdf()], columns=["k"],
+                    time_column="ts")  # no request this time
+    run_op(ctx2, "stdout_stream.write", [second], format="jsonl")
+    prog = LAST_PROGRESS.get("stdout_stream.write") or {}
+    ops_ = prog.get("stateOperators") or []
+    assert ops_ and int(ops_[0]["numShufflePartitions"]) != 3
