@@ -307,6 +307,21 @@ def compile_pipeline(
             result.skipped.append(sid)
             continue
 
+        if op.kind == "sink":
+            # a streaming drain resolves per-stream requests (e.g.
+            # state_partitions) recorded by its ANCESTOR ops — in a
+            # two-stream pipeline each sink must see only its own
+            # stream's requests (conveyor_spark.streaming.ops.
+            # consume_state_partitions pops this)
+            anc: set[str] = set()
+            frontier = list(stage.inputs)
+            while frontier:
+                s = frontier.pop()
+                if s not in anc:
+                    anc.add(s)
+                    frontier.extend(stage_map[s].inputs)
+            ctx.stream_conf["__sink_ancestors__"] = anc
+
         strat_type = _strategy_kind(stage, spec)
         try:
             out = _run_with_strategy(
@@ -329,6 +344,9 @@ def compile_pipeline(
             raise
         if op.kind == "sink":
             executed_sinks.append(sid)
+            # a batch sink never consumes the ancestors stash — drop
+            # it so it cannot reach a later drain stale
+            ctx.stream_conf.pop("__sink_ancestors__", None)
 
     # stages upstream of a sink that actually ran (for the metrics
     # fallback: only those branches were computed)

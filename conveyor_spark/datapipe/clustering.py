@@ -330,6 +330,19 @@ def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int,
     return codebooks, assign(clean)
 
 
+def check_encode_method(config: dict, op: str) -> str:
+    """Loud validation: registry `allowed` only WARNS, so a typo
+    ('GEMM', 'arrow') would silently run the fold engine — and since
+    the engines are bit-exact, nothing downstream would ever surface
+    that the 100x-cheaper path the user asked for never ran."""
+    em = config.get("encode_method", "fold")
+    if em not in ("fold", "gemm"):
+        raise ConfigError(
+            f"{op}: encode_method={em!r} is not one of 'fold'|'gemm'"
+        )
+    return em
+
+
 def gemm_encode_codes(df: DataFrame, id_col: str, vec_col: str,
                       out_id: str, out_code: str,
                       codebooks: list, m: int, sd: int) -> DataFrame:
@@ -559,7 +572,7 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
     if output not in ("codes", "codebooks"):
         raise ConfigError("embedding.pq: output must be codes|codebooks")
     out_col = config.get("output_column", "pq_code")
-    encode_method = config.get("encode_method", "fold")
+    encode_method = check_encode_method(config, "embedding.pq")
     if output == "codebooks" and "encode_method" in config:
         raise ConfigError(
             "embedding.pq: encode_method configures the ENCODE pass and "
@@ -656,7 +669,7 @@ def embedding_pq_encode(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         codebook_df, "embedding.pq_encode", config
     )
 
-    if config.get("encode_method", "fold") == "gemm":
+    if check_encode_method(config, "embedding.pq_encode") == "gemm":
         return gemm_encode_column(df, column, out_col, codebooks, m, sd)
 
     vec = F.col(column)

@@ -419,7 +419,9 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
         clean, _ = _pq_clean(corpus, id_column, column, dim, op="knn.lsh")
         codebooks, encoded = _train_pq(clean, dim, m, kw, iterations,
                                        op="knn.lsh")
-        if config.get("encode_method", "fold") == "gemm":
+        from conveyor_spark.datapipe.clustering import check_encode_method
+
+        if check_encode_method(config, "knn.lsh") == "gemm":
             # the scale encode: Arrow-batched numpy argmin, bit-exact
             # vs the fold (per-dim sequential accumulation — see
             # gemm_encode_codes; q161's oracle proves the parity
@@ -484,7 +486,7 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
         qclean = queries_df.filter(
             vec_ok(F.col(column), dim)
         ).select(F.col(id_column).alias("query_id"), F.col(column).alias("__v"))
-        if config.get("encode_method", "fold") == "gemm" \
+        if check_encode_method(config, "knn.lsh") == "gemm" \
                 and codebook_df is None:
             from conveyor_spark.datapipe.clustering import gemm_encode_codes
             qenc = gemm_encode_codes(qclean, "query_id", "__v",

@@ -48,15 +48,18 @@ def stdout_stream_write(ctx: OpContext, inputs: list[DataFrame], config: dict[st
     pretty = bool(config.get("pretty", False))
     out = config.get("_out", sys.stdout)  # test hook
     if df.isStreaming:
-        from conveyor_spark.streaming.ops import resolve_state_partitions
+        from conveyor_spark.streaming.ops import (
+            consume_state_partitions, resolve_state_partitions,
+        )
 
         # a stateful upstream op may have requested its state-store
         # count (state_partitions param); stores are sized by
         # spark.sql.shuffle.partitions at stream START, so apply the
         # request (env knob wins) around .start() and restore after.
-        # pop, not get: the request belongs to THIS stream — it must
-        # not leak into a later param-less stream of the same pipeline
-        sp = resolve_state_partitions(ctx.stream_conf.pop("state_partitions", None))
+        # consume_state_partitions pops THIS stream's request (by the
+        # sink's ancestor stages under the compiler) — it must not
+        # leak into a later param-less stream of the same pipeline
+        sp = resolve_state_partitions(consume_state_partitions(ctx))
         spark = df.sparkSession
         old_sp = spark.conf.get("spark.sql.shuffle.partitions")
         try:
@@ -77,8 +80,13 @@ def stdout_stream_write(ctx: OpContext, inputs: list[DataFrame], config: dict[st
 
             # same observability hook run_available_now keeps: the
             # final progress carries stateOperators (rows/memory/
-            # numShufflePartitions) for probes and tests
-            LAST_PROGRESS["stdout_stream.write"] = query.lastProgress or {}
+            # numShufflePartitions) for probes and tests; the
+            # stage-qualified key keeps MULTI-sink pipelines readable
+            # (the bare key records the last drain only)
+            prog = query.lastProgress or {}
+            LAST_PROGRESS["stdout_stream.write"] = prog
+            if ctx.stage_id:
+                LAST_PROGRESS[f"stdout_stream.write:{ctx.stage_id}"] = prog
         return None
     for row in df.toLocalIterator():
         out.write(_fmt_row(row.asDict(recursive=True), fmt, pretty) + "\n")

@@ -128,13 +128,28 @@ def kafka_write(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
         checkpoint = config.get("checkpoint_location")
         if not checkpoint:
             raise ConfigError("streaming kafka.write requires 'checkpoint_location'")
-        query = (
-            df.writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", brokers)
-            .option("topic", topic)
-            .option("checkpointLocation", checkpoint)
-            .start()
+        from conveyor_spark.streaming.ops import (
+            consume_state_partitions, resolve_state_partitions,
         )
+
+        # honor an upstream stateful op's state_partitions request,
+        # exactly like the stdout_stream drain — state stores are
+        # sized by spark.sql.shuffle.partitions at stream START
+        sp = resolve_state_partitions(consume_state_partitions(ctx))
+        spark = df.sparkSession
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            if sp is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+            query = (
+                df.writeStream.format("kafka")
+                .option("kafka.bootstrap.servers", brokers)
+                .option("topic", topic)
+                .option("checkpointLocation", checkpoint)
+                .start()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         # Block until the stream ends (default): otherwise the driver
         # can exit before any micro-batch commits and nothing is
         # produced. await_termination=false opts out and returns the

@@ -30,6 +30,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
+from conveyor_spark.streaming.ops import STATE_PARTITIONS_PARAM
 
 
 def count_tumbling(
@@ -166,10 +167,7 @@ def count_sliding(
         P("order_by", "array",
           desc="Accepted for interface parity; the emitted per-window "
                "counts are row-order invariant, so no sort runs"),
-        P("state_partitions", "integer", min=1,
-          desc="State stores for this stream (spark.sql.shuffle."
-               "partitions at stream start); env SPARK_GRAFT_STATE_"
-               "PARTITIONS overrides"),
+        STATE_PARTITIONS_PARAM,
     ],
     example={"size": 500, "group_by": ["event_type"], "order_by": ["ts"]},
     tags=["streaming", "window", "stateful"],

@@ -27,6 +27,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
+from conveyor_spark.streaming.ops import STATE_PARTITIONS_PARAM
 
 
 @register(
@@ -39,10 +40,7 @@ from conveyor_spark.registry import OpContext, P, register
         P("ts_column", default="ts", desc="Event-time column"),
         P("within_seconds", "float", min=0,
           desc="Max seconds from first step to completion"),
-        P("state_partitions", "integer", min=1,
-          desc="State stores for this stream (spark.sql.shuffle."
-               "partitions at stream start); env SPARK_GRAFT_STATE_"
-               "PARTITIONS overrides"),
+        STATE_PARTITIONS_PARAM,
     ],
     example={"steps": ["view", "click", "purchase"], "by": ["user_id"]},
     tags=["streaming", "funnel", "stateful"],

@@ -46,7 +46,10 @@ def read_file_stream(
     reader = spark.readStream.schema(schema)
     opts = dict(options or {})
     env_mft = os.environ.get("SPARK_GRAFT_MAX_FILES_PER_TRIGGER")
-    if env_mft and "maxFilesPerTrigger" not in opts:
+    # Spark option keys are case-insensitive — an explicit
+    # 'maxfilespertrigger' must win over the env knob too
+    has_mft = any(k.lower() == "maxfilespertrigger" for k in opts)
+    if env_mft and not has_mft:
         try:
             mft = int(env_mft)
         except ValueError:
@@ -125,6 +128,14 @@ def stream_dedup(
 
 from conveyor_spark.registry import OpContext, P, register
 
+# the shared param metadata — every stateful streaming op offers it
+STATE_PARTITIONS_PARAM = P(
+    "state_partitions", "integer", min=1,
+    desc="State stores for this stream (spark.sql.shuffle.partitions "
+         "at stream start); size to steady-state key cardinality. "
+         "Env SPARK_GRAFT_STATE_PARTITIONS overrides.",
+)
+
 
 @register(
     "stream.dedup", kind="transform", streaming_capable=True,
@@ -134,10 +145,7 @@ from conveyor_spark.registry import OpContext, P, register
         P("keys", "array", desc="Alias for columns"),
         P("time_column", desc="Event-time column for watermarking"),
         P("watermark", default="1 hour", desc="State retention bound"),
-        P("state_partitions", "integer", min=1,
-          desc="State stores for this stream (spark.sql.shuffle."
-               "partitions at stream start); env SPARK_GRAFT_STATE_"
-               "PARTITIONS overrides"),
+        STATE_PARTITIONS_PARAM,
     ],
     example={"columns": ["event_id"], "time_column": "ts", "watermark": "1 hour"},
     tags=["streaming", "dedup"],
@@ -175,25 +183,66 @@ def request_state_partitions(
     ``df``: the op's input, when the op ALSO runs in batch mode
     (stream.dedup, aggregate.stream) — there the param configures
     nothing and is rejected as dead config (the fuzzy-candidates
-    doctrine); pure-streaming ops already reject batch inputs."""
-    sp = config.get("state_partitions")
-    if sp is None:
+    doctrine); pure-streaming ops already reject batch inputs.
+
+    Requests are recorded PER REQUESTING STAGE (ctx.stage_id, set by
+    the compiler): a pipeline with two stateful streams must not let
+    the second op's request clobber the first's — the drain resolves
+    the request(s) belonging to ITS stream's ancestors (compiler
+    plumbing) or fails loudly on a multi-value conflict."""
+    raw = config.get("state_partitions")
+    if raw is None:
         return
     if df is not None and not df.isStreaming:
         raise ConfigError(
             f"{op}: state_partitions sizes a STREAM's state stores and "
             "has no effect on a batch input; remove the key"
         )
+    # same parse as the env knob (resolve_state_partitions): 4.5 and
+    # True must fail identically in config and env — int() would
+    # silently truncate/coerce them
     try:
-        sp = int(sp)
-    except (TypeError, ValueError):
-        sp = 0
+        sp = int(str(raw))
+    except ValueError:
+        sp = -1
     if sp < 1:
         raise ConfigError(
-            f"{op}: state_partitions={config.get('state_partitions')!r} "
+            f"{op}: state_partitions={raw!r} "
             "must be an integer >= 1 (state stores per stream)"
         )
-    ctx.stream_conf["state_partitions"] = sp
+    by_stage = ctx.stream_conf.setdefault("state_partitions_by_stage", {})
+    by_stage[ctx.stage_id or f"__direct_{len(by_stage)}__"] = (op, sp)
+
+
+def consume_state_partitions(ctx: OpContext) -> int | None:
+    """Drain-side resolution: pop the pending request(s) this sink's
+    stream owns and return the value (env override applied by
+    resolve_state_partitions afterwards).
+
+    The compiler stashes the draining sink's ancestor stage ids under
+    ``__sink_ancestors__`` before calling the sink, so a two-stream
+    pipeline resolves each request to ITS stream. Outside the
+    compiler (direct op calls) there is no DAG — all pending requests
+    are taken, and DIFFERENT values raise a ConfigError rather than
+    silently applying one stream's knob to another."""
+    by_stage = ctx.stream_conf.get("state_partitions_by_stage") or {}
+    ancestors = ctx.stream_conf.pop("__sink_ancestors__", None)
+    if ancestors is not None:
+        mine = {k: v for k, v in by_stage.items() if k in ancestors}
+    else:
+        mine = dict(by_stage)
+    for k in mine:
+        by_stage.pop(k, None)
+    vals = {sp for _, sp in mine.values()}
+    if len(vals) > 1:
+        detail = ", ".join(f"{k} ({op}={sp})"
+                           for k, (op, sp) in sorted(mine.items()))
+        raise ConfigError(
+            "conflicting state_partitions requests reach one stream "
+            f"drain: {detail} — set one value, or retune with the "
+            "SPARK_GRAFT_STATE_PARTITIONS env override"
+        )
+    return vals.pop() if vals else None
 
 
 def resolve_state_partitions(explicit: int | None) -> int | None:

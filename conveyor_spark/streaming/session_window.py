@@ -33,6 +33,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
+from conveyor_spark.streaming.ops import STATE_PARTITIONS_PARAM
 
 
 def session_assign(
@@ -154,10 +155,7 @@ def session_assign(
         P("max_duration", "any", desc="Force-close after this session length"),
         P("key_columns", "array",
           desc="Alias for group_by (the state/grouping key)"),
-        P("state_partitions", "integer", min=1,
-          desc="State stores for this stream (spark.sql.shuffle."
-               "partitions at stream start); env SPARK_GRAFT_STATE_"
-               "PARTITIONS overrides"),
+        STATE_PARTITIONS_PARAM,
     ],
     example={"gap": 1800, "group_by": ["user_id"]},
     tags=["streaming", "session", "stateful"],

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from conveyor_spark.errors import ConfigError
 from conveyor_spark.registry import OpContext, P, register
+from conveyor_spark.streaming.ops import STATE_PARTITIONS_PARAM
 
 _OPS = {"count", "sum", "avg", "mean", "min", "max"}
 
@@ -36,10 +37,7 @@ _OPS = {"count", "sum", "avg", "mean", "min", "max"}
         P("column", desc="Reference-spec alias for value_column"),
         P("group_by", "array", desc="Grouping column(s); global when omitted"),
         P("output_column", desc="Result column (default: the operation name)"),
-        P("state_partitions", "integer", min=1,
-          desc="Streaming only: state stores for this stream (spark.sql."
-               "shuffle.partitions at stream start); env SPARK_GRAFT_"
-               "STATE_PARTITIONS overrides"),
+        STATE_PARTITIONS_PARAM,
     ],
     example={"operation": "sum", "value_column": "amount", "group_by": ["region"]},
     tags=["aggregate", "streaming"],

@@ -415,13 +415,15 @@ def test_state_partitions_param_stashes_request(spark, tmp_path):
     fresh = OpContext(spark=spark)
     run_op(fresh, "stream.dedup", [sdf], columns=["k"], time_column="ts",
            state_partitions=8)
-    assert fresh.stream_conf == {"state_partitions": 8}
+    reqs = fresh.stream_conf["state_partitions_by_stage"]
+    assert list(reqs.values()) == [("stream.dedup", 8)]
 
     # every stateful streaming op offers the param
     fresh2 = OpContext(spark=spark)
     run_op(fresh2, "stream.session_window", [sdf], gap=60, key_columns="k",
            state_partitions=6)
-    assert fresh2.stream_conf == {"state_partitions": 6}
+    reqs2 = fresh2.stream_conf["state_partitions_by_stage"]
+    assert list(reqs2.values()) == [("stream.session_window", 6)]
 
 
 def test_state_partitions_param_validates(spark, tmp_path):
@@ -590,10 +592,146 @@ def test_state_partitions_request_consumed_once(spark, tmp_path,
     first = run_op(ctx2, "stream.dedup", [sdf()], columns=["k"],
                    time_column="ts", state_partitions=3)
     run_op(ctx2, "stdout_stream.write", [first], format="jsonl")
-    assert ctx2.stream_conf == {}  # consumed by the drain
+    # consumed by the drain: no pending requests remain
+    assert not ctx2.stream_conf.get("state_partitions_by_stage")
     second = run_op(ctx2, "stream.dedup", [sdf()], columns=["k"],
                     time_column="ts")  # no request this time
     run_op(ctx2, "stdout_stream.write", [second], format="jsonl")
     prog = LAST_PROGRESS.get("stdout_stream.write") or {}
     ops_ = prog.get("stateOperators") or []
     assert ops_ and int(ops_[0]["numShufflePartitions"]) != 3
+
+
+def test_state_partitions_two_streams_resolve_independently(
+        spark, tmp_path, monkeypatch):
+    """The review-caught clobber: in a two-stream pipeline both ops'
+    requests are recorded BEFORE either drain runs (topological
+    generations), so a single slot would apply stream B's value to
+    stream A. With per-stage requests + compiler ancestor resolution,
+    each drain sizes its OWN stream."""
+    import json as _j
+
+    from conveyor_spark.compiler import run_pipeline
+    from conveyor_spark.config.spec import load_spec
+    from conveyor_spark.streaming.ops import LAST_PROGRESS
+
+    monkeypatch.delenv("SPARK_GRAFT_STATE_PARTITIONS", raising=False)
+    d_a, d_b = tmp_path / "in_a", tmp_path / "in_b"
+    d_a.mkdir(), d_b.mkdir()
+    rows = [{"k": f"u{i}"} for i in range(6)]
+    (d_a / "a.jsonl").write_text("\n".join(_j.dumps(r) for r in rows))
+    (d_b / "b.jsonl").write_text("\n".join(_j.dumps(r) for r in rows))
+    toml = tmp_path / "two_streams.toml"
+    toml.write_text(f'''
+[[stages]]
+id = "src_a"
+function = "file.watch"
+[stages.config]
+path = "{d_a}"
+format = "jsonl"
+schema = "k STRING"
+
+[[stages]]
+id = "agg_a"
+function = "aggregate.stream"
+inputs = ["src_a"]
+[stages.config]
+operation = "count"
+group_by = ["k"]
+state_partitions = 3
+
+[[stages]]
+id = "out_a"
+function = "stdout_stream.write"
+inputs = ["agg_a"]
+[stages.config]
+output_mode = "complete"
+
+[[stages]]
+id = "src_b"
+function = "file.watch"
+[stages.config]
+path = "{d_b}"
+format = "jsonl"
+schema = "k STRING"
+
+[[stages]]
+id = "agg_b"
+function = "aggregate.stream"
+inputs = ["src_b"]
+[stages.config]
+operation = "count"
+group_by = ["k"]
+state_partitions = 5
+
+[[stages]]
+id = "out_b"
+function = "stdout_stream.write"
+inputs = ["agg_b"]
+[stages.config]
+output_mode = "complete"
+''')
+    result = run_pipeline(spark, load_spec(str(toml)))
+    assert not result.errors, result.errors
+
+    def sp_of(stage):
+        prog = LAST_PROGRESS.get(f"stdout_stream.write:{stage}") or {}
+        ops_ = prog.get("stateOperators") or []
+        assert ops_, f"no progress for {stage}"
+        return int(ops_[0]["numShufflePartitions"])
+
+    assert sp_of("out_a") == 3
+    assert sp_of("out_b") == 5
+
+
+def test_state_partitions_direct_conflict_fails_loudly(spark, tmp_path):
+    """Outside the compiler there is no DAG to attribute requests —
+    two DIFFERENT pending values at one drain must raise, never
+    silently apply one stream's knob to another."""
+    import json as _j
+
+    from conveyor_spark.errors import ConfigError
+    from conveyor_spark.registry import OpContext
+    from tests.conftest import run_op
+
+    src = tmp_path / "ev_conflict"
+    src.mkdir()
+    (src / "a.jsonl").write_text(_j.dumps({"k": "u1",
+                                           "ts": "2024-01-01 00:00:00"}))
+
+    def sdf():
+        return (
+            spark.readStream.schema("k string, ts string").json(str(src))
+            .selectExpr("k", "CAST(ts AS TIMESTAMP) AS ts")
+        )
+
+    cx = OpContext(spark=spark)
+    a = run_op(cx, "stream.dedup", [sdf()], columns=["k"],
+               time_column="ts", state_partitions=3)
+    run_op(cx, "stream.dedup", [sdf()], columns=["k"],
+           time_column="ts", state_partitions=9)
+    with pytest.raises(ConfigError, match="conflicting state_partitions"):
+        run_op(cx, "stdout_stream.write", [a], format="jsonl")
+
+
+def test_encode_method_typo_fails_loudly(ctx, spark):
+    """Registry `allowed` only warns; a typo'd encode_method would
+    silently run the fold engine — and bit-exactness means nothing
+    downstream would ever surface it. Must raise."""
+    from conveyor_spark.errors import ConfigError
+    from tests.conftest import run_op
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = run_op(ctx, "embedding.pq", [e], id_column="vec_id", m=4,
+                   k=4, iterations=1, output="codebooks")
+    for op_call in (
+        lambda: run_op(ctx, "embedding.pq_encode", [e, books],
+                       id_column="vec_id", encode_method="GEMM"),
+        lambda: run_op(ctx, "embedding.pq", [e], id_column="vec_id",
+                       m=4, k=4, encode_method="arrow"),
+        lambda: run_op(ctx, "knn.lsh", [e], id_column="vec_id", k=3,
+                       dim=64, bits=24, bands=4, verify="pq", m=4,
+                       codewords=4, rerank=6, encode_method="gem"),
+    ):
+        with pytest.raises(ConfigError, match="encode_method"):
+            op_call()

@@ -113,7 +113,11 @@ def fit(out_path: str, window: int = 3) -> int:
     series: dict[str, list[float]] = {}
     for b in history:
         for q, t in b["queries"].items():
-            if t is not None and t >= 0:
+            # strictly positive: bench.py rounds, so a sub-threshold
+            # query can record 0.0 — a zero median would divide the
+            # deviation calc by zero and an all-zero series would
+            # empty the max() generator (both crash fit)
+            if t is not None and t > 0:
                 series.setdefault(q, []).append(t / b["calib"])
     model = {}
     for q, vals in sorted(series.items()):
@@ -123,7 +127,7 @@ def fit(out_path: str, window: int = 3) -> int:
             model[q] = {"median_cal": round(med, 4), "n": 1,
                         "tolerance": DEFAULT_TOL}
             continue
-        maxdev = max(max(v / med, med / v) for v in vals if v > 0)
+        maxdev = max(max(v / med, med / v) for v in vals)
         tol = max(TOL_FLOOR, round(maxdev * TOL_PAD, 3))
         model[q] = {"median_cal": round(med, 4), "n": len(vals),
                     "max_dev": round(maxdev, 3), "tolerance": tol}

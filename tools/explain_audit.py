@@ -192,15 +192,17 @@ CHECKS = [
         "BroadcastExchange (the |queries| x m x k ADC distance table, "
         "5 rows here); the search joins that table broadcast, no "
         "cartesian/BNLJ",
-        lambda p, o: "MapInPandas" in p
-        and "BroadcastHashJoin" in p
-        and "CartesianProduct" not in p
-        and "BroadcastNestedLoopJoin" not in p
-        and all(
-            i > next(j for j, bl in enumerate(p.splitlines())
-                     if "BroadcastExchange" in bl)
-            for i, ln in enumerate(p.splitlines()) if "zip_with" in ln
-        ),
+        lambda p, o: (lambda lines, bx: (
+            "MapInPandas" in p
+            and "BroadcastHashJoin" in p
+            and "CartesianProduct" not in p
+            and "BroadcastNestedLoopJoin" not in p
+            and bx >= 0  # no broadcast line at all -> FAIL, not crash
+            and all(i > bx for i, ln in enumerate(lines)
+                    if "zip_with" in ln)
+        ))(p.splitlines(),
+           next((j for j, bl in enumerate(p.splitlines())
+                 if "BroadcastExchange" in bl), -1)),
     ),
     (
         "q155_py_group_eval",
