@@ -834,6 +834,15 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
     ).select("__qid", "__e.__s", "__e.__code", "__e.__d")
 
     pair_sub = codes.join(F.broadcast(dtable), ["__s", "__code"])
+    return _adc_topk(pair_sub, qid_col, id_column, k)
+
+
+def _adc_topk(pair_sub: DataFrame, qid_col: str, id_column: str,
+              k: int) -> DataFrame:
+    """The ADC tail shared by knn.pq and knn.ivfpq: sum each
+    (query, corpus id)'s subspace distances in subspace order (the
+    array_sort key is __s — unique per pair, so the fold order is
+    deterministic), round 9, rank (adc_dist asc, id asc), cut at k."""
     scored = (
         pair_sub.groupBy("__qid", "__kid")
         .agg(
@@ -862,3 +871,179 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
         .filter(F.col("rank") <= k)
     )
 
+
+
+def _parse_centroids(centroid_df: DataFrame, op: str, dim: int,
+                     cell_col: str) -> list[list[float]]:
+    """Load + validate an embedding.kmeans output='centroids' table
+    into a driver-side list indexed by cell id. Cells must be a
+    contiguous 0..n-1 range (kmeans emits exactly that; a gap means
+    the caller passed the wrong table) and every centroid must match
+    the codebooks' dimensionality — a silent dim mismatch would make
+    every probe distance NULL and return an empty result."""
+    for c in (cell_col, "centroid"):
+        if c not in centroid_df.columns:
+            raise ConfigError(
+                f"{op}: centroids input has no column {c!r} "
+                "(expect embedding.kmeans output='centroids')"
+            )
+    rows = centroid_df.select(cell_col, "centroid").collect()
+    if not rows:
+        raise ConfigError(f"{op}: centroids input is empty")
+    if any(r[cell_col] is None or r["centroid"] is None for r in rows):
+        raise ConfigError(f"{op}: centroids input has NULL cells/centroids")
+    cells = sorted(int(r[cell_col]) for r in rows)
+    if cells != list(range(len(rows))):
+        raise ConfigError(
+            f"{op}: centroid cells must be contiguous 0..n-1 "
+            f"(got {cells[:6]}{'...' if len(cells) > 6 else ''})"
+        )
+    lens = {len(r["centroid"]) for r in rows}
+    if lens != {dim}:
+        raise ConfigError(
+            f"{op}: centroid dims {sorted(lens)} != codebooks dim {dim}"
+        )
+    out: list[list[float]] = [[] for _ in rows]
+    for r in rows:
+        out[int(r[cell_col])] = [float(x) for x in r["centroid"]]
+    return out
+
+
+@register(
+    "knn.ivfpq", kind="transform", min_inputs=4, max_inputs=4,
+    doc="IVF+PQ search: probe nprobe cells, ADC over their codes only",
+    params=[
+        P("id_column", required=True, desc="Corpus vector id column"),
+        P("column", default="embedding", desc="Query vector column"),
+        P("query_id_column", desc="Query id column (default: id_column)"),
+        P("k", "integer", default=10, min=1, desc="Neighbors per query"),
+        P("nprobe", "integer", default=1, min=1,
+          desc="IVF cells scanned per query (recall/cost dial)"),
+        P("cell_column", required=True,
+          desc="Corpus IVF cell column (embedding.kmeans assignment)"),
+        P("code_column", required=True,
+          desc="Corpus pq code column (embedding.pq_encode output)"),
+        P("centroid_cell_column", default="cluster",
+          desc="Cell id column of the centroids (third) input"),
+    ],
+    example={"id_column": "vec_id", "column": "embedding", "k": 3,
+             "nprobe": 2, "cell_column": "ivf_cell",
+             "code_column": "pq_code"},
+    tags=["embedding", "ann", "similarity", "datapipe"],
+)
+def knn_ivfpq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """The FAISS-canonical IVFPQ composition (Jégou et al.), as one
+    op over pretrained artifacts: inputs = [corpus, queries,
+    centroids, codebooks] where the corpus is STAMPED (an IVF cell
+    from embedding.kmeans and an m-byte PQ code from
+    embedding.pq_encode), centroids = embedding.kmeans
+    output='centroids', codebooks = embedding.pq output='codebooks'.
+    Each query ranks the coarse centroids exactly (ties to the lower
+    cell), probes its ``nprobe`` nearest cells, and ADC-scores ONLY
+    the codes posted in those cells — then top-k on (adc_dist, id).
+    Output: (query id, corpus id, adc_dist, rank), knn.pq's schema.
+
+    Scale (the reason this op exists): flat knn.pq joins every query
+    against ALL N corpus codes — O(N*Q) pairs into the aggregate. The
+    cell restriction cuts that to N*Q*nprobe/n_cells: at 1e9 vectors,
+    1024 cells, nprobe 8, each query touches ~8M codes instead of
+    1e9. Corpus rows move once as skinny (id, cell, subspace, code)
+    INT tuples — vectors never load; the probe map (|Q| x nprobe) and
+    the distance table (|Q| x m x codewords) broadcast, so the only
+    shuffle is the candidate-bound (query, id) aggregate. The same
+    contract as knn.pq pretrained mode: queries are the small side.
+
+    Determinism: centroid probe distances are the same left-to-right
+    literal folds as embedding.kmeans assignment; ADC sums fold in
+    subspace order, round 9 (``_adc_topk``) — the whole pipeline
+    (train, stamp, probe, screen, rank) replays in the q163 oracle.
+
+    Reference parity: the reference engine has no ANN at all; this
+    extends its roadmap the way knn.brute/ivf/lsh/pq do
+    (/root/reference/README.md capabilities list)."""
+    corpus, queries, centroid_df, codebook_df = inputs
+    id_column = config.get("id_column")
+    if not id_column:
+        raise ConfigError("knn.ivfpq requires 'id_column'")
+    column = config.get("column", "embedding")
+    qid_col = config.get("query_id_column", id_column)
+    cell_column = config.get("cell_column")
+    code_column = config.get("code_column")
+    if not cell_column or not code_column:
+        raise ConfigError(
+            "knn.ivfpq requires 'cell_column' (embedding.kmeans "
+            "assignment) and 'code_column' (embedding.pq_encode output)"
+        )
+    for dfx, cols, side in (
+        (corpus, (id_column, cell_column, code_column), "corpus"),
+        (queries, (qid_col, column), "queries"),
+    ):
+        for c in cols:
+            if c not in dfx.columns:
+                raise ConfigError(f"knn.ivfpq: {side} has no column {c!r}")
+    k = int(config.get("k", 10))
+    nprobe = int(config.get("nprobe", 1))
+    if min(k, nprobe) < 1:
+        raise ConfigError("knn.ivfpq: k and nprobe must be >= 1")
+
+    codebooks, m, kw, sd, dim = _parse_codebooks(
+        codebook_df, "knn.ivfpq", config
+    )
+    centroids = _parse_centroids(
+        centroid_df, "knn.ivfpq", dim,
+        config.get("centroid_cell_column", "cluster"),
+    )
+
+    qclean = queries.filter(vec_ok(F.col(column), dim)).select(
+        F.col(qid_col).alias("__qid"), F.col(column).alias("__v"))
+
+    # coarse probe: exact distance to every centroid (k_cells literal
+    # folds — the same arithmetic as embedding.kmeans assignment),
+    # keep the nprobe nearest cells, ties to the lower cell id. The
+    # window partitions by query — queries are the small side here.
+    cdists = F.array(*[_dist_expr(F.col("__v"), c) for c in centroids])
+    probes = (
+        qclean.select("__qid", F.posexplode(cdists).alias("__cell", "__cd"))
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("__qid")
+                .orderBy(F.col("__cd"), F.col("__cell"))
+            ),
+        )
+        .filter(F.col("__pr") <= nprobe)
+        .select("__qid", "__cell")
+    )
+
+    # per-query ADC distance table: m x codewords exact subspace
+    # distances (knn.pq's recipe, shared SQL builder)
+    table_entries = F.expr("array(" + ", ".join(
+        f"named_struct('__s', {s}, '__code', {j}, "
+        f"'__d', {_sub_dist_sql('__v', s * sd, codebooks[s][j])})"
+        for s in range(m) for j in range(kw)
+    ) + ")")
+    dtable = qclean.select(
+        "__qid", F.explode(table_entries).alias("__e")
+    ).select("__qid", "__e.__s", "__e.__code", "__e.__d")
+
+    # corpus side: skinny (id, cell, subspace, code) INT tuples.
+    # Invalid codes would leave a PARTIAL ADC sum that outranks real
+    # neighbors (knn.pq's guard); NULL cells are unprobeable.
+    codes = corpus.filter(
+        F.col(code_column).isNotNull() & (F.size(code_column) == m)
+        & ~F.exists(
+            code_column,
+            lambda x: x.isNull() | (x < 0) | (x >= kw),
+        )
+        & F.col(cell_column).isNotNull()
+    ).select(
+        F.col(id_column).alias("__kid"),
+        F.col(cell_column).cast("int").alias("__cell"),
+        F.posexplode(code_column).alias("__s", "__code"),
+    )
+
+    # candidate stream = codes in probed cells only; both the probe
+    # map and the distance table broadcast (query-side sized)
+    cand = codes.join(F.broadcast(probes), "__cell")
+    pair_sub = cand.join(F.broadcast(dtable), ["__qid", "__s", "__code"])
+    return _adc_topk(pair_sub, qid_col, id_column, k)

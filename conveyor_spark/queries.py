@@ -4421,14 +4421,18 @@ def q120_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _op("select.apply", ctx, [out], columns=["vec_id", "cluster"])
 
 
-def _pq_oracle(m: int, kw: int, iterations: int, dim: int,
-               nq: int, topk: int) -> str:
-    """Replay knn.pq end-to-end in DuckDB: subspace split, per-
-    subspace Lloyd training (clustering.py's floor-quantized int64
-    recipe), post-loop encode, ADC distance tables, top-k. Generic
-    over (vec_id, subspace) rows, so the SQL stays compact for any
-    m/k."""
+def _pq_train_cte(m: int, kw: int, iterations: int, dim: int,
+                  prefix: str = "") -> tuple[list[str], str, str, str, str]:
+    """CTE blocks replaying embedding.pq training + the post-loop
+    encode in DuckDB: subspace split, per-subspace Lloyd iterations
+    (clustering.py's floor-quantized int64 recipe), final argmin
+    encode. Assumes an ``e AS (vec_id, v)`` CTE is already declared.
+    ``prefix`` namespaces every CTE so the blocks can coexist with
+    _kmeans_cte's (which uses the same c/d/a/s names) in one query
+    (q163 IVFPQ). Returns (blocks, sub_name, codebook_cte, encode_cte,
+    fold_dist_template)."""
     sd = dim // m
+    p = prefix
     fold_dist = (
         "list_reduce(list_prepend(0.0::DOUBLE, "
         f"list_transform(range(1, {sd + 1}), "
@@ -4436,49 +4440,60 @@ def _pq_oracle(m: int, kw: int, iterations: int, dim: int,
         "(x, y) -> x + y)"
     )
     blocks = [
-        f"""sub AS (SELECT vec_id, sp.s,
+        f"""{p}sub AS (SELECT vec_id, sp.s,
                list_slice(v, sp.s * {sd} + 1, (sp.s + 1) * {sd}) AS sv
         FROM e CROSS JOIN (SELECT unnest(range(0, {m}))::INT AS s) sp)""",
-        f"""c0 AS (SELECT s,
+        f"""{p}c0 AS (SELECT s,
                (row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1)::INT AS j,
                list_transform(sv, x -> x::DOUBLE) AS cv
-        FROM sub WHERE vec_id IN
+        FROM {p}sub WHERE vec_id IN
              (SELECT vec_id FROM e ORDER BY vec_id LIMIT {kw}))""",
     ]
     for t in range(1, iterations + 2):  # last pass = encode only
-        prev = f"c{t - 1}"
-        blocks.append(f"""d{t} AS (
-        SELECT sub.vec_id, sub.s, sub.sv, c.j,
-               {fold_dist.format(a='sub.sv', b='c.cv')} AS dist
-        FROM sub JOIN {prev} c ON sub.s = c.s)""")
-        blocks.append(f"""a{t} AS (
+        prev = f"{p}c{t - 1}"
+        blocks.append(f"""{p}d{t} AS (
+        SELECT {p}sub.vec_id, {p}sub.s, {p}sub.sv, c.j,
+               {fold_dist.format(a=f'{p}sub.sv', b='c.cv')} AS dist
+        FROM {p}sub JOIN {prev} c ON {p}sub.s = c.s)""")
+        blocks.append(f"""{p}a{t} AS (
         SELECT vec_id, s, sv, j FROM (
             SELECT vec_id, s, sv, j,
                    row_number() OVER (PARTITION BY vec_id, s
                                       ORDER BY dist, j) AS rn
-            FROM d{t}) WHERE rn = 1)""")
+            FROM {p}d{t}) WHERE rn = 1)""")
         if t <= iterations:
-            blocks.append(f"""s{t} AS (
+            blocks.append(f"""{p}s{t} AS (
         SELECT a.s, a.j, dims.i,
                SUM(floor(a.sv[dims.i]::DOUBLE * 1048576.0)::BIGINT) AS sm,
                COUNT(*)::BIGINT AS n
-        FROM a{t} a CROSS JOIN
+        FROM {p}a{t} a CROSS JOIN
              (SELECT unnest(range(1, {sd + 1})) AS i) dims
         GROUP BY a.s, a.j, dims.i)""")
-            blocks.append(f"""c{t} AS (
-        SELECT c0.s, c0.j,
+            blocks.append(f"""{p}c{t} AS (
+        SELECT {p}c0.s, {p}c0.j,
                COALESCE(u.cv, (SELECT cv FROM {prev} p
-                               WHERE p.s = c0.s AND p.j = c0.j)) AS cv
-        FROM c0 LEFT JOIN (
+                               WHERE p.s = {p}c0.s AND p.j = {p}c0.j)) AS cv
+        FROM {p}c0 LEFT JOIN (
             SELECT s, j, list(sm::DOUBLE / (1048576.0 * n) ORDER BY i) AS cv
-            FROM s{t} GROUP BY s, j) u
-        ON c0.s = u.s AND c0.j = u.j)""")
-    enc = f"a{iterations + 1}"
+            FROM {p}s{t} GROUP BY s, j) u
+        ON {p}c0.s = u.s AND {p}c0.j = u.j)""")
+    return (blocks, f"{p}sub", f"{p}c{iterations}",
+            f"{p}a{iterations + 1}", fold_dist)
+
+
+def _pq_oracle(m: int, kw: int, iterations: int, dim: int,
+               nq: int, topk: int) -> str:
+    """Replay knn.pq end-to-end in DuckDB: subspace split, per-
+    subspace Lloyd training (clustering.py's floor-quantized int64
+    recipe), post-loop encode, ADC distance tables, top-k. Generic
+    over (vec_id, subspace) rows, so the SQL stays compact for any
+    m/k."""
+    blocks, sub, cb, enc, fold_dist = _pq_train_cte(m, kw, iterations, dim)
     blocks.append(f"""dt AS (
         SELECT q.vec_id AS qid, c.s, c.j,
                {fold_dist.format(a='q.sv', b='c.cv')} AS d
-        FROM (SELECT * FROM sub WHERE vec_id < {nq}) q
-        JOIN c{iterations} c ON q.s = c.s)""")
+        FROM (SELECT * FROM {sub} WHERE vec_id < {nq}) q
+        JOIN {cb} c ON q.s = c.s)""")
     blocks.append(f"""sc AS (
         SELECT dt.qid, a.vec_id,
                round(list_reduce(list_prepend(0.0::DOUBLE,
@@ -6671,6 +6686,102 @@ def q162_pq_encode_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _op("filter.apply", ctx, [e], expr="vec_id < 5")
     return _op("knn.pq", ctx, [encoded, q, books], id_column="vec_id",
                column="embedding", code_column="pq_code", k=3)
+
+
+def _ivfpq_oracle(kcells: int, km_iters: int, m: int, kw: int,
+                  pq_iters: int, dim: int, nq: int, nprobe: int,
+                  topk: int) -> str:
+    """Replay knn.ivfpq end-to-end in DuckDB: coarse k-means training
+    + cell assignment (_kmeans_cte), PQ training + encode
+    (_pq_train_cte, prefixed 'p' — both builders use c/d/a/s names),
+    exact query-to-centroid probe ranking (nprobe cells, ties to the
+    lower cell), cell-restricted ADC scoring, top-k. The quantizer
+    the assignment used is c{km_iters-1} — embedding.kmeans assign
+    mode skips the final centroid update — which is exactly what
+    output='centroids' at iterations=km_iters-1 returns, so the
+    Spark composition and this SQL rank probes against the SAME
+    centroids."""
+    kctes, cells = _kmeans_cte(kcells, km_iters)
+    quant = f"c{km_iters - 1}"
+    pblocks, psub, pcb, penc, fold_sd = _pq_train_cte(
+        m, kw, pq_iters, dim, prefix="p")
+    fold_dim = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+    blocks = pblocks + [
+        f"""pdist AS (SELECT q.vec_id AS qid, c.c AS cell,
+               {fold_dim.format(a='q.v', b='c.cv')} AS d
+        FROM (SELECT vec_id, v FROM e WHERE vec_id < {nq}) q
+        CROSS JOIN {quant} c)""",
+        f"""probe AS (SELECT qid, cell FROM (
+        SELECT qid, cell,
+               row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
+        FROM pdist) WHERE rn <= {nprobe})""",
+        f"""cand AS (SELECT p.qid, a.vec_id
+        FROM {cells} a JOIN probe p ON a.c = p.cell)""",
+        f"""dt AS (SELECT q.vec_id AS qid, c.s, c.j,
+               {fold_sd.format(a='q.sv', b='c.cv')} AS d
+        FROM (SELECT * FROM {psub} WHERE vec_id < {nq}) q
+        JOIN {pcb} c ON q.s = c.s)""",
+        f"""sc AS (SELECT cand.qid, a.vec_id,
+               round(list_reduce(list_prepend(0.0::DOUBLE,
+                   list(dt.d ORDER BY dt.s)), (x, y) -> x + y), 9) AS adc_dist
+        FROM {penc} a
+        JOIN cand ON a.vec_id = cand.vec_id
+        JOIN dt ON dt.qid = cand.qid AND dt.s = a.s AND dt.j = a.j
+        GROUP BY cand.qid, a.vec_id)""",
+    ]
+    return (
+        f"WITH {kctes},\n" + ",\n".join(blocks) + f"""
+    SELECT qid AS query_vec_id, vec_id, adc_dist, rank FROM (
+        SELECT qid, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, vec_id)::INT AS rank
+        FROM sc) WHERE rank <= {topk}"""
+    )
+
+
+@query("q163_knn_ivfpq",
+       _ivfpq_oracle(kcells=4, km_iters=2, m=4, kw=4, pq_iters=1,
+                     dim=64, nq=5, nprobe=2, topk=3))
+def q163_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn.ivfpq — the FAISS-canonical billion-vector deployment,
+    end-to-end as ops: embedding.kmeans trains the coarse quantizer
+    (assign stamps cells; output='centroids' at iterations-1 exports
+    the SAME centroids the assignment used), embedding.pq +
+    pq_encode stamp m-byte codes, and knn.ivfpq probes each query's
+    2 nearest cells and ADC-scores ONLY the codes posted there —
+    vectors never ride the search. Flat knn.pq (q126) feeds every
+    query ALL N codes; the cell restriction cuts the candidate
+    stream to N*nprobe/k_cells — the difference between a day and an
+    hour at 1e9 vectors. The oracle replays BOTH trainings, the
+    probe ranking, the cell cut, and the ADC top-k; a hash match
+    certifies the whole composition (q125 proved trained-IVF, q126
+    proved pretrained-PQ; this certifies their combination, plus
+    nprobe>1 multi-cell probing that q125's self-bucket path never
+    exercises)."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = _op("embedding.kmeans", ctx, [e], id_column="vec_id",
+                column="embedding", k=4, iterations=2, dim=64,
+                output_column="ivf_cell")
+    cents = _op("embedding.kmeans", ctx, [e], id_column="vec_id",
+                column="embedding", k=4, iterations=1, dim=64,
+                output="centroids")
+    books = _op("embedding.pq", ctx, [e], id_column="vec_id",
+                column="embedding", m=4, k=4, iterations=1, dim=64,
+                output="codebooks")
+    enc = _op("embedding.pq_encode", ctx, [cells, books],
+              id_column="vec_id", column="embedding",
+              encode_method="gemm")
+    q = _op("filter.apply", ctx, [e], expr="vec_id < 5")
+    return _op("knn.ivfpq", ctx, [enc, q, cents, books],
+               id_column="vec_id", column="embedding",
+               cell_column="ivf_cell", code_column="pq_code",
+               k=3, nprobe=2)
 
 
 def entry_query(spark: SparkSession) -> DataFrame:

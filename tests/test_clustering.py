@@ -481,3 +481,112 @@ def test_pq_encode_rejects_distance_projection_clash(ctx, pqdf):
     with pytest.raises(ConfigError, match="__pqd0"):
         run_op(ctx, "embedding.pq_encode", [clash, books],
                id_column="vec_id")
+
+
+@pytest.fixture(scope="module")
+def ivfpq(ctx, pqdf):
+    """Pretrained IVFPQ artifacts over the pqdf corpus: stamped
+    corpus (ivf_cell + pq_code), centroids, codebooks. kmeans assign
+    at iterations=2 ranks cells under the SAME quantizer that
+    output='centroids' at iterations=1 exports (assign mode skips the
+    final update) — the consistency contract q163 documents."""
+    df, _ = pqdf
+    cells = run_op(ctx, "embedding.kmeans", [df], id_column="vec_id",
+                   k=3, iterations=2, output_column="ivf_cell")
+    cents = run_op(ctx, "embedding.kmeans", [df], id_column="vec_id",
+                   k=3, iterations=1, output="centroids")
+    books = run_op(ctx, "embedding.pq", [df], id_column="vec_id",
+                   m=2, k=3, iterations=2, output="codebooks")
+    enc = run_op(ctx, "embedding.pq_encode", [cells, books],
+                 id_column="vec_id")
+    return enc, cents, books
+
+
+def test_knn_ivfpq_all_cells_equals_flat_pq(ctx, pqdf, ivfpq):
+    """Probing every cell = scanning every code: nprobe >= n_cells
+    must reproduce flat knn.pq pretrained exactly."""
+    df, _ = pqdf
+    enc, cents, books = ivfpq
+    q = df.filter("vec_id < 3")
+    ivf = run_op(ctx, "knn.ivfpq", [enc, q, cents, books],
+                 id_column="vec_id", cell_column="ivf_cell",
+                 code_column="pq_code", k=4, nprobe=3)
+    flat = run_op(ctx, "knn.pq", [enc, q, books], id_column="vec_id",
+                  code_column="pq_code", k=4)
+    a = sorted(map(tuple, ivf.collect()))
+    b = sorted(map(tuple, flat.collect()))
+    assert a == b and len(a) == 12
+
+
+def test_knn_ivfpq_nprobe1_scans_only_nearest_cell(ctx, pqdf, ivfpq):
+    """nprobe=1: every returned neighbor must live in the query's
+    nearest cell (membership computed independently in python)."""
+    df, vecs = pqdf
+    enc, cents, books = ivfpq
+    centroids = {r["cluster"]: list(r["centroid"])
+                 for r in cents.collect()}
+    cell_of = {r["vec_id"]: r["ivf_cell"]
+               for r in enc.select("vec_id", "ivf_cell").collect()}
+    q = df.filter("vec_id < 4")
+    out = run_op(ctx, "knn.ivfpq", [enc, q, cents, books],
+                 id_column="vec_id", cell_column="ivf_cell",
+                 code_column="pq_code", k=100, nprobe=1)
+    rows = out.collect()
+    assert rows
+    for qid in {r["query_vec_id"] for r in rows}:
+        dists = sorted(
+            (sum((x - c) * (x - c)
+                 for x, c in zip(vecs[qid], centroids[j])), j)
+            for j in centroids
+        )
+        best = dists[0][1]
+        got = {r["vec_id"] for r in rows if r["query_vec_id"] == qid}
+        expected = {i for i, c in cell_of.items() if c == best}
+        assert got == expected, qid  # k=100 > cell size: the WHOLE cell
+
+
+def test_knn_ivfpq_excludes_corrupt_codes_and_null_cells(ctx, pqdf, ivfpq):
+    df, _ = pqdf
+    enc, cents, books = ivfpq
+    corrupt = enc.selectExpr(
+        "vec_id", "embedding",
+        "CASE WHEN vec_id = 5 THEN CAST(NULL AS INT) "
+        "     ELSE ivf_cell END AS ivf_cell",
+        "CASE WHEN vec_id = 6 THEN array(0, 99) "
+        "     WHEN vec_id = 7 THEN array(0, CAST(NULL AS INT)) "
+        "     ELSE pq_code END AS pq_code")
+    q = df.filter("vec_id < 1")
+    out = run_op(ctx, "knn.ivfpq", [corrupt, q, cents, books],
+                 id_column="vec_id", cell_column="ivf_cell",
+                 code_column="pq_code", k=100, nprobe=3)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == set(range(20)) - {5, 6, 7}
+
+
+def test_knn_ivfpq_config_errors(ctx, pqdf, ivfpq, spark):
+    df, _ = pqdf
+    enc, cents, books = ivfpq
+    q = df.filter("vec_id < 1")
+    base = dict(id_column="vec_id", cell_column="ivf_cell",
+                code_column="pq_code")
+    with pytest.raises(ConfigError, match="cell_column"):
+        run_op(ctx, "knn.ivfpq", [enc, q, cents, books],
+               id_column="vec_id", code_column="pq_code")
+    with pytest.raises(ConfigError, match="corpus has no column"):
+        run_op(ctx, "knn.ivfpq", [enc.drop("ivf_cell"), q, cents, books],
+               **base)
+    with pytest.raises(ConfigError, match="centroids input has no column"):
+        run_op(ctx, "knn.ivfpq", [enc, q, books, books], **base)
+    with pytest.raises(ConfigError, match="centroids input is empty"):
+        run_op(ctx, "knn.ivfpq", [enc, q, cents.filter("cluster < 0"),
+                                  books], **base)
+    with pytest.raises(ConfigError, match="contiguous"):
+        run_op(ctx, "knn.ivfpq", [enc, q, cents.filter("cluster <> 1"),
+                                  books], **base)
+    wrongdim = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0] * 4)],
+        "cluster INT, centroid ARRAY<DOUBLE>")
+    with pytest.raises(ConfigError, match="centroid dims"):
+        run_op(ctx, "knn.ivfpq", [enc, q, wrongdim, books], **base)
+    with pytest.raises(ConfigError, match=">= 1"):
+        run_op(ctx, "knn.ivfpq", [enc, q, cents, books], nprobe=0, **base)

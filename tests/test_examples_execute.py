@@ -91,6 +91,24 @@ INPUT_BUILDERS = {
     ],
     # corpus + query vectors (same schema works)
     "knn.pq": lambda df: [df, df],
+    # stamped corpus + queries + centroids + codebooks (dim 8, m=2)
+    "knn.ivfpq": lambda df: [
+        df.sparkSession.createDataFrame(
+            [(i, [0.1 * i + 0.01 * d for d in range(8)], i % 2,
+              [i % 2, (i + 1) % 2]) for i in range(6)],
+            "vec_id LONG, embedding ARRAY<DOUBLE>, ivf_cell INT, "
+            "pq_code ARRAY<INT>"),
+        df.sparkSession.createDataFrame(
+            [(0, [0.05 * d for d in range(8)])],
+            "vec_id LONG, embedding ARRAY<DOUBLE>"),
+        df.sparkSession.createDataFrame(
+            [(c, [0.2 * c] * 8) for c in range(2)],
+            "cluster INT, centroid ARRAY<DOUBLE>"),
+        df.sparkSession.createDataFrame(
+            [(s, j, [0.1 * (s + j)] * 4) for s in range(2)
+             for j in range(2)],
+            "subspace INT, code INT, centroid ARRAY<DOUBLE>"),
+    ],
     # two text corpora (same schema works)
     "stats.jensen_shannon": lambda df: [df, df],
     # two ranked lists

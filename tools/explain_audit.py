@@ -205,6 +205,19 @@ CHECKS = [
                  if "BroadcastExchange" in bl), -1)),
     ),
     (
+        "q163_knn_ivfpq",
+        "IVFPQ search: corpus codes stamped in ONE Arrow pass "
+        "(MapInPandas gemm encode), the probe map and the ADC "
+        "distance table broadcast into hash joins (>= 2 "
+        "BroadcastHashJoin) — the corpus never broadcasts and never "
+        "cross-joins; the final rank is over adc_dist",
+        lambda p, o: "MapInPandas" in p
+        and p.count("BroadcastHashJoin") >= 2
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "adc_dist" in p,
+    ),
+    (
         "q155_py_group_eval",
         "grouped-apply: ONE pinned-width exchange (REPARTITION_BY_NUM) reused by "
         "FlatMapGroupsInPandas (no second hash shuffle), scan pruned to 3 columns",
