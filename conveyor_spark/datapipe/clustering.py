@@ -1047,3 +1047,123 @@ def knn_ivfpq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     cand = codes.join(F.broadcast(probes), "__cell")
     pair_sub = cand.join(F.broadcast(dtable), ["__qid", "__s", "__code"])
     return _adc_topk(pair_sub, qid_col, id_column, k)
+
+
+@register(
+    "embedding.assign_cells", kind="transform", min_inputs=2,
+    max_inputs=2,
+    doc="Assign vectors to pretrained k-means cells (no training)",
+    params=[
+        P("column", default="embedding", desc="array<float|double> column"),
+        P("output_column", default="cell", desc="Assignment column (INT)"),
+        P("centroid_cell_column", default="cluster",
+          desc="Cell id column of the centroids (second) input"),
+        P("encode_method", default="fold", allowed=("fold", "gemm"),
+          desc="fold: JVM two-step argmin projection; gemm: "
+               "Arrow-batched numpy (bit-exact — the corpus-scale "
+               "stamp, like embedding.pq_encode's)"),
+    ],
+    example={"column": "embedding", "output_column": "ivf_cell"},
+    tags=["embedding", "clustering", "ann", "datapipe"],
+)
+def embedding_assign_cells(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> DataFrame:
+    """The deployment half of the coarse quantizer — the
+    embedding.pq_encode analog for k-means cells: stamp any vector
+    set with its nearest-centroid cell against a centroid table
+    trained ONCE (embedding.kmeans output='centroids', typically on
+    a sample). Train on 1%, assign_cells + pq_encode the 100 TB
+    corpus (both one shuffle-free scan), search forever with
+    knn.ivfpq. Same distance folds and ties-to-lowest argmin as
+    embedding.kmeans itself, so assign_cells against the quantizer
+    kmeans exported at iterations=T-1 reproduces kmeans assign-mode
+    output at iterations=T exactly (tested); rows failing vec_ok get
+    NULL (kmeans assign parity).
+
+    encode_method mirrors pq_encode: 'fold' projects the k distance
+    folds once and argmins the attribute (two-step — no double-
+    inlined literal array); 'gemm' runs the identical sequential
+    per-dim accumulation as Arrow-batched numpy (bit-exact, the
+    gemm_encode_column contract with the centroid table as one
+    dim-wide subspace) — the engine for the corpus-scale stamp."""
+    df, centroid_df = inputs
+    column = config.get("column", "embedding")
+    if column not in df.columns:
+        raise ConfigError(f"embedding.assign_cells: no column {column!r}")
+    out_col = config.get("output_column", "cell")
+    # dim comes from the centroid table — the quantizer defines the
+    # space; a corpus row of any other length is simply invalid
+    cell_col = config.get("centroid_cell_column", "cluster")
+    for c in (cell_col, "centroid"):
+        if c not in centroid_df.columns:
+            raise ConfigError(
+                "embedding.assign_cells: centroids input has no column "
+                f"{c!r} (expect embedding.kmeans output='centroids')"
+            )
+    rows = centroid_df.select(cell_col, "centroid").collect()
+    if not rows:
+        raise ConfigError(
+            "embedding.assign_cells: centroids input is empty")
+    if any(r[cell_col] is None or r["centroid"] is None for r in rows):
+        raise ConfigError(
+            "embedding.assign_cells: centroids input has NULL "
+            "cells/centroids")
+    cells = sorted(int(r[cell_col]) for r in rows)
+    if cells != list(range(len(rows))):
+        raise ConfigError(
+            "embedding.assign_cells: centroid cells must be contiguous "
+            f"0..n-1 (got {cells[:6]}{'...' if len(cells) > 6 else ''})"
+        )
+    lens = {len(r["centroid"]) for r in rows}
+    if len(lens) != 1:
+        raise ConfigError(
+            "embedding.assign_cells: centroids have mixed lengths "
+            f"{sorted(lens)}"
+        )
+    dim = lens.pop()
+    centroids: list[list[float]] = [[] for _ in rows]
+    for r in rows:
+        centroids[int(r[cell_col])] = [float(x) for x in r["centroid"]]
+
+    if check_encode_method(config, "embedding.assign_cells") == "gemm":
+        # the centroid table IS a one-subspace codebook (m=1,
+        # sd=dim): gemm_encode_column's code array has one element —
+        # the cell — with vec_ok NULL-stamping built in
+        tmp = "__acell"
+        if tmp in df.columns:
+            raise ConfigError(
+                "embedding.assign_cells: input column '__acell' "
+                "collides with the internal code projection; rename it"
+            )
+        coded = gemm_encode_column(df, column, tmp, [centroids], 1, dim)
+        cols = [F.element_at(tmp, 1).alias(out_col) if c == out_col
+                else F.col(c) for c in df.columns]
+        if out_col not in df.columns:
+            cols.append(F.element_at(tmp, 1).alias(out_col))
+        return coded.select(*cols)
+
+    vec = F.col(column)
+    ok = vec_ok(vec, dim)
+    vec_sql = f"`{column.replace('`', '``')}`"
+    tmp = "__acdist"
+    if tmp in df.columns:
+        raise ConfigError(
+            "embedding.assign_cells: input column '__acdist' collides "
+            "with the internal distance projection; rename it"
+        )
+    # two-step: the k distance folds land in ONE projected array so
+    # the argmin reads an attribute (pq_encode's fix — the one-step
+    # form would inline the k*dim literals into array_position AND
+    # array_min)
+    dists = df.select(
+        "*",
+        F.expr("array(" + ", ".join(
+            _sub_dist_sql(vec_sql, 0, c) for c in centroids
+        ) + ")").alias(tmp),
+    )
+    cell = (F.array_position(F.col(tmp), F.array_min(F.col(tmp))) - 1) \
+        .cast("int")
+    cols = [F.when(ok, cell).alias(out_col) if c == out_col
+            else F.col(c) for c in df.columns]
+    if out_col not in df.columns:
+        cols.append(F.when(ok, cell).alias(out_col))
+    return dists.select(*cols)

@@ -6784,6 +6784,100 @@ def q163_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
                k=3, nprobe=2)
 
 
+def _ivfpq_deploy_oracle(kcells: int, m: int, kw: int, dim: int,
+                         nq: int, nprobe: int, topk: int) -> str:
+    """Replay the q164 deployment pipeline: centroids = kmeans
+    output='centroids' at iterations=1 (c1 of the unrolled CTEs),
+    corpus cells = argmin against THOSE centroids (the
+    embedding.assign_cells contract — same fold, ties to the lower
+    cell), PQ training + encode, probe ranking, cell-restricted ADC
+    top-k."""
+    kctes, _ = _kmeans_cte(kcells, 2)  # c1 = the exported quantizer
+    quant = "c1"
+    pblocks, psub, pcb, penc, fold_sd = _pq_train_cte(
+        m, kw, 1, dim, prefix="p")
+    fold_dim = (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+    blocks = pblocks + [
+        f"""acd AS (SELECT e.vec_id, c.c AS cell,
+               {fold_dim.format(a='e.v', b='c.cv')} AS dist
+        FROM e CROSS JOIN {quant} c)""",
+        """cells AS (SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cell) AS rn
+        FROM acd) WHERE rn = 1)""",
+        f"""pdist AS (SELECT vec_id AS qid, cell, dist AS d
+        FROM acd WHERE vec_id < {nq})""",
+        f"""probe AS (SELECT qid, cell FROM (
+        SELECT qid, cell,
+               row_number() OVER (PARTITION BY qid ORDER BY d, cell) AS rn
+        FROM pdist) WHERE rn <= {nprobe})""",
+        """cand AS (SELECT p.qid, a.vec_id
+        FROM cells a JOIN probe p ON a.cell = p.cell)""",
+        f"""dt AS (SELECT q.vec_id AS qid, c.s, c.j,
+               {fold_sd.format(a='q.sv', b='c.cv')} AS d
+        FROM (SELECT * FROM {psub} WHERE vec_id < {nq}) q
+        JOIN {pcb} c ON q.s = c.s)""",
+        f"""sc AS (SELECT cand.qid, a.vec_id,
+               round(list_reduce(list_prepend(0.0::DOUBLE,
+                   list(dt.d ORDER BY dt.s)), (x, y) -> x + y), 9) AS adc_dist
+        FROM {penc} a
+        JOIN cand ON a.vec_id = cand.vec_id
+        JOIN dt ON dt.qid = cand.qid AND dt.s = a.s AND dt.j = a.j
+        GROUP BY cand.qid, a.vec_id)""",
+    ]
+    return (
+        f"WITH {kctes},\n" + ",\n".join(blocks) + f"""
+    SELECT qid AS query_vec_id, vec_id, adc_dist, rank FROM (
+        SELECT qid, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, vec_id)::INT AS rank
+        FROM sc) WHERE rank <= {topk}"""
+    )
+
+
+@query("q164_ivfpq_deploy",
+       _ivfpq_deploy_oracle(kcells=16, m=4, kw=16, dim=64, nq=40,
+                            nprobe=2, topk=5))
+def q164_ivfpq_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVFPQ DEPLOYMENT shape at scaled parameters — how the
+    100 TB corpus actually gets indexed: train the coarse quantizer
+    and the PQ codebooks once (here on the corpus; in production on
+    a sample), stamp the corpus with embedding.assign_cells +
+    embedding.pq_encode — BOTH on encode_method='gemm', i.e. two
+    shuffle-free Arrow passes, zero training jobs on the big side —
+    and search 40 queries' nprobe=2 of 16 cells (an 8x candidate
+    cut) at codewords=16. q163 proves the composition at gate
+    parameters with the two-kmeans-call contract; this query proves
+    the assign_cells deployment stamp (fold-parity argmin against
+    exported centroids) and the scaled cell/codeword configuration,
+    oracle-replayed end to end."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _op("embedding.kmeans", ctx, [e], id_column="vec_id",
+                column="embedding", k=16, iterations=1, dim=64,
+                output="centroids")
+    cells = _op("embedding.assign_cells", ctx, [e, cents],
+                column="embedding", output_column="ivf_cell",
+                encode_method="gemm")
+    books = _op("embedding.pq", ctx, [e], id_column="vec_id",
+                column="embedding", m=4, k=16, iterations=1, dim=64,
+                output="codebooks")
+    enc = _op("embedding.pq_encode", ctx, [cells, books],
+              id_column="vec_id", column="embedding",
+              encode_method="gemm")
+    q = _op("filter.apply", ctx, [e], expr="vec_id < 40")
+    return _op("knn.ivfpq", ctx, [enc, q, cents, books],
+               id_column="vec_id", column="embedding",
+               cell_column="ivf_cell", code_column="pq_code",
+               k=5, nprobe=2)
+
+
 def entry_query(spark: SparkSession) -> DataFrame:
     """Flagship query for the driver smoke check (sf0.001)."""
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")

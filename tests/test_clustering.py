@@ -590,3 +590,69 @@ def test_knn_ivfpq_config_errors(ctx, pqdf, ivfpq, spark):
         run_op(ctx, "knn.ivfpq", [enc, q, wrongdim, books], **base)
     with pytest.raises(ConfigError, match=">= 1"):
         run_op(ctx, "knn.ivfpq", [enc, q, cents, books], nprobe=0, **base)
+
+
+def test_assign_cells_reproduces_kmeans_assign(ctx, vdf):
+    """The deployment contract: assign_cells against the quantizer
+    kmeans exports at iterations=T-1 must reproduce kmeans
+    assign-mode output at iterations=T exactly (assign mode skips
+    the final centroid update), on BOTH engines."""
+    direct = {r["vec_id"]: r["cluster"] for r in run_op(
+        ctx, "embedding.kmeans", [vdf], id_column="vec_id",
+        k=3, iterations=3).collect()}
+    cents = run_op(ctx, "embedding.kmeans", [vdf], id_column="vec_id",
+                   k=3, iterations=2, output="centroids")
+    for method in ("fold", "gemm"):
+        got = {r["vec_id"]: r["cluster"] for r in run_op(
+            ctx, "embedding.assign_cells", [vdf, cents],
+            output_column="cluster", encode_method=method).collect()}
+        assert got == direct, method
+
+
+def test_assign_cells_dirty_vectors_null_both_engines(ctx, spark):
+    rows = [
+        (1, [0.0, 0.0]), (2, [1.0, 1.0]),
+        (3, None), (4, [1.0]), (5, [0.5, None]),
+        (6, [float("nan"), 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])],
+        "cluster INT, centroid ARRAY<DOUBLE>")
+    for method in ("fold", "gemm"):
+        got = {r["vec_id"]: r["cell"] for r in run_op(
+            ctx, "embedding.assign_cells", [df, cents],
+            encode_method=method).collect()}
+        assert got == {1: 0, 2: 1, 3: None, 4: None, 5: None, 6: None}, \
+            method
+
+
+def test_assign_cells_replaces_existing_column_in_position(ctx, spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], 99)], "vec_id LONG, embedding ARRAY<DOUBLE>, cell INT")
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0])], "cluster INT, centroid ARRAY<DOUBLE>")
+    for method in ("fold", "gemm"):
+        out = run_op(ctx, "embedding.assign_cells", [df, cents],
+                     encode_method=method)
+        assert out.columns == ["vec_id", "embedding", "cell"], method
+        assert out.collect()[0]["cell"] == 0, method
+
+
+def test_assign_cells_config_errors(ctx, vdf, spark):
+    cents = spark.createDataFrame(
+        [(0, [0.0] * 4)], "cluster INT, centroid ARRAY<DOUBLE>")
+    with pytest.raises(ConfigError, match="no column"):
+        run_op(ctx, "embedding.assign_cells", [vdf, cents], column="x")
+    with pytest.raises(ConfigError, match="centroids input has no column"):
+        run_op(ctx, "embedding.assign_cells", [vdf, vdf])
+    with pytest.raises(ConfigError, match="empty"):
+        run_op(ctx, "embedding.assign_cells",
+               [vdf, cents.filter("cluster < 0")])
+    with pytest.raises(ConfigError, match="contiguous"):
+        run_op(ctx, "embedding.assign_cells", [vdf, spark.createDataFrame(
+            [(1, [0.0] * 4)], "cluster INT, centroid ARRAY<DOUBLE>")])
+    with pytest.raises(ConfigError, match="mixed"):
+        run_op(ctx, "embedding.assign_cells", [vdf, spark.createDataFrame(
+            [(0, [0.0] * 4), (1, [0.0] * 3)],
+            "cluster INT, centroid ARRAY<DOUBLE>")])

@@ -91,6 +91,14 @@ INPUT_BUILDERS = {
     ],
     # corpus + query vectors (same schema works)
     "knn.pq": lambda df: [df, df],
+    # vectors + a centroid table (dim 64 matches the kitchen sink's
+    # embedding column)
+    "embedding.assign_cells": lambda df: [
+        df,
+        df.sparkSession.createDataFrame(
+            [(c, [0.3 * c] * 64) for c in range(2)],
+            "cluster INT, centroid ARRAY<DOUBLE>"),
+    ],
     # stamped corpus + queries + centroids + codebooks (dim 8, m=2)
     "knn.ivfpq": lambda df: [
         df.sparkSession.createDataFrame(

@@ -218,6 +218,18 @@ CHECKS = [
         and "adc_dist" in p,
     ),
     (
+        "q164_ivfpq_deploy",
+        "IVFPQ deployment stamp: BOTH corpus stamps (assign_cells + "
+        "pq_encode, gemm) are Arrow passes — two MapInPandas, no "
+        "interpreted argmin on the corpus stream — and the search "
+        "keeps the broadcast probe/dtable joins, no cartesian/BNLJ",
+        lambda p, o: p.count("MapInPandas") >= 2
+        and p.count("BroadcastHashJoin") >= 2
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p
+        and "adc_dist" in p,
+    ),
+    (
         "q155_py_group_eval",
         "grouped-apply: ONE pinned-width exchange (REPARTITION_BY_NUM) reused by "
         "FlatMapGroupsInPandas (no second hash shuffle), scan pruned to 3 columns",
