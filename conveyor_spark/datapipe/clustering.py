@@ -925,6 +925,13 @@ def _parse_centroids(centroid_df: DataFrame, op: str, dim: int,
           desc="Corpus pq code column (embedding.pq_encode output)"),
         P("centroid_cell_column", default="cluster",
           desc="Cell id column of the centroids (third) input"),
+        P("rerank", "integer", min=1,
+          desc="FAISS-refine step: keep the top 'rerank' ADC "
+               "candidates per query, exact-L2 re-rank them from the "
+               "raw vectors (vector_column), output l2_dist"),
+        P("vector_column",
+          desc="Corpus raw-vector column for the re-rank (default: "
+               "'column'); only the survivors' vectors ever load"),
     ],
     example={"id_column": "vec_id", "column": "embedding", "k": 3,
              "nprobe": 2, "cell_column": "ivf_cell",
@@ -985,6 +992,24 @@ def knn_ivfpq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     nprobe = int(config.get("nprobe", 1))
     if min(k, nprobe) < 1:
         raise ConfigError("knn.ivfpq: k and nprobe must be >= 1")
+    rerank = int(config.get("rerank", 0) or 0)
+    vector_column = config.get("vector_column", column)
+    if rerank:
+        if rerank < k:
+            raise ConfigError(
+                f"knn.ivfpq: rerank={rerank} < k={k} — the exact "
+                "re-rank could never fill the top-k it is asked for"
+            )
+        if vector_column not in corpus.columns:
+            raise ConfigError(
+                f"knn.ivfpq: corpus has no column {vector_column!r} "
+                "(the re-rank reads the raw vectors)"
+            )
+    elif "vector_column" in config:
+        raise ConfigError(
+            "knn.ivfpq: 'vector_column' only configures the exact "
+            "re-rank and has no effect without 'rerank' — remove the key"
+        )
 
     codebooks, m, kw, sd, dim = _parse_codebooks(
         codebook_df, "knn.ivfpq", config
@@ -1046,7 +1071,46 @@ def knn_ivfpq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     # map and the distance table broadcast (query-side sized)
     cand = codes.join(F.broadcast(probes), "__cell")
     pair_sub = cand.join(F.broadcast(dtable), ["__qid", "__s", "__code"])
-    return _adc_topk(pair_sub, qid_col, id_column, k)
+    if not rerank:
+        return _adc_topk(pair_sub, qid_col, id_column, k)
+
+    # FAISS-refine: the ADC screen keeps 'rerank' survivors per query
+    # (same ordering as the plain return), and ONLY those pairs join
+    # the raw vectors for an exact squared-L2 — |Q| * rerank vector
+    # rows move, never the corpus. Survivors whose corpus vector
+    # fails vec_ok drop out (their exact distance is undefined).
+    qout = qid_col if qid_col != id_column else f"query_{id_column}"
+    screened = _adc_topk(pair_sub, qid_col, id_column, rerank) \
+        .select(qout, id_column)
+    cvec = corpus.filter(vec_ok(F.col(vector_column), dim)).select(
+        F.col(id_column).alias("__rid"),
+        F.col(vector_column).alias("__rcv"),
+    )
+    qvec = qclean.select(
+        F.col("__qid").alias("__rqid"), F.col("__v").alias("__rqv"))
+    paired = (
+        cvec.join(F.broadcast(screened),
+                  cvec["__rid"] == F.col(id_column))
+        .join(F.broadcast(qvec), F.col(qout) == F.col("__rqid"))
+    )
+    # pairwise left-to-right fold — the oracle-replayable order
+    l2 = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("__rqv"), F.col("__rcv"),
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ), 9,
+    )
+    w = Window.partitionBy(qout).orderBy(F.col("l2_dist"), F.col(id_column))
+    return (
+        paired.select(qout, id_column, l2.alias("l2_dist"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 @register(

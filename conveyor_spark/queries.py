@@ -6785,7 +6785,8 @@ def q163_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivfpq_deploy_oracle(kcells: int, m: int, kw: int, dim: int,
-                         nq: int, nprobe: int, topk: int) -> str:
+                         nq: int, nprobe: int, topk: int,
+                         rerank: int | None = None) -> str:
     """Replay the q164 deployment pipeline: centroids = kmeans
     output='centroids' at iterations=1 (c1 of the unrolled CTEs),
     corpus cells = argmin against THOSE centroids (the
@@ -6831,13 +6832,40 @@ def _ivfpq_deploy_oracle(kcells: int, m: int, kw: int, dim: int,
         JOIN dt ON dt.qid = cand.qid AND dt.s = a.s AND dt.j = a.j
         GROUP BY cand.qid, a.vec_id)""",
     ]
-    return (
-        f"WITH {kctes},\n" + ",\n".join(blocks) + f"""
+    if rerank is None:
+        return (
+            f"WITH {kctes},\n" + ",\n".join(blocks) + f"""
     SELECT qid AS query_vec_id, vec_id, adc_dist, rank FROM (
         SELECT qid, vec_id, adc_dist,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY adc_dist, vec_id)::INT AS rank
         FROM sc) WHERE rank <= {topk}"""
+        )
+    # FAISS-refine replay: the ADC screen's top 'rerank' per query,
+    # exact pairwise squared-L2 (the zip_with fold's left-to-right
+    # per-dim order), re-ranked on (l2_dist, vec_id)
+    blocks += [
+        f"""rr AS (SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, vec_id) AS rn
+        FROM sc) WHERE rn <= {rerank})""",
+        f"""ex AS (SELECT rr.qid, rr.vec_id,
+               round(list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(range(1, {dim + 1}),
+                       i -> (q.v[i]::DOUBLE - c.v[i]::DOUBLE)
+                            * (q.v[i]::DOUBLE - c.v[i]::DOUBLE))),
+                   (x, y) -> x + y), 9) AS l2_dist
+        FROM rr JOIN e q ON q.vec_id = rr.qid
+        JOIN e c ON c.vec_id = rr.vec_id)""",
+    ]
+    return (
+        f"WITH {kctes},\n" + ",\n".join(blocks) + f"""
+    SELECT qid AS query_vec_id, vec_id, l2_dist, rank FROM (
+        SELECT qid, vec_id, l2_dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY l2_dist, vec_id)::INT AS rank
+        FROM ex) WHERE rank <= {topk}"""
     )
 
 
@@ -6876,6 +6904,41 @@ def q164_ivfpq_deploy(spark: SparkSession, sf_dir: str) -> DataFrame:
                id_column="vec_id", column="embedding",
                cell_column="ivf_cell", code_column="pq_code",
                k=5, nprobe=2)
+
+
+@query("q165_ivfpq_rerank",
+       _ivfpq_deploy_oracle(kcells=16, m=4, kw=16, dim=64, nq=40,
+                            nprobe=2, topk=5, rerank=15))
+def q165_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q164's deployment pipeline with the FAISS-refine step: the
+    ADC screen keeps the top rerank=15 candidates per query and ONLY
+    those pairs load raw vectors for an exact squared-L2 re-rank —
+    |Q| x 15 vector rows move, never the corpus. This is the
+    recall-quality dial the compressed index needs at 100 TB: codes
+    for screening, vectors for the survivors (knn.lsh verify='pq'
+    proved the same shape for the LSH family in q161). The oracle
+    replays the screen's cut AND the exact pairwise fold; a hash
+    match certifies the survivors, their distances, and the final
+    ordering."""
+    ctx = _ctx(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = _op("embedding.kmeans", ctx, [e], id_column="vec_id",
+                column="embedding", k=16, iterations=1, dim=64,
+                output="centroids")
+    cells = _op("embedding.assign_cells", ctx, [e, cents],
+                column="embedding", output_column="ivf_cell",
+                encode_method="gemm")
+    books = _op("embedding.pq", ctx, [e], id_column="vec_id",
+                column="embedding", m=4, k=16, iterations=1, dim=64,
+                output="codebooks")
+    enc = _op("embedding.pq_encode", ctx, [cells, books],
+              id_column="vec_id", column="embedding",
+              encode_method="gemm")
+    q = _op("filter.apply", ctx, [e], expr="vec_id < 40")
+    return _op("knn.ivfpq", ctx, [enc, q, cents, books],
+               id_column="vec_id", column="embedding",
+               cell_column="ivf_cell", code_column="pq_code",
+               k=5, nprobe=2, rerank=15)
 
 
 def entry_query(spark: SparkSession) -> DataFrame:

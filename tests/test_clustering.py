@@ -656,3 +656,47 @@ def test_assign_cells_config_errors(ctx, vdf, spark):
         run_op(ctx, "embedding.assign_cells", [vdf, spark.createDataFrame(
             [(0, [0.0] * 4), (1, [0.0] * 3)],
             "cluster INT, centroid ARRAY<DOUBLE>")])
+
+
+def test_knn_ivfpq_rerank_exact_within_probed_cells(ctx, pqdf, ivfpq):
+    """rerank with all cells probed and a full-width cut = exact
+    squared-L2 brute force (the ADC screen passes everything through;
+    the re-rank orders by true distance) — verified against python."""
+    df, vecs = pqdf
+    enc, cents, books = ivfpq
+    q = df.filter("vec_id < 3")
+    out = run_op(ctx, "knn.ivfpq", [enc, q, cents, books],
+                 id_column="vec_id", cell_column="ivf_cell",
+                 code_column="pq_code", k=4, nprobe=3, rerank=100)
+    rows = out.collect()
+    assert set(out.columns) == {"query_vec_id", "vec_id", "l2_dist",
+                                "rank"}
+    for qid in (0, 1, 2):
+        exp = sorted(
+            (round(sum((a - b) * (a - b)
+                       for a, b in zip(vecs[qid], vecs[i])), 9), i)
+            for i in vecs
+        )[:4]
+        got = sorted(
+            ((r["l2_dist"], r["vec_id"])
+             for r in rows if r["query_vec_id"] == qid),
+        )
+        for (ed, ei), (gd, gi) in zip(exp, got):
+            assert gi == ei and gd == pytest.approx(ed, abs=1e-9), qid
+
+
+def test_knn_ivfpq_rerank_config_errors(ctx, pqdf, ivfpq):
+    df, _ = pqdf
+    enc, cents, books = ivfpq
+    q = df.filter("vec_id < 1")
+    base = dict(id_column="vec_id", cell_column="ivf_cell",
+                code_column="pq_code")
+    with pytest.raises(ConfigError, match="rerank=2 < k=4"):
+        run_op(ctx, "knn.ivfpq", [enc, q, cents, books], k=4,
+               rerank=2, **base)
+    with pytest.raises(ConfigError, match="no column 'nope'"):
+        run_op(ctx, "knn.ivfpq", [enc, q, cents, books], k=2,
+               rerank=4, vector_column="nope", **base)
+    with pytest.raises(ConfigError, match="no effect without"):
+        run_op(ctx, "knn.ivfpq", [enc, q, cents, books], k=2,
+               vector_column="embedding", **base)

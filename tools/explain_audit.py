@@ -230,6 +230,17 @@ CHECKS = [
         and "adc_dist" in p,
     ),
     (
+        "q165_ivfpq_rerank",
+        "IVFPQ refine: the exact stage ranks l2_dist computed from "
+        "vectors joined AFTER the ADC cut (survivors broadcast into "
+        "the vector join — the corpus never broadcasts), no "
+        "cartesian/BNLJ",
+        lambda p, o: "l2_dist" in p and "adc_dist" in p
+        and p.count("BroadcastHashJoin") >= 3
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    ),
+    (
         "q155_py_group_eval",
         "grouped-apply: ONE pinned-width exchange (REPARTITION_BY_NUM) reused by "
         "FlatMapGroupsInPandas (no second hash shuffle), scan pruned to 3 columns",
