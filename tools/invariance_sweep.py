@@ -1,4 +1,4 @@
-"""Seven-axis invariance sweep, as a committed tool (r13).
+"""Eight-axis invariance sweep, as a committed tool (r13).
 
 r11 introduced the sweep and r12 re-ran it, but the axis recipes
 (env knobs + the multifile/shuffled data prep) lived only in NOTES —
@@ -7,7 +7,8 @@ this tool pins them. Each axis re-runs the FULL oracle suite
 fresh subprocess JVM under one perturbation; results are written to
 CORRECTNESS_<tag>_<axis>.json. The correctness claim under test:
 values are invariant to partition count, Arrow batch size, host
-timezone, codegen, broadcast planning, file layout, and row order.
+timezone, codegen, broadcast planning, ANSI mode, file layout, and
+row order.
 
 Axes:
   part7       local[7] + 7 shuffle partitions
@@ -17,6 +18,9 @@ Axes:
               basis to UTC; the ENGINE must not care)
   nocodegen   whole-stage codegen off + interpreted expressions
   nobroadcast autoBroadcastJoinThreshold=-1 (forced SMJ)
+  ansioff     spark.sql.ansi.enabled=false (Spark 4 defaults it on;
+              the engine's own division/overflow guards must make
+              results identical in either mode)
   multifile   every table re-written as a 4-file DIRECTORY via
               DuckDB (preserves TIMESTAMP_NS — a pyspark rewrite
               produces NTZ timestamps, r11's documented trap)
@@ -52,6 +56,11 @@ AXES = {
                   "spark.sql.codegen.factoryMode=NO_CODEGEN"},
     "nobroadcast": {"SPARK_GRAFT_EXTRA_CONF":
                     "spark.sql.autoBroadcastJoinThreshold=-1"},
+    # ANSI OFF (Spark 4 defaults it on): every division/overflow
+    # guard in the engine must make results mode-independent — the
+    # suite's values may depend on neither ANSI's errors nor
+    # legacy's silent NULLs (8th axis, r13)
+    "ansioff": {"SPARK_GRAFT_EXTRA_CONF": "spark.sql.ansi.enabled=false"},
     "multifile": {},   # data prep instead of env
     "shuffled": {},
 }
