@@ -792,16 +792,7 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
         codebooks, m, kw, sd, dim = _parse_codebooks(
             codebook_df, "knn.pq", config
         )
-        # invalid codes (NULL / out-of-range elements) would silently
-        # drop out of the distance-table join, leaving a PARTIAL ADC
-        # sum that outranks genuine neighbors — exclude those rows
-        codes = corpus.filter(
-            F.col(code_column).isNotNull() & (F.size(code_column) == m)
-            & ~F.exists(
-                code_column,
-                lambda x: x.isNull() | (x < 0) | (x >= kw),
-            )
-        ).select(
+        codes = corpus.filter(_valid_codes(code_column, m, kw)).select(
             F.col(id_column).alias("__kid"),
             F.posexplode(code_column).alias("__s", "__code"),
         )
@@ -824,17 +815,42 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
     # query side: exact distance to every codeword of every subspace
     qclean = queries.filter(vec_ok(F.col(column), dim)).select(
         F.col(qid_col).alias("__qid"), F.col(column).alias("__v"))
+    dtable = _adc_dtable(qclean, codebooks, m, kw, sd)
+
+    pair_sub = codes.join(F.broadcast(dtable), ["__s", "__code"])
+    return _adc_topk(pair_sub, qid_col, id_column, k)
+
+
+def _valid_codes(code_column: str, m: int, kw: int):
+    """Predicate: a usable PQ code array. Invalid codes (NULL / wrong
+    arity / out-of-range elements) would silently drop out of the
+    distance-table join, leaving a PARTIAL ADC sum that outranks
+    genuine neighbors — such rows are excluded entirely (knn.pq's
+    guard, shared with knn.ivfpq)."""
+    return (
+        F.col(code_column).isNotNull() & (F.size(code_column) == m)
+        & ~F.exists(
+            code_column,
+            lambda x: x.isNull() | (x < 0) | (x >= kw),
+        )
+    )
+
+
+def _adc_dtable(qclean: DataFrame, codebooks: list, m: int, kw: int,
+                sd: int) -> DataFrame:
+    """The per-query ADC distance table shared by knn.pq and
+    knn.ivfpq: m x codewords exact subspace distances per query —
+    (__qid, __s, __code, __d) rows, |Q| * m * kw total, built from
+    one parsed SQL literal per codeword (the py4j round-trip
+    lesson). ``qclean`` must be (__qid, __v) vec_ok-filtered rows."""
     table_entries = F.expr("array(" + ", ".join(
         f"named_struct('__s', {s}, '__code', {j}, "
         f"'__d', {_sub_dist_sql('__v', s * sd, codebooks[s][j])})"
         for s in range(m) for j in range(kw)
     ) + ")")
-    dtable = qclean.select(
+    return qclean.select(
         "__qid", F.explode(table_entries).alias("__e")
     ).select("__qid", "__e.__s", "__e.__code", "__e.__d")
-
-    pair_sub = codes.join(F.broadcast(dtable), ["__s", "__code"])
-    return _adc_topk(pair_sub, qid_col, id_column, k)
 
 
 def _adc_topk(pair_sub: DataFrame, qid_col: str, id_column: str,
@@ -873,14 +889,18 @@ def _adc_topk(pair_sub: DataFrame, qid_col: str, id_column: str,
 
 
 
-def _parse_centroids(centroid_df: DataFrame, op: str, dim: int,
-                     cell_col: str) -> list[list[float]]:
+def _parse_centroids(centroid_df: DataFrame, op: str, cell_col: str,
+                     dim: int | None = None
+                     ) -> tuple[list[list[float]], int]:
     """Load + validate an embedding.kmeans output='centroids' table
     into a driver-side list indexed by cell id. Cells must be a
     contiguous 0..n-1 range (kmeans emits exactly that; a gap means
-    the caller passed the wrong table) and every centroid must match
-    the codebooks' dimensionality — a silent dim mismatch would make
-    every probe distance NULL and return an empty result."""
+    the caller passed the wrong table). With ``dim`` given (knn.ivfpq:
+    the codebooks define the space) every centroid must match it — a
+    silent mismatch would make every probe distance NULL and return
+    an empty result; with dim=None (embedding.assign_cells: the
+    quantizer defines the space) it is derived, mixed lengths
+    rejected. Returns (centroids, dim)."""
     for c in (cell_col, "centroid"):
         if c not in centroid_df.columns:
             raise ConfigError(
@@ -899,14 +919,20 @@ def _parse_centroids(centroid_df: DataFrame, op: str, dim: int,
             f"(got {cells[:6]}{'...' if len(cells) > 6 else ''})"
         )
     lens = {len(r["centroid"]) for r in rows}
-    if lens != {dim}:
+    if dim is None:
+        if len(lens) != 1:
+            raise ConfigError(
+                f"{op}: centroids have mixed lengths {sorted(lens)}"
+            )
+        dim = lens.pop()
+    elif lens != {dim}:
         raise ConfigError(
             f"{op}: centroid dims {sorted(lens)} != codebooks dim {dim}"
         )
     out: list[list[float]] = [[] for _ in rows]
     for r in rows:
         out[int(r[cell_col])] = [float(x) for x in r["centroid"]]
-    return out
+    return out, dim
 
 
 @register(
@@ -992,7 +1018,16 @@ def knn_ivfpq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     nprobe = int(config.get("nprobe", 1))
     if min(k, nprobe) < 1:
         raise ConfigError("knn.ivfpq: k and nprobe must be >= 1")
-    rerank = int(config.get("rerank", 0) or 0)
+    rerank_cfg = config.get("rerank")
+    if rerank_cfg is not None and int(rerank_cfg) < 1:
+        # a templated 0 silently flipping the output schema to
+        # adc_dist would be the dead-knob class — absence means off,
+        # an explicit value must be a valid cut
+        raise ConfigError(
+            f"knn.ivfpq: rerank={rerank_cfg} — must be >= 1 (omit the "
+            "key to disable the exact re-rank)"
+        )
+    rerank = int(rerank_cfg) if rerank_cfg is not None else 0
     vector_column = config.get("vector_column", column)
     if rerank:
         if rerank < k:
@@ -1014,9 +1049,9 @@ def knn_ivfpq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     codebooks, m, kw, sd, dim = _parse_codebooks(
         codebook_df, "knn.ivfpq", config
     )
-    centroids = _parse_centroids(
-        centroid_df, "knn.ivfpq", dim,
-        config.get("centroid_cell_column", "cluster"),
+    centroids, _ = _parse_centroids(
+        centroid_df, "knn.ivfpq",
+        config.get("centroid_cell_column", "cluster"), dim,
     )
 
     qclean = queries.filter(vec_ok(F.col(column), dim)).select(
@@ -1040,26 +1075,13 @@ def knn_ivfpq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
         .select("__qid", "__cell")
     )
 
-    # per-query ADC distance table: m x codewords exact subspace
-    # distances (knn.pq's recipe, shared SQL builder)
-    table_entries = F.expr("array(" + ", ".join(
-        f"named_struct('__s', {s}, '__code', {j}, "
-        f"'__d', {_sub_dist_sql('__v', s * sd, codebooks[s][j])})"
-        for s in range(m) for j in range(kw)
-    ) + ")")
-    dtable = qclean.select(
-        "__qid", F.explode(table_entries).alias("__e")
-    ).select("__qid", "__e.__s", "__e.__code", "__e.__d")
+    # per-query ADC distance table (knn.pq's builder, shared)
+    dtable = _adc_dtable(qclean, codebooks, m, kw, sd)
 
-    # corpus side: skinny (id, cell, subspace, code) INT tuples.
-    # Invalid codes would leave a PARTIAL ADC sum that outranks real
-    # neighbors (knn.pq's guard); NULL cells are unprobeable.
+    # corpus side: skinny (id, cell, subspace, code) INT tuples;
+    # invalid codes excluded (shared guard), NULL cells unprobeable
     codes = corpus.filter(
-        F.col(code_column).isNotNull() & (F.size(code_column) == m)
-        & ~F.exists(
-            code_column,
-            lambda x: x.isNull() | (x < 0) | (x >= kw),
-        )
+        _valid_codes(code_column, m, kw)
         & F.col(cell_column).isNotNull()
     ).select(
         F.col(id_column).alias("__kid"),
@@ -1156,37 +1178,10 @@ def embedding_assign_cells(ctx: OpContext, inputs: list[DataFrame], config: dict
     out_col = config.get("output_column", "cell")
     # dim comes from the centroid table — the quantizer defines the
     # space; a corpus row of any other length is simply invalid
-    cell_col = config.get("centroid_cell_column", "cluster")
-    for c in (cell_col, "centroid"):
-        if c not in centroid_df.columns:
-            raise ConfigError(
-                "embedding.assign_cells: centroids input has no column "
-                f"{c!r} (expect embedding.kmeans output='centroids')"
-            )
-    rows = centroid_df.select(cell_col, "centroid").collect()
-    if not rows:
-        raise ConfigError(
-            "embedding.assign_cells: centroids input is empty")
-    if any(r[cell_col] is None or r["centroid"] is None for r in rows):
-        raise ConfigError(
-            "embedding.assign_cells: centroids input has NULL "
-            "cells/centroids")
-    cells = sorted(int(r[cell_col]) for r in rows)
-    if cells != list(range(len(rows))):
-        raise ConfigError(
-            "embedding.assign_cells: centroid cells must be contiguous "
-            f"0..n-1 (got {cells[:6]}{'...' if len(cells) > 6 else ''})"
-        )
-    lens = {len(r["centroid"]) for r in rows}
-    if len(lens) != 1:
-        raise ConfigError(
-            "embedding.assign_cells: centroids have mixed lengths "
-            f"{sorted(lens)}"
-        )
-    dim = lens.pop()
-    centroids: list[list[float]] = [[] for _ in rows]
-    for r in rows:
-        centroids[int(r[cell_col])] = [float(x) for x in r["centroid"]]
+    centroids, dim = _parse_centroids(
+        centroid_df, "embedding.assign_cells",
+        config.get("centroid_cell_column", "cluster"),
+    )
 
     if check_encode_method(config, "embedding.assign_cells") == "gemm":
         # the centroid table IS a one-subspace codebook (m=1,

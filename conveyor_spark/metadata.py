@@ -152,6 +152,8 @@ def generate_operators_md() -> str:
                 flags.append("streaming-capable")
             if op.max_inputs is None:
                 flags.append("variadic inputs")
+            elif op.max_inputs and op.min_inputs == op.max_inputs > 1:
+                flags.append(f"exactly {op.max_inputs} inputs")
             elif op.max_inputs and op.max_inputs > 1:
                 flags.append(f"up to {op.max_inputs} inputs")
             if flags:

@@ -6688,6 +6688,19 @@ def q162_pq_encode_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
                column="embedding", code_column="pq_code", k=3)
 
 
+def _fold_dim_sql(dim: int) -> str:
+    """The full-dim squared-L2 fold template shared by the IVFPQ
+    oracles (left-to-right per-dim order, ::DOUBLE casts — the
+    load-bearing determinism contract; one copy so q163 and
+    q164/q165 can never replay different arithmetic)."""
+    return (
+        "list_reduce(list_prepend(0.0::DOUBLE, "
+        f"list_transform(range(1, {dim + 1}), "
+        "i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i]))), "
+        "(x, y) -> x + y)"
+    )
+
+
 def _ivfpq_oracle(kcells: int, km_iters: int, m: int, kw: int,
                   pq_iters: int, dim: int, nq: int, nprobe: int,
                   topk: int) -> str:
@@ -6705,12 +6718,7 @@ def _ivfpq_oracle(kcells: int, km_iters: int, m: int, kw: int,
     quant = f"c{km_iters - 1}"
     pblocks, psub, pcb, penc, fold_sd = _pq_train_cte(
         m, kw, pq_iters, dim, prefix="p")
-    fold_dim = (
-        "list_reduce(list_prepend(0.0::DOUBLE, "
-        f"list_transform(range(1, {dim + 1}), "
-        "i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i]))), "
-        "(x, y) -> x + y)"
-    )
+    fold_dim = _fold_dim_sql(dim)
     blocks = pblocks + [
         f"""pdist AS (SELECT q.vec_id AS qid, c.c AS cell,
                {fold_dim.format(a='q.v', b='c.cv')} AS d
@@ -6797,12 +6805,7 @@ def _ivfpq_deploy_oracle(kcells: int, m: int, kw: int, dim: int,
     quant = "c1"
     pblocks, psub, pcb, penc, fold_sd = _pq_train_cte(
         m, kw, 1, dim, prefix="p")
-    fold_dim = (
-        "list_reduce(list_prepend(0.0::DOUBLE, "
-        f"list_transform(range(1, {dim + 1}), "
-        "i -> ({a}[i]::DOUBLE - {b}[i]) * ({a}[i]::DOUBLE - {b}[i]))), "
-        "(x, y) -> x + y)"
-    )
+    fold_dim = _fold_dim_sql(dim)
     blocks = pblocks + [
         f"""acd AS (SELECT e.vec_id, c.c AS cell,
                {fold_dim.format(a='e.v', b='c.cv')} AS dist

@@ -223,6 +223,30 @@ def main() -> int:
                        cell_column="ivf_cell", code_column="pq_code",
                        k=args.k, nprobe=args.nprobe))
 
+        # structural candidate assertion: re-run each search with
+        # k = n_corpus (the top-k cut disabled) — the result rows ARE
+        # the scored candidate pairs, and must equal the python-side
+        # probed-cell accounting EXACTLY (a probe off-by-one or a
+        # wrong-cell join would show up here even when recall and the
+        # shuffle cap cannot see it)
+        measured = {}
+        measured["flat"] = op(
+            "knn.pq", ctx, [enc, queries, books], id_column="vec_id",
+            column="embedding", code_column="pq_code",
+            k=n_corpus).count()
+        for np_ in (1, args.nprobe):
+            measured[f"nprobe{np_}"] = op(
+                "knn.ivfpq", ctx, [enc, queries, cents, books],
+                id_column="vec_id", column="embedding",
+                cell_column="ivf_cell", code_column="pq_code",
+                k=n_corpus, nprobe=np_).count()
+        result["measured_candidates"] = measured
+        for key, want in exp.items():
+            if measured.get(key) != want:
+                result["violations"].append(
+                    f"candidate count {key}: measured {measured.get(key)}"
+                    f" != expected {want} (the cut must be structural)")
+
         r1 = len(flat_pairs & ivf1_pairs) / max(1, len(flat_pairs))
         rN = len(flat_pairs & ivfN_pairs) / max(1, len(flat_pairs))
         result["recall_vs_flat"] = {"nprobe1": round(r1, 4),
