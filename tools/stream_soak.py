@@ -44,6 +44,15 @@ Usage:
         [--state-partitions 32] [--out STREAM_SOAK.json]
 Exit 0 = hash-exact + >= --min-batches batches + plateau, both
 providers, every query.
+
+DRIVER SIZING: the comparison harness accumulates each drain's
+output driver-side (memory-sink shape) and collects it for the
+hash, so DRIVER heap scales with the drain's RESULT rows — q66 at
+4096x emits 10.3M rows and the default 8g heap OOMs on the second
+provider's collect (measured 2026-08-17; the engine's own drain was
+fine — hdfs completed hash-exact first). Run >= 4096x with
+SPARK_GRAFT_DRIVER_MEM=24g. Per-provider result refs are dropped
+eagerly for the same reason.
 """
 from __future__ import annotations
 
@@ -286,6 +295,11 @@ def main() -> int:
                       f"curve={[c['state_rows'] for c in curve]} "
                       f"evicted={sum(c['rows_evicted'] for c in curve)} "
                       + ("OK" if ok else "FAIL"))
+                # drop the provider's result eagerly: at 4096x a
+                # drain result is ~10M rows — keeping two providers'
+                # python tuples + JVM local relations alive is what
+                # OOM'd an 8g driver (see DRIVER SIZING above)
+                rows, df = [], None
             if len(prov_hashes) == 2 \
                     and len(set(prov_hashes.values())) != 1:
                 violations.append(
