@@ -93,6 +93,32 @@ def main() -> int:
     # number across two BENCH artifacts ~= the host-speed ratio
     calibration = {"query": CALIBRATION_QUERY, "sec": run_once(CALIBRATION_QUERY)}
 
+    # second yardstick (r13b lesson): host drift is NOT always uniform
+    # — a window was measured where q01 (scan+agg, JVM-bound) ran 1.4x
+    # FASTER than round-prior while Python-worker-heavy queries ran
+    # 1.5x slower, so a single calibration mis-normalizes half the
+    # suite. This one times a fixed Arrow/Python-worker round-trip
+    # (spawn + transfer + numpy) — testdata-independent, same plan
+    # every round. Gate fits can regress each query against the
+    # yardstick that tracks its bottleneck.
+    def _py_calibration() -> float:
+        t0 = time.time()
+
+        def f(batches):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["v"] = ((pdf["id"] * 2654435761 % 2147483647)
+                            .astype("float64") ** 0.5)
+                yield pdf
+
+        spark.range(0, 2_000_000, 1, 32).mapInPandas(
+            f, schema="id long, v double"
+        ).write.mode("overwrite").format("noop").save()
+        return round(time.time() - t0, 3)
+
+    calibration_py = {"kind": "mapInPandas 2M rows x 32 parts",
+                      "sec": _py_calibration()}
+
     runs: dict[str, list[float]] = {}
     for name in QUERIES:
         if only and name not in only:
@@ -132,6 +158,7 @@ def main() -> int:
         "n_queries": len(timings),
         "repeat": repeat,
         "calibration": calibration,
+        "calibration_py": calibration_py,
         "value_r1_scope": baseline_total,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "metric": "conveyor_spark query suite wall time",
