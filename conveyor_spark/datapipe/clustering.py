@@ -171,6 +171,15 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
 
     clean = df.filter(vec_ok(vec, dim)).select(
         F.col(id_column).alias("__kid"), vec.alias("__v"))
+    # Training input persisted (r13 optimization, the MLlib KMeans
+    # contract "cache your input"): the init TakeOrdered plus every
+    # Lloyd stats pass re-scanned the source otherwise — iterations+1
+    # full input reads collapsed to one. MEMORY_AND_DISK (spills, no
+    # OOM risk); evictable, and the deployment recipe trains on a
+    # sample so the cached working set is sample-sized. CacheManager
+    # dedupes identical plans, so the assign+centroids double-call
+    # pattern (q163) shares one materialization across both op calls.
+    clean = clean.persist()
 
     init = clean.orderBy("__kid").limit(k).select("__v").collect()
     if len(init) < k:
@@ -259,6 +268,9 @@ def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int,
     DataFrame with __c0.._c{m-1} columns from the post-update
     encode pass)."""
     sd = dim // m
+    # embedding.kmeans's persist rationale, verbatim: init + one
+    # stats pass per iteration re-scan `clean` otherwise
+    clean = clean.persist()
     init = clean.orderBy("__kid").limit(k).select("__v").collect()
     if len(init) < k:
         raise ConfigError(

@@ -40,18 +40,29 @@ from conveyor_spark.registry import OpContext, P, register
 def _propagate(und: DataFrame, labels: DataFrame) -> DataFrame:
     """One round: label(v) <- min(label(v), min over neighbors).
     Carries the previous label as ``__old`` so convergence is a
-    filter on the materialized round — not an extra join job."""
-    neighbor_min = (
+    filter on the materialized round — not an extra join job.
+
+    Shape (r13): tag-and-union — the vertex's own (id, label) rows
+    union the neighbor-label rows from the edge join, ONE groupBy(id)
+    takes the min of both and re-derives __old from the self rows.
+    Same per-round function as the previous join + groupBy(src) +
+    left-join-back (min over {own label} ∪ {neighbor labels} ==
+    least(own, neighbor-min); every id has >= 1 edge so the self row
+    always exists), but 2 exchanges per round instead of 3 — a third
+    fewer shuffle stages in every convergence cycle, exact int64 mins
+    throughout."""
+    neighbor = (
         und.join(labels, und["dst"] == labels["id"])
-        .groupBy("src")
-        .agg(F.min("label").alias("__nmin"))
+        .select(F.col("src").alias("id"), "label",
+                F.lit(False).alias("__self"))
     )
+    own = labels.select("id", "label", F.lit(True).alias("__self"))
     return (
-        labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
-        .select(
-            "id",
-            F.least(F.col("label"), F.coalesce(F.col("__nmin"), F.col("label"))).alias("label"),
-            F.col("label").alias("__old"),
+        own.unionByName(neighbor)
+        .groupBy("id")
+        .agg(
+            F.min("label").alias("label"),
+            F.min(F.when(F.col("__self"), F.col("label"))).alias("__old"),
         )
     )
 

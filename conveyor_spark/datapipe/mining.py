@@ -124,6 +124,13 @@ def mine_bitext(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
         # cosine is identical on every copy, so any-row dedup is
         # deterministic. Costs one extra shuffle — opt-in.
         scored = scored.dropDuplicates(["__sid", "__tid"])
+    # The candidate-cosine table feeds THREE consumers (both top-k
+    # neighborhood means and the margin join) — without persist each
+    # re-runs the bucket join and the per-pair cosine fold, the op's
+    # dominant cost (r13 measurement: 24 parquet scans in the q128
+    # plan). Rows are skinny (two ids + one double); MEMORY_AND_DISK
+    # spills rather than OOMs at candidate-stream scale.
+    scored = scored.persist()
 
     def topk_mean(part_col: str, other_col: str, out: str) -> DataFrame:
         w = Window.partitionBy(part_col).orderBy(
@@ -164,25 +171,26 @@ def mine_bitext(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
         scored.join(sa, "__sid").join(ta, "__tid")
         .select("__sid", "__tid", "__cos", margin.alias("__m"))
     )
+    # Both direction ranks as CHAINED windows over the ONE unfiltered
+    # margin table, then filter — semantically identical to the old
+    # rank-each-side-then-self-join (both ranks were computed over
+    # the full pair set there too, filters applied after), but the
+    # margin table evaluates once instead of twice and the pair
+    # equi-self-join disappears (r13; one shuffle per direction is
+    # the floor either way).
     ws = Window.partitionBy("__sid").orderBy(
         F.col("__m").desc(), F.col("__tid")
     )
-    best = with_margin.withColumn("__rs", F.row_number().over(ws)) \
-        .filter((F.col("__rs") == 1) & (F.col("__m") >= threshold)) \
-        .drop("__rs")
+    best = with_margin.withColumn("__rs", F.row_number().over(ws))
     if mutual:
         wt = Window.partitionBy("__tid").orderBy(
             F.col("__m").desc(), F.col("__sid")
         )
-        best_t = with_margin.withColumn("__rt", F.row_number().over(wt)) \
-            .filter(F.col("__rt") == 1) \
-            .select(F.col("__sid").alias("__bsid"),
-                    F.col("__tid").alias("__btid"))
-        best = best.join(
-            best_t,
-            (F.col("__sid") == F.col("__bsid"))
-            & (F.col("__tid") == F.col("__btid")),
-        ).drop("__bsid", "__btid")
+        best = best.withColumn("__rt", F.row_number().over(wt)) \
+            .filter(F.col("__rt") == 1).drop("__rt")
+    best = best.filter(
+        (F.col("__rs") == 1) & (F.col("__m") >= threshold)
+    ).drop("__rs")
     return best.select(
         F.col("__sid").alias(f"src_{id_column}"),
         F.col("__tid").alias(f"tgt_{id_column}"),

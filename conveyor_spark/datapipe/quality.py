@@ -277,6 +277,13 @@ def drift_psi(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
         .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
         .withColumn("n_cur", F.coalesce("n_cur", F.lit(0)))
     )
+    # The op's decision table (<= bins rows, guide §8): tot, shares
+    # and the psi_total fold all derive from it, and each reference
+    # re-ran BOTH side's full-input bin aggregates (r13 measurement:
+    # 16 parquet scans in the q92 plan; 2 after). Persisting <= bins
+    # rows costs nothing; every count is an exact int64 so all
+    # downstream doubles are bit-identical.
+    joined = joined.persist()
     tot = joined.agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )

@@ -138,6 +138,18 @@ def _stupid_backoff_nll(docs, ref, column, id_column, n, alpha, out):
         tables[m] = ref.select(
             F.explode(ngrams_expr(column, m)).alias("__w")
         ).groupBy("__w").agg(F.count(F.lit(1)).alias(f"__c{m}"))
+    # Every order-m table except the top one is referenced by BOTH
+    # the backed-off gram join and the context join (and order 1
+    # additionally by the scalar aggregate and its loud empty-check
+    # below) — each reference otherwise re-runs the full reference
+    # tokenize+count chain, input scan included. Vocabulary-bounded
+    # rows: persist (r13; the mutual_information tc rationale). The
+    # empty-check first() also warms the order-1 cache before the
+    # scoring action.
+    for m in tables:
+        if m < n or m == 1:  # the top-order table (n>1) is the one
+            tables[m] = tables[m].persist()  # single-consumer table
+    uni = tables[1]
     scalars = uni.agg(
         F.count(F.lit(1)).alias("__v"), F.sum("__c1").alias("__nn")
     )
@@ -271,10 +283,17 @@ def text_perplexity(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
 
     uni = ref.select(F.explode(tokens_expr(column, distinct=False)).alias("__w")) \
         .groupBy("__w").agg(F.count(F.lit(1)).alias("__cw"))
+    # The unigram table is multi-referenced on every path (n=1: the
+    # gram join + the scalar; n=2: the context join + the scalar;
+    # n>2: scalar only, where persist is harmless) and each reference
+    # otherwise re-runs the full reference tokenize+count including
+    # its input scan. Vocabulary-bounded rows — the approved persist
+    # class (r13; same rationale as mutual_information's tc).
+    uni = uni.persist()
     if n == 1:
         # 1-grams ARE the unigram table — reusing it (rather than an
-        # identical second explode+groupBy) lets the exchange be
-        # shared instead of scanning the reference twice
+        # identical second explode+groupBy) lets the materialization
+        # be shared instead of scanning the reference twice
         grams = uni.select(F.col("__w").alias("__g"),
                            F.col("__cw").alias("__cg"))
     else:
@@ -286,9 +305,19 @@ def text_perplexity(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
             F.count(F.lit(1)).alias("__v"), F.sum("__cw").alias("__cc")
         )
     else:
-        ctx_counts = ref.select(
-            F.explode(ngrams_expr(column, n - 1)).alias("__ctx")
-        ).groupBy("__ctx").agg(F.count(F.lit(1)).alias("__cc"))
+        if n == 2:
+            # (n-1)-grams at n=2 ARE tokens: ngrams_expr(col, 1)
+            # builds the identical expression tokens_expr builds, so
+            # the context-count table IS the unigram table under other
+            # names — reuse it (one fewer full reference aggregation
+            # chain; counts identical by construction, q117/q122
+            # oracles pin it)
+            ctx_counts = uni.select(F.col("__w").alias("__ctx"),
+                                    F.col("__cw").alias("__cc"))
+        else:
+            ctx_counts = ref.select(
+                F.explode(ngrams_expr(column, n - 1)).alias("__ctx")
+            ).groupBy("__ctx").agg(F.count(F.lit(1)).alias("__cc"))
         scalars = uni.agg(F.count(F.lit(1)).alias("__v"))
 
     cand = docs.select(
@@ -381,6 +410,10 @@ def classify_linear(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         .groupBy("__id", "__w")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    # mean mode reads the (doc, term, tf) table twice (weight join +
+    # doc lengths) — persist so the tokenize+count runs once (r13)
+    if mode == "mean":
+        tf = tf.persist()
     tfw = F.lit(1.0) if mode == "binary" else F.col("__tf").cast("double")
     contrib = tf.join(F.broadcast(w), "__w").select(
         "__id", "__tf", (tfw * F.col("__wt")).alias("__c"), "__w"
@@ -480,7 +513,13 @@ def rank_bm25(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
         .groupBy("__id", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
-    dl = postings.groupBy("__id").agg(F.sum("__tf").alias("__dl"))
+    # (id, term, tf) is the op's index and THREE consumers derive
+    # from it (doc lengths, term dfs, the scoring join); doc lengths
+    # feed two more. Each reference otherwise re-runs the corpus
+    # tokenize+explode+count (r13 measurement: 8 parquet scans in the
+    # q119 plan). Skinny rows, MEMORY_AND_DISK.
+    postings = postings.persist()
+    dl = postings.groupBy("__id").agg(F.sum("__tf").alias("__dl")).persist()
     df_t = postings.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     scalars = dl.agg(
         F.count(F.lit(1)).alias("__N"), F.sum("__dl").alias("__toks")
@@ -601,6 +640,10 @@ def rank_tfidf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         .groupBy("__id", "__t")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    # same three-consumer index shape as rank.bm25 (df table, doc
+    # total, scoring join) — persist so the corpus tokenize+count
+    # runs once (r13)
+    postings = postings.persist()
     df_t = postings.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = postings.select("__id").distinct().agg(
         F.count(F.lit(1)).alias("__N")
@@ -733,6 +776,10 @@ def classify_multiclass(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         .groupBy("__id", "__w")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    # mean mode reads the (doc, term, tf) table twice (weight join +
+    # doc lengths) — persist so the tokenize+count runs once (r13)
+    if mode == "mean":
+        tf = tf.persist()
     tfw = F.lit(1.0) if mode == "binary" else F.col("__tf").cast("double")
     contrib = tf.join(F.broadcast(w), "__w").select(
         "__id", "__cls", (tfw * F.col("__wt")).alias("__c"), "__w"

@@ -474,6 +474,13 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
 
     ccodes = with_norm(ccodes, "neighbor_id", "__cc", "__ccn")
     if self_knn:
+        # the query-side codes are the corpus codes relabeled — the
+        # encode pass (gemm Arrow batches or the argmin fold) would
+        # otherwise run once per side of the pair join. ~40 B/row
+        # (id, m small ints, double) — the candidate-stream width the
+        # screen exists to achieve (r13).
+        ccodes = ccodes.persist()
+    if self_knn:
         qcodes = ccodes.select(
             F.col("neighbor_id").alias("query_id"),
             F.col("__cc").alias("__qc"),
@@ -701,6 +708,13 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
             .filter(F.col("__bn") <= int(max_bucket))
             .drop("__bn")
         )
+    if self_knn:
+        # the query side IS the corpus band frame relabeled — without
+        # persist the whole signature pass (gemm Arrow batches or the
+        # fold expression) and the hot-bucket window run TWICE, once
+        # per side of the candidate self-join. Skinny (id, band)
+        # rows (r13).
+        c = c.persist()
     q = (
         banded(queries_df, "query_id", "__qb") if not self_knn
         else c.select(F.col("neighbor_id").alias("query_id"), F.col("__cb").alias("__qb"))

@@ -289,28 +289,33 @@ def stats_ks_test(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
 
     a = _clean(ref, column)
     b = _clean(cur, col_b)
-    # F.count(col) skips NULLs — count rows with count(1) so the
-    # null subtraction isn't applied twice
-    null_a = a.agg(
-        F.sum(F.col("__v").isNull().cast("bigint")).alias("__nn_a"),
-        F.count(F.lit(1)).alias("__n_a"),
+    # ONE count pass for both sides (r13 optimization): tag + union +
+    # conditional sums replace the old {per-side groupBy} x2 +
+    # full-outer join — half the count shuffles and no join, and the
+    # NULL group row carries each side's null count so the totals no
+    # longer need two extra whole-input aggregates. Counts are the
+    # same exact int64s the per-side count(1) produced, so every
+    # downstream double is bit-identical. The grouped table is
+    # PERSISTED: it is the op's decision table (guide §8 — spine,
+    # range, offsets, totals, n_values all derive from it) and was
+    # previously recomputed — full input re-scan included — once per
+    # consumer (5x: measured 36 parquet scans / 52 exchanges in the
+    # q135 plan; 8 scans / 12 exchanges after).
+    u = a.select("__v", F.lit(1).alias("__sa")).unionAll(
+        b.select("__v", F.lit(0).alias("__sa")))
+    g = u.groupBy("__v").agg(
+        F.sum(F.col("__sa").cast("bigint")).alias("__ca"),
+        F.sum((1 - F.col("__sa")).cast("bigint")).alias("__cb"),
+    ).persist()
+    totals_row = g.agg(
+        F.sum("__ca").alias("__n_a"),
+        F.sum("__cb").alias("__n_b"),
+        F.sum(F.when(F.col("__v").isNull(), F.col("__ca"))
+              .otherwise(F.lit(0))).alias("__nn_a"),
+        F.sum(F.when(F.col("__v").isNull(), F.col("__cb"))
+              .otherwise(F.lit(0))).alias("__nn_b"),
     )
-    null_b = b.agg(
-        F.sum(F.col("__v").isNull().cast("bigint")).alias("__nn_b"),
-        F.count(F.lit(1)).alias("__n_b"),
-    )
-    ca = a.filter(F.col("__v").isNotNull()).groupBy("__v").agg(
-        F.count(F.lit(1)).alias("__ca"))
-    cb = b.filter(F.col("__v").isNotNull()).groupBy("__v").agg(
-        F.count(F.lit(1)).alias("__cb"))
-    spine = (
-        ca.join(cb, "__v", "full_outer")
-        .select(
-            "__v",
-            F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
-            F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
-        )
-    )
+    spine = g.filter(F.col("__v").isNotNull())
     # phase 1: range-bucket the spine (width_bucket is monotonic in
     # __v, so bucket order == value order); min/max ride a broadcast
     # 1-row frame
@@ -355,8 +360,7 @@ def stats_ks_test(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
         ).otherwise(n)
 
     totals = F.broadcast(
-        null_a.join(null_b)
-        .select(
+        totals_row.select(
             _nonzero(F.col("__n_a") - F.col("__nn_a"), "reference")
             .alias("__na"),
             _nonzero(F.col("__n_b") - F.col("__nn_b"), "current")
@@ -448,9 +452,22 @@ def stats_jensen_shannon(ctx: OpContext, inputs: list[DataFrame], config: dict[s
         F.coalesce(F.col("__ca"), F.lit(0)).alias("__ca"),
         F.coalesce(F.col("__cb"), F.lit(0)).alias("__cb"),
     )
-    na_f = F.broadcast(ca.agg(F.sum("__ca").alias("__na")))
-    nb_f = F.broadcast(cb.agg(F.sum("__cb").alias("__nb")))
-    joined = joined.join(na_f).join(nb_f)
+    # Vocabulary-bounded decision table, persisted (r13): the token
+    # totals previously aggregated ca/cb SEPARATELY, re-running each
+    # side's full tokenize+count (and input scan) a second time just
+    # to sum it. The full-outer join keeps every term, so summing the
+    # coalesced counts over `joined` yields the same exact int64
+    # totals — one pass, and the per-term table computes once.
+    joined = joined.persist()
+    # when(>0) so an EMPTY side still totals NULL exactly like the
+    # old per-side aggregate (its coalesced 0s must not sum to 0:
+    # the NULL is what keeps the per-term expressions NULL-safe
+    # under ANSI); real counts are always >= 1, so non-empty sides
+    # sum identically
+    totals = F.broadcast(joined.agg(
+        F.sum(F.when(F.col("__ca") > 0, F.col("__ca"))).alias("__na"),
+        F.sum(F.when(F.col("__cb") > 0, F.col("__cb"))).alias("__nb")))
+    joined = joined.join(totals)
 
     cab, cba = F.col("__ca") * F.col("__nb"), F.col("__cb") * F.col("__na")
     den = (cab + cba).cast("double")
@@ -543,6 +560,12 @@ def stats_mutual_information(ctx: OpContext, inputs: list[DataFrame], config: di
         )
     )
     tc = tok.groupBy("__t", "__cls").agg(F.count(F.lit(1)).alias("__ctc"))
+    # (term, class) counts are the op's decision table — vocabulary x
+    # classes rows, bounded — and FOUR consumers derive from it (the
+    # join, both marginals, and N via the class marginal): without
+    # persist each re-ran the full tokenize+explode+count (r13
+    # measurement: 8 parquet scans in the q148 plan; 2 after).
+    tc = tc.persist()
     t_marg = tc.groupBy("__t").agg(F.sum("__ctc").alias("__ct"))
     c_marg = tc.groupBy("__cls").agg(F.sum("__ctc").alias("__cc"))
     n_tot = c_marg.agg(F.sum("__cc").alias("__n"))

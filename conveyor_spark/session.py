@@ -69,6 +69,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Ops persist() their multiply-consumed decision tables (r13
+        # optimization round: ks_test's spine, MI's term-class counts,
+        # ...). Without this, a cached plan pins its pre-AQE shuffle
+        # partitioning and every downstream stage inherits the static
+        # partition count — coalescing/skew handling must stay live
+        # above InMemoryRelation (measured: q135 5.1s -> 2.5s).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config(
             "spark.sql.shuffle.partitions",
             # parenthesize: the bare conditional binds the WHOLE

@@ -207,6 +207,42 @@ def scd2_apply(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
     real_change = has_upd & (~has_cur | ~same) if skip_unchanged else has_upd
 
+    cols = history.columns
+    eff_t = updates.schema[ts_col].dataType
+    if (eff_t == history.schema[vf].dataType
+            and eff_t == history.schema[vt].dataType):
+        # ONE evaluation of the business-key join (r13): each j row
+        # emits its 0-2 output versions via a conditional struct
+        # array + explode, replacing three filtered re-evaluations of
+        # the same full-outer join (keep-current / close / open) that
+        # tripled the join work (12 parquet scans in the q100 plan; 4
+        # after). Same rows, branch for branch; guarded on the
+        # effective-ts type matching valid_from/valid_to so no branch
+        # needs the union's implicit type coercion (mismatched-type
+        # callers take the coercing union below, unchanged).
+        def branch(overrides: dict):
+            return F.struct(*[
+                (overrides[c] if c in overrides else F.col(c)).alias(c)
+                for c in cols
+            ])
+
+        keep_s = branch({})
+        closed_s = branch({vt: F.col("__eff"), cf: F.lit(False)})
+        opened_s = branch({
+            **{c: F.col(f"__u_{c}") for c in value_cols},
+            vf: F.col("__eff"),
+            vt: F.lit(None).cast(j.schema[vt].dataType),
+            cf: F.lit(True),
+        })
+        emitted = j.select(
+            F.explode(F.filter(F.array(
+                F.when(has_cur & ~real_change, keep_s),
+                F.when(has_cur & real_change, closed_s),
+                F.when(real_change, opened_s),
+            ), lambda x: x.isNotNull())).alias("__r")
+        ).select("__r.*")
+        return closed_hist.select(*cols).unionByName(emitted)
+
     # surviving current rows: untouched keys, or unchanged-skip keys
     keep_current = j.filter(has_cur & ~real_change).select(*history.columns)
     # closed versions: current rows whose key got a real update

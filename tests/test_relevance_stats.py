@@ -163,6 +163,13 @@ def test_ks_empty_side_raises(ctx, spark):
                column="v").collect()
     with pytest.raises(ConfigError, match="reference has no column"):
         run_op(ctx, "stats.ks_test", [ref.drop("v"), ref], column="v")
+    # ZERO-row side (not just all-NULL): the r13 one-pass count
+    # restructure made this raise like the all-NULL case — before it
+    # fell through to a silent NULL d_stat via NULL - 0 arithmetic,
+    # contradicting the op's documented fail-loudly contract
+    zero = spark.createDataFrame([], "v DOUBLE")
+    with pytest.raises(Exception, match="no non-null values"):
+        run_op(ctx, "stats.ks_test", [ref, zero], column="v").collect()
 
 
 def test_ks_nan_counted_as_null(ctx, spark):
