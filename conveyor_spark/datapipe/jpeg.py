@@ -23,6 +23,7 @@ entropy coder's inherently sequential bitstream walk.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 from conveyor_spark.datapipe.codecs import MediaDecodeError
@@ -66,7 +67,10 @@ def _scaled_quant(base: list[int], quality: int):
     return np.clip(q, 1, 255).astype(np.int32)
 
 
+@functools.cache
 def _dct_matrix():
+    # cached per worker — constant, rebuilt per decoded image before
+    # (r13); callers only read it (matmul/einsum operands)
     import numpy as np
 
     k = np.arange(8)
@@ -311,6 +315,15 @@ class _BitReader:
         self.pos = pos
         self.acc = 0
         self.n = 0
+        # eager refills (fill ahead of need, set by _decode_scan when
+        # the image declares no restart interval): a fill can then
+        # only ever hit the scan-terminating marker, whose 0xFF
+        # padding is position-stable — so prefetching changes no
+        # decode outcome, and the Huffman fast path below can peek 8
+        # bits at a time. With restart markers the lazy reference
+        # walk is kept: an early fill there could meet an RSTn one
+        # symbol before the per-bit reader would.
+        self.eager = False
 
     def _fill(self) -> None:
         d = self.data
@@ -338,12 +351,26 @@ class _BitReader:
         if not self.n:
             self._fill()
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        v = (self.acc >> self.n) & 1
+        # drop consumed bits: without the mask `acc` accumulates the
+        # whole scan's history and every shift goes bigint-quadratic
+        # (measured: 190 ms to decode one 64x64 baseline JPEG; 2.9 ms
+        # with the mask — r13 optimization round)
+        self.acc &= (1 << self.n) - 1
+        return v
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        # bulk form of k chained bit() calls: a valid stream always
+        # holds the k bits a just-decoded Huffman symbol announces, so
+        # filling up-front performs exactly the fills the per-bit loop
+        # would — then one shift extracts what the loop built bit-wise
+        if not k:
+            return 0
+        while self.n < k:
+            self._fill()
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
     def skip_restart(self) -> None:
@@ -363,8 +390,31 @@ class _Restart(Exception):
     pass
 
 
-def _build_huffman(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol, canonical per T.81."""
+class _HuffTable:
+    """Canonical T.81 table in two forms: the (length, code) -> symbol
+    dict (the exact reference decode) plus a 256-entry LUT over the
+    next 8 bits for codes of length <= 8 — one lookup instead of up
+    to 8 dict probes for the overwhelmingly common short codes."""
+
+    __slots__ = ("dict", "lut")
+
+    def __init__(self, table: dict[tuple[int, int], int]):
+        self.dict = table
+        lut: list[tuple[int, int] | None] = [None] * 256
+        for (length, code), sym in table.items():
+            if length <= 8:
+                lo = code << (8 - length)
+                for idx in range(lo, lo + (1 << (8 - length))):
+                    lut[idx] = (sym, length)
+        self.lut = lut
+
+
+@functools.lru_cache(maxsize=64)
+def _build_huffman(bits: bytes, vals: bytes) -> _HuffTable:
+    """(length, code) -> symbol, canonical per T.81. Cached per
+    worker: a corpus encoded by one encoder (or an MJPEG stream's
+    frames) repeats the same DHT segments image after image, and the
+    table + LUT build is per-image fixed cost otherwise (§4.5)."""
     table: dict[tuple[int, int], int] = {}
     code = 0
     k = 0
@@ -374,14 +424,48 @@ def _build_huffman(bits: bytes, vals: bytes) -> dict[tuple[int, int], int]:
             code += 1
             k += 1
         code <<= 1
-    return table
+    return _HuffTable(table)
 
 
-def _huff_decode(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+def _huff_decode(r: _BitReader, table: _HuffTable) -> int:
+    if r.eager:
+        # restart-free scan: prefetching is position-safe (see
+        # _BitReader.eager). One LUT probe resolves any code of
+        # length <= 8; the LUT is exhaustive over those, so a miss
+        # means length >= 9 — resolved with direct peeks, no per-bit
+        # walk.
+        while r.n < 8:
+            r._fill()
+        hit = table.lut[(r.acc >> (r.n - 8)) & 0xFF]
+        if hit is not None:
+            sym, length = hit
+            r.n -= length
+            r.acc &= (1 << r.n) - 1
+            return sym
+        while r.n < 16:
+            r._fill()
+        acc, n = r.acc, r.n
+        tdict = table.dict
+        for length in range(9, 17):
+            sym = tdict.get((length, acc >> (n - length)))
+            if sym is not None:
+                r.n = n - length
+                r.acc = acc & ((1 << r.n) - 1)
+                return sym
+        raise MediaDecodeError("jpeg: invalid huffman code")
+    # reference walk (restart-interval scans): fill only on demand
+    if r.n >= 8:
+        hit = table.lut[(r.acc >> (r.n - 8)) & 0xFF]
+        if hit is not None:
+            sym, length = hit
+            r.n -= length
+            r.acc &= (1 << r.n) - 1
+            return sym
+    tdict = table.dict
     code = 0
     for length in range(1, 17):
         code = (code << 1) | r.bit()
-        sym = table.get((length, code))
+        sym = tdict.get((length, code))
         if sym is not None:
             return sym
     raise MediaDecodeError("jpeg: invalid huffman code")
@@ -521,6 +605,7 @@ def _decode_scan(d, pos, frame, scan, quant, huff, restart_interval, inv_zz):
             (mcuy * c["v"] * 8, mcux * c["h"] * 8), dtype=np.float64))
     dct = _dct_matrix()
     reader = _BitReader(d, pos)
+    reader.eager = not restart_interval
     preds = [0] * len(comps)
     mcu_count = 0
     for my in range(mcuy):

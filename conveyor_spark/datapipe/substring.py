@@ -132,6 +132,11 @@ def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
             .where(F.col("df") > cap)
             .select("h")
         )
+        # hot-gram decision table (<= 1/max_df rows): BOTH self-join
+        # sides anti-join against it, and without persist each side
+        # re-runs the full postings aggregate chain (r13; the
+        # ngram_jaccard hot-shingle precedent)
+        hot = hot.persist()
         postings = postings.join(F.broadcast(hot), "h", "left_anti")
 
     a = postings.select(F.col("h"), F.col("id").alias("id_a"),
@@ -154,6 +159,12 @@ def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
             F.slice(F.col("__ta"), F.col("start_a") + 1, F.col("length"))
             == F.slice(F.col("__tb"), F.col("start_b") + 1, F.col("length")),
         )
+        # output-sized (one row per candidate span): the clean and
+        # dirty branches otherwise EACH re-run the entire postings
+        # self-join + islands window + both verify joins — the
+        # query's dominant subtree, twice (r13: q113's before-plan is
+        # a 138-node Union with the whole pipeline duplicated)
+        checked = checked.persist()
         clean = checked.where("__ok").select(
             "id_a", "id_b", "start_a", "start_b", "length")
         # a hash collision that merged into a true run must not drop

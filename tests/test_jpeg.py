@@ -150,3 +150,30 @@ def test_corrupt_jpeg_nulls_not_task_failure(ctx, spark):
     out = run_op(ctx, "media.pixel_stats", [df], column="content")
     got = {r["id"]: r["pixel_stats"] for r in out.collect()}
     assert got["ok"] is not None and got["bad"] is None
+
+
+def test_eager_and_lazy_bit_readers_decode_identically(monkeypatch):
+    """r13 optimization: restart-free scans prefetch bits and decode
+    Huffman codes via an 8-bit LUT (plus direct 9..16-bit peeks).
+    The per-bit lazy walk is the reference — force it and assert the
+    pixels match the fast path exactly, on an image busy enough to
+    exercise long (>8-bit) AC codes."""
+    import conveyor_spark.datapipe.jpeg as J
+
+    rng = np.random.RandomState(7)
+    rgb = (rng.rand(48, 40, 3) * 255).astype(np.uint8)
+    payload = jpeg_encode(rgb, quality=85)
+    fast = jpeg_pixels(payload)
+
+    class ForcedLazy(J._BitReader):
+        @property
+        def eager(self):
+            return False
+
+        @eager.setter
+        def eager(self, value):  # _decode_scan's assignment is a no-op
+            pass
+
+    monkeypatch.setattr(J, "_BitReader", ForcedLazy)
+    lazy = jpeg_pixels(payload)
+    assert np.array_equal(fast, lazy)
