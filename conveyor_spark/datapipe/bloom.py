@@ -260,6 +260,11 @@ def decontam_bloom(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
     ref_grams = ref.select(F.explode(word_shingles_expr(bench_column, n)).alias("__g"))
     n_items = config.get("expected_items")
     if n_items is None:
+        # the sizing pass AND the bitset build both read the
+        # reference gram stream — persist (reference-set sized, the
+        # small side by the op's own contract) so the shingle explode
+        # runs once, not twice (r13)
+        ref_grams = ref_grams.persist()
         n_items = ref_grams.agg(F.approx_count_distinct("__g")).collect()[0][0]
     m, k, indep = _size_filter(int(n_items), fpp)
 

@@ -4587,6 +4587,13 @@ def q122_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             id_column="doc_id", order=2, output_column="nll_target")
     t = _op("select.apply", ctx, [t],
             columns=["doc_id", "text", "nll_target"])
+    # the base-LM pass references its doc side twice (the candidate
+    # explode AND the score join-back — _nll_finish's shape), and
+    # here that doc side is the WHOLE target-LM pipeline: persist the
+    # intermediate so the first LM scores once, not once per
+    # reference (r13; recompute = a full LM scoring pass, exactly
+    # guide §5's persist-when-reuse-beats-recompute case)
+    t = t.persist()
     b = _op("text.perplexity", ctx, [t, d], column="text",
             id_column="doc_id", order=2, output_column="nll_base")
     b = _op("filter.apply", ctx, [b], expr="nll_target IS NOT NULL")
