@@ -95,19 +95,6 @@ def _lit_double_array(values: list[float]):
         f"CAST('{float(x)!r}' AS DOUBLE)" for x in values) + ")")
 
 
-def _dist_expr(vec, centroid: list[float]):
-    """Squared L2 distance, folded left-to-right over dims — the
-    deterministic order the oracle replays."""
-    return F.aggregate(
-        F.zip_with(
-            vec, _lit_double_array(centroid),
-            lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
-        ),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
-
-
 @register(
     "embedding.kmeans", kind="transform",
     doc="k-means clustering over an embedding column (Lloyd's)",
@@ -191,10 +178,24 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
 
     assigned = None
     for it in range(iterations):
-        dists = F.array(*[_dist_expr(F.col("__v"), c) for c in centroids])
-        # first index of the min — ties break to the lowest cluster
-        cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-        assigned = clean.select("__kid", "__v", cluster.alias("__c"))
+        # Single-parse SQL + two-step projection (r13: _train_pq's
+        # assign pattern, verbatim rationale): the Column-builder form
+        # made k py4j lambda round-trips (measured 1.2 s of pure
+        # driver time at k=16/dim=64) and inlined the k*dim literal
+        # array into BOTH array_position and array_min — re-analyzed
+        # per training job. Arithmetic unchanged: _sub_dist_sql at
+        # start=0 is the same fold assign_cells' parity test pins to
+        # _dist_expr (slice(v,1,dim) == v), ties to the lowest
+        # cluster; the q120/q163/q164/q165 oracles replay it.
+        dist_arr = "array(" + ", ".join(
+            _sub_dist_sql("__v", 0, c) for c in centroids) + ")"
+        assigned = clean.selectExpr(
+            "__kid", "__v", f"{dist_arr} AS __dist"
+        ).selectExpr(
+            "__kid", "__v",
+            "CAST(array_position(__dist, array_min(__dist)) - 1 AS INT)"
+            " AS __c",
+        )
         if it == iterations - 1 and output != "centroids":
             # assign-mode output is THIS assignment; the last update
             # would feed only discarded centroids — skip a full pass
@@ -1073,7 +1074,11 @@ def knn_ivfpq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     # folds — the same arithmetic as embedding.kmeans assignment),
     # keep the nprobe nearest cells, ties to the lower cell id. The
     # window partitions by query — queries are the small side here.
-    cdists = F.array(*[_dist_expr(F.col("__v"), c) for c in centroids])
+    # single-parse SQL folds (not the k_cells-lambda Column build —
+    # py4j round-trips, the kmeans/_train_pq lesson); posexplode
+    # consumes the array once, so one step suffices here
+    cdists = F.expr("array(" + ", ".join(
+        _sub_dist_sql("__v", 0, c) for c in centroids) + ")")
     probes = (
         qclean.select("__qid", F.posexplode(cdists).alias("__cell", "__cd"))
         .withColumn(
