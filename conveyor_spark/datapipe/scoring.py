@@ -83,39 +83,6 @@ def fold_sum(pairs_col):
 
 
 
-def _gram_count_tables(ref, column: str, orders: list[int]) -> dict:
-    """Count tables for several gram orders from ONE reference scan
-    (r13, guide §2.3-§2.4): each row explodes a tagged union of its
-    order-m gram arrays into (order, gram) pairs, one aggregate
-    counts them all, and the per-order tables are filters of the
-    persisted result (vocabulary-bounded — the approved persist
-    class; CacheManager serves every filter from the single
-    materialization). Counts are identical to the per-order
-    explode+groupBy by construction: same gram multisets, one shared
-    COUNT (the q117/q122/q149 oracles pin the values). Saves
-    len(orders)-1 full reference scans per LM build — in the CCNet
-    deployment shape the reference IS the corpus."""
-    def _tag(m: int):
-        # NOT `lambda g, m=m`: a 2-arg transform lambda is the
-        # (element, index) signature and m would bind to the index
-        return F.transform(
-            ngrams_expr(column, m),
-            lambda g: F.struct(F.lit(m).alias("o"), g.alias("g")),
-        )
-
-    tagged = F.concat(*[_tag(m) for m in orders])
-    counts = (
-        ref.select(F.explode(tagged).alias("__og"))
-        .groupBy(F.col("__og.o").alias("__o"), F.col("__og.g").alias("__w"))
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .persist()
-    )
-    return {
-        m: counts.filter(F.col("__o") == m).select("__w", "__c")
-        for m in orders
-    }
-
-
 def _nll_finish(docs, cand, lp, id_column, out):
     """Shared tail of both LM paths: position-ordered per-doc fold of
     the logprobs, round 9, join back, lm_ngrams coalesce."""
@@ -163,18 +130,25 @@ def _stupid_backoff_nll(docs, ref, column, id_column, n, alpha, out):
     joins and AQE skew-split covers them. The text shuffles once."""
     import math
 
-    # ALL n order-m count tables from ONE reference scan (r13,
-    # _gram_count_tables): the per-order builds each re-scanned the
-    # reference, and every order except the top is additionally
-    # multi-referenced (gram + context joins; order 1 by the scalar
-    # and its loud empty-check too). The shared parent is persisted
-    # (vocabulary-bounded); the empty-check first() below warms it
-    # before the scoring action.
-    tabs = _gram_count_tables(ref, column, list(range(1, n + 1)))
-    tables = {
-        m: tabs[m].select("__w", F.col("__c").alias(f"__c{m}"))
-        for m in range(1, n + 1)
-    }
+    uni = ref.select(
+        F.explode(tokens_expr(column, distinct=False)).alias("__w")
+    ).groupBy("__w").agg(F.count(F.lit(1)).alias("__c1"))
+    tables = {1: uni}
+    for m in range(2, n + 1):
+        tables[m] = ref.select(
+            F.explode(ngrams_expr(column, m)).alias("__w")
+        ).groupBy("__w").agg(F.count(F.lit(1)).alias(f"__c{m}"))
+    # Every order-m table except the top one is referenced by BOTH
+    # the backed-off gram join and the context join (and order 1
+    # additionally by the scalar aggregate and its loud empty-check
+    # below) — each reference otherwise re-runs the full reference
+    # tokenize+count chain, input scan included. Vocabulary-bounded
+    # rows: persist (r13; the mutual_information tc rationale). The
+    # empty-check first() also warms the order-1 cache before the
+    # scoring action.
+    for m in tables:
+        if m < n or m == 1:  # the top-order table (n>1) is the one
+            tables[m] = tables[m].persist()  # single-consumer table
     uni = tables[1]
     scalars = uni.agg(
         F.count(F.lit(1)).alias("__v"), F.sum("__c1").alias("__nn")
@@ -307,40 +281,43 @@ def text_perplexity(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         return _stupid_backoff_nll(
             docs, ref, column, id_column, n, alpha, out)
 
+    uni = ref.select(F.explode(tokens_expr(column, distinct=False)).alias("__w")) \
+        .groupBy("__w").agg(F.count(F.lit(1)).alias("__cw"))
+    # The unigram table is multi-referenced on every path (n=1: the
+    # gram join + the scalar; n=2: the context join + the scalar;
+    # n>2: scalar only, where persist is harmless) and each reference
+    # otherwise re-runs the full reference tokenize+count including
+    # its input scan. Vocabulary-bounded rows — the approved persist
+    # class (r13; same rationale as mutual_information's tc).
+    uni = uni.persist()
     if n == 1:
-        # single-order LM: the unigram table is the whole model —
-        # persist it (multi-referenced by the gram join and the
-        # scalar; vocabulary-bounded, the approved class)
-        uni = ref.select(
-            F.explode(tokens_expr(column, distinct=False)).alias("__w")
-        ).groupBy("__w").agg(F.count(F.lit(1)).alias("__cw")).persist()
         # 1-grams ARE the unigram table — reusing it (rather than an
         # identical second explode+groupBy) lets the materialization
         # be shared instead of scanning the reference twice
         grams = uni.select(F.col("__w").alias("__g"),
                            F.col("__cw").alias("__cg"))
+    else:
+        grams = ref.select(F.explode(ngrams_expr(column, n)).alias("__g")) \
+            .groupBy("__g").agg(F.count(F.lit(1)).alias("__cg"))
+    if n == 1:
         # context count = total token count, one scalar
         scalars = uni.agg(
             F.count(F.lit(1)).alias("__v"), F.sum("__cw").alias("__cc")
         )
     else:
-        # every count table the model needs from ONE reference scan
-        # (r13): order 1 (vocabulary + scalar), order n (grams), and
-        # for n>2 order n-1 (contexts). At n=2 the context table IS
-        # the unigram table — ngrams_expr(col, 1) builds the identical
-        # expression tokens_expr builds, counts identical by
-        # construction (q117/q122 oracles pin it).
-        orders = [1, n] if n == 2 else [1, n - 1, n]
-        tabs = _gram_count_tables(ref, column, orders)
-        uni = tabs[1].select("__w", F.col("__c").alias("__cw"))
-        grams = tabs[n].select(F.col("__w").alias("__g"),
-                               F.col("__c").alias("__cg"))
         if n == 2:
+            # (n-1)-grams at n=2 ARE tokens: ngrams_expr(col, 1)
+            # builds the identical expression tokens_expr builds, so
+            # the context-count table IS the unigram table under other
+            # names — reuse it (one fewer full reference aggregation
+            # chain; counts identical by construction, q117/q122
+            # oracles pin it)
             ctx_counts = uni.select(F.col("__w").alias("__ctx"),
                                     F.col("__cw").alias("__cc"))
         else:
-            ctx_counts = tabs[n - 1].select(
-                F.col("__w").alias("__ctx"), F.col("__c").alias("__cc"))
+            ctx_counts = ref.select(
+                F.explode(ngrams_expr(column, n - 1)).alias("__ctx")
+            ).groupBy("__ctx").agg(F.count(F.lit(1)).alias("__cc"))
         scalars = uni.agg(F.count(F.lit(1)).alias("__v"))
 
     cand = docs.select(

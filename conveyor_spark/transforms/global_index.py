@@ -91,12 +91,7 @@ def global_sequence(
 
     # Exact min/max: deterministic however the aggregation is
     # partitioned or retried — unlike sampled range boundaries.
-    # Persisted (r13 decision-table pattern): this 1-row table rides
-    # a broadcast join under BOTH the counts chain and the final
-    # sequence pass — without the persist each consumer re-ran the
-    # full min/max scan (6 input scans in the captured q13/q43/q102
-    # plans; 3 after).
-    stats = df.agg(F.min(sur).alias(_MIN), F.max(sur).alias(_MAX)).persist()
+    stats = df.agg(F.min(sur).alias(_MIN), F.max(sur).alias(_MAX))
     span = F.col(_MAX) - F.col(_MIN)
     bucket = (
         F.when(sur.isNull(), F.lit(-1))  # nulls sort first in ASC
@@ -112,10 +107,7 @@ def global_sequence(
         .drop(_MIN, _MAX)
     )
 
-    # <= n_buckets rows, referenced twice by the triangular offset
-    # join (x and y re-ran the whole count pass) — persisted like
-    # stats above
-    counts = tagged.groupBy(_BKT).agg(F.count(F.lit(1)).alias(_CNT)).persist()
+    counts = tagged.groupBy(_BKT).agg(F.count(F.lit(1)).alias(_CNT))
     x, y = counts.alias("x"), counts.alias("y")
     offsets = (
         x.join(F.broadcast(y), F.col(f"y.{_BKT}") < F.col(f"x.{_BKT}"), "left")

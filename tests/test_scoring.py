@@ -410,36 +410,3 @@ def test_perplexity_backoff_empty_reference_raises(ctx, spark, docs):
     with pytest.raises(ConfigError, match="no tokens"):
         run_op(ctx, "text.perplexity", [docs, ref], column="text",
                id_column="doc_id", backoff="stupid")
-
-
-def test_gram_count_tables_match_per_order_builds(spark, docs):
-    """The one-scan multi-order builder (r13 optimization) must count
-    exactly what the per-order explode+groupBy counted — including
-    empty docs and docs shorter than the order. Also guards the
-    transform-lambda arity trap: a 2-arg lambda would bind the order
-    tag to the ARRAY INDEX and shuffle counts between orders."""
-    from pyspark.sql import functions as F
-
-    from conveyor_spark.datapipe.dedup import tokens_expr
-    from conveyor_spark.datapipe.scoring import (
-        _gram_count_tables,
-        ngrams_expr,
-    )
-
-    tabs = _gram_count_tables(docs, "text", [1, 2, 3])
-    for m in (1, 2, 3):
-        expr = (
-            tokens_expr("text", distinct=False)
-            if m == 1
-            else ngrams_expr("text", m)
-        )
-        ref = (
-            docs.select(F.explode(expr).alias("__w"))
-            .groupBy("__w")
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
-        got = {r["__w"]: r["__c"] for r in tabs[m].collect()}
-        want = {r["__w"]: r["__c"] for r in ref.collect()}
-        assert got == want, f"order {m}: {got} != {want}"
-    for t in tabs.values():
-        t.unpersist()
