@@ -161,18 +161,21 @@ def main() -> int:
     baseline_total = round(sum(v for v in r1_scope.values() if v >= 0), 3)
     # Field ORDER is deliberate: the driver archives only the TAIL of
     # this line (~2000 chars), so the long per-query dict goes FIRST
-    # and the summary (slowest-10, calibration, totals) goes LAST —
-    # whatever window the harness keeps, the summary survives. Full
-    # per-run detail is opt-in (SPARK_GRAFT_BENCH_RUNS_DETAIL=1) to
-    # keep the line short enough that the tail also covers most of
-    # the per-query dict.
-    out = {"queries": timings}
+    # and the summary (calibration, totals) goes LAST — whatever
+    # window the harness keeps, the summary survives. Line LENGTH is
+    # deliberate too (r14, VERDICT r13 #2: BENCH_r12's one-line JSON
+    # outran the driver's capture and blinded PERF_r13 completely):
+    # compact separators, 2-decimal per-query values, and no "top"
+    # block (recomputable from "queries") cut the line ~5.3k -> ~3.9k
+    # chars. The 165-query dict itself cannot fit a 2000-char tail
+    # (165 names x ~22 chars), but the driver parsed r13's 5.3k line
+    # in full — margin, not the tail, is what failed in r12. Full
+    # per-run detail stays opt-in (SPARK_GRAFT_BENCH_RUNS_DETAIL=1;
+    # it tripled r12's line and caused the blind round).
+    out = {"queries": {n: round(v, 2) for n, v in timings.items()}}
     if os.environ.get("SPARK_GRAFT_BENCH_RUNS_DETAIL") == "1":
         out["queries_runs"] = runs
     out.update({
-        "top": dict(sorted(
-            ((n, v) for n, v in timings.items() if v >= 0),
-            key=lambda kv: -kv[1])[:10]),
         "errors": sorted(n for n, v in timings.items() if v < 0),
         "n_queries": len(timings),
         "repeat": repeat,
@@ -184,7 +187,7 @@ def main() -> int:
         "unit": "sec",
         "value": total,
     })
-    print(json.dumps(out))
+    print(json.dumps(out, separators=(",", ":")))
     return 0
 
 
