@@ -273,6 +273,22 @@ def compile_pipeline(
     result = RunResult()
     stage_map = spec.stage_map()
 
+    try:
+        return _compile_stages(spark, spec, ctx, result, stage_map, run_sinks)
+    finally:
+        # release the ops' scoped decision-table persists (hot-gram
+        # lists, LM tables, PQ codes, ...): they exist to share work
+        # BETWEEN this run's consumers, and by now every sink action
+        # has executed. Without this a long-lived session pins ~20
+        # tables per pipeline run (r14). User-requested `cache: true`
+        # stage outputs are NOT touched — only ctx.persist handles.
+        ctx.release_persisted()
+
+
+def _compile_stages(
+    spark: SparkSession, spec, ctx: "OpContext", result: RunResult,
+    stage_map, run_sinks: bool,
+) -> RunResult:
     executed_sinks: list[str] = []
     for sid in spec.topo_order():
         stage = stage_map[sid]

@@ -264,7 +264,7 @@ def decontam_bloom(ctx: OpContext, inputs: list[DataFrame], config: dict[str, An
         # reference gram stream — persist (reference-set sized, the
         # small side by the op's own contract) so the shingle explode
         # runs once, not twice (r13)
-        ref_grams = ref_grams.persist()
+        ref_grams = ctx.persist(ref_grams)
         n_items = ref_grams.agg(F.approx_count_distinct("__g")).collect()[0][0]
     m, k, indep = _size_filter(int(n_items), fpp)
 

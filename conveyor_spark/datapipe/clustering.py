@@ -166,7 +166,7 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     # sample so the cached working set is sample-sized. CacheManager
     # dedupes identical plans, so the assign+centroids double-call
     # pattern (q163) shares one materialization across both op calls.
-    clean = clean.persist()
+    clean = ctx.persist(clean)
 
     init = clean.orderBy("__kid").limit(k).select("__v").collect()
     if len(init) < k:
@@ -261,7 +261,7 @@ def _argmin_code_sql(vec_sql: str, s: int, sd: int,
     return f"CAST(array_position({dists}, array_min({dists})) - 1 AS INT)"
 
 
-def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int,
+def _train_pq(ctx, clean: DataFrame, dim: int, m: int, k: int, iterations: int,
               op: str = "embedding.pq"):
     """Shared PQ trainer: per-subspace Lloyd's with the module's
     determinism recipe, ALL subspaces advanced in one distributed
@@ -271,7 +271,7 @@ def _train_pq(clean: DataFrame, dim: int, m: int, k: int, iterations: int,
     sd = dim // m
     # embedding.kmeans's persist rationale, verbatim: init + one
     # stats pass per iteration re-scan `clean` otherwise
-    clean = clean.persist()
+    clean = ctx.persist(clean)
     init = clean.orderBy("__kid").limit(k).select("__v").collect()
     if len(init) < k:
         raise ConfigError(
@@ -598,7 +598,7 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         raise ConfigError(
             f"embedding.pq: dim {dim} not divisible by m={m}"
         )
-    codebooks, encoded = _train_pq(clean, dim, m, k, iterations)
+    codebooks, encoded = _train_pq(ctx, clean, dim, m, k, iterations)
 
     if output == "codebooks":
         rows = [
@@ -815,7 +815,7 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
         if dim % m != 0:
             raise ConfigError(f"knn.pq: dim {dim} not divisible by m={m}")
         sd = dim // m
-        codebooks, encoded = _train_pq(clean, dim, m, kw, iterations,
+        codebooks, encoded = _train_pq(ctx, clean, dim, m, kw, iterations,
                                        op="knn.pq")
         # corpus side: skinny (id, subspace, code) triples
         codes = encoded.select(

@@ -381,7 +381,7 @@ def dedup_minhash(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     # shingle -> base-hash -> k-minhash -> band chain, the op's
     # dominant per-row cost (r13; the knn.lsh band-frame rationale —
     # star mode has one consumer and skips the cache).
-    buckets = buckets.persist()
+    buckets = ctx.persist(buckets)
     a, b = buckets.alias("a"), buckets.alias("b")
     joined = a.join(b, on=["band", "sig"]).filter(F.col("a.__id") < F.col("b.__id"))
     if existing is not None:
@@ -580,7 +580,7 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         # doc total rides along as a broadcast 1-row aggregate.
         # 1-row doc total, referenced by BOTH df-filter phases — each
         # reference is a full input count scan without persist (r13)
-        totals = base.agg(F.count(F.lit(1)).alias("__total")).persist()
+        totals = ctx.persist(base.agg(F.count(F.lit(1)).alias("__total")))
         cap = F.greatest(F.floor(F.lit(max_df) * F.col("__total")), F.lit(1))
         hcand = (
             postings.groupBy(F.xxhash64("__tok").alias("__h"))
@@ -604,7 +604,7 @@ def dedup_ngram_jaccard(ctx: OpContext, inputs: list[DataFrame], config: dict[st
         # it a third time for the array prune (r13 measurement: q51
         # ran 20 parquet scans; 8 after). Guide §8's decision-table
         # persist.
-        hot = hot.persist()
+        hot = ctx.persist(hot)
         postings = postings.join(F.broadcast(hot), on="__tok", how="anti")
     # salt FIRST: Spark's multi-arg xxhash64 folds left-to-right with
     # the running hash as the next seed, so xxhash64(tok, salt) would

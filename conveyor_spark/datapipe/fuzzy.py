@@ -176,7 +176,7 @@ def join_fuzzy(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
         # each broadcast re-runs the right side's full gram df
         # aggregate (r13 measurement: 16 parquet scans in the q64
         # plan). Gram-vocabulary-bounded rows.
-        keep = keep.persist()
+        keep = ctx.persist(keep)
         lg = lg.join(F.broadcast(keep), "__gram", "left_semi")
         rg = rg.join(F.broadcast(keep), "__gram", "left_semi")
 

@@ -130,7 +130,7 @@ def mine_bitext(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any])
     # dominant cost (r13 measurement: 24 parquet scans in the q128
     # plan). Rows are skinny (two ids + one double); MEMORY_AND_DISK
     # spills rather than OOMs at candidate-stream scale.
-    scored = scored.persist()
+    scored = ctx.persist(scored)
 
     def topk_mean(part_col: str, other_col: str, out: str) -> DataFrame:
         w = Window.partitionBy(part_col).orderBy(

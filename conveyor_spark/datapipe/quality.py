@@ -283,7 +283,7 @@ def drift_psi(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     # 16 parquet scans in the q92 plan; 2 after). Persisting <= bins
     # rows costs nothing; every count is an exact int64 so all
     # downstream doubles are bit-identical.
-    joined = joined.persist()
+    joined = ctx.persist(joined)
     tot = joined.agg(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )

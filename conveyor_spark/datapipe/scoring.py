@@ -110,7 +110,7 @@ def _nll_finish(docs, cand, lp, id_column, out):
     )
 
 
-def _stupid_backoff_nll(docs, ref, column, id_column, n, alpha, out):
+def _stupid_backoff_nll(ctx, docs, ref, column, id_column, n, alpha, out):
     """Brants-et-al stupid backoff (the web-scale LM scoring rule):
     S(w | w_{1..n-1}) = c(gram_n)/c(ctx_{n-1}) when the n-gram was
     seen, else alpha * S(w | shorter context), down to the unigram
@@ -148,7 +148,7 @@ def _stupid_backoff_nll(docs, ref, column, id_column, n, alpha, out):
     # scoring action.
     for m in tables:
         if m < n or m == 1:  # the top-order table (n>1) is the one
-            tables[m] = tables[m].persist()  # single-consumer table
+            tables[m] = ctx.persist(tables[m])  # single-consumer table
     uni = tables[1]
     scalars = uni.agg(
         F.count(F.lit(1)).alias("__v"), F.sum("__c1").alias("__nn")
@@ -279,7 +279,7 @@ def text_perplexity(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         if not 0.0 < alpha <= 1.0:
             raise ConfigError("text.perplexity: alpha must be in (0, 1]")
         return _stupid_backoff_nll(
-            docs, ref, column, id_column, n, alpha, out)
+            ctx, docs, ref, column, id_column, n, alpha, out)
 
     uni = ref.select(F.explode(tokens_expr(column, distinct=False)).alias("__w")) \
         .groupBy("__w").agg(F.count(F.lit(1)).alias("__cw"))
@@ -289,7 +289,7 @@ def text_perplexity(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     # otherwise re-runs the full reference tokenize+count including
     # its input scan. Vocabulary-bounded rows — the approved persist
     # class (r13; same rationale as mutual_information's tc).
-    uni = uni.persist()
+    uni = ctx.persist(uni)
     if n == 1:
         # 1-grams ARE the unigram table — reusing it (rather than an
         # identical second explode+groupBy) lets the materialization
@@ -413,7 +413,7 @@ def classify_linear(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
     # mean mode reads the (doc, term, tf) table twice (weight join +
     # doc lengths) — persist so the tokenize+count runs once (r13)
     if mode == "mean":
-        tf = tf.persist()
+        tf = ctx.persist(tf)
     tfw = F.lit(1.0) if mode == "binary" else F.col("__tf").cast("double")
     contrib = tf.join(F.broadcast(w), "__w").select(
         "__id", "__tf", (tfw * F.col("__wt")).alias("__c"), "__w"
@@ -518,8 +518,8 @@ def rank_bm25(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -
     # feed two more. Each reference otherwise re-runs the corpus
     # tokenize+explode+count (r13 measurement: 8 parquet scans in the
     # q119 plan). Skinny rows, MEMORY_AND_DISK.
-    postings = postings.persist()
-    dl = postings.groupBy("__id").agg(F.sum("__tf").alias("__dl")).persist()
+    postings = ctx.persist(postings)
+    dl = ctx.persist(postings.groupBy("__id").agg(F.sum("__tf").alias("__dl")))
     df_t = postings.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     scalars = dl.agg(
         F.count(F.lit(1)).alias("__N"), F.sum("__dl").alias("__toks")
@@ -643,7 +643,7 @@ def rank_tfidf(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) 
     # same three-consumer index shape as rank.bm25 (df table, doc
     # total, scoring join) — persist so the corpus tokenize+count
     # runs once (r13)
-    postings = postings.persist()
+    postings = ctx.persist(postings)
     df_t = postings.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = postings.select("__id").distinct().agg(
         F.count(F.lit(1)).alias("__N")
@@ -779,7 +779,7 @@ def classify_multiclass(ctx: OpContext, inputs: list[DataFrame], config: dict[st
     # mean mode reads the (doc, term, tf) table twice (weight join +
     # doc lengths) — persist so the tokenize+count runs once (r13)
     if mode == "mean":
-        tf = tf.persist()
+        tf = ctx.persist(tf)
     tfw = F.lit(1.0) if mode == "binary" else F.col("__tf").cast("double")
     contrib = tf.join(F.broadcast(w), "__w").select(
         "__id", "__cls", (tfw * F.col("__wt")).alias("__c"), "__w"

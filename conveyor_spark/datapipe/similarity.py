@@ -417,7 +417,7 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
             raise ConfigError(f"knn.lsh: dim {dim} not divisible by m={m}")
         sd = dim // m
         clean, _ = _pq_clean(corpus, id_column, column, dim, op="knn.lsh")
-        codebooks, encoded = _train_pq(clean, dim, m, kw, iterations,
+        codebooks, encoded = _train_pq(ctx, clean, dim, m, kw, iterations,
                                        op="knn.lsh")
         from conveyor_spark.datapipe.clustering import check_encode_method
 
@@ -479,7 +479,7 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
         # otherwise run once per side of the pair join. ~40 B/row
         # (id, m small ints, double) — the candidate-stream width the
         # screen exists to achieve (r13).
-        ccodes = ccodes.persist()
+        ccodes = ctx.persist(ccodes)
     if self_knn:
         qcodes = ccodes.select(
             F.col("neighbor_id").alias("query_id"),
@@ -714,7 +714,7 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
         # fold expression) and the hot-bucket window run TWICE, once
         # per side of the candidate self-join. Skinny (id, band)
         # rows (r13).
-        c = c.persist()
+        c = ctx.persist(c)
     q = (
         banded(queries_df, "query_id", "__qb") if not self_knn
         else c.select(F.col("neighbor_id").alias("query_id"), F.col("__cb").alias("__qb"))

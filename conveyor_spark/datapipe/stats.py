@@ -303,10 +303,10 @@ def stats_ks_test(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any
     # q135 plan; 8 scans / 12 exchanges after).
     u = a.select("__v", F.lit(1).alias("__sa")).unionAll(
         b.select("__v", F.lit(0).alias("__sa")))
-    g = u.groupBy("__v").agg(
+    g = ctx.persist(u.groupBy("__v").agg(
         F.sum(F.col("__sa").cast("bigint")).alias("__ca"),
         F.sum((1 - F.col("__sa")).cast("bigint")).alias("__cb"),
-    ).persist()
+    ))
     totals_row = g.agg(
         F.sum("__ca").alias("__n_a"),
         F.sum("__cb").alias("__n_b"),
@@ -458,7 +458,7 @@ def stats_jensen_shannon(ctx: OpContext, inputs: list[DataFrame], config: dict[s
     # to sum it. The full-outer join keeps every term, so summing the
     # coalesced counts over `joined` yields the same exact int64
     # totals — one pass, and the per-term table computes once.
-    joined = joined.persist()
+    joined = ctx.persist(joined)
     # when(>0) so an EMPTY side still totals NULL exactly like the
     # old per-side aggregate (its coalesced 0s must not sum to 0:
     # the NULL is what keeps the per-term expressions NULL-safe
@@ -565,7 +565,7 @@ def stats_mutual_information(ctx: OpContext, inputs: list[DataFrame], config: di
     # join, both marginals, and N via the class marginal): without
     # persist each re-ran the full tokenize+explode+count (r13
     # measurement: 8 parquet scans in the q148 plan; 2 after).
-    tc = tc.persist()
+    tc = ctx.persist(tc)
     t_marg = tc.groupBy("__t").agg(F.sum("__ctc").alias("__ct"))
     c_marg = tc.groupBy("__cls").agg(F.sum("__ctc").alias("__cc"))
     n_tot = c_marg.agg(F.sum("__cc").alias("__n"))

@@ -136,7 +136,7 @@ def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         # sides anti-join against it, and without persist each side
         # re-runs the full postings aggregate chain (r13; the
         # ngram_jaccard hot-shingle precedent)
-        hot = hot.persist()
+        hot = ctx.persist(hot)
         postings = postings.join(F.broadcast(hot), "h", "left_anti")
 
     a = postings.select(F.col("h"), F.col("id").alias("id_a"),
@@ -164,7 +164,7 @@ def dedup_substring(ctx: OpContext, inputs: list[DataFrame], config: dict[str, A
         # self-join + islands window + both verify joins — the
         # query's dominant subtree, twice (r13: q113's before-plan is
         # a 138-node Union with the whole pipeline duplicated)
-        checked = checked.persist()
+        checked = ctx.persist(checked)
         clean = checked.where("__ok").select(
             "id_a", "id_b", "start_a", "start_b", "length")
         # a hash collision that merged into a true run must not drop

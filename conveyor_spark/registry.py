@@ -44,6 +44,28 @@ class OpContext:
     # sizes the state stores); the streaming drain (stdout_stream
     # sink / run_available_now) applies them, env knobs still override
     stream_conf: dict[str, Any] = field(default_factory=dict)
+    # multi-consumer decision tables ops persist() for the duration
+    # of ONE pipeline run (hot-gram lists, LM count tables, PQ code
+    # tables, ...). Registered via ctx.persist and released by the
+    # compiler after the sinks execute, so a long-lived multi-query
+    # session does not accumulate ~20 pinned tables per pipeline
+    # (r14; VERDICT r13 #6). unpersist is only a hint-removal — a
+    # caller re-executing a returned lazy DataFrame later still gets
+    # identical results, it just recomputes.
+    persisted: list = field(default_factory=list)
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        """persist() + register for post-sink release."""
+        out = df.persist()
+        self.persisted.append(out)
+        return out
+
+    def release_persisted(self) -> None:
+        while self.persisted:
+            try:
+                self.persisted.pop().unpersist(False)
+            except Exception:  # noqa: BLE001 — release is best-effort
+                pass
 
 
 OpFn = Callable[[OpContext, list[DataFrame], dict[str, Any]], Optional[DataFrame]]
