@@ -473,13 +473,13 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
         )
 
     ccodes = with_norm(ccodes, "neighbor_id", "__cc", "__ccn")
-    if self_knn:
-        # the query-side codes are the corpus codes relabeled — the
-        # encode pass (gemm Arrow batches or the argmin fold) would
-        # otherwise run once per side of the pair join. ~40 B/row
-        # (id, m small ints, double) — the candidate-stream width the
-        # screen exists to achieve (r13).
-        ccodes = ctx.persist(ccodes)
+    # NOT persisted (r14, reverting an r13 addition): the r13 persist
+    # de-duplicated the encode pass between the two sides of the
+    # self-join, but on the 32-core gate host it was a
+    # materialization barrier — driver bench q161 2.37 -> 5.63 s
+    # while the 8-core run stayed flat (VERDICT r13 #1). The encode
+    # subtrees execute concurrently without it, which is what the
+    # r12 shape (2.37 s) did.
     if self_knn:
         qcodes = ccodes.select(
             F.col("neighbor_id").alias("query_id"),
@@ -708,12 +708,17 @@ def knn_lsh(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> 
             .filter(F.col("__bn") <= int(max_bucket))
             .drop("__bn")
         )
-    if self_knn:
+    if self_knn and verify != "pq":
         # the query side IS the corpus band frame relabeled — without
         # persist the whole signature pass (gemm Arrow batches or the
         # fold expression) and the hot-bucket window run TWICE, once
         # per side of the candidate self-join. Skinny (id, band)
-        # rows (r13).
+        # rows (r13). EXACT-verify only (r14): on the verify='pq'
+        # path this persist stacked with the screen's into a 32-core
+        # materialization-barrier regression on the gate host
+        # (q161 2.37 -> 5.63 s, 8-core flat — VERDICT r13 #1), so
+        # that path reverts to its r12 shape; q68/q152 (exact) kept
+        # this persist through the r13 gate with no regression.
         c = ctx.persist(c)
     q = (
         banded(queries_df, "query_id", "__qb") if not self_knn
