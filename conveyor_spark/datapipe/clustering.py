@@ -168,7 +168,7 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
     # pattern (q163) shares one materialization across both op calls.
     clean = ctx.persist(clean)
 
-    init = clean.orderBy("__kid").limit(k).select("__v").collect()
+    init = _init_vectors(ctx, df, clean, k, id_column, column, dim)
     if len(init) < k:
         raise ConfigError(
             f"embedding.kmeans: k={k} but only {len(init)} usable vectors"
@@ -262,7 +262,7 @@ def _argmin_code_sql(vec_sql: str, s: int, sd: int,
 
 
 def _train_pq(ctx, clean: DataFrame, dim: int, m: int, k: int, iterations: int,
-              op: str = "embedding.pq"):
+              op: str = "embedding.pq", init_anchor=None):
     """Shared PQ trainer: per-subspace Lloyd's with the module's
     determinism recipe, ALL subspaces advanced in one distributed
     pass per iteration. Returns (codebooks[m][k][sd], final assigned
@@ -272,7 +272,13 @@ def _train_pq(ctx, clean: DataFrame, dim: int, m: int, k: int, iterations: int,
     # embedding.kmeans's persist rationale, verbatim: init + one
     # stats pass per iteration re-scan `clean` otherwise
     clean = ctx.persist(clean)
-    init = clean.orderBy("__kid").limit(k).select("__v").collect()
+    if init_anchor is not None:
+        # share the first-k init collect with the composition's other
+        # trainings (see _init_vectors; q163/q164/q165)
+        src, idc, col = init_anchor
+        init = _init_vectors(ctx, src, clean, k, idc, col, dim)
+    else:
+        init = clean.orderBy("__kid").limit(k).select("__v").collect()
     if len(init) < k:
         raise ConfigError(
             f"{op}: {k} codewords per subspace but only "
@@ -468,6 +474,34 @@ def gemm_encode_column(df: DataFrame, column: str, out_col: str,
     return df.mapInPandas(encode, schema=out_schema)
 
 
+def _init_vectors(ctx, df: DataFrame, clean: DataFrame, k: int,
+                  id_column: str, column: str, dim: int) -> list:
+    """First-k-by-id init rows, collected once per (input frame,
+    projection) PER QUERY BUILD: the IVFPQ compositions run two or
+    three trainings over the same input (q163: kmeans assign +
+    exported centroids + PQ; q164/q165: kmeans + PQ) and each init
+    was its own ~0.4 s driver job on an identical plan. Anchored on
+    the per-build OpContext — it dies with the build, so a bench
+    repeat collects fresh (no cross-run caching; the input-frame
+    object itself is NOT a safe anchor because load_table memoizes
+    frames across runs). The frame is kept in the value to guard
+    against id() reuse."""
+    cache = getattr(ctx, "_init_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            ctx._init_cache = cache
+        except AttributeError:
+            return clean.orderBy("__kid").limit(k).select("__v").collect()
+    key = (id(df), id_column, column, int(dim), int(k))
+    hit = cache.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
+    rows = clean.orderBy("__kid").limit(k).select("__v").collect()
+    cache[key] = (df, rows)
+    return rows
+
+
 def _collect_once(df: DataFrame, cols: tuple[str, ...]) -> list:
     """collect() a projection once per DataFrame OBJECT (r14): the
     deployment compositions hand the SAME centroids/codebooks frame
@@ -619,7 +653,8 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
         raise ConfigError(
             f"embedding.pq: dim {dim} not divisible by m={m}"
         )
-    codebooks, encoded = _train_pq(ctx, clean, dim, m, k, iterations)
+    codebooks, encoded = _train_pq(ctx, clean, dim, m, k, iterations,
+                                   init_anchor=(df, id_column, column))
 
     if output == "codebooks":
         rows = [
@@ -837,7 +872,9 @@ def knn_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]) -> D
             raise ConfigError(f"knn.pq: dim {dim} not divisible by m={m}")
         sd = dim // m
         codebooks, encoded = _train_pq(ctx, clean, dim, m, kw, iterations,
-                                       op="knn.pq")
+                                       op="knn.pq",
+                                       init_anchor=(corpus, id_column,
+                                                    column))
         # corpus side: skinny (id, subspace, code) triples
         codes = encoded.select(
             "__kid",

@@ -418,7 +418,9 @@ def _pq_screen(ctx, pairs: DataFrame, corpus: DataFrame,
         sd = dim // m
         clean, _ = _pq_clean(corpus, id_column, column, dim, op="knn.lsh")
         codebooks, encoded = _train_pq(ctx, clean, dim, m, kw, iterations,
-                                       op="knn.lsh")
+                                       op="knn.lsh",
+                                       init_anchor=(corpus, id_column,
+                                                    column))
         from conveyor_spark.datapipe.clustering import check_encode_method
 
         if check_encode_method(config, "knn.lsh") == "gemm":
