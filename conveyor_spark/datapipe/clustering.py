@@ -219,10 +219,17 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
         centroids = new_c
 
     if output == "centroids":
-        return ctx.spark.createDataFrame(
+        out = ctx.spark.createDataFrame(
             [(j, centroids[j], sizes[j]) for j in range(k)],
             f"{out_col} INT, centroid ARRAY<DOUBLE>, size LONG",
         )
+        # ride the driver-side values along so a same-build consumer
+        # (_parse_centroids via _collect_once) skips the round-trip
+        out._conveyor_local_rows = [
+            {out_col: j, "centroid": centroids[j], "size": sizes[j]}
+            for j in range(k)
+        ]
+        return out
     result = assigned.select("__kid", F.col("__c").alias(out_col))
     return df.join(
         result, df[id_column] == result["__kid"], "left"
@@ -511,6 +518,16 @@ def _collect_once(df: DataFrame, cols: tuple[str, ...]) -> list:
     different cell_col misses. Scoped to the object's lifetime — a
     fresh query build collects fresh (no cross-run reuse), and
     DataFrames are immutable so the rows cannot go stale."""
+    local = getattr(df, "_conveyor_local_rows", None)
+    if local is not None:
+        # the frame was createDataFrame'd from these driver rows a
+        # moment ago (kmeans centroids / pq codebooks output) —
+        # collecting 16 rows back out of the JVM costs a full ~0.4 s
+        # job round-trip for values the build already holds
+        try:
+            return [{c: r[c] for c in cols} for r in local]
+        except (KeyError, TypeError):
+            pass  # projection not covered: fall through to collect
     cache = getattr(df, "_conveyor_collect_cache", None)
     if cache is None:
         cache = {}
@@ -661,9 +678,15 @@ def embedding_pq(ctx: OpContext, inputs: list[DataFrame], config: dict[str, Any]
             (s, j, codebooks[s][j])
             for s in range(m) for j in range(k)
         ]
-        return ctx.spark.createDataFrame(
+        out = ctx.spark.createDataFrame(
             rows, "subspace INT, code INT, centroid ARRAY<DOUBLE>"
         )
+        # same-build consumers skip the collect (see _collect_once)
+        out._conveyor_local_rows = [
+            {"subspace": s, "code": j, "centroid": cb}
+            for s, j, cb in rows
+        ]
+        return out
     if encode_method == "gemm":
         # the final encode pass under the POST-loop codebooks, as an
         # Arrow numpy argmin instead of the interpreted JVM fold —
