@@ -586,6 +586,236 @@ def jpeg_pixels(data: bytes):
     raise MediaDecodeError("jpeg: no scan data")
 
 
+def _decode_scan_eager(d, pos, scan, quant, huff, inv_zz, planes,
+                       mcuy, mcux, dct):
+    """Restart-free scan walk with the _BitReader/_huff_decode logic
+    INLINED into one loop over local variables (r14): at realistic
+    image sizes the entropy decode is ~2 µs of Python call overhead
+    per symbol (_huff_decode -> _fill -> bits -> _extend, profiled at
+    ~70% of a 256x256 decode) and this loop performs the exact same
+    fills, LUT probes, direct 9..16-bit peeks and extends without the
+    per-symbol call stack. Bit-exact by construction — the per-bit
+    lazy walk remains the reference and the differential test pins
+    this path to it."""
+    import numpy as np
+
+    data = d
+    L = len(data)
+    acc = 0
+    n = 0
+    preds = [0] * len(scan)
+    meta = []
+    for comp, td, ta in scan:
+        dc_tab = huff.get((0, td))
+        ac_tab = huff.get((1, ta))
+        q = quant.get(comp["tq"])
+        if dc_tab is None or ac_tab is None or q is None:
+            raise MediaDecodeError("jpeg: missing table")
+        meta.append((comp, dc_tab.lut, dc_tab.dict, ac_tab.lut,
+                     ac_tab.dict, q.reshape(8, 8)))
+    dctT = dct.T
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (comp, dc_lut, dc_dict, ac_lut, ac_dict, q8) \
+                    in enumerate(meta):
+                cv, chh = comp["v"], comp["h"]
+                plane = planes[ci]
+                for by in range(cv):
+                    for bx in range(chh):
+                        coeffs = [0] * 64
+                        # --- DC symbol (LUT probe, inline fills) ---
+                        while n < 8:
+                            if pos >= L:
+                                raise MediaDecodeError(
+                                    "jpeg: entropy data exhausted")
+                            b = data[pos]
+                            if b == 0xFF:
+                                nxt = data[pos + 1] if pos + 1 < L else 0xD9
+                                if nxt == 0x00:
+                                    pos += 2
+                                elif 0xD0 <= nxt <= 0xD7:
+                                    raise MediaDecodeError(
+                                        "jpeg: unexpected restart marker")
+                                else:  # marker: pad 1s, pos stays
+                                    acc = (acc << 8) | 0xFF
+                                    n += 8
+                                    continue
+                            else:
+                                pos += 1
+                            acc = (acc << 8) | b
+                            n += 8
+                        hit = dc_lut[(acc >> (n - 8)) & 0xFF]
+                        if hit is not None:
+                            sym, ln = hit
+                            n -= ln
+                            acc &= (1 << n) - 1
+                        else:
+                            while n < 16:
+                                if pos >= L:
+                                    raise MediaDecodeError(
+                                        "jpeg: entropy data exhausted")
+                                b = data[pos]
+                                if b == 0xFF:
+                                    nxt = (data[pos + 1]
+                                           if pos + 1 < L else 0xD9)
+                                    if nxt == 0x00:
+                                        pos += 2
+                                    elif 0xD0 <= nxt <= 0xD7:
+                                        raise MediaDecodeError(
+                                            "jpeg: unexpected restart marker")
+                                    else:
+                                        acc = (acc << 8) | 0xFF
+                                        n += 8
+                                        continue
+                                else:
+                                    pos += 1
+                                acc = (acc << 8) | b
+                                n += 8
+                            for ln in range(9, 17):
+                                sym = dc_dict.get((ln, acc >> (n - ln)))
+                                if sym is not None:
+                                    n -= ln
+                                    acc &= (1 << n) - 1
+                                    break
+                            else:
+                                raise MediaDecodeError(
+                                    "jpeg: invalid huffman code")
+                        if sym:
+                            while n < sym:
+                                if pos >= L:
+                                    raise MediaDecodeError(
+                                        "jpeg: entropy data exhausted")
+                                b = data[pos]
+                                if b == 0xFF:
+                                    nxt = (data[pos + 1]
+                                           if pos + 1 < L else 0xD9)
+                                    if nxt == 0x00:
+                                        pos += 2
+                                    elif 0xD0 <= nxt <= 0xD7:
+                                        raise MediaDecodeError(
+                                            "jpeg: unexpected restart marker")
+                                    else:
+                                        acc = (acc << 8) | 0xFF
+                                        n += 8
+                                        continue
+                                else:
+                                    pos += 1
+                                acc = (acc << 8) | b
+                                n += 8
+                            n -= sym
+                            v = (acc >> n) & ((1 << sym) - 1)
+                            acc &= (1 << n) - 1
+                            preds[ci] += (v if v >= (1 << (sym - 1))
+                                          else v - (1 << sym) + 1)
+                        coeffs[0] = preds[ci]
+                        # --- AC symbols ---
+                        k = 1
+                        while k < 64:
+                            while n < 8:
+                                if pos >= L:
+                                    raise MediaDecodeError(
+                                        "jpeg: entropy data exhausted")
+                                b = data[pos]
+                                if b == 0xFF:
+                                    nxt = (data[pos + 1]
+                                           if pos + 1 < L else 0xD9)
+                                    if nxt == 0x00:
+                                        pos += 2
+                                    elif 0xD0 <= nxt <= 0xD7:
+                                        raise MediaDecodeError(
+                                            "jpeg: unexpected restart marker")
+                                    else:
+                                        acc = (acc << 8) | 0xFF
+                                        n += 8
+                                        continue
+                                else:
+                                    pos += 1
+                                acc = (acc << 8) | b
+                                n += 8
+                            hit = ac_lut[(acc >> (n - 8)) & 0xFF]
+                            if hit is not None:
+                                sym, ln = hit
+                                n -= ln
+                                acc &= (1 << n) - 1
+                            else:
+                                while n < 16:
+                                    if pos >= L:
+                                        raise MediaDecodeError(
+                                            "jpeg: entropy data exhausted")
+                                    b = data[pos]
+                                    if b == 0xFF:
+                                        nxt = (data[pos + 1]
+                                               if pos + 1 < L else 0xD9)
+                                        if nxt == 0x00:
+                                            pos += 2
+                                        elif 0xD0 <= nxt <= 0xD7:
+                                            raise MediaDecodeError(
+                                                "jpeg: unexpected restart "
+                                                "marker")
+                                        else:
+                                            acc = (acc << 8) | 0xFF
+                                            n += 8
+                                            continue
+                                    else:
+                                        pos += 1
+                                    acc = (acc << 8) | b
+                                    n += 8
+                                for ln in range(9, 17):
+                                    sym = ac_dict.get((ln, acc >> (n - ln)))
+                                    if sym is not None:
+                                        n -= ln
+                                        acc &= (1 << n) - 1
+                                        break
+                                else:
+                                    raise MediaDecodeError(
+                                        "jpeg: invalid huffman code")
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63 or not size:
+                                raise MediaDecodeError(
+                                    "jpeg: AC run past block")
+                            while n < size:
+                                if pos >= L:
+                                    raise MediaDecodeError(
+                                        "jpeg: entropy data exhausted")
+                                b = data[pos]
+                                if b == 0xFF:
+                                    nxt = (data[pos + 1]
+                                           if pos + 1 < L else 0xD9)
+                                    if nxt == 0x00:
+                                        pos += 2
+                                    elif 0xD0 <= nxt <= 0xD7:
+                                        raise MediaDecodeError(
+                                            "jpeg: unexpected restart marker")
+                                    else:
+                                        acc = (acc << 8) | 0xFF
+                                        n += 8
+                                        continue
+                                else:
+                                    pos += 1
+                                acc = (acc << 8) | b
+                                n += 8
+                            n -= size
+                            v = (acc >> n) & ((1 << size) - 1)
+                            acc &= (1 << n) - 1
+                            coeffs[k] = (v if v >= (1 << (size - 1))
+                                         else v - (1 << size) + 1)
+                            k += 1
+                        # --- dequant + IDCT (reference arithmetic:
+                        # int32 product, then float64 matmuls) ---
+                        nat = (np.asarray(coeffs, dtype=np.int32)[inv_zz]
+                               .reshape(8, 8) * q8)
+                        block = dctT @ nat.astype(np.float64) @ dct
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * chh + bx) * 8
+                        plane[y0:y0 + 8, x0:x0 + 8] = block + 128.0
+
+
 def _decode_scan(d, pos, frame, scan, quant, huff, restart_interval, inv_zz):
     import numpy as np
 
@@ -606,6 +836,13 @@ def _decode_scan(d, pos, frame, scan, quant, huff, restart_interval, inv_zz):
     dct = _dct_matrix()
     reader = _BitReader(d, pos)
     reader.eager = not restart_interval
+    if reader.eager:
+        # restart-free scan: the inlined fast walk (r14). Dispatch on
+        # reader.eager so the differential test's forced-lazy reader
+        # still exercises the per-bit reference below.
+        _decode_scan_eager(d, pos, scan, quant, huff, inv_zz, planes,
+                           mcuy, mcux, dct)
+        return _assemble_planes(planes, comps, hmax, vmax, fh, fw)
     preds = [0] * len(comps)
     mcu_count = 0
     for my in range(mcuy):
@@ -652,6 +889,12 @@ def _decode_scan(d, pos, frame, scan, quant, huff, restart_interval, inv_zz):
                 raise MediaDecodeError(
                     "jpeg: unexpected restart marker") from None
             mcu_count += 1
+    return _assemble_planes(planes, comps, hmax, vmax, fh, fw)
+
+
+def _assemble_planes(planes, comps, hmax, vmax, fh, fw):
+    import numpy as np
+
     out = []
     for ci, comp in enumerate(comps):
         p = planes[ci]
