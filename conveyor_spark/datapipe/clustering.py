@@ -184,9 +184,10 @@ def embedding_kmeans(ctx: OpContext, inputs: list[DataFrame], config: dict[str, 
         # driver time at k=16/dim=64) and inlined the k*dim literal
         # array into BOTH array_position and array_min — re-analyzed
         # per training job. Arithmetic unchanged: _sub_dist_sql at
-        # start=0 is the same fold assign_cells' parity test pins to
-        # _dist_expr (slice(v,1,dim) == v), ties to the lowest
-        # cluster; the q120/q163/q164/q165 oracles replay it.
+        # start=0 is the same slice+zip_with+aggregate fold the
+        # assign_cells parity test pins (slice(v,1,dim) == v), ties
+        # to the lowest cluster; the q120/q163/q164/q165 oracles
+        # replay it.
         dist_arr = "array(" + ", ".join(
             _sub_dist_sql("__v", 0, c) for c in centroids) + ")"
         assigned = clean.selectExpr(
